@@ -1,13 +1,323 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 (the
+  * reference's own surface or the extended north-star set). Entries
+  * with an [[oracleSql]] twin are hash-compared against DuckDB on the
+  * same parquet; FP-sensitive queries are designed around integer
+  * quantization / decimal sums so both engines produce bit-identical
+  * values. Entries without an oracle (hash/XML/LSH ops that ANSI SQL
+  * can't express) are pinned by golden + property tests instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's README example (`SELECT content, title, url, pos FROM
+    * test.Pages` with `-keys url,pos`) reshaped onto the documents fixture:
+    * full scan → render → xmlpipe2 documents with composite-key doc ids.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"), col("source"), col("doc_id"), col("n_chars"))
+    XmlPipe.formatDocs(docs, Seq("source", "doc_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: xmlpipe2 export (F1,F3,F4,F5,F6,F8,F10) ----
+    "xml_documents" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("text"), col("source"), col("doc_id"), col("n_chars"))
+      XmlPipe.formatDocs(docs, Seq("doc_id")).orderBy(col("id"))
+    }),
+    "xml_documents_composite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("text"), col("source"), col("doc_id"), col("n_chars"))
+      XmlPipe.formatDocs(docs, Seq("source", "doc_id"))
+        .orderBy(col("id"), col("doc"))
+    }),
+    "xml_lineitem" -> ((s, dir) => {
+      XmlPipe.formatDocs(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber")).orderBy(col("id"), col("doc"))
+    }),
+
+    // ---- doc-id kernels (F4/F5/F6) ----
+    "docid_single" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(DocId.docId(docs, Seq("doc_id")).as("id"))
+        .orderBy(col("id"))
+    }),
+    "docid_composite" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        DocId.docId(docs, Seq("source", "doc_id")).as("id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- typed rendering (F8/F9) ----
+    "render_lineitem" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").cast("string").as("r_orderkey"),
+        col("l_quantity").cast("string").as("r_quantity"),
+        col("l_returnflag").as("r_flag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("r_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "render_arrays" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        array_join(transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long").cast("string")),
+          " ").as("r_embedding"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- mem markup (F7) ----
+    "mem_markup_events" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        MemMarkup.memMarkup(col("props")).as("markup"),
+        MemMarkup.isMem(col("props")).as("is_mem"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- CQL-pushdown query shapes (SURVEY §2b: filter/sort/limit) ----
+    "q_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }),
+    "q_in_range" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("O", "F") &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- relational core: agg / join / window / rollup / setops ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      // Q5-style revenue per nation; dims broadcast (nation: 25 rows,
+      // customer: small relative to lineitem — broadcast both).
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    }),
+    "q_setops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .except(c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("bt"),
+        floor(col("p_retailprice")).cast("long").as("price_fl"),
+        pmod(col("p_partkey"), lit(7)).as("pk_mod"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        .orderBy(col("y"), col("m"))
+    }),
+    "q_case_bucket" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("bucket"))
+        .orderBy(col("c_custkey"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "docid_single" ->
+      "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
+    "render_lineitem" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_orderkey AS VARCHAR) AS r_orderkey,
+             CAST(l_quantity AS VARCHAR) AS r_quantity,
+             l_returnflag AS r_flag,
+             strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS r_shipdate
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "render_arrays" -> """
+      SELECT vec_id,
+             array_to_string(list_transform(embedding,
+               x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS VARCHAR)),
+               ' ') AS r_embedding
+      FROM embeddings ORDER BY vec_id""",
+    "mem_markup_events" -> """
+      SELECT event_id, props AS markup, FALSE AS is_mem
+      FROM events ORDER BY event_id""",
+    "q_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+      ORDER BY l_orderkey, l_linenumber""",
+    "q_topk" -> """
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_in_range" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM orders
+      WHERE o_orderstatus IN ('O','F')
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             count(*) AS count_order
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+    "q_join_agg" -> """
+      SELECT n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
+    "q_window_rank" -> """
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_rollup" -> """
+      SELECT n_name, c_mktsegment, count(*) AS n_cust,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q_setops" -> """
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      EXCEPT
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY c_custkey""",
+    "q_distinct_agg" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_anti_join" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      ORDER BY c_custkey""",
+    "q_semi_join" -> """
+      SELECT c_custkey FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+    "q_scalar_funcs" -> """
+      SELECT p_partkey, upper(p_brand) AS brand_u, length(p_name) AS name_len,
+             substring(p_type, 1, 5) AS type5,
+             concat_ws('-', p_brand, p_type) AS bt,
+             CAST(floor(p_retailprice) AS BIGINT) AS price_fl,
+             p_partkey % 7 AS pk_mod
+      FROM part ORDER BY p_partkey""",
+    "q_date_funcs" -> """
+      SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM orders GROUP BY 1, 2 ORDER BY y, m""",
+    "q_case_bucket" -> """
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bucket
+      FROM customer ORDER BY c_custkey""",
+  ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

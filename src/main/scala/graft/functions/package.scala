@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftshim.Bridge
+
+/** Column-level entry points for graft's custom Catalyst expressions. */
+package object functions {
+
+  /** Reference doc-id hash (Query.java:303-316) as a codegen'd
+    * expression: `sdbm_hash(seed, str)`. Null string → 0.
+    */
+  def sdbm_hash(seed: Column, s: Column): Column =
+    Bridge.column(SdbmHashExpr(
+      Bridge.expression(seed.cast("long")),
+      Bridge.expression(s.cast("string"))))
+}

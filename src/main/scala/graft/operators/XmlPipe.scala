@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+
+import graft.functions.{MemMarkup, Render}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sphinx xmlpipe2 document formatting and docset framing — reference
+  * `processRow`/`writeValue` (Query.java:182-229) and the docset
+  * header/footer (Query.java:147-150, 166-169).
+  *
+  * The per-row document is built entirely from Catalyst column
+  * expressions (concat / replace / conditional CDATA), so the whole
+  * scan → render → format path is one narrow, shuffle-free,
+  * whole-stage-codegen'd projection — the Spark-native equivalent of
+  * the reference's fused row loop, but parallel over source partitions.
+  *
+  * Framing fidelity (golden-tested):
+  *   - header `<?xml version="1.0" encoding="utf-8"?><sphinx:docset>`
+  *     with the `sphinx:` prefix *undeclared* (the reference bound the
+  *     prefix without emitting an xmlns — Query.java:149; Sphinx
+  *     accepts it);
+  *   - each document preceded by `\n` (Query.java:183);
+  *   - trailing `\n` before `</sphinx:docset>` (Query.java:166);
+  *   - text nodes escape `&`, `<`, `>` (StAX `writeCharacters`);
+  *   - string values that parse as JSON int matrices become
+  *     `<![CDATA[<mem>…</mem>…]]>` (Query.java:293), binary values are
+  *     CDATA-wrapped hex (the reference CDATA'd the ByteBuffer
+  *     descriptor — Query.java:225 — a defect we fix).
+  */
+object XmlPipe {
+  val Header = "<?xml version=\"1.0\" encoding=\"utf-8\"?><sphinx:docset>"
+  val Footer = "\n</sphinx:docset>"
+
+  /** StAX-compatible text escaping: `&` first, then `<`, `>`. */
+  def escapeText(c: Column): Column =
+    replace(replace(replace(c, lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+
+  def cdata(c: Column): Column = concat(lit("<![CDATA["), c, lit("]]>"))
+
+  /** XML content for one value of the given type (element body only). */
+  def fieldContent(c: Column, dt: DataType): Column = dt match {
+    case StringType =>
+      // parseString (Query.java:279-301): parsed matrix → CDATA'd
+      // <mem> markup; otherwise escaped raw text.
+      when(MemMarkup.isMem(c), cdata(MemMarkup.memMarkup(c)))
+        .otherwise(escapeText(coalesce(c, lit(""))))
+    case BinaryType => cdata(Render.render(c, dt))
+    case ArrayType(StringType, _) => escapeText(Render.render(c, dt))
+    case other =>
+      // Numeric/temporal canonical text can't contain &<>.
+      Render.render(c, other)
+  }
+
+  /** One `<sphinx:document>` string per row, plus the derived id.
+    * Output columns: `id` (long), `doc` (string).
+    */
+  def formatDocs(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val id = DocId.docId(df, keys)
+    val fields = df.schema.fields.toSeq.map { f =>
+      concat(lit(s"<${f.name}>"), fieldContent(col(f.name), f.dataType),
+        lit(s"</${f.name}>"))
+    }
+    val doc = concat(
+      lit("\n<sphinx:document id=\"") +: id.cast(StringType) +: lit("\">") +:
+        fields :+ lit("</sphinx:document>"): _*)
+    df.select(id.as("id"), doc.as("doc"))
+  }
+
+  /** Stream one complete docset to an OutputStream in source order —
+    * the reference's stdout edge (Query.java:147-169). Constant driver
+    * memory: partitions are fetched one at a time via toLocalIterator;
+    * the transform stages still run in parallel on executors.
+    */
+  def writeDocset(docs: DataFrame, out: OutputStream): Unit = {
+    val bos = new BufferedOutputStream(out, 1 << 16)
+    bos.write(Header.getBytes(StandardCharsets.UTF_8))
+    val it = docs.select(col("doc")).toLocalIterator()
+    while (it.hasNext) {
+      bos.write(it.next().getString(0).getBytes(StandardCharsets.UTF_8))
+    }
+    bos.write(Footer.getBytes(StandardCharsets.UTF_8))
+    bos.flush()
+  }
+
+  /** Scale path: write N independent, individually-well-formed docset
+    * shards (one per partition) — Sphinx distributed indexing consumes
+    * one xmlpipe source per shard, so a 100 TB export never serializes
+    * through the driver.
+    */
+  def writeShardedDocsets(docs: DataFrame, path: String): Unit = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc")).as[String]
+      .mapPartitions(it => Iterator(Header) ++ it ++ Iterator(Footer))
+      .write.mode("overwrite").text(path)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.XmlPipe
+import org.apache.spark.sql.SparkSession
+
+/** CLI surface — the reference's launcher contract (F14,
+  * Query.java:41-125) reshaped for the Spark engine. Where the
+  * reference took `-host/-port/-cql/-keys`, this takes a fixture dir +
+  * table + optional projection/filter (the CQL SELECT equivalents) and
+  * streams one xmlpipe2 docset to stdout or a file.
+  *
+  * Usage:
+  *   Export <dir> <table> <keys:comma-separated> [out=-] [cols=*] [where=]
+  *
+  * Divergence from the reference, by design: errors exit nonzero
+  * (the reference printed a stack trace and exited 0 with truncated
+  * XML — Query.java:171-176, a defect we do not reproduce).
+  */
+object Export {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: Export <dir> <table> <keys,comma,separated> [out|-] [cols,comma] [where-expr]")
+      sys.exit(2)
+    }
+    val Array(dir, table, keysArg) = args.take(3)
+    val out = args.lift(3).getOrElse("-")
+    val cols = args.lift(4).getOrElse("*")
+    val where = args.lift(5).getOrElse("")
+    // Reference key parsing: comma-split, empties filtered (Query.java:112-119).
+    val keys = keysArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (keys.isEmpty) {
+      System.err.println("error: -keys requires at least one non-empty column name")
+      sys.exit(2)
+    }
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-export")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      var df = Tables.load(spark, dir, table)
+      if (cols != "*") df = df.selectExpr(cols.split(","). map(_.trim): _*)
+      if (where.nonEmpty) df = df.filter(where)
+      keys.find(k => !df.columns.contains(k)).foreach { k =>
+        System.err.println(
+          s"error: key column '$k' is not in the result (have: ${df.columns.mkString(", ")})")
+        sys.exit(2)
+      }
+      val docs = XmlPipe.formatDocs(df, keys)
+      if (out == "-") XmlPipe.writeDocset(docs, System.out)
+      else {
+        val fos = new java.io.FileOutputStream(out)
+        try XmlPipe.writeDocset(docs, fos) finally fos.close()
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.Render
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** F8/F9 canonical rendering (reference Query.java:231-277). */
+class RenderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("scalar canonical forms") {
+    import spark.implicits._
+    val df = Seq((42, 9999999999L, true, 1.5, "txt"))
+      .toDF("i", "l", "b", "d", "s")
+    val got = df.select(
+      Render.render(col("i"), IntegerType),
+      Render.render(col("l"), LongType),
+      Render.render(col("b"), BooleanType),
+      Render.render(col("d"), DoubleType),
+      Render.render(col("s"), StringType)).collect()(0)
+    assert(got.toSeq == Seq("42", "9999999999", "true", "1.5", "txt"))
+  }
+
+  test("timestamp canonical UTC form") {
+    import spark.implicits._
+    val df = Seq("2024-03-01 12:34:56.789").toDF("t")
+      .select(col("t").cast("timestamp").as("t"))
+    val got = df.select(Render.render(col("t"), TimestampType)).collect()(0)
+    assert(got.getString(0) == "2024-03-01 12:34:56")
+  }
+
+  test("arrays space-join; empty array and nulls render as empty string") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1, 2, 3), Some("x")),
+      (Seq.empty[Int], None)).toDF("a", "s")
+    val got = df.select(
+      Render.render(col("a"), ArrayType(IntegerType)).as("ra"),
+      Render.render(col("s"), StringType).as("rs"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("1 2 3", "x"), ("", "")))
+  }
+
+  test("binary renders as hex, maps as json (flagged extensions)") {
+    import spark.implicits._
+    val df = Seq(Array[Byte](0x0a, 0x1b, -1)).toDF("bin")
+    val got = df.select(Render.render(col("bin"), BinaryType)).collect()(0)
+    assert(got.getString(0) == "0A1BFF")
+    val m = Seq(Map("a" -> 1)).toDF("m")
+    val gotM = m.select(Render.render(col("m"), MapType(StringType, IntegerType)))
+      .collect()(0)
+    assert(gotM.getString(0) == """{"a":1}""")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+import graft.functions.SdbmHash
+import graft.operators.XmlPipe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for F10/F11 framing (reference Query.java:147-192):
+  * leading `\n` per document, undeclared `sphinx:` prefix, escaping,
+  * CDATA placement for mem-markup, trailing `\n` before the close tag.
+  */
+class XmlPipeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      ("a<b&c>d", "s1", 7L, 5L),
+      ("[[1,2],[3]]", "s2", 8L, 11L),
+      ("plain", "s3", 9L, 5L)
+    ).toDF("text", "source", "doc_id", "n_chars")
+  }
+
+  test("golden docset — single numeric key (F4 passthrough)") {
+    val docs = XmlPipe.formatDocs(docsDf, Seq("doc_id"))
+    val out = new ByteArrayOutputStream()
+    XmlPipe.writeDocset(docs, out)
+    val got = out.toString(StandardCharsets.UTF_8)
+    val want =
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?><sphinx:docset>" +
+        "\n<sphinx:document id=\"7\"><text>a&lt;b&amp;c&gt;d</text>" +
+        "<source>s1</source><doc_id>7</doc_id><n_chars>5</n_chars></sphinx:document>" +
+        "\n<sphinx:document id=\"8\"><text><![CDATA[<mem>1 2</mem><mem>3</mem>]]></text>" +
+        "<source>s2</source><doc_id>8</doc_id><n_chars>11</n_chars></sphinx:document>" +
+        "\n<sphinx:document id=\"9\"><text>plain</text>" +
+        "<source>s3</source><doc_id>9</doc_id><n_chars>5</n_chars></sphinx:document>" +
+        "\n</sphinx:docset>"
+    assert(got == want)
+  }
+
+  test("composite key ids use the sdbm hash with the numeric seed (F5/F6)") {
+    val docs = XmlPipe.formatDocs(docsDf, Seq("source", "doc_id"))
+    val ids = docs.select("id").collect().map(_.getLong(0)).toSeq
+    // seed = doc_id (first int/bigint key), joined string = rendered source
+    val want = Seq(
+      SdbmHash.hash(7L, "s1"), SdbmHash.hash(8L, "s2"), SdbmHash.hash(9L, "s3"))
+    assert(ids == want)
+  }
+
+  test("null values render as empty elements (defined behavior vs ref NPE)") {
+    import spark.implicits._
+    val df = Seq((Some("x"), 1L), (None, 2L)).toDF("text", "doc_id")
+    val docs = XmlPipe.formatDocs(df, Seq("doc_id")).orderBy(col("id"))
+    val got = docs.select("doc").as[String].collect().toSeq
+    assert(got(1).contains("<text></text>"))
+  }
+
+  test("sharded docsets: each shard is a complete docset") {
+    val tmp = java.nio.file.Files.createTempDirectory("xmlshard").toString
+    val docs = XmlPipe.formatDocs(docsDf.repartition(2), Seq("doc_id"))
+    XmlPipe.writeShardedDocsets(docs, tmp)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("part-")).toSeq
+    assert(files.size == 2)
+    for (f <- files) {
+      val content = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      assert(content.startsWith(XmlPipe.Header))
+      assert(content.trim.endsWith("</sphinx:docset>"))
+    }
+  }
+}
