@@ -217,9 +217,204 @@ object SparkEntry {
           .otherwise("high").as("bucket"))
         .orderBy(col("c_custkey"))
     }),
+
+    // ---- north star: deduplication ----
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), k = 16, bands = 4,
+        minJaccard = 0.7).orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        n = 3, minJaccard = 0.8).orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), minCosine = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- north star: similarity search ----
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      Similarity.annTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- north star: text analysis ----
+    "text_token_stats" -> ((s, dir) => {
+      TextStats.tokenStats(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      TextStats.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      TextStats.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      TextStats.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: event windows (batch + streaming twin) ----
+    "events_tumbling" -> ((s, dir) => {
+      Events.tumbling(t(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    "events_sliding" -> ((s, dir) => {
+      Events.sliding(t(s, dir, "events")).orderBy(col("window_start"))
+    }),
+    "events_sessionize" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "events_stream_tumbling" -> ((s, dir) => {
+      graft.streaming.EventsStream.tumblingToCompletion(s, dir)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ---- north star: multimodal column plumbing ----
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
   )
 
+  /** DuckDB stopword-hit count via replace-length arithmetic — the
+    * exact SQL twin of TextStats.occurrences (padded-word matching).
+    */
+  private def hitsSql(w: String): String =
+    s"((length(p) - length(replace(p, ' $w ', ''))) // ${w.length + 2})"
+
+  /** Shared CTE prefix: integer-quantized embeddings + exact int norms
+    * (the SQL twin of Similarity.quantize/qdot — see its scaladoc for
+    * why quantization makes FP results engine-independent).
+    */
+  private val qEmbSql: String = """
+    q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+          FROM embeddings),
+    e AS (SELECT vec_id, i, qv[i] AS x
+          FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+    n AS (SELECT vec_id, sum(x * x) AS norm FROM e GROUP BY vec_id)"""
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
+      FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_ngram_jaccard" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id)
+      SELECT id_a, id_b, shared, na.ng AS n_a, nb.ng AS n_b
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8
+      ORDER BY id_a, id_b""",
+    "dedup_embedding" -> s"""
+      WITH $qEmbSql,
+      d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE)) AS cosine
+      FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE)) >= 0.45
+      ORDER BY id_a, id_b""",
+    "sim_topk" -> s"""
+      WITH $qEmbSql,
+      s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id,
+                   CAST(dot AS DOUBLE) / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE)) AS cosine
+            FROM s JOIN n na ON na.vec_id = query_id
+                   JOIN n nb ON nb.vec_id = neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM c) rk
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+    "text_token_stats" -> """
+      SELECT doc_id, length(text) AS n_chars_m,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+               nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE length(text) - length(replace(text, ' ', '')) + 1 END, 0) AS avg_token_len
+      FROM documents ORDER BY doc_id""",
+    "text_quality" -> s"""
+      SELECT doc_id, n_chars_m, n_punct, stop_hits,
+             (CAST(stop_hits AS DOUBLE) * 100.0 / CAST(n_chars_m AS DOUBLE) -
+              CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) AS quality
+      FROM (SELECT doc_id, length(text) AS n_chars_m,
+              length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+              ${Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")} AS stop_hits
+            FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                  FROM documents))
+      ORDER BY doc_id""",
+    "text_langid" -> s"""
+      SELECT doc_id, lang_label, s_en, s_de, s_fr, s_es,
+             CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+                  WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                  WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                  WHEN s_fr >= s_es THEN 'fr'
+                  ELSE 'es' END AS pred_lang
+      FROM (SELECT doc_id, lang AS lang_label,
+              ${graft.operators.TextStats.LangProfiles.map { case (l, ws) =>
+                ws.map(hitsSql).mkString(" + ") + s" AS s_$l"
+              }.mkString(", ")}
+            FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
+                  FROM documents))
+      ORDER BY doc_id""",
+    "events_tumbling" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_stream_tumbling" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_sliding" -> """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
+             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+      GROUP BY 1 ORDER BY 1""",
+    "events_sessionize" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "multimodal_meta" -> """
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             64 + octet_length(encode(text)) % 1024 AS width,
+             64 + (octet_length(encode(text)) * 7) % 768 AS height,
+             CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'
+                  WHEN 1 THEN 'png' ELSE 'webp' END AS format
+      FROM documents ORDER BY doc_id""",
     "docid_single" ->
       "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
     "render_lineitem" -> """

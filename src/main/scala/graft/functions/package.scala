@@ -13,4 +13,12 @@ package object functions {
     Bridge.column(SdbmHashExpr(
       Bridge.expression(seed.cast("long")),
       Bridge.expression(s.cast("string"))))
+
+  /** k-minima MinHash signature of a token array (array<long>). */
+  def minhash_sig(tokens: Column, k: Int): Column =
+    Bridge.column(MinHashSigExpr(Bridge.expression(tokens), k))
+
+  /** 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.functions.{minhash_sig, simhash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the extended (north-star) surface —
+  * absent from the reference (SURVEY.md §2b), designed Spark-first for
+  * 100 TB corpora:
+  *
+  *   - exact:     content hash → one groupBy (map-side combinable);
+  *   - MinHash:   per-doc signature in one narrow projection
+  *                ([[graft.functions.Sketches]]), then only small band
+  *                keys shuffle; candidate pairs verified with exact
+  *                Jaccard. No O(N²) stage anywhere.
+  *   - SimHash:   64-bit fingerprint + 16-bit band buckets, Hamming
+  *                verify via xor/bit_count;
+  *   - n-gram Jaccard: exact character-shingle Jaccard via shingle
+  *                join — the small-scale ground truth the sketch ops
+  *                are tested against (quadratic in the worst case;
+  *                scope the input or use MinHash at scale).
+  */
+object Dedup {
+
+  /** Whitespace word tokens, lowercased; empty text → empty array. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Sliding word n-gram shingles from a token array (the MinHash
+    * input domain — single tokens are too coarse for near-dup
+    * detection on small vocabularies).
+    */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Distinct character n-grams of a string column. (Guarded: Spark's
+    * `sequence(1, 0)` counts DOWN instead of returning empty, so
+    * too-short strings need an explicit empty array.)
+    */
+  def charNgrams(c: Column, n: Int): Column =
+    array_distinct(
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), length(c) - (n - 1)),
+          i => substr(c, i, lit(n)))))
+
+  /** Exact dedup: group identical texts, keep the smallest id.
+    * Output: (keep_id, dup_count, text).
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .select(col("keep_id"), col("dup_count"), col(textCol))
+
+  /** MinHash-LSH near-dup pairs, Jaccard-verified, over distinct word
+    * 3-gram shingles.
+    *
+    * @param k     signature length (k = bands * rowsPerBand)
+    * @param bands LSH bands; a pair is a candidate if any band of the
+    *              signature matches exactly.
+    * @param minJaccard exact shingle-set Jaccard threshold for the
+    *                   verify step.
+    * Output: (id_a, id_b, shared, total) — shared/total ints so the
+    * result is FP-free; jaccard = shared/total.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      minJaccard: Double = 0.7, idCol: String = "doc_id",
+      textCol: String = "text", shingleWords: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(wordShingles(tokens(col(textCol)), shingleWords))
+        .as("toks"))
+    val sigs = toks.withColumn("sig", minhash_sig(col("toks"), k))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))
+    }
+    val banded = sigs.select(col("id"),
+      explode(array(bandCols: _*)).as("bk"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact Jaccard verify on the candidate set only.
+    candidates
+      .join(toks.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toks.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("total", size(array_union(col("toks_a"), col("toks_b"))))
+      .filter(col("shared") >= col("total") * minJaccard)
+      .select(col("id_a"), col("id_b"), col("shared"), col("total"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band buckets, Hamming-verified.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact character-n-gram Jaccard pairs via shingle join (ground
+    * truth / oracle-checkable). Output: (id_a, id_b, shared, n_a, n_b)
+    * for pairs with jaccard = shared/(n_a+n_b-shared) >= minJaccard.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      minJaccard: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(charNgrams(col(textCol), n)).as("g"))
+    val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+    val shared = grams.as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("id").as("id_a"), col("ng").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("ng").as("n_b")), "id_b")
+      .filter(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")) >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-window analytics over the events stream table — the extended
+  * surface's streaming-shaped operators in batch form (the Structured
+  * Streaming twin lives in graft.streaming.EventsStream and shares
+  * these query shapes).
+  *
+  * Sums go through DECIMAL so results are associativity-independent
+  * (exact) — a double sum would vary with partition merge order at
+  * scale AND would miss the DuckDB oracle hash.
+  */
+object Events {
+
+  /** Tumbling-window counts/sums per event type.
+    * Output: (window_start, event_type, n, sum_value).
+    */
+  def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window counts (width/slide), e.g. 1h windows every 15m.
+    * Output: (window_start, n, sum_value).
+    */
+  def sliding(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
+
+  /** Sessionization with an inactivity gap: classic lag + running sum
+    * of session-break flags, then per-session aggregation. Timestamp
+    * arithmetic in exact integer microseconds (unix_micros ≡ DuckDB
+    * epoch_us). Output: (user_id, session_start, session_end, n_events).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val newSession = when(
+      lag(col("ts"), 1).over(byUser).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
+      1L).otherwise(0L)
+    events
+      .withColumn("brk", newSession) // separate step: no nested windows
+      .withColumn("session_id",
+        sum(col("brk")).over(byUser
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the extended surface: media payloads
+  * travel as opaque `binary` columns + typed metadata; decode /
+  * feature-extraction runs per partition so a real codec would be
+  * loaded once per task, not once per row (the Scala analogue of
+  * arrow-batched `mapInPandas`).
+  *
+  * The decode step itself is a clearly-marked deterministic STUB
+  * (image/audio codecs are not available in this environment). The
+  * Spark-side contract — binary column, schema, partition-batched
+  * execution, metadata struct — is real and oracle-tested.
+  */
+object Multimodal {
+
+  /** Extracted media metadata (stub decode). */
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+      format: String)
+
+  /** Attach a binary "media" payload (UTF-8 bytes of the text column —
+    * a deterministic stand-in for image bytes).
+    */
+  def withBinaryPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+
+  /** STUB decode: derives metadata arithmetically from the payload
+    * bytes (a real implementation would decode image headers here —
+    * same signature, same partition-batched shape).
+    */
+  private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    val fmt = n % 3 match {
+      case 0 => "jpeg"
+      case 1 => "png"
+      case _ => "webp"
+    }
+    MediaMeta(id, n, 64 + n % 1024, 64 + (n * 7) % 768, fmt)
+  }
+
+  /** Decode/feature-extract over the binary column, partition-batched. */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val payloads: Dataset[(Long, Array[Byte])] =
+      withBinaryPayload(docs).as[(Long, Array[Byte])]
+    payloads.mapPartitions { it =>
+      // per-partition setup point (codec init in a real decoder)
+      it.map { case (id, bytes) => stubDecode(id, bytes) }
+    }.toDF()
+  }
+}

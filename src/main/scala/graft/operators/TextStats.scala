@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.sdbm_hash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the extended (north-star) surface:
+  * token counting, quality scoring, heuristic language ID, document
+  * fingerprinting. All pure narrow column expressions — at 100 TB this
+  * whole module is one codegen'd projection over the corpus, no
+  * shuffle until the caller aggregates.
+  *
+  * Determinism: every formula sticks to ints and exactly-rounded
+  * double ops shared by Spark and DuckDB, so the oracle hash-matches.
+  */
+object TextStats {
+
+  /** Occurrence count of `needle` in `hay` via length difference
+    * (replace removes non-overlapping occurrences — same semantics in
+    * Spark and ANSI SQL, no regex dialect involved).
+    */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(replace(hay, lit(needle)))).cast("long") /
+      needle.length).cast("long")
+
+  private def paddedLower(c: Column): Column =
+    concat(lit(" "), lower(c), lit(" "))
+
+  /** Token stats: n_tokens via space counting (identical formula
+    * SQL-side), char counts, avg token length.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val txt = col("text")
+    val nonSpace = length(replace(txt, lit(" ")))
+    val nTokens = when(length(trim(txt)) === 0, lit(0L))
+      .otherwise((length(txt) - nonSpace + 1).cast("long"))
+    docs.select(col("doc_id"), length(txt).cast("long").as("n_chars_m"),
+      nTokens.as("n_tokens"),
+      (nonSpace.cast("double") / nullif(nTokens, lit(0L))).as("avg_token_len"))
+  }
+
+  /** Quality signals: punctuation count (regex class identical in
+    * Spark/RE2/PCRE for this pattern), stopword hits, and a composite
+    * score in deterministic double arithmetic.
+    */
+  def qualityScore(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "and", "of", "to")): DataFrame = {
+    val txt = col("text")
+    val p = paddedLower(txt)
+    val nPunct = length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
+    val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
+      .reduce(_ + _)
+    val nChars = length(txt).cast("long")
+    docs.select(col("doc_id"), nChars.as("n_chars_m"), nPunct.as("n_punct"),
+      stopHits.as("stop_hits"),
+      (stopHits.cast("double") * 100.0 / nChars.cast("double") -
+        nPunct.cast("double") / nChars.cast("double")).as("quality"))
+  }
+
+  /** Language profiles for the heuristic language ID. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "que", "una"))
+
+  /** Heuristic language ID: stopword-profile hit counts, argmax with
+    * fixed priority order (en > de > fr > es > unknown on ties /
+    * all-zero). Purely integer comparisons → oracle-expressible.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val p = paddedLower(col("text"))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(p, s" $w ").cast("long")).reduce(_ + _)
+    }
+    val total = scores.map(_._2).reduce(_ + _)
+    // argmax with fixed priority: en wins ties vs de wins vs fr vs es.
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(total === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    docs.select(col("doc_id"), col("lang").as("lang_label"),
+      en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
+      pred.as("pred_lang"))
+  }
+
+  /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
+    * text — reuses the engine's own F6 hash as a rolling content hash.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      sdbm_hash(lit(0L),
+        trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+}

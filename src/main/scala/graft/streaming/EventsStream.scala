@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twin of graft.operators.Events: the same
+  * tumbling-window aggregation driven through readStream → watermark →
+  * windowed agg → sink. Batch and stream share one query shape, so the
+  * oracle that checks the batch result checks the streaming result too.
+  *
+  * (The reference is a batch one-shot exporter — SURVEY.md §2b marks
+  * streaming as extended surface.)
+  */
+object EventsStream {
+
+  /** Streaming source over the events parquet (nanos ts handled the
+    * same way as Tables.load).
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream sources take a directory; select just events.parquet
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (raw.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType)) {
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else raw
+  }
+
+  /** Run the tumbling aggregation as a streaming query to completion
+    * (memory sink, complete mode) and return the final result — used
+    * by the correctness gate so streaming goes through the same DuckDB
+    * oracle as the batch twin.
+    */
+  def tumblingToCompletion(spark: SparkSession, dir: String,
+      width: String = "1 hour"): DataFrame = {
+    val agg = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val qname = "graft_events_stream"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (4L, "completely different content about spark query engines at scale"),
+      (5L, "another unrelated document with its own words entirely here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id and counts duplicates") {
+    import spark.implicits._
+    val got = Dedup.exact(corpus).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash finds exact and near dups, not unrelated pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(corpus, k = 16, bands = 4, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))       // identical
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("simhash pairs exact dups at hamming 0; unrelated docs not paired") {
+    import spark.implicits._
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 10)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair.get((1L, 2L)).contains(0)) // identical text → identical sig
+    assert(!byPair.contains((1L, 4L)))
+  }
+
+  test("simhash distance orders near-dup below unrelated") {
+    import spark.implicits._
+    import graft.functions.simhash64
+    val sigs = corpus
+      .select(col("doc_id"), simhash64(Dedup.tokens(col("text"))).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 3L) < ham(1L, 4L)) // near dup closer than unrelated
+    assert(ham(1L, 2L) == 0)
+  }
+
+  test("ngram jaccard: exact dup scores 1, near dup above 0.5") {
+    import spark.implicits._
+    val got = Dedup.ngramJaccardPairs(corpus, n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+    assert(!got.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("charNgrams guards short strings (no descending-sequence bug)") {
+    import spark.implicits._
+    val got = Seq("ab", "abc", "").toDF("s")
+      .select(Dedup.charNgrams(col("s"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq.empty, Seq("abc"), Seq.empty))
+  }
+
+  test("wordShingles slides over tokens") {
+    import spark.implicits._
+    val got = Seq("a b c d").toDF("s")
+      .select(Dedup.wordShingles(Dedup.tokens(col("s")), 3).as("g"))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a b c", "b c d"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def evts = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 01:10:00"), 1L, "view", 3.0),  // >30m gap → new session
+      (4L, ts("2024-01-01 00:10:00"), 2L, "click", 4.0),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view", 5.0)   // huge gap → new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("sessionize splits on the inactivity gap") {
+    import spark.implicits._
+    val got = Events.sessionize(evts, gapMinutes = 30)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("tumbling windows aggregate per hour and type") {
+    import spark.implicits._
+    val got = Events.tumbling(evts, "1 hour")
+      .orderBy("window_start", "event_type")
+      .select(col("window_start").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00", "click", 3L),
+      ("2024-01-01 01:00:00", "view", 1L),
+      ("2024-01-01 09:00:00", "view", 1L)))
+  }
+
+  test("sliding windows cover each event width/slide times") {
+    import spark.implicits._
+    val n = Events.sliding(evts, "1 hour", "15 minutes")
+      .agg(sum("n")).as[Long].collect().head
+    assert(n == 5L * 4L) // each event lands in exactly 4 sliding windows
+  }
+
+  test("streaming twin produces the same tumbling result as batch") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.tumbling(Tables.load(spark, dir, "events"))
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+    val stream = graft.streaming.EventsStream.tumblingToCompletion(spark, dir)
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+}

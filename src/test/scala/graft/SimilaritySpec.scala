@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9999f, 0.01f, 0.0f, 0.0f)), // ~parallel to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),     // orthogonal to 0
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),    // opposite of 0
+      (4L, Seq(0.7071f, 0.7071f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosinePairs finds near-parallel pairs only") {
+    import spark.implicits._
+    val got = Similarity.cosinePairs(vecs, minCosine = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+
+  test("topK ranks by cosine with deterministic ties") {
+    import spark.implicits._
+    val got = Similarity.topK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toSeq
+    // for query 0: 1 (~1.0), 4 (~0.707), 2 (0.0), 3 (-1.0)
+    assert(got == Seq((1, 1L), (2, 4L), (3, 2L), (4, 3L)))
+  }
+
+  test("ann results carry the same cosines as brute force") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ann = Similarity.annTopK(emb, col("id") < 10, k = 5)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty)
+    val brute = Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, n, c) <- ann) {
+      assert(brute((q, n)) == c, s"cosine mismatch for ($q,$n)")
+    }
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b1 == b2)
+    assert(b1.distinct.size > 1) // buckets actually split the space
+  }
+}

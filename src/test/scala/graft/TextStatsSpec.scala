@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.TextStats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("tokenStats counts tokens and average length") {
+    import spark.implicits._
+    val got = TextStats.tokenStats(
+      Seq((1L, "a bb ccc"), (2L, "")).toDF("doc_id", "text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(got(0) == ((1L, 8L, 3L, Some(2.0))))
+    assert(got(1) == ((2L, 0L, 0L, None)))
+  }
+
+  test("occurrences counts non-overlapping padded hits") {
+    import spark.implicits._
+    val got = Seq(" the cat the dog the ").toDF("s")
+      .select(TextStats.occurrences(col("s"), " the ").as("n"))
+      .as[Long].collect().head
+    // three disjoint " the " occurrences
+    assert(got == 3L)
+    // adjacent words share the padding space: " the the " counts once
+    // under non-overlapping replace semantics
+    val adj = Seq(" the the ").toDF("s")
+      .select(TextStats.occurrences(col("s"), " the ").as("n"))
+      .as[Long].collect().head
+    assert(adj == 1L)
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "xx", "der hund und die katze und das haus"),
+      (2L, "xx", "the cat and the dog of the house"),
+      (3L, "xx", "le chat et la maison et les chiens"),
+      (4L, "xx", "zzz qqq www")).toDF("doc_id", "lang", "text")
+    val got = TextStats.langId(df).orderBy("doc_id")
+      .select("pred_lang").as[String].collect().toSeq
+    assert(got == Seq("de", "en", "fr", "unknown"))
+  }
+
+  test("fingerprint is whitespace-normalized and case-insensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Hello   World"),
+      (2L, "hello world"),
+      (3L, "hello  world "),
+      (4L, "different text")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df).orderBy("doc_id")
+      .select("fp").as[Long].collect().toSeq
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(3) != fps(0))
+  }
+
+  test("quality score favors stopword-rich prose over punctuation soup") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the mouse went to the store"),
+      (2L, "$$$ ### !!! %%% @@@ &&& *** ((( ))) ___")).toDF("doc_id", "text")
+    val got = TextStats.qualityScore(df).orderBy("doc_id")
+      .select("quality").as[Double].collect().toSeq
+    assert(got(0) > got(1))
+  }
+}
