@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.hashing.MurmurHash3
+
+/** Tight-loop vector/sketch kernels. Higher-order functions
+  * (`zip_with`/`aggregate`/`transform`) are interpreted per element in
+  * Spark — fine for one array, ruinous inside an O(N²) similarity
+  * join. These expressions compile to a single static call inside
+  * whole-stage codegen, which is what makes brute-force verification
+  * and LSH bucketing affordable at scale.
+  */
+object VectorOps {
+  /** Exact int64 dot product of two long arrays. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Sliding word-n-gram shingles of a token array (native loop twin
+    * of Dedup.wordShingles).
+    */
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        val t = arr.getUTF8String(i + j)
+        if (t != null) sb.append(t.toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** MinHash over the word-n-gram shingles of a token array, fused:
+    * shingle strings are built and hashed in one pass, nothing is
+    * materialized. (MinHash is invariant to duplicate shingles, so no
+    * distinct step is needed.)
+    */
+  def minhashShingled(arr: ArrayData, n: Int, k: Int): ArrayData = {
+    val sh = shingles(arr, n)
+    Sketches.minhash(sh, k)
+  }
+
+  /** Sign-random-projection LSH bucket of a double array: bit i is the
+    * sign of the dot product with deterministic pseudo-random plane i
+    * (murmur3-derived components — no RNG state).
+    */
+  def signLsh(vec: ArrayData, nPlanes: Int): Long = {
+    val dim = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val c = MurmurHash3.stringHash(s"plane:$p:$j").toDouble / Int.MaxValue
+        dot += vec.getDouble(j) * c
+        j += 1
+      }
+      if (dot > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** `dot_long(array<long>, array<long>) → long` — codegen'd loop. */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects two array<bigint>, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_long"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotLongExpr = copy(left = l, right = r)
+}
+
+/** `word_shingles(tokens, n) → array<string>` — codegen'd loop. */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.shingles(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
+/** `minhash_shingled(tokens, n, k) → array<long>` — fused shingle+hash. */
+case class MinHashShingledExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= 128, s"k must be in [1,128], got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingled"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.minhashShingled(input.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.minhashShingled($c, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashShingledExpr =
+    copy(child = c)
+}
+
+/** `sign_lsh(array<double>, nPlanes) → long` — codegen'd bucket id. */
+case class SignLshExpr(child: Expression, nPlanes: Int)
+    extends UnaryExpression {
+  require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1,63]")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.signLsh(input.asInstanceOf[ArrayData], nPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.signLsh($c, $nPlanes)")
+  override protected def withNewChildInternal(c: Expression): SignLshExpr =
+    copy(child = c)
+}

@@ -21,4 +21,20 @@ package object functions {
   /** 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64Expr(Bridge.expression(tokens)))
+
+  /** Exact int64 dot product of two array<long> columns (codegen'd). */
+  def dot_long(a: Column, b: Column): Column =
+    Bridge.column(DotLongExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Sliding word n-gram shingles of a token array (codegen'd). */
+  def word_shingles(tokens: Column, n: Int): Column =
+    Bridge.column(WordShinglesExpr(Bridge.expression(tokens), n))
+
+  /** Fused shingle+MinHash signature (codegen'd, no materialization). */
+  def minhash_shingled(tokens: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashShingledExpr(Bridge.expression(tokens), n, k))
+
+  /** Sign-random-projection LSH bucket id of an array<double>. */
+  def sign_lsh(vec: Column, nPlanes: Int): Column =
+    Bridge.column(SignLshExpr(Bridge.expression(vec.cast("array<double>")), nPlanes))
 }

@@ -1,8 +1,9 @@
 package graft.operators
 
-import graft.functions.{minhash_sig, simhash64}
+import graft.functions.{minhash_shingled, simhash64, word_shingles}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the extended (north-star) surface —
   * absent from the reference (SURVEY.md §2b), designed Spark-first for
@@ -71,27 +72,32 @@ object Dedup {
       textCol: String = "text", shingleWords: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(wordShingles(tokens(col(textCol)), shingleWords))
-        .as("toks"))
-    val sigs = toks.withColumn("sig", minhash_sig(col("toks"), k))
+    // Fused shingle+minhash (codegen'd, no shingle materialization for
+    // the signature); distinct shingle sets kept only for the verify.
+    // Persisted because the plan fans out 4 ways (both sides of the
+    // band self-join + both verify joins) — without it the shingle
+    // pipeline is recomputed per branch.
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("wt"))
+      .withColumn("sig", minhash_shingled(col("wt"), shingleWords, k))
+      .withColumn("toks", array_distinct(word_shingles(col("wt"), shingleWords)))
+      .drop("wt")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Flat long band keys (band index folded into the hash) → plain
+    // equi-join, never a nested-loop fallback.
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))
+      xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
     }
-    val banded = sigs.select(col("id"),
-      explode(array(bandCols: _*)).as("bk"))
+    val banded = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val toks = base.select(col("id"), col("toks"))
     // Exact Jaccard verify on the candidate set only.
     candidates
-      .join(toks.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toks.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("toks", "toks_b"), "id_b")
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("total", size(array_union(col("toks_a"), col("toks_b"))))
       .filter(col("shared") >= col("total") * minJaccard)
@@ -105,11 +111,11 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sig"))
+    // flat long band key: band index in the high bits → plain equi-join
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16)
-            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        shiftrightunsigned(col("sig"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)) + lit(b * 65536L)): _*)).as("bk"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.{dot_long, sign_lsh}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,9 +27,12 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Exact int dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact int dot product of two quantized vectors — a codegen'd
+    * tight loop (DotLongExpr), NOT zip_with/aggregate: higher-order
+    * functions are interpreted per element, which multiplies into
+    * minutes inside an O(N²) pair join.
+    */
+  def qdot(a: Column, b: Column): Column = dot_long(a, b)
 
   /** Deterministic cosine from quantized vectors + precomputed square
     * norms: dot / sqrt(na*nb), all in exactly-rounded double ops.
@@ -88,17 +92,10 @@ object Similarity {
   /** Sign-random-projection bucket id (nPlanes bits) for an embedding.
     * At scale this is the shuffle key: vectors only meet candidates in
     * their own bucket, making ANN candidate generation linear.
+    * Codegen'd (SignLshExpr) — plane components match [[planes]].
     */
-  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column = {
-    val ps = planes(nPlanes, dim)
-    val bits = ps.zipWithIndex.map { case (plane, i) =>
-      val dot = aggregate(
-        zip_with(vecCol, typedlit(plane), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column =
+    sign_lsh(vecCol, nPlanes)
 
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket. Output shape matches [[topK]] (rank within bucket).
