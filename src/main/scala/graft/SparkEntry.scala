@@ -286,6 +286,69 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "multimodal_frames" -> ((s, dir) => {
+      Multimodal.frameSample(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- additional relational coverage ----
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .intersect(c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // SkewJoin must be value-identical to the plain join (oracle is
+      // the unsalted SQL join).
+      SkewJoin.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount")),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "text_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- stateful streaming (flatMapGroupsWithState) ----
+    "events_stream_sessionize" -> ((s, dir) => {
+      graft.streaming.EventsStream.sessionizeToCompletion(s, dir)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
+    // ---- SQL text-query surface over registered graft functions ----
+    "q_sql_functions" -> ((s, dir) => {
+      graft.functions.registerSql(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""
+        SELECT doc_id,
+               sdbm_hash(doc_id, text) AS h,
+               simhash64(split(text, ' ')) AS sh,
+               size(word_shingles(split(text, ' '), 3)) AS n_shingles
+        FROM graft_documents ORDER BY doc_id""")
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -395,6 +458,48 @@ object SparkEntry {
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
       GROUP BY 1 ORDER BY 1""",
     "events_sessionize" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "multimodal_frames" -> """
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(i AS INT) * 40 AS pts_ms,
+             (doc_id * 1000003 + CAST(i AS INT) * 7919) % 2147483647 AS frame_hash
+      FROM (SELECT doc_id, octet_length(encode(text)) % 7 + 1 AS nf
+            FROM documents), UNNEST(range(nf)) t(i)
+      ORDER BY doc_id, frame_idx""",
+    "q_cube" -> """
+      SELECT n_name, c_mktsegment, count(*) AS n_cust,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q_intersect" -> """
+      (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      INTERSECT
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      ORDER BY c_custkey""",
+    "q_salted_join" -> """
+      SELECT o_orderpriority,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "text_bpe_tokens" -> """
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+      FROM documents ORDER BY doc_id""",
+    "events_stream_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000

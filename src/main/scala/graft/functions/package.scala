@@ -37,4 +37,32 @@ package object functions {
   /** Sign-random-projection LSH bucket id of an array<double>. */
   def sign_lsh(vec: Column, nPlanes: Int): Column =
     Bridge.column(SignLshExpr(Bridge.expression(vec.cast("array<double>")), nPlanes))
+
+  /** Extract a literal Int argument from a SQL function call. */
+  private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  /** Register graft's expressions as SQL functions on a session, so
+    * `spark.sql` text queries can call them: sdbm_hash(seed, s),
+    * minhash_shingled(tokens, n, k), simhash64(tokens),
+    * dot_long(a, b), word_shingles(tokens, n), sign_lsh(vec, planes).
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "sdbm_hash",
+      { case Seq(a, b) => SdbmHashExpr(a, b) })
+    Bridge.registerFunction(spark, "minhash_shingled",
+      { case Seq(t, n, k) =>
+        MinHashShingledExpr(t, litInt(n, "n"), litInt(k, "k")) })
+    Bridge.registerFunction(spark, "simhash64", { case Seq(t) => SimHash64Expr(t) })
+    Bridge.registerFunction(spark, "dot_long", { case Seq(a, b) => DotLongExpr(a, b) })
+    Bridge.registerFunction(spark, "word_shingles",
+      { case Seq(t, n) => WordShinglesExpr(t, litInt(n, "n")) })
+    Bridge.registerFunction(spark, "sign_lsh",
+      { case Seq(v, p) => SignLshExpr(v, litInt(p, "planes")) })
+  }
 }

@@ -40,6 +40,24 @@ object Multimodal {
     MediaMeta(id, n, 64 + n % 1024, 64 + (n * 7) % 768, fmt)
   }
 
+  /** Frame sampling over a (stub-decoded) video-like payload: one row
+    * per sampled frame with deterministic pts/fingerprint — the
+    * explode-shaped plumbing a real frame sampler needs (schema,
+    * per-frame rows, bounded fan-out), with arithmetic in place of the
+    * codec. Output: (doc_id, frame_idx, pts_ms, frame_hash).
+    */
+  def frameSample(docs: DataFrame): DataFrame = {
+    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    val nFrames = (nBytes % 7) + 1
+    docs.select(col("doc_id"), nFrames.as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40).as("pts_ms"),
+        pmod(col("doc_id") * 1000003L + col("frame_idx") * 7919L,
+          lit(2147483647L)).as("frame_hash"))
+  }
+
   /** Decode/feature-extract over the binary column, partition-batched. */
   def decodeMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession

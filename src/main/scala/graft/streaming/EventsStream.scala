@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twin of graft.operators.Events: the same
   * tumbling-window aggregation driven through readStream → watermark →
@@ -50,5 +51,53 @@ object EventsStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(qname)
+  }
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState —
+    * the custom-state API the batch twin (Events.sessionize) cannot
+    * demonstrate. Events are grouped per user; sessions split on the
+    * inactivity gap in exact integer microseconds, so the result is
+    * value-identical to the batch version and shares its oracle.
+    */
+  def sessionizeToCompletion(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val src = source(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val sessions = src.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long)], _: GroupState[Long]) =>
+          val evs = it.toVector.sortBy(e => (e._2, e._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val out = Vector.newBuilder[(Long, Long, Long, Long)]
+            var start = evs.head._2
+            var last = evs.head._2
+            var n = 0L
+            for (e <- evs) {
+              if (e._2 - last > gapUs) {
+                out += ((uid, start, last, n))
+                start = e._2
+                n = 0L
+              }
+              last = e._2
+              n += 1
+            }
+            out += ((uid, start, last, n))
+            out.result().iterator
+          }
+      }
+    val qname = "graft_events_sessions"
+    val q = sessions
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname).select(col("user_id"),
+      timestamp_micros(col("start_us")).as("session_start"),
+      timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
   }
 }

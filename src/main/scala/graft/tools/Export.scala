@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.operators.XmlPipe
+import graft.operators.{ProgressMeter, XmlPipe}
 import org.apache.spark.sql.SparkSession
 
 /** CLI surface — the reference's launcher contract (F14,
@@ -44,6 +44,12 @@ object Export {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_DEBUG=1 — the reference's -debug progress metering
+    // (F12): periodic "Read records: N processing time: M msec" lines.
+    val meter =
+      if (sys.env.get("SPARK_GRAFT_DEBUG").exists(_.nonEmpty))
+        Some(ProgressMeter.attach(spark, every = 1000))
+      else None
 
     try {
       var df = Tables.load(spark, dir, table)
@@ -55,10 +61,23 @@ object Export {
         sys.exit(2)
       }
       val docs = XmlPipe.formatDocs(df, keys)
+      val t0 = System.nanoTime()
       if (out == "-") XmlPipe.writeDocset(docs, System.out)
       else {
         val fos = new java.io.FileOutputStream(out)
         try XmlPipe.writeDocset(docs, fos) finally fos.close()
+      }
+      meter.foreach { m =>
+        // listener bus is async: wait for the row count to settle
+        var prev = -1L
+        val deadline = System.currentTimeMillis() + 5000
+        while (m.totalRows != prev && System.currentTimeMillis() < deadline) {
+          prev = m.totalRows
+          Thread.sleep(100)
+        }
+        System.err.println(
+          s"Query export successful. Rows read: ${m.totalRows}, total " +
+            s"processing time: ${(System.nanoTime() - t0) / 1000000L} msec")
       }
     } finally spark.stop()
   }

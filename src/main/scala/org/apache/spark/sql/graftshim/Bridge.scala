@@ -14,4 +14,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function backed by a Catalyst expression
+    * builder (the SQL-surface twin of the Column API — lets
+    * `spark.sql("SELECT sdbm_hash(...)")` resolve without a UDF).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Events, ProgressMeter, SkewJoin}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("progress meter counts input rows across tasks (F12)") {
+    val logged = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val m = ProgressMeter.attach(spark, every = 1000, log = s => logged.add(s))
+    try {
+      Tables.load(spark, dir, "lineitem").count()
+      // listener bus is async; poll for delivery
+      val deadline = System.currentTimeMillis() + 10000
+      while (m.totalRows < 6000L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+      }
+      assert(m.totalRows >= 6000L)
+      assert(!logged.isEmpty)
+      assert(logged.peek().matches("Read records: [\\d,]+ processing time: [\\d,]+ msec"))
+    } finally ProgressMeter.detach(spark, m)
+  }
+
+  test("salted join equals plain join (values) and spreads the key") {
+    import spark.implicits._
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    val salted = SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), 8)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("sql-registered functions match the Column API") {
+    import spark.implicits._
+    graft.functions.registerSql(spark)
+    Tables.load(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+    val viaSql = spark.sql(
+      "SELECT sdbm_hash(doc_id, text) FROM graft_documents ORDER BY doc_id")
+      .as[Long].collect().toSeq
+    val viaCol = Tables.load(spark, dir, "documents")
+      .orderBy("doc_id")
+      .select(graft.functions.sdbm_hash(col("doc_id"), col("text")))
+      .as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
+  test("streaming sessionize equals batch sessionize") {
+    import spark.implicits._
+    val batch = Events.sessionize(Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .sessionizeToCompletion(spark, dir)
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("frame sampling fans out bounded rows per document") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val frames = graft.operators.Multimodal.frameSample(docs)
+    val perDoc = frames.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .agg(min("n"), max("n")).as[(Long, Long)].collect().head
+    assert(perDoc._1 >= 1L && perDoc._2 <= 7L)
+    assert(frames.count() > docs.count()) // it actually fans out
+  }
+}
