@@ -325,6 +325,34 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_scalar_subquery" -> ((s, dir) => {
+      // correlated max-per-customer, expressed as agg + broadcast join
+      // (Catalyst would decorrelate the subquery the same way)
+      val maxo = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(max(col("o_totalprice")).as("max_price"))
+      t(s, dir, "customer")
+        .join(maxo, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("max_price"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+        .unionAll(c.filter(col("c_mktsegment") === "MACHINERY")
+          .select(col("c_custkey")))
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_outer_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_totalprice") > 350000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
+            lit(0).cast("decimal(18,2)")).as("sum_big"))
+        .orderBy(col("c_custkey"))
+    }),
     "text_bpe_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""), lit(0)))
@@ -495,6 +523,25 @@ object SparkEntry {
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_scalar_subquery" -> """
+      SELECT c_custkey,
+             (SELECT max(o_totalprice) FROM orders
+              WHERE o_custkey = c_custkey) AS max_price
+      FROM customer ORDER BY c_custkey""",
+    "q_union_all" -> """
+      SELECT c_custkey, count(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY') u
+      GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_outer_join" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+             coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS sum_big
+      FROM customer LEFT JOIN (SELECT * FROM orders
+                               WHERE o_totalprice > 350000) o
+           ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
     "text_bpe_tokens" -> """
       SELECT doc_id,
              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens

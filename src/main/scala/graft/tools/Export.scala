@@ -1,6 +1,5 @@
 package graft.tools
 
-import graft.Tables
 import graft.operators.{ProgressMeter, XmlPipe}
 import org.apache.spark.sql.SparkSession
 
@@ -52,15 +51,18 @@ object Export {
       else None
 
     try {
-      var df = Tables.load(spark, dir, table)
-      if (cols != "*") df = df.selectExpr(cols.split(","). map(_.trim): _*)
-      if (where.nonEmpty) df = df.filter(where)
-      keys.find(k => !df.columns.contains(k)).foreach { k =>
-        System.err.println(
-          s"error: key column '$k' is not in the result (have: ${df.columns.mkString(", ")})")
-        sys.exit(2)
-      }
-      val docs = XmlPipe.formatDocs(df, keys)
+      val cfg = graft.operators.ExportConfig(
+        source = graft.operators.ParquetSource(dir, table),
+        keys = keys,
+        columns = if (cols == "*") Nil else cols.split(",").map(_.trim).toSeq,
+        where = where)
+      val docs =
+        try graft.operators.Pipeline.docs(spark, cfg)
+        catch {
+          case e: IllegalArgumentException =>
+            System.err.println(s"error: ${e.getMessage}")
+            sys.exit(2)
+        }
       val t0 = System.nanoTime()
       if (out == "-") XmlPipe.writeDocset(docs, System.out)
       else {
