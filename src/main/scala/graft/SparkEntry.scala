@@ -366,6 +366,11 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "events_stream_dedup" -> ((s, dir) => {
+      graft.streaming.EventsStream.dedupToCompletion(s, dir)
+        .orderBy(col("event_type"))
+    }),
+
     // ---- SQL text-query surface over registered graft functions ----
     "q_sql_functions" -> ((s, dir) => {
       graft.functions.registerSql(s)
@@ -546,6 +551,9 @@ object SparkEntry {
       SELECT doc_id,
              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
       FROM documents ORDER BY doc_id""",
+    "events_stream_dedup" -> """
+      SELECT event_type, count(DISTINCT event_id) AS n_unique
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "events_stream_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

@@ -53,6 +53,24 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Streaming exact-dedup: watermarked dropDuplicates keeps bounded
+    * per-key state (the streaming twin of Dedup.exact). Output counts
+    * unique events per type, which is deterministic regardless of
+    * which duplicate survives.
+    */
+  def dedupToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val agg = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    val qname = "graft_events_dedup"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState —
     * the custom-state API the batch twin (Events.sessionize) cannot
     * demonstrate. Events are grouped per user; sessions split on the
