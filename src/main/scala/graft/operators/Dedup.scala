@@ -135,13 +135,22 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
-    val shared = grams.as("a")
-      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+    // Lossless size prefilter: jaccard >= t forces the distinct-gram
+    // counts to satisfy min(na,nb) >= t*max(na,nb) (shared <= min and
+    // shared >= t*(na+nb-shared) together imply it). Attaching counts
+    // (broadcast: one row per doc) and filtering INSIDE the gram join
+    // prunes most of the quadratic pair space before the group-by,
+    // with an identical result set.
+    val g = grams.join(broadcast(counts), "id")
+    val shared = g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.ng") >= col("b.ng") * minJaccard &&
+          col("b.ng") >= col("a.ng") * minJaccard)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared"), first(col("a.ng")).as("n_a"),
+        first(col("b.ng")).as("n_b"))
     shared
-      .join(counts.select(col("id").as("id_a"), col("ng").as("n_a")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("ng").as("n_b")), "id_b")
       .filter(col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")) >= minJaccard)
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))

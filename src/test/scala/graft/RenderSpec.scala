@@ -42,6 +42,17 @@ class RenderSpec extends AnyFunSuite {
     assert(got == Seq(("1 2 3", "x"), ("", "")))
   }
 
+  test("decimal and date canonical forms") {
+    import spark.implicits._
+    val df = Seq("x").toDF("x").select(
+      lit("123.450").cast("decimal(10,3)").as("dec"),
+      lit("2024-02-29").cast("date").as("dt"))
+    val got = df.select(
+      Render.render(col("dec"), DecimalType(10, 3)),
+      Render.render(col("dt"), DateType)).collect()(0)
+    assert(got.toSeq == Seq("123.450", "2024-02-29"))
+  }
+
   test("binary renders as hex, maps as json (flagged extensions)") {
     import spark.implicits._
     val df = Seq(Array[Byte](0x0a, 0x1b, -1)).toDF("bin")
