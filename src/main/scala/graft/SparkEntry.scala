@@ -394,6 +394,37 @@ object SparkEntry {
   private def hitsSql(w: String): String =
     s"((length(p) - length(replace(p, ' $w ', ''))) // ${w.length + 2})"
 
+  /** SQL twin of the sdbm doc-id hash (Query.java:303-316) as a
+    * recursive CTE: `h = h*65599 + code(c)` in HUGEINT arithmetic mod
+    * 2^64 (Java long wraparound), then the signed reinterpretation and
+    * `~h+1` negation incl. the MIN_VALUE edge. Codepoints equal UTF-16
+    * units for all BMP text (the only kind in the fixtures).
+    * Emits CTEs `sdbm_src`/`sdbm_rec`/`sdbm` with (sid, hash).
+    */
+  private def sdbmCte(fromSql: String, sidExpr: String, seedExpr: String,
+      strExpr: String): String = s"""
+    sdbm_src AS (SELECT DISTINCT $sidExpr AS sid, CAST($seedExpr AS HUGEINT) AS h0,
+                        $strExpr AS s FROM $fromSql),
+    sdbm_rec AS (
+      SELECT sid, h0 % 18446744073709551616 AS h, s, 1 AS i, length(s) AS n
+      FROM sdbm_src
+      UNION ALL
+      SELECT sid, (h * 65599 + unicode(substr(s, i, 1))) % 18446744073709551616,
+             s, i + 1, n
+      FROM sdbm_rec WHERE i <= n),
+    sdbm AS (
+      SELECT sid, CAST(CASE WHEN hs > 0 THEN hs
+                            WHEN hs = -9223372036854775808 THEN hs
+                            ELSE -hs END AS BIGINT) AS hash
+      FROM (SELECT sid,
+              CASE WHEN h >= 9223372036854775808
+                   THEN h - 18446744073709551616 ELSE h END AS hs
+            FROM sdbm_rec WHERE i = n + 1))"""
+
+  /** StAX-compatible XML text escaping in SQL (& first, then <, >). */
+  private def escSql(e: String): String =
+    s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
   /** Shared CTE prefix: integer-quantized embeddings + exact int norms
     * (the SQL twin of Similarity.quantize/qdot — see its scaladoc for
     * why quantization makes FP results engine-independent).
@@ -406,7 +437,58 @@ object SparkEntry {
           FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)),
     n AS (SELECT vec_id, sum(x * x) AS norm FROM e GROUP BY vec_id)"""
 
+  /** Shared doc-element body for the documents-table XML oracles. */
+  private val docFieldsSql: String =
+    s"""'<text>' || ${escSql("text")} || '</text>' ||
+       '<source>' || ${escSql("source")} || '</source>' ||
+       '<doc_id>' || CAST(doc_id AS VARCHAR) || '</doc_id>' ||
+       '<n_chars>' || CAST(n_chars AS VARCHAR) || '</n_chars>' ||
+       '</sphinx:document>'"""
+
   def oracleSql: Map[String, String] = Map(
+    "xml_documents" -> s"""
+      SELECT doc_id AS id,
+             chr(10) || '<sphinx:document id="' || CAST(doc_id AS VARCHAR) || '">' ||
+             $docFieldsSql AS doc
+      FROM documents ORDER BY id""",
+    "xml_documents_composite" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "doc_id", "source")}
+      SELECT s.hash AS id,
+             chr(10) || '<sphinx:document id="' || CAST(s.hash AS VARCHAR) || '">' ||
+             $docFieldsSql AS doc
+      FROM documents JOIN sdbm s ON s.sid = doc_id
+      ORDER BY id, doc""",
+    "xml_lineitem" -> s"""
+      WITH RECURSIVE ${sdbmCte("lineitem",
+        "l_orderkey * 10 + l_linenumber", "l_orderkey",
+        "CAST(l_linenumber AS VARCHAR)")}
+      SELECT s.hash AS id,
+             chr(10) || '<sphinx:document id="' || CAST(s.hash AS VARCHAR) || '">' ||
+             '<l_orderkey>' || CAST(l_orderkey AS VARCHAR) || '</l_orderkey>' ||
+             '<l_partkey>' || CAST(l_partkey AS VARCHAR) || '</l_partkey>' ||
+             '<l_suppkey>' || CAST(l_suppkey AS VARCHAR) || '</l_suppkey>' ||
+             '<l_linenumber>' || CAST(l_linenumber AS VARCHAR) || '</l_linenumber>' ||
+             '<l_quantity>' || CAST(l_quantity AS VARCHAR) || '</l_quantity>' ||
+             '<l_extendedprice>' || CAST(l_extendedprice AS VARCHAR) || '</l_extendedprice>' ||
+             '<l_discount>' || CAST(l_discount AS VARCHAR) || '</l_discount>' ||
+             '<l_tax>' || CAST(l_tax AS VARCHAR) || '</l_tax>' ||
+             '<l_returnflag>' || l_returnflag || '</l_returnflag>' ||
+             '<l_linestatus>' || l_linestatus || '</l_linestatus>' ||
+             '<l_shipdate>' || strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') || '</l_shipdate>' ||
+             '</sphinx:document>' AS doc
+      FROM lineitem JOIN sdbm s ON s.sid = l_orderkey * 10 + l_linenumber
+      ORDER BY id, doc""",
+    "docid_composite" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "doc_id", "source")}
+      SELECT doc_id, s.hash AS id
+      FROM documents JOIN sdbm s ON s.sid = doc_id
+      ORDER BY doc_id""",
+    "text_fingerprint" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}
+      SELECT doc_id, s.hash AS fp
+      FROM documents JOIN sdbm s ON s.sid = doc_id
+      ORDER BY doc_id""",
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
