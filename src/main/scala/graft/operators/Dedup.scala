@@ -77,7 +77,11 @@ object Dedup {
     // Persisted because the plan fans out 4 ways (both sides of the
     // band self-join + both verify joins) — without it the shingle
     // pipeline is recomputed per branch.
+    // Single-row-group parquet reads as ONE task; spread the (cheap to
+    // shuffle, expensive to hash) raw tokens across cores first.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("wt"))
+      .repartition(par, col("id"))
       .withColumn("sig", minhash_shingled(col("wt"), shingleWords, k))
       .withColumn("toks", array_distinct(word_shingles(col("wt"), shingleWords)))
       .drop("wt")

@@ -20,7 +20,8 @@ object Export {
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
-        "usage: Export <dir> <table> <keys,comma,separated> [out|-] [cols,comma] [where-expr]")
+        "usage: Export <dir> <table> <keys,comma,separated> " +
+          "[out|-|sharded:<dir>] [cols,comma] [where-expr]")
       sys.exit(2)
     }
     val Array(dir, table, keysArg) = args.take(3)
@@ -64,7 +65,11 @@ object Export {
             sys.exit(2)
         }
       val t0 = System.nanoTime()
-      if (out == "-") XmlPipe.writeDocset(docs, System.out)
+      // "sharded:<dir>" → one well-formed docset per partition (the
+      // distributed-indexing path); otherwise one ordered stream.
+      if (out.startsWith("sharded:")) {
+        XmlPipe.writeShardedDocsets(docs, out.stripPrefix("sharded:"))
+      } else if (out == "-") XmlPipe.writeDocset(docs, System.out)
       else {
         val fos = new java.io.FileOutputStream(out)
         try XmlPipe.writeDocset(docs, fos) finally fos.close()
