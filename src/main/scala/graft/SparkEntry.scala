@@ -49,6 +49,13 @@ object SparkEntry {
       XmlPipe.formatDocs(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber")).orderBy(col("id"), col("doc"))
     }),
+    "xml_events" -> ((s, dir) => {
+      // exercises the bracketed-string fallback (JSON objects fail the
+      // List<Integer[]> parse → escaped raw text, Query.java:294-297)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("props"), col("ts"))
+      XmlPipe.formatDocs(ev, Seq("event_id")).orderBy(col("id"))
+    }),
 
     // ---- doc-id kernels (F4/F5/F6) ----
     "docid_single" -> ((s, dir) => {
@@ -478,6 +485,14 @@ object SparkEntry {
              '</sphinx:document>' AS doc
       FROM lineitem JOIN sdbm s ON s.sid = l_orderkey * 10 + l_linenumber
       ORDER BY id, doc""",
+    "xml_events" -> s"""
+      SELECT event_id AS id,
+             chr(10) || '<sphinx:document id="' || CAST(event_id AS VARCHAR) || '">' ||
+             '<event_id>' || CAST(event_id AS VARCHAR) || '</event_id>' ||
+             '<props>' || ${escSql("props")} || '</props>' ||
+             '<ts>' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '</ts>' ||
+             '</sphinx:document>' AS doc
+      FROM events ORDER BY id""",
     "docid_composite" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "doc_id", "source")}
       SELECT doc_id, s.hash AS id
