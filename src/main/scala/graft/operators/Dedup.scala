@@ -129,6 +129,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: the step that
+    * turns pairwise matches into dedup decisions (one representative —
+    * the minimum id — per cluster). Iterative min-label propagation
+    * (the MapReduce connected-components pattern): each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * rounds are O(graph diameter), each a shuffle-bounded join — no
+    * driver-side data, only a convergence check per round.
+    *
+    * Output: (doc_id, cluster_id) for every node that appears in a
+    * pair, cluster_id = min doc_id of its component.
+    */
+  def clusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iterating = true
+    var iter = 0
+    while (iterating && iter < maxIterations) {
+      val neighborLabels = labels
+        .join(sym, labels("node") === sym("a"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label"))
+        .union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      iterating = changed
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact character-n-gram Jaccard pairs via shingle join (ground
     * truth / oracle-checkable). Output: (id_a, id_b, shared, n_a, n_b)
     * for pairs with jaccard = shared/(n_a+n_b-shared) >= minJaccard.

@@ -62,6 +62,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {7,8}, singletons never appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (7L, 7L), (8L, 7L)))
+  }
+
   test("charNgrams guards short strings (no descending-sequence bug)") {
     import spark.implicits._
     val got = Seq("ab", "abc", "").toDF("s")
