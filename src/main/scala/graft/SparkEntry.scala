@@ -583,8 +583,8 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "text_quality" -> s"""
       SELECT doc_id, n_chars_m, n_punct, stop_hits,
-             (CAST(stop_hits AS DOUBLE) * 100.0 / CAST(n_chars_m AS DOUBLE) -
-              CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) AS quality
+             (CAST(stop_hits AS DOUBLE) * 100.0 / CAST(nullif(n_chars_m, 0) AS DOUBLE) -
+              CAST(n_punct AS DOUBLE) / CAST(nullif(n_chars_m, 0) AS DOUBLE)) AS quality
       FROM (SELECT doc_id, length(text) AS n_chars_m,
               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
               ${Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")} AS stop_hits
@@ -593,7 +593,8 @@ object SparkEntry {
       ORDER BY doc_id""",
     "text_langid" -> s"""
       SELECT doc_id, lang_label, s_en, s_de, s_fr, s_es,
-             CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+             CASE WHEN s_en + s_de + s_fr + s_es IS NULL
+                    OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
                   WHEN s_fr >= s_es THEN 'fr'

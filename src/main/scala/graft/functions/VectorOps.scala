@@ -59,20 +59,37 @@ object VectorOps {
     Sketches.minhash(sh, k)
   }
 
+  /** Deterministic pseudo-random plane component (murmur3-derived, no
+    * RNG state) — the single source of truth for LSH planes (also used
+    * by Similarity.planes).
+    */
+  def planeComponent(p: Int, j: Int): Double =
+    MurmurHash3.stringHash(s"plane:$p:$j").toDouble / Int.MaxValue
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
+      Array.tabulate(np, d)(planeComponent)
+    })
+
   /** Sign-random-projection LSH bucket of a double array: bit i is the
-    * sign of the dot product with deterministic pseudo-random plane i
-    * (murmur3-derived components — no RNG state).
+    * sign of the dot product with plane i. Plane coefficients are
+    * row-invariant and cached per (nPlanes, dim) — recomputing the
+    * murmur per element would dominate the per-row cost.
     */
   def signLsh(vec: ArrayData, nPlanes: Int): Long = {
     val dim = vec.numElements()
+    val planes = planesFor(nPlanes, dim)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
+      val plane = planes(p)
       var dot = 0.0
       var j = 0
       while (j < dim) {
-        val c = MurmurHash3.stringHash(s"plane:$p:$j").toDouble / Int.MaxValue
-        dot += vec.getDouble(j) * c
+        dot += vec.getDouble(j) * plane(j)
         j += 1
       }
       if (dot > 0) bucket |= (1L << p)

@@ -79,8 +79,14 @@ object Dedup {
     // pipeline is recomputed per branch.
     // Single-row-group parquet reads as ONE task; spread the (cheap to
     // shuffle, expensive to hash) raw tokens across cores first.
+    // Docs too short to produce any shingle are excluded up front:
+    // they would otherwise all share the empty-signature band keys and
+    // pair quadratically with each other (and 0 >= 0*minJaccard would
+    // pass the verify). Persisted because the plan fans out 4 ways;
+    // cache lifecycle note: blocks live until the session evicts them.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("wt"))
+      .filter(size(col("wt")) >= shingleWords)
       .repartition(par, col("id"))
       .withColumn("sig", minhash_shingled(col("wt"), shingleWords, k))
       .withColumn("toks", array_distinct(word_shingles(col("wt"), shingleWords)))
@@ -104,7 +110,7 @@ object Dedup {
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("total", size(array_union(col("toks_a"), col("toks_b"))))
-      .filter(col("shared") >= col("total") * minJaccard)
+      .filter(col("total") > 0 && col("shared") >= col("total") * minJaccard)
       .select(col("id_a"), col("id_b"), col("shared"), col("total"))
   }
 

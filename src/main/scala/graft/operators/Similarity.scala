@@ -5,8 +5,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
-
 /** Similarity search over embedding columns (`array<float>`) — the
   * extended north-star surface (SURVEY.md §2b).
   *
@@ -78,16 +76,13 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH: component j
-    * of plane p derived from murmur3 — no RNG state, reproducible on
-    * every executor.
+  /** Deterministic pseudo-random hyperplanes for sign-LSH — delegates
+    * to the single formula in VectorOps so the Column API and the
+    * codegen'd expression can never drift.
     */
   private[operators] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map { p =>
-      (0 until dim).map { j =>
-        MurmurHash3.stringHash(s"plane:$p:$j").toDouble / Int.MaxValue
-      }
-    }
+    (0 until nPlanes).map(p =>
+      (0 until dim).map(j => graft.functions.VectorOps.planeComponent(p, j)))
 
   /** Sign-random-projection bucket id (nPlanes bits) for an embedding.
     * At scale this is the shuffle key: vectors only meet candidates in

@@ -51,10 +51,14 @@ object TextStats {
     val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
       .reduce(_ + _)
     val nChars = length(txt).cast("long")
+    // nullif guard: empty text must yield NULL (as SQL division does),
+    // not NaN — doubles divide 0/0 to NaN, which would also break
+    // oracle parity.
+    val safeChars = nullif(nChars, lit(0L)).cast("double")
     docs.select(col("doc_id"), nChars.as("n_chars_m"), nPunct.as("n_punct"),
       stopHits.as("stop_hits"),
-      (stopHits.cast("double") * 100.0 / nChars.cast("double") -
-        nPunct.cast("double") / nChars.cast("double")).as("quality"))
+      (stopHits.cast("double") * 100.0 / safeChars -
+        nPunct.cast("double") / safeChars).as("quality"))
   }
 
   /** Language profiles for the heuristic language ID. */
@@ -76,7 +80,9 @@ object TextStats {
     val total = scores.map(_._2).reduce(_ + _)
     // argmax with fixed priority: en wins ties vs de wins vs fr vs es.
     val Seq(en, de, fr, es) = scores.map(_._2)
-    val pred = when(total === 0, "unknown")
+    // isNull guard: null text gives null scores, and null comparisons
+    // would fall through every `when` to the 'es' default
+    val pred = when(total.isNull || total === 0, "unknown")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")

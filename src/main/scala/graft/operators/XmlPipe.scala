@@ -50,10 +50,15 @@ object XmlPipe {
       when(MemMarkup.isMem(c), cdata(MemMarkup.memMarkup(c)))
         .otherwise(escapeText(coalesce(c, lit(""))))
     case BinaryType => cdata(Render.render(c, dt))
-    case ArrayType(StringType, _) => escapeText(Render.render(c, dt))
-    case other =>
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | _: DecimalType | DateType | TimestampType |
+        TimestampNTZType =>
       // Numeric/temporal canonical text can't contain &<>.
-      Render.render(c, other)
+      Render.render(c, dt)
+    case other =>
+      // Everything else (arrays, maps/structs rendered as JSON) can
+      // carry user strings — escape it.
+      escapeText(Render.render(c, other))
   }
 
   /** One `<sphinx:document>` string per row, plus the derived id.

@@ -53,15 +53,17 @@ object EventsStream {
     spark.table(qname)
   }
 
-  /** Streaming exact-dedup: watermarked dropDuplicates keeps bounded
-    * per-key state (the streaming twin of Dedup.exact). Output counts
-    * unique events per type, which is deterministic regardless of
-    * which duplicate survives.
+  /** Streaming exact-dedup (the streaming twin of Dedup.exact).
+    * `dropDuplicatesWithinWatermark` is the bounded-state variant:
+    * plain `dropDuplicates("event_id")` would never evict state (the
+    * watermark only cleans dedup state when the event-time column is
+    * part of the key). Output counts unique events per type, which is
+    * deterministic regardless of which duplicate survives.
     */
   def dedupToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val agg = source(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
     val qname = "graft_events_dedup"

@@ -55,7 +55,9 @@ object Export {
       val cfg = graft.operators.ExportConfig(
         source = graft.operators.ParquetSource(dir, table),
         keys = keys,
-        columns = if (cols == "*") Nil else cols.split(",").map(_.trim).toSeq,
+        columns =
+          if (cols == "*") Nil
+          else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         where = where)
       val docs =
         try graft.operators.Pipeline.docs(spark, cfg)

@@ -33,6 +33,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
   }
 
+  test("minhash never pairs shingle-less short docs with each other") {
+    import spark.implicits._
+    val withShort = corpus.union(Seq(
+      (10L, "hi"), (11L, "yo"), (12L, "ok there")).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashPairs(withShort, minJaccard = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sub-3-token docs produce no shingles: they must not appear at all
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L))
+  }
+
   test("simhash pairs exact dups at hamming 0; unrelated docs not paired") {
     import spark.implicits._
     val pairs = Dedup.simhashPairs(corpus, maxHamming = 10)

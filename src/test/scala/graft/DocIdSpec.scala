@@ -42,6 +42,14 @@ class DocIdSpec extends AnyFunSuite {
     assert(got == SdbmHash.hash(7L, ""))
   }
 
+  test("struct/map fields rendered as JSON are XML-escaped") {
+    import spark.implicits._
+    val df = Seq((1L, Map("f" -> "a & b <x>"))).toDF("doc_id", "m")
+    val doc = XmlPipe.formatDocs(df, Seq("doc_id"))
+      .select("doc").as[String].collect().head
+    assert(doc.contains("<m>{\"f\":\"a &amp; b &lt;x&gt;\"}</m>"), doc)
+  }
+
   test("binary field values are CDATA-wrapped hex in documents") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](0x0a, 0x1b, -1))).toDF("doc_id", "payload")
