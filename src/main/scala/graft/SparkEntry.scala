@@ -303,6 +303,9 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "multimodal_resize" -> ((s, dir) => {
+      Multimodal.resizePlan(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
     "multimodal_frames" -> ((s, dir) => {
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -633,6 +636,14 @@ object SparkEntry {
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "multimodal_resize" -> """
+      SELECT doc_id, width, height,
+             (width * 256) // greatest(width, height) AS new_w,
+             (height * 256) // greatest(width, height) AS new_h
+      FROM (SELECT doc_id, 64 + octet_length(encode(text)) % 1024 AS width,
+                   64 + (octet_length(encode(text)) * 7) % 768 AS height
+            FROM documents)
+      ORDER BY doc_id""",
     "multimodal_frames" -> """
       SELECT doc_id, CAST(i AS INT) AS frame_idx,
              CAST(i AS INT) * 40 AS pts_ms,

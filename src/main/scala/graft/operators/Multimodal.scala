@@ -58,6 +58,23 @@ object Multimodal {
           lit(2147483647L)).as("frame_hash"))
   }
 
+  /** Resize planning over decoded metadata: fit into a `target`-sized
+    * box preserving aspect ratio. All integer arithmetic
+    * (`w*target // max(w,h)`), so the plan is exact and oracle-
+    * checkable; a real resizer would consume (doc_id, new_w, new_h)
+    * plus the binary payload in a partition-batched kernel like
+    * [[decodeMeta]]. Output: (doc_id, width, height, new_w, new_h).
+    */
+  def resizePlan(docs: DataFrame, target: Int = 256): DataFrame = {
+    val meta = decodeMeta(docs)
+    val longSide = greatest(col("width"), col("height"))
+    // int/int `/` promotes to double; cast-to-int truncation == floor
+    // for positives, matching SQL integer division
+    meta.select(col("doc_id"), col("width"), col("height"),
+      floor(col("width") * target / longSide).cast("int").as("new_w"),
+      floor(col("height") * target / longSide).cast("int").as("new_h"))
+  }
+
   /** Decode/feature-extract over the binary column, partition-batched. */
   def decodeMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
