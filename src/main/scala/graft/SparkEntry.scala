@@ -640,15 +640,15 @@ object SparkEntry {
       SELECT doc_id, width, height,
              (width * 256) // greatest(width, height) AS new_w,
              (height * 256) // greatest(width, height) AS new_h
-      FROM (SELECT doc_id, 64 + octet_length(encode(text)) % 1024 AS width,
-                   64 + (octet_length(encode(text)) * 7) % 768 AS height
+      FROM (SELECT doc_id, 64 + octet_length(encode(coalesce(text, ''))) % 1024 AS width,
+                   64 + (octet_length(encode(coalesce(text, ''))) * 7) % 768 AS height
             FROM documents)
       ORDER BY doc_id""",
     "multimodal_frames" -> """
       SELECT doc_id, CAST(i AS INT) AS frame_idx,
              CAST(i AS INT) * 40 AS pts_ms,
              (doc_id * 1000003 + CAST(i AS INT) * 7919) % 2147483647 AS frame_hash
-      FROM (SELECT doc_id, octet_length(encode(text)) % 7 + 1 AS nf
+      FROM (SELECT doc_id, octet_length(encode(coalesce(text, ''))) % 7 + 1 AS nf
             FROM documents), UNNEST(range(nf)) t(i)
       ORDER BY doc_id, frame_idx""",
     "q_cube" -> """
@@ -709,10 +709,10 @@ object SparkEntry {
              count(*) AS n_events
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "multimodal_meta" -> """
-      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-             64 + octet_length(encode(text)) % 1024 AS width,
-             64 + (octet_length(encode(text)) * 7) % 768 AS height,
-             CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpeg'
+      SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
+             64 + octet_length(encode(coalesce(text, ''))) % 1024 AS width,
+             64 + (octet_length(encode(coalesce(text, ''))) * 7) % 768 AS height,
+             CASE octet_length(encode(coalesce(text, ''))) % 3 WHEN 0 THEN 'jpeg'
                   WHEN 1 THEN 'png' ELSE 'webp' END AS format
       FROM documents ORDER BY doc_id""",
     "docid_single" ->

@@ -69,10 +69,15 @@ object VectorOps {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
 
-  private def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] =
+  private def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    // bounded: ragged input dims must not grow executor memory forever
+    if (planeCache.size > 64) {
+      return Array.tabulate(nPlanes, dim)(planeComponent)
+    }
     planeCache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
       Array.tabulate(np, d)(planeComponent)
     })
+  }
 
   /** Sign-random-projection LSH bucket of a double array: bit i is the
     * sign of the dot product with plane i. Plane coefficients are

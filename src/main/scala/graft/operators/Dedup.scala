@@ -82,8 +82,7 @@ object Dedup {
     // Docs too short to produce any shingle are excluded up front:
     // they would otherwise all share the empty-signature band keys and
     // pair quadratically with each other (and 0 >= 0*minJaccard would
-    // pass the verify). Persisted because the plan fans out 4 ways;
-    // cache lifecycle note: blocks live until the session evicts them.
+    // pass the verify).
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("wt"))
       .filter(size(col("wt")) >= shingleWords)

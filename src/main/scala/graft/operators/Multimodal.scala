@@ -21,17 +21,19 @@ object Multimodal {
       format: String)
 
   /** Attach a binary "media" payload (UTF-8 bytes of the text column —
-    * a deterministic stand-in for image bytes).
+    * a deterministic stand-in for image bytes). Null text → empty
+    * payload (defined behavior, mirrored in the oracles).
     */
   def withBinaryPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    docs.select(col("doc_id"),
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("media"))
 
   /** STUB decode: derives metadata arithmetically from the payload
     * bytes (a real implementation would decode image headers here —
     * same signature, same partition-batched shape).
     */
   private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length
+    val n = if (bytes == null) 0 else bytes.length
     val fmt = n % 3 match {
       case 0 => "jpeg"
       case 1 => "png"

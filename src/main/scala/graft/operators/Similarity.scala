@@ -76,18 +76,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH — delegates
-    * to the single formula in VectorOps so the Column API and the
-    * codegen'd expression can never drift.
-    */
-  private[operators] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
-    (0 until nPlanes).map(p =>
-      (0 until dim).map(j => graft.functions.VectorOps.planeComponent(p, j)))
-
   /** Sign-random-projection bucket id (nPlanes bits) for an embedding.
     * At scale this is the shuffle key: vectors only meet candidates in
     * their own bucket, making ANN candidate generation linear.
-    * Codegen'd (SignLshExpr) — plane components match [[planes]].
+    * Codegen'd (SignLshExpr; deterministic murmur-derived planes from
+    * VectorOps.planeComponent).
     */
   def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column =
     sign_lsh(vecCol, nPlanes)

@@ -53,11 +53,13 @@ object EventsStream {
     spark.table(qname)
   }
 
-  /** Streaming exact-dedup (the streaming twin of Dedup.exact).
-    * `dropDuplicatesWithinWatermark` is the bounded-state variant:
-    * plain `dropDuplicates("event_id")` would never evict state (the
-    * watermark only cleans dedup state when the event-time column is
-    * part of the key). Output counts unique events per type, which is
+  /** Streaming dedup within the watermark horizon (the streaming twin
+    * of Dedup.exact). `dropDuplicatesWithinWatermark` keeps bounded
+    * state — plain `dropDuplicates("event_id")` would never evict it
+    * (the watermark only cleans dedup state when the event-time column
+    * is part of the key) — at the usual streaming trade-off: a
+    * duplicate arriving after the watermark passes its first
+    * occurrence counts again. Output counts unique events per type,
     * deterministic regardless of which duplicate survives.
     */
   def dedupToCompletion(spark: SparkSession, dir: String): DataFrame = {

@@ -57,7 +57,16 @@ object Export {
         keys = keys,
         columns =
           if (cols == "*") Nil
-          else cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          else {
+            val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            if (cs.isEmpty) {
+              // blank projection must fail loudly, not mean "all columns"
+              System.err.println(
+                "error: cols must be '*' or a non-empty comma-separated list")
+              sys.exit(2)
+            }
+            cs
+          },
         where = where)
       val docs =
         try graft.operators.Pipeline.docs(spark, cfg)

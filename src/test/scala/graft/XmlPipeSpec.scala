@@ -58,6 +58,14 @@ class XmlPipeSpec extends AnyFunSuite {
     assert(got(1).contains("<text></text>"))
   }
 
+  test("empty input produces a valid empty docset (header + newline + close)") {
+    val docs = XmlPipe.formatDocs(docsDf.filter("doc_id < 0"), Seq("doc_id"))
+    val out = new ByteArrayOutputStream()
+    XmlPipe.writeDocset(docs, out)
+    assert(out.toString(StandardCharsets.UTF_8) ==
+      "<?xml version=\"1.0\" encoding=\"utf-8\"?><sphinx:docset>\n</sphinx:docset>")
+  }
+
   test("sharded docsets: each shard is a complete docset") {
     val tmp = java.nio.file.Files.createTempDirectory("xmlshard").toString
     val docs = XmlPipe.formatDocs(docsDf.repartition(2), Seq("doc_id"))
