@@ -322,6 +322,18 @@ object SparkEntry {
         .orderBy(col("n_name").asc_nulls_first,
           col("c_mktsegment").asc_nulls_first)
     }),
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    }),
     "q_intersect" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
@@ -656,6 +668,12 @@ object SparkEntry {
              sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY CUBE (n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "q_grouping_sets" -> """
+      SELECT n_name, c_mktsegment, count(*) AS n_cust,
+             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
     "q_intersect" -> """
       (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
