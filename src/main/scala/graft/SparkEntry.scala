@@ -248,6 +248,12 @@ object SparkEntry {
         n = 3, minJaccard = 0.8)
       Dedup.clusters(pairs).orderBy(col("doc_id"))
     }),
+    "dedup_filtered" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+      val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJaccard = 0.8)
+      Dedup.dropNearDuplicates(docs, pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "dedup_embedding" -> ((s, dir) => {
       Similarity.cosinePairs(t(s, dir, "embeddings"), minCosine = 0.45)
         .orderBy(col("id_a"), col("id_b"))
@@ -561,6 +567,29 @@ object SparkEntry {
         SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node)
       SELECT node AS doc_id, min(r) AS cluster_id
       FROM reach GROUP BY node ORDER BY doc_id""",
+    "dedup_filtered" -> """
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM p JOIN n na ON na.doc_id = id_a
+                       JOIN n nb ON nb.doc_id = id_b
+                WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node),
+      comp AS (SELECT node, min(r) AS root FROM reach GROUP BY node)
+      SELECT doc_id FROM d
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)
+      ORDER BY doc_id""",
     "dedup_embedding" -> s"""
       WITH $qEmbSql,
       d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot

@@ -176,6 +176,19 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The end-user dedup operation: drop every document that belongs to
+    * a near-dup cluster but is not its representative (minimum id).
+    * Input pairs come from any pair producer (minhashPairs /
+    * ngramJaccardPairs / Similarity.cosinePairs).
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val losers = clusters(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__loser"))
+    docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Exact character-n-gram Jaccard pairs via shingle join (ground
     * truth / oracle-checkable). Output: (id_a, id_b, shared, n_a, n_b)
     * for pairs with jaccard = shared/(n_a+n_b-shared) >= minJaccard.
