@@ -12,12 +12,19 @@ import org.apache.spark.sql.types._
   * `List<Integer[]>`) falls back to the raw text. The CDATA-vs-text
   * decision this feeds lives in the XML formatter (XmlPipe).
   *
-  * Pure-expression implementation: `from_json` + higher-order
-  * functions; strictness (any null row/cell ⇒ parse failure, like
-  * Jackson's typed mapper) via `exists`.
+  * Pure-expression implementation: `from_json` into string cells +
+  * higher-order validation. Cells must be integral (plain or quoted —
+  * Jackson's `List<Integer[]>` mapper coerces `"1"` → 1 via
+  * `Integer.parseInt`, so `[["1","2"]]` IS markup in the reference).
+  * A null cell made the reference NPE inside its own try/catch →
+  * fallback, which the strict null check reproduces. Remaining
+  * documented divergence: Jackson's ACCEPT_FLOAT_AS_INT truncation
+  * (`[[1.5]]` → `<mem>1</mem>`) is not replicated — float cells fall
+  * back to raw text here.
   */
 object MemMarkup {
-  val MatrixSchema: ArrayType = ArrayType(ArrayType(IntegerType))
+  val MatrixSchema: ArrayType = ArrayType(ArrayType(StringType))
+  private val IntPattern = "^[+-]?\\d+$"
 
   /** Reference trigger check (Query.java:281-282): first+last char are
     * `[`/`]` or `{`/`}`. (Empty/null strings are not triggers; the
@@ -27,13 +34,21 @@ object MemMarkup {
     (startswith(c, lit("[")) && endswith(c, lit("]"))) ||
       (startswith(c, lit("{")) && endswith(c, lit("}")))
 
-  /** Strictly-parsed matrix, or null when the value doesn't parse the
-    * way Jackson's `List<Integer[]>` mapper would have.
+  /** Strictly-parsed int matrix (array<array<int>>), or null when the
+    * value doesn't parse the way Jackson's `List<Integer[]>` mapper
+    * would have. Cells are parsed as strings first so quoted ints
+    * coerce like Jackson; the int cast also rejects overflow the way
+    * `Integer.parseInt` throws.
     */
   def parsedMatrix(c: Column): Column = {
     val p = from_json(c, MatrixSchema)
-    val anyBad = exists(p, a => a.isNull || exists(a, x => x.isNull))
-    when(looksBracketed(c) && p.isNotNull && !anyBad, p)
+    // try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW
+    // on overflow; null-on-failure is what maps to Jackson's
+    // NumberFormatException → reference fallback
+    val anyBad = exists(p, a => a.isNull || exists(a,
+      x => x.isNull || !x.rlike(IntPattern) || x.try_cast("int").isNull))
+    when(looksBracketed(c) && p.isNotNull && !anyBad,
+      transform(p, a => transform(a, x => x.try_cast("int"))))
   }
 
   /** True when the value will be emitted as parsed `<mem>` markup. */

@@ -27,7 +27,9 @@ object VectorOps {
   }
 
   /** Sliding word-n-gram shingles of a token array (native loop twin
-    * of Dedup.wordShingles).
+    * of Dedup.wordShingles; null tokens are skipped inside a window,
+    * matching array_join's null handling so both formulations produce
+    * identical shingle strings).
     */
   def shingles(arr: ArrayData, n: Int): ArrayData = {
     val len = arr.numElements()
@@ -37,10 +39,14 @@ object VectorOps {
     while (i <= len - n) {
       val sb = new java.lang.StringBuilder
       var j = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
         val t = arr.getUTF8String(i + j)
-        if (t != null) sb.append(t.toString)
+        if (t != null) {
+          if (wrote) sb.append(' ')
+          sb.append(t.toString)
+          wrote = true
+        }
         j += 1
       }
       out(i) = UTF8String.fromString(sb.toString)

@@ -118,8 +118,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // token-less docs all hash to sig=0 and would band-collide
+    // quadratically — exclude them like minhashPairs does
     val sigs = docs.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sig"))
+      tokens(col(textCol)).as("wt"))
+      .filter(size(col("wt")) > 0)
+      .select(col("id"), simhash64(col("wt")).as("sig"))
     // flat long band key: band index in the high bits → plain equi-join
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(b =>
@@ -146,7 +150,7 @@ object Dedup {
     * pair, cluster_id = min doc_id of its component.
     */
   def clusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -171,6 +175,13 @@ object Dedup {
       labels = next
       iterating = changed
       iter += 1
+    }
+    if (iterating) {
+      // fail loud: a silent cap would return multiple cluster ids for
+      // one true component (propagation moves one hop per round)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations rounds — " +
+          "component diameter exceeds the iteration cap")
     }
     sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -49,7 +49,8 @@ object Multimodal {
     * codec. Output: (doc_id, frame_idx, pts_ms, frame_hash).
     */
   def frameSample(docs: DataFrame): DataFrame = {
-    val nBytes = octet_length(encode(col("text"), "UTF-8"))
+    // null text → empty payload, same contract as withBinaryPayload
+    val nBytes = octet_length(encode(coalesce(col("text"), lit("")), "UTF-8"))
     val nFrames = (nBytes % 7) + 1
     docs.select(col("doc_id"), nFrames.as("n_frames"))
       .select(col("doc_id"),

@@ -82,7 +82,7 @@ object Similarity {
     * Codegen'd (SignLshExpr; deterministic murmur-derived planes from
     * VectorOps.planeComponent).
     */
-  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column =
+  def lshBucket(vecCol: Column, nPlanes: Int): Column =
     sign_lsh(vecCol, nPlanes)
 
   /** IVF-style ANN: a coarse quantizer of `nCells` centroids assigns
@@ -140,10 +140,10 @@ object Similarity {
     * bucket. Output shape matches [[topK]] (rank within bucket).
     */
   def annTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      nPlanes: Int = 6, dim: Int = 64, idCol: String = "vec_id",
+      nPlanes: Int = 6, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      lshBucket(col(vecCol), nPlanes).as("bucket"))
       .withColumn("qv", quantize(col("v")))
       .withColumn("norm", qdot(col("qv"), col("qv")))
       .drop("v")

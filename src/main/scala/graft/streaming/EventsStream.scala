@@ -75,11 +75,16 @@ object EventsStream {
     spark.table(qname)
   }
 
-  /** Stateful streaming sessionization via flatMapGroupsWithState —
-    * the custom-state API the batch twin (Events.sessionize) cannot
-    * demonstrate. Events are grouped per user; sessions split on the
-    * inactivity gap in exact integer microseconds, so the result is
-    * value-identical to the batch version and shares its oracle.
+  /** Streaming sessionization via flatMapGroupsWithState. Events are
+    * grouped per user; sessions split on the inactivity gap in exact
+    * integer microseconds, so the result is value-identical to the
+    * batch version (Events.sessionize) and shares its oracle.
+    *
+    * Honest scope note: the group state is NOT carried across
+    * micro-batches here — correct because the file source delivers the
+    * fixture in a single batch. A production continuous stream would
+    * keep each user's open session in GroupState with an event-time
+    * timeout and emit it on close; same API, one more state hop.
     */
   def sessionizeToCompletion(spark: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {

@@ -25,6 +25,16 @@ class MemMarkupSpec extends AnyFunSuite {
     assert(run(Seq("[[1, 2] , [3]]")) == Seq(("<mem>1 2</mem><mem>3</mem>", true)))
   }
 
+  test("quoted-int cells coerce like Jackson's Integer.parseInt") {
+    assert(run(Seq("""[["1","2"],["3"]]""")) ==
+      Seq(("<mem>1 2</mem><mem>3</mem>", true)))
+    assert(run(Seq("""[["01","+5"]]""")) == Seq(("<mem>1 5</mem>", true)))
+    // overflow throws in parseInt → reference fallback
+    assert(run(Seq("""[[2147483648]]""")) == Seq(("[[2147483648]]", false)))
+    // floats are a documented divergence: fallback here
+    assert(run(Seq("[[1.5]]")) == Seq(("[[1.5]]", false)))
+  }
+
   test("json objects fall back to raw text (List<Integer[]> can't parse them)") {
     assert(run(Seq("""{"k": 87}""")) == Seq(("""{"k": 87}""", false)))
   }

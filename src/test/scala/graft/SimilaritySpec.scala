@@ -70,9 +70,9 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("lsh bucket is deterministic across evaluations") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
+    val b1 = emb.select(Similarity.lshBucket(col("embedding"), 6).as("b"))
       .collect().map(_.getLong(0)).toSeq
-    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
+    val b2 = emb.select(Similarity.lshBucket(col("embedding"), 6).as("b"))
       .collect().map(_.getLong(0)).toSeq
     assert(b1 == b2)
     assert(b1.distinct.size > 1) // buckets actually split the space

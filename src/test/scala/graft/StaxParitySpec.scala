@@ -75,7 +75,7 @@ class StaxParitySpec extends AnyFunSuite {
   }
 
   private def adversarialStrings(rnd: scala.util.Random): String = {
-    rnd.nextInt(8) match {
+    rnd.nextInt(9) match {
       case 0 => "plain text " + rnd.nextInt(1000)
       case 1 => s"specials &<>&amp; ${rnd.nextInt(100)} <tag> & more"
       case 2 => "ünïcödé ☃ 漢字 " + rnd.nextInt(100)
@@ -84,6 +84,7 @@ class StaxParitySpec extends AnyFunSuite {
       case 5 => s"""{"k": ${rnd.nextInt(100)}}"""            // object → fallback
       case 6 => "[[not json]]"                               // malformed → fallback
       case 7 => ""                                           // empty
+      case 8 => s"""[["${rnd.nextInt(100)}","+${rnd.nextInt(9)}"]]""" // jackson coercion
     }
   }
 
