@@ -363,6 +363,19 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // point-in-time: each event joined to the user's latest order at
+      // or before the event time (right side deduped to unique
+      // (key, time) — as-of is ambiguous otherwise)
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asofJoin(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"))
+        .orderBy(col("event_id"))
+    }),
     "q_scalar_subquery" -> ((s, dir) => {
       // correlated max-per-customer, expressed as agg + broadcast join
       // (Catalyst would decorrelate the subquery the same way)
@@ -715,6 +728,13 @@ object SparkEntry {
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_asof_join" -> """
+      WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                   FROM orders GROUP BY 1, 2)
+      SELECT event_id, user_id, ts, o.o_orderkey, o.o_orderdate
+      FROM events e ASOF LEFT JOIN ord o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY event_id""",
     "q_scalar_subquery" -> """
       SELECT c_custkey,
              (SELECT max(o_totalprice) FROM orders

@@ -68,6 +68,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("asof join: latest right row at-or-before, null when none precedes") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 5L), (1L, 10L), (2L, 1L), (3L, 4L))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, "a"), (1L, 7L, "b"), (2L, 3L, "c"))
+      .toDF("rk", "rt", "v")
+    val got = AsOfJoin.asofJoin(left, right, "k", "rk", "t", "rt",
+      Seq("v", "rt"))
+      .orderBy("k", "t")
+      .select(col("k"), col("t"), col("v"))
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, Some("a")),   // inclusive match at equal time
+      (1L, 10L, Some("b")),  // latest preceding
+      (2L, 1L, None),        // nothing precedes
+      (3L, 4L, None)))       // key absent on right
+  }
+
   test("frame sampling fans out bounded rows per document") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
