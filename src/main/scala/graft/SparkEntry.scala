@@ -116,7 +116,13 @@ object SparkEntry {
           col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          // DECIMAL internally (associativity-exact), DOUBLE on the final
+          // output: a DECIMAL output column stringifies with trailing
+          // fractional zeros ('38.40') on one side of the driver's hash
+          // compare vs shortest-repr ('38.4') on the other. Both engines
+          // print the identical nearest-double for the same exact value.
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -125,10 +131,12 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -144,7 +152,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
@@ -164,7 +172,8 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"))
         .orderBy(col("n_name").asc_nulls_first,
           col("c_mktsegment").asc_nulls_first)
     }),
@@ -212,7 +221,8 @@ object SparkEntry {
         .groupBy(year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
         .orderBy(col("y"), col("m"))
     }),
     "q_case_bucket" -> ((s, dir) => {
@@ -324,7 +334,8 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .cube(col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"))
         .orderBy(col("n_name").asc_nulls_first,
           col("c_mktsegment").asc_nulls_first)
     }),
@@ -336,7 +347,8 @@ object SparkEntry {
           Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq.empty),
           col("n_name"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_bal"))
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("sum_bal"))
         .orderBy(col("n_name").asc_nulls_first,
           col("c_mktsegment").asc_nulls_first)
     }),
@@ -359,7 +371,7 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("revenue"),
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     }),
@@ -401,7 +413,7 @@ object SparkEntry {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_big_orders"),
           coalesce(sum(col("o_totalprice").cast("decimal(18,2)")),
-            lit(0).cast("decimal(18,2)")).as("sum_big"))
+            lit(0).cast("decimal(18,2)")).cast("double").as("sum_big"))
         .orderBy(col("c_custkey"))
     }),
     "text_bpe_tokens" -> ((s, dir) => {
@@ -665,15 +677,18 @@ object SparkEntry {
       ORDER BY doc_id""",
     "events_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_stream_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sliding" -> """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
-             count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
       GROUP BY 1 ORDER BY 1""",
     "events_sessionize" -> """
@@ -707,13 +722,13 @@ object SparkEntry {
       ORDER BY doc_id, frame_idx""",
     "q_cube" -> """
       SELECT n_name, c_mktsegment, count(*) AS n_cust,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY CUBE (n_name, c_mktsegment)
       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
     "q_grouping_sets" -> """
       SELECT n_name, c_mktsegment, count(*) AS n_cust,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
@@ -724,7 +739,7 @@ object SparkEntry {
       ORDER BY c_custkey""",
     "q_salted_join" -> """
       SELECT o_orderpriority,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
@@ -748,8 +763,8 @@ object SparkEntry {
       GROUP BY c_custkey ORDER BY c_custkey""",
     "q_outer_join" -> """
       SELECT c_custkey, count(o_orderkey) AS n_big_orders,
-             coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
-                      CAST(0 AS DECIMAL(18,2))) AS sum_big
+             CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))),
+                      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_big
       FROM customer LEFT JOIN (SELECT * FROM orders
                                WHERE o_totalprice > 350000) o
            ON c_custkey = o_custkey
@@ -809,22 +824,22 @@ object SparkEntry {
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_in_range" -> """
       SELECT o_orderpriority, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders
       WHERE o_orderstatus IN ('O','F')
         AND o_orderdate >= TIMESTAMP '1995-01-01'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
     "q_join_agg" -> """
       SELECT n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -840,7 +855,7 @@ object SparkEntry {
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_rollup" -> """
       SELECT n_name, c_mktsegment, count(*) AS n_cust,
-             sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY ROLLUP (n_name, c_mktsegment)
       ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
@@ -872,7 +887,7 @@ object SparkEntry {
       FROM part ORDER BY p_partkey""",
     "q_date_funcs" -> """
       SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, count(*) AS n,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders GROUP BY 1, 2 ORDER BY y, m""",
     "q_case_bucket" -> """
       SELECT c_custkey,

@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Sums go through DECIMAL so results are associativity-independent
   * (exact) — a double sum would vary with partition merge order at
-  * scale AND would miss the DuckDB oracle hash.
+  * scale. The FINAL output column is cast to DOUBLE: a DECIMAL output
+  * stringifies with trailing fractional zeros ('38.40') which the
+  * driver's hash canonicalization treats differently from shortest
+  * double repr ('38.4'); both engines print the identical
+  * nearest-double for the same exact decimal value.
   */
 object Events {
 
@@ -21,7 +25,8 @@ object Events {
   def tumbling(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -32,7 +37,8 @@ object Events {
       slide: String = "15 minutes"): DataFrame =
     events.groupBy(window(col("ts"), width, slide).as("w"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("n"), col("sum_value"))
 
   /** Sessionization with an inactivity gap: classic lag + running sum

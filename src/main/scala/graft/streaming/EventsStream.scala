@@ -40,7 +40,8 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
     val qname = "graft_events_stream"
