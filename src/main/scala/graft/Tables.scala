@@ -12,13 +12,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The events fixture needs this session conf; set at construction
+    * via [[Sessions.builder]] — mutating it here would leak a
+    * session-global conf change as a read side effect (racy under
+    * concurrent loads).
+    */
+  private[graft] def requireNanosConf(spark: SparkSession): Unit =
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      throw new IllegalStateException(
+        "events.parquet is TIMESTAMP(NANOS): build the session with " +
+          "graft.Sessions.builder (or set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true at construction)")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
       // timestamp type and rejects the file outright. Read nanos as
       // long and truncate to micros, which is exactly what DuckDB's
       // implicit ns→µs cast does (oracle parity).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      requireNanosConf(spark)
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema.exists(f => f.name == "ts" &&
           f.dataType == org.apache.spark.sql.types.LongType)) {

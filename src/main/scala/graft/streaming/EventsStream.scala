@@ -18,7 +18,9 @@ object EventsStream {
     * same way as Tables.load).
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong must be set at session construction (Sessions.builder);
+    // fail loudly before the schema probe gives a cryptic parquet error.
+    graft.Tables.requireNanosConf(spark)
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream sources take a directory; select just events.parquet
     val raw = spark.readStream.schema(schema)

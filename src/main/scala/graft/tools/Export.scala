@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.operators.{ProgressMeter, XmlPipe}
-import org.apache.spark.sql.SparkSession
 
 /** CLI surface — the reference's launcher contract (F14,
   * Query.java:41-125) reshaped for the Spark engine. Where the
@@ -35,13 +34,9 @@ object Export {
       sys.exit(2)
     }
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-export")
-      .config("spark.sql.shuffle.partitions",
+    val spark = graft.Sessions.builder("graft-export",
+        sys.env.getOrElse("SPARK_MASTER", "local[*]"),
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_DEBUG=1 — the reference's -debug progress metering
