@@ -65,6 +65,67 @@ object VectorOps {
     Sketches.minhash(sh, k)
   }
 
+  /** Sorted distinct 64-bit hashes of the word-n-gram shingles of a
+    * token array, fused (shingle built + hashed per window, nothing
+    * string-typed leaves the expression). This is the Jaccard-verify
+    * payload: carrying 8-byte hashes instead of shingle strings
+    * through the candidate joins shrinks the persisted/shuffled
+    * verify state ~10× for long documents; a 64-bit collision
+    * (~N²·2⁻⁶⁴ per doc) is far below the sketch's own error.
+    */
+  def shingleHashes(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](len - n + 1)
+    var i = 0
+    while (i <= len - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      var wrote = false
+      while (j < n) {
+        val t = arr.getUTF8String(i + j)
+        if (t != null) {
+          if (wrote) sb.append(' ')
+          sb.append(t.toString)
+          wrote = true
+        }
+        j += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = (MurmurHash3.bytesHash(bytes, 0xA5).toLong << 32) |
+        (MurmurHash3.bytesHash(bytes, 0x5A).toLong & 0xffffffffL)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Count of common elements of two SORTED distinct long arrays
+    * (single merge pass). Runs once per candidate pair in the verify
+    * join — array_intersect would build a hash set per invocation.
+    */
+  def sortedSharedCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var s = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { s += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    s
+  }
+
   /** Deterministic pseudo-random plane component (murmur3-derived, no
     * RNG state) — the single source of truth for LSH planes (also used
     * by Similarity.planes).
@@ -160,6 +221,49 @@ case class MinHashShingledExpr(child: Expression, n: Int, k: Int)
       c => s"graft.functions.VectorOps.minhashShingled($c, $n, $k)")
   override protected def withNewChildInternal(c: Expression): MinHashShingledExpr =
     copy(child = c)
+}
+
+/** `shingle_hashes(tokens, n) → array<long>` — sorted distinct 64-bit
+  * shingle hashes, fused (codegen'd).
+  */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "shingle width must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.shingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+/** `shared_count(sorted array<long>, sorted array<long>) → long` —
+  * merge-pass intersection size (codegen'd).
+  */
+case class SortedSharedCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shared_count expects two array<bigint>, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "shared_count"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.sortedSharedCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorOps.sortedSharedCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedSharedCountExpr =
+    copy(left = l, right = r)
 }
 
 /** `sign_lsh(array<double>, nPlanes) → long` — codegen'd bucket id. */

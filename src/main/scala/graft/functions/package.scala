@@ -34,6 +34,14 @@ package object functions {
   def minhash_shingled(tokens: Column, n: Int, k: Int): Column =
     Bridge.column(MinHashShingledExpr(Bridge.expression(tokens), n, k))
 
+  /** Sorted distinct 64-bit shingle hashes (codegen'd, fused). */
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashesExpr(Bridge.expression(tokens), n))
+
+  /** Intersection size of two sorted long arrays (codegen'd merge). */
+  def shared_count(a: Column, b: Column): Column =
+    Bridge.column(SortedSharedCountExpr(Bridge.expression(a), Bridge.expression(b)))
+
   /** Sign-random-projection LSH bucket id of an array<double>. */
   def sign_lsh(vec: Column, nPlanes: Int): Column =
     Bridge.column(SignLshExpr(Bridge.expression(vec.cast("array<double>")), nPlanes))
@@ -62,6 +70,10 @@ package object functions {
     Bridge.registerFunction(spark, "dot_long", { case Seq(a, b) => DotLongExpr(a, b) })
     Bridge.registerFunction(spark, "word_shingles",
       { case Seq(t, n) => WordShinglesExpr(t, litInt(n, "n")) })
+    Bridge.registerFunction(spark, "shingle_hashes",
+      { case Seq(t, n) => ShingleHashesExpr(t, litInt(n, "n")) })
+    Bridge.registerFunction(spark, "shared_count",
+      { case Seq(a, b) => SortedSharedCountExpr(a, b) })
     Bridge.registerFunction(spark, "sign_lsh",
       { case Seq(v, p) => SignLshExpr(v, litInt(p, "planes")) })
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{minhash_shingled, simhash64, word_shingles}
+import graft.functions.{minhash_shingled, shared_count, shingle_hashes, simhash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -83,12 +83,16 @@ object Dedup {
     // they would otherwise all share the empty-signature band keys and
     // pair quadratically with each other (and 0 >= 0*minJaccard would
     // pass the verify).
+    // The verify payload is sorted distinct 64-bit shingle HASHES, not
+    // shingle strings: ~10× less persisted/shuffled state for long
+    // docs, and the per-pair Jaccard is a codegen'd merge pass instead
+    // of array_intersect/array_union hash-set builds.
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("wt"))
       .filter(size(col("wt")) >= shingleWords)
       .repartition(par, col("id"))
       .withColumn("sig", minhash_shingled(col("wt"), shingleWords, k))
-      .withColumn("toks", array_distinct(word_shingles(col("wt"), shingleWords)))
+      .withColumn("toks", shingle_hashes(col("wt"), shingleWords))
       .drop("wt")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Flat long band keys (band index folded into the hash) → plain
@@ -103,14 +107,21 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val toks = base.select(col("id"), col("toks"))
-    // Exact Jaccard verify on the candidate set only.
-    candidates
+    // Exact Jaccard verify on the candidate set only (merge-count over
+    // sorted hash arrays; |A∪B| = |A|+|B|-|A∩B|).
+    val verified = candidates
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("shared", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("total", size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("shared", shared_count(col("toks_a"), col("toks_b")))
+      .withColumn("total",
+        size(col("toks_a")) + size(col("toks_b")) - col("shared"))
       .filter(col("total") > 0 && col("shared") >= col("total") * minJaccard)
       .select(col("id_a"), col("id_b"), col("shared"), col("total"))
+    // Materialize the (small) pair set so the wide persisted base can
+    // be freed immediately instead of leaking for the session lifetime.
+    val out = verified.localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: 4×16-bit band buckets, Hamming-verified.
@@ -149,30 +160,51 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every node that appears in a
     * pair, cluster_id = min doc_id of its component.
     */
+  /** @param checkpointEvery truncate lineage with a localCheckpoint
+    *   every this many rounds — without it the logical plan deepens by
+    *   one join+union+agg per round, and plan optimization / DAG
+    *   bookkeeping (plus full-lineage recompute on cache eviction)
+    *   becomes the bottleneck at large diameters. (On a real cluster,
+    *   prefer reliable `checkpoint()` to survive executor loss.)
+    */
   def clusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIterations: Int = 50): DataFrame = {
+      idB: String = "id_b", maxIterations: Int = 50,
+      checkpointEvery: Int = 5): DataFrame = {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("node")).distinct()
+    var labels: DataFrame = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val labelType = labels.schema("label").dataType
+    var cached = labels.persist(StorageLevel.MEMORY_AND_DISK)
     var iterating = true
     var iter = 0
     while (iterating && iter < maxIterations) {
+      // The convergence test is fused into the job that materializes
+      // the new labels: self rows carry their current label in `old`
+      // (exactly one per node), neighbor rows carry null, so after the
+      // min-aggregation a near-free column aggregate over the SAME
+      // cached result answers "did any label change" — one Spark job
+      // per round instead of three (materialize + join + count).
+      val self = labels.select(col("node"), col("label"),
+        col("label").as("old"))
       val neighborLabels = labels
         .join(sym, labels("node") === sym("a"))
-        .select(col("b").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label"))
-        .union(neighborLabels)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count() > 0
-      labels.unpersist()
-      labels = next
+        .select(col("b").as("node"), col("label"),
+          lit(null).cast(labelType).as("old"))
+      val next = self.union(neighborLabels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      // lazy localCheckpoint: materialized by the convergence job below
+      val nextCached =
+        if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(false)
+        else next.persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = nextCached
+        .agg(count(when(col("label") =!= col("old"), 1)).as("n_changed"))
+        .head().getLong(0) > 0
+      cached.unpersist()
+      cached = nextCached
+      labels = nextCached.select(col("node"), col("label"))
       iterating = changed
       iter += 1
     }
@@ -184,7 +216,12 @@ object Dedup {
           "component diameter exceeds the iteration cap")
     }
     sym.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // materialize the (small) result so the loop caches can be freed
+    val out = labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    cached.unpersist()
+    out
   }
 
   /** The end-user dedup operation: drop every document that belongs to
