@@ -276,7 +276,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "sim_ann_lsh" -> ((s, dir) => {
-      Similarity.annTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
+      // fixture-suited table geometry: the synthetic embeddings are
+      // near-orthogonal (max cosine ~0.5), so 6-plane/64-bucket tables
+      // keep candidate rows non-empty at 500-5000 vectors; the scale
+      // defaults (16 planes × 4 tables) assume a corpus with real
+      // near-neighbor structure
+      Similarity.annTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5,
+        nPlanes = 6, nTables = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
     "sim_ann_ivf" -> ((s, dir) => {

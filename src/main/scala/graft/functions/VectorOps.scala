@@ -134,26 +134,30 @@ object VectorOps {
     MurmurHash3.stringHash(s"plane:$p:$j").toDouble / Int.MaxValue
 
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
-  private def planesFor(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private def planesFor(nPlanes: Int, dim: Int,
+      offset: Int): Array[Array[Double]] = {
     // bounded: ragged input dims must not grow executor memory forever
     if (planeCache.size > 64) {
-      return Array.tabulate(nPlanes, dim)(planeComponent)
+      return Array.tabulate(nPlanes, dim)((p, j) => planeComponent(offset + p, j))
     }
-    planeCache.computeIfAbsent((nPlanes, dim), { case (np, d) =>
-      Array.tabulate(np, d)(planeComponent)
+    planeCache.computeIfAbsent((nPlanes, dim, offset), { case (np, d, o) =>
+      Array.tabulate(np, d)((p, j) => planeComponent(o + p, j))
     })
   }
 
   /** Sign-random-projection LSH bucket of a double array: bit i is the
-    * sign of the dot product with plane i. Plane coefficients are
-    * row-invariant and cached per (nPlanes, dim) — recomputing the
-    * murmur per element would dominate the per-row cost.
+    * sign of the dot product with plane (offset + i). Distinct offsets
+    * give statistically independent LSH tables (multi-table banding —
+    * a near neighbor is found if it agrees on ALL planes of ANY
+    * table). Plane coefficients are row-invariant and cached per
+    * (nPlanes, dim, offset) — recomputing the murmur per element would
+    * dominate the per-row cost.
     */
-  def signLsh(vec: ArrayData, nPlanes: Int): Long = {
+  def signLsh(vec: ArrayData, nPlanes: Int, offset: Int): Long = {
     val dim = vec.numElements()
-    val planes = planesFor(nPlanes, dim)
+    val planes = planesFor(nPlanes, dim, offset)
     var bucket = 0L
     var p = 0
     while (p < nPlanes) {
@@ -169,6 +173,8 @@ object VectorOps {
     }
     bucket
   }
+
+  def signLsh(vec: ArrayData, nPlanes: Int): Long = signLsh(vec, nPlanes, 0)
 }
 
 /** `dot_long(array<long>, array<long>) → long` — codegen'd loop. */
@@ -266,16 +272,20 @@ case class SortedSharedCountExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** `sign_lsh(array<double>, nPlanes) → long` — codegen'd bucket id. */
-case class SignLshExpr(child: Expression, nPlanes: Int)
-    extends UnaryExpression {
+/** `sign_lsh(array<double>, nPlanes[, planeOffset]) → long` —
+  * codegen'd bucket id; planeOffset selects the LSH table's planes.
+  */
+case class SignLshExpr(child: Expression, nPlanes: Int,
+    planeOffset: Int = 0) extends UnaryExpression {
   require(nPlanes > 0 && nPlanes <= 63, "nPlanes must be in [1,63]")
+  require(planeOffset >= 0, "planeOffset must be >= 0")
   override def dataType: DataType = LongType
   override def prettyName: String = "sign_lsh"
   protected override def nullSafeEval(input: Any): Any =
-    VectorOps.signLsh(input.asInstanceOf[ArrayData], nPlanes)
+    VectorOps.signLsh(input.asInstanceOf[ArrayData], nPlanes, planeOffset)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.signLsh($c, $nPlanes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorOps.signLsh($c, $nPlanes, $planeOffset)")
   override protected def withNewChildInternal(c: Expression): SignLshExpr =
     copy(child = c)
 }

@@ -42,9 +42,12 @@ package object functions {
   def shared_count(a: Column, b: Column): Column =
     Bridge.column(SortedSharedCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Sign-random-projection LSH bucket id of an array<double>. */
-  def sign_lsh(vec: Column, nPlanes: Int): Column =
-    Bridge.column(SignLshExpr(Bridge.expression(vec.cast("array<double>")), nPlanes))
+  /** Sign-random-projection LSH bucket id of an array<double>;
+    * `planeOffset` selects an independent LSH table's planes.
+    */
+  def sign_lsh(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    Bridge.column(SignLshExpr(
+      Bridge.expression(vec.cast("array<double>")), nPlanes, planeOffset))
 
   /** Extract a literal Int argument from a SQL function call. */
   private def litInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -74,7 +77,10 @@ package object functions {
       { case Seq(t, n) => ShingleHashesExpr(t, litInt(n, "n")) })
     Bridge.registerFunction(spark, "shared_count",
       { case Seq(a, b) => SortedSharedCountExpr(a, b) })
-    Bridge.registerFunction(spark, "sign_lsh",
-      { case Seq(v, p) => SignLshExpr(v, litInt(p, "planes")) })
+    Bridge.registerFunction(spark, "sign_lsh", {
+      case Seq(v, p) => SignLshExpr(v, litInt(p, "planes"))
+      case Seq(v, p, o) =>
+        SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
+    })
   }
 }

@@ -80,10 +80,11 @@ object Similarity {
     * At scale this is the shuffle key: vectors only meet candidates in
     * their own bucket, making ANN candidate generation linear.
     * Codegen'd (SignLshExpr; deterministic murmur-derived planes from
-    * VectorOps.planeComponent).
+    * VectorOps.planeComponent). `table` selects an independent plane
+    * set for multi-table banding.
     */
-  def lshBucket(vecCol: Column, nPlanes: Int): Column =
-    sign_lsh(vecCol, nPlanes)
+  def lshBucket(vecCol: Column, nPlanes: Int, table: Int = 0): Column =
+    sign_lsh(vecCol, nPlanes, table * nPlanes)
 
   /** IVF-style ANN: a coarse quantizer of `nCells` centroids assigns
     * every vector to its nearest cell; queries probe the `nProbe`
@@ -121,7 +122,10 @@ object Similarity {
           .getField("idx")))
       .select(col("id").as("query_id"), col("qv").as("q_qv"),
         col("norm").as("q_norm"), col("probe"))
-    val scored = broadcast(probes).as("q")
+    // No broadcast hint: the query set may be corpus-sized (embedding
+    // dedup probes every vector). Catalyst auto-broadcasts small probe
+    // sets; large ones shuffle on the cell key like any equi-join.
+    val scored = probes.as("q")
       .join(indexed.as("c"),
         col("q.probe") === col("c.cell") && col("q.query_id") =!= col("c.id"))
       .select(col("q.query_id"), col("c.id").as("neighbor_id"),
@@ -136,23 +140,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH
-    * bucket. Output shape matches [[topK]] (rank within bucket).
+  /** Approximate top-k: candidates are vectors that share the query's
+    * bucket in ANY of `nTables` independent sign-LSH tables (multi-
+    * table banding — same recall structure as MinHash bands: more
+    * tables recover neighbors a single table's unlucky plane split
+    * loses; more planes per table keep buckets small).
+    *
+    * Corpus-scale shape (every doc may be a query, e.g. embedding
+    * dedup): the bucket join is a plain shuffle equi-join on a flat
+    * long key — NEITHER side is broadcast; only (id, bucket) pairs
+    * flow through the exploded band join; vectors are re-attached by
+    * id afterwards for scoring. Candidate volume is ~N·L·E[bucket
+    * size], linear for well-spread buckets — never the N²/buckets
+    * cartesian a broadcast-everything single-table design degrades to.
+    * Each scoring input is a narrow column-pruned scan rather than a
+    * persisted corpus copy (caching N quantized vectors is exactly
+    * what does NOT fit at 100 TB).
+    *
+    * Output shape matches [[topK]] (rank within merged candidates).
     */
   def annTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      nPlanes: Int = 6, idCol: String = "vec_id",
+      nPlanes: Int = 16, nTables: Int = 4, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
-      .withColumn("qv", quantize(col("v")))
+    require(nTables >= 1 && nTables <= 64, "nTables must be in [1,64]")
+    require(nPlanes + 7 <= 63, "nPlanes must leave room for the table tag")
+    // flat long band key: table index in the high bits
+    val bucketArr = array((0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(lshBucket(col(vecCol), nPlanes, t))
+    }: _*)
+    val banded = emb.select(col(idCol).as("id"), explode(bucketArr).as("bk"))
+    val candPairs = banded.filter(queryFilter).as("q")
+      .join(banded.as("c"),
+        col("q.bk") === col("c.bk") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"))
+      .distinct()
+    val vecs = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("norm", qdot(col("qv"), col("qv")))
-      .drop("v")
-    val queries = bucketed.filter(queryFilter)
-    val scored = broadcast(queries).as("q")
-      .join(bucketed.as("c"),
-        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        qcosine(qdot(col("q.qv"), col("c.qv")), col("q.norm"), col("c.norm"))
+    val scored = candPairs
+      .join(vecs.select(col("id").as("query_id"), col("qv").as("q_qv"),
+        col("norm").as("q_norm")), "query_id")
+      .join(vecs.select(col("id").as("neighbor_id"), col("qv").as("c_qv"),
+        col("norm").as("c_norm")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        qcosine(qdot(col("q_qv"), col("c_qv")), col("q_norm"), col("c_norm"))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

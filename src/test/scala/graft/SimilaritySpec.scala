@@ -36,7 +36,8 @@ class SimilaritySpec extends AnyFunSuite {
   test("ann results carry the same cosines as brute force") {
     import spark.implicits._
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
-    val ann = Similarity.annTopK(emb, col("id") < 10, k = 5)
+    val ann = Similarity.annTopK(emb, col("id") < 10, k = 5,
+      nPlanes = 6, nTables = 4)
       .select("query_id", "neighbor_id", "cosine")
       .as[(Long, Long, Double)].collect()
     assert(ann.nonEmpty)
@@ -66,6 +67,47 @@ class SimilaritySpec extends AnyFunSuite {
     // and every query should still return k rows
     val perQuery = ivf.groupBy(_._1).view.mapValues(_.length)
     assert(perQuery.values.forall(_ == 5))
+  }
+
+  test("annTopK at scale defaults: high recall on clustered embeddings") {
+    import spark.implicits._
+    // 25 clusters × 4 members, small perturbation → each vector's true
+    // top-3 are its cluster siblings (cosine ≈ 0.999). A single
+    // unlucky table split loses a sibling; 4 independent tables must
+    // recover nearly all of them.
+    val rnd = new scala.util.Random(42)
+    val data = (0 until 25).flatMap { c =>
+      val center = Array.fill(16)(rnd.nextGaussian())
+      (0 until 4).map { m =>
+        val v = center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+        ((c * 4 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val k = 3
+    val ann = Similarity.annTopK(data, col("id") >= 0, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.topK(data, data, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall below 0.9 " +
+      s"(found ${ann.intersect(brute).size} of ${brute.size} true neighbors)")
+  }
+
+  test("annTopK plan broadcasts neither side of the bucket join") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable size-based auto-broadcast so the assertion pins OUR
+      // plan shape (no broadcast() hint), not Catalyst's size estimate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.annTopK(emb, col("id") >= 0, k = 5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        "corpus-scale ANN must not broadcast a corpus-sized side")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "bucket join must stay a flat-key equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("lsh bucket is deterministic across evaluations") {
