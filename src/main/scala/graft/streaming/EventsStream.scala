@@ -14,6 +14,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
+  /** Stateful streaming runs on a cloned session with a bounded
+    * state-store partition count: streaming is exempt from AQE
+    * coalescing, and the shuffle-partition setting is frozen into the
+    * state store at first run — at SPARK_GRAFT_CPUS=32 that is 32
+    * near-empty state stores per stateful operator, whose per-batch
+    * open/commit overhead dominates small streams. Production sizing
+    * picks this from state volume, not core count.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Streaming source over the events parquet (nanos ts handled the
     * same way as Tables.load).
     */
@@ -36,8 +50,9 @@ object EventsStream {
     * by the correctness gate so streaming goes through the same DuckDB
     * oracle as the batch twin.
     */
-  def tumblingToCompletion(spark: SparkSession, dir: String,
+  def tumblingToCompletion(spark0: SparkSession, dir: String,
       width: String = "1 hour"): DataFrame = {
+    val spark = streamSession(spark0)
     val agg = source(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
@@ -65,7 +80,8 @@ object EventsStream {
     * occurrence counts again. Output counts unique events per type,
     * deterministic regardless of which duplicate survives.
     */
-  def dedupToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def dedupToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
     val agg = source(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
@@ -78,46 +94,119 @@ object EventsStream {
     spark.table(qname)
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState. Events are
-    * grouped per user; sessions split on the inactivity gap in exact
-    * integer microseconds, so the result is value-identical to the
-    * batch version (Events.sessionize) and shares its oracle.
+  /** Streaming sessionization via flatMapGroupsWithState with the
+    * open session carried ACROSS micro-batches in GroupState and
+    * closed by event-time timeout — the production shape for an
+    * unbounded stream:
     *
-    * Honest scope note: the group state is NOT carried across
-    * micro-batches here — correct because the file source delivers the
-    * fixture in a single batch. A production continuous stream would
-    * keep each user's open session in GroupState with an event-time
-    * timeout and emit it on close; same API, one more state hop.
+    *   - per user, GroupState holds the open session (start, last, n);
+    *   - a batch's events extend it or close it on the inactivity gap
+    *     (closed sessions are emitted immediately, Append mode);
+    *   - a session with no further events is emitted when the
+    *     event-time watermark passes its last event + gap
+    *     (setTimeoutTimestamp; Spark runs a no-data batch after every
+    *     watermark advance so timeouts fire without new input).
+    *
+    * The fixture replay proves the cross-batch path: events are split
+    * at the median timestamp into two files fed as separate
+    * micro-batches (sessions spanning the split must be merged from
+    * state), then a far-future sentinel row advances the watermark so
+    * every open session times out and flushes — modeling "time keeps
+    * passing" after a finite fixture. Results are value-identical to
+    * batch Events.sessionize and share its oracle.
     */
-  def sessionizeToCompletion(spark: SparkSession, dir: String,
+  /** Replay-harness split instant: strictly inside the longest batch
+    * session, so the two micro-batches provably bisect an open session
+    * and the cross-batch GroupState merge is exercised (a bare time
+    * median can fall between sessions on sparse fixtures). Falls back
+    * to the median when every session is instantaneous. Harness-only:
+    * the streaming operator itself never sees this.
+    */
+  private[graft] def splitInstant(ev: DataFrame, loUs: Long,
+      hiUs: Long): Long = {
+    val widest = graft.operators.Events.sessionize(ev)
+      .select(unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"))
+      .filter(col("e") > col("s") + 1)
+      .orderBy((col("e") - col("s")).desc, col("s"))
+      .limit(1).collect()
+    if (widest.nonEmpty)
+      widest(0).getLong(0) + (widest(0).getLong(1) - widest(0).getLong(0)) / 2
+    else loUs + (hiUs - loUs) / 2
+  }
+
+  def sessionizeToCompletion(spark0: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-    val src = source(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
-      .as[(Long, Long, Long)]
-    val sessions = src.groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Long, Long)], _: GroupState[Long]) =>
-          val evs = it.toVector.sortBy(e => (e._2, e._3))
-          if (evs.isEmpty) Iterator.empty
-          else {
-            val out = Vector.newBuilder[(Long, Long, Long, Long)]
-            var start = evs.head._2
-            var last = evs.head._2
-            var n = 0L
-            for (e <- evs) {
-              if (e._2 - last > gapUs) {
-                out += ((uid, start, last, n))
-                start = e._2
-                n = 0L
+    val watermarkDelay = "1 hour"
+    val delayUs = 3600L * 1000000L
+
+    // --- replay setup: two time-ordered chunks + watermark sentinel ---
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val hiUs: Long = stats.getLong(1)
+    val midUs = splitInstant(ev, stats.getLong(0), hiUs)
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-replay").toFile
+    replayDir.deleteOnExit()
+    def writeChunk(df: DataFrame, name: String): Unit = {
+      val stage = new java.io.File(replayDir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replayDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+
+    val sessions = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts attribute must stay in the stateful
+      // operator's input (the event-time-timeout checker requires it);
+      // us is the exact-microsecond twin used for the gap arithmetic
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: session over
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator.single((uid, start, last, n))
+          } else {
+            val evs = it.map(e => (e._3, e._4)).toVector.sorted
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val out = Vector.newBuilder[(Long, Long, Long, Long)]
+              var (start, last, n) =
+                state.getOption.getOrElse((evs.head._1, evs.head._1, 0L))
+              for (e <- evs) {
+                if (e._1 - last > gapUs) {
+                  out += ((uid, start, last, n))
+                  start = e._1
+                  n = 0L
+                }
+                last = e._1
+                n += 1
               }
-              last = e._2
-              n += 1
+              state.update((start, last, n))
+              // fires once the watermark (event time) passes the gap;
+              // always > current watermark because `last` comes from a
+              // row this batch accepted
+              state.setTimeoutTimestamp(last / 1000L + gapMinutes * 60L * 1000L)
+              out.result().iterator
             }
-            out += ((uid, start, last, n))
-            out.result().iterator
           }
       }
     val qname = "graft_events_sessions"
@@ -125,9 +214,22 @@ object EventsStream {
       .toDF("user_id", "start_us", "end_us", "n_events")
       .writeStream.outputMode("append").format("memory").queryName(qname)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(qname).select(col("user_id"),
-      timestamp_micros(col("start_us")).as("session_start"),
-      timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
+    try {
+      writeChunk(ev.filter(unix_micros(col("ts")) < midUs), "chunk1")
+      q.processAllAvailable() // batch 1: sessions fully inside chunk 1
+      writeChunk(ev.filter(unix_micros(col("ts")) >= midUs), "chunk2")
+      q.processAllAvailable() // batch 2: must merge state across the split
+      // sentinel: one far-future row pushes the watermark beyond every
+      // open session's timeout (hi + gap + delay + margin)
+      writeChunk(Seq((-1L,
+        new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L),
+        -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
+      q.processAllAvailable() // batch 3 + no-data batch: flush timeouts
+    } finally q.stop()
+    spark.table(qname)
+      .filter(col("user_id") =!= -1L)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
   }
 }

@@ -66,6 +66,21 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, String, String, Long)].collect().toSet
     assert(stream == batch)
     assert(batch.nonEmpty)
+    // the replay splits the fixture at the median timestamp into two
+    // micro-batches: sessions crossing that instant can only be right
+    // if GroupState carried the open session across batches — make
+    // sure the fixture actually exercises that path
+    val ev = Tables.load(spark, dir, "events")
+    val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    val mid = graft.streaming.EventsStream
+      .splitInstant(ev, r.getLong(0), r.getLong(1))
+    val spanning = Events.sessionize(ev)
+      .filter(unix_micros(col("session_start")) < mid &&
+        unix_micros(col("session_end")) >= mid)
+      .count()
+    assert(spanning > 0, "no session spans the micro-batch split — " +
+      "the cross-batch state path is untested by this fixture")
   }
 
   test("asof join: latest right row at-or-before, null when none precedes") {
