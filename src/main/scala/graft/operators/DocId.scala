@@ -22,8 +22,20 @@ import org.apache.spark.sql.types._
   * whose value happened to be 0 was skipped in favor of the next
   * numeric key (`hashBase == 0` check, Query.java:210). That makes id
   * derivation value-dependent in a way that is almost certainly
-  * accidental; we bind the seed column at plan-build time from the
-  * schema, which is deterministic and vectorizable.
+  * accidental; by default we bind the seed column at plan-build time
+  * from the schema, which is deterministic and vectorizable. For
+  * migrations that must keep ids stable with an existing index built
+  * by the reference, `strictParity = true` reproduces the per-row
+  * branch exactly (as a CASE cascade — still pure codegen'd column
+  * math): per row, every numeric key up to and including the first
+  * NONZERO one is consumed by the seed scan (a zero-valued numeric key
+  * is assigned into `hashBase` — a no-op — and never reaches the
+  * joined string), the first nonzero numeric value becomes the seed,
+  * and numeric keys after it render into the string like any other
+  * column. Nulls count as 0 (the reference's unset-Cassandra-cell
+  * `getInt` behavior). The reference's separate `getInt`-on-bigint
+  * truncation defect (Query.java:211) is NOT reproduced in either
+  * mode — we read the full 64-bit value (documented divergence).
   */
 object DocId {
 
@@ -39,12 +51,13 @@ object DocId {
   }
 
   /** The doc-id column (LongType) for the given key columns. */
-  def docId(schema: StructType, keys: Seq[String]): Column = {
+  def docId(schema: StructType, keys: Seq[String],
+      strictParity: Boolean = false): Column = {
     require(keys.nonEmpty, "at least one key column is required")
     val types = keys.map(k => k -> schema(k).dataType).toMap
     if (keys.size == 1 && isIntLike(types(keys.head))) {
       col(keys.head).cast(LongType)
-    } else {
+    } else if (!strictParity) {
       val seedKey = keys.find(k => isSeedType(types(k)))
       val seed = seedKey
         .map(k => coalesce(col(k).cast(LongType), lit(0L)))
@@ -52,8 +65,32 @@ object DocId {
       val rest = keys.filterNot(seedKey.contains)
       val joined = concat_ws(" ", rest.map(k => Render.render(col(k), types(k))): _*)
       sdbm_hash(seed, joined)
+    } else {
+      // per-row reference semantics (Query.java:206-218); null → 0
+      def nz(k: String): Column =
+        coalesce(col(k).cast(LongType), lit(0L)) =!= 0L
+      val numericKeys = keys.filter(k => isSeedType(types(k)))
+      // seed = first nonzero numeric key value, else 0
+      val seed = coalesce(numericKeys.map(k =>
+        when(nz(k), col(k).cast(LongType))) :+ lit(0L): _*)
+      // a numeric key reaches the string only when an EARLIER numeric
+      // key already seeded the hash (prefix-nonzero condition);
+      // concat_ws skips the null produced by a false `when`, exactly
+      // like the reference's StringJoiner never seeing the value
+      var prefixNz: Column = lit(false)
+      val pieces = keys.map { k =>
+        if (isSeedType(types(k))) {
+          val piece = when(prefixNz, Render.render(col(k), types(k)))
+          prefixNz = prefixNz || nz(k)
+          piece
+        } else Render.render(col(k), types(k))
+      }
+      sdbm_hash(seed, concat_ws(" ", pieces: _*))
     }
   }
 
   def docId(df: DataFrame, keys: Seq[String]): Column = docId(df.schema, keys)
+
+  def docId(df: DataFrame, keys: Seq[String], strictParity: Boolean): Column =
+    docId(df.schema, keys, strictParity)
 }

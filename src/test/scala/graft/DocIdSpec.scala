@@ -42,6 +42,66 @@ class DocIdSpec extends AnyFunSuite {
     assert(got == SdbmHash.hash(7L, ""))
   }
 
+  test("strictParity matches a direct port of the reference seed scan " +
+      "(zero-heavy property run)") {
+    import spark.implicits._
+    // Oracle: verbatim port of Query.java:206-218 — numeric keys are
+    // consumed by the seed scan while hashBase==0 (a 0 value is a
+    // no-op assignment, swallowed), later numerics join the string.
+    // Null renders as "" (the library's documented null divergence);
+    // null counts as 0 for the seed (Cassandra's unset-cell getInt).
+    val rnd = new scala.util.Random(7)
+    def num(): Option[Long] = rnd.nextInt(10) match {
+      case r if r < 3 => Some(0L)                    // zero-heavy
+      case r if r < 4 => None
+      case _          => Some(rnd.nextInt(1000).toLong + 1L)
+    }
+    val rows = (0 until 300).map { _ =>
+      (num(), rnd.alphanumeric.take(rnd.nextInt(6)).mkString, num(), num())
+    }
+    val df = rows.toDF("a", "s", "b", "c")
+    val got = df
+      .select(DocId.docId(df, Seq("a", "s", "b", "c"), strictParity = true)
+        .as("id"))
+      .as[Long].collect().toSeq
+    val expected = rows.map { case (a, s, b, c) =>
+      var base = 0L
+      val sj = new java.util.StringJoiner(" ")
+      def step(v: Option[Long]): Unit =
+        if (base == 0L) base = v.getOrElse(0L)
+        else sj.add(v.map(_.toString).getOrElse(""))
+      step(a); sj.add(s); step(b); step(c)
+      SdbmHash.hash(base, sj.toString)
+    }
+    assert(got == expected)
+  }
+
+  test("strictParity diverges from default exactly when a leading " +
+      "numeric key is zero") {
+    import spark.implicits._
+    val zero = Seq((0L, "x", 7L)).toDF("a", "s", "b")
+    val strictZero = zero.select(
+      DocId.docId(zero, Seq("a", "s", "b"), strictParity = true).as("id"))
+      .as[Long].collect().head
+    val defaultZero = zero.select(
+      DocId.docId(zero, Seq("a", "s", "b")).as("id"))
+      .as[Long].collect().head
+    // reference: a=0 swallowed, b seeds → sdbm(7, "x")
+    assert(strictZero == SdbmHash.hash(7L, "x"))
+    // default: schema-bound seed a=0, b renders → sdbm(0, "x 7")
+    assert(defaultZero == SdbmHash.hash(0L, "x 7"))
+    assert(strictZero != defaultZero)
+    // nonzero leading numeric: both modes agree
+    val nz = Seq((5L, "x", 7L)).toDF("a", "s", "b")
+    val strictNz = nz.select(
+      DocId.docId(nz, Seq("a", "s", "b"), strictParity = true).as("id"))
+      .as[Long].collect().head
+    val defaultNz = nz.select(
+      DocId.docId(nz, Seq("a", "s", "b")).as("id"))
+      .as[Long].collect().head
+    assert(strictNz == defaultNz && strictNz == SdbmHash.hash(5L, "x 7"))
+  }
+
   test("struct/map fields rendered as JSON are XML-escaped") {
     import spark.implicits._
     val df = Seq((1L, Map("f" -> "a & b <x>"))).toDF("doc_id", "m")
