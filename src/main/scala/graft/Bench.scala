@@ -10,15 +10,30 @@ object Bench {
     // absorb JVM/codegen/session warm-up outside the timed loop
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "nation").count()
+    // per-query formatted plans, diffable round-over-round (written
+    // after each timed run so plan capture never skews the timing)
+    val plansDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "target/bench-plans"))
+    plansDir.mkdirs()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val df = try {
+        val d = fn(spark, sfDir); d.count(); Some(d)
+      } catch { case _: Throwable => None }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      df.foreach { d =>
+        try java.nio.file.Files.writeString(
+          new java.io.File(plansDir, s"$name.txt").toPath,
+          d.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        catch { case _: Throwable => () }
+      }
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","plans_dir":"${plansDir.getPath}"}""")
     spark.stop()
   }
 }
