@@ -86,22 +86,62 @@ object Similarity {
   def lshBucket(vecCol: Column, nPlanes: Int, table: Int = 0): Column =
     sign_lsh(vecCol, nPlanes, table * nPlanes)
 
+  /** Deterministic distributed Lloyd iterations for the IVF coarse
+    * quantizer: init = the nCells lowest-id vectors; assignment =
+    * argmax cosine over broadcast centroid literals (first-index
+    * tie-break); update = per-cell elementwise integer mean of the
+    * quantized vectors. All arithmetic is exact integer (sums) or
+    * truncating long division, so centroids are bit-identical on any
+    * cluster topology. Shuffle per iteration is tiny: the
+    * posexplode(qv) rows partial-aggregate map-side to at most
+    * partitions × nCells × dim groups; only nCells × dim sums reach
+    * the driver. Empty cells keep their previous centroid.
+    */
+  private def trainCentroids(q: DataFrame, nCells: Int,
+      iters: Int): Array[(Seq[Long], Long)] = {
+    var cents: Array[Seq[Long]] = q.orderBy(col("id")).limit(nCells)
+      .select(col("qv")).collect().map(_.getSeq[Long](0))
+    for (_ <- 0 until iters) {
+      val withNorm = cents.map(cv => (cv, cv.map(x => x * x).sum))
+      val cellArr = array(withNorm.map { case (cv, cn) =>
+        qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
+      }.toIndexedSeq: _*)
+      val sums = q
+        .withColumn("cellArr", cellArr)
+        .withColumn("cell",
+          (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
+            .cast("int"))
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        byCell.get(c).fold(old) { rows =>
+          val arr = old.toArray.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2) / r.getLong(3))
+          arr.toSeq
+        }
+      }
+    }
+    cents.map(cv => (cv, cv.map(x => x * x).sum))
+  }
+
   /** IVF-style ANN: a coarse quantizer of `nCells` centroids assigns
     * every vector to its nearest cell; queries probe the `nProbe`
-    * nearest cells only. Centroids here are a deterministic sample
-    * (the nCells lowest-id vectors — in production they come from an
-    * offline k-means run); assignment/probing is pure column math over
+    * nearest cells only. Centroids are k-means-trained in
+    * `trainIters` deterministic distributed Lloyd passes
+    * ([[trainCentroids]]; `trainIters = 0` falls back to the raw
+    * lowest-id sample); assignment/probing is pure column math over
     * broadcast centroid literals, so the index build is one narrow
     * projection and candidate generation is linear like the LSH path.
     * Output shape matches [[topK]] (rank within probed cells).
     */
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = withQuantized(emb, idCol, vecCol)
-    val cents = q.orderBy(col("id")).limit(nCells)
-      .select(col("qv"), col("norm")).collect()
-      .map(r => (r.getSeq[Long](0), r.getLong(1)))
+    val cents = trainCentroids(q, nCells, trainIters)
     def cellCos(v: Column, norm: Column): Column = array(cents.map {
       case (cv, cn) => qcosine(qdot(v, typedlit(cv)), norm, lit(cn))
     }.toIndexedSeq: _*)

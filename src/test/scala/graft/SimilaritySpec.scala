@@ -69,6 +69,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ == 5))
   }
 
+  test("ivf k-means training is deterministic across runs") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = Similarity.ivfTopK(emb, col("id") < 10, k = 5,
+      nCells = 16, nProbe = 4, trainIters = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(run() == run())
+  }
+
   test("annTopK at scale defaults: high recall on clustered embeddings") {
     import spark.implicits._
     // 25 clusters × 4 members, small perturbation → each vector's true
