@@ -144,8 +144,11 @@ object EventsStream {
     val delayUs = 3600L * 1000000L
 
     // --- replay setup: two time-ordered chunks + watermark sentinel ---
+    // persisted for the harness duration: stats + split-instant
+    // sessionize + two chunk writes would otherwise re-scan the source
     val ev = graft.Tables.load(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
     val hiUs: Long = stats.getLong(1)
@@ -225,7 +228,10 @@ object EventsStream {
         new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L),
         -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // batch 3 + no-data batch: flush timeouts
-    } finally q.stop()
+    } finally {
+      q.stop()
+      ev.unpersist()
+    }
     spark.table(qname)
       .filter(col("user_id") =!= -1L)
       .select(col("user_id"),
