@@ -138,11 +138,19 @@ object VectorOps {
 
   private def planesFor(nPlanes: Int, dim: Int,
       offset: Int): Array[Array[Double]] = {
-    // bounded: ragged input dims must not grow executor memory forever
-    if (planeCache.size > 64) {
+    // hit the cache before the size guard: once the bound is reached,
+    // existing keys must keep being served (recomputing the plane
+    // matrix per ROW is the cost this cache exists to avoid); only
+    // genuinely new keys fall back to uncached computation. Bounded
+    // because ragged input dims must not grow executor memory forever
+    // (multi-table banding puts nTables entries per distinct dim).
+    val key = (nPlanes, dim, offset)
+    val hit = planeCache.get(key)
+    if (hit != null) return hit
+    if (planeCache.size > 256) {
       return Array.tabulate(nPlanes, dim)((p, j) => planeComponent(offset + p, j))
     }
-    planeCache.computeIfAbsent((nPlanes, dim, offset), { case (np, d, o) =>
+    planeCache.computeIfAbsent(key, { case (np, d, o) =>
       Array.tabulate(np, d)((p, j) => planeComponent(o + p, j))
     })
   }

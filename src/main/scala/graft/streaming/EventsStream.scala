@@ -123,8 +123,8 @@ object EventsStream {
     * the streaming operator itself never sees this.
     */
   private[graft] def splitInstant(ev: DataFrame, loUs: Long,
-      hiUs: Long): Long = {
-    val widest = graft.operators.Events.sessionize(ev)
+      hiUs: Long, gapMinutes: Int = 30): Long = {
+    val widest = graft.operators.Events.sessionize(ev, gapMinutes)
       .select(unix_micros(col("session_start")).as("s"),
         unix_micros(col("session_end")).as("e"))
       .filter(col("e") > col("s") + 1)
@@ -152,7 +152,9 @@ object EventsStream {
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
     val hiUs: Long = stats.getLong(1)
-    val midUs = splitInstant(ev, stats.getLong(0), hiUs)
+    val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
+    // sentinel id guaranteed out-of-band for this dataset
+    val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-replay").toFile
     replayDir.deleteOnExit()
@@ -206,8 +208,12 @@ object EventsStream {
               state.update((start, last, n))
               // fires once the watermark (event time) passes the gap;
               // always > current watermark because `last` comes from a
-              // row this batch accepted
-              state.setTimeoutTimestamp(last / 1000L + gapMinutes * 60L * 1000L)
+              // row this batch accepted. Ceiling µs→ms: flooring could
+              // fire up to 999µs early and split a session whose
+              // boundary event (ts-last == gap exactly) is still in
+              // flight on an out-of-order stream.
+              state.setTimeoutTimestamp(
+                (last + 999L) / 1000L + gapMinutes * 60L * 1000L)
               out.result().iterator
             }
           }
@@ -224,7 +230,7 @@ object EventsStream {
       q.processAllAvailable() // batch 2: must merge state across the split
       // sentinel: one far-future row pushes the watermark beyond every
       // open session's timeout (hi + gap + delay + margin)
-      writeChunk(Seq((-1L,
+      writeChunk(Seq((sentinelUid,
         new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L),
         -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // batch 3 + no-data batch: flush timeouts
@@ -233,7 +239,7 @@ object EventsStream {
       ev.unpersist()
     }
     spark.table(qname)
-      .filter(col("user_id") =!= -1L)
+      .filter(col("user_id") =!= sentinelUid)
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
