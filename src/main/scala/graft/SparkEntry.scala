@@ -448,7 +448,10 @@ object SparkEntry {
         SELECT doc_id,
                sdbm_hash(doc_id, text) AS h,
                simhash64(split(text, ' ')) AS sh,
-               size(word_shingles(split(text, ' '), 3)) AS n_shingles
+               size(word_shingles(split(text, ' '), 3)) AS n_shingles,
+               size(shingle_hashes(split(text, ' '), 3)) AS n_distinct_shingles,
+               shared_count(shingle_hashes(split(text, ' '), 3),
+                            shingle_hashes(split(text, ' '), 3)) AS self_shared
         FROM graft_documents ORDER BY doc_id""")
     }),
   )

@@ -198,6 +198,10 @@ object Similarity {
     * what does NOT fit at 100 TB).
     *
     * Output shape matches [[topK]] (rank within merged candidates).
+    *
+    * @param queryFilter predicate selecting the query vectors; it is
+    *   applied to the banded frame, whose only columns are `id` (the
+    *   renamed idCol) and the bucket key — filter on `col("id")`.
     */
   def annTopK(emb: DataFrame, queryFilter: Column, k: Int,
       nPlanes: Int = 16, nTables: Int = 4, idCol: String = "vec_id",
