@@ -440,6 +440,15 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- training-data JSONL export (extended sink surface) ----
+    "jsonl_documents" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        JsonlExport.jsonLine(docs, Seq("doc_id", "source", "text"))
+          .as("line"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- SQL text-query surface over registered graft functions ----
     "q_sql_functions" -> ((s, dir) => {
       graft.functions.registerSql(s)
@@ -492,6 +501,15 @@ object SparkEntry {
   /** StAX-compatible XML text escaping in SQL (& first, then <, >). */
   private def escSql(e: String): String =
     s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+  /** SQL twin of JsonlExport.escapeJson's primary escape set
+    * (backslash first, then quote, \n, \r, \t — the fixture corpus
+    * contains no other control characters, asserted in JsonlSpec).
+    */
+  private def jsonEscSql(e: String): String =
+    """replace(replace(replace(replace(replace(%s,
+      '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+      chr(9), '\t')""".format(e)
 
   /** Shared CTE prefix: integer-quantized embeddings + exact int norms
     * (the SQL twin of Similarity.quantize/qdot — see its scaladoc for
@@ -808,6 +826,12 @@ object SparkEntry {
       FROM documents ORDER BY doc_id""",
     "docid_single" ->
       "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
+    "jsonl_documents" -> s"""
+      SELECT doc_id,
+             '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+             ',"source":"' || ${jsonEscSql("source")} ||
+             '","text":"' || ${jsonEscSql("text")} || '"}' AS line
+      FROM documents ORDER BY doc_id""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(l_orderkey AS VARCHAR) AS r_orderkey,

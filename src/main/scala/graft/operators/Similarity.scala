@@ -101,6 +101,7 @@ object Similarity {
       iters: Int): Array[(Seq[Long], Long)] = {
     var cents: Array[Seq[Long]] = q.orderBy(col("id")).limit(nCells)
       .select(col("qv")).collect().map(_.getSeq[Long](0))
+    if (cents.isEmpty) return Array.empty // empty corpus: nothing to train
     for (_ <- 0 until iters) {
       val withNorm = cents.map(cv => (cv, cv.map(x => x * x).sum))
       val cellArr = array(withNorm.map { case (cv, cn) =>
@@ -142,6 +143,21 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = withQuantized(emb, idCol, vecCol)
     val cents = trainCentroids(q, nCells, trainIters)
+    if (cents.isEmpty) {
+      // empty corpus → zero centroids; the cosine-array expressions
+      // below would not even analyze, so short-circuit with an empty
+      // frame of the output schema
+      val idType = q.schema("id").dataType
+      return q.sparkSession.createDataFrame(
+        q.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id", idType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("neighbor_id", idType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     def cellCos(v: Column, norm: Column): Column = array(cents.map {
       case (cv, cn) => qcosine(qdot(v, typedlit(cv)), norm, lit(cn))
     }.toIndexedSeq: _*)
