@@ -28,20 +28,34 @@ object SparkEntry {
     * derives everything downstream from it — model that here with a
     * per-(session, dir) memo of the localCheckpoint'd (tiny) pair set
     * instead of re-running the deliberately-quadratic join per query.
-    * Deterministic input → identical values either way; weak keys so
-    * stopped sessions release their pairs.
+    *
+    * Lifecycle: entries are bounded (one tiny checkpointed frame per
+    * (session, dir) actually queried) and live until [[evictPairs]] —
+    * NOT weakly keyed: a cached DataFrame strongly references its
+    * session, so weak keys would never collect anyway. The pair set is
+    * computed OUTSIDE any lock — a concurrent duplicate computation of
+    * the same deterministic input is identical values and merely
+    * wasted work, whereas a global lock held across a Spark job would
+    * serialize unrelated sessions.
     */
   private val pairsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]()
-  private def groundTruthPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.synchronized {
-      pairsMemo.computeIfAbsent(s,
-        _ => scala.collection.mutable.Map.empty[String, DataFrame])
-        .getOrElseUpdate(dir, Dedup.ngramJaccardPairs(
-          t(s, dir, "documents").filter(col("doc_id") < 500),
-          n = 3, minJaccard = 0.8).localCheckpoint())
-    }
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def groundTruthPairs(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val hit = pairsMemo.get(key)
+    if (hit != null) return hit
+    val pairs = Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 500),
+      n = 3, minJaccard = 0.8).localCheckpoint()
+    val prev = pairsMemo.putIfAbsent(key, pairs)
+    if (prev != null) prev else pairs
+  }
+
+  /** Drop a stopped session's memoized pair sets (long-lived JVMs that
+    * cycle many sessions call this from their session teardown).
+    */
+  def evictPairs(s: SparkSession): Unit =
+    pairsMemo.keySet.removeIf(_._1 eq s)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's README example (`SELECT content, title, url, pos FROM
@@ -844,9 +858,11 @@ object SparkEntry {
       "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
     "jsonl_documents" -> s"""
       SELECT doc_id,
-             '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
-             ',"source":"' || ${jsonEscSql("source")} ||
-             '","text":"' || ${jsonEscSql("text")} || '"}' AS line
+             '{"doc_id":' || coalesce(CAST(doc_id AS VARCHAR), 'null') ||
+             ',"source":' || CASE WHEN source IS NULL THEN 'null'
+               ELSE '"' || ${jsonEscSql("source")} || '"' END ||
+             ',"text":' || CASE WHEN text IS NULL THEN 'null'
+               ELSE '"' || ${jsonEscSql("text")} || '"' END || '}' AS line
       FROM documents ORDER BY doc_id""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,

@@ -38,10 +38,16 @@ object JsonlExport {
   /** One JSON object per row over the named columns, in the given
     * order. Strings escape per [[escapeJson]]; integers/booleans emit
     * bare; floats/decimals emit via double (shortest-repr, both
-    * engines agree); timestamps emit quoted canonical UTC; null emits
-    * JSON null. Arrays/structs fall back to `to_json` (documented:
+    * engines agree); timestamps emit quoted canonical UTC at SECOND
+    * precision (sub-second fractions are truncated — deliberate, so
+    * the line is byte-stable across micro/nano source precisions;
+    * carry an explicit `unix_micros` column if fractions matter);
+    * dates emit quoted `yyyy-MM-dd`; null emits JSON null.
+    * Arrays/structs/maps go through `to_json` (documented:
     * engine-specific spacing — exclude them from oracle-compared
-    * exports).
+    * exports). Any other scalar (binary, interval...) fails fast at
+    * plan time: `to_json` would throw an unhelpful AnalysisException
+    * deep inside the sink otherwise.
     */
   def jsonLine(schema: StructType, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "at least one column required")
@@ -56,7 +62,13 @@ object JsonlExport {
         case TimestampType | TimestampNTZType =>
           concat(lit("\""), date_format(col(name), "yyyy-MM-dd HH:mm:ss"),
             lit("\""))
-        case _ => to_json(col(name))
+        case DateType =>
+          concat(lit("\""), date_format(col(name), "yyyy-MM-dd"), lit("\""))
+        case _: ArrayType | _: StructType | _: MapType => to_json(col(name))
+        case other => throw new IllegalArgumentException(
+          s"jsonLine: column '$name' has unsupported scalar type " +
+            s"${other.simpleString}; cast it to a string/numeric/" +
+            "timestamp column upstream")
       }
       concat(lit("\"" + name + "\":"),
         when(col(name).isNull, lit("null")).otherwise(v))

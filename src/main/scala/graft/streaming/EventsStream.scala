@@ -151,13 +151,27 @@ object EventsStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
+    if (stats.isNullAt(0)) {
+      // empty fixture: min/max aggregates are null — short-circuit with
+      // an empty result of the output schema instead of NPE'ing in the
+      // replay setup (the batch operators are total on empty input,
+      // EdgeCasesSpec; the streaming twin must be too)
+      ev.unpersist()
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("session_start", TimestampType),
+          StructField("session_end", TimestampType),
+          StructField("n_events", LongType))))
+    }
     val hiUs: Long = stats.getLong(1)
     val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
     // sentinel id guaranteed out-of-band for this dataset
     val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-replay").toFile
-    replayDir.deleteOnExit()
     def writeChunk(df: DataFrame, name: String): Unit = {
       val stage = new java.io.File(replayDir, s"_stage_$name")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -237,6 +251,12 @@ object EventsStream {
     } finally {
       q.stop()
       ev.unpersist()
+      // the memory sink holds the results; the replay files are dead
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(replayDir)
     }
     spark.table(qname)
       .filter(col("user_id") =!= sentinelUid)
