@@ -15,18 +15,37 @@ object Bench {
     val plansDir = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "target/bench-plans"))
     plansDir.mkdirs()
+    // operators that materialize through localCheckpoint record their
+    // pre-checkpoint plans + stage breadcrumbs here; appended to the
+    // query's dump below so checkpoints don't blind the plan audit
+    PlanCapture.enabled = true
     val results = SparkEntry.queries.map { case (name, fn) =>
+      PlanCapture.drain() // discard anything left by a previous query
       val t0 = System.nanoTime()
+      // a failed query must be VISIBLE (name + reason), not a silent
+      // ~0s entry — the run continues so one bad query can't hide the
+      // rest of the numbers
       val df = try {
         val d = fn(spark, sfDir); d.count(); Some(d)
-      } catch { case _: Throwable => None }
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"BENCH $name%-28s $elapsed%8.2f s")
       df.foreach { d =>
-        try java.nio.file.Files.writeString(
-          new java.io.File(plansDir, s"$name.txt").toPath,
-          d.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        catch { case _: Throwable => () }
+        try {
+          val captured = PlanCapture.drain().map { case (label, text) =>
+            s"\n==== captured: $label ====\n$text"
+          }.mkString
+          java.nio.file.Files.writeString(
+            new java.io.File(plansDir, s"$name.txt").toPath,
+            d.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")) + captured)
+        } catch { case _: Throwable => () }
       }
       name -> elapsed
     }

