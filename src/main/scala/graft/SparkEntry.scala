@@ -133,6 +133,17 @@ object SparkEntry {
         DocId.docId(docs, Seq("source", "doc_id")).as("id"))
         .orderBy(col("doc_id"))
     }),
+    "docid_strict" -> ((s, dir) => {
+      // strict-parity single-key id reads the key through getInt
+      // (Query.java:203): a synthetic wide key — 2³²-multiples plus a
+      // signed low word — collapses to just the (sign-extended) low
+      // word, which the oracle reproduces with modular arithmetic
+      val docs = t(s, dir, "documents").withColumn("big_id",
+        col("doc_id") * lit(4294967296L) + col("doc_id") - lit(250L))
+      docs.select(col("doc_id"),
+        DocId.docId(docs, Seq("big_id"), strictParity = true).as("id"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- typed rendering (F8/F9) ----
     "render_lineitem" -> ((s, dir) => {
@@ -151,6 +162,22 @@ object SparkEntry {
           x => round(x.cast("double") * 1000).cast("long").cast("string")),
           " ").as("r_embedding"))
         .orderBy(col("vec_id"))
+    }),
+    "render_strict" -> ((s, dir) => {
+      // bug-for-bug getValue emulation (Render.renderStrict): Date
+      // .toString timestamps (Q:253), ByteBuffer descriptor blobs
+      // (Q:225/243), counter-through-getInt truncation (Q:247) — the
+      // +3e9 offset pushes user_id past Int.MaxValue so the 32-bit
+      // window actually bites
+      val ev = t(s, dir, "events")
+      ev.select(col("event_id"),
+        Render.renderStrict(col("ts"), ev.schema("ts").dataType).as("r_ts"),
+        Render.renderStrict(encode(coalesce(col("props"), lit("")), "UTF-8"),
+          org.apache.spark.sql.types.BinaryType).as("r_blob"),
+        Render.renderStrict(col("user_id") + lit(3000000000L),
+          org.apache.spark.sql.types.LongType, counter = true)
+          .as("r_counter"))
+        .orderBy(col("event_id"))
     }),
 
     // ---- mem markup (F7) ----
@@ -653,6 +680,22 @@ object SparkEntry {
       SELECT doc_id, s.hash AS id
       FROM documents JOIN sdbm s ON s.sid = doc_id
       ORDER BY doc_id""",
+    "docid_strict" -> """
+      SELECT doc_id,
+             ((doc_id * 4294967296 + doc_id - 250 + 2147483648) % 4294967296
+               + 4294967296) % 4294967296 - 2147483648 AS id
+      FROM documents ORDER BY doc_id""",
+    "render_strict" -> """
+      SELECT event_id,
+             strftime(ts, '%a %b %d %H:%M:%S UTC %Y') AS r_ts,
+             'java.nio.HeapByteBuffer[pos=0 lim=' ||
+               CAST(octet_length(encode(coalesce(props, ''))) AS VARCHAR) ||
+               ' cap=' ||
+               CAST(octet_length(encode(coalesce(props, ''))) AS VARCHAR) ||
+               ']' AS r_blob,
+             CAST(((user_id + 3000000000 + 2147483648) % 4294967296
+               + 4294967296) % 4294967296 - 2147483648 AS VARCHAR) AS r_counter
+      FROM events ORDER BY event_id""",
     "text_fingerprint" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")}

@@ -55,4 +55,46 @@ object Render {
     */
   def renderAll(schema: StructType): Seq[(String, Column)] =
     schema.fields.toSeq.map(f => f.name -> render(col(f.name), f.dataType))
+
+  /** Sign-extending 32-bit truncation of a long — Java's `(int)` /
+    * the Cassandra driver's `getInt` on a wider value. Shift-based so
+    * it can't throw under ANSI-mode overflow checking.
+    */
+  def trunc32(c: Column): Column =
+    shiftright(shiftleft(c.cast(LongType), 32), 32)
+
+  /** Bug-for-bug rendering for migrations pinned to a reference-built
+    * index — reproduces the reference's per-row `getValue` defects
+    * that [[render]] deliberately fixes (opt-in, mirroring
+    * `DocId.docId(strictParity = true)`):
+    *
+    *   - timestamp: `java.util.Date.toString()` form
+    *     (`EEE MMM dd HH:mm:ss zzz yyyy`, Query.java:252-253) under
+    *     the session time zone — the reference used the JVM default
+    *     zone and locale; pin the session zone (UTC) for
+    *     reproducibility;
+    *   - binary: the ByteBuffer DESCRIPTOR, not the bytes
+    *     (`java.nio.HeapByteBuffer[pos=0 lim=N cap=N]`,
+    *     Query.java:225, 242-243);
+    *   - counter (`counter = true` on an integral column): the value
+    *     read through `getInt` (Query.java:246-247) — truncated to 32
+    *     bits, sign-extended;
+    *   - everything else: canonical [[render]] (the reference's
+    *     remaining arms are not defective).
+    *
+    * Nulls still render as "" (the reference NPEd; an emulated crash
+    * helps no migration).
+    */
+  def renderStrict(c: Column, dt: DataType,
+      counter: Boolean = false): Column = dt match {
+    case TimestampType | TimestampNTZType =>
+      coalesce(date_format(c, "EEE MMM dd HH:mm:ss zzz yyyy"), lit(""))
+    case BinaryType =>
+      coalesce(concat(lit("java.nio.HeapByteBuffer[pos=0 lim="),
+        octet_length(c).cast(StringType), lit(" cap="),
+        octet_length(c).cast(StringType), lit("]")), lit(""))
+    case ByteType | ShortType | IntegerType | LongType if counter =>
+      coalesce(trunc32(c).cast(StringType), lit(""))
+    case _ => render(c, dt)
+  }
 }

@@ -33,9 +33,14 @@ import org.apache.spark.sql.types._
   * joined string), the first nonzero numeric value becomes the seed,
   * and numeric keys after it render into the string like any other
   * column. Nulls count as 0 (the reference's unset-Cassandra-cell
-  * `getInt` behavior). The reference's separate `getInt`-on-bigint
-  * truncation defect (Query.java:211) is NOT reproduced in either
-  * mode — we read the full 64-bit value (documented divergence).
+  * `getInt` behavior). `strictParity` also reproduces the
+  * `getInt`-on-wide-value truncation defects: the single-numeric-key
+  * id (Query.java:203) and the composite-key seed (Query.java:211)
+  * are both read through a 32-bit window, sign-extended — so a bigint
+  * key of 2³² yields id 0, and the TRUNCATED value feeds the
+  * `hashBase == 0` skip test (a key that truncates to zero is
+  * consumed by the seed scan exactly like a true zero). The default
+  * mode reads the full 64-bit value (documented divergence).
   */
 object DocId {
 
@@ -56,7 +61,8 @@ object DocId {
     require(keys.nonEmpty, "at least one key column is required")
     val types = keys.map(k => k -> schema(k).dataType).toMap
     if (keys.size == 1 && isIntLike(types(keys.head))) {
-      col(keys.head).cast(LongType)
+      if (strictParity) Render.trunc32(col(keys.head)) // getInt, Q:203
+      else col(keys.head).cast(LongType)
     } else if (!strictParity) {
       val seedKey = keys.find(k => isSeedType(types(k)))
       val seed = seedKey
@@ -66,13 +72,17 @@ object DocId {
       val joined = concat_ws(" ", rest.map(k => Render.render(col(k), types(k))): _*)
       sdbm_hash(seed, joined)
     } else {
-      // per-row reference semantics (Query.java:206-218); null → 0
-      def nz(k: String): Column =
-        coalesce(col(k).cast(LongType), lit(0L)) =!= 0L
+      // per-row reference semantics (Query.java:206-218); null → 0.
+      // The seed is read through getInt (Q:211): 32-bit truncated
+      // BEFORE the zero test, so values ≡ 0 (mod 2³²) are skipped
+      // like true zeros.
+      def truncated(k: String): Column =
+        Render.trunc32(coalesce(col(k).cast(LongType), lit(0L)))
+      def nz(k: String): Column = truncated(k) =!= 0L
       val numericKeys = keys.filter(k => isSeedType(types(k)))
-      // seed = first nonzero numeric key value, else 0
+      // seed = first numeric key whose TRUNCATED value is nonzero
       val seed = coalesce(numericKeys.map(k =>
-        when(nz(k), col(k).cast(LongType))) :+ lit(0L): _*)
+        when(nz(k), truncated(k))) :+ lit(0L): _*)
       // a numeric key reaches the string only when an EARLIER numeric
       // key already seeded the hash (prefix-nonzero condition);
       // concat_ws skips the null produced by a false `when`, exactly

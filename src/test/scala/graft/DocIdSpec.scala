@@ -102,6 +102,48 @@ class DocIdSpec extends AnyFunSuite {
     assert(strictNz == defaultNz && strictNz == SdbmHash.hash(5L, "x 7"))
   }
 
+  test("strictParity reproduces getInt truncation against a direct " +
+      "Java-port oracle (wide-value property run)") {
+    import spark.implicits._
+    // Oracle: Query.java getId with the driver reads ported verbatim,
+    // including the (int) window on the single-key id (Q:203) and the
+    // composite seed (Q:211); string-joined numerics go through
+    // getValue's getLong (Q:235) — full width, NOT truncated.
+    val rnd = new scala.util.Random(13)
+    def wide(): Long = rnd.nextInt(6) match {
+      case 0 => 0L
+      case 1 => 1L << 32                        // truncates to 0 → seed-skipped
+      case 2 => (rnd.nextLong() & 0xFFFFFFFFL) | (1L << 33)
+      case 3 => -(1L << 35) + rnd.nextInt(100)
+      case 4 => rnd.nextInt(1000).toLong
+      case _ => rnd.nextLong()
+    }
+    val rows = (0 until 300).map { _ =>
+      (wide(), rnd.alphanumeric.take(rnd.nextInt(5)).mkString, wide())
+    }
+    // single wide key
+    val single = rows.map(_._1).toDF("k")
+    val gotSingle = single
+      .select(DocId.docId(single, Seq("k"), strictParity = true).as("id"))
+      .as[Long].collect().toSeq
+    assert(gotSingle == rows.map(_._1.toInt.toLong))
+    // composite (a, s, b): seed scan over TRUNCATED values
+    val df = rows.toDF("a", "s", "b")
+    val got = df
+      .select(DocId.docId(df, Seq("a", "s", "b"), strictParity = true).as("id"))
+      .as[Long].collect().toSeq
+    val expected = rows.map { case (a, s, b) =>
+      var base = 0L
+      val sj = new java.util.StringJoiner(" ")
+      def step(v: Long): Unit =
+        if (base == 0L) base = v.toInt.toLong    // getInt, sign-extended
+        else sj.add(v.toString)                  // getValue getLong: full width
+      step(a); sj.add(s); step(b)
+      SdbmHash.hash(base, sj.toString)
+    }
+    assert(got == expected)
+  }
+
   test("struct/map fields rendered as JSON are XML-escaped") {
     import spark.implicits._
     val df = Seq((1L, Map("f" -> "a & b <x>"))).toDF("doc_id", "m")

@@ -63,4 +63,36 @@ class RenderSpec extends AnyFunSuite {
       .collect()(0)
     assert(gotM.getString(0) == """{"a":1}""")
   }
+
+  test("renderStrict: Date.toString timestamps, ByteBuffer descriptor " +
+      "blobs, counter truncation (reference getValue defects)") {
+    import spark.implicits._
+    val df = Seq("2024-02-29 13:05:09").toDF("s").select(
+      to_timestamp(col("s")).as("ts"),
+      lit(Array[Byte](1, 2, 3, 4, 5)).as("bin"),
+      lit(3000000007L).as("ctr"))
+    val got = df.select(
+      Render.renderStrict(col("ts"), TimestampType),
+      Render.renderStrict(col("bin"), BinaryType),
+      Render.renderStrict(col("ctr"), LongType, counter = true),
+      Render.renderStrict(col("ctr"), LongType)).collect()(0)
+    // java.util.Date("2024-02-29T13:05:09Z").toString under UTC
+    assert(got.getString(0) == "Thu Feb 29 13:05:09 UTC 2024")
+    assert(got.getString(1) == "java.nio.HeapByteBuffer[pos=0 lim=5 cap=5]")
+    assert(got.getString(2) == (3000000007L.toInt).toString) // -1294967289
+    assert(got.getString(3) == "3000000007") // non-counter bigint: getLong
+  }
+
+  test("renderStrict renders nulls as empty string (no emulated NPE)") {
+    import spark.implicits._
+    val df = Seq("x").toDF("x").select(
+      lit(null).cast(TimestampType).as("ts"),
+      lit(null).cast(BinaryType).as("bin"),
+      lit(null).cast(LongType).as("ctr"))
+    val got = df.select(
+      Render.renderStrict(col("ts"), TimestampType),
+      Render.renderStrict(col("bin"), BinaryType),
+      Render.renderStrict(col("ctr"), LongType, counter = true)).collect()(0)
+    assert(got.toSeq == Seq("", "", ""))
+  }
 }
