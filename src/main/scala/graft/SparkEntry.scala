@@ -404,6 +404,33 @@ object SparkEntry {
       TextStats.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    // ---- north star: sampling / corpus construction ----
+    "sample_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+    "sample_mixture" -> ((s, dir) => {
+      // target mixture: src0 quartered, src1 halved, src2 dropped,
+      // everything else at 3/4 weight
+      Sampling.mixture(t(s, dir, "documents"), "source",
+        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0), default = 0.75)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+    "sample_token_budget" -> ((s, dir) => {
+      // per-source token budget over the same whitespace token count
+      // text_token_stats pins; docs admitted in stable hash order
+      val txt = col("text")
+      val nTokens = when(length(trim(txt)) === 0, lit(0L))
+        .otherwise((length(txt) - length(replace(txt, lit(" "))) + 1)
+          .cast("long"))
+      Sampling.tokenBudget(
+        t(s, dir, "documents").withColumn("n_tokens", nTokens),
+        col("n_tokens"), budget = 1000L, strataCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: event windows (batch + streaming twin) ----
     "events_tumbling" -> ((s, dir) => {
       Events.tumbling(t(s, dir, "events"))
@@ -601,6 +628,13 @@ object SparkEntry {
                    THEN h - 18446744073709551616 ELSE h END AS hs
             FROM sdbm_rec WHERE i = n + 1))"""
 
+  /** SQL twin of [[Sampling.bucket]]: MINSTD-scrambled sdbm hash mod
+    * 100 (see the scramble rationale in Sampling's scaladoc).
+    */
+  private def bucketSql(h: String): String =
+    s"((((($h % 2147483647) + 2147483647) % 2147483647) * 48271)" +
+      " % 2147483647) % 100"
+
   /** StAX-compatible XML text escaping in SQL (& first, then <, >). */
   private def escSql(e: String): String =
     s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
@@ -705,6 +739,42 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "sample_split" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT d.doc_id,
+             CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                  WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      ORDER BY d.doc_id""",
+    "sample_mixture" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      WHERE CAST(${bucketSql("s.hash")} AS DOUBLE) <
+            CASE d.source WHEN 'src0' THEN 25.0 WHEN 'src1' THEN 50.0
+                 WHEN 'src2' THEN 0.0 ELSE 75.0 END
+      ORDER BY d.doc_id""",
+    "sample_token_budget" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      tok AS (SELECT doc_id, source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS n_tokens
+              FROM documents),
+      b AS (SELECT t.doc_id, t.source, t.n_tokens,
+              ${bucketSql("s.hash")} AS bk
+            FROM tok t JOIN sdbm s ON s.sid = t.doc_id),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY bk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_tokens
+            FROM b)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 1000 ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> """
       WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
       g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g

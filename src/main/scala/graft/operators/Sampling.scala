@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.sdbm_hash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-construction operators for training-data
+  * pipelines — the sampling half of the extended (north-star) surface
+  * (SURVEY.md §2b): train/val/test splitting, source-mixture
+  * weighting, and per-source token budgeting.
+  *
+  * Determinism design: every "random" decision is replaced by a
+  * stable per-row bucket derived from the sdbm hash
+  * ([[graft.functions.SdbmHashExpr]]) of the row id's decimal text —
+  * reproducible across runs, engines (the DuckDB oracle reproduces
+  * the same recurrence), partitionings and cluster topologies, and
+  * immune to the seed-reshuffle drift that `rand(seed)` suffers when
+  * partition counts change.
+  *
+  * 100 TB posture: bucket assignment is a narrow codegen'd projection
+  * (no shuffle, no state); splits and mixtures are plain filters
+  * Catalyst can push; token budgeting is one window per stratum — its
+  * single shuffle is on the stratum key, and the running sum is
+  * computed without materializing per-stratum collections.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, nBuckets) from the sdbm hash of the id's
+    * decimal text, scrambled by one Park-Miller (MINSTD) LCG step.
+    *
+    * The scramble is load-bearing: sdbm's multiplier 65599 ≡ -1
+    * (mod 100), so the raw hash mod a small bucket count degenerates
+    * to an alternating digit sum on decimal ids (measured: 91% of a
+    * 500-id corpus landed in "train" buckets). One multiplication
+    * over the Mersenne prime 2³¹-1 restores Poisson-level uniformity,
+    * stays expressible in the SQL oracle, and keeps every
+    * intermediate below 2⁴⁷ (ANSI-overflow-safe). pmod guards the
+    * Long.MinValue hash corner.
+    */
+  def bucket(id: Column, nBuckets: Int = 100): Column = {
+    val h = sdbm_hash(lit(0L), id.cast("string"))
+    val m = pmod(h, lit(2147483647L)) * lit(48271L) % lit(2147483647L)
+    pmod(m, lit(nBuckets.toLong))
+  }
+
+  /** Add a deterministic `split` column: `train` / `val` / `test` by
+    * bucket thresholds (trainPct / valPct / remainder, in percent).
+    */
+  def hashSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be non-negative and sum to at most 100")
+    val b = bucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Weighted down-sampling to a target stratum mixture: a row in
+    * stratum s survives with probability `weights(s)` (default for
+    * unlisted strata) — deterministically, via its bucket. Weight 0
+    * drops the stratum entirely; 1 keeps it whole.
+    */
+  def mixture(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], default: Double = 1.0,
+      idCol: String = "doc_id", nBuckets: Int = 100): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 1),
+      "weights must be in [0,1]")
+    val w = weights.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), nBuckets).cast("double") < w * nBuckets)
+  }
+
+  /** Token-budget selection: within each stratum, keep documents in
+    * stable (bucket, id) order until the cumulative token count would
+    * exceed `budget` (the first overflowing document is excluded).
+    * Adds the running `cum_tokens` so downstream can audit the cut.
+    */
+  def tokenBudget(df: DataFrame, tokensCol: Column, budget: Long,
+      strataCol: String, idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(bucket(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic corpus-construction operators (split / mixture /
+  * token budget).
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("hashSplit is deterministic, partition-independent, and near " +
+      "the target fractions") {
+    import spark.implicits._
+    val a = Sampling.hashSplit(docs).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(docs.repartition(7)).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "split must not depend on physical partitioning")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08, s"train ${frac("train")}")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06)
+  }
+
+  test("mixture: weight 0 drops a stratum, weight 1 keeps it whole, " +
+      "and smaller weights select subsets") {
+    import spark.implicits._
+    def ids(w: Map[String, Double], default: Double): Set[Long] =
+      Sampling.mixture(docs, "source", w, default)
+        .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(ids(Map.empty, 1.0) == all)
+    val dropped = ids(Map("src0" -> 0.0), 1.0)
+    val src0 = docs.filter(col("source") === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped == all -- src0)
+    val half = ids(Map.empty, 0.5)
+    val quarter = ids(Map.empty, 0.25)
+    assert(quarter.subsetOf(half) && half.subsetOf(all))
+    assert(quarter.nonEmpty && half.size < all.size)
+  }
+
+  test("tokenBudget admits docs in stable hash order until the budget " +
+      "and excludes the first overflow") {
+    import spark.implicits._
+    val withTokens = docs.withColumn("n_tokens",
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise((length(col("text")) -
+          length(replace(col("text"), lit(" "))) + 1).cast("long")))
+    val budget = 500L
+    val kept = Sampling.tokenBudget(withTokens, col("n_tokens"), budget,
+      strataCol = "source")
+      .select("source", "doc_id", "n_tokens", "cum_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(kept.nonEmpty)
+    // per-stratum: cum_tokens is the running sum in (bucket, id) order
+    // and never exceeds the budget
+    assert(kept.forall(_._4 <= budget))
+    val order = withTokens.select(col("source"), col("doc_id"),
+      Sampling.bucket(col("doc_id")).as("bk"), col("n_tokens"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2))).toMap
+    for ((src, rows) <- kept.groupBy(_._1)) {
+      val expected = order(src).scanLeft(0L)(_ + _._4).drop(1)
+        .zip(order(src)).takeWhile(_._1 <= budget)
+        .map { case (cum, r) => (r._2, cum) }
+      assert(rows.sortBy(_._2).map(r => (r._2, r._4)).toSeq ==
+        expected.sortBy(_._1).toSeq, s"stratum $src")
+    }
+    // a huge budget keeps everything
+    val allKept = Sampling.tokenBudget(withTokens, col("n_tokens"),
+      Long.MaxValue, strataCol = "source").count()
+    assert(allKept == docs.count())
+  }
+}
