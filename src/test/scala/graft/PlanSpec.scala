@@ -62,4 +62,50 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p)
   }
+
+  private def readSchema(p: String): String =
+    "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse(
+      fail(s"no ReadSchema in plan:\n$p"))
+
+  test("sampling split/mixture prune the scan to the columns they use") {
+    // bucket math is a computed expression (not scan-pushable), but
+    // column pruning must still reach the scan: a sampling decision
+    // over 100 TB must not read the document bodies
+    val split = plan("sample_split")
+    assert(readSchema(split).contains("doc_id"), split)
+    assert(!readSchema(split).contains("text"),
+      "sample_split reads document text it never uses")
+    val mix = plan("sample_mixture")
+    assert(readSchema(mix).contains("doc_id") &&
+      readSchema(mix).contains("source"), mix)
+    assert(!readSchema(mix).contains("text"),
+      "sample_mixture reads document text it never uses")
+  }
+
+  test("token budget shuffles only on the stratum key, nothing else") {
+    val p = plan("sample_token_budget")
+    // one repartition exchange for the per-source window (plus the
+    // final orderBy's range exchange) — no join/aggregate shuffles
+    val exchanges = "Exchange [a-z]+partitioning"
+      .r.findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hashpartitioning")) == 1,
+      s"expected exactly one hash shuffle (the stratum window):\n$p")
+  }
+
+  test("strict-parity rendering stays one codegen'd narrow projection") {
+    // the projection itself (before the presentation orderBy, whose
+    // range exchange wraps the plan in AQE and hides codegen spans)
+    import org.apache.spark.sql.functions._
+    import graft.functions.Render
+    val ev = Tables.load(spark, dir, "events")
+    val p = ev.select(
+      Render.renderStrict(col("ts"), ev.schema("ts").dataType),
+      Render.renderStrict(encode(coalesce(col("props"), lit("")), "UTF-8"),
+        org.apache.spark.sql.types.BinaryType),
+      Render.renderStrict(col("user_id"),
+        org.apache.spark.sql.types.LongType, counter = true))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("*(1)"), p)
+  }
 }
