@@ -579,6 +579,31 @@ object SparkEntry {
         .orderBy(col("doc_id").asc_nulls_first)
     }),
 
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // sink→source roundtrip: write sharded JSONL, read it back with
+      // an explicit schema, and let the driver hash the result against
+      // the parquet ground truth — proves the JSONL I/O pair preserves
+      // values exactly (escapes, nulls, unicode) end-to-end
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "source", "text")
+      val schema = org.apache.spark.sql.types.StructType(
+        cols.map(n => docs.schema(n)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-rt").toFile
+      val back =
+        try {
+          JsonlExport.writeShards(docs.repartition(4), cols, tmp.toString)
+          // materialize before the shards are deleted
+          JsonlSource.read(s, tmp.toString, schema).localCheckpoint()
+        } finally {
+          def rec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
+          }
+          rec(tmp)
+        }
+      back.orderBy(col("doc_id"))
+    }),
+
     // ---- SQL text-query surface over registered graft functions ----
     "q_sql_functions" -> ((s, dir) => {
       graft.functions.registerSql(s)
@@ -1023,6 +1048,8 @@ object SparkEntry {
              ',"text":' || CASE WHEN text IS NULL THEN 'null'
                ELSE '"' || ${jsonEscSql("text")} || '"' END || '}' AS line
       FROM documents ORDER BY doc_id NULLS FIRST""",
+    "jsonl_roundtrip" -> """
+      SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(l_orderkey AS VARCHAR) AS r_orderkey,

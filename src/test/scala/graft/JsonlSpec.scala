@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.JsonlExport
+import graft.operators.{JsonlExport, JsonlSource}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -55,5 +55,41 @@ class JsonlSpec extends AnyFunSuite {
     val line = df.select(JsonlExport.jsonLine(df, Seq("id", "x", "ts")))
       .as[String].collect().head
     assert(line == "{\"id\":1,\"x\":38.4,\"ts\":\"2001-05-13 07:08:09\"}")
+  }
+
+  test("JsonlSource round-trips adversarial strings and nulls exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("""quote " backslash \ done""")),
+      (2L, Some("line\nbreak\ttab\rcr")),
+      (3L, Some("unicode: ünïcödé 日本語 🚀")),
+      (4L, Some("")),
+      (5L, None),
+      (6L, Some("control  chars")))
+    val df = rows.toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString
+    JsonlExport.writeShards(df, Seq("id", "s"), dir)
+    val back = JsonlSource.read(spark, dir, df.schema)
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == rows.toSet)
+  }
+
+  test("JsonlSource: FAILFAST dies on a malformed line, " +
+      "readWithCorrupt quarantines it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
+    java.nio.file.Files.writeString(dir.resolve("part-0.txt"),
+      "{\"id\":1,\"s\":\"good\"}\nNOT JSON AT ALL\n{\"id\":3,\"s\":\"also good\"}\n")
+    val schema = Seq((1L, "x")).toDF("id", "s").schema
+    intercept[org.apache.spark.SparkException] {
+      JsonlSource.read(spark, dir.toString, schema).collect()
+    }
+    val got = JsonlSource.readWithCorrupt(spark, dir.toString, schema)
+      .select("id", "s", "_corrupt")
+      .as[(Option[Long], Option[String], Option[String])].collect().toSet
+    assert(got == Set(
+      (Some(1L), Some("good"), None),
+      (None, None, Some("NOT JSON AT ALL")),
+      (Some(3L), Some("also good"), None)))
   }
 }
