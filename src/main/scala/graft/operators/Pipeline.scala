@@ -28,13 +28,16 @@ case class ParquetSource(dir: String, table: String) extends DocSource {
 
 /** The reference CLI's semantic payload (F14): what to read, which
   * columns (CQL select-list), which predicate (CQL WHERE), which key
-  * columns derive the Sphinx doc id.
+  * columns derive the Sphinx doc id. `strictParity` requests
+  * bug-for-bug ids and renderings (see [[XmlPipe.formatDocs]]) for
+  * migrations that must keep a reference-built index stable.
   */
 case class ExportConfig(
     source: DocSource,
     keys: Seq[String],
     columns: Seq[String] = Nil,
-    where: String = "")
+    where: String = "",
+    strictParity: Boolean = false)
 
 object Pipeline {
 
@@ -49,7 +52,7 @@ object Pipeline {
       throw new IllegalArgumentException(
         s"key column '$k' is not in the result (have: ${df.columns.mkString(", ")})")
     }
-    XmlPipe.formatDocs(df, cfg.keys)
+    XmlPipe.formatDocs(df, cfg.keys, cfg.strictParity)
   }
 
   /** Single ordered docset to a stream (the reference's stdout edge). */

@@ -42,14 +42,25 @@ object XmlPipe {
 
   def cdata(c: Column): Column = concat(lit("<![CDATA["), c, lit("]]>"))
 
-  /** XML content for one value of the given type (element body only). */
-  def fieldContent(c: Column, dt: DataType): Column = dt match {
+  /** XML content for one value of the given type (element body only).
+    * `strictParity` swaps in the reference's defective renderings
+    * ([[Render.renderStrict]]): the CDATA'd ByteBuffer descriptor for
+    * binary (Query.java:225 — exactly what the reference `writeCData`d)
+    * and `Date.toString` timestamps (Query.java:253; the form contains
+    * no `&<>`, so it needs no escaping, like the canonical form).
+    */
+  def fieldContent(c: Column, dt: DataType,
+      strictParity: Boolean = false): Column = dt match {
     case StringType =>
       // parseString (Query.java:279-301): parsed matrix → CDATA'd
       // <mem> markup; otherwise escaped raw text.
       when(MemMarkup.isMem(c), cdata(MemMarkup.memMarkup(c)))
         .otherwise(escapeText(coalesce(c, lit(""))))
-    case BinaryType => cdata(Render.render(c, dt))
+    case BinaryType =>
+      cdata(if (strictParity) Render.renderStrict(c, dt)
+      else Render.render(c, dt))
+    case TimestampType | TimestampNTZType if strictParity =>
+      Render.renderStrict(c, dt)
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | _: DecimalType | DateType | TimestampType |
         TimestampNTZType =>
@@ -62,12 +73,18 @@ object XmlPipe {
   }
 
   /** One `<sphinx:document>` string per row, plus the derived id.
-    * Output columns: `id` (long), `doc` (string).
+    * Output columns: `id` (long), `doc` (string). `strictParity`
+    * makes ids and field bodies bug-for-bug with the reference
+    * ([[DocId.docId]]'s seed scan + `getInt` truncation,
+    * [[fieldContent]]'s defective renderings) for migrations pinned
+    * to a reference-built index.
     */
-  def formatDocs(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val id = DocId.docId(df, keys)
+  def formatDocs(df: DataFrame, keys: Seq[String],
+      strictParity: Boolean = false): DataFrame = {
+    val id = DocId.docId(df.schema, keys, strictParity)
     val fields = df.schema.fields.toSeq.map { f =>
-      concat(lit(s"<${f.name}>"), fieldContent(col(f.name), f.dataType),
+      concat(lit(s"<${f.name}>"),
+        fieldContent(col(f.name), f.dataType, strictParity),
         lit(s"</${f.name}>"))
     }
     val doc = concat(

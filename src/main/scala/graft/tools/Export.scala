@@ -11,6 +11,11 @@ import graft.operators.{ProgressMeter, XmlPipe}
   * Usage:
   *   Export <dir> <table> <keys:comma-separated> [out=-] [cols=*] [where=]
   *
+  * `SPARK_GRAFT_STRICT=1` (env, like the `-debug` twin
+  * `SPARK_GRAFT_DEBUG`) switches ids and renderings to bug-for-bug
+  * reference parity ([[graft.operators.XmlPipe.formatDocs]]) for
+  * migrations pinned to a reference-built index.
+  *
   * Divergence from the reference, by design: errors exit nonzero
   * (the reference printed a stack trace and exited 0 with truncated
   * XML — Query.java:171-176, a defect we do not reproduce).
@@ -62,7 +67,8 @@ object Export {
             }
             cs
           },
-        where = where)
+        where = where,
+        strictParity = sys.env.get("SPARK_GRAFT_STRICT").exists(_.nonEmpty))
       val docs =
         try graft.operators.Pipeline.docs(spark, cfg)
         catch {

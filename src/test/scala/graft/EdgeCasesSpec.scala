@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -39,5 +39,55 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.minhashPairs(one).count() == 0)
     assert(Dedup.simhashPairs(one).count() == 0)
     assert(Dedup.ngramJaccardPairs(one).count() == 0)
+  }
+
+  test("annCosinePairs is total on empty and singleton corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.annCosinePairs(empty, 0.5).count() == 0)
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.annCosinePairs(one, 0.5).count() == 0)
+  }
+
+  test("sampling operators are total on empty input and degenerate " +
+      "parameters") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(Sampling.hashSplit(empty).count() == 0)
+    assert(Sampling.mixture(empty, "source", Map("a" -> 0.5)).count() == 0)
+    assert(Sampling.tokenBudget(empty.withColumn("n", lit(1L)), col("n"),
+      100L, "source").count() == 0)
+    // null stratum takes the default weight (CASE misses, falls through)
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("a")))
+      .toDF("doc_id", "source")
+    assert(Sampling.mixture(withNull, "source", Map("a" -> 1.0),
+      default = 1.0).count() == 2)
+    assert(Sampling.mixture(withNull, "source", Map("a" -> 1.0),
+      default = 0.0).count() == 1)
+    // a first document larger than the budget empties its stratum but
+    // not others (the overflow doc is excluded, not truncated)
+    val docs = Seq((1L, "a", 500L), (2L, "b", 10L)).toDF("doc_id", "source", "n")
+    val kept = Sampling.tokenBudget(docs, col("n"), 100L, "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+    // negative ids bucket into [0, 100) like any other
+    val neg = Seq((-5L, "a"), (-6L, "a")).toDF("doc_id", "source")
+    val buckets = neg.select(Sampling.bucket(col("doc_id")))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+  }
+
+  test("strict-parity paths are total on empty input") {
+    import spark.implicits._
+    import graft.operators.DocId
+    import graft.functions.Render
+    import org.apache.spark.sql.types._
+    val empty = Seq.empty[(Long, String)].toDF("k", "s")
+    assert(empty.select(DocId.docId(empty, Seq("k"), strictParity = true))
+      .count() == 0)
+    assert(empty.select(DocId.docId(empty, Seq("k", "s"),
+      strictParity = true)).count() == 0)
+    assert(empty.select(Render.renderStrict(col("s"), StringType))
+      .count() == 0)
   }
 }

@@ -66,6 +66,27 @@ class XmlPipeSpec extends AnyFunSuite {
       "<?xml version=\"1.0\" encoding=\"utf-8\"?><sphinx:docset>\n</sphinx:docset>")
   }
 
+  test("strictParity formatDocs: truncated ids, descriptor blobs, " +
+      "Date.toString timestamps") {
+    import spark.implicits._
+    val df = Seq(((1L << 32) + 7L, Array[Byte](1, 2, 3),
+      java.sql.Timestamp.valueOf("2024-02-29 13:05:09")))
+      .toDF("k", "payload", "ts")
+    val doc = XmlPipe.formatDocs(df, Seq("k"), strictParity = true)
+      .select("id", "doc").as[(Long, String)].collect().head
+    assert(doc._1 == 7L, "strict single-key id must truncate through getInt")
+    assert(doc._2.contains(
+      "<payload><![CDATA[java.nio.HeapByteBuffer[pos=0 lim=3 cap=3]]]></payload>"),
+      doc._2)
+    assert(doc._2.contains("<ts>Thu Feb 29 13:05:09 UTC 2024</ts>"), doc._2)
+    // default mode on the same frame: full-width id, hex blob, ISO ts
+    val sane = XmlPipe.formatDocs(df, Seq("k"))
+      .select("id", "doc").as[(Long, String)].collect().head
+    assert(sane._1 == (1L << 32) + 7L)
+    assert(sane._2.contains("<payload><![CDATA[010203]]></payload>"))
+    assert(sane._2.contains("<ts>2024-02-29 13:05:09</ts>"))
+  }
+
   test("sharded docsets: each shard is a complete docset") {
     val tmp = java.nio.file.Files.createTempDirectory("xmlshard").toString
     val docs = XmlPipe.formatDocs(docsDf.repartition(2), Seq("doc_id"))
