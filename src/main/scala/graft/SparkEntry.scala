@@ -404,6 +404,22 @@ object SparkEntry {
       TextStats.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
 
+    // ---- north star: benchmark decontamination ----
+    "decontam_flagged" -> ((s, dir) => {
+      // corpus = doc_id < 400, "benchmark" = the rest: a doc is
+      // contaminated when it shares any 30-char span with the eval set
+      val all = t(s, dir, "documents")
+      Decontaminate.flagged(all.filter(col("doc_id") < 400),
+        all.filter(col("doc_id") >= 400))
+        .orderBy(col("doc_id"))
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Decontaminate.clean(all.filter(col("doc_id") < 400),
+        all.filter(col("doc_id") >= 400))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // ---- north star: sampling / corpus construction ----
     "sample_split" -> ((s, dir) => {
       Sampling.hashSplit(t(s, dir, "documents"))
@@ -764,6 +780,26 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "decontam_flagged" -> """
+      WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
+                 FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
+      hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS shared_ngrams
+               FROM (SELECT * FROM g WHERE doc_id < 400) c
+               JOIN (SELECT DISTINCT g FROM g WHERE doc_id >= 400) b
+                 ON c.g = b.g
+               GROUP BY c.doc_id)
+      SELECT doc_id, shared_ngrams FROM hits
+      WHERE shared_ngrams >= 1 ORDER BY doc_id""",
+    "decontam_clean" -> """
+      WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
+                 FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
+      bad AS (SELECT DISTINCT c.doc_id
+              FROM (SELECT * FROM g WHERE doc_id < 400) c
+              JOIN (SELECT DISTINCT g FROM g WHERE doc_id >= 400) b
+                ON c.g = b.g)
+      SELECT doc_id FROM documents
+      WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""",
     "sample_split" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")}
