@@ -403,6 +403,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => {
       TextStats.fingerprint(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "text_repetition" -> ((s, dir) => {
+      TextStats.repetition(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
 
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
@@ -780,6 +783,19 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "text_repetition" -> """
+      SELECT doc_id,
+             CASE WHEN length(text) < 10 THEN 0
+                  ELSE length(text) - 9 END AS n_grams,
+             CASE WHEN length(text) < 10 THEN 0 ELSE
+               (SELECT count(DISTINCT substr(text, CAST(i AS INT), 10))
+                FROM UNNEST(range(1, length(text) - 8)) AS t(i)) END
+               AS n_distinct,
+             CASE WHEN length(text) < 10 THEN 0.0 ELSE
+               1.0 - CAST((SELECT count(DISTINCT substr(text, CAST(i AS INT), 10))
+                           FROM UNNEST(range(1, length(text) - 8)) AS t(i))
+                     AS DOUBLE) / (length(text) - 9) END AS rep_ratio
+      FROM documents ORDER BY doc_id""",
     "decontam_flagged" -> """
       WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
                  FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),

@@ -92,6 +92,26 @@ object TextStats {
       pred.as("pred_lang"))
   }
 
+  /** Within-document repetition score (Gopher-style quality signal):
+    * the fraction of character n-gram positions occupied by a gram
+    * already seen in the document — `1 - distinct/total` over sliding
+    * n-grams. Repetitious boilerplate scores high; varied prose near
+    * zero; too-short docs score 0 by definition. Exact int counts +
+    * one double division keep the oracle hash-stable.
+    * Output: (doc_id, n_grams, n_distinct, rep_ratio).
+    */
+  def repetition(docs: DataFrame, n: Int = 10): DataFrame = {
+    val txt = col("text")
+    val total = when(length(txt) < n, lit(0L))
+      .otherwise((length(txt) - (n - 1)).cast("long"))
+    val distinctN = size(Dedup.charNgrams(txt, n)).cast("long")
+    docs.select(col("doc_id"), total.as("n_grams"),
+      distinctN.as("n_distinct"),
+      when(total === 0L, lit(0.0))
+        .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        .as("rep_ratio"))
+  }
+
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
     * text — reuses the engine's own F6 hash as a rolling content hash.
     */

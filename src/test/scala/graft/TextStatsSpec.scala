@@ -66,4 +66,24 @@ class TextStatsSpec extends AnyFunSuite {
       .select("quality").as[Double].collect().toSeq
     assert(got(0) > got(1))
   }
+
+  test("repetition: boilerplate scores high, varied prose low, short " +
+      "docs zero") {
+    import spark.implicits._
+    val repeated = "lorem ipsum " * 20                  // heavy repetition
+    val varied = (0 until 240).map(i => ('a' + i % 26).toChar)
+      .zipWithIndex.map { case (c, i) => s"$c$i" }.mkString(" ")
+    val df = Seq((1L, repeated), (2L, varied), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetition(df).orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 > 0.8, s"boilerplate ratio ${byId(1L)._4}")
+    assert(byId(2L)._4 < 0.2, s"varied ratio ${byId(2L)._4}")
+    assert(byId(3L) == ((3L, 0L, 0L, 0.0)))
+    // counts are consistent: distinct <= total, ratio = 1 - d/t
+    for ((_, (_, t, d, r)) <- byId if t > 0)
+      assert(d <= t && math.abs(r - (1.0 - d.toDouble / t)) < 1e-15)
+  }
 }
