@@ -409,17 +409,19 @@ object SparkEntry {
 
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
-      // corpus = doc_id < 400, "benchmark" = the rest: a doc is
-      // contaminated when it shares any 30-char span with the eval set
+      // "benchmark" = the fixed doc_id < 400 slice (stays eval-suite
+      // sized at every SF and is the broadcast side); corpus = the
+      // rest (grows with SF, the realistic big input). A corpus doc is
+      // contaminated when it shares any 30-char span with the eval set.
       val all = t(s, dir, "documents")
-      Decontaminate.flagged(all.filter(col("doc_id") < 400),
-        all.filter(col("doc_id") >= 400))
+      Decontaminate.flagged(all.filter(col("doc_id") >= 400),
+        all.filter(col("doc_id") < 400))
         .orderBy(col("doc_id"))
     }),
     "decontam_clean" -> ((s, dir) => {
       val all = t(s, dir, "documents")
-      Decontaminate.clean(all.filter(col("doc_id") < 400),
-        all.filter(col("doc_id") >= 400))
+      Decontaminate.clean(all.filter(col("doc_id") >= 400),
+        all.filter(col("doc_id") < 400))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -800,8 +802,8 @@ object SparkEntry {
       WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
                  FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
       hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS shared_ngrams
-               FROM (SELECT * FROM g WHERE doc_id < 400) c
-               JOIN (SELECT DISTINCT g FROM g WHERE doc_id >= 400) b
+               FROM (SELECT * FROM g WHERE doc_id >= 400) c
+               JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 400) b
                  ON c.g = b.g
                GROUP BY c.doc_id)
       SELECT doc_id, shared_ngrams FROM hits
@@ -810,11 +812,11 @@ object SparkEntry {
       WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
                  FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
       bad AS (SELECT DISTINCT c.doc_id
-              FROM (SELECT * FROM g WHERE doc_id < 400) c
-              JOIN (SELECT DISTINCT g FROM g WHERE doc_id >= 400) b
+              FROM (SELECT * FROM g WHERE doc_id >= 400) c
+              JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 400) b
                 ON c.g = b.g)
       SELECT doc_id FROM documents
-      WHERE doc_id < 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
       ORDER BY doc_id""",
     "sample_split" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",

@@ -106,6 +106,41 @@ object VectorOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Distinct character n-grams of a string in first-occurrence order
+    * — the native-loop twin of the `transform(sequence…substr)` +
+    * `array_distinct` formulation (Dedup.charNgrams), which is
+    * interpreted per element as a higher-order function. Windows walk
+    * Unicode CODE POINTS (Spark's `substr` counts code points, not
+    * UTF-16 units), so both formulations agree on multi-byte text.
+    */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    // code-point start offsets in UTF-16 index space
+    val nCp = str.codePointCount(0, len)
+    if (nCp < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nCp + 1)
+    var idx = 0
+    var cp = 0
+    while (idx < len) {
+      starts(cp) = idx
+      idx += Character.charCount(str.codePointAt(idx))
+      cp += 1
+    }
+    starts(cp) = len
+    val seen = new java.util.LinkedHashSet[String]((nCp - n + 1) * 2)
+    var i = 0
+    while (i <= nCp - n) {
+      seen.add(str.substring(starts(i), starts(i + n)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var w = 0
+    while (it.hasNext) { out(w) = UTF8String.fromString(it.next()); w += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Count of common elements of two SORTED distinct long arrays
     * (single merge pass). Runs once per candidate pair in the verify
     * join — array_intersect would build a hash set per invocation.
@@ -250,6 +285,26 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.shingleHashes($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
+    copy(child = c)
+}
+
+/** `char_ngrams(string, n) → array<string>` — distinct character
+  * n-grams, codegen'd loop.
+  */
+case class CharNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 2, "n-gram width must be at least 2")
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_ngrams expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgramsExpr =
     copy(child = c)
 }
 

@@ -42,6 +42,12 @@ package object functions {
   def shared_count(a: Column, b: Column): Column =
     Bridge.column(SortedSharedCountExpr(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Distinct character n-grams of a string, first-occurrence order
+    * (codegen'd loop — the HOF formulation is interpreted per element).
+    */
+  def char_ngrams(c: Column, n: Int): Column =
+    Bridge.column(CharNgramsExpr(Bridge.expression(c.cast("string")), n))
+
   /** Sign-random-projection LSH bucket id of an array<double>;
     * `planeOffset` selects an independent LSH table's planes.
     */

@@ -36,16 +36,15 @@ object Dedup {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  /** Distinct character n-grams of a string column. (Guarded: Spark's
-    * `sequence(1, 0)` counts DOWN instead of returning empty, so
-    * too-short strings need an explicit empty array.)
+  /** Distinct character n-grams of a string column, first-occurrence
+    * order — a codegen'd kernel ([[graft.functions.CharNgramsExpr]]):
+    * the `transform(sequence…substr)` + `array_distinct` formulation
+    * is a higher-order function Spark interprets per element, which
+    * dominates the decontamination / repetition scans at corpus scale
+    * (parity with the HOF form is property-tested, unicode included).
     */
   def charNgrams(c: Column, n: Int): Column =
-    array_distinct(
-      when(length(c) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), length(c) - (n - 1)),
-          i => substr(c, i, lit(n)))))
+    graft.functions.char_ngrams(c, n)
 
   /** Exact dedup: group identical texts, keep the smallest id.
     * Output: (keep_id, dup_count, text).

@@ -90,6 +90,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(Seq.empty, Seq("abc"), Seq.empty))
   }
 
+  test("charNgrams kernel matches the HOF formulation " +
+      "(unicode property run)") {
+    import spark.implicits._
+    // the substr-based higher-order formulation the kernel replaced —
+    // kept here as the semantic oracle (incl. code-point windowing on
+    // multi-byte and astral characters)
+    def hof(c: org.apache.spark.sql.Column, n: Int) = array_distinct(
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
+          i => substr(c, i, lit(n)))))
+    val rnd = new scala.util.Random(99)
+    val alphabet = Vector("a", "b", " ", "日", "本", "é", "ü", "🚀", ".", "a")
+    val rows = (0 until 300).map(_ =>
+      (0 until rnd.nextInt(40)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = rows.toDF("s")
+    for (n <- Seq(2, 3, 10)) {
+      val kernel = df.select(Dedup.charNgrams(col("s"), n))
+        .as[Seq[String]].collect().toSeq
+      val expected = df.select(hof(col("s"), n))
+        .as[Seq[String]].collect().toSeq
+      assert(kernel == expected, s"n=$n mismatch")
+    }
+  }
+
   test("wordShingles slides over tokens") {
     import spark.implicits._
     val got = Seq("a b c d").toDF("s")
