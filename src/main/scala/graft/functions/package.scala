@@ -88,5 +88,7 @@ package object functions {
       case Seq(v, p, o) =>
         SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
     })
+    Bridge.registerFunction(spark, "char_ngrams",
+      { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) })
   }
 }

@@ -51,6 +51,14 @@ class OperatorsSpec extends AnyFunSuite {
       .select(graft.functions.sdbm_hash(col("doc_id"), col("text")))
       .as[Long].collect().toSeq
     assert(viaSql == viaCol)
+    val gramsSql = spark.sql(
+      "SELECT size(char_ngrams(text, 5)) FROM graft_documents ORDER BY doc_id")
+      .as[Int].collect().toSeq
+    val gramsCol = Tables.load(spark, dir, "documents")
+      .orderBy("doc_id")
+      .select(size(graft.functions.char_ngrams(col("text"), 5)))
+      .as[Int].collect().toSeq
+    assert(gramsSql == gramsCol && gramsSql.exists(_ > 0))
   }
 
   test("streaming sessionize equals batch sessionize") {
