@@ -437,6 +437,16 @@ object SparkEntry {
         Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0), default = 0.75)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
     }),
+    "sample_mixture_upsampled" -> ((s, dir) => {
+      // src0 is upsampled 2.5× (two whole copies + a deterministic
+      // half), src1 halved, the rest passes through once; weights are
+      // exact binary fractions so the threshold math is FP-identical
+      // on both engines
+      Sampling.mixtureUpsampled(t(s, dir, "documents"), "source",
+        Map("src0" -> 2.5, "src1" -> 0.5), default = 1.0)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
     "sample_token_budget" -> ((s, dir) => {
       // per-source token budget over the same whitespace token count
       // text_token_stats pins; docs admitted in stable hash order
@@ -836,6 +846,22 @@ object SparkEntry {
             CASE d.source WHEN 'src0' THEN 25.0 WHEN 'src1' THEN 50.0
                  WHEN 'src2' THEN 0.0 ELSE 75.0 END
       ORDER BY d.doc_id""",
+    "sample_mixture_upsampled" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      wd AS (SELECT d.doc_id, d.source,
+               CASE d.source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                    ELSE 1.0 END AS w,
+               ${bucketSql("s.hash")} AS bk
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, source,
+              CAST(floor(w) AS BIGINT) +
+                CASE WHEN CAST(bk AS DOUBLE) < (w - floor(w)) * 100
+                     THEN 1 ELSE 0 END AS copies
+            FROM wd)
+      SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+      FROM c, UNNEST(range(1, copies + 1)) AS t(i)
+      ORDER BY doc_id, copy""",
     "sample_token_budget" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

@@ -74,6 +74,36 @@ object Sampling {
     df.filter(bucket(col(idCol), nBuckets).cast("double") < w * nBuckets)
   }
 
+  /** Mixture with UP-sampling: weights may exceed 1 — a stratum with
+    * weight 2.5 emits every row twice plus a deterministic half of
+    * the rows a third time (`floor(w)` whole copies + one more where
+    * the row's bucket clears the fractional threshold). Adds a `copy`
+    * column (1-based) so downstream stages can vary per-copy seeds
+    * (e.g. augmentation). Weight 0 drops the stratum; fractional
+    * weights below 1 reduce to [[mixture]] semantics with the same
+    * bucket decisions.
+    *
+    * Guard note: `sequence(1, 0)` in Spark counts DOWN instead of
+    * returning empty, so zero-copy rows take an explicit empty array
+    * (explode then drops them).
+    */
+  def mixtureUpsampled(df: DataFrame, strataCol: String,
+      weights: Map[String, Double], default: Double = 1.0,
+      idCol: String = "doc_id", nBuckets: Int = 100): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(w => w >= 0 && w <= 100),
+      "weights must be in [0,100]")
+    val w = weights.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    val copies = whole + when(
+      bucket(col(idCol), nBuckets).cast("double") < (w - floor(w)) * nBuckets,
+      lit(1L)).otherwise(lit(0L))
+    df.withColumn("copy", explode(
+      when(copies >= 1L, sequence(lit(1L), copies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget selection: within each stratum, keep documents in
     * stable (bucket, id) order until the cumulative token count would
     * exceed `budget` (the first overflowing document is excluded).

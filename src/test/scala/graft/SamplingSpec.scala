@@ -45,6 +45,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(quarter.nonEmpty && half.size < all.size)
   }
 
+  test("mixtureUpsampled: whole copies plus a deterministic fractional " +
+      "share, downsampling agrees with mixture") {
+    import spark.implicits._
+    val up = Sampling.mixtureUpsampled(docs, "source",
+      Map("src0" -> 2.5, "src1" -> 0.5), default = 1.0)
+      .select("doc_id", "source", "copy")
+      .as[(Long, String, Long)].collect()
+    val bySrc = up.groupBy(_._2)
+    val src0Docs = docs.filter(col("source") === "src0").count()
+    val src0Copies = bySrc("src0").length
+    // every src0 doc appears at least twice, at most thrice; the
+    // fractional third copies are strictly between none and all
+    assert(bySrc("src0").groupBy(_._1).values.forall(c =>
+      c.length >= 2 && c.length <= 3))
+    assert(src0Copies > 2 * src0Docs && src0Copies < 3 * src0Docs)
+    // copy indices are 1..copies with no gaps
+    for ((_, rows) <- up.groupBy(r => (r._1, r._2)))
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    // weight 0.5 stratum reduces to mixture's decision exactly
+    val downIds = bySrc("src1").map(_._1).toSet
+    val mixIds = Sampling.mixture(docs.filter(col("source") === "src1"),
+      "source", Map("src1" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(downIds == mixIds)
+    // default weight 1.0 strata appear exactly once per doc
+    assert(bySrc.view.filterKeys(s => s != "src0" && s != "src1").values
+      .forall(_.groupBy(_._1).values.forall(_.length == 1)))
+  }
+
   test("tokenBudget admits docs in stable hash order until the budget " +
       "and excludes the first overflow") {
     import spark.implicits._
