@@ -85,6 +85,60 @@ object SparkEntry {
     }
   }
 
+  /** Deterministic PII injection for the scrub queries: the fixture
+    * text is digit-free, so append doc_id-derived emails / IPv4s /
+    * phones / long numeric ids to selected rows. Mirrored verbatim by
+    * [[piiSql]] — `concat` stringifies longs identically to DuckDB's
+    * `||` (no sign, no decimal point), and doc_id is non-negative so
+    * `%` agrees between the engines.
+    */
+  private def piiDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" mail user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" host 10."), col("doc_id") % 256, lit(".0.7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" call +1-555-014-2288"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" acct 9021077"), col("doc_id"), lit("55")))
+          .otherwise(lit(""))).as("text"))
+
+  /** SQL twin of [[piiDocs]] (a FROM-able subquery over `documents`). */
+  private val piiSql: String = """
+    (SELECT doc_id, source,
+       text ||
+       CASE WHEN doc_id % 3 = 0
+            THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+       CASE WHEN doc_id % 4 = 0
+            THEN ' host 10.' || (doc_id % 256) || '.0.7' ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0
+            THEN ' call +1-555-014-2288' ELSE '' END ||
+       CASE WHEN doc_id % 7 = 0
+            THEN ' acct 9021077' || doc_id || '55' ELSE '' END AS text
+     FROM documents)"""
+
+  /** CTE chain mirroring [[Scrub.redact]]'s sequential count+replace:
+    * step k counts rule k's hits on the text as left by rules 1..k-1,
+    * then replaces. Patterns come from the SAME `Scrub.DefaultRules`
+    * the Spark side uses (the dialect-neutral regex subset). `keyCol`
+    * is whatever identity column the query carries through.
+    */
+  private def scrubChainSql(keyCol: String): String =
+    Scrub.DefaultRules.zipWithIndex.map { case (r, i) =>
+      val src = if (i == 0) "pii" else s"s$i"
+      val carried = Scrub.DefaultRules.take(i)
+        .map(p => s"n_${p.name}, ").mkString
+      s"""s${i + 1} AS (SELECT $keyCol, $carried
+             CAST(len(regexp_extract_all(t, '${r.pattern}')) AS BIGINT)
+               AS n_${r.name},
+             regexp_replace(t, '${r.pattern}', '${r.replacement}', 'g') AS t
+           FROM $src)"""
+    }.mkString(",\n      ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's README example (`SELECT content, title, url, pos FROM
     * test.Pages` with `-keys url,pos`) reshaped onto the documents fixture:
@@ -405,6 +459,20 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, dir) => {
       TextStats.repetition(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: PII scrubbing ----
+    // The synthetic fixture text is digit-free, so a scrub over it
+    // would never exercise the redaction branch; both sides (Spark and
+    // the oracle SQL) first inject deterministic doc_id-derived PII —
+    // emails on doc_id%3, IPs on %4, phones on %5, long numeric ids on
+    // %7 — then scrub it. The injection is part of the QUERY, not the
+    // operator: Scrub itself takes any frame.
+    "scrub_redacted" -> ((s, dir) => {
+      Scrub.redact(piiDocs(t(s, dir, "documents"))).orderBy(col("doc_id"))
+    }),
+    "scrub_counts" -> ((s, dir) => {
+      Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
     }),
 
     // ---- north star: benchmark decontamination ----
@@ -996,6 +1064,23 @@ object SparkEntry {
             FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
                   FROM documents))
       ORDER BY doc_id""",
+    "scrub_redacted" -> s"""
+      WITH pii AS (SELECT doc_id, text AS t FROM $piiSql p),
+      ${scrubChainSql("doc_id")}
+      SELECT doc_id,
+             ${Scrub.DefaultRules.map(r => s"n_${r.name}").mkString(", ")},
+             t AS redacted
+      FROM s${Scrub.DefaultRules.size} ORDER BY doc_id""",
+    "scrub_counts" -> s"""
+      WITH pii AS (SELECT source, text AS t FROM $piiSql p),
+      ${scrubChainSql("source")}
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN ${Scrub.DefaultRules.map(r => s"n_${r.name}")
+               .mkString(" + ")} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+             ${Scrub.DefaultRules.map(r =>
+                s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
+               .mkString(", ")}
+      FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
     "events_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n,

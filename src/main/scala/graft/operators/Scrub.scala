@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII / content scrubbing — the standard training-data hygiene stage
+  * that redacts emails, phone numbers, IP addresses, and long numeric
+  * identifiers before a corpus is used for training.
+  *
+  * Design: a scrub pass is a pure narrow projection — chained
+  * `regexp_count` + `regexp_replace` expressions, one per rule, all
+  * inside whole-stage codegen. At 100 TB this is a single map stage
+  * over the corpus with no shuffle; the only data movement is whatever
+  * the caller does with the result.
+  *
+  * Rules are applied SEQUENTIALLY in declaration order, and each
+  * rule's hit count is measured on the text as left by the previous
+  * rules. That makes the (counts, redacted) pair a deterministic
+  * function of the rule list — a later rule can never double-count a
+  * span an earlier rule already redacted (e.g. the digits of an IP
+  * address don't also count as a numeric id once `<IP>` replaced them).
+  *
+  * Pattern dialect: every default pattern sticks to the regex subset
+  * where java.util.regex (Spark) and RE2 (DuckDB/C++ engines) agree —
+  * explicit character classes, bounded repetition, `\b` ASCII word
+  * boundaries — so results are oracle-verifiable across engines.
+  */
+object Scrub {
+
+  /** One redaction rule: a name (becomes the `n_<name>` count column),
+    * a regex, and the replacement token.
+    */
+  final case class Rule(name: String, pattern: String, replacement: String)
+
+  /** Default rule set, ordered most-specific-first: emails before
+    * numeric ids (an email's digits must not survive as an "id" hit),
+    * IPs before numeric ids likewise, phones before ids (country/area
+    * digits). Patterns are deliberately conservative: matching too
+    * much (a version string as an IP) is noise; missing an exotic
+    * format is recoverable by adding a rule.
+    */
+  val DefaultRules: Seq[Rule] = Seq(
+    Rule("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "<EMAIL>"),
+    Rule("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "<IP>"),
+    Rule("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    Rule("numid", "\\b[0-9]{9,}\\b", "<ID>"))
+
+  /** Redact `textCol` under `rules`, keeping `keyCols` and returning
+    * one `n_<rule>` hit count per rule plus the fully-redacted text.
+    * Pure projection — no shuffle, no UDF.
+    */
+  def redact(docs: DataFrame, rules: Seq[Rule] = DefaultRules,
+      textCol: String = "text",
+      keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val (redacted, counts) =
+      rules.foldLeft((col(textCol), Vector.empty[Column])) {
+        case ((txt, cs), r) =>
+          val hits = regexp_count(txt, lit(r.pattern)).cast("long")
+            .as(s"n_${r.name}")
+          (regexp_replace(txt, r.pattern, r.replacement), cs :+ hits)
+      }
+    docs.select(keyCols.map(col) ++ counts :+ redacted.as("redacted"): _*)
+  }
+
+  /** Per-group scrub summary: docs scanned, docs with at least one
+    * hit, and total hits per rule. One map-side-combinable groupBy —
+    * the aggregate a pipeline dashboards after a scrub pass.
+    */
+  def summary(docs: DataFrame, rules: Seq[Rule] = DefaultRules,
+      textCol: String = "text", groupCol: String = "source"): DataFrame = {
+    val r = redact(docs, rules, textCol, keyCols = Seq(groupCol))
+    val countCols = rules.map(ru => col(s"n_${ru.name}"))
+    val anyHit = countCols.reduce(_ + _) > 0L
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(when(anyHit, 1L).otherwise(0L)).as("n_docs_hit")) ++
+      rules.map(ru => sum(col(s"n_${ru.name}")).as(s"sum_${ru.name}"))
+    r.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -92,6 +92,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle (the stratum window):\n$p")
   }
 
+  test("scrub pass is one shuffle-free codegen'd projection") {
+    // a 100 TB scrub must be a single map stage: chained regexp
+    // count+replace expressions, no exchange, inside whole-stage
+    // codegen (checked before any presentation orderBy)
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.operators.Scrub.redact(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle in scrub:\n$p")
+    assert(p.contains("*(1)"), p)
+  }
+
   test("strict-parity rendering stays one codegen'd narrow projection") {
     // the projection itself (before the presentation orderBy, whose
     // range exchange wraps the plan in AQE and hides codegen spans)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Scrub
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScrubSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def redactOne(text: String): (Long, Long, Long, Long, String) = {
+    import spark.implicits._
+    Scrub.redact(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("n_email", "n_ipv4", "n_phone", "n_numid", "redacted")
+      .as[(Long, Long, Long, Long, String)].collect().head
+  }
+
+  test("each default rule redacts its PII class") {
+    assert(redactOne("write to bob.smith+x@mail.example.org today") ==
+      ((1L, 0L, 0L, 0L, "write to <EMAIL> today")))
+    assert(redactOne("from 192.168.0.1 and 10.0.0.7") ==
+      ((0L, 2L, 0L, 0L, "from <IP> and <IP>")))
+    assert(redactOne("call +1-555-014-2288 now") ==
+      ((0L, 0L, 1L, 0L, "call <PHONE> now")))
+    assert(redactOne("ssn-like 123456789 and card 4111111111111111") ==
+      ((0L, 0L, 0L, 2L, "ssn-like <ID> and card <ID>")))
+  }
+
+  test("sequential rules never double-count an already-redacted span") {
+    // the email's digits and the IP's octets must not also fire numid;
+    // the phone's digit groups are each < 9 digits so numid stays 0
+    assert(redactOne("u123456789@ex.com at 1.2.3.4 ref 987654321") ==
+      ((1L, 1L, 0L, 1L, "<EMAIL> at <IP> ref <ID>")))
+  }
+
+  test("conservative non-matches survive") {
+    val (e, i, p, n, red) = redactOne(
+      "v1.2.3 released; meeting at 5, room 101; a@b only")
+    assert((e, i, p, n) == ((0L, 0L, 0L, 0L)))
+    assert(red == "v1.2.3 released; meeting at 5, room 101; a@b only")
+  }
+
+  test("clean and empty text yield zero counts, unchanged text") {
+    assert(redactOne("no pii here at all") ==
+      ((0L, 0L, 0L, 0L, "no pii here at all")))
+    assert(redactOne("") == ((0L, 0L, 0L, 0L, "")))
+  }
+
+  test("summary aggregates per group with hit-doc count") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "mail x@y.io and z@w.co"),
+      ("a", "clean"),
+      ("b", "ip 1.2.3.4")).toDF("source", "text")
+    val got = Scrub.summary(df).orderBy("source")
+      .select("source", "n_docs", "n_docs_hit", "sum_email", "sum_ipv4")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 1L, 2L, 0L), ("b", 1L, 1L, 0L, 1L)))
+  }
+}
