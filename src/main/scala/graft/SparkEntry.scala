@@ -242,6 +242,31 @@ object SparkEntry {
         MemMarkup.isMem(col("props")).as("is_mem"))
         .orderBy(col("event_id"))
     }),
+    "mem_markup_matrix" -> ((s, dir) => {
+      // The events fixture's props are JSON objects, so
+      // mem_markup_events only oracle-exercises the fallback branch.
+      // Here the POSITIVE branch is oracle-checked too: build
+      // deterministic int-matrix JSON from event fields — plain ints,
+      // quoted ints (Jackson's Integer.parseInt coercion), a two-row
+      // matrix, plus object and float-cell fallbacks — and let the
+      // oracle construct the expected <mem> rendering from the same
+      // fields directly (no JSON parsing needed on the SQL side).
+      val u = col("user_id").cast("string")
+      val e = (col("event_id") % 1000).cast("string")
+      val raw = when(col("event_id") % 5 === 0,
+          concat(lit("[["), u, lit(","), e, lit("]]")))
+        .when(col("event_id") % 5 === 1,
+          concat(lit("[[\""), u, lit("\",\""), e, lit("\"]]")))
+        .when(col("event_id") % 5 === 2,
+          concat(lit("[["), u, lit("],["), e, lit(",7]]")))
+        .when(col("event_id") % 5 === 3, lit("{\"k\":1}"))
+        .otherwise(concat(lit("[[1.5,"), u, lit("]]")))
+      t(s, dir, "events").select(
+        col("event_id"),
+        MemMarkup.memMarkup(raw).as("markup"),
+        MemMarkup.isMem(raw).as("is_mem"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---- CQL-pushdown query shapes (SURVEY §2b: filter/sort/limit) ----
     "q_filter_project" -> ((s, dir) => {
@@ -459,6 +484,14 @@ object SparkEntry {
     }),
     "text_repetition" -> ((s, dir) => {
       TextStats.repetition(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "quality_filtered" -> ((s, dir) => {
+      // default thresholds chosen so every reason fires on the
+      // fixture: token bounds cut ~10% each side, lang drops the
+      // no-stopword (pred 'unknown') docs, repetition ~15%, quality
+      // ~20% of the surviving en docs
+      TextStats.qualityFilter(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- north star: PII scrubbing ----
@@ -1064,6 +1097,44 @@ object SparkEntry {
             FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
                   FROM documents))
       ORDER BY doc_id""",
+    "quality_filtered" -> s"""
+      WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                    FROM documents),
+      sig AS (SELECT doc_id, n_tokens, rep_ratio, quality,
+          CASE WHEN s_en + s_de + s_fr + s_es IS NULL
+                 OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM (SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+                 END AS n_tokens,
+            CASE WHEN length(text) < 10 THEN 0.0 ELSE
+              1.0 - CAST((SELECT count(DISTINCT substr(text, CAST(i AS INT), 10))
+                          FROM UNNEST(range(1, length(text) - 8)) AS t(i))
+                    AS DOUBLE) / (length(text) - 9) END AS rep_ratio,
+            (CAST(${Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")}
+                AS DOUBLE) * 100.0 / CAST(nullif(length(text), 0) AS DOUBLE)
+             - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) / CAST(nullif(length(text), 0) AS DOUBLE))
+              AS quality,
+            ${graft.operators.TextStats.LangProfiles.map { case (l, ws) =>
+              ws.map(hitsSql).mkString(" + ") + s" AS s_$l"
+            }.mkString(", ")}
+          FROM base)),
+      r AS (SELECT *,
+          CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+               WHEN n_tokens > 90 THEN 'too_many_tokens'
+               WHEN pred_lang NOT IN ('en') THEN 'lang'
+               WHEN rep_ratio > 0.04 THEN 'repetitive'
+               WHEN quality < 0.5 THEN 'low_quality'
+               ELSE 'ok' END AS reason
+        FROM sig)
+      SELECT doc_id, n_tokens, rep_ratio, quality, pred_lang,
+             reason = 'ok' AS keep, reason
+      FROM r ORDER BY doc_id""",
     "scrub_redacted" -> s"""
       WITH pii AS (SELECT doc_id, text AS t FROM $piiSql p),
       ${scrubChainSql("doc_id")}
@@ -1231,6 +1302,19 @@ object SparkEntry {
     "mem_markup_events" -> """
       SELECT event_id, props AS markup, FALSE AS is_mem
       FROM events ORDER BY event_id""",
+    "mem_markup_matrix" -> """
+      SELECT event_id,
+             CASE e5 WHEN 0 THEN '<mem>' || u || ' ' || e || '</mem>'
+                     WHEN 1 THEN '<mem>' || u || ' ' || e || '</mem>'
+                     WHEN 2 THEN '<mem>' || u || '</mem><mem>' || e || ' 7</mem>'
+                     WHEN 3 THEN '{"k":1}'
+                     ELSE '[[1.5,' || u || ']]' END AS markup,
+             e5 IN (0, 1, 2) AS is_mem
+      FROM (SELECT event_id, event_id % 5 AS e5,
+              CAST(user_id AS VARCHAR) AS u,
+              CAST(event_id % 1000 AS VARCHAR) AS e
+            FROM events)
+      ORDER BY event_id""",
     "q_filter_project" -> """
       SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
       FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'

@@ -26,23 +26,43 @@ object TextStats {
   private def paddedLower(c: Column): Column =
     concat(lit(" "), lower(c), lit(" "))
 
+  /** Token count via space counting (identical formula SQL-side). */
+  def nTokens(txt: Column): Column =
+    when(length(trim(txt)) === 0, lit(0L))
+      .otherwise((length(txt) - length(replace(txt, lit(" "))) + 1)
+        .cast("long"))
+
   /** Token stats: n_tokens via space counting (identical formula
     * SQL-side), char counts, avg token length.
     */
   def tokenStats(docs: DataFrame): DataFrame = {
     val txt = col("text")
     val nonSpace = length(replace(txt, lit(" ")))
-    val nTokens = when(length(trim(txt)) === 0, lit(0L))
-      .otherwise((length(txt) - nonSpace + 1).cast("long"))
     docs.select(col("doc_id"), length(txt).cast("long").as("n_chars_m"),
-      nTokens.as("n_tokens"),
-      (nonSpace.cast("double") / nullif(nTokens, lit(0L))).as("avg_token_len"))
+      nTokens(txt).as("n_tokens"),
+      (nonSpace.cast("double") / nullif(nTokens(txt), lit(0L)))
+        .as("avg_token_len"))
   }
 
   /** Quality signals: punctuation count (regex class identical in
     * Spark/RE2/PCRE for this pattern), stopword hits, and a composite
     * score in deterministic double arithmetic.
     */
+  /** The composite quality score alone (see [[qualityScore]]). */
+  def quality(txt: Column,
+      stopwords: Seq[String] = Seq("the", "and", "of", "to")): Column = {
+    val p = paddedLower(txt)
+    val nPunct = length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
+    val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
+      .reduce(_ + _)
+    // nullif guard: empty text must yield NULL (as SQL division does),
+    // not NaN — doubles divide 0/0 to NaN, which would also break
+    // oracle parity.
+    val safeChars = nullif(length(txt).cast("long"), lit(0L)).cast("double")
+    stopHits.cast("double") * 100.0 / safeChars -
+      nPunct.cast("double") / safeChars
+  }
+
   def qualityScore(docs: DataFrame,
       stopwords: Seq[String] = Seq("the", "and", "of", "to")): DataFrame = {
     val txt = col("text")
@@ -50,15 +70,9 @@ object TextStats {
     val nPunct = length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
     val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
       .reduce(_ + _)
-    val nChars = length(txt).cast("long")
-    // nullif guard: empty text must yield NULL (as SQL division does),
-    // not NaN — doubles divide 0/0 to NaN, which would also break
-    // oracle parity.
-    val safeChars = nullif(nChars, lit(0L)).cast("double")
-    docs.select(col("doc_id"), nChars.as("n_chars_m"), nPunct.as("n_punct"),
-      stopHits.as("stop_hits"),
-      (stopHits.cast("double") * 100.0 / safeChars -
-        nPunct.cast("double") / safeChars).as("quality"))
+    docs.select(col("doc_id"), length(txt).cast("long").as("n_chars_m"),
+      nPunct.as("n_punct"), stopHits.as("stop_hits"),
+      quality(txt, stopwords).as("quality"))
   }
 
   /** Language profiles for the heuristic language ID. */
@@ -72,24 +86,33 @@ object TextStats {
     * fixed priority order (en > de > fr > es > unknown on ties /
     * all-zero). Purely integer comparisons → oracle-expressible.
     */
+  /** The predicted language alone (see [[langId]]). */
+  def predLang(txt: Column): Column = {
+    val p = paddedLower(txt)
+    val scores = LangProfiles.map { case (_, words) =>
+      words.map(w => occurrences(p, s" $w ").cast("long")).reduce(_ + _)
+    }
+    val total = scores.reduce(_ + _)
+    // argmax with fixed priority: en wins ties vs de wins vs fr vs es.
+    val Seq(en, de, fr, es) = scores
+    // isNull guard: null text gives null scores, and null comparisons
+    // would fall through every `when` to the 'es' default
+    when(total.isNull || total === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
   def langId(docs: DataFrame): DataFrame = {
     val p = paddedLower(col("text"))
     val scores = LangProfiles.map { case (lang, words) =>
       lang -> words.map(w => occurrences(p, s" $w ").cast("long")).reduce(_ + _)
     }
-    val total = scores.map(_._2).reduce(_ + _)
-    // argmax with fixed priority: en wins ties vs de wins vs fr vs es.
     val Seq(en, de, fr, es) = scores.map(_._2)
-    // isNull guard: null text gives null scores, and null comparisons
-    // would fall through every `when` to the 'es' default
-    val pred = when(total.isNull || total === 0, "unknown")
-      .when(en >= de && en >= fr && en >= es, "en")
-      .when(de >= fr && de >= es, "de")
-      .when(fr >= es, "fr")
-      .otherwise("es")
     docs.select(col("doc_id"), col("lang").as("lang_label"),
       en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
-      pred.as("pred_lang"))
+      predLang(col("text")).as("pred_lang"))
   }
 
   /** Within-document repetition score (Gopher-style quality signal):
@@ -100,6 +123,15 @@ object TextStats {
     * one double division keep the oracle hash-stable.
     * Output: (doc_id, n_grams, n_distinct, rep_ratio).
     */
+  /** The repetition ratio alone (see [[repetition]]). */
+  def repRatio(txt: Column, n: Int = 10): Column = {
+    val total = when(length(txt) < n, lit(0L))
+      .otherwise((length(txt) - (n - 1)).cast("long"))
+    val distinctN = size(Dedup.charNgrams(txt, n)).cast("long")
+    when(total === 0L, lit(0.0))
+      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+  }
+
   def repetition(docs: DataFrame, n: Int = 10): DataFrame = {
     val txt = col("text")
     val total = when(length(txt) < n, lit(0L))
@@ -107,9 +139,7 @@ object TextStats {
     val distinctN = size(Dedup.charNgrams(txt, n)).cast("long")
     docs.select(col("doc_id"), total.as("n_grams"),
       distinctN.as("n_distinct"),
-      when(total === 0L, lit(0.0))
-        .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
-        .as("rep_ratio"))
+      repRatio(txt, n).as("rep_ratio"))
   }
 
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
@@ -119,4 +149,37 @@ object TextStats {
     docs.select(col("doc_id"),
       sdbm_hash(lit(0L),
         trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
+  /** Gopher/C4-style quality-filter chain: compose the standalone
+    * signals into a keep/drop decision with the FIRST failing check as
+    * the reason (fixed order: token bounds → language → repetition →
+    * quality, the C4 order — langid early so repetition/quality
+    * thresholds are only judged on in-scope languages). This is the
+    * operator a pipeline actually runs — the standalone signal frames
+    * above are its diagnostics.
+    *
+    * One narrow codegen'd projection; at 100 TB the filter is a map
+    * stage and the kept set is `.filter(col("keep"))` with no extra
+    * pass. Null `quality` (empty text) is unreachable as a reason —
+    * empty text fails the token floor first.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 20,
+      maxTokens: Long = 90, maxRep: Double = 0.04,
+      minQuality: Double = 0.5,
+      allowedLangs: Seq[String] = Seq("en")): DataFrame = {
+    val txt = col("text")
+    val nt = nTokens(txt)
+    val rr = repRatio(txt)
+    val q = quality(txt)
+    val pl = predLang(txt)
+    val reason = when(nt < minTokens, "too_few_tokens")
+      .when(nt > maxTokens, "too_many_tokens")
+      .when(!pl.isin(allowedLangs: _*), "lang")
+      .when(rr > maxRep, "repetitive")
+      .when(q < minQuality, "low_quality")
+      .otherwise("ok")
+    docs.select(col("doc_id"), nt.as("n_tokens"), rr.as("rep_ratio"),
+      q.as("quality"), pl.as("pred_lang"),
+      (reason === "ok").as("keep"), reason.as("reason"))
+  }
 }

@@ -86,4 +86,30 @@ class TextStatsSpec extends AnyFunSuite {
     for ((_, (_, t, d, r)) <- byId if t > 0)
       assert(d <= t && math.abs(r - (1.0 - d.toDouble / t)) < 1e-15)
   }
+
+  test("qualityFilter assigns the first failing reason in chain order") {
+    import spark.implicits._
+    // indexed words: every 10-char window carries a unique running
+    // index, so rep_ratio stays ~0 where repetition must not fire
+    def varied(n: Int): Seq[String] =
+      (0 until n).map(i => s"${('a' + i % 26).toChar}$i")
+    // stopword-dense prose; group-leading letters vary so the
+    // recurring "and the" junction never yields identical 10-grams
+    val ok = varied(12).grouped(2)
+      .flatMap(g => Seq("the") ++ g ++ Seq("and")).mkString(" ")
+    val df = Seq(
+      (1L, "only three words"),                           // too few
+      (2L, varied(95).mkString(" ")),                     // too many
+      (3L, "der hund und die katze und das haus " * 3),   // lang (de)
+      (4L, "the cat " * 15),                              // repetitive
+      (5L, "the " + varied(60).mkString(" ")),            // low quality
+      (6L, ok)).toDF("doc_id", "text")
+    val got = TextStats.qualityFilter(df).orderBy("doc_id")
+      .select("doc_id", "keep", "reason")
+      .as[(Long, Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, false, "too_few_tokens"), (2L, false, "too_many_tokens"),
+      (3L, false, "lang"), (4L, false, "repetitive"),
+      (5L, false, "low_quality"), (6L, true, "ok")))
+  }
 }
