@@ -698,6 +698,10 @@ object SparkEntry {
       graft.streaming.EventsStream.dedupToCompletion(s, dir)
         .orderBy(col("event_type"))
     }),
+    "events_stream_fingerprint_dedup" -> ((s, dir) => {
+      graft.streaming.EventsStream.fingerprintDedupToCompletion(s, dir)
+        .orderBy(col("norm"))
+    }),
 
     // ---- training-data JSONL export (extended sink surface) ----
     "jsonl_documents" -> ((s, dir) => {
@@ -1253,6 +1257,15 @@ object SparkEntry {
     "events_stream_dedup" -> """
       SELECT event_type, count(DISTINCT event_id) AS n_unique
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "events_stream_fingerprint_dedup" -> s"""
+      WITH RECURSIVE u AS (SELECT DISTINCT
+          trim(regexp_replace(lower(coalesce(props, '')), '\\s+', ' ', 'g'))
+            AS norm
+        FROM events),
+      ${sdbmCte("u", "norm", "0", "norm")}
+      SELECT s.hash AS fingerprint, u.norm
+      FROM u JOIN sdbm s ON s.sid = u.norm
+      ORDER BY norm""",
     "events_stream_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

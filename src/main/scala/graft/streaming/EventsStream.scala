@@ -94,6 +94,36 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Streaming content dedup keyed on the engine's own sdbm content
+    * fingerprint — the streaming twin of the batch
+    * TextStats.fingerprint ∘ Dedup.exact composition: normalize the
+    * content (lowercase, collapse whitespace), fingerprint it with the
+    * F6 hash, and drop duplicates within the watermark horizon on the
+    * FINGERPRINT (bounded state: 8 bytes per distinct content instead
+    * of the content itself — the point of hashing the dedup key at
+    * 100 TB). Emits the surviving (fingerprint, norm) content set;
+    * output is survivor-independent because every duplicate row
+    * carries identical values for both columns.
+    */
+  def fingerprintDedupToCompletion(spark0: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val norm = trim(regexp_replace(lower(coalesce(col("props"), lit(""))),
+      "\\s+", " "))
+    val deduped = source(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("fingerprint",
+        graft.functions.sdbm_hash(lit(0L), col("norm")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("fingerprint"), col("norm"))
+    val qname = "graft_events_fp_dedup"
+    val q = deduped.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState with the
     * open session carried ACROSS micro-batches in GroupState and
     * closed by event-time timeout — the production shape for an

@@ -63,4 +63,23 @@ class EventsSpec extends AnyFunSuite {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming fingerprint dedup equals the batch distinct-content " +
+      "fingerprint set") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: fingerprint each distinct normalized content
+    val batch = graft.operators.TextStats.fingerprint(
+      Tables.load(spark, dir, "events")
+        .select(col("event_id").as("doc_id"),
+          coalesce(col("props"), lit("")).as("text")))
+      .select("fp").distinct().as[Long].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .fingerprintDedupToCompletion(spark, dir)
+      .select("fingerprint").as[Long].collect().toSeq
+    assert(stream.toSet == batch)
+    // dedup emitted each surviving fingerprint exactly once
+    assert(stream.size == stream.toSet.size)
+    assert(batch.nonEmpty)
+  }
 }
