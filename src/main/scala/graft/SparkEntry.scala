@@ -507,6 +507,22 @@ object SparkEntry {
     "scrub_counts" -> ((s, dir) => {
       Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
     }),
+    "scrub_pseudonymize" -> ((s, dir) => {
+      // user_id → salted stable token; event_id kept as the row key.
+      // Same-user rows share a token (referential integrity), which
+      // the oracle checks end-to-end via the sdbm CTE twin.
+      Scrub.pseudonymize(
+        t(s, dir, "events").select(col("event_id"), col("user_id")),
+        Seq("user_id"), salt = "s1", prefix = "u")
+        .withColumnRenamed("user_id", "user_token")
+        .orderBy(col("event_id"))
+    }),
+    "quality_filtered_stream" -> ((s, dir) => {
+      // the stateless-streaming twin of quality_filtered: same
+      // operator, same oracle, run through readStream → append sink
+      graft.streaming.StatelessPipe.toCompletion(s, dir, "documents",
+        TextStats.qualityFilter(_)).orderBy(col("doc_id"))
+    }),
 
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
@@ -829,6 +845,49 @@ object SparkEntry {
        '<n_chars>' || CAST(n_chars AS VARCHAR) || '</n_chars>' ||
        '</sphinx:document>'"""
 
+  /** Oracle for TextStats.qualityFilter — shared verbatim by the
+    * batch query and its stateless-streaming twin, which emit
+    * identical rows by construction.
+    */
+  private val qualityFilterSql: String = s"""
+      WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                    FROM documents),
+      sig AS (SELECT doc_id, n_tokens, rep_ratio, quality,
+          CASE WHEN s_en + s_de + s_fr + s_es IS NULL
+                 OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+               WHEN s_fr >= s_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM (SELECT doc_id,
+            CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+                 END AS n_tokens,
+            CASE WHEN length(text) < 10 THEN 0.0 ELSE
+              1.0 - CAST((SELECT count(DISTINCT substr(text, CAST(i AS INT), 10))
+                          FROM UNNEST(range(1, length(text) - 8)) AS t(i))
+                    AS DOUBLE) / (length(text) - 9) END AS rep_ratio,
+            (CAST(${Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")}
+                AS DOUBLE) * 100.0 / CAST(nullif(length(text), 0) AS DOUBLE)
+             - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                AS DOUBLE) / CAST(nullif(length(text), 0) AS DOUBLE))
+              AS quality,
+            ${graft.operators.TextStats.LangProfiles.map { case (l, ws) =>
+              ws.map(hitsSql).mkString(" + ") + s" AS s_$l"
+            }.mkString(", ")}
+          FROM base)),
+      r AS (SELECT *,
+          CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+               WHEN n_tokens > 90 THEN 'too_many_tokens'
+               WHEN pred_lang NOT IN ('en') THEN 'lang'
+               WHEN rep_ratio > 0.04 THEN 'repetitive'
+               WHEN quality < 0.5 THEN 'low_quality'
+               ELSE 'ok' END AS reason
+        FROM sig)
+      SELECT doc_id, n_tokens, rep_ratio, quality, pred_lang,
+             reason = 'ok' AS keep, reason
+      FROM r ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "xml_documents" -> s"""
       SELECT doc_id AS id,
@@ -1101,44 +1160,16 @@ object SparkEntry {
             FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
                   FROM documents))
       ORDER BY doc_id""",
-    "quality_filtered" -> s"""
-      WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
-                    FROM documents),
-      sig AS (SELECT doc_id, n_tokens, rep_ratio, quality,
-          CASE WHEN s_en + s_de + s_fr + s_es IS NULL
-                 OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
-               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-               WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-               WHEN s_fr >= s_es THEN 'fr'
-               ELSE 'es' END AS pred_lang
-        FROM (SELECT doc_id,
-            CASE WHEN length(trim(text)) = 0 THEN 0
-                 ELSE length(text) - length(replace(text, ' ', '')) + 1
-                 END AS n_tokens,
-            CASE WHEN length(text) < 10 THEN 0.0 ELSE
-              1.0 - CAST((SELECT count(DISTINCT substr(text, CAST(i AS INT), 10))
-                          FROM UNNEST(range(1, length(text) - 8)) AS t(i))
-                    AS DOUBLE) / (length(text) - 9) END AS rep_ratio,
-            (CAST(${Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")}
-                AS DOUBLE) * 100.0 / CAST(nullif(length(text), 0) AS DOUBLE)
-             - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-                AS DOUBLE) / CAST(nullif(length(text), 0) AS DOUBLE))
-              AS quality,
-            ${graft.operators.TextStats.LangProfiles.map { case (l, ws) =>
-              ws.map(hitsSql).mkString(" + ") + s" AS s_$l"
-            }.mkString(", ")}
-          FROM base)),
-      r AS (SELECT *,
-          CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
-               WHEN n_tokens > 90 THEN 'too_many_tokens'
-               WHEN pred_lang NOT IN ('en') THEN 'lang'
-               WHEN rep_ratio > 0.04 THEN 'repetitive'
-               WHEN quality < 0.5 THEN 'low_quality'
-               ELSE 'ok' END AS reason
-        FROM sig)
-      SELECT doc_id, n_tokens, rep_ratio, quality, pred_lang,
-             reason = 'ok' AS keep, reason
-      FROM r ORDER BY doc_id""",
+    "quality_filtered" -> qualityFilterSql,
+    // identical rows by construction: the stream is the same operator
+    // over the same table through a stateless append pipe
+    "quality_filtered_stream" -> qualityFilterSql,
+    "scrub_pseudonymize" -> s"""
+      WITH RECURSIVE ${sdbmCte("events", "user_id", "0",
+        "'s1' || CAST(user_id AS VARCHAR)")}
+      SELECT event_id, 'u_' || CAST(s.hash AS VARCHAR) AS user_token
+      FROM events JOIN sdbm s ON s.sid = user_id
+      ORDER BY event_id""",
     "scrub_redacted" -> s"""
       WITH pii AS (SELECT doc_id, text AS t FROM $piiSql p),
       ${scrubChainSql("doc_id")}

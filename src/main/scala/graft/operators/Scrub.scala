@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.sdbm_hash
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -78,4 +79,18 @@ object Scrub {
       rules.map(ru => sum(col(s"n_${ru.name}")).as(s"sum_${ru.name}"))
     r.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Deterministic pseudonymization of identifier columns: each value
+    * becomes `<prefix>_<sdbm(salt ++ value)>`. The same value under
+    * the same salt always maps to the same token, so referential
+    * integrity across tables survives (joins on the pseudonym still
+    * work); rotating the salt re-keys the whole corpus. Pure narrow
+    * projection — no lookup table to build, secure, or shuffle.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String = "",
+      prefix: String = "id"): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, concat(lit(s"${prefix}_"),
+        sdbm_hash(lit(0L), concat(lit(salt), col(c).cast("string")))))
+    }
 }

@@ -82,4 +82,18 @@ class EventsSpec extends AnyFunSuite {
     assert(stream.size == stream.toSet.size)
     assert(batch.nonEmpty)
   }
+
+  test("stateless pipe: streaming quality filter equals the batch run") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.selectExpr("concat_ws('|', doc_id, n_tokens, keep, reason)")
+        .as[String].collect().toSet
+    val batch = rows(graft.operators.TextStats.qualityFilter(
+      Tables.load(spark, dir, "documents")))
+    val stream = rows(graft.streaming.StatelessPipe.toCompletion(
+      spark, dir, "documents", graft.operators.TextStats.qualityFilter(_)))
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
 }

@@ -44,6 +44,21 @@ class ScrubSpec extends AnyFunSuite {
     assert(redactOne("") == ((0L, 0L, 0L, 0L, "")))
   }
 
+  test("pseudonymize: stable tokens, salt rotation, referential " +
+      "integrity") {
+    import spark.implicits._
+    val df = Seq((1L, 42L), (2L, 42L), (3L, 7L)).toDF("event_id", "uid")
+    val toks = Scrub.pseudonymize(df, Seq("uid"), salt = "s1", prefix = "u")
+      .orderBy("event_id").select("uid").as[String].collect().toSeq
+    // same input value -> same token (joins on the pseudonym work)
+    assert(toks(0) == toks(1) && toks(0) != toks(2))
+    assert(toks.forall(_.startsWith("u_")))
+    // rotating the salt re-keys every token
+    val rot = Scrub.pseudonymize(df, Seq("uid"), salt = "s2", prefix = "u")
+      .orderBy("event_id").select("uid").as[String].collect().toSeq
+    assert(toks.zip(rot).forall { case (a, b) => a != b })
+  }
+
   test("summary aggregates per group with hit-doc count") {
     import spark.implicits._
     val df = Seq(
