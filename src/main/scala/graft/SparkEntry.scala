@@ -524,6 +524,14 @@ object SparkEntry {
         TextStats.qualityFilter(_)).orderBy(col("doc_id"))
     }),
 
+    "sample_packed" -> ((s, dir) => {
+      // budget 512 ≈ 9 docs/sequence on this fixture, so shards chop
+      // into several bins and offsets exercise the wrap-around
+      Sampling.packSequences(t(s, dir, "documents"),
+        TextStats.nTokens(col("text")), budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
       // "benchmark" = the fixed doc_id < 400 slice (stays eval-suite
@@ -655,6 +663,18 @@ object SparkEntry {
             .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // point-in-interval attribution: every event back to the user
+      // session that contains it (1:1 by construction — sessions
+      // partition a user's events), as a bucketed equi-join, not a
+      // BNLJ inequality join
+      val ev = t(s, dir, "events")
+      RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("ts"), col("event_id")),
+        Events.sessionize(ev), keys = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("session_start"))
+        .orderBy(col("event_id"))
     }),
     "q_asof_join" -> ((s, dir) => {
       // point-in-time: each event joined to the user's latest order at
@@ -1160,6 +1180,23 @@ object SparkEntry {
             FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p
                   FROM documents))
       ORDER BY doc_id""",
+    "sample_packed" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      b AS (SELECT d.doc_id,
+              CAST((${bucketSql("s.hash")}) % 10 AS BIGINT) AS shard,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b)
+      SELECT doc_id, shard, n_tokens,
+             (cum - n_tokens) // 512 AS bin,
+             (cum - n_tokens) % 512 AS offset
+      FROM c ORDER BY doc_id""",
     "quality_filtered" -> qualityFilterSql,
     // identical rows by construction: the stream is the same operator
     // over the same table through a stateless append pipe
@@ -1255,6 +1292,24 @@ object SparkEntry {
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_range_join" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+      sess AS (SELECT user_id, min(ts) AS session_start,
+                      max(ts) AS session_end
+               FROM t GROUP BY user_id, sid)
+      SELECT e.event_id, e.user_id, x.session_start
+      FROM events e JOIN sess x ON e.user_id = x.user_id
+        AND e.ts >= x.session_start AND e.ts <= x.session_end
+      ORDER BY e.event_id""",
     "q_asof_join" -> """
       WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                    FROM orders GROUP BY 1, 2)

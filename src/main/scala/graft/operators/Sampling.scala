@@ -118,4 +118,37 @@ object Sampling {
     df.withColumn("cum_tokens", sum(tokensCol).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Contiguous sequence packing ("concat and chop" — how packed
+    * pretraining batches are actually laid out): within each of
+    * `nShards` deterministic hash shards, documents in id order form
+    * one token stream chopped every `budget` tokens; each document
+    * records the training sequence (`bin`) where it starts and its
+    * token `offset` within that sequence.
+    *
+    * Sharding makes this scale: one global pack order would funnel
+    * the corpus through a single window partition; per-shard packing
+    * keeps the window's shuffle at `nShards`-way parallelism and
+    * yields independently consumable shard streams (the standard
+    * data-parallel reader layout). nShards must divide the bucket
+    * space so shards stay uniform.
+    *
+    * One shuffle total (the per-shard window); everything else is the
+    * narrow codegen'd token count.
+    */
+  def packSequences(docs: DataFrame, tokensCol: Column, budget: Long,
+      nShards: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0 && 100 % nShards == 0,
+      "nShards must divide the 100-bucket space for uniform shards")
+    val shard = (bucket(col(idCol)) % nShards).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val startTok = col("cum") - col("n_tokens")
+    docs.select(col(idCol), shard.as("shard"), tokensCol.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (startTok / budget).cast("long").as("bin"),
+        pmod(startTok, lit(budget)).as("offset"))
+  }
 }

@@ -110,6 +110,28 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, None)))       // key absent on right
   }
 
+  test("range join: containment matches exactly once, even across " +
+      "bucket boundaries") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    def ts(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val points = Seq(
+      (1L, ts(0, 30), 100L),  // inside a 3-bucket-spanning interval
+      (1L, ts(2, 15), 101L),  // same interval, different hour bucket
+      (1L, ts(2, 30), 102L),  // exactly at the inclusive end
+      (1L, ts(3, 0), 103L),   // after the interval: no match
+      (2L, ts(0, 30), 104L))  // key absent in intervals: no match
+      .toDF("user_id", "ts", "event_id")
+    val intervals = Seq((1L, ts(0, 15), ts(2, 30)))
+      .toDF("user_id", "session_start", "session_end")
+    val got = RangeJoin.pointInInterval(points, intervals, Seq("user_id"))
+      .select("event_id").as[Long].collect().toSeq.sorted
+    // 100-102 match exactly once each despite the interval covering
+    // three hourly buckets (matches meet only in the point's bucket)
+    assert(got == Seq(100L, 101L, 102L))
+  }
+
   test("frame sampling fans out bounded rows per document") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")

@@ -92,6 +92,16 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle (the stratum window):\n$p")
   }
 
+  test("range join stays an equi-join — no nested-loop fallback") {
+    // the bucket quantization must turn interval containment into an
+    // equi-join on (keys, bucket); an inequality-only join would plan
+    // as BroadcastNestedLoopJoin and die at scale
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("scrub pass is one shuffle-free codegen'd projection") {
     // a 100 TB scrub must be a single map stage: chained regexp
     // count+replace expressions, no exchange, inside whole-stage

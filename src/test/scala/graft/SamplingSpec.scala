@@ -105,4 +105,28 @@ class SamplingSpec extends AnyFunSuite {
       Long.MaxValue, strataCol = "source").count()
     assert(allKept == docs.count())
   }
+
+  test("packSequences: concat-and-chop invariants per shard") {
+    import spark.implicits._
+    val budget = 256L
+    val packed = Sampling.packSequences(docs,
+      graft.operators.TextStats.nTokens(col("text")), budget)
+      .select("doc_id", "shard", "n_tokens", "bin", "offset")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(packed.size == docs.count())
+    // offsets live inside a sequence; bins/offsets are the chop of the
+    // per-shard running token stream in doc_id order
+    assert(packed.forall { case (_, _, _, bin, off) =>
+      bin >= 0 && off >= 0 && off < budget })
+    for ((_, rows) <- packed.groupBy(_._2)) {
+      var cum = 0L
+      for ((_, _, nTok, bin, off) <- rows.sortBy(_._1)) {
+        assert(bin == cum / budget && off == cum % budget)
+        cum += nTok
+      }
+    }
+    // shards are deterministic and near-uniform (each ≤ 3x the mean)
+    val sizes = packed.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.values.max <= 3 * packed.size / sizes.size)
+  }
 }
