@@ -531,6 +531,22 @@ object SparkEntry {
         TextStats.nTokens(col("text")), budget = 512)
         .orderBy(col("doc_id"))
     }),
+    "sample_packed_text" -> ((s, dir) => {
+      Sampling.packedText(t(s, dir, "documents"),
+        TextStats.nTokens(col("text")), budget = 512)
+        .orderBy(col("shard"), col("bin"))
+    }),
+    "dedup_incremental" -> ((s, dir) => {
+      // nightly-ingest scenario on the all-unique fixture: the batch
+      // is the 100 fresh docs plus 50 recrawls of corpus content
+      // under new ids; the survivors must be exactly the fresh 100
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(col("doc_id") < 400)
+      val batch = all.filter(col("doc_id") >= 400).unionByName(
+        corpus.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      Dedup.incremental(batch, corpus).orderBy(col("doc_id"))
+    }),
 
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
@@ -1197,6 +1213,35 @@ object SparkEntry {
              (cum - n_tokens) // 512 AS bin,
              (cum - n_tokens) % 512 AS offset
       FROM c ORDER BY doc_id""",
+    "sample_packed_text" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      b AS (SELECT d.doc_id, d.text,
+              CAST((${bucketSql("s.hash")}) % 10 AS BIGINT) AS shard,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, text, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b)
+      SELECT shard, (cum - n_tokens) // 512 AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             string_agg(text, ' ' ORDER BY doc_id) AS text
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
+    "dedup_incremental" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")},
+      f AS (SELECT doc_id, s.hash AS fp
+            FROM documents JOIN sdbm s ON s.sid = doc_id),
+      batch AS (SELECT doc_id, fp FROM f WHERE doc_id >= 400
+                UNION ALL
+                SELECT doc_id + 10000, fp FROM f WHERE doc_id < 50)
+      SELECT min(doc_id) AS doc_id, fp
+      FROM batch
+      WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 400)
+      GROUP BY fp ORDER BY doc_id""",
     "quality_filtered" -> qualityFilterSql,
     // identical rows by construction: the stream is the same operator
     // over the same table through a stateless append pipe

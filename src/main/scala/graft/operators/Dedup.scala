@@ -55,6 +55,23 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"), col(textCol))
 
+  /** Incremental exact dedup — the nightly-ingest shape: keep only
+    * batch documents whose content fingerprint is unseen in the
+    * existing corpus AND first (smallest id) within the batch.
+    *
+    * 100 TB posture: the corpus side collapses to its 8-byte
+    * fingerprint column before the join (the corpus text never
+    * moves); the left_anti and the first-wins groupBy both shuffle on
+    * the fingerprint only. Output: (doc_id, fp) of the survivors.
+    */
+  def incremental(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val bf = TextStats.fingerprint(batch)
+    val seen = TextStats.fingerprint(corpus).select(col("fp"))
+    bf.join(seen, Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** MinHash-LSH near-dup pairs, Jaccard-verified, over distinct word
     * 3-gram shingles.
     *

@@ -151,4 +151,34 @@ object Sampling {
         (startTok / budget).cast("long").as("bin"),
         pmod(startTok, lit(budget)).as("offset"))
   }
+
+  /** Materialize the packed sequences of [[packSequences]]: one row
+    * per (shard, bin) with the member documents' text joined in id
+    * order — the frame a training-data writer actually serializes.
+    * Ordering inside the aggregated row is made deterministic by
+    * sorting the collected (id, text) structs, not by relying on
+    * collect order. Adds one groupBy shuffle on (shard, bin) after
+    * the packing window.
+    */
+  def packedText(docs: DataFrame, tokensCol: Column, budget: Long,
+      nShards: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = " "): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(nShards > 0 && 100 % nShards == 0,
+      "nShards must divide the 100-bucket space for uniform shards")
+    val shard = (bucket(col(idCol)) % nShards).cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), shard.as("shard"), tokensCol.as("n_tokens"),
+        col(textCol))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          x => x.getField(textCol)), sep).as("text"))
+  }
 }

@@ -115,6 +115,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup drops corpus recrawls and in-batch dups, " +
+      "first id wins") {
+    import spark.implicits._
+    val corpus = Seq((1L, "old news"), (2L, "archived page"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh content"),
+      (11L, "Old   NEWS"),      // recrawl: normalizes to corpus content
+      (12L, "fresh content"),   // in-batch duplicate: 10 wins
+      (13L, "another page")).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(10L, 13L))
+  }
+
   test("wordShingles slides over tokens") {
     import spark.implicits._
     val got = Seq("a b c d").toDF("s")

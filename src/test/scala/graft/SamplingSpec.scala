@@ -129,4 +129,25 @@ class SamplingSpec extends AnyFunSuite {
     val sizes = packed.groupBy(_._2).view.mapValues(_.size)
     assert(sizes.values.max <= 3 * packed.size / sizes.size)
   }
+
+  test("packedText materializes each bin's members in id order") {
+    import spark.implicits._
+    val budget = 256L
+    val toks = graft.operators.TextStats.nTokens(col("text"))
+    val meta = Sampling.packSequences(docs, toks, budget)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Long)].collect()
+    val text = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val expected = meta.groupBy(r => (r._2, r._4)).map { case (k, rows) =>
+      val sorted = rows.sortBy(_._1)
+      k -> (sorted.length.toLong, sorted.map(_._3).sum,
+        sorted.map(r => text(r._1)).mkString(" "))
+    }
+    val got = Sampling.packedText(docs, toks, budget)
+      .select("shard", "bin", "n_docs", "n_tokens", "text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == expected)
+  }
 }
