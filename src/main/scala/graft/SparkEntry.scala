@@ -485,6 +485,13 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => {
       TextStats.repetition(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "profile_documents" -> ((s, dir) => {
+      Profile.table(t(s, dir, "documents")).orderBy(col("col_name"))
+    }),
+    "text_keywords" -> ((s, dir) => {
+      TextStats.tfidfKeywords(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
     "quality_filtered" -> ((s, dir) => {
       // default thresholds chosen so every reason fires on the
       // fixture: token bounds cut ~10% each side, lang drops the
@@ -1242,6 +1249,30 @@ object SparkEntry {
       FROM batch
       WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 400)
       GROUP BY fp ORDER BY doc_id""",
+    "profile_documents" -> (Seq("doc_id", "text", "lang", "source",
+      "n_chars").map(c => s"""
+      SELECT '$c' AS col_name, count(*) AS n,
+             count(*) - count($c) AS n_null,
+             count(DISTINCT $c) AS n_distinct,
+             CAST(min($c) AS VARCHAR) AS min_s,
+             CAST(max($c) AS VARCHAR) AS max_s
+      FROM documents""").mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "text_keywords" -> """
+      WITH t AS (SELECT doc_id, w AS term
+                 FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+                 WHERE w <> ''),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_corpus FROM documents),
+      sc AS (SELECT doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf * (n.n_corpus + 1) AS DOUBLE) / (df.df + 1)
+                 AS score
+             FROM tf JOIN df USING (term) CROSS JOIN n),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS BIGINT) AS rank
+            FROM sc)
+      SELECT doc_id, rank, term, tf, df, score
+      FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
     "quality_filtered" -> qualityFilterSql,
     // identical rows by construction: the stream is the same operator
     // over the same table through a stateless append pipe

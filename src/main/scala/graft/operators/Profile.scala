@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the data-quality dashboard a pipeline runs
+  * before trusting a new corpus drop: per-column row count, null
+  * count, distinct count, and min/max (rendered as text so the
+  * output schema is column-type-agnostic).
+  *
+  * Shape: ONE aggregation computes every column's stats in a single
+  * pass over the data (Spark plans the multiple DISTINCT aggregates
+  * through an Expand, still one scan — never one job per column),
+  * then a 1-row → N-rows explode unpivots to the long format. For
+  * 100 TB profiling where exact distincts don't matter, pass
+  * `approxDistinct = true` to swap in HyperLogLog
+  * `approx_count_distinct` (constant memory, no Expand); the exact
+  * default stays oracle-verifiable.
+  */
+object Profile {
+
+  def table(df: DataFrame, cols: Seq[String] = Seq.empty,
+      approxDistinct: Boolean = false): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = count(lit(1)).as("_n") +: cs.flatMap(c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      (if (approxDistinct) approx_count_distinct(col(c))
+       else count_distinct(col(c))).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cs.map(c => struct(
+      lit(c).as("col_name"), col("_n").as("n"),
+      (col("_n") - col(s"_nn_$c")).as("n_null"),
+      col(s"_nd_$c").as("n_distinct"),
+      col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s")))
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.sdbm_hash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the extended (north-star) surface:
@@ -149,6 +150,45 @@ object TextStats {
     docs.select(col("doc_id"),
       sdbm_hash(lit(0L),
         trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
+  /** Per-document top-k keywords by TF-IDF-style weighting.
+    *
+    * The score is the exact rational `tf · (N+1) / (df+1)` — monotone
+    * in term frequency and inverse document frequency like classic
+    * tf·idf, but free of `ln`, whose last-ulp rounding is NOT
+    * guaranteed identical across engines (Java Math.log is allowed
+    * 1 ulp error) and would poison cross-engine verification. The
+    * single double division of two exact integers IS correctly
+    * rounded everywhere. Ties break by term text, so top-k is total.
+    *
+    * Plan shape at scale: tokenize/explode (map) → (doc, term) count
+    * with map-side partial aggregation → vocabulary-sized df table →
+    * join on term (AQE may broadcast a small vocabulary; nothing
+    * forces it) → per-doc window for the top-k. Three shuffles, each
+    * on the natural key of its stage; no collect, no N² anywhere —
+    * the corpus count joins in as a 1-row frame, not a driver value.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val scored = tf.join(df, "term").crossJoin(n)
+      .withColumn("score",
+        (col("tf") * (col("n_corpus") + 1L)).cast("double") /
+          (col("df") + 1L))
+    val rank = row_number().over(
+      Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term")))
+    scored.withColumn("rank", rank.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+  }
 
   /** Gopher/C4-style quality-filter chain: compose the standalone
     * signals into a keep/drop decision with the FIRST failing check as

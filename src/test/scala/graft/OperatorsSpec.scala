@@ -110,6 +110,24 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, None)))       // key absent on right
   }
 
+  test("profile: one row per column with null/distinct/minmax stats") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq((Some(1L), "a"), (None, "b"), (Some(3L), "b"))
+      .toDF("id", "s")
+    val got = Profile.table(df).orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("id", 3L, 1L, 2L, Some("1"), Some("3")),
+      ("s", 3L, 0L, 2L, Some("a"), Some("b"))))
+    // approx mode keeps the same shape (counts are HLL estimates)
+    val approx = Profile.table(df, approxDistinct = true)
+    assert(approx.columns.toSeq ==
+      Seq("col_name", "n", "n_null", "n_distinct", "min_s", "max_s"))
+    assert(approx.count() == 2)
+  }
+
   test("range join: containment matches exactly once, even across " +
       "bucket boundaries") {
     import spark.implicits._

@@ -87,6 +87,23 @@ class TextStatsSpec extends AnyFunSuite {
       assert(d <= t && math.abs(r - (1.0 - d.toDouble / t)) < 1e-15)
   }
 
+  test("tfidfKeywords ranks rare repeated terms above ubiquitous ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck duck common"),
+      (3L, "common goose goose")).toDF("doc_id", "text")
+    val got = TextStats.tfidfKeywords(df, k = 2).orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term")
+      .as[(Long, Long, String)].collect().toSeq
+    // 'common' appears in every doc (df=3) so doc-unique terms with
+    // df=1 outrank it despite lower tf; within a doc ties are by term
+    assert(got == Seq(
+      (1L, 1L, "spark"), (1L, 2L, "common"),
+      (2L, 1L, "duck"), (2L, 2L, "common"),
+      (3L, 1L, "goose"), (3L, 2L, "common")))
+  }
+
   test("qualityFilter assigns the first failing reason in chain order") {
     import spark.implicits._
     // indexed words: every 10-char window carries a unique running
