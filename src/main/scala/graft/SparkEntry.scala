@@ -488,6 +488,14 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) => {
       Profile.table(t(s, dir, "documents")).orderBy(col("col_name"))
     }),
+    "profile_histogram" -> ((s, dir) => {
+      Profile.histogram(t(s, dir, "documents"), "n_chars")
+        .orderBy(col("bin"))
+    }),
+    "profile_heavy_hitters" -> ((s, dir) => {
+      Profile.heavyHitters(t(s, dir, "events"), "user_id")
+        .orderBy(col("n_rows").desc, col("value"))
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -1257,6 +1265,20 @@ object SparkEntry {
              CAST(min($c) AS VARCHAR) AS min_s,
              CAST(max($c) AS VARCHAR) AS max_s
       FROM documents""").mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "profile_histogram" -> """
+      WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS blo,
+                        CAST(max(n_chars) AS BIGINT) AS bhi
+                 FROM documents),
+      w AS (SELECT blo, greatest((bhi - blo + 10) // 10, 1) AS width
+            FROM b),
+      x AS (SELECT (n_chars - blo) // width AS bin, blo, width
+            FROM documents, w)
+      SELECT bin, min(blo + bin * width) AS lo,
+             min(blo + (bin + 1) * width) AS hi, count(*) AS n_rows
+      FROM x GROUP BY bin ORDER BY bin""",
+    "profile_heavy_hitters" -> """
+      SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS n_rows
+      FROM events GROUP BY 1 ORDER BY n_rows DESC, value LIMIT 10""",
     "text_keywords" -> """
       WITH t AS (SELECT doc_id, w AS term
                  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)

@@ -36,4 +36,39 @@ object Profile {
       col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s")))
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram of an integral column in exact integer
+    * arithmetic: bin i covers `[lo + i·w, lo + (i+1)·w)` with
+    * `w = ceil(range / nBins)`, so every value lands in
+    * `[0, nBins)` and bin edges are reproducible on any engine (no
+    * floating-point bin math). Two aggregations, one scan each: the
+    * (min, max) frame joins back as a single broadcastable row.
+    * Output: (bin, lo, hi, n_rows) for non-empty bins.
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val bounds = df.agg(min(col(c)).cast("long").as("_lo"),
+      max(col(c)).cast("long").as("_hi"))
+    val width = greatest(
+      (col("_hi") - col("_lo") + nBins) / nBins, lit(1L)).cast("long")
+    df.select(col(c)).crossJoin(bounds)
+      .select(((col(c) - col("_lo")) / width).cast("long").as("bin"),
+        col("_lo"), width.as("_w"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("_lo") + col("bin") * col("_w")).as("lo"),
+        min(col("_lo") + (col("bin") + 1L) * col("_w")).as("hi"))
+      .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+  }
+
+  /** Heavy hitters: the k most frequent values of a column — the
+    * skew diagnosis run before keying a join or window on it. One
+    * map-side-combinable count + a TakeOrdered top-k (no global
+    * sort). Ties break by value text for a total order.
+    */
+  def heavyHitters(df: DataFrame, c: String, k: Int = 10): DataFrame =
+    df.groupBy(col(c).cast("string").as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col("value"))
+      .limit(k)
 }

@@ -128,6 +128,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.count() == 2)
   }
 
+  test("histogram bins cover the range; constant columns take one bin") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val h = Profile.histogram(
+      (0L to 99L).toDF("v"), "v", nBins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long)].collect().toSeq
+    // range 0..99, width ceil(100/10)=10: ten full bins of 10
+    assert(h == (0L to 9L).map(i => (i, i * 10, (i + 1) * 10, 10L)))
+    val const = Profile.histogram(Seq(5L, 5L, 5L).toDF("v"), "v")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(const == Seq((0L, 5L, 6L, 3L))) // zero range -> width 1
+  }
+
+  test("heavy hitters orders by count then value, capped at k") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq("a", "a", "a", "c", "c", "b", "b", "d").toDF("v")
+    val got = Profile.heavyHitters(df, "v", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 2L))) // b before c on tie
+  }
+
   test("range join: containment matches exactly once, even across " +
       "bucket boundaries") {
     import spark.implicits._
