@@ -25,6 +25,9 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      // the full SQL-function surface, injected at construction (the
+      // same class a stock deployment names in spark.sql.extensions)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

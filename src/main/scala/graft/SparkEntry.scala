@@ -695,6 +695,9 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("o_orderpriority"))
     }),
+    "events_session_stats" -> ((s, dir) => {
+      Events.sessionStats(t(s, dir, "events")).orderBy(col("user_id"))
+    }),
     "q_range_join" -> ((s, dir) => {
       // point-in-interval attribution: every event back to the user
       // session that contains it (1:1 by construction — sessions
@@ -1390,6 +1393,26 @@ object SparkEntry {
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "events_session_stats" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+      sess AS (SELECT user_id,
+                 epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+                 count(*) AS n
+               FROM t GROUP BY user_id, sid)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             median(dur_us) AS median_dur_us,
+             max(dur_us) AS max_dur_us
+      FROM sess GROUP BY user_id ORDER BY user_id""",
     "q_range_join" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

@@ -64,31 +64,47 @@ package object functions {
       throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** Name → builder for every SQL-exposed graft expression — the one
+    * source of truth shared by the per-session [[registerSql]] and the
+    * config-driven [[graft.GraftExtensions]] injection.
+    */
+  val sqlFunctions: Seq[(String,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    // coerce like the Column API (`seed.cast("long")`): SQL integer
+    // literals arrive as INT and would fail the strict type check
+    "sdbm_hash" -> { case Seq(a, b) =>
+      SdbmHashExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(a,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(b,
+          org.apache.spark.sql.types.StringType)) },
+    "minhash_shingled" -> { case Seq(t, n, k) =>
+      MinHashShingledExpr(t, litInt(n, "n"), litInt(k, "k")) },
+    "simhash64" -> { case Seq(t) => SimHash64Expr(t) },
+    "dot_long" -> { case Seq(a, b) => DotLongExpr(a, b) },
+    "word_shingles" -> { case Seq(t, n) =>
+      WordShinglesExpr(t, litInt(n, "n")) },
+    "shingle_hashes" -> { case Seq(t, n) =>
+      ShingleHashesExpr(t, litInt(n, "n")) },
+    "shared_count" -> { case Seq(a, b) => SortedSharedCountExpr(a, b) },
+    "sign_lsh" -> {
+      case Seq(v, p) => SignLshExpr(v, litInt(p, "planes"))
+      case Seq(v, p, o) =>
+        SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
+    },
+    "char_ngrams" -> { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) })
+
   /** Register graft's expressions as SQL functions on a session, so
     * `spark.sql` text queries can call them: sdbm_hash(seed, s),
     * minhash_shingled(tokens, n, k), simhash64(tokens),
     * dot_long(a, b), word_shingles(tokens, n), sign_lsh(vec, planes).
+    * (Sessions built through [[graft.Sessions]] get them injected at
+    * construction via [[graft.GraftExtensions]]; this is the runtime
+    * hook for sessions graft doesn't own.)
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "sdbm_hash",
-      { case Seq(a, b) => SdbmHashExpr(a, b) })
-    Bridge.registerFunction(spark, "minhash_shingled",
-      { case Seq(t, n, k) =>
-        MinHashShingledExpr(t, litInt(n, "n"), litInt(k, "k")) })
-    Bridge.registerFunction(spark, "simhash64", { case Seq(t) => SimHash64Expr(t) })
-    Bridge.registerFunction(spark, "dot_long", { case Seq(a, b) => DotLongExpr(a, b) })
-    Bridge.registerFunction(spark, "word_shingles",
-      { case Seq(t, n) => WordShinglesExpr(t, litInt(n, "n")) })
-    Bridge.registerFunction(spark, "shingle_hashes",
-      { case Seq(t, n) => ShingleHashesExpr(t, litInt(n, "n")) })
-    Bridge.registerFunction(spark, "shared_count",
-      { case Seq(a, b) => SortedSharedCountExpr(a, b) })
-    Bridge.registerFunction(spark, "sign_lsh", {
-      case Seq(v, p) => SignLshExpr(v, litInt(p, "planes"))
-      case Seq(v, p, o) =>
-        SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
-    })
-    Bridge.registerFunction(spark, "char_ngrams",
-      { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) })
-  }
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -65,4 +65,22 @@ object Events {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"))
   }
+
+  /** Per-user session rollup: session count, total events, exact
+    * median and max session duration in integer microseconds. Uses
+    * Spark's EXACT `percentile` aggregate (not percentile_approx):
+    * its even-count interpolation `(a+b)/2` over exact integer inputs
+    * is the same correctly-rounded double DuckDB's `median`
+    * (quantile_cont) produces, so the rollup stays oracle-checkable.
+    * Reuses the sessionize shuffle; adds one groupBy on user_id.
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .withColumn("dur_us", unix_micros(col("session_end")) -
+        unix_micros(col("session_start")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        expr("percentile(dur_us, 0.5)").as("median_dur_us"),
+        max(col("dur_us")).as("max_dur_us"))
 }

@@ -83,6 +83,20 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("sessionStats: exact median interpolates even-count durations") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // user 1: two sessions of 2 min and 5 min -> median 3.5 min
+    val ev = Seq(
+      (1L, t(0), 1L), (1L, t(2), 2L),
+      (1L, t(50), 3L), (1L, t(55), 4L)).toDF("user_id", "ts", "event_id")
+    val got = Events.sessionStats(ev)
+      .select("user_id", "n_sessions", "n_events", "median_dur_us",
+        "max_dur_us")
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    assert(got == ((1L, 2L, 4L, 3.5 * 60e6, 5L * 60000000L)))
+  }
+
   test("stateless pipe: streaming quality filter equals the batch run") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

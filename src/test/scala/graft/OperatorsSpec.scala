@@ -110,6 +110,22 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, None)))       // key absent on right
   }
 
+  test("GraftExtensions injects SQL functions at session construction") {
+    import spark.implicits._
+    // newSession drops temp-function registrations but keeps the
+    // session extensions — resolving here proves the injection path,
+    // not a leftover registerSql call from another suite
+    val fresh = spark.newSession()
+    val viaExt = fresh.sql("SELECT sdbm_hash(0, 'abc') AS h")
+      .as[Long].collect().head
+    val viaApi = Seq("abc").toDF("s")
+      .select(graft.functions.sdbm_hash(lit(0L), col("s")))
+      .as[Long].collect().head
+    assert(viaExt == viaApi)
+    assert(fresh.sql("SELECT char_ngrams('abcd', 3) AS g")
+      .as[Seq[String]].collect().head == Seq("abc", "bcd"))
+  }
+
   test("profile: one row per column with null/distinct/minmax stats") {
     import spark.implicits._
     import graft.operators.Profile
