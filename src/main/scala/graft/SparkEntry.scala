@@ -810,6 +810,28 @@ object SparkEntry {
       back.orderBy(col("doc_id"))
     }),
 
+    "csv_roundtrip" -> ((s, dir) => {
+      // same contract proof as jsonl_roundtrip for the CSV dialect:
+      // sink → explicit-schema source → driver hashes vs parquet truth
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "source", "text")
+      val schema = org.apache.spark.sql.types.StructType(
+        cols.map(n => docs.schema(n)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-csv-rt").toFile
+      val back =
+        try {
+          CsvIO.writeShards(docs.repartition(4), cols, tmp.toString)
+          CsvIO.read(s, tmp.toString, schema).localCheckpoint()
+        } finally {
+          def rec(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
+          }
+          rec(tmp)
+        }
+      back.orderBy(col("doc_id"))
+    }),
+
     // ---- SQL text-query surface over registered graft functions ----
     "q_sql_functions" -> ((s, dir) => {
       graft.functions.registerSql(s)
@@ -1505,6 +1527,8 @@ object SparkEntry {
                ELSE '"' || ${jsonEscSql("text")} || '"' END || '}' AS line
       FROM documents ORDER BY doc_id NULLS FIRST""",
     "jsonl_roundtrip" -> """
+      SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+    "csv_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,
