@@ -496,6 +496,20 @@ object SparkEntry {
       Profile.heavyHitters(t(s, dir, "events"), "user_id")
         .orderBy(col("n_rows").desc, col("value"))
     }),
+    "profile_fk_orphans" -> ((s, dir) => {
+      // the TPC-H fixture has full integrity, so the audit's positive
+      // path is staged by dropping every 10th customer from the
+      // parent side — those customers' orders must surface as orphans
+      Profile.fkOrphans(t(s, dir, "orders"),
+        t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0),
+        "o_custkey", "c_custkey")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "text_chunks" -> ((s, dir) => {
+      TextStats.chunk(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -1304,6 +1318,19 @@ object SparkEntry {
     "profile_heavy_hitters" -> """
       SELECT CAST(user_id AS VARCHAR) AS value, count(*) AS n_rows
       FROM events GROUP BY 1 ORDER BY n_rows DESC, value LIMIT 10""",
+    "profile_fk_orphans" -> """
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey NOT IN
+        (SELECT c_custkey FROM customer WHERE c_custkey % 10 <> 0)
+      ORDER BY o_orderkey""",
+    "text_chunks" -> """
+      WITH c AS (SELECT doc_id, text,
+          greatest(1, (length(text) - 50 + 149) // 150) AS n_chunks
+        FROM documents)
+      SELECT doc_id, i AS chunk_id,
+             substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+      FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+      ORDER BY doc_id, chunk_id""",
     "text_keywords" -> """
       WITH t AS (SELECT doc_id, w AS term
                  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)

@@ -61,6 +61,18 @@ object Profile {
       .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
   }
 
+  /** Referential-integrity audit: child rows whose key has no match
+    * in the parent — the orphan check run after any join-dependent
+    * corpus assembly. One left_anti shuffle on the key; the parent
+    * side collapses to its distinct key column first (at 100 TB the
+    * parent's payload never moves, and a small parent broadcasts
+    * under AQE).
+    */
+  def fkOrphans(child: DataFrame, parent: DataFrame, childKey: String,
+      parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
   /** Heavy hitters: the k most frequent values of a column — the
     * skew diagnosis run before keying a join or window on it. One
     * map-side-combinable count + a TakeOrdered top-k (no global

@@ -143,6 +143,33 @@ object TextStats {
       repRatio(txt, n).as("rep_ratio"))
   }
 
+  /** Overlapping character-window chunking — the RAG/embedding prep
+    * stage: stride = size − overlap; chunk i covers
+    * `[i·stride, i·stride + size)`; the chunk count
+    * `max(1, ceil((len − overlap)/stride))` covers the tail and
+    * yields exactly one (possibly empty) chunk for short docs. Pure
+    * explode of a bounded sequence + substring — a narrow map stage
+    * whose fan-out is len/stride, no shuffle.
+    *
+    * (The ceil numerator can go negative for degenerate
+    * overlap > size/2 inputs where trunc-vs-floor division differs
+    * across engines — harmless, the max(1, …) clamp absorbs it.)
+    */
+  def chunk(docs: DataFrame, size: Int = 200, overlap: Int = 50): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    val len = length(col("text"))
+    val nChunks = greatest(lit(1L),
+      ((len - overlap + (stride - 1)) / stride).cast("long"))
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        col("text").substr((col("chunk_id") * stride + 1).cast("int"),
+          lit(size)).as("chunk"))
+  }
+
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
     * text — reuses the engine's own F6 hash as a rolling content hash.
     */

@@ -157,6 +157,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(const == Seq((0L, 5L, 6L, 3L))) // zero range -> width 1
   }
 
+  test("fk orphans surfaces child rows without a parent key") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val child = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "pid")
+    val parent = Seq((10L, "a"), (30L, "c")).toDF("pk", "name")
+    val got = Profile.fkOrphans(child, parent, "pid", "pk")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
   test("heavy hitters orders by count then value, capped at k") {
     import spark.implicits._
     import graft.operators.Profile

@@ -87,6 +87,22 @@ class TextStatsSpec extends AnyFunSuite {
       assert(d <= t && math.abs(r - (1.0 - d.toDouble / t)) < 1e-15)
   }
 
+  test("chunk: overlapping windows cover the text, short docs one chunk") {
+    import spark.implicits._
+    val text = ('a' to 'z').mkString // 26 chars
+    val df = Seq((1L, text), (2L, "tiny"), (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.chunk(df, size = 10, overlap = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // stride 6, ceil((26-4)/6) = 4 chunks at offsets 0/6/12/18
+    assert(got == Seq(
+      (1L, 0L, "abcdefghij"), (1L, 1L, "ghijklmnop"),
+      (1L, 2L, "mnopqrstuv"), (1L, 3L, "stuvwxyz"),
+      (2L, 0L, "tiny"), (3L, 0L, "")))
+    // consecutive chunks overlap by exactly `overlap` characters
+    assert(got(0)._3.takeRight(4) == got(1)._3.take(4))
+  }
+
   test("tfidfKeywords ranks rare repeated terms above ubiquitous ones") {
     import spark.implicits._
     val df = Seq(
