@@ -77,6 +77,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(buckets.forall(b => b >= 0 && b < 100))
   }
 
+  test("round-5 operators are total on empty input") {
+    import spark.implicits._
+    import graft.operators.{Profile, RangeJoin, Scrub, TextStats}
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Scrub.redact(docs).count() == 0)
+    assert(Scrub.summary(docs.withColumnRenamed("doc_id", "source")
+      .select(col("source").cast("string"), col("text"))).count() == 0)
+    assert(Scrub.pseudonymize(docs, Seq("doc_id")).count() == 0)
+    assert(TextStats.qualityFilter(docs).count() == 0)
+    assert(TextStats.tfidfKeywords(docs).count() == 0)
+    assert(TextStats.chunk(docs).count() == 0)
+    assert(Sampling.packSequences(docs, TextStats.nTokens(col("text")),
+      512).count() == 0)
+    assert(Sampling.packedText(docs, TextStats.nTokens(col("text")),
+      512).count() == 0)
+    assert(Dedup.incremental(docs, docs).count() == 0)
+    val ev = Seq.empty[(Long, java.sql.Timestamp, Long)]
+      .toDF("user_id", "ts", "event_id")
+    val iv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("user_id", "session_start", "session_end")
+    assert(RangeJoin.pointInInterval(ev, iv, Seq("user_id")).count() == 0)
+    assert(graft.operators.Events.sessionStats(ev).count() == 0)
+    assert(Profile.table(docs).count() == 2)     // one row per column
+    assert(Profile.histogram(docs, "doc_id").count() == 0)
+    assert(Profile.heavyHitters(docs, "text").count() == 0)
+    assert(Profile.fkOrphans(docs, docs, "doc_id", "doc_id").count() == 0)
+  }
+
   test("strict-parity paths are total on empty input") {
     import spark.implicits._
     import graft.operators.DocId
