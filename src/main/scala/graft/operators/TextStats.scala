@@ -233,7 +233,8 @@ object TextStats {
   def qualityFilter(docs: DataFrame, minTokens: Long = 20,
       maxTokens: Long = 90, maxRep: Double = 0.04,
       minQuality: Double = 0.5,
-      allowedLangs: Seq[String] = Seq("en")): DataFrame = {
+      allowedLangs: Seq[String] = Seq("en"),
+      extraCols: Seq[String] = Nil): DataFrame = {
     val txt = col("text")
     val nt = nTokens(txt)
     val rr = repRatio(txt)
@@ -245,8 +246,9 @@ object TextStats {
       .when(rr > maxRep, "repetitive")
       .when(q < minQuality, "low_quality")
       .otherwise("ok")
-    docs.select(col("doc_id"), nt.as("n_tokens"), rr.as("rep_ratio"),
+    docs.select(col("doc_id") +: extraCols.map(col) ++: Seq(
+      nt.as("n_tokens"), rr.as("rep_ratio"),
       q.as("quality"), pl.as("pred_lang"),
-      (reason === "ok").as("keep"), reason.as("reason"))
+      (reason === "ok").as("keep"), reason.as("reason")): _*)
   }
 }

@@ -1,0 +1,100 @@
+package graft.tools
+
+import graft.operators.{JsonlExport, Sampling, Scrub, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data hygiene pipeline — the composed run a
+  * corpus team actually launches, wired from the engine's own
+  * operators:
+  *
+  *   scrub (PII redaction) → quality filter (keep 'ok') →
+  *   exact dedup on the content fingerprint (first id wins) →
+  *   deterministic train/val/test hash split → sharded JSONL per
+  *   split + a one-line JSON stats report per stage.
+  *
+  * Plan shape: scrub + quality + fingerprint are ONE fused narrow
+  * projection pass (no joins between stages — the filter chain
+  * composes as column expressions); dedup adds a single
+  * fingerprint-keyed shuffle; the split is a pushable filter; each
+  * JSONL write is embarrassingly parallel. Stage counts are collected
+  * from one cached frame so the report doesn't re-run the pipeline
+  * per metric.
+  *
+  * Usage: Corpus <sfDir> <outDir> [shards=4]
+  */
+object Corpus {
+
+  final case class Report(input: Long, scrubbedHits: Long, kept: Long,
+      deduped: Long, train: Long, valN: Long, test: Long) {
+    def json: String =
+      s"""{"input":$input,"docs_with_pii":$scrubbedHits,""" +
+        s""""kept_after_quality":$kept,"after_dedup":$deduped,""" +
+        s""""train":$train,"val":$valN,"test":$test}"""
+  }
+
+  /** Run the pipeline; returns the per-stage report. `docs` needs
+    * (doc_id, source, text).
+    */
+  def run(spark: SparkSession, docs: DataFrame, outDir: String,
+      shards: Int = 4): Report = {
+    // stage 1+2 fused: redact, then score the REDACTED text (quality
+    // judged on what survives scrubbing) — one narrow projection end
+    // to end, no join between the stages
+    val redacted = Scrub.redact(docs, keyCols = Seq("doc_id", "source"))
+    val hitCols = Scrub.DefaultRules.map(r => col(s"n_${r.name}"))
+    val scored = TextStats.qualityFilter(
+      redacted.select(col("doc_id"), col("source"),
+        hitCols.reduce(_ + _).as("n_pii"),
+        col("redacted").as("text")),
+      extraCols = Seq("source", "text", "n_pii"))
+    val cached = scored.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val input = cached.count()
+      val piiDocs = cached.filter(col("n_pii") > 0).count()
+      val kept = cached.filter(col("keep"))
+      val keptN = kept.count()
+      // stage 3: exact content dedup, first doc_id wins (the
+      // within-batch half of Dedup.incremental — no prior corpus)
+      val winners = TextStats.fingerprint(kept.select("doc_id", "text"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = kept.join(winners.select("doc_id"), "doc_id")
+      // stage 4: deterministic split + stage 5: JSONL per split
+      val split = Sampling.hashSplit(deduped)
+        .select(col("doc_id"), col("source"), col("split"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val counts = split.groupBy("split").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        for (s <- Seq("train", "val", "test")) {
+          JsonlExport.writeShards(
+            split.filter(col("split") === s).repartition(shards),
+            Seq("doc_id", "source", "text"), s"$outDir/$s")
+        }
+        Report(input, piiDocs, keptN,
+          counts.values.sum,
+          counts.getOrElse("train", 0L), counts.getOrElse("val", 0L),
+          counts.getOrElse("test", 0L))
+      } finally split.unpersist()
+    } finally cached.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Corpus <sfDir> <outDir> [shards=4]")
+      sys.exit(2)
+    }
+    val Array(sfDir, outDir) = args.take(2)
+    val shards = args.lift(2).map(_.toInt).getOrElse(4)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.Sessions.builder("graft-corpus", s"local[$cpus]", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      println(run(spark, docs, outDir, shards).json)
+    } finally spark.stop()
+  }
+}
