@@ -510,6 +510,10 @@ object SparkEntry {
       TextStats.chunk(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+    "text_chunks_tokens" -> ((s, dir) => {
+      TextStats.chunkTokens(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -1329,6 +1333,16 @@ object SparkEntry {
         FROM documents)
       SELECT doc_id, i AS chunk_id,
              substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+      FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+      ORDER BY doc_id, chunk_id""",
+    "text_chunks_tokens" -> """
+      WITH c AS (SELECT doc_id, str_split(text, ' ') AS w,
+          greatest(1, (len(str_split(text, ' ')) - 10 + 29) // 30)
+            AS n_chunks
+        FROM documents)
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(w[CAST(i * 30 + 1 AS INT) :
+                               CAST(i * 30 + 40 AS INT)], ' ') AS chunk
       FROM c, UNNEST(range(0, n_chunks)) AS t(i)
       ORDER BY doc_id, chunk_id""",
     "text_keywords" -> """

@@ -170,6 +170,31 @@ object TextStats {
           lit(size)).as("chunk"))
   }
 
+  /** Token-boundary chunking twin of [[chunk]]: windows of `size`
+    * whitespace tokens with `overlap` tokens shared between
+    * neighbors — the variant embedding pipelines prefer, since a
+    * character window can split a word. Same bounded-explode shape
+    * (slice over the split array), same tail-covering chunk count.
+    */
+  def chunkTokens(docs: DataFrame, size: Int = 40,
+      overlap: Int = 10): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val stride = size - overlap
+    val words = split(col("text"), " ")
+    // `size` the param shadows functions.size — qualify the latter
+    val nWords = org.apache.spark.sql.functions.size(words)
+    val nChunks = greatest(lit(1L),
+      ((nWords - overlap + (stride - 1)) / stride).cast("long"))
+    docs
+      .select(col("doc_id"), words.as("_w"),
+        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("_w"),
+          (col("chunk_id") * stride + 1).cast("int"), lit(size)), " ")
+          .as("chunk"))
+  }
+
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
     * text — reuses the engine's own F6 hash as a rolling content hash.
     */

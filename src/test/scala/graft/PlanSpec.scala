@@ -92,6 +92,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one hash shuffle (the stratum window):\n$p")
   }
 
+  test("sequence packing shuffles once, on the shard window") {
+    val p = plan("sample_packed")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one hash shuffle (the per-shard window):\n$p")
+  }
+
+  test("chunking is a narrow explode — no hash shuffle") {
+    val p = plan("text_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle in chunking:\n$p")
+    assert(readSchema(p).contains("text"), p)
+  }
+
   test("range join stays an equi-join — no nested-loop fallback") {
     // the bucket quantization must turn interval containment into an
     // equi-join on (keys, bucket); an inequality-only join would plan

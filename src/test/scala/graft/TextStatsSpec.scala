@@ -103,6 +103,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(0)._3.takeRight(4) == got(1)._3.take(4))
   }
 
+  test("chunkTokens windows on token boundaries with token overlap") {
+    import spark.implicits._
+    val words = (1 to 12).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" ")), (2L, "just three words"))
+      .toDF("doc_id", "text")
+    val got = TextStats.chunkTokens(df, size = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // stride 3, ceil((12-2)/3) = 4 chunks at word offsets 0/3/6/9
+    assert(got == Seq(
+      (1L, 0L, "w1 w2 w3 w4 w5"), (1L, 1L, "w4 w5 w6 w7 w8"),
+      (1L, 2L, "w7 w8 w9 w10 w11"), (1L, 3L, "w10 w11 w12"),
+      (2L, 0L, "just three words")))
+    // words are never split: every chunk is a subsequence of tokens
+    assert(got.forall { case (_, _, c) =>
+      c.split(" ").forall(w => (words :+ "just" :+ "three" :+ "words")
+        .contains(w)) })
+  }
+
   test("tfidfKeywords ranks rare repeated terms above ubiquitous ones") {
     import spark.implicits._
     val df = Seq(
