@@ -514,6 +514,20 @@ object SparkEntry {
       TextStats.chunkTokens(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+    "text_diversity" -> ((s, dir) => {
+      TextStats.charDiversity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    "text_vocab" -> ((s, dir) => {
+      // corpus-level token frequency table (tokenizer-training prep):
+      // the Profile heavy-hitter op composed over exploded tokens
+      Profile.heavyHitters(
+        t(s, dir, "documents").select(
+          explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w") =!= ""),
+        "w", k = 100)
+        .orderBy(col("n_rows").desc, col("value"))
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -1345,6 +1359,27 @@ object SparkEntry {
                                CAST(i * 30 + 40 AS INT)], ' ') AS chunk
       FROM c, UNNEST(range(0, n_chunks)) AS t(i)
       ORDER BY doc_id, chunk_id""",
+    "text_diversity" -> """
+      WITH ch AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+                  FROM documents,
+                       UNNEST(range(1, length(text) + 1)) AS t(i)),
+      cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+      agg AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS collision_num,
+                     CAST(sum(c) AS BIGINT) AS n
+              FROM cc GROUP BY 1)
+      SELECT d.doc_id, coalesce(n, 0) AS n_chars_d,
+             coalesce(collision_num, 0) AS collision_num,
+             CASE WHEN coalesce(n, 0) = 0 THEN 0.0
+                  ELSE CAST(collision_num AS DOUBLE) / (n * n)
+                  END AS collision
+      FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+    "text_vocab" -> """
+      SELECT w AS value, count(*) AS n_rows
+      FROM (SELECT w
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+            WHERE w <> '')
+      GROUP BY w ORDER BY n_rows DESC, value LIMIT 100""",
     "text_keywords" -> """
       WITH t AS (SELECT doc_id, w AS term
                  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)

@@ -195,6 +195,32 @@ object TextStats {
           .as("chunk"))
   }
 
+  /** Character-diversity signal via the Simpson index: the collision
+    * probability that two random character positions hold the same
+    * character, `Σ cᵢ² / n²`. Degenerate/repetitive text scores high,
+    * varied prose low — an entropy-style quality signal WITHOUT
+    * `log`, whose cross-engine last-ulp variance would break oracle
+    * verification; the exact integer Σcᵢ² plus one double division is
+    * bit-identical everywhere. Char counts partial-aggregate
+    * map-side; the left join keeps empty documents (collision 0).
+    * Output: (doc_id, n_chars_d, collision_num, collision).
+    */
+  def charDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("c")).as("sum_sq"), sum(col("c")).as("n"))
+    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars_d"),
+        coalesce(col("sum_sq"), lit(0L)).as("collision_num"),
+        when(coalesce(col("n"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("sum_sq").cast("double") /
+            (col("n") * col("n")).cast("double")).as("collision"))
+  }
+
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase
     * text — reuses the engine's own F6 hash as a rolling content hash.
     */

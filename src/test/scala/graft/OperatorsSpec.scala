@@ -198,6 +198,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(100L, 101L, 102L))
   }
 
+  test("range join equals the brute-force inequality join on random " +
+      "data (seeded)") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(42)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val dayUs = 86400L * 1000000L
+    val points = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextLong(10 * dayUs)), i.toLong)
+    }.toDF("user_id", "ts", "event_id")
+    val intervals = (1 to 60).map { i =>
+      val start = rnd.nextLong(10 * dayUs)
+      (rnd.nextInt(5).toLong, ts(start),
+        ts(start + rnd.nextLong(2 * dayUs)), i.toLong)
+    }.toDF("user_id", "session_start", "session_end", "iv_id")
+    val bucketed = RangeJoin.pointInInterval(points, intervals,
+      Seq("user_id"))
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    val brute = points.as("p").join(intervals.as("iv"),
+      col("p.user_id") === col("iv.user_id") &&
+        col("p.ts") >= col("iv.session_start") &&
+        col("p.ts") <= col("iv.session_end"))
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("frame sampling fans out bounded rows per document") {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")

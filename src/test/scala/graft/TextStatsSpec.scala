@@ -103,6 +103,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(0)._3.takeRight(4) == got(1)._3.take(4))
   }
 
+  test("charDiversity: repetitive text collides, varied text doesn't, " +
+      "empty is zero") {
+    import spark.implicits._
+    val df = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.charDiversity(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 64L, 1.0),     // one char: certain collision
+      (2L, 8L, 8L, 0.125),    // all distinct: 1/n
+      (3L, 0L, 0L, 0.0)))     // empty: defined as zero
+  }
+
   test("chunkTokens windows on token boundaries with token overlap") {
     import spark.implicits._
     val words = (1 to 12).map(i => s"w$i")
