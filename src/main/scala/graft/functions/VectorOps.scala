@@ -113,6 +113,28 @@ object VectorOps {
     * Unicode CODE POINTS (Spark's `substr` counts code points, not
     * UTF-16 units), so both formulations agree on multi-byte text.
     */
+  /** Σ count(c)² over the string's code points — the Simpson-index
+    * collision numerator in ONE pass per string. The alternative
+    * (explode each character into a row, two groupBy shuffles) moves
+    * a row per character through the shuffle — at corpus scale that
+    * is the data itself, exploded. Called from codegen.
+    */
+  def charCollision(s: UTF8String): Long = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Integer]()
+    var idx = 0
+    while (idx < str.length) {
+      val cp = str.codePointAt(idx)
+      idx += Character.charCount(cp)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+    }
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next().toLong; sum += c * c }
+    sum
+  }
+
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
     val len = str.length
@@ -333,6 +355,24 @@ case class SortedSharedCountExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SortedSharedCountExpr =
     copy(left = l, right = r)
+}
+
+/** `char_collision(string) → long` — Σ count(c)² over code points
+  * (Simpson-index numerator), codegen'd single pass.
+  */
+case class CharCollisionExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_collision expects string, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_collision"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.charCollision(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.charCollision($c)")
+  override protected def withNewChildInternal(c: Expression): CharCollisionExpr =
+    copy(child = c)
 }
 
 /** `sign_lsh(array<double>, nPlanes[, planeOffset]) → long` —

@@ -48,6 +48,10 @@ package object functions {
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgramsExpr(Bridge.expression(c.cast("string")), n))
 
+  /** Simpson-index collision numerator Σ count(cp)² (codegen'd). */
+  def char_collision(c: Column): Column =
+    Bridge.column(CharCollisionExpr(Bridge.expression(c.cast("string"))))
+
   /** Sign-random-projection LSH bucket id of an array<double>;
     * `planeOffset` selects an independent LSH table's planes.
     */
@@ -93,7 +97,8 @@ package object functions {
       case Seq(v, p, o) =>
         SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
     },
-    "char_ngrams" -> { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) })
+    "char_ngrams" -> { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) },
+    "char_collision" -> { case Seq(c) => CharCollisionExpr(c) })
 
   /** Register graft's expressions as SQL functions on a session, so
     * `spark.sql` text queries can call them: sdbm_hash(seed, s),

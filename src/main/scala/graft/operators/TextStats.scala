@@ -201,24 +201,24 @@ object TextStats {
     * varied prose low — an entropy-style quality signal WITHOUT
     * `log`, whose cross-engine last-ulp variance would break oracle
     * verification; the exact integer Σcᵢ² plus one double division is
-    * bit-identical everywhere. Char counts partial-aggregate
-    * map-side; the left join keeps empty documents (collision 0).
-    * Output: (doc_id, n_chars_d, collision_num, collision).
+    * bit-identical everywhere.
+    *
+    * One narrow codegen'd projection: the Σcᵢ² numerator comes from
+    * the [[graft.functions.char_collision]] kernel (single pass per
+    * string), and n is `length` — both count CODE POINTS, so they
+    * agree on any text. The obvious alternative — explode each
+    * character into a row and groupBy twice — would shuffle a row per
+    * character of the corpus; at 100 TB that is the corpus itself,
+    * exploded. Output: (doc_id, n_chars_d, collision_num, collision).
     */
   def charDiversity(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c") * col("c")).as("sum_sq"), sum(col("c")).as("n"))
-    docs.select(col("doc_id")).join(counts, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n"), lit(0L)).as("n_chars_d"),
-        coalesce(col("sum_sq"), lit(0L)).as("collision_num"),
-        when(coalesce(col("n"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(col("sum_sq").cast("double") /
-            (col("n") * col("n")).cast("double")).as("collision"))
+    val n = coalesce(length(col("text")).cast("long"), lit(0L))
+    val num = coalesce(graft.functions.char_collision(col("text")), lit(0L))
+    docs.select(col("doc_id"), n.as("n_chars_d"),
+      num.as("collision_num"),
+      when(n === 0L, lit(0.0))
+        .otherwise(num.cast("double") / (n * n).cast("double"))
+        .as("collision"))
   }
 
   /** Content fingerprint: sdbm hash of whitespace-normalized lowercase

@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("char diversity is a narrow codegen'd projection, not an " +
+      "explode-and-shuffle") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.operators.TextStats.charDiversity(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Generate"), s"unexpected explode:\n$p")
+    assert(p.contains("*(1)"), p)
+  }
+
   test("scrub pass is one shuffle-free codegen'd projection") {
     // a 100 TB scrub must be a single map stage: chained regexp
     // count+replace expressions, no exchange, inside whole-stage

@@ -116,6 +116,33 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 0L, 0L, 0.0)))     // empty: defined as zero
   }
 
+  test("char_collision kernel matches a brute-force code-point count " +
+      "(seeded unicode property run)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // valid-unicode generator: ascii, latin-1, CJK, and astral chars
+    def randString(): String = {
+      val cps = (0 until rnd.nextInt(60)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => 'a' + rnd.nextInt(26)
+          case 1 => 0xC0 + rnd.nextInt(0x100)
+          case 2 => 0x4E00 + rnd.nextInt(0x100)
+          case _ => 0x1F600 + rnd.nextInt(0x50) // astral (surrogate pair)
+        }
+      }
+      cps.foldLeft(new java.lang.StringBuilder)(
+        (b, cp) => b.appendCodePoint(cp)).toString
+    }
+    def brute(s: String): Long =
+      s.codePoints().toArray.groupBy(identity).values
+        .map(g => g.length.toLong * g.length).sum
+    val cases = (0 until 200).map(i => (i.toLong, randString()))
+    val got = cases.toDF("id", "s")
+      .select(col("id"), graft.functions.char_collision(col("s")).as("c"))
+      .as[(Long, Long)].collect().toMap
+    for ((id, s) <- cases) assert(got(id) == brute(s), s"case $id: '$s'")
+  }
+
   test("chunkTokens windows on token boundaries with token overlap") {
     import spark.implicits._
     val words = (1 to 12).map(i => s"w$i")
