@@ -139,6 +139,12 @@ object SparkEntry {
            FROM $src)"""
     }.mkString(",\n      ")
 
+  /** Recursive temp-dir cleanup for the sink round-trip queries. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's README example (`SELECT content, title, url, pos FROM
     * test.Pages` with `-keys url,pos`) reshaped onto the documents fixture:
@@ -833,12 +839,7 @@ object SparkEntry {
           JsonlExport.writeShards(docs.repartition(4), cols, tmp.toString)
           // materialize before the shards are deleted
           JsonlSource.read(s, tmp.toString, schema).localCheckpoint()
-        } finally {
-          def rec(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-          }
-          rec(tmp)
-        }
+        } finally deleteRecursively(tmp)
       back.orderBy(col("doc_id"))
     }),
 
@@ -855,12 +856,7 @@ object SparkEntry {
         try {
           CsvIO.writeShards(docs.repartition(4), cols, tmp.toString)
           CsvIO.read(s, tmp.toString, schema).localCheckpoint()
-        } finally {
-          def rec(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-          }
-          rec(tmp)
-        }
+        } finally deleteRecursively(tmp)
       back.orderBy(col("doc_id"))
     }),
 

@@ -14,10 +14,11 @@ import org.apache.spark.sql.types.StructType
   *
   *   - header line, `,` delimiter, `"` quote, `""` quote-escape
   *     (escape char = quote char — RFC 4180, not backslash);
-  *   - nulls unquoted-empty, empty STRINGS quoted-empty (`""`) — the
-  *     one place the dialect must take a stance, since vanilla CSV
-  *     cannot distinguish the two;
-  *   - timestamps at second precision in UTC (`yyyy-MM-dd HH:mm:ss`).
+  *   - nulls as unquoted `\N` (Hive/MySQL convention), empty STRINGS
+  *     quoted-empty (`""`) — the one place the dialect must take a
+  *     stance, since vanilla CSV cannot distinguish the two;
+  *   - timestamps at microsecond precision in UTC
+  *     (`yyyy-MM-dd HH:mm:ss.SSSSSS`).
   *
   * Both halves are Spark's built-in distributed csv scan/sink (one
   * task per shard, no driver funnel); the wrapper only pins the
@@ -37,12 +38,15 @@ object CsvIO {
   // string "\N" is thereby reserved (it would be written unquoted and
   // re-read as null) — acceptable for a corpus interchange dialect,
   // and documented here.
+  // timestampFormat carries microseconds: a second-precision pin
+  // would silently truncate sub-second timestamps on write and break
+  // the round-trip contract for any event-time column
   private val dialect: Map[String, String] = Map(
     "header" -> "true",
     "quote" -> "\"",
     "escape" -> "\"",
     "nullValue" -> "\\N",
-    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss")
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   private val readOnlyOpts: Map[String, String] = Map(
     "multiLine" -> "true")
@@ -74,7 +78,12 @@ object CsvIO {
     pin(spark.read.option("mode", "FAILFAST").schema(schema)).csv(dir)
 
   /** Permissive read with a `_corrupt` quarantine column (raw line
-    * where parsing failed, null for good lines).
+    * where parsing failed, null for good lines). The parse is CACHED
+    * before returning: Spark refuses queries that reference only the
+    * corrupt column of a raw csv scan (the quarantine flow's first
+    * move — `filter($"_corrupt".isNotNull)`), and the documented
+    * workaround is materializing the parse first. Ingest batches are
+    * the bounded input here; call `.unpersist()` when done.
     */
   def readWithCorrupt(spark: SparkSession, dir: String,
       schema: StructType): DataFrame = {
@@ -87,5 +96,6 @@ object CsvIO {
         org.apache.spark.sql.types.StructField("_corrupt",
           org.apache.spark.sql.types.StringType))))
       .csv(dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 }

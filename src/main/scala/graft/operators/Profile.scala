@@ -21,7 +21,14 @@ object Profile {
 
   def table(df: DataFrame, cols: Seq[String] = Seq.empty,
       approxDistinct: Boolean = false): DataFrame = {
-    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    // default-profiling a heterogeneous table must not die on a map
+    // column (min/max/count_distinct need an ordering maps lack) —
+    // skip unorderable columns unless the caller names them explicitly
+    val cs =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.filter(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType)).map(_.name).toSeq
     val aggs = count(lit(1)).as("_n") +: cs.flatMap(c => Seq(
       count(col(c)).as(s"_nn_$c"),
       (if (approxDistinct) approx_count_distinct(col(c))
@@ -40,9 +47,15 @@ object Profile {
   /** Equi-width histogram of an integral column in exact integer
     * arithmetic: bin i covers `[lo + i·w, lo + (i+1)·w)` with
     * `w = ceil(range / nBins)`, so every value lands in
-    * `[0, nBins)` and bin edges are reproducible on any engine (no
-    * floating-point bin math). Two aggregations, one scan each: the
-    * (min, max) frame joins back as a single broadcastable row.
+    * `[0, nBins)` and bin edges are reproducible on any engine. All
+    * divisions go through SQL's integral `div` — double division
+    * would round before truncation and shift bin boundaries once the
+    * range passes 2⁵³. (Remaining documented corner: a column
+    * spanning more than half the int64 range makes `hi - lo` itself
+    * overflow under ANSI mode and the job fails loud — profiling a
+    * near-full-range id space needs a coarser pre-bucketing pass.)
+    * Two aggregations, one scan each: the (min, max) frame joins back
+    * as a single broadcastable row.
     * Output: (bin, lo, hi, n_rows) for non-empty bins.
     */
   def histogram(df: DataFrame, c: String, nBins: Int = 10): DataFrame = {
@@ -50,9 +63,12 @@ object Profile {
     val bounds = df.agg(min(col(c)).cast("long").as("_lo"),
       max(col(c)).cast("long").as("_hi"))
     val width = greatest(
-      (col("_hi") - col("_lo") + nBins) / nBins, lit(1L)).cast("long")
+      call_function("div", col("_hi") - col("_lo") + nBins, lit(nBins.toLong)),
+      lit(1L))
     df.select(col(c)).crossJoin(bounds)
-      .select(((col(c) - col("_lo")) / width).cast("long").as("bin"),
+      .select(
+        call_function("div", col(c).cast("long") - col("_lo"), width)
+          .as("bin"),
         col("_lo"), width.as("_w"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_rows"),

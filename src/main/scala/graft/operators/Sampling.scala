@@ -136,19 +136,31 @@ object Sampling {
     * One shuffle total (the per-shard window); everything else is the
     * narrow codegen'd token count.
     */
-  def packSequences(docs: DataFrame, tokensCol: Column, budget: Long,
-      nShards: Int = 10, idCol: String = "doc_id"): DataFrame = {
+  /** Shared packing prelude for [[packSequences]]/[[packedText]]: the
+    * (shard, n_tokens, cum, bin) assignment — ONE definition so the
+    * metadata and materialized-text views of the same sequences can
+    * never drift apart. `extraCols` pass through untouched.
+    */
+  private def packed(docs: DataFrame, tokensCol: Column, budget: Long,
+      nShards: Int, idCol: String, extraCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(nShards > 0 && 100 % nShards == 0,
       "nShards must divide the 100-bucket space for uniform shards")
     val shard = (bucket(col(idCol)) % nShards).cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val startTok = col("cum") - col("n_tokens")
-    docs.select(col(idCol), shard.as("shard"), tokensCol.as("n_tokens"))
+    docs.select(col(idCol) +: extraCols.map(col) ++: Seq(
+        shard.as("shard"), tokensCol.as("n_tokens")): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
-      .select(col(idCol), col("shard"), col("n_tokens"),
-        (startTok / budget).cast("long").as("bin"),
+      .withColumn("bin",
+        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+  }
+
+  def packSequences(docs: DataFrame, tokensCol: Column, budget: Long,
+      nShards: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    val startTok = col("cum") - col("n_tokens")
+    packed(docs, tokensCol, budget, nShards, idCol, Nil)
+      .select(col(idCol), col("shard"), col("n_tokens"), col("bin"),
         pmod(startTok, lit(budget)).as("offset"))
   }
 
@@ -162,23 +174,12 @@ object Sampling {
     */
   def packedText(docs: DataFrame, tokensCol: Column, budget: Long,
       nShards: Int = 10, idCol: String = "doc_id",
-      textCol: String = "text", sep: String = " "): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    require(nShards > 0 && 100 % nShards == 0,
-      "nShards must divide the 100-bucket space for uniform shards")
-    val shard = (bucket(col(idCol)) % nShards).cast("long")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col(idCol), shard.as("shard"), tokensCol.as("n_tokens"),
-        col(textCol))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin",
-        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+      textCol: String = "text", sep: String = " "): DataFrame =
+    packed(docs, tokensCol, budget, nShards, idCol, Seq(textCol))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         array_join(transform(
           array_sort(collect_list(struct(col(idCol), col(textCol)))),
           x => x.getField(textCol)), sep).as("text"))
-  }
 }

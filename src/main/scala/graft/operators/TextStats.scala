@@ -49,30 +49,31 @@ object TextStats {
     * Spark/RE2/PCRE for this pattern), stopword hits, and a composite
     * score in deterministic double arithmetic.
     */
+  // single definitions of the quality sub-signals — the diagnostic
+  // frame below and the composite score must never drift apart
+  private def nPunct(txt: Column): Column =
+    length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
+  private def stopHits(txt: Column, stopwords: Seq[String]): Column =
+    stopwords.map(w => occurrences(paddedLower(txt), s" $w ").cast("long"))
+      .reduce(_ + _)
+
   /** The composite quality score alone (see [[qualityScore]]). */
   def quality(txt: Column,
       stopwords: Seq[String] = Seq("the", "and", "of", "to")): Column = {
-    val p = paddedLower(txt)
-    val nPunct = length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
-    val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
-      .reduce(_ + _)
     // nullif guard: empty text must yield NULL (as SQL division does),
     // not NaN — doubles divide 0/0 to NaN, which would also break
     // oracle parity.
     val safeChars = nullif(length(txt).cast("long"), lit(0L)).cast("double")
-    stopHits.cast("double") * 100.0 / safeChars -
-      nPunct.cast("double") / safeChars
+    stopHits(txt, stopwords).cast("double") * 100.0 / safeChars -
+      nPunct(txt).cast("double") / safeChars
   }
 
   def qualityScore(docs: DataFrame,
       stopwords: Seq[String] = Seq("the", "and", "of", "to")): DataFrame = {
     val txt = col("text")
-    val p = paddedLower(txt)
-    val nPunct = length(regexp_replace(txt, "[a-zA-Z0-9\\s]", "")).cast("long")
-    val stopHits = stopwords.map(w => occurrences(p, s" $w ").cast("long"))
-      .reduce(_ + _)
     docs.select(col("doc_id"), length(txt).cast("long").as("n_chars_m"),
-      nPunct.as("n_punct"), stopHits.as("stop_hits"),
+      nPunct(txt).as("n_punct"),
+      stopHits(txt, stopwords).as("stop_hits"),
       quality(txt, stopwords).as("quality"))
   }
 
@@ -87,12 +88,18 @@ object TextStats {
     * fixed priority order (en > de > fr > es > unknown on ties /
     * all-zero). Purely integer comparisons → oracle-expressible.
     */
+  /** One score column per [[LangProfiles]] entry — the single
+    * definition both the diagnostic frame and the argmax use.
+    */
+  private def langScores(txt: Column): Seq[Column] =
+    LangProfiles.map { case (_, words) =>
+      words.map(w => occurrences(paddedLower(txt), s" $w ").cast("long"))
+        .reduce(_ + _)
+    }
+
   /** The predicted language alone (see [[langId]]). */
   def predLang(txt: Column): Column = {
-    val p = paddedLower(txt)
-    val scores = LangProfiles.map { case (_, words) =>
-      words.map(w => occurrences(p, s" $w ").cast("long")).reduce(_ + _)
-    }
+    val scores = langScores(txt)
     val total = scores.reduce(_ + _)
     // argmax with fixed priority: en wins ties vs de wins vs fr vs es.
     val Seq(en, de, fr, es) = scores
@@ -106,14 +113,10 @@ object TextStats {
   }
 
   def langId(docs: DataFrame): DataFrame = {
-    val p = paddedLower(col("text"))
-    val scores = LangProfiles.map { case (lang, words) =>
-      lang -> words.map(w => occurrences(p, s" $w ").cast("long")).reduce(_ + _)
-    }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    docs.select(col("doc_id"), col("lang").as("lang_label"),
-      en.as("s_en"), de.as("s_de"), fr.as("s_fr"), es.as("s_es"),
-      predLang(col("text")).as("pred_lang"))
+    val scoreCols = LangProfiles.map(_._1).zip(langScores(col("text")))
+      .map { case (lang, c) => c.as(s"s_$lang") }
+    docs.select(col("doc_id") +: col("lang").as("lang_label") +:
+      scoreCols :+ predLang(col("text")).as("pred_lang"): _*)
   }
 
   /** Within-document repetition score (Gopher-style quality signal):
@@ -124,22 +127,26 @@ object TextStats {
     * one double division keep the oracle hash-stable.
     * Output: (doc_id, n_grams, n_distinct, rep_ratio).
     */
+  // single definitions of the n-gram counts shared by the ratio and
+  // the diagnostic frame
+  private def totalGrams(txt: Column, n: Int): Column =
+    when(length(txt) < n, lit(0L))
+      .otherwise((length(txt) - (n - 1)).cast("long"))
+  private def distinctGrams(txt: Column, n: Int): Column =
+    size(Dedup.charNgrams(txt, n)).cast("long")
+
   /** The repetition ratio alone (see [[repetition]]). */
   def repRatio(txt: Column, n: Int = 10): Column = {
-    val total = when(length(txt) < n, lit(0L))
-      .otherwise((length(txt) - (n - 1)).cast("long"))
-    val distinctN = size(Dedup.charNgrams(txt, n)).cast("long")
+    val total = totalGrams(txt, n)
     when(total === 0L, lit(0.0))
-      .otherwise(lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(1.0) -
+        distinctGrams(txt, n).cast("double") / total.cast("double"))
   }
 
   def repetition(docs: DataFrame, n: Int = 10): DataFrame = {
     val txt = col("text")
-    val total = when(length(txt) < n, lit(0L))
-      .otherwise((length(txt) - (n - 1)).cast("long"))
-    val distinctN = size(Dedup.charNgrams(txt, n)).cast("long")
-    docs.select(col("doc_id"), total.as("n_grams"),
-      distinctN.as("n_distinct"),
+    docs.select(col("doc_id"), totalGrams(txt, n).as("n_grams"),
+      distinctGrams(txt, n).as("n_distinct"),
       repRatio(txt, n).as("rep_ratio"))
   }
 

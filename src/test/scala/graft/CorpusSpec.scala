@@ -31,17 +31,9 @@ class CorpusSpec extends AnyFunSuite {
       val tmp2 = java.nio.file.Files.createTempDirectory("graft-corpus2")
         .toFile
       try assert(Corpus.run(spark, docs, tmp2.toString, shards = 2) == r)
-      finally {
-        def rec(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-        }
-        rec(tmp2)
-      }
+      finally SparkTestSession.deleteRecursively(tmp2)
     } finally {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-      }
-      rec(tmp)
+      SparkTestSession.deleteRecursively(tmp)
     }
   }
 
@@ -57,10 +49,7 @@ class CorpusSpec extends AnyFunSuite {
       val r = Corpus.run(spark, docs, tmp.toString, shards = 1)
       assert(r.input == 2 && r.kept == 2 && r.deduped == 1)
     } finally {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-      }
-      rec(tmp)
+      SparkTestSession.deleteRecursively(tmp)
     }
   }
 }

@@ -20,10 +20,7 @@ class CsvSpec extends AnyFunSuite {
           StructField("s", StringType))))
         .orderBy("id").as[(Long, Option[String])].collect().toSeq
     } finally {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-      }
-      rec(tmp)
+      SparkTestSession.deleteRecursively(tmp)
     }
   }
 
@@ -43,6 +40,23 @@ class CsvSpec extends AnyFunSuite {
     assert(roundTrip(rows) == rows)
   }
 
+  test("round-trips sub-second timestamps exactly") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 12:34:56.123456")
+    val df = Seq((1L, ts)).toDF("id", "ts")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvts").toFile
+    try {
+      CsvIO.writeShards(df, Seq("id", "ts"), tmp.toString)
+      val got = CsvIO.read(spark, tmp.toString,
+        StructType(Seq(StructField("id", LongType),
+          StructField("ts", TimestampType))))
+        .as[(Long, java.sql.Timestamp)].collect().head
+      assert(got == ((1L, ts)))
+    } finally {
+      SparkTestSession.deleteRecursively(tmp)
+    }
+  }
+
   test("quarantine read captures malformed lines without failing") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-csvq").toFile
@@ -53,20 +67,19 @@ class CsvSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(
         new java.io.File(tmp, "part-bad.csv").toPath,
         "id,s\nnot_a_number,oops\n")
-      // Spark disallows querying only the corrupt column off a raw
-      // csv scan — materialize the parse first
+      // the operator caches the parse itself, so the natural
+      // quarantine flow (filtering on _corrupt alone) just works
       val got = CsvIO.readWithCorrupt(spark, tmp.toString,
         StructType(Seq(StructField("id", LongType),
-          StructField("s", StringType)))).localCheckpoint()
-      val bad = got.filter(col("_corrupt").isNotNull).count()
-      val good = got.filter(col("_corrupt").isNull &&
-        col("id") === 1L).count()
-      assert(bad == 1 && good == 1)
+          StructField("s", StringType))))
+      try {
+        val bad = got.filter(col("_corrupt").isNotNull).count()
+        val good = got.filter(col("_corrupt").isNull &&
+          col("id") === 1L).count()
+        assert(bad == 1 && good == 1)
+      } finally got.unpersist()
     } finally {
-      def rec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
-      }
-      rec(tmp)
+      SparkTestSession.deleteRecursively(tmp)
     }
   }
 }
