@@ -956,7 +956,7 @@ object SparkEntry {
   private val qualityFilterSql: String = s"""
       WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
                     FROM documents),
-      sig AS (SELECT doc_id, n_tokens, rep_ratio, quality,
+      sig AS (SELECT doc_id, null_text, n_tokens, rep_ratio, quality,
           CASE WHEN s_en + s_de + s_fr + s_es IS NULL
                  OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
@@ -964,6 +964,7 @@ object SparkEntry {
                WHEN s_fr >= s_es THEN 'fr'
                ELSE 'es' END AS pred_lang
         FROM (SELECT doc_id,
+            (text IS NULL) AS null_text,
             CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE length(text) - length(replace(text, ' ', '')) + 1
                  END AS n_tokens,
@@ -981,7 +982,8 @@ object SparkEntry {
             }.mkString(", ")}
           FROM base)),
       r AS (SELECT *,
-          CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+          CASE WHEN null_text THEN 'null_text'
+               WHEN n_tokens < 20 THEN 'too_few_tokens'
                WHEN n_tokens > 90 THEN 'too_many_tokens'
                WHEN pred_lang NOT IN ('en') THEN 'lang'
                WHEN rep_ratio > 0.04 THEN 'repetitive'

@@ -298,7 +298,11 @@ object TextStats {
     val rr = repRatio(txt)
     val q = quality(txt)
     val pl = predLang(txt)
-    val reason = when(nt < minTokens, "too_few_tokens")
+    // null text must DROP: every threshold comparison on null yields
+    // null, which skips all whens and would land in the 'ok' default
+    // — exactly backwards for a hygiene filter
+    val reason = when(txt.isNull, "null_text")
+      .when(nt < minTokens, "too_few_tokens")
       .when(nt > maxTokens, "too_many_tokens")
       .when(!pl.isin(allowedLangs: _*), "lang")
       .when(rr > maxRep, "repetitive")

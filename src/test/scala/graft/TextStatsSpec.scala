@@ -203,5 +203,11 @@ class TextStatsSpec extends AnyFunSuite {
       (1L, false, "too_few_tokens"), (2L, false, "too_many_tokens"),
       (3L, false, "lang"), (4L, false, "repetitive"),
       (5L, false, "low_quality"), (6L, true, "ok")))
+    // null text drops — without the explicit check, null comparisons
+    // would skip every threshold and keep the doc as 'ok'
+    val withNull = TextStats.qualityFilter(
+      Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .select("keep", "reason").as[(Boolean, String)].collect().head
+    assert(withNull == ((false, "null_text")))
   }
 }
