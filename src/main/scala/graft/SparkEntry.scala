@@ -1304,7 +1304,8 @@ object SparkEntry {
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")},
       f AS (SELECT doc_id, s.hash AS fp
-            FROM documents JOIN sdbm s ON s.sid = doc_id),
+            FROM documents JOIN sdbm s ON s.sid = doc_id
+            WHERE text IS NOT NULL),
       batch AS (SELECT doc_id, fp FROM f WHERE doc_id >= 400
                 UNION ALL
                 SELECT doc_id + 10000, fp FROM f WHERE doc_id < 50)

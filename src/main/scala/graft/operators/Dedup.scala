@@ -63,10 +63,18 @@ object Dedup {
     * fingerprint column before the join (the corpus text never
     * moves); the left_anti and the first-wins groupBy both shuffle on
     * the fingerprint only. Output: (doc_id, fp) of the survivors.
+    *
+    * Null-text rows are dropped from BOTH sides before fingerprinting:
+    * a document with no content has no novelty to judge, and keeping
+    * it would silently collide with empty-text docs (sdbm maps null
+    * and "" both to 0) while the SQL-oracle twin's `NOT IN` collapses
+    * to zero rows on any NULL fingerprint. The oracle mirrors the
+    * filter.
     */
   def incremental(batch: DataFrame, corpus: DataFrame): DataFrame = {
-    val bf = TextStats.fingerprint(batch)
-    val seen = TextStats.fingerprint(corpus).select(col("fp"))
+    val bf = TextStats.fingerprint(batch.filter(col("text").isNotNull))
+    val seen = TextStats.fingerprint(corpus.filter(col("text").isNotNull))
+      .select(col("fp"))
     bf.join(seen, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("fp"))

@@ -30,9 +30,13 @@ object RangeJoin {
     * microseconds (pmod keeps it correct for pre-epoch timestamps,
     * where truncating division would round toward zero).
     */
-  private def bucketOf(c: Column, widthUs: Long): Column =
-    ((unix_micros(c) - pmod(unix_micros(c), lit(widthUs))) / widthUs)
-      .cast("long")
+  private def bucketOf(c: Column, widthUs: Long): Column = {
+    // (x - pmod(x, w)) is an exact multiple of w, so integral `div`
+    // is exact floor division for any sign — and stays exact past
+    // 2^53 µs where the double-division form would drift.
+    val us = unix_micros(c)
+    call_function("div", us - pmod(us, lit(widthUs)), lit(widthUs))
+  }
 
   /** Join `points` (event-time `pointTs`) to `intervals`
     * (`[start, end]`, inclusive both ends) on equal `keys` plus

@@ -152,8 +152,13 @@ object Sampling {
     docs.select(col(idCol) +: extraCols.map(col) ++: Seq(
         shard.as("shard"), tokensCol.as("n_tokens")): _*)
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integral `div`, not double division: cum passes 2^53 long
+      // before a corpus passes 9 PB of tokens, and double division
+      // would silently drift the bin there (same posture as
+      // Profile.histogram).
       .withColumn("bin",
-        ((col("cum") - col("n_tokens")) / budget).cast("long"))
+        call_function("div", col("cum") - col("n_tokens"),
+          lit(budget)))
   }
 
   def packSequences(docs: DataFrame, tokensCol: Column, budget: Long,

@@ -104,6 +104,15 @@ object EventsStream {
     * 100 TB). Emits the surviving (fingerprint, norm) content set;
     * output is survivor-independent because every duplicate row
     * carries identical values for both columns.
+    *
+    * ORACLE SCOPE: the DuckDB twin asserts a global DISTINCT, but
+    * `dropDuplicatesWithinWatermark` only dedups within the 1-hour
+    * watermark horizon — the equivalence holds because the
+    * single-file source processes everything in one data micro-batch
+    * (a multi-file fixture or `maxFilesPerTrigger` would re-emit
+    * late duplicate fingerprints). The harness asserts that the run
+    * really did execute as one data batch, so a fixture change fails
+    * loud instead of silently hash-mismatching.
     */
   def fingerprintDedupToCompletion(spark0: SparkSession,
       dir: String): DataFrame = {
@@ -120,7 +129,14 @@ object EventsStream {
     val qname = "graft_events_fp_dedup"
     val q = deduped.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      q.processAllAvailable()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"fingerprint-dedup oracle assumes ONE data micro-batch " +
+          s"(watermark-horizon dedup == global DISTINCT only then); " +
+          s"this run had $dataBatches")
+    } finally q.stop()
     spark.table(qname)
   }
 

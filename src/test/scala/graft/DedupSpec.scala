@@ -130,6 +130,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(10L, 13L))
   }
 
+  test("incremental dedup drops null-text rows on both sides " +
+      "(no silent null/empty fingerprint collision)") {
+    import spark.implicits._
+    val corpus = Seq((1L, "kept"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh"),
+      (11L, null.asInstanceOf[String]), // no content: dropped, not deduped
+      (12L, ""),                        // empty ≠ null: participates
+      (13L, "kept")).toDF("doc_id", "text")
+    val got = Dedup.incremental(batch, corpus)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // 11 dropped (null text); 13 dropped (seen in corpus); the corpus
+    // null row must NOT shadow the empty-string doc 12.
+    assert(got == Seq(10L, 12L))
+  }
+
   test("wordShingles slides over tokens") {
     import spark.implicits._
     val got = Seq("a b c d").toDF("s")
