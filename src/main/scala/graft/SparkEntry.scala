@@ -453,6 +453,21 @@ object SparkEntry {
         nPlanes = 3, nTables = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dedup_spans" -> ((s, dir) => {
+      // substring-level dedup (Lee et al. 2022 re-expressed
+      // Spark-first): maximal cross-doc duplicated regions as merged
+      // islands of 30-char grams occurring in >1 document
+      Dedup.duplicatedSpans(t(s, dir, "documents"), n = 30)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    "dedup_span_stats" -> ((s, dir) => {
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 30)
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_span_scrubbed" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 30)
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- north star: similarity search ----
     "sim_topk" -> ((s, dir) => {
@@ -916,6 +931,35 @@ object SparkEntry {
     s"((((($h % 2147483647) + 2147483647) % 2147483647) * 48271)" +
       " % 2147483647) % 100"
 
+  /** Shared CTE chain for the duplicated-span oracles — the SQL twin
+    * of [[Dedup.duplicatedSpans]] (grams by STRING here; Spark keys
+    * them by xxhash64, identical modulo a ~1e-8 collision). Yields
+    * `spans(doc_id, span_start, span_end)`.
+    */
+  private val spanCteSql: String = """
+      p AS (SELECT doc_id, text,
+              unnest(range(1, greatest(CAST(len(text) AS BIGINT) - 28, 1)))
+                AS pos
+            FROM documents),
+      g AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS gram
+            FROM p),
+      d AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) > 1),
+      hit AS (SELECT doc_id, pos FROM g JOIN d USING (gram)),
+      brk AS (SELECT doc_id, pos,
+              CASE WHEN pos > coalesce(max(pos + 29) OVER
+                  (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) + 1
+              THEN 1 ELSE 0 END AS b FROM hit),
+      isl AS (SELECT doc_id, pos, CAST(sum(b) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gid
+              FROM brk),
+      spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                       CAST(max(pos) + 29 AS BIGINT) AS span_end
+                FROM isl GROUP BY doc_id, gid)"""
+
   /** StAX-compatible XML text escaping in SQL (& first, then <, >). */
   private def escSql(e: String): String =
     s"replace(replace(replace($e, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
@@ -1065,6 +1109,50 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_spans" -> s"""
+      WITH $spanCteSql
+      SELECT doc_id, span_start, span_end FROM spans
+      ORDER BY doc_id, span_start""",
+    "dedup_span_stats" -> s"""
+      WITH $spanCteSql,
+      agg AS (SELECT doc_id, count(*) AS n_spans,
+                     sum(span_end - span_start + 1) AS dup_chars
+              FROM spans GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+             CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+             CASE WHEN len(d.text) = 0 THEN 0.0
+                  ELSE CAST(coalesce(a.dup_chars, 0) AS DOUBLE) /
+                       CAST(len(d.text) AS DOUBLE) END AS dup_ratio
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id""",
+    "dedup_span_scrubbed" -> s"""
+      WITH $spanCteSql,
+      keep AS (
+        SELECT doc_id, s, e FROM (
+          SELECT doc_id,
+                 coalesce(lag(span_end) OVER
+                   (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS s,
+                 span_start - 1 AS e
+          FROM spans) WHERE s <= e
+        UNION ALL
+        SELECT sp.doc_id, sp.mx + 1 AS s, CAST(len(d.text) AS BIGINT) AS e
+        FROM (SELECT doc_id, max(span_end) AS mx FROM spans
+              GROUP BY doc_id) sp
+        JOIN documents d USING (doc_id) WHERE sp.mx + 1 <= len(d.text)),
+      aff AS (SELECT DISTINCT doc_id FROM spans),
+      scrub AS (SELECT a.doc_id,
+                  coalesce(string_agg(
+                    substr(d.text, CAST(k.s AS INT),
+                           CAST(k.e - k.s + 1 AS INT)),
+                    '' ORDER BY k.s), '') AS clean_text
+                FROM aff a JOIN documents d USING (doc_id)
+                LEFT JOIN keep k ON k.doc_id = a.doc_id
+                GROUP BY a.doc_id)
+      SELECT s.doc_id, s.clean_text,
+             CAST(len(d.text) - len(s.clean_text) AS BIGINT) AS n_removed
+      FROM scrub s JOIN documents d USING (doc_id)
+      ORDER BY s.doc_id""",
     "text_repetition" -> """
       SELECT doc_id,
              CASE WHEN length(text) < 10 THEN 0

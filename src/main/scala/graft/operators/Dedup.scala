@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{minhash_shingled, shared_count, shingle_hashes, simhash64}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -309,5 +310,138 @@ object Dedup {
       .filter(col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")) >= minJaccard)
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
+  }
+
+  // --------------------------------------------------------------------
+  // Substring-level (span) dedup — the "exact substring deduplication"
+  // of Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better" (ACL 2022), re-expressed Spark-first: instead of a global
+  // suffix array (a single-machine construction), duplicated regions
+  // are found as runs of length-n character grams that occur in more
+  // than one document. Any cross-doc duplicated substring of length
+  // >= n is covered exactly by such gram runs, so merged gram islands
+  // == maximal duplicated spans at gram resolution.
+  //
+  // 100 TB shape: one narrow gram explode (positions generated inside
+  // codegen, no gram array materialized), one groupBy on an 8-byte
+  // gram hash (map-side combinable), one equi-join of positions
+  // against the (much smaller) duplicated-hash set — AQE left free to
+  // pick the join strategy since the dup set grows with the corpus —
+  // and one per-doc window for the island merge. Nothing quadratic,
+  // nothing broadcast by hint, nothing driver-side.
+  //
+  // Grams are keyed by xxhash64, not the string (30-char grams would
+  // ~4x the shuffle width). A 64-bit collision could mark a unique
+  // gram as duplicated: P ≈ G²/2^65 (~1e-8 at 10^7 grams, still only
+  // a ~1e-9 false-dup RATE at 10^14) — the standard trade, same as
+  // the MinHash band keys.
+  // --------------------------------------------------------------------
+
+  /** Maximal duplicated spans per document: merged (overlapping or
+    * adjacent) islands of n-char grams that occur in >1 distinct
+    * document. Output: (doc_id, span_start, span_end), 1-based
+    * inclusive character positions.
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 2, "span gram length must be >= 2")
+    val len = length(col("t"))
+    // sequence(1, len-(n-1)) is DESCENDING when len < n — guard first.
+    val posArr = when(len < n, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), len - (n - 1)))
+    val grams = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .select(col("id"), col("t"), explode(posArr).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(substr(col("t"), col("pos"), lit(n))).as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val hit = grams.join(dup, Seq("h")).select(col("id"), col("pos"))
+    val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prev = byPos.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byPos.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    // Island detection: a gram starts a new span iff it begins after
+    // (prev covered end + 1) — overlapping OR adjacent grams merge,
+    // so contiguous duplicated text is always one span.
+    hit
+      .withColumn("brk",
+        when(col("pos") >
+          coalesce(max(col("pos") + (n - 1)).over(prev), lit(-1)) + 1,
+          1).otherwise(0))
+      .withColumn("gid", sum(col("brk")).over(cum))
+      .groupBy(col("id"), col("gid"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document duplicated-span rollup over ALL documents (zero for
+    * clean docs): span count, duplicated chars, duplicated-char ratio.
+    */
+  def duplicatedSpanStats(docs: DataFrame, n: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val agg = duplicatedSpans(docs, n, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("_ns"),
+        sum(col("span_end") - col("span_start") + 1).as("_dc"))
+    docs
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("_ns"), lit(0L)).as("n_spans"),
+        coalesce(col("_dc"), lit(0L)).as("dup_chars"),
+        when(col("n_chars") === 0L, lit(0.0))
+          .otherwise(coalesce(col("_dc"), lit(0L)).cast("double") /
+            col("n_chars").cast("double")).as("dup_ratio"))
+  }
+
+  /** Cut every duplicated span out of the affected documents (the
+    * aggressive variant: ALL occurrences go, not all-but-one — the
+    * conservative keep-one policy needs a global occurrence order and
+    * is a corpus-level choice layered on [[duplicatedSpans]]). Only
+    * affected documents are emitted; a doc fully covered by spans
+    * comes out with empty text. Output: (doc_id, clean_text,
+    * n_removed).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, n, idCol, textCol)
+    val bySpan = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+    // Kept segments = gaps between consecutive spans + the tail after
+    // the last span (the head gap falls out of lag() defaulting to
+    // position 0).
+    val gaps = spans
+      .withColumn("s", coalesce(lag(col("span_end"), 1).over(bySpan),
+        lit(0L)) + 1)
+      .withColumn("e", col("span_start") - 1)
+      .filter(col("s") <= col("e"))
+      .select(col(idCol), col("s"), col("e"))
+    val withLen = docs.select(col(idCol), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("tlen"))
+    val tails = spans.groupBy(col(idCol))
+      .agg(max(col("span_end")).as("_mx"))
+      .join(withLen.select(col(idCol), col("tlen")), Seq(idCol))
+      .filter(col("_mx") + 1 <= col("tlen"))
+      .select(col(idCol), (col("_mx") + 1).as("s"), col("tlen").as("e"))
+    val keep = gaps.unionByName(tails)
+    // collect_list drops null entries, so a fully-covered doc (no kept
+    // segments) aggregates to an empty array -> empty clean_text.
+    spans.select(col(idCol)).distinct()
+      .join(withLen, Seq(idCol))
+      .join(keep, Seq(idCol), "left")
+      .withColumn("seg", when(col("s").isNotNull,
+        struct(col("s"), substr(col("t"), col("s").cast("int"),
+          (col("e") - col("s") + 1).cast("int")).as("txt"))))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(col("seg"))),
+          x => x.getField("txt")), "").as("clean_text"),
+        max(col("tlen")).as("_tlen"))
+      .select(col(idCol), col("clean_text"),
+        (col("_tlen") - length(col("clean_text")).cast("long"))
+          .as("n_removed"))
   }
 }

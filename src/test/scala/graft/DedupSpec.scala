@@ -147,6 +147,64 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(10L, 12L))
   }
 
+  test("duplicatedSpans finds merged cross-doc spans; stats and scrub " +
+      "agree with hand-computed geometry") {
+    import spark.implicits._
+    val shared = "SHAREDRUN123" // 12 chars, all 5-grams cross-doc dup
+    val docs = Seq(
+      (1L, "aaa" + shared + "bbb"),
+      (2L, "ccc" + shared + "ddd"),
+      (3L, "zzzzzzz"),          // unique: no spans
+      (4L, "IDENTICALXX"),      // fully duplicated with doc 5
+      (5L, "IDENTICALXX"),
+      (6L, "abc")               // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+
+    val spans = Dedup.duplicatedSpans(docs, n = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 4L, 15L), (2L, 4L, 15L),
+      (4L, 1L, 11L), (5L, 1L, 11L)))
+
+    val stats = Dedup.duplicatedSpanStats(docs, n = 5)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(stats == Seq(
+      (1L, 18L, 1L, 12L, 12.0 / 18.0),
+      (2L, 18L, 1L, 12L, 12.0 / 18.0),
+      (3L, 7L, 0L, 0L, 0.0),
+      (4L, 11L, 1L, 11L, 1.0),
+      (5L, 11L, 1L, 11L, 1.0),
+      (6L, 3L, 0L, 0L, 0.0)))
+
+    val scrub = Dedup.removeDuplicatedSpans(docs, n = 5)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    // only affected docs are emitted; full coverage -> empty text
+    assert(scrub == Seq((1L, "aaabbb", 12L), (2L, "cccddd", 12L),
+      (4L, "", 11L), (5L, "", 11L)))
+  }
+
+  test("duplicatedSpans merges overlapping and adjacent gram islands " +
+      "into one span") {
+    import spark.implicits._
+    // two docs sharing two runs separated by a 1-char unique gap:
+    // islands [1,5] and [7,11] must NOT merge (gap at 6), while the
+    // grams inside each run do merge.
+    val docs = Seq(
+      (1L, "ABCDE" + "x" + "FGHIJ"),
+      (2L, "ABCDE" + "y" + "FGHIJ")).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, n = 5)
+      .orderBy(col("doc_id"), col("span_start"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 1L, 5L), (1L, 7L, 11L),
+      (2L, 1L, 5L), (2L, 7L, 11L)))
+    // and the scrub stitches the surviving 1-char gap + nothing else
+    val scrub = Dedup.removeDuplicatedSpans(docs, n = 5)
+      .orderBy(col("doc_id")).as[(Long, String, Long)].collect().toSeq
+    assert(scrub == Seq((1L, "x", 10L), (2L, "y", 10L)))
+  }
+
   test("wordShingles slides over tokens") {
     import spark.implicits._
     val got = Seq("a b c d").toDF("s")

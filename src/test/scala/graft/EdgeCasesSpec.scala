@@ -93,6 +93,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Sampling.packedText(docs, TextStats.nTokens(col("text")),
       512).count() == 0)
     assert(Dedup.incremental(docs, docs).count() == 0)
+    assert(Dedup.duplicatedSpans(docs).count() == 0)
+    assert(Dedup.duplicatedSpanStats(docs).count() == 0)
+    assert(Dedup.removeDuplicatedSpans(docs).count() == 0)
     val ev = Seq.empty[(Long, java.sql.Timestamp, Long)]
       .toDF("user_id", "ts", "event_id")
     val iv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]

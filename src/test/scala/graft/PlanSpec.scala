@@ -116,6 +116,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("duplicated-span detection joins on the gram hash — " +
+      "no nested loop, no broadcast hint") {
+    // the dup-gram set grows with the corpus: it must reach the
+    // position join as a plain equi-join AQE can pick a strategy for,
+    // never a nested loop and never a forced broadcast
+    val p = plan("dedup_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("char diversity is a narrow codegen'd projection, not an " +
       "explode-and-shuffle") {
     val docs = Tables.load(spark, dir, "documents")
