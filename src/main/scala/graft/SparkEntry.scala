@@ -687,6 +687,16 @@ object SparkEntry {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "events_stream_sliding" -> ((s, dir) => {
+      graft.streaming.EventsStream.slidingToCompletion(s, dir)
+        .orderBy(col("window_start"))
+    }),
+    "events_stream_enrich" -> ((s, dir) => {
+      // stream-static dimension join: stateless, append mode; same
+      // oracle as the equivalent batch join
+      graft.streaming.EventsStream.enrichToCompletion(s, dir)
+        .orderBy(col("event_id"))
+    }),
 
     // ---- north star: multimodal column plumbing ----
     "multimodal_meta" -> ((s, dir) => {
@@ -959,6 +969,16 @@ object SparkEntry {
       spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                        CAST(max(pos) + 29 AS BIGINT) AS span_end
                 FROM isl GROUP BY doc_id, gid)"""
+
+  /** Sliding-window oracle, shared by the batch and streaming twins
+    * (both produce the same result table by construction).
+    */
+  private val slidingSql: String = """
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+      GROUP BY 1 ORDER BY 1"""
 
   /** StAX-compatible XML text escaping in SQL (& first, then <, >). */
   private def escSql(e: String): String =
@@ -1520,12 +1540,17 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "events_sliding" -> """
-      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
-             count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
-      GROUP BY 1 ORDER BY 1""",
+    "events_sliding" -> slidingSql,
+    // streaming twins: same result tables as their batch/SQL
+    // equivalents by construction, so the oracles are shared
+    "events_stream_sliding" -> slidingSql,
+    "events_stream_enrich" -> """
+      SELECT e.event_id, e.user_id, c.c_name AS cust_name,
+             n.n_name AS nation_name
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      ORDER BY e.event_id""",
     "events_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

@@ -71,6 +71,57 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Sliding-window streaming aggregation — the streaming twin of
+    * [[graft.operators.Events.sliding]]: each event lands in
+    * width/slide overlapping windows; Spark expands them inside the
+    * stateful agg, one state row per open window. Complete-mode
+    * memory sink so the final table equals the batch result and goes
+    * through the same DuckDB oracle.
+    */
+  def slidingToCompletion(spark0: SparkSession, dir: String,
+      width: String = "1 hour", slide: String = "15 minutes"): DataFrame = {
+    val spark = streamSession(spark0)
+    val agg = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n"),
+        col("sum_value"))
+    val qname = "graft_events_stream_sliding"
+    val q = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
+  /** Stream-static enrichment join — the continuous-ingest shape of
+    * dimension lookup: the event stream joins two static dimension
+    * frames (customer, nation) that Spark broadcasts per micro-batch.
+    * Stateless (no watermark, no state store), append mode; at scale
+    * the static side is re-resolvable between batches, so a slowly
+    * changing dimension picks up updates on the next batch without
+    * restarting the query.
+    */
+  def enrichToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = graft.Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val enriched = source(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"),
+        col("c_name").as("cust_name"), col("n_name").as("nation_name"))
+    val qname = "graft_events_stream_enrich"
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Streaming dedup within the watermark horizon (the streaming twin
     * of Dedup.exact). `dropDuplicatesWithinWatermark` keeps bounded
     * state — plain `dropDuplicates("event_id")` would never evict it

@@ -64,6 +64,40 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming twin produces the same sliding result as batch") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.sliding(Tables.load(spark, dir, "events"))
+      .select(col("window_start").cast("string"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    val stream = graft.streaming.EventsStream.slidingToCompletion(spark, dir)
+      .select(col("window_start").cast("string"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("stream-static enrichment equals the batch dimension join and " +
+      "loses no events") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val cust = Tables.load(spark, dir, "customer")
+    val nat = Tables.load(spark, dir, "nation")
+    val batch = ev
+      .join(cust, col("user_id") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"), col("n_name"))
+      .as[(Long, Long, String, String)].collect().toSet
+    val stream = graft.streaming.EventsStream.enrichToCompletion(spark, dir)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(stream == batch)
+    // every event has a customer on this fixture: nothing dropped
+    assert(stream.size == ev.count())
+  }
+
   test("streaming fingerprint dedup equals the batch distinct-content " +
       "fingerprint set") {
     import spark.implicits._
