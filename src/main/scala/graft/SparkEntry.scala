@@ -549,6 +549,18 @@ object SparkEntry {
         "w", k = 100)
         .orderBy(col("n_rows").desc, col("value"))
     }),
+    "text_postings" -> ((s, dir) => {
+      // inverted index (IR/retrieval prep): term -> df + sorted
+      // posting list
+      TextStats.invertedIndex(t(s, dir, "documents"))
+        .orderBy(col("term"))
+    }),
+    "text_search" -> ((s, dir) => {
+      // integer-scored tf·idf top-k over the index's token domain;
+      // already totally ordered (score desc, doc_id) inside the op
+      TextStats.searchTopK(t(s, dir, "documents"),
+        Seq("spark", "window", "merge"), k = 10)
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -883,6 +895,22 @@ object SparkEntry {
           CsvIO.read(s, tmp.toString, schema).localCheckpoint()
         } finally deleteRecursively(tmp)
       back.orderBy(col("doc_id"))
+    }),
+
+    "orc_roundtrip" -> ((s, dir) => {
+      // ORC sink → source round-trip (the third columnar interchange
+      // format beside parquet; built-in distributed scan/sink, schema
+      // self-described so no dialect to pin). events is the richest
+      // fixture typewise: timestamp (µs), double, strings, longs.
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-orc-rt").toFile
+      val back =
+        try {
+          ev.repartition(4).write.mode("overwrite").orc(tmp.toString)
+          s.read.schema(ev.schema).orc(tmp.toString).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_id"))
     }),
 
     // ---- SQL text-query surface over registered graft functions ----
@@ -1487,6 +1515,28 @@ object SparkEntry {
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
             WHERE w <> '')
       GROUP BY w ORDER BY n_rows DESC, value LIMIT 100""",
+    "text_postings" -> """
+      SELECT term, count(DISTINCT doc_id) AS df,
+             array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+               AS postings
+      FROM (SELECT doc_id, w AS term
+            FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+            WHERE w <> '')
+      GROUP BY term ORDER BY term""",
+    "text_search" -> """
+      WITH t AS (SELECT doc_id, w AS term
+                 FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+                 WHERE w IN ('spark', 'window', 'merge')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_corpus FROM documents)
+      SELECT f.doc_id,
+             CAST(sum(f.tf * ((1000000 * (n.n_corpus + 1)) // (d.df + 1)))
+               AS BIGINT) AS score,
+             count(*) AS n_terms
+      FROM tf f JOIN df d USING (term) CROSS JOIN n
+      GROUP BY f.doc_id
+      ORDER BY score DESC, f.doc_id LIMIT 10""",
     "text_keywords" -> """
       WITH t AS (SELECT doc_id, w AS term
                  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
@@ -1718,6 +1768,9 @@ object SparkEntry {
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "csv_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+    "orc_roundtrip" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
     "render_lineitem" -> """
       SELECT l_orderkey, l_linenumber,
              CAST(l_orderkey AS VARCHAR) AS r_orderkey,

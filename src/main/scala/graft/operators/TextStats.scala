@@ -275,6 +275,58 @@ object TextStats {
         col("df"), col("score"))
   }
 
+  /** Inverted index over whitespace tokens: one row per term with its
+    * document frequency and the sorted posting list (comma-joined
+    * string — stable to hash and engine-neutral; a production store
+    * would keep the `array<long>` column and shard long lists).
+    *
+    * 100 TB shape: explode → one map-side-combinable groupBy on the
+    * term. Stopword-grade terms concentrate their postings on one
+    * reducer — the classic skew — so real deployments either drop a
+    * stopword list first or range-shard postings by (term, id bucket);
+    * both compose as a filter/extra group key on this same plan.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+
+  /** Term-at-a-time top-k text search with a tf·idf-style score in
+    * PURE integer arithmetic: per query term,
+    * `w = (1e6·(N+1)) div (df+1)` (the same ln-free rational idf as
+    * [[tfidfKeywords]], scaled and floor-divided so the per-doc score
+    * `Σ tf·w` is an exact BIGINT — no double summation order, no
+    * round() tie semantics, bit-identical on any engine/topology).
+    *
+    * 100 TB shape: the term filter prunes the explode before the
+    * (doc, term) aggregate, df is a per-term rollup of that same
+    * pruned frame, and the final top-k is TakeOrderedAndProject, not
+    * a global sort.
+    */
+  def searchTopK(docs: DataFrame, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    tf.join(df, "term").crossJoin(n)
+      .withColumn("w", call_function("div",
+        lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Gopher/C4-style quality-filter chain: compose the standalone
     * signals into a keep/drop decision with the FIRST failing check as
     * the reason (fixed order: token bounds → language → repetition →

@@ -127,6 +127,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("text search top-k compiles to TakeOrderedAndProject") {
+    val p = plan("text_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("char diversity is a narrow codegen'd projection, not an " +
       "explode-and-shuffle") {
     val docs = Tables.load(spark, dir, "documents")

@@ -179,6 +179,28 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 1L, "goose"), (3L, 2L, "common")))
   }
 
+  test("invertedIndex builds sorted distinct posting lists with df") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b a"), (2L, "b c"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextStats.invertedIndex(docs).orderBy("term")
+      .as[(String, Long, String)].collect().toSeq
+    // postings sorted numerically (2 before 10), duplicates collapsed
+    assert(got == Seq(("a", 1L, "10"), ("b", 2L, "2,10"),
+      ("c", 1L, "2")))
+  }
+
+  test("searchTopK scores are exact integers: tf times floor-divided " +
+      "rational idf, rarer terms weigh more") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextStats.searchTopK(docs, Seq("a", "b"), k = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // N=2; w_a = (1e6*3) div (1+1) = 1500000, w_b = (1e6*3) div (2+1)
+    // = 1000000; doc1 = 2*w_a + 1*w_b, doc2 = 1*w_b
+    assert(got == Seq((1L, 4000000L, 2L), (2L, 1000000L, 1L)))
+  }
+
   test("qualityFilter assigns the first failing reason in chain order") {
     import spark.implicits._
     // indexed words: every 10-char window carries a unique running
