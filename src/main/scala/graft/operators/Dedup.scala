@@ -349,8 +349,13 @@ object Dedup {
     // sequence(1, len-(n-1)) is DESCENDING when len < n — guard first.
     val posArr = when(len < n, array().cast("array<int>"))
       .otherwise(sequence(lit(1), len - (n - 1)))
+    // Single-row-group parquet reads as ONE task (same trap as
+    // minhashPairs): spread the cheap (id, text) rows across cores
+    // BEFORE the explode so gram generation + hashing parallelize.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
     val grams = docs
       .select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(par, col("id"))
       .select(col("id"), col("t"), explode(posArr).as("pos"))
       .select(col("id"), col("pos"),
         xxhash64(substr(col("t"), col("pos"), lit(n))).as("h"))
@@ -408,7 +413,11 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, n: Int = 30,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = duplicatedSpans(docs, n, idCol, textCol)
+    // spans fans out 3 ways below (gaps, tails, affected-doc set);
+    // without materialization the whole gram pipeline would recompute
+    // per branch. The span set is tiny (duplicated regions only), so
+    // an eager localCheckpoint is cheap and truncates the lineage.
+    val spans = duplicatedSpans(docs, n, idCol, textCol).localCheckpoint()
     val bySpan = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
     // Kept segments = gaps between consecutive spans + the tail after
     // the last span (the head gap falls out of lag() defaulting to
