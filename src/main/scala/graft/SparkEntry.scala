@@ -453,6 +453,14 @@ object SparkEntry {
         nPlanes = 3, nTables = 12)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: k-means partition + exact within-cell cosine pairs.
+      // k-means is not ANSI-SQL-expressible -> no_oracle; pinned by
+      // SimilaritySpec (exact-subset-of-brute-force + recall +
+      // determinism + plan asserts)
+      Similarity.semanticPairs(t(s, dir, "embeddings"), minCosine = 0.45,
+        nCells = 4).orderBy(col("id_a"), col("id_b"))
+    }),
     "dedup_spans" -> ((s, dir) => {
       // substring-level dedup (Lee et al. 2022 re-expressed
       // Spark-first): maximal cross-doc duplicated regions as merged

@@ -196,6 +196,62 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): partition the
+    * embedding space with k-means, then compute EXACT cosine pairs
+    * only within each cluster — semantic near-dups are by definition
+    * close in embedding space, so co-clustering captures them while
+    * cutting the pair space from O(N²) to O(Σ|cell|²) ≈ O(N²/C).
+    *
+    * Composition of the engine's own pieces: the deterministic
+    * distributed Lloyd trainer and first-max cell assignment of
+    * [[ivfTopK]], the int64-quantized exact cosine of
+    * [[cosinePairs]]. The within-cell join is a plain equi-join on
+    * the cell id (shuffle, never broadcast, never a nested loop);
+    * quadratic work is confined inside each cell — the paper's
+    * design point. Cross-cluster near-dups at the boundary are missed
+    * by construction (same trade as the paper; raise nCells for
+    * speed, lower for recall, or use [[annCosinePairs]] for
+    * overlapping-bucket recall).
+    *
+    * Output: (id_a, id_b, cell, cosine).
+    */
+  def semanticPairs(emb: DataFrame, minCosine: Double, nCells: Int = 16,
+      trainIters: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withQuantized(emb, idCol, vecCol)
+    val cents = trainCentroids(q, nCells, trainIters)
+    if (cents.isEmpty) {
+      val idType = q.schema("id").dataType
+      return q.sparkSession.createDataFrame(
+        q.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a", idType),
+          org.apache.spark.sql.types.StructField("id_b", idType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    val cellArr = array(cents.map { case (cv, cn) =>
+      qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
+    }.toIndexedSeq: _*)
+    val assigned = q
+      .withColumn("cellArr", cellArr)
+      .withColumn("cell",
+        (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
+          .cast("int"))
+      .drop("cellArr")
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"),
+        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.norm"),
+          col("b.norm")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Embedding near-dup pairs at scale: sign-LSH bucketed candidate
     * generation + exact quantized-cosine verify — the linear
     * production path that replaces [[cosinePairs]]' O(N²) ground

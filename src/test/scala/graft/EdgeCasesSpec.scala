@@ -94,6 +94,9 @@ class EdgeCasesSpec extends AnyFunSuite {
       512).count() == 0)
     assert(Dedup.incremental(docs, docs).count() == 0)
     assert(Dedup.duplicatedSpans(docs).count() == 0)
+    assert(Similarity.semanticPairs(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      minCosine = 0.5).count() == 0)
     assert(Dedup.duplicatedSpanStats(docs).count() == 0)
     assert(Dedup.removeDuplicatedSpans(docs).count() == 0)
     val ev = Seq.empty[(Long, java.sql.Timestamp, Long)]

@@ -170,6 +170,45 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("semanticPairs: exact cosines, subset of brute force, " +
+      "deterministic, with useful recall on the fixture") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val sem = Similarity.semanticPairs(emb, minCosine = 0.45, nCells = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosinePairs(emb, minCosine = 0.45)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    // every emitted pair is a true pair with the exact brute cosine
+    for ((a, b, c) <- sem) assert(bruteMap((a, b)) == c)
+    assert(brute.nonEmpty)
+    // coarse cells on the tiny fixture: co-clustering must capture a
+    // useful share of the true pairs (deterministic Lloyd makes this
+    // a fixed fixture property, not flaky)
+    val recall = sem.length.toDouble / brute.length
+    assert(recall >= 0.4,
+      s"recall $recall below 0.4 (${sem.length} of ${brute.length})")
+    val again = Similarity.semanticPairs(emb, minCosine = 0.45, nCells = 4)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect()
+    assert(sem.toSeq.sorted == again.toSeq.sorted)
+  }
+
+  test("semanticPairs joins on the cell id — no nested loop, no " +
+      "corpus broadcast") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Similarity.semanticPairs(emb, minCosine = 0.45,
+        nCells = 4).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        "within-cell pair generation must not broadcast the corpus")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        "cell join must stay an equi-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("annTopK plan broadcasts neither side of the bucket join") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
