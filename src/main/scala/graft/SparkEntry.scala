@@ -636,6 +636,22 @@ object SparkEntry {
       Dedup.incremental(batch, corpus).orderBy(col("doc_id"))
     }),
 
+    "dedup_incremental_near" -> ((s, dir) => {
+      // nightly ingest with NEAR-dup recrawls: the corpus content
+      // comes back lightly mutated under new ids; MinHash (not
+      // SQL-expressible -> no_oracle; pinned by DedupSpec) drops them
+      // plus any batch doc near-duplicating the corpus or an
+      // earlier batch doc
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(col("doc_id") < 400)
+      val batch = all.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" recrawled")).as("text")))
+      Dedup.incrementalNear(batch, corpus).orderBy(col("doc_id"))
+    }),
+
     // ---- north star: benchmark decontamination ----
     "decontam_flagged" -> ((s, dir) => {
       // "benchmark" = the fixed doc_id < 400 slice (stays eval-suite

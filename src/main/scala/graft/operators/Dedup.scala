@@ -81,6 +81,42 @@ object Dedup {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Incremental NEAR-dup dedup — [[incremental]]'s MinHash twin for
+    * the same nightly-ingest shape: keep only batch documents that are
+    * near-duplicates of NEITHER the existing corpus NOR an
+    * earlier-id batch document.
+    *
+    * CONTRACT: batch ids must be strictly greater than every corpus id
+    * (the natural monotone-ingest property). [[minhashPairs]] emits
+    * pairs as (id_a < id_b), so under that contract every near-dup
+    * pair involving a batch doc names it as `id_b` with its
+    * first-seen twin as `id_a` — one left_anti against the id_b set
+    * implements first-wins against corpus and batch at once.
+    *
+    * 100 TB posture: the corpus streams through the band join exactly
+    * once against the (small) batch band set — corpus-internal pairs
+    * are pruned BEFORE candidate generation (minhashPairsCore's
+    * `bMinId`), so nightly cost scales with batch collisions, not
+    * corpus size squared. The left_anti shuffles on the 8-byte id.
+    * Null-text batch docs are dropped as in [[incremental]]. The one
+    * driver-side action is a min() over the batch ids (bounded).
+    */
+  def incrementalNear(batch: DataFrame, corpus: DataFrame,
+      k: Int = 16, bands: Int = 4, minJaccard: Double = 0.7,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val b = batch.filter(col(textCol).isNotNull)
+    val minBatchId = b.agg(min(col(idCol))).collect()(0)
+    if (minBatchId.isNullAt(0)) return b.select(col(idCol), col(textCol))
+    val all = corpus.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .unionByName(b.select(col(idCol), col(textCol)))
+    val losers = minhashPairsCore(all, k, bands, minJaccard, idCol,
+      textCol, shingleWords = 3, bMinId = Some(minBatchId.getLong(0)))
+      .select(col("id_b").as("__loser"))
+    b.join(losers, col(idCol) === col("__loser"), "left_anti")
+      .select(col(idCol), col(textCol))
+  }
+
   /** MinHash-LSH near-dup pairs, Jaccard-verified, over distinct word
     * 3-gram shingles.
     *
@@ -94,7 +130,20 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
       minJaccard: Double = 0.7, idCol: String = "doc_id",
-      textCol: String = "text", shingleWords: Int = 3): DataFrame = {
+      textCol: String = "text", shingleWords: Int = 3): DataFrame =
+    minhashPairsCore(docs, k, bands, minJaccard, idCol, textCol,
+      shingleWords, bMinId = None)
+
+  /** [[minhashPairs]] body, with an optional floor on the RIGHT side
+    * of the band join (`id_b >= bMinId`): [[incrementalNear]] uses it
+    * to generate only batch-involving candidates — the corpus side
+    * streams through the band join once and corpus-internal pairs are
+    * never formed, which is the difference between O(batch-involved
+    * collisions) and re-deduplicating the whole corpus every night.
+    */
+  private def minhashPairsCore(docs: DataFrame, k: Int, bands: Int,
+      minJaccard: Double, idCol: String, textCol: String,
+      shingleWords: Int, bMinId: Option[Long]): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // Fused shingle+minhash (codegen'd, no shingle materialization for
@@ -126,8 +175,9 @@ object Dedup {
       xxhash64(lit(b), slice(col("sig"), b * rows + 1, rows))
     }
     val banded = base.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val bandedB = bMinId.fold(banded)(m => banded.filter(col("id") >= m))
     val candidates = banded.as("a")
-      .join(banded.as("b"),
+      .join(bandedB.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

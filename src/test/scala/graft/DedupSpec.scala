@@ -147,6 +147,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(10L, 12L))
   }
 
+  test("incrementalNear drops near-dup recrawls and in-batch near-dups, " +
+      "keeps fresh docs") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet town square at dusk tonight"
+    val fresh = "totally new reporting about sports scores from " +
+      "yesterday evening games across the region with detailed statistics"
+    val corpus = Seq(
+      (1L, a),
+      (2L, "unrelated prose concerning pasta recipes and long slow " +
+        "cooking times for rich tomato sauces served with bread"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, a + " extra"),        // near-recrawl of corpus doc 1: drop
+      (11L, fresh),               // fresh: keep
+      (12L, fresh + " appended"), // in-batch near-dup of 11: 11 wins
+      (13L, null.asInstanceOf[String])) // no content: dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNear(batch, corpus)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(11L))
+  }
+
   test("duplicatedSpans finds merged cross-doc spans; stats and scrub " +
       "agree with hand-computed geometry") {
     import spark.implicits._

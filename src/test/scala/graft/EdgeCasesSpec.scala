@@ -93,6 +93,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Sampling.packedText(docs, TextStats.nTokens(col("text")),
       512).count() == 0)
     assert(Dedup.incremental(docs, docs).count() == 0)
+    assert(Dedup.incrementalNear(docs, docs).count() == 0)
     assert(Dedup.duplicatedSpans(docs).count() == 0)
     assert(Similarity.semanticPairs(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
