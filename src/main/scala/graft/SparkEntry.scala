@@ -410,6 +410,27 @@ object SparkEntry {
           .otherwise("high").as("bucket"))
         .orderBy(col("c_custkey"))
     }),
+    "q_pivot" -> ((s, dir) => {
+      // pivot with an EXPLICIT value list: no distinct-value discovery
+      // job, and the output schema is fixed at plan time (the only
+      // pivot shape that scales — value discovery over 100 TB is a
+      // full extra pass)
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal").cast("double").as("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nationkey")),
+          "metric", "val")
+        .orderBy(col("c_custkey"), col("metric"))
+    }),
 
     // ---- north star: deduplication ----
     "dedup_exact" -> ((s, dir) => {
@@ -451,6 +472,19 @@ object SparkEntry {
       // defaults (16 planes × 4 tables) with far smaller buckets.
       Similarity.annCosinePairs(t(s, dir, "embeddings"), minCosine = 0.45,
         nPlanes = 3, nTables = 12)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_edit_distance" -> ((s, dir) => {
+      // typo-class near-dup: the fixture corpus is all-unique at small
+      // edit distances, so the query stages mutated recrawls (2-char
+      // suffix edits under new ids) the operator must pair with their
+      // originals; any natural same-prefix fixture pair joins too
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val staged = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" x")).as("text")))
+      Dedup.editDistancePairs(staged, maxEdits = 4)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "dedup_semantic" -> ((s, dir) => {
@@ -732,6 +766,12 @@ object SparkEntry {
       // oracle as the equivalent batch join
       graft.streaming.EventsStream.enrichToCompletion(s, dir)
         .orderBy(col("event_id"))
+    }),
+    "events_stream_attribution" -> ((s, dir) => {
+      // stream-stream interval join (click -> purchase within 1 h per
+      // user), state bounded by watermark + two-sided range condition
+      graft.streaming.EventsStream.attributionToCompletion(s, dir)
+        .orderBy(col("click_id"), col("purchase_id"))
     }),
 
     // ---- north star: multimodal column plumbing ----
@@ -1181,6 +1221,19 @@ object SparkEntry {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_edit_distance" -> """
+      WITH aug AS (SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 20000, text || ' x' FROM documents
+                   WHERE doc_id < 20),
+      b AS (SELECT doc_id, text, substr(lower(text), 1, 12) AS blk,
+                   len(text) AS ln FROM aug)
+      SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+             CAST(levenshtein(a.text, c.text) AS BIGINT) AS edits
+      FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+        AND abs(a.ln - c.ln) <= 4
+      WHERE levenshtein(a.text, c.text) <= 4
+      ORDER BY id_a, id_b""",
     "dedup_spans" -> s"""
       WITH $spanCteSql
       SELECT doc_id, span_start, span_end FROM spans
@@ -1625,6 +1678,13 @@ object SparkEntry {
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       ORDER BY e.event_id""",
+    "events_stream_attribution" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+      FROM events c JOIN events p ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id""",
     "events_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
@@ -1905,5 +1965,20 @@ object SparkEntry {
                   WHEN c_acctbal < 7000 THEN 'mid'
                   ELSE 'high' END AS bucket
       FROM customer ORDER BY c_custkey""",
+    "q_pivot" -> """
+      SELECT user_id,
+             count(*) FILTER (event_type = 'click') AS click,
+             count(*) FILTER (event_type = 'error') AS error,
+             count(*) FILTER (event_type = 'purchase') AS purchase,
+             count(*) FILTER (event_type = 'signup') AS signup,
+             count(*) FILTER (event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" -> """
+      SELECT c_custkey, 'c_acctbal' AS metric,
+             CAST(c_acctbal AS DOUBLE) AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'c_nationkey' AS metric,
+             CAST(c_nationkey AS DOUBLE) AS val FROM customer
+      ORDER BY c_custkey, metric""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

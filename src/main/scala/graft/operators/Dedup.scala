@@ -362,6 +362,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
+  /** Edit-distance near-dup pairs via prefix blocking: candidates
+    * share their first `blockPrefix` lowercased characters (an
+    * equi-join key — quadratic work stays inside each block), pass a
+    * LOSSLESS length prefilter (edit distance >= length difference),
+    * and are verified with a THRESHOLDED Levenshtein (early-exit at
+    * maxEdits+1, so the verify cost is O(maxEdits·len), not O(len²)).
+    *
+    * Blocking trade, documented: near-dups that differ inside the
+    * first `blockPrefix` chars are missed (same class of trade as
+    * MinHash banding — recall for speed); typo-class edits cluster in
+    * document bodies, not openings, which is what makes prefix
+    * blocking the standard cheap key. Output: (id_a, id_b, edits).
+    */
+  def editDistancePairs(docs: DataFrame, maxEdits: Int = 4,
+      blockPrefix: Int = 12, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxEdits >= 0 && blockPrefix >= 1, "bad edit-dedup params")
+    val b = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("blk", substring(lower(col("t")), 1, blockPrefix))
+      .withColumn("ln", length(col("t")))
+    b.as("a").join(b.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(col("a.ln") - col("b.ln")) <= maxEdits)
+      .withColumn("edits",
+        levenshtein(col("a.t"), col("b.t"), maxEdits).cast("long"))
+      .filter(col("edits") >= 0L)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("edits"))
+  }
+
   // --------------------------------------------------------------------
   // Substring-level (span) dedup — the "exact substring deduplication"
   // of Lee et al., "Deduplicating Training Data Makes Language Models

@@ -145,6 +145,46 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * purchase joins every click by the same user in the preceding
+    * hour. Both sides are event-time streams; the watermarks plus the
+    * two-sided time-range condition bound the join state (Spark keeps
+    * each click row only until `watermark - 1 hour` passes its
+    * timestamp, then evicts — unbounded streams, bounded state, the
+    * reason stream-stream joins require the range constraint at all).
+    * Output is append-mode: a pair is emitted once, when both sides
+    * have arrived.
+    */
+  def attributionToCompletion(spark0: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val clicks = source(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = source(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+    val qname = "graft_events_stream_attribution"
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Streaming content dedup keyed on the engine's own sdbm content
     * fingerprint — the streaming twin of the batch
     * TextStats.fingerprint ∘ Dedup.exact composition: normalize the

@@ -170,6 +170,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(11L))
   }
 
+  test("editDistancePairs pairs within-threshold same-prefix docs only") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared prefix with a tail"),
+      (2L, "shared prefix with a tale"),   // 2 edits vs doc 1 (i→l, l→e)
+      (3L, "shared prefix but wildly different ending entirely"),
+      (4L, "different opening with a tail"), // near doc 1, other block
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, maxEdits = 2,
+      blockPrefix = 12).orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // only (1,2): doc 3 shares the block but exceeds the threshold
+    // (length prefilter alone rejects it); doc 4 is a blocking miss by
+    // design; null text drops
+    assert(got == Seq((1L, 2L, 2L)))
+  }
+
   test("duplicatedSpans finds merged cross-doc spans; stats and scrub " +
       "agree with hand-computed geometry") {
     import spark.implicits._

@@ -94,6 +94,7 @@ class EdgeCasesSpec extends AnyFunSuite {
       512).count() == 0)
     assert(Dedup.incremental(docs, docs).count() == 0)
     assert(Dedup.incrementalNear(docs, docs).count() == 0)
+    assert(Dedup.editDistancePairs(docs).count() == 0)
     assert(Dedup.duplicatedSpans(docs).count() == 0)
     assert(Similarity.semanticPairs(
       Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),

@@ -98,6 +98,30 @@ class EventsSpec extends AnyFunSuite {
     assert(stream.size == ev.count())
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .attributionToCompletion(spark, dir)
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(stream.toSet == batch)
+    assert(stream.size == stream.toSet.size, "pair emitted twice")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming fingerprint dedup equals the batch distinct-content " +
       "fingerprint set") {
     import spark.implicits._
