@@ -753,6 +753,9 @@ object SparkEntry {
       Events.sessionize(t(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "events_funnel" -> ((s, dir) => {
+      Events.funnel(t(s, dir, "events")).orderBy(col("user_id"))
+    }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
@@ -1678,6 +1681,24 @@ object SparkEntry {
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       ORDER BY e.event_id""",
+    "events_funnel" -> """
+      WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+            GROUP BY e.user_id)
+      SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+             CAST((CASE WHEN s.signup_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS stage
+      FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY s.user_id""",
     "events_stream_attribution" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value

@@ -83,4 +83,42 @@ object Events {
         sum(col("n_events")).as("n_events"),
         expr("percentile(dur_us, 0.5)").as("median_dur_us"),
         max(col("dur_us")).as("max_dur_us"))
+
+  /** Ordered funnel analysis: for each user who performed `steps(0)`,
+    * the earliest time of each step that happened AT OR AFTER the
+    * previous step's earliest time — the standard product-analytics
+    * funnel (a step counts only if it follows the prior one; a
+    * purchase before the first qualifying click does not complete a
+    * signup→click→purchase funnel). Output: (user_id, <step>_ts per
+    * step — null once the chain breaks, monotone non-decreasing
+    * across a row — and `stage` = completed step count).
+    *
+    * Shape: one filtered min-aggregate plus one equi-join per step,
+    * every shuffle on the same user key — co-partitioned end to end
+    * after the first exchange; no windows over full event history and
+    * no per-user event collection, so user fan-in is bounded by the
+    * step count at any corpus size.
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(s"${steps.head}_ts"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (s, i)) =>
+        val prevCol = s"${steps(i - 1)}_ts"
+        val nxt = events.filter(col("event_type") === s)
+          .select(col("user_id").as("__u"), col("ts").as("__t"))
+          .join(acc.select(col("user_id").as("__u"), col(prevCol))
+              .filter(col(prevCol).isNotNull),
+            Seq("__u"))
+          .filter(col("__t") >= col(prevCol))
+          .groupBy(col("__u")).agg(min(col("__t")).as(s"${s}_ts"))
+          .withColumnRenamed("__u", "user_id")
+        acc.join(nxt, Seq("user_id"), "left")
+    }
+    full.withColumn("stage",
+      steps.map(s => when(col(s"${s}_ts").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+  }
 }

@@ -49,6 +49,32 @@ class EventsSpec extends AnyFunSuite {
     assert(n == 5L * 4L) // each event lands in exactly 4 sliding windows
   }
 
+  test("funnel counts a step only when it follows the prior step") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "signup", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: signup only
+      (2L, "signup", ts(0)),
+      // user 3: purchase BEFORE the qualifying click — stage stops at 2
+      (3L, "signup", ts(0)), (3L, "purchase", ts(5)), (3L, "click", ts(10)),
+      // user 4: no signup — excluded from the cohort entirely
+      (4L, "click", ts(0)), (4L, "purchase", ts(1)),
+      // user 5: click before signup is ignored; later click counts
+      (5L, "click", ts(0)), (5L, "signup", ts(5)), (5L, "click", ts(9)),
+      (5L, "purchase", ts(11)))
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(ev)
+      .select(col("user_id"), col("stage")).orderBy("user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L), (3L, 2L), (5L, 3L)))
+    // user 5's qualifying click is the post-signup one
+    val u5 = Events.funnel(ev).filter(col("user_id") === 5)
+      .select(col("click_ts")).as[java.sql.Timestamp].collect().head
+    assert(u5 == ts(9))
+  }
+
   test("streaming twin produces the same tumbling result as batch") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
