@@ -342,6 +342,35 @@ object SparkEntry {
           col("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
     }),
+    "q_window_range" -> ((s, dir) => {
+      // RANGE frame over event time: per user, events in the trailing
+      // hour — ordered by exact integer µs so the frame bound is
+      // engine-neutral (interval semantics over ns vs µs timestamps
+      // are not)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("n_trailing_1h", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("n_trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+    "q_window_nav" -> ((s, dir) => {
+      // navigation functions + ntile over one user-time window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          first(col("event_id")).over(w).as("first_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("event_id"))
+    }),
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")),
@@ -1943,6 +1972,21 @@ object SparkEntry {
                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_range" -> """
+      SELECT user_id, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS n_trailing_1h
+      FROM events ORDER BY event_id""",
+    "q_window_nav" -> """
+      SELECT user_id, event_id,
+             lag(event_id, 1) OVER w AS prev_id,
+             lead(event_id, 1) OVER w AS next_id,
+             first_value(event_id) OVER w AS first_id,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      ORDER BY event_id""",
     "q_rollup" -> """
       SELECT n_name, c_mktsegment, count(*) AS n_cust,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
