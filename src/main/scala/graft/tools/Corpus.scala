@@ -10,26 +10,35 @@ import org.apache.spark.sql.functions._
   *
   *   scrub (PII redaction) → quality filter (keep 'ok') →
   *   exact dedup on the content fingerprint (first id wins) →
+  *   duplicated-span removal (cross-doc repeated regions cut out) →
+  *   benchmark decontamination (optional, vs a held-out eval set) →
   *   deterministic train/val/test hash split → sharded JSONL per
   *   split + a one-line JSON stats report per stage.
   *
   * Plan shape: scrub + quality + fingerprint are ONE fused narrow
   * projection pass (no joins between stages — the filter chain
   * composes as column expressions); dedup adds a single
-  * fingerprint-keyed shuffle; the split is a pushable filter; each
-  * JSONL write is embarrassingly parallel. Stage counts are collected
-  * from one cached frame so the report doesn't re-run the pipeline
-  * per metric.
+  * fingerprint-keyed shuffle; span removal joins back only the
+  * (small) affected-doc fix-ups; decontamination broadcasts only the
+  * eval-set gram table; the split is a pushable filter; each JSONL
+  * write is embarrassingly parallel. Stage counts are collected from
+  * cached frames so the report doesn't re-run the pipeline per
+  * metric.
   *
-  * Usage: Corpus <sfDir> <outDir> [shards=4]
+  * Usage: Corpus <sfDir> <outDir> [shards=4] [evalSlice=0]
+  * (evalSlice > 0 decontaminates against the doc_id < evalSlice
+  * rows, the same held-out convention as the decontam_* queries)
   */
 object Corpus {
 
   final case class Report(input: Long, scrubbedHits: Long, kept: Long,
-      deduped: Long, train: Long, valN: Long, test: Long) {
+      deduped: Long, spanScrubbed: Long, decontamDropped: Long,
+      train: Long, valN: Long, test: Long) {
     def json: String =
       s"""{"input":$input,"docs_with_pii":$scrubbedHits,""" +
         s""""kept_after_quality":$kept,"after_dedup":$deduped,""" +
+        s""""span_scrubbed":$spanScrubbed,""" +
+        s""""decontam_dropped":$decontamDropped,""" +
         s""""train":$train,"val":$valN,"test":$test}"""
   }
 
@@ -37,7 +46,7 @@ object Corpus {
     * (doc_id, source, text).
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      shards: Int = 4): Report = {
+      shards: Int = 4, evalDocs: Option[DataFrame] = None): Report = {
     // stage 1+2 fused: redact, then score the REDACTED text (quality
     // judged on what survives scrubbing) — one narrow projection end
     // to end, no join between the stages
@@ -60,8 +69,28 @@ object Corpus {
       val winners = TextStats.fingerprint(kept.select("doc_id", "text"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val deduped = kept.join(winners.select("doc_id"), "doc_id")
-      // stage 4: deterministic split + stage 5: JSONL per split
-      val split = Sampling.hashSplit(deduped)
+      // stage 4: cut cross-doc duplicated spans; only the (small)
+      // affected-doc fix-ups join back, everything else passes through
+      val fixes = graft.operators.Dedup
+        .removeDuplicatedSpans(deduped.select("doc_id", "text"))
+        .select(col("doc_id"), col("clean_text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSpanScrubbed = fixes.count()
+      val spanFixed = deduped.join(fixes, Seq("doc_id"), "left")
+        .withColumn("text", coalesce(col("clean_text"), col("text")))
+        .drop("clean_text")
+      // stage 5: optional benchmark decontamination (broadcasts only
+      // the eval-set gram table)
+      val (decon, nDropped) = evalDocs match {
+        case Some(ev) =>
+          val d = graft.operators.Decontaminate.clean(spanFixed, ev)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val n = spanFixed.count() - d.count()
+          (d, n)
+        case None => (spanFixed, 0L)
+      }
+      // stage 6: deterministic split + stage 7: JSONL per split
+      val split = Sampling.hashSplit(decon)
         .select(col("doc_id"), col("source"), col("split"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -73,10 +102,14 @@ object Corpus {
             Seq("doc_id", "source", "text"), s"$outDir/$s")
         }
         Report(input, piiDocs, keptN,
-          counts.values.sum,
+          counts.values.sum + nDropped, nSpanScrubbed, nDropped,
           counts.getOrElse("train", 0L), counts.getOrElse("val", 0L),
           counts.getOrElse("test", 0L))
-      } finally split.unpersist()
+      } finally {
+        split.unpersist()
+        fixes.unpersist()
+        if (!(decon eq spanFixed)) decon.unpersist()
+      }
     } finally cached.unpersist()
   }
 
@@ -87,6 +120,7 @@ object Corpus {
     }
     val Array(sfDir, outDir) = args.take(2)
     val shards = args.lift(2).map(_.toInt).getOrElse(4)
+    val evalSlice = args.lift(3).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.Sessions.builder("graft-corpus", s"local[$cpus]", cpus)
       .getOrCreate()
@@ -94,7 +128,12 @@ object Corpus {
     try {
       val docs = graft.Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      println(run(spark, docs, outDir, shards).json)
+      val evalDocs =
+        if (evalSlice > 0)
+          Some(docs.filter(col("doc_id") < evalSlice)
+            .select(col("doc_id"), col("text")))
+        else None
+      println(run(spark, docs, outDir, shards, evalDocs).json)
     } finally spark.stop()
   }
 }

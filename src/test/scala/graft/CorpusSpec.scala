@@ -37,6 +37,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("span-scrub and decontamination stages engage and report counts") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus4").toFile
+    try {
+      val shared = "the a0 b1 and the c2 d3 and the e4 f5 and " +
+        "the g6 h7 and the i8 j9 and the k10 l11 and"
+      val other = "some people walk to town for fresh bread while " +
+        "others ride bikes past the old mill near green fields today"
+      val docs = Seq(
+        (1L, "s", shared + " unique tail one x9 y8"),
+        (2L, "s", shared + " another ending z7 w6"),
+        (3L, "s", other)).toDF("doc_id", "source", "text")
+      // held-out eval set shares other's content, not the span content
+      val eval = Seq((99L, other)).toDF("doc_id", "text")
+      val r = Corpus.run(spark, docs, tmp.toString, shards = 1,
+        evalDocs = Some(eval))
+      assert(r.input == 3 && r.kept == 3 && r.deduped == 3)
+      // docs 1+2 share the >=30-char prefix: both span-scrubbed
+      assert(r.spanScrubbed == 2)
+      // doc 3 overlaps the eval set: dropped after span removal
+      assert(r.decontamDropped == 1)
+      assert(r.train + r.valN + r.test == 2)
+    } finally {
+      SparkTestSession.deleteRecursively(tmp)
+    }
+  }
+
   test("pipeline dedup keeps the first id of duplicated content") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-corpus3").toFile
