@@ -782,6 +782,17 @@ object SparkEntry {
       Events.sessionize(t(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "q_zorder" -> ((s, dir) => {
+      // Morton code over (user, hour) — the write-side clustering key;
+      // the oracle recomputes the interleave with the same exact
+      // integer shift/mask arithmetic
+      val hr = call_function("div", unix_micros(col("ts")),
+        lit(3600000000L)).bitwiseAND(lit(0xFFFFL))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), hr.as("hr"))
+        .withColumn("z", Layout.zorder2(col("user_id"), col("hr")))
+        .orderBy(col("z"), col("event_id"))
+    }),
     "events_funnel" -> ((s, dir) => {
       Events.funnel(t(s, dir, "events")).orderBy(col("user_id"))
     }),
@@ -1710,6 +1721,27 @@ object SparkEntry {
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       ORDER BY e.event_id""",
+    "q_zorder" -> """
+      WITH e AS (SELECT event_id, user_id,
+                   (epoch_us(ts) // 3600000000) & 65535 AS hr
+                 FROM events),
+      s1 AS (SELECT event_id, user_id, hr,
+               (user_id & 65535) AS ax, (hr & 65535) AS bx FROM e),
+      s2 AS (SELECT event_id, user_id, hr,
+               ((ax | (ax << 8)) & 16711935) AS ax,
+               ((bx | (bx << 8)) & 16711935) AS bx FROM s1),
+      s3 AS (SELECT event_id, user_id, hr,
+               ((ax | (ax << 4)) & 252645135) AS ax,
+               ((bx | (bx << 4)) & 252645135) AS bx FROM s2),
+      s4 AS (SELECT event_id, user_id, hr,
+               ((ax | (ax << 2)) & 858993459) AS ax,
+               ((bx | (bx << 2)) & 858993459) AS bx FROM s3),
+      s5 AS (SELECT event_id, user_id, hr,
+               ((ax | (ax << 1)) & 1431655765) AS ax,
+               ((bx | (bx << 1)) & 1431655765) AS bx FROM s4)
+      SELECT event_id, user_id, hr,
+             CAST(ax | (bx << 1) AS BIGINT) AS z
+      FROM s5 ORDER BY z, event_id""",
     "events_funnel" -> """
       WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
                  WHERE event_type = 'signup' GROUP BY user_id),
