@@ -620,6 +620,17 @@ object SparkEntry {
         "w", k = 100)
         .orderBy(col("n_rows").desc, col("value"))
     }),
+    "text_bigrams" -> ((s, dir) => {
+      // corpus-level adjacent-token-pair counts — the frequency table
+      // a BPE-style tokenizer trainer consults each merge step (the
+      // top row IS the next merge); one explode + one map-side
+      // combinable groupBy
+      t(s, dir, "documents")
+        .select(explode(Dedup.wordShingles(
+          Dedup.tokens(col("text")), 2)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(100)
+    }),
     "text_postings" -> ((s, dir) => {
       // inverted index (IR/retrieval prep): term -> df + sorted
       // posting list
@@ -1635,6 +1646,16 @@ object SparkEntry {
             FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
             WHERE w <> '')
       GROUP BY w ORDER BY n_rows DESC, value LIMIT 100""",
+    "text_bigrams" -> """
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+                 FROM documents),
+      p AS (SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+              AS pair
+            FROM t, unnest(range(1, len(ws))) AS r(i))
+      SELECT pair, count(*) AS n FROM p
+      GROUP BY pair ORDER BY n DESC, pair LIMIT 100""",
     "text_postings" -> """
       SELECT term, count(DISTINCT doc_id) AS df,
              array_to_string(list_sort(list(DISTINCT doc_id)), ',')
