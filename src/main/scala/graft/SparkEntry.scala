@@ -620,6 +620,13 @@ object SparkEntry {
         "w", k = 100)
         .orderBy(col("n_rows").desc, col("value"))
     }),
+    "text_compression" -> ((s, dir) => {
+      // deflate is not SQL-expressible -> no_oracle; the kernel and
+      // signal ordering are pinned by TextStatsSpec + a PlanSpec
+      // codegen assert
+      TextStats.compressionSignal(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "text_bigrams" -> ((s, dir) => {
       // corpus-level adjacent-token-pair counts — the frequency table
       // a BPE-style tokenizer trainer consults each merge step (the

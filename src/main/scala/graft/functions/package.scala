@@ -45,6 +45,12 @@ package object functions {
   /** Distinct character n-grams of a string, first-occurrence order
     * (codegen'd loop — the HOF formulation is interpreted per element).
     */
+  /** Deflate-compressed byte length of a string (codegen'd);
+    * null/"" → 0. Compression-ratio quality signal.
+    */
+  def deflate_len(c: Column): Column =
+    Bridge.column(DeflateLenExpr(Bridge.expression(c.cast("string"))))
+
   def char_ngrams(c: Column, n: Int): Column =
     Bridge.column(CharNgramsExpr(Bridge.expression(c.cast("string")), n))
 

@@ -275,6 +275,24 @@ object TextStats {
         col("df"), col("score"))
   }
 
+  /** Compression-ratio quality signal: deflate length over UTF-8 byte
+    * length per document (one narrow codegen'd projection —
+    * [[graft.functions.DeflateLenExpr]]). Boilerplate and templated
+    * text compresses far below natural prose; the standard corpus
+    * filter thresholds the ratio from both ends (too compressible =
+    * repetitive, incompressible = binary junk/random). Ratio is one
+    * exact-integer division; empty/null text → ratio 0.
+    */
+  def compressionSignal(docs: DataFrame): DataFrame = {
+    val nb = octet_length(coalesce(col("text"), lit("")))
+    docs.select(col("doc_id"), nb.cast("long").as("n_bytes"),
+        graft.functions.deflate_len(col("text")).as("deflate_len"))
+      .withColumn("ratio",
+        when(col("n_bytes") === 0L, lit(0.0))
+          .otherwise(col("deflate_len").cast("double") /
+            col("n_bytes").cast("double")))
+  }
+
   /** Inverted index over whitespace tokens: one row per term with its
     * document frequency and the sorted posting list (comma-joined
     * string — stable to hash and engine-neutral; a production store

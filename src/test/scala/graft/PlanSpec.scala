@@ -127,6 +127,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("compression signal is a shuffle-free codegen'd projection") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.operators.TextStats.compressionSignal(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(p.contains("*(1)"), p)
+  }
+
   test("text search top-k compiles to TakeOrderedAndProject") {
     val p = plan("text_search")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -179,6 +179,32 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 1L, "goose"), (3L, 2L, "common")))
   }
 
+  test("compression signal: repetitive text compresses far below " +
+      "prose; null and empty are total") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val prose = (1 to 120).map(_ =>
+      ('a' + rnd.nextInt(26)).toChar.toString +
+        ('a' + rnd.nextInt(26)).toChar).mkString(" ")
+    val docs = Seq(
+      (1L, "ab" * 300),                  // highly repetitive
+      (2L, prose),                       // high-entropy
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextStats.compressionSignal(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._4 < 0.1, s"repetitive ratio ${byId(1L)._4}")
+    assert(byId(2L)._4 > 0.5, s"prose ratio ${byId(2L)._4}")
+    assert(byId(1L)._4 < byId(2L)._4 / 3)
+    assert(byId(3L) == ((3L, 0L, 0L, 0.0)))
+    assert(byId(4L) == ((4L, 0L, 0L, 0.0)))
+    // deterministic across runs (fixed Deflater config)
+    val again = TextStats.compressionSignal(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("invertedIndex builds sorted distinct posting lists with df") {
     import spark.implicits._
     val docs = Seq((10L, "a b a"), (2L, "b c"), (3L, ""))
