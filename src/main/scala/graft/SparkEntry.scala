@@ -705,6 +705,14 @@ object SparkEntry {
         TextStats.nTokens(col("text")), budget = 512)
         .orderBy(col("shard"), col("bin"))
     }),
+    "sample_fixed_k" -> ((s, dir) => {
+      // deterministic reservoir replacement: exactly k rows by
+      // scrambled-hash rank (TakeOrderedAndProject, rerun-stable)
+      Sampling.fixedK(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), k = 50)
+        .orderBy(col("doc_id"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // nightly-ingest scenario on the all-unique fixture: the batch
       // is the 100 fresh docs plus 50 recrawls of corpus content
@@ -1371,6 +1379,17 @@ object SparkEntry {
                 ON c.g = b.g)
       SELECT doc_id FROM documents
       WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""",
+    "sample_fixed_k" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.source, d.text,
+              ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS rk
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text FROM r
+        ORDER BY rk, doc_id LIMIT 50)
       ORDER BY doc_id""",
     "sample_split" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",

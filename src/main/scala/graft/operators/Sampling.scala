@@ -38,10 +38,31 @@ object Sampling {
     * intermediate below 2⁴⁷ (ANSI-overflow-safe). pmod guards the
     * Long.MinValue hash corner.
     */
-  def bucket(id: Column, nBuckets: Int = 100): Column = {
+  def bucket(id: Column, nBuckets: Int = 100): Column =
+    pmod(scrambledRank(id), lit(nBuckets.toLong))
+
+  /** The full-range MINSTD scramble behind [[bucket]] (no final mod):
+    * a deterministic pseudo-random rank in [0, 2³¹-1) per id.
+    */
+  def scrambledRank(id: Column): Column = {
     val h = sdbm_hash(lit(0L), id.cast("string"))
-    val m = pmod(h, lit(2147483647L)) * lit(48271L) % lit(2147483647L)
-    pmod(m, lit(nBuckets.toLong))
+    pmod(h, lit(2147483647L)) * lit(48271L) % lit(2147483647L)
+  }
+
+  /** Deterministic fixed-size uniform sample: exactly `k` rows (fewer
+    * only if the input is smaller), chosen as the top-k by scrambled
+    * hash rank — the distributed, rerun-stable replacement for
+    * reservoir sampling (same id set on every run and every
+    * partitioning; membership changes only when the corpus does).
+    * Compiles to TakeOrderedAndProject: no global sort, each
+    * partition keeps k candidates and the driver merges.
+    */
+  def fixedK(df: DataFrame, k: Int, idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    df.withColumn("_rk", scrambledRank(col(idCol)))
+      .orderBy(col("_rk"), col(idCol))
+      .limit(k)
+      .drop("_rk")
   }
 
   /** Add a deterministic `split` column: `train` / `val` / `test` by

@@ -12,6 +12,22 @@ class SamplingSpec extends AnyFunSuite {
 
   private def docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
 
+  test("fixedK: exactly k rows, rerun- and partitioning-stable, " +
+      "via TakeOrderedAndProject") {
+    import spark.implicits._
+    val a = Sampling.fixedK(docs, 50).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a.size == 50)
+    val b = Sampling.fixedK(docs.repartition(13), 50).select("doc_id")
+      .as[Long].collect().toSet
+    assert(a == b, "sample membership depends on partitioning")
+    assert(Sampling.fixedK(docs, 10000).count() == docs.count(),
+      "k larger than corpus returns everything")
+    val plan = Sampling.fixedK(docs, 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("hashSplit is deterministic, partition-independent, and near " +
       "the target fractions") {
     import spark.implicits._
