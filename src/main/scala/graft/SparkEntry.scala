@@ -630,10 +630,14 @@ object SparkEntry {
     "text_bigrams" -> ((s, dir) => {
       // corpus-level adjacent-token-pair counts — the frequency table
       // a BPE-style tokenizer trainer consults each merge step (the
-      // top row IS the next merge); one explode + one map-side
-      // combinable groupBy
+      // top row IS the next merge). The codegen'd shingle kernel (not
+      // the interpreted HOF form), spread across cores before the
+      // explode (single-row-group scan = one task otherwise).
+      val par = s.sparkContext.defaultParallelism
       t(s, dir, "documents")
-        .select(explode(Dedup.wordShingles(
+        .select(col("doc_id"), col("text"))
+        .repartition(par, col("doc_id"))
+        .select(explode(graft.functions.word_shingles(
           Dedup.tokens(col("text")), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(100)
