@@ -826,6 +826,13 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => {
       Events.funnel(t(s, dir, "events")).orderBy(col("user_id"))
     }),
+    "events_anomaly" -> ((s, dir) => {
+      // 1.5σ: the fixture values are uniform-ish (max deviation
+      // ~1.73σ), so 3σ would never fire; 1.5σ flags a meaningful
+      // minority and exercises both branches
+      Events.anomalies(t(s, dir, "events"), sigmaTenths = 15)
+        .orderBy(col("event_id"))
+    }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
@@ -1811,6 +1818,19 @@ object SparkEntry {
                AS BIGINT) AS stage
       FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
       ORDER BY s.user_id""",
+    "events_anomaly" -> """
+      WITH b AS (SELECT event_id, user_id,
+                   CAST(round(value * 10000) AS BIGINT) AS q
+                 FROM events),
+      a AS (SELECT user_id, count(*) AS n, sum(q) AS s,
+                   sum(CAST(q AS HUGEINT) * q) AS qq
+            FROM b GROUP BY user_id)
+      SELECT event_id, b.user_id, q,
+             (CAST(q AS HUGEINT) * n - s) * (CAST(q AS HUGEINT) * n - s)
+               * 100 >
+               225 * (CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s)
+               AS is_anomaly
+      FROM b JOIN a USING (user_id) ORDER BY event_id""",
     "events_stream_attribution" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value

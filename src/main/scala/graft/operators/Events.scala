@@ -84,6 +84,40 @@ object Events {
         expr("percentile(dur_us, 0.5)").as("median_dur_us"),
         max(col("dur_us")).as("max_dur_us"))
 
+  /** Per-user outlier flagging in EXACT integer arithmetic: an event
+    * is anomalous when its value deviates from the user's mean by
+    * more than `sigmaTenths/10` population standard deviations. The
+    * σ-test is evaluated with integers only — quantize to int
+    * (round(v·10⁴), the engine's standard trick), then
+    *
+    *   |q − S/n| > k·σ  ⟺  (q·n − S)²·100 > k₁₀²·(n·Q − S²)
+    *
+    * with S = Σq, Q = Σq² — no mean, no sqrt, no FP accumulation, so
+    * the flag is bit-identical on any engine or partitioning.
+    * Arithmetic runs in DECIMAL(38,0) (DuckDB twin: HUGEINT): the
+    * squared terms pass 2⁶³ long before the inputs do. Singleton
+    * users flag false (0 > 0). One groupBy + one join, both on the
+    * user key.
+    */
+  def anomalies(events: DataFrame, sigmaTenths: Int = 15): DataFrame = {
+    require(sigmaTenths > 0, "sigma must be positive")
+    val b = events.select(col("event_id"), col("user_id"),
+      round(col("value") * 10000).cast("long").as("q"))
+    val a = b.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s"),
+      sum((col("q") * col("q")).cast("decimal(38,0)")).as("qq"))
+    val qd = col("q").cast("decimal(38,0)")
+    val dev = qd * col("n") - col("s")
+    val varTerm = col("n").cast("decimal(38,0)") * col("qq") -
+      col("s").cast("decimal(38,0)") * col("s")
+    b.join(a, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("q"),
+        (dev * dev * 100 >
+          varTerm * (sigmaTenths.toLong * sigmaTenths))
+          .as("is_anomaly"))
+  }
+
   /** Ordered funnel analysis: for each user who performed `steps(0)`,
     * the earliest time of each step that happened AT OR AFTER the
     * previous step's earliest time — the standard product-analytics

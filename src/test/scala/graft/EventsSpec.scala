@@ -49,6 +49,26 @@ class EventsSpec extends AnyFunSuite {
     assert(n == 5L * 4L) // each event lands in exactly 4 sliding windows
   }
 
+  test("anomalies: exact integer sigma test, strict at the boundary, " +
+      "singleton users never flag") {
+    import spark.implicits._
+    // user 1: values [0,0,0,0,100] -> mean 20, population sigma 40;
+    // the 100 sits at exactly 2.0 sigma
+    val ev = (Seq((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 0.0),
+      (4L, 1L, 0.0), (5L, 1L, 100.0), (6L, 2L, 42.0)))
+      .toDF("event_id", "user_id", "value")
+    def flags(tenths: Int): Map[Long, Boolean] =
+      Events.anomalies(ev, sigmaTenths = tenths)
+        .select("event_id", "is_anomaly")
+        .as[(Long, Boolean)].collect().toMap
+    val at15 = flags(15)
+    assert(at15(5L) && !at15(1L) && !at15(6L)) // 2.0σ > 1.5σ; 0.5σ not
+    // exactly 2.0σ fails a STRICT 2.0σ threshold (boundary exact in
+    // integers, no FP wobble) and flags just below it
+    assert(!flags(20)(5L))
+    assert(flags(19)(5L))
+  }
+
   test("funnel counts a step only when it follows the prior step") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
