@@ -449,7 +449,10 @@ object SparkEntry {
         .pivot("event_type",
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // fill ONLY the pivoted counts — an unscoped fill would also
+        // rewrite a null group key to 0 and merge it with real user 0
+        .na.fill(0L,
+          Seq("click", "error", "purchase", "signup", "view"))
         .orderBy(col("user_id"))
     }),
     "q_unpivot" -> ((s, dir) => {

@@ -24,20 +24,27 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
   * pinned by property tests like the other sketch kernels.
   */
 object Compress {
+  // one native Deflater + scratch buffer per executor thread, reused
+  // via reset(): per-row construction/end() of a native zlib stream
+  // (plus an 8 KB allocation) would dominate the projection's cost at
+  // corpus scale. reset() restores the construction-time config, so
+  // determinism is unchanged.
+  private val local =
+    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
+      (new java.util.zip.Deflater(6, true), new Array[Byte](8192)))
+
   /** Deflate length of the UTF-8 encoding of `s`; null → 0, "" → 0. */
   def deflateLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     if (s == null) return 0L
     val bytes = s.getBytes
     if (bytes.isEmpty) return 0L
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

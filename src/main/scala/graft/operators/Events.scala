@@ -103,11 +103,14 @@ object Events {
     require(sigmaTenths > 0, "sigma must be positive")
     val b = events.select(col("event_id"), col("user_id"),
       round(col("value") * 10000).cast("long").as("q"))
+    // widen BEFORE multiplying: q*q in long overflows at |value| ≈
+    // 3e5 (ANSI mode would abort; the DuckDB twin is HUGEINT all the
+    // way) — the decimal cast must wrap the operand, not the product
+    val qd = col("q").cast("decimal(38,0)")
     val a = b.groupBy(col("user_id")).agg(
       count(lit(1)).as("n"),
-      sum(col("q")).as("s"),
-      sum((col("q") * col("q")).cast("decimal(38,0)")).as("qq"))
-    val qd = col("q").cast("decimal(38,0)")
+      sum(qd).as("s"),
+      sum(qd * col("q")).as("qq"))
     val dev = qd * col("n") - col("s")
     val varTerm = col("n").cast("decimal(38,0)") * col("qq") -
       col("s").cast("decimal(38,0)") * col("s")

@@ -104,14 +104,7 @@ object Similarity {
     if (cents.isEmpty) return Array.empty // empty corpus: nothing to train
     for (_ <- 0 until iters) {
       val withNorm = cents.map(cv => (cv, cv.map(x => x * x).sum))
-      val cellArr = array(withNorm.map { case (cv, cn) =>
-        qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
-      }.toIndexedSeq: _*)
-      val sums = q
-        .withColumn("cellArr", cellArr)
-        .withColumn("cell",
-          (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
-            .cast("int"))
+      val sums = withCells(q, withNorm)
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -138,6 +131,25 @@ object Similarity {
     * projection and candidate generation is linear like the LSH path.
     * Output shape matches [[topK]] (rank within probed cells).
     */
+  /** Per-centroid cosine array for a quantized frame (shared by the
+    * IVF and SemDeDup paths; ties broken by FIRST max, matching the
+    * trainer's assignment).
+    */
+  private def cellCosArr(cents: Array[(Seq[Long], Long)]): Column =
+    array(cents.map { case (cv, cn) =>
+      qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
+    }.toIndexedSeq: _*)
+
+  /** Attach the nearest-centroid `cell` (and keep `cellArr` for
+    * callers that probe multiple cells).
+    */
+  private def withCells(q: DataFrame,
+      cents: Array[(Seq[Long], Long)]): DataFrame =
+    q.withColumn("cellArr", cellCosArr(cents))
+      .withColumn("cell",
+        (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
+          .cast("int"))
+
   def ivfTopK(emb: DataFrame, queryFilter: Column, k: Int,
       nCells: Int = 16, nProbe: Int = 4, trainIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -147,25 +159,11 @@ object Similarity {
       // empty corpus → zero centroids; the cosine-array expressions
       // below would not even analyze, so short-circuit with an empty
       // frame of the output schema
-      val idType = q.schema("id").dataType
-      return q.sparkSession.createDataFrame(
-        q.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("query_id", idType),
-          org.apache.spark.sql.types.StructField("rank",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("neighbor_id", idType),
-          org.apache.spark.sql.types.StructField("cosine",
-            org.apache.spark.sql.types.DoubleType))))
+      return q.limit(0).select(col("id").as("query_id"),
+        lit(0).as("rank"), col("id").as("neighbor_id"),
+        lit(0d).as("cosine"))
     }
-    def cellCos(v: Column, norm: Column): Column = array(cents.map {
-      case (cv, cn) => qcosine(qdot(v, typedlit(cv)), norm, lit(cn))
-    }.toIndexedSeq: _*)
-    val withCell = q
-      .withColumn("cellArr", cellCos(col("qv"), col("norm")))
-      .withColumn("cell",
-        (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
-          .cast("int"))
+    val withCell = withCells(q, cents)
     val indexed = withCell.drop("cellArr")
     // top-nProbe cells per query: sort (cos, idx) structs, take the tail
     val zipped = zip_with(col("cellArr"),
@@ -222,26 +220,10 @@ object Similarity {
     val q = withQuantized(emb, idCol, vecCol)
     val cents = trainCentroids(q, nCells, trainIters)
     if (cents.isEmpty) {
-      val idType = q.schema("id").dataType
-      return q.sparkSession.createDataFrame(
-        q.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id_a", idType),
-          org.apache.spark.sql.types.StructField("id_b", idType),
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("cosine",
-            org.apache.spark.sql.types.DoubleType))))
+      return q.limit(0).select(col("id").as("id_a"),
+        col("id").as("id_b"), lit(0).as("cell"), lit(0d).as("cosine"))
     }
-    val cellArr = array(cents.map { case (cv, cn) =>
-      qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
-    }.toIndexedSeq: _*)
-    val assigned = q
-      .withColumn("cellArr", cellArr)
-      .withColumn("cell",
-        (array_position(col("cellArr"), array_max(col("cellArr"))) - 1)
-          .cast("int"))
-      .drop("cellArr")
+    val assigned = withCells(q, cents).drop("cellArr")
     assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

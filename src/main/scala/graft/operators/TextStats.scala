@@ -335,11 +335,17 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_corpus"))
+    // tf*w and its sum are decimal-widened: w reaches ~5e14 at 1e9
+    // docs, so a long product would overflow (ANSI abort) for heavy
+    // tf; the idf multiply itself stays in long — exact until ~9e12
+    // docs, documented headroom. Output cast back to BIGINT (values
+    // fit; the oracle does the same from HUGEINT).
     tf.join(df, "term").crossJoin(n)
       .withColumn("w", call_function("div",
         lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf") * col("w")).as("score"),
+      .agg(sum(col("tf").cast("decimal(38,0)") * col("w"))
+          .cast("long").as("score"),
         count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -80,14 +80,19 @@ object Corpus {
         .withColumn("text", coalesce(col("clean_text"), col("text")))
         .drop("clean_text")
       // stage 5: optional benchmark decontamination (broadcasts only
-      // the eval-set gram table)
-      val (decon, nDropped) = evalDocs match {
+      // the eval-set gram table). spanFixed is persisted for this
+      // branch: the drop count needs its cardinality, and without the
+      // persist the dedup shuffle + fix-up join would recompute for
+      // the count, the gram scan, AND the anti-join.
+      val (decon, nDropped, spanCache) = evalDocs match {
         case Some(ev) =>
-          val d = graft.operators.Decontaminate.clean(spanFixed, ev)
+          val sf = spanFixed.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val d = graft.operators.Decontaminate.clean(sf, ev)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val n = spanFixed.count() - d.count()
-          (d, n)
-        case None => (spanFixed, 0L)
+          val n = sf.count() - d.count()
+          (d, n, Some(sf))
+        case None => (spanFixed, 0L, None)
       }
       // stage 6: deterministic split + stage 7: JSONL per split
       val split = Sampling.hashSplit(decon)
@@ -108,6 +113,7 @@ object Corpus {
       } finally {
         split.unpersist()
         fixes.unpersist()
+        spanCache.foreach(_.unpersist())
         if (!(decon eq spanFixed)) decon.unpersist()
       }
     } finally cached.unpersist()
