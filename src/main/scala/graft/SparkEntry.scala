@@ -815,6 +815,18 @@ object SparkEntry {
       Events.sessionize(t(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "q_json_extract" -> ((s, dir) => {
+      // JSON path extraction over the props column (get_json_object —
+      // the row-level JSON scalar surface; from_json's structured
+      // parse is covered by mem_markup_*)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
     "q_zorder" -> ((s, dir) => {
       // Morton code over (user, hour) — the write-side clustering key;
       // the oracle recomputes the interleave with the same exact
@@ -1782,6 +1794,15 @@ object SparkEntry {
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       ORDER BY e.event_id""",
+    "q_json_extract" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
+             min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS max_k
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "q_zorder" -> """
       WITH e AS (SELECT event_id, user_id,
                    (epoch_us(ts) // 3600000000) & 65535 AS hr

@@ -373,7 +373,10 @@ object Dedup {
     * first `blockPrefix` chars are missed (same class of trade as
     * MinHash banding — recall for speed); typo-class edits cluster in
     * document bodies, not openings, which is what makes prefix
-    * blocking the standard cheap key. Output: (id_a, id_b, edits).
+    * blocking the standard cheap key. Cost model: verify work is
+    * Σ|block|² — raise `blockPrefix` as the corpus grows to keep
+    * block occupancy (and the quadratic term) bounded.
+    * Output: (id_a, id_b, edits).
     */
   def editDistancePairs(docs: DataFrame, maxEdits: Int = 4,
       blockPrefix: Int = 12, idCol: String = "doc_id",
