@@ -862,6 +862,17 @@ object SparkEntry {
       graft.streaming.EventsStream.enrichToCompletion(s, dir)
         .orderBy(col("event_id"))
     }),
+    "events_stream_foreach" -> ((s, dir) => {
+      // foreachBatch programmable sink: stream -> per-batch parquet
+      // append -> re-read; hashed against the events table itself
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-feb").toFile
+      val back =
+        try graft.streaming.EventsStream
+          .foreachBatchToParquet(s, dir, tmp.toString).localCheckpoint()
+        finally deleteRecursively(tmp)
+      back.orderBy(col("event_id"))
+    }),
     "events_stream_attribution" -> ((s, dir) => {
       // stream-stream interval join (click -> purchase within 1 h per
       // user), state bounded by watermark + two-sided range condition
@@ -2030,6 +2041,9 @@ object SparkEntry {
     "csv_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "orc_roundtrip" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "events_stream_foreach" -> """
       SELECT event_id, ts, user_id, event_type, value, props
       FROM events ORDER BY event_id""",
     "render_lineitem" -> """

@@ -185,6 +185,26 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** foreachBatch sink — the programmable-sink API: each micro-batch
+    * lands as an atomic parquet append via the BATCH writer (the
+    * production route to any sink Structured Streaming lacks, and to
+    * exactly-once via batchId-keyed idempotent writes; this fixture
+    * run is a single data batch, so plain append is already exact).
+    * Returns the re-read output so the driver oracle hash-checks the
+    * full sink→source loop.
+    */
+  def foreachBatchToParquet(spark0: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val q = source(spark, dir).writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode("append").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming content dedup keyed on the engine's own sdbm content
     * fingerprint — the streaming twin of the batch
     * TextStats.fingerprint ∘ Dedup.exact composition: normalize the
