@@ -815,6 +815,30 @@ object SparkEntry {
       Events.sessionize(t(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "q_cdc_merge" -> ((s, dir) => {
+      // lakehouse MERGE: a staged change set (updates with two
+      // versions for some keys to exercise last-wins, deletes,
+      // inserts) applied onto the customer snapshot
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val upd1 = base.filter(col("c_custkey") < 50)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(1L))
+      val upd2 = base.filter(col("c_custkey") < 20)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+        .withColumn("op", lit("U")).withColumn("version", lit(2L))
+      val dels = base.filter(col("c_custkey") >= 50 &&
+          col("c_custkey") < 60)
+        .withColumn("op", lit("D")).withColumn("version", lit(1L))
+      val ins = base.filter(col("c_custkey") < 10)
+        .withColumn("c_custkey", col("c_custkey") + 100000L)
+        .withColumn("op", lit("U")).withColumn("version", lit(1L))
+      val changes = upd1.unionByName(upd2).unionByName(dels)
+        .unionByName(ins)
+      Merge.applyCdc(base, changes, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON path extraction over the props column (get_json_object —
       // the row-level JSON scalar surface; from_json's structured
@@ -1805,6 +1829,31 @@ object SparkEntry {
       JOIN customer c ON e.user_id = c.c_custkey
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       ORDER BY e.event_id""",
+    "q_cdc_merge" -> """
+      WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                           c_mktsegment FROM customer),
+      changes AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+               'U' AS op, 1 AS version FROM base WHERE c_custkey < 50
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500.0,
+               c_mktsegment, 'U', 2 FROM base WHERE c_custkey < 20
+        UNION ALL
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+               'D', 1 FROM base WHERE c_custkey >= 50 AND c_custkey < 60
+        UNION ALL
+        SELECT c_custkey + 100000, c_name, c_nationkey, c_acctbal,
+               c_mktsegment, 'U', 1 FROM base WHERE c_custkey < 10),
+      latest AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY c_custkey
+            ORDER BY version DESC) AS rn FROM changes) WHERE rn = 1)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM base WHERE c_custkey NOT IN (SELECT c_custkey FROM latest)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM latest WHERE op <> 'D'
+      ORDER BY c_custkey""",
     "q_json_extract" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

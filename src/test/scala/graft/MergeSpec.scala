@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Merge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("applyCdc: last version wins, deletes remove, inserts appear, " +
+      "untouched keys pass through") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),
+      (2L, "b3", "U", 2L),  // later version supersedes b2
+      (3L, "c", "D", 1L),   // delete existing
+      (9L, "x", "D", 1L),   // delete of absent key: no-op
+      (4L, "d", "U", 1L))   // insert
+      .toDF("k", "v", "op", "version")
+    val got = Merge.applyCdc(target, changes, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b3"), (4L, "d")))
+  }
+
+  test("applyCdc: a delete superseded by a later upsert keeps the row") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "a", "D", 1L), (1L, "a2", "U", 2L))
+      .toDF("k", "v", "op", "version")
+    val got = Merge.applyCdc(target, changes, Seq("k"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a2")))
+  }
+
+  test("upsert replaces and inserts by key") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "b2"), (4L, "d")).toDF("k", "v")
+    val got = Merge.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+  }
+
+  test("merge operators are total on empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    val emptyC = Seq.empty[(Long, String, String, Long)]
+      .toDF("k", "v", "op", "version")
+    assert(Merge.applyCdc(empty, emptyC, Seq("k")).count() == 0)
+    val tgt = Seq((1L, "a")).toDF("k", "v")
+    assert(Merge.applyCdc(tgt, emptyC, Seq("k")).count() == 1)
+    assert(Merge.upsert(tgt, empty, Seq("k")).count() == 1)
+  }
+}
