@@ -839,6 +839,21 @@ object SparkEntry {
       Merge.applyCdc(base, changes, Seq("c_custkey"))
         .orderBy(col("c_custkey"))
     }),
+    "q_scd2" -> ((s, dir) => {
+      // dimension history from a versioned change log: every order a
+      // customer places is a new "version" of the customer dimension
+      // (the order date stands in for the change version)
+      Merge.scd2(
+        t(s, dir, "orders").select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("version"), col("o_totalprice"))
+          // duplicate (key, date) rows would make valid_to ambiguous:
+          // keep the highest-priced order per day as the day's state
+          .groupBy(col("o_custkey"), col("version"))
+          .agg(max(col("o_totalprice")).as("o_totalprice")),
+        keys = Seq("o_custkey"))
+        .orderBy(col("o_custkey"), col("valid_from"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON path extraction over the props column (get_json_object —
       // the row-level JSON scalar surface; from_json's structured
@@ -1854,6 +1869,18 @@ object SparkEntry {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM latest WHERE op <> 'D'
       ORDER BY c_custkey""",
+    "q_scd2" -> """
+      WITH v AS (SELECT o_custkey,
+                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS version,
+                   max(o_totalprice) AS o_totalprice
+                 FROM orders GROUP BY 1, 2)
+      SELECT o_custkey, version, o_totalprice,
+             version AS valid_from,
+             lead(version) OVER w AS valid_to,
+             lead(version) OVER w IS NULL AS is_current
+      FROM v
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY version)
+      ORDER BY o_custkey, valid_from""",
     "q_json_extract" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

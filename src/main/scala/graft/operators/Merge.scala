@@ -44,6 +44,25 @@ object Merge {
     target.join(changedKeys, keys, "left_anti").unionByName(upserts)
   }
 
+  /** SCD Type-2 historization: turn a keyed, versioned change log
+    * into validity intervals — one row per (key, version) with
+    * `valid_from` = its version, `valid_to` = the next version for
+    * the key (null while current) and an `is_current` flag. One
+    * window over the merge key; versions must be unique per key.
+    * The standard dimension-history build, run after [[applyCdc]]'s
+    * conflict resolution at ingest.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String],
+      versionCol: String = "version"): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol))
+    changes
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Plain last-wins upsert (no deletes, no versions): every key in
     * `updates` replaces its target row. `updates` must be
     * key-distinct — enforce with [[applyCdc]] and a version column

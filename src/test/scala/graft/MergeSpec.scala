@@ -43,6 +43,21 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
   }
 
+  test("scd2 builds contiguous validity intervals with one current " +
+      "row per key") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 5L, "x")).toDF("k", "version", "v")
+    val got = Merge.scd2(log, Seq("k")).orderBy("k", "valid_from")
+      .select("k", "valid_from", "valid_to", "is_current", "v")
+      .as[(Long, Long, Option[Long], Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, Some(20L), false, "a"),
+      (1L, 20L, Some(30L), false, "b"),
+      (1L, 30L, None, true, "c"),
+      (2L, 5L, None, true, "x")))
+  }
+
   test("merge operators are total on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
