@@ -84,7 +84,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val canaryJson = canaries.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"canary":$canaryJson,"sf":"$sfDir","plans_dir":"${plansDir.getPath}"}""")
+    // The driver captures only the TAIL of sbt stdout, so the line must be
+    // self-sufficient read back-to-front: repeat the total, query count and
+    // canary AFTER plans_dir so a front-truncated capture still yields the
+    // headline numbers without reconstructing them from the per-query map.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${results.size},"total_s":$total}""")
     spark.stop()
   }
 }

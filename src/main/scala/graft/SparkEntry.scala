@@ -918,6 +918,13 @@ object SparkEntry {
       graft.streaming.EventsStream.attributionToCompletion(s, dir)
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+    "events_stream_attribution_outer" -> ((s, dir) => {
+      // stream-stream LEFT OUTER interval join: unmatched clicks emit
+      // with a null purchase side once the watermark passes their
+      // eviction point (sentinel-driven in the completion harness)
+      graft.streaming.EventsStream.attributionOuterToCompletion(s, dir)
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
 
     // ---- north star: multimodal column plumbing ----
     "multimodal_meta" -> ((s, dir) => {
@@ -1949,6 +1956,17 @@ object SparkEntry {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id""",
+    // NULLS FIRST matches Spark's ascending default (DuckDB defaults to
+    // NULLS LAST) — the null purchase side of unmatched clicks must sort
+    // identically or the row-order-sensitive hash diverges
+    "events_stream_attribution_outer" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id, purchase_id NULLS FIRST""",
     "events_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

@@ -185,6 +185,117 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Stream-stream LEFT OUTER interval join — attribution including
+    * the clicks that never converted: a matched (click, purchase) pair
+    * is emitted as soon as both sides arrive (same as the inner join),
+    * and an UNMATCHED click is emitted with a null purchase side only
+    * once the watermark proves no matching purchase can still arrive —
+    * i.e. when the global watermark passes `click_ts + 1 hour` (the
+    * upper bound of the interval condition) and the click's state is
+    * evicted. That is the semantic difference from the inner join:
+    * outer results are watermark-DRIVEN, so a finite fixture needs the
+    * watermark pushed past the last click's eviction point or the tail
+    * clicks' null rows never flush. The completion harness models
+    * "time keeps passing" with one far-future sentinel row per stream
+    * (distinct out-of-band user ids so the sentinels cannot join each
+    * other), exactly like the sessionize replay harness.
+    *
+    * Oracle: the batch LEFT JOIN with the same interval predicate.
+    */
+  private[graft] def attributionOuterStart(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, replayDir: String,
+      qname: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(buys,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_us"),
+        col("value"))
+    joined.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+  }
+
+  def attributionOuterToCompletion(spark0: SparkSession,
+      dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val stats = ev.agg(min(col("user_id")),
+      max(unix_micros(col("ts")))).head()
+    if (stats.isNullAt(0)) {
+      // empty fixture: totality without NPE'ing in the replay setup
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("click_id", ev.schema("event_id").dataType),
+          StructField("purchase_id", ev.schema("event_id").dataType),
+          StructField("lag_us", LongType),
+          StructField("value", ev.schema("value").dataType))))
+    }
+    // two distinct out-of-band sentinel users: the sentinel click must
+    // not find the sentinel purchase (it would emit a phantom pair)
+    val sentinelClickUid = stats.getLong(0) - 1L
+    val sentinelBuyUid = stats.getLong(0) - 2L
+    val hiUs = stats.getLong(1)
+    // far enough that watermark (= sentinel ts - 1 h delay) clears every
+    // click's eviction point (click_ts + 1 h interval), with margin
+    val sentinelTs =
+      new java.sql.Timestamp((hiUs + 3L * 3600L * 1000000L) / 1000L)
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-attr-replay").toFile
+    def writeChunk(df: DataFrame, name: String): Unit = {
+      val stage = new java.io.File(replayDir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replayDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+    val qname = "graft_events_stream_attribution_outer"
+    val q = attributionOuterStart(spark, ev.schema, replayDir.toString, qname)
+    try {
+      writeChunk(ev, "chunk1")
+      q.processAllAvailable() // matched pairs emit here
+      writeChunk(Seq(
+        (sentinelClickUid, sentinelTs, -1L, "click", 0.0),
+        (sentinelBuyUid, sentinelTs, -2L, "purchase", 0.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value"), "sentinel")
+      q.processAllAvailable() // watermark advance + no-data batch: nulls flush
+    } finally {
+      q.stop()
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(replayDir)
+    }
+    spark.table(qname)
+      .filter(col("user_id") =!= sentinelClickUid &&
+        col("user_id") =!= sentinelBuyUid)
+  }
+
   /** foreachBatch sink — the programmable-sink API: each micro-batch
     * lands as an atomic parquet append via the BATCH writer (the
     * production route to any sink Structured Streaming lacks, and to

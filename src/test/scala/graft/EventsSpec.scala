@@ -168,6 +168,87 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("left-outer attribution equals the batch left join") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "left")
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Option[Long])].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .attributionOuterToCompletion(spark, dir)
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(stream.toSet == batch)
+    assert(stream.size == stream.toSet.size, "row emitted twice")
+    // the outer join must add rows over the inner one on this fixture
+    assert(batch.exists(_._2.isEmpty), "fixture has no unmatched clicks")
+  }
+
+  test("outer-attribution null rows flush only after the watermark " +
+      "passes the click's eviction point") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: matched pair; user 2: click that never converts
+    val ev = Seq(
+      (1L, t(0), 10L, "click", 0.0),
+      (1L, t(30), 11L, "purchase", 5.0),
+      (2L, t(0), 20L, "click", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-attr-test").toFile
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(replayDir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replayDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+    val qname = "graft_attr_outer_timing_test"
+    val q = graft.streaming.EventsStream.attributionOuterStart(
+      spark, ev.schema, replayDir.toString, qname)
+    try {
+      writeChunk(ev, "chunk1")
+      q.processAllAvailable()
+      val before = spark.table(qname)
+        .select(col("click_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      // matched pair emits immediately; the unmatched click must NOT —
+      // its null row is gated on watermark eviction, which a single
+      // batch cannot trigger (watermark = max ts - 1 h < click + 1 h)
+      assert(before == Set((10L, Some(11L))))
+      // far-future rows on both streams push the global watermark past
+      // click_ts + 1 h; the no-data batch then evicts + emits the null
+      writeChunk(Seq(
+        (-1L, t(600), -1L, "click", 0.0),
+        (-2L, t(600), -2L, "purchase", 0.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value"), "sentinel")
+      q.processAllAvailable()
+      val after = spark.table(qname)
+        .filter(col("user_id") > 0)
+        .select(col("click_id"), col("purchase_id"))
+        .as[(Long, Option[Long])].collect().toSet
+      assert(after == Set((10L, Some(11L)), (20L, None)))
+    } finally {
+      q.stop()
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(replayDir)
+    }
+  }
+
   test("streaming fingerprint dedup equals the batch distinct-content " +
       "fingerprint set") {
     import spark.implicits._
