@@ -720,6 +720,14 @@ object SparkEntry {
           col("text")), k = 50)
         .orderBy(col("doc_id"))
     }),
+    "sample_fixed_k_stratified" -> ((s, dir) => {
+      // k docs PER SOURCE by the same scrambled rank; WindowGroupLimit
+      // pre-truncates map-side so the shuffle carries ~k rows/stratum
+      Sampling.fixedKStratified(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), k = 10, strataCol = "source")
+        .orderBy(col("doc_id"))
+    }),
     "dedup_incremental" -> ((s, dir) => {
       // nightly-ingest scenario on the all-unique fixture: the batch
       // is the 100 fresh docs plus 50 recrawls of corpus content
@@ -1473,6 +1481,19 @@ object SparkEntry {
       SELECT doc_id, source, text FROM (
         SELECT doc_id, source, text FROM r
         ORDER BY rk, doc_id LIMIT 50)
+      ORDER BY doc_id""",
+    "sample_fixed_k_stratified" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.source, d.text,
+              ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS rk
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY rk, doc_id) AS rn
+        FROM r) WHERE rn <= 10
       ORDER BY doc_id""",
     "sample_split" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",

@@ -65,6 +65,28 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Per-stratum deterministic fixed-size sample: exactly `k` rows
+    * from EACH stratum (fewer only where a stratum is smaller) — the
+    * standard corpus-construction ask ("k docs per source"), chosen
+    * per stratum by the same scrambled-hash rank as [[fixedK]] so
+    * membership is rerun- and partitioning-stable.
+    *
+    * One shuffle, on the stratum key. The rank-limit filter compiles
+    * to Spark's WindowGroupLimit: each map task pre-truncates its
+    * partition to k candidates per stratum BEFORE the shuffle, so the
+    * exchanged volume is ~k·|strata| rows, not the corpus — the reason
+    * this survives 100 TB with a handful of strata.
+    */
+  def fixedKStratified(df: DataFrame, k: Int, strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(scrambledRank(col(idCol)), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
   /** Add a deterministic `split` column: `train` / `val` / `test` by
     * bucket thresholds (trainPct / valPct / remainder, in percent).
     */

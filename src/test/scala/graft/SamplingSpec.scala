@@ -28,6 +28,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("fixedKStratified: k rows per stratum, partitioning-stable, " +
+      "with map-side WindowGroupLimit") {
+    import spark.implicits._
+    val k = 10
+    val a = Sampling.fixedKStratified(docs, k, "source")
+    val perStratum = a.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perStratum.keySet == sizes.keySet, "a stratum vanished")
+    perStratum.foreach { case (s, n) =>
+      assert(n == math.min(k.toLong, sizes(s)), s"stratum $s: $n rows")
+    }
+    val b = Sampling.fixedKStratified(docs.repartition(13), k, "source")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.select("doc_id").as[Long].collect().toSet == b,
+      "sample membership depends on partitioning")
+    // the rank filter must push a group-limit below the shuffle: the
+    // exchanged volume is then ~k rows per stratum, not the corpus
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("hashSplit is deterministic, partition-independent, and near " +
       "the target fractions") {
     import spark.implicits._
