@@ -914,6 +914,9 @@ object SparkEntry {
       // append -> re-read; hashed against the events table itself
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-feb").toFile
+      // localCheckpoint() is EAGER: the sink files are fully read into
+      // block storage before the finally deletes them — the lifetime
+      // this relies on, so don't swap in a lazy checkpoint/persist
       val back =
         try graft.streaming.EventsStream
           .foreachBatchToParquet(s, dir, tmp.toString).localCheckpoint()

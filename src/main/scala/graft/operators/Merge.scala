@@ -19,28 +19,49 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Apply a change set onto `target`. `changes` carries the target's
-    * data columns plus `versionCol` (monotone per key; highest wins —
-    * ties must not exist, enforce upstream) and `opCol` with values
-    * `U` (upsert) or `D` (delete). Semantics: per key, the
-    * highest-version change decides — `D` removes the key, `U`
-    * replaces (or inserts) the row; keys without changes pass
-    * through.
+    * data columns plus `versionCol` (monotone per key; highest wins)
+    * and `opCol` with values `U` (upsert) or `D` (delete). Semantics:
+    * per key, the highest-version change decides — `D` removes the
+    * key, `U` replaces (or inserts) the row; keys without changes
+    * pass through.
+    *
+    * Fails loud (at execution, distributed — no extra pass) on the
+    * two silent-corruption inputs: a TIED top version per key (the
+    * winner would be partitioning-dependent) and an op value outside
+    * {U, D} (it would be silently treated as an upsert). Both guards
+    * ride the expressions of the surviving row, so Catalyst cannot
+    * prune them, and the tie check reuses the SAME window spec as the
+    * ranking — one shuffle total, unchanged from the unguarded plan.
     */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String = "version", opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "merge needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol).desc)
+    // on the rank-1 row, lead(version) is the runner-up version: equal
+    // means the top version is tied and the "winner" is arbitrary
     val latest = changes
       .withColumn("__rn", row_number().over(w))
+      .withColumn("__next_v", lead(col(versionCol), 1).over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn(opCol,
+        when(col(versionCol) <=> col("__next_v"),
+          raise_error(concat(lit(s"applyCdc: tied top $versionCol for key ("),
+            concat_ws(",", keys.map(c => col(c).cast("string")): _*),
+            lit(s") — version must be unique per key"))).cast("string"))
+        .when(col(opCol).isin("U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyCdc: unexpected $opCol value: "),
+          coalesce(col(opCol).cast("string"), lit("null")))).cast("string")))
+      .drop("__rn", "__next_v")
     val dataCols = target.columns.toSeq
     val upserts = latest.filter(col(opCol) =!= "D")
       .select(dataCols.map(col): _*)
     // every changed key shadows its target row (deletes stay gone,
-    // upserts are re-added with the new values)
-    val changedKeys = latest.select(keys.map(col): _*).distinct()
+    // upserts are re-added with the new values). The key projection
+    // keeps opCol in a filter so the guards fire for deletes too.
+    val changedKeys = latest.filter(col(opCol).isin("U", "D"))
+      .select(keys.map(col): _*).distinct()
     target.join(changedKeys, keys, "left_anti").unionByName(upserts)
   }
 
@@ -48,18 +69,34 @@ object Merge {
     * into validity intervals — one row per (key, version) with
     * `valid_from` = its version, `valid_to` = the next version for
     * the key (null while current) and an `is_current` flag. One
-    * window over the merge key; versions must be unique per key.
-    * The standard dimension-history build, run after [[applyCdc]]'s
-    * conflict resolution at ingest.
+    * window over the merge key. The standard dimension-history build,
+    * run after [[applyCdc]]'s conflict resolution at ingest.
+    *
+    * Versions must be unique per key — a duplicate would make
+    * `valid_to`/`is_current` ambiguous (zero-width intervals whose
+    * assignment depends on sort-tie order). Instead of silently
+    * producing that, the operator fails loud at execution: duplicates
+    * sort adjacent, so `lag(version) == version` detects them inside
+    * the SAME window as the interval build (no extra shuffle), and
+    * the raise rides the `valid_to` expression so pruning can't drop
+    * it.
     */
   def scd2(changes: DataFrame, keys: Seq[String],
       versionCol: String = "version"): DataFrame = {
     require(keys.nonEmpty, "scd2 needs at least one key column")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(versionCol))
+    val vType = changes.schema(versionCol).dataType.sql
     changes
       .withColumn("valid_from", col(versionCol))
-      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("valid_to",
+        when(lag(col(versionCol), 1).over(w) <=> col(versionCol),
+          raise_error(concat(lit(s"scd2: duplicate (key, $versionCol) ("),
+            concat_ws(",", (keys :+ versionCol).map(c =>
+              col(c).cast("string")): _*),
+            lit(") — pre-aggregate the change log first")))
+            .cast(vType))
+        .otherwise(lead(col(versionCol), 1).over(w)))
       .withColumn("is_current", col("valid_to").isNull)
   }
 

@@ -58,6 +58,53 @@ class MergeSpec extends AnyFunSuite {
       (2L, 5L, None, true, "x")))
   }
 
+  private def failsLoud(body: => Long, needle: String): Unit = {
+    val e = intercept[Exception](body)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains(needle)),
+      s"expected '$needle' in: ${chain(e).mkString(" | ")}")
+  }
+
+  test("applyCdc fails loud on a tied top version") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val changes = Seq((1L, "b", "U", 2L), (1L, "c", "U", 2L))
+      .toDF("k", "v", "op", "version")
+    failsLoud(Merge.applyCdc(target, changes, Seq("k")).count(),
+      "tied top version")
+    // a tie BELOW the winner is harmless and must not trip the guard
+    val ok = Seq((1L, "b", "U", 1L), (1L, "c", "U", 1L), (1L, "d", "U", 2L))
+      .toDF("k", "v", "op", "version")
+    assert(Merge.applyCdc(target, ok, Seq("k"))
+      .as[(Long, String)].collect().toSeq == Seq((1L, "d")))
+  }
+
+  test("applyCdc fails loud on an op value outside U/D") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "b", "upsert", 1L)).toDF("k", "v", "op", "version")
+    failsLoud(Merge.applyCdc(target, bad, Seq("k")).count(),
+      "unexpected op value")
+    val badNull = Seq((1L, "b", null: String, 1L))
+      .toDF("k", "v", "op", "version")
+    failsLoud(Merge.applyCdc(target, badNull, Seq("k")).count(),
+      "unexpected op value")
+  }
+
+  test("scd2 fails loud on duplicate (key, version)") {
+    import spark.implicits._
+    val dup = Seq((1L, 10L, "a"), (1L, 10L, "b"), (2L, 5L, "x"))
+      .toDF("k", "version", "v")
+    // the guard rides valid_to: consume it (count() would prune the
+    // column away — a reader of the intervals always evaluates it)
+    failsLoud(Merge.scd2(dup, Seq("k")).select("valid_to").collect().length,
+      "duplicate (key, version)")
+    // same version under DIFFERENT keys is fine
+    val ok = Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "version", "v")
+    assert(Merge.scd2(ok, Seq("k")).count() == 2)
+  }
+
   test("merge operators are total on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
