@@ -583,6 +583,12 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) => {
       Profile.table(t(s, dir, "documents")).orderBy(col("col_name"))
     }),
+    "profile_approx" -> ((s, dir) => {
+      // sketch-based profiling twin (HLL distinct + approx quantiles):
+      // not ANSI-reproducible -> no_oracle; error-bounded vs the exact
+      // pass in OperatorsSpec
+      Profile.approxTable(t(s, dir, "documents")).orderBy(col("col_name"))
+    }),
     "profile_histogram" -> ((s, dir) => {
       Profile.histogram(t(s, dir, "documents"), "n_chars")
         .orderBy(col("bin"))

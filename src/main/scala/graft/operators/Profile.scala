@@ -44,6 +44,56 @@ object Profile {
     row.select(explode(array(entries: _*)).as("p")).select("p.*")
   }
 
+  /** The 100 TB profiling twin of [[table]]: every "count the whole
+    * column exactly" aggregate replaced by its constant-memory sketch —
+    * HyperLogLog++ `approx_count_distinct` (no Expand, one pass) and
+    * KLL-style `percentile_approx` quantiles for numeric columns
+    * (p50/p95/p99, the latency-style tails a corpus dashboard wants).
+    * Exact n/n_null stay exact (they're plain map-side-combinable
+    * counts — sketching them would save nothing).
+    *
+    * Not ANSI-SQL-reproducible (every engine's HLL/quantile sketch
+    * differs), so this surface is pinned by an error-bound test
+    * against the exact [[table]] pass instead of the DuckDB oracle —
+    * the exact operator stays the oracle-verifiable default.
+    */
+  def approxTable(df: DataFrame, cols: Seq[String] = Seq.empty,
+      relativeSD: Double = 0.05,
+      percentileAccuracy: Int = 10000): DataFrame = {
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType] => f.name
+    }.toSet
+    val cs =
+      if (cols.nonEmpty) cols
+      else df.schema.fields.filter(f =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType)).map(_.name).toSeq
+    val aggs = count(lit(1)).as("_n") +: cs.flatMap(c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      approx_count_distinct(col(c), relativeSD).as(s"_nd_$c")) ++
+      (if (numeric(c)) Seq(
+        percentile_approx(col(c).cast("double"),
+          array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(percentileAccuracy)).as(s"_pq_$c"))
+       else Nil))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val nullD = lit(null).cast("double")
+    val entries = cs.map { c =>
+      val (p50, p95, p99) =
+        if (numeric(c))
+          (element_at(col(s"_pq_$c"), 1), element_at(col(s"_pq_$c"), 2),
+            element_at(col(s"_pq_$c"), 3))
+        else (nullD, nullD, nullD)
+      struct(
+        lit(c).as("col_name"), col("_n").as("n"),
+        (col("_n") - col(s"_nn_$c")).as("n_null"),
+        col(s"_nd_$c").as("approx_distinct"),
+        p50.as("p50"), p95.as("p95"), p99.as("p99"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
   /** Equi-width histogram of an integral column in exact integer
     * arithmetic: bin i covers `[lo + i·w, lo + (i+1)·w)` with
     * `w = ceil(range / nBins)`, so every value lands in

@@ -144,6 +144,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.count() == 2)
   }
 
+  test("approxTable: sketch estimates stay within bound of the exact " +
+      "pass; quantiles only on numeric columns") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Profile.table(docs)
+      .select("col_name", "n", "n_null", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = Profile.approxTable(docs)
+      .as[(String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])].collect()
+    assert(approx.map(_._1).sorted.toSeq == exact.keys.toList.sorted)
+    approx.foreach { case (c, n, nNull, nd, p50, p95, p99) =>
+      val (_, en, enNull, end) = exact(c)
+      assert(n == en && nNull == enNull, s"$c: exact counts must be exact")
+      // HLL at relativeSD=0.05: allow 3 standard deviations = 15%
+      assert(math.abs(nd - end) <= math.max(1L, (end * 0.15).toLong),
+        s"$c: approx_distinct $nd vs exact $end")
+      assert((p50.isDefined && p95.isDefined && p99.isDefined) ==
+        Seq("doc_id", "n_chars").contains(c),
+        s"$c: quantiles must exist exactly for numeric columns")
+    }
+    // quantile error bound: percentile_approx at accuracy 10000 on a
+    // 500-row column is rank-exact; check p50 against the sorted truth
+    val chars = docs.select("n_chars").as[Long].collect().sorted
+    val p50 = approx.find(_._1 == "n_chars").get._5.get
+    assert(chars.contains(p50.toLong))
+    val lowerRank = chars.count(_ < p50.toLong)
+    assert(math.abs(lowerRank - chars.length / 2) <= chars.length / 100,
+      s"p50 rank off: $lowerRank of ${chars.length}")
+  }
+
   test("histogram bins cover the range; constant columns take one bin") {
     import spark.implicits._
     import graft.operators.Profile
