@@ -1146,6 +1146,24 @@ object SparkEntry {
       back.orderBy(col("event_id"))
     }),
 
+    "avro_roundtrip" -> ((s, dir) => {
+      // Avro sink → source round-trip (the row-oriented lake staple;
+      // spark-avro isn't on the bundled classpath, so AvroIO drives
+      // the public AvroKeyOutput/InputFormat Hadoop path instead)
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-avro-rt").toFile
+      // the Hadoop committer requires a NONEXISTENT output dir: write
+      // to a subpath of the (pre-created) temp dir
+      val out = new java.io.File(tmp, "out").toString
+      val back =
+        try {
+          AvroIO.write(ev.repartition(4), out)
+          AvroIO.read(s, out, ev.schema).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_id"))
+    }),
+
     // ---- SQL text-query surface over registered graft functions ----
     "q_sql_functions" -> ((s, dir) => {
       graft.functions.registerSql(s)
@@ -2165,6 +2183,9 @@ object SparkEntry {
     "csv_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "orc_roundtrip" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "avro_roundtrip" -> """
       SELECT event_id, ts, user_id, event_type, value, props
       FROM events ORDER BY event_id""",
     "events_stream_foreach" -> """
