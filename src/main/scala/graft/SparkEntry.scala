@@ -139,6 +139,27 @@ object SparkEntry {
            FROM $src)"""
     }.mkString(",\n      ")
 
+  /** The fixture text is plain prose, so the HTML-clean query stages a
+    * deterministic web-page wrapper around it (both engines build the
+    * IDENTICAL string): tags, a comment, a script body, and the
+    * `&amp;lt;` double-decode trap the rule order must not fall into.
+    */
+  private val htmlWrapPrefix =
+    "<html><!-- nav --><body><p class=\"x\">"
+  private val htmlWrapSuffix =
+    "</p>&nbsp;&amp;lt;<script>var x=1;</script></body></html>"
+
+  /** SQL twin of [[Scrub.htmlCleanCol]]: the same ordered rule chain,
+    * generated from the SAME `Scrub.HtmlRules` list so the dialects
+    * cannot drift. `e` is any text-typed SQL expression.
+    */
+  private def htmlCleanSql(e: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    "trim(" + Scrub.HtmlRules.foldLeft(e) { case (acc, (pat, repl)) =>
+      s"regexp_replace($acc, ${q(pat)}, ${q(repl)}, 'g')"
+    } + ")"
+  }
+
   /** Recursive temp-dir cleanup for the sink round-trip queries. */
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -685,6 +706,16 @@ object SparkEntry {
     // operator: Scrub itself takes any frame.
     "scrub_redacted" -> ((s, dir) => {
       Scrub.redact(piiDocs(t(s, dir, "documents"))).orderBy(col("doc_id"))
+    }),
+    "text_html_clean" -> ((s, dir) => {
+      // boilerplate strip over the staged web-page wrapper: tags,
+      // comment and script body vanish, entities decode exactly once,
+      // whitespace collapses — pure codegen'd projection
+      val staged = concat(lit(htmlWrapPrefix),
+        coalesce(col("text"), lit("")), lit(htmlWrapSuffix))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Scrub.htmlCleanCol(staged).as("clean_text"))
+        .orderBy(col("doc_id"))
     }),
     "scrub_counts" -> ((s, dir) => {
       Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
@@ -1868,6 +1899,13 @@ object SparkEntry {
              ${Scrub.DefaultRules.map(r => s"n_${r.name}").mkString(", ")},
              t AS redacted
       FROM s${Scrub.DefaultRules.size} ORDER BY doc_id""",
+    "text_html_clean" -> s"""
+      SELECT doc_id,
+             ${htmlCleanSql(
+               s"'${htmlWrapPrefix.replace("'", "''")}' || " +
+               s"coalesce(text, '') || " +
+               s"'${htmlWrapSuffix.replace("'", "''")}'")} AS clean_text
+      FROM documents ORDER BY doc_id""",
     "scrub_counts" -> s"""
       WITH pii AS (SELECT source, text AS t FROM $piiSql p),
       ${scrubChainSql("source")}

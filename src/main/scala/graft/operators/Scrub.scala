@@ -80,6 +80,56 @@ object Scrub {
     r.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** HTML/boilerplate strip — the standard pre-cleaning stage that
+    * runs BEFORE quality scoring and dedup on web-crawled corpora
+    * (tags inflate length stats, entities break shingles, script
+    * bodies poison n-gram models). Ordered rule chain, each a
+    * sequential `regexp_replace` like [[redact]]:
+    *
+    *   1. script/style elements WITH their content (code is not prose),
+    *   2. comments,
+    *   3. all remaining tags → a space (block boundaries must not glue
+    *      adjacent words together),
+    *   4. the common entities (`&amp;` LAST, so `&amp;lt;` decodes to
+    *      the literal text `&lt;`, not to `<` — double-decoding is the
+    *      classic sanitizer bug),
+    *   5. whitespace collapse + trim.
+    *
+    * Patterns stay in the java.util.regex ∩ RE2 subset (inline `(?is)`
+    * flags, non-greedy bounded scans, explicit whitespace class — no
+    * `\s`, whose definition differs between the engines), so the DuckDB
+    * oracle reproduces the chain verbatim. Pure narrow projection:
+    * whole-stage codegen, no shuffle, no UDF.
+    */
+  val HtmlRules: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&",
+    "[ \\t\\r\\n\\f]+" -> " ")
+
+  /** The rule chain as a column expression, for composition inside
+    * other projections.
+    */
+  def htmlCleanCol(text: Column): Column =
+    trim(HtmlRules.foldLeft(text) { case (t, (pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    })
+
+  /** Replace `textCol` in place with its cleaned form (all other
+    * columns pass through) — the shape the hygiene pipeline composes:
+    * htmlClean → quality filter → dedup → decontaminate.
+    */
+  def htmlClean(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol, htmlCleanCol(col(textCol)))
+
   /** Deterministic pseudonymization of identifier columns: each value
     * becomes `<prefix>_<sdbm(salt ++ value)>`. The same value under
     * the same salt always maps to the same token, so referential

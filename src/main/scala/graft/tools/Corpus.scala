@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * corpus team actually launches, wired from the engine's own
   * operators:
   *
+  *   HTML/boilerplate strip (tags/entities/whitespace) →
   *   scrub (PII redaction) → quality filter (keep 'ok') →
   *   exact dedup on the content fingerprint (first id wins) →
   *   duplicated-span removal (cross-doc repeated regions cut out) →
@@ -15,7 +16,8 @@ import org.apache.spark.sql.functions._
   *   deterministic train/val/test hash split → sharded JSONL per
   *   split + a one-line JSON stats report per stage.
   *
-  * Plan shape: scrub + quality + fingerprint are ONE fused narrow
+  * Plan shape: html-clean + scrub + quality + fingerprint are ONE
+  * fused narrow
   * projection pass (no joins between stages — the filter chain
   * composes as column expressions); dedup adds a single
   * fingerprint-keyed shuffle; span removal joins back only the
@@ -47,10 +49,12 @@ object Corpus {
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       shards: Int = 4, evalDocs: Option[DataFrame] = None): Report = {
-    // stage 1+2 fused: redact, then score the REDACTED text (quality
-    // judged on what survives scrubbing) — one narrow projection end
-    // to end, no join between the stages
-    val redacted = Scrub.redact(docs, keyCols = Seq("doc_id", "source"))
+    // stage 0+1+2 fused: strip boilerplate, redact the CLEANED text,
+    // then score the REDACTED text (quality judged on what survives
+    // scrubbing) — one narrow projection end to end, no join between
+    // the stages
+    val redacted = Scrub.redact(Scrub.htmlClean(docs),
+      keyCols = Seq("doc_id", "source"))
     val hitCols = Scrub.DefaultRules.map(r => col(s"n_${r.name}"))
     val scored = TextStats.qualityFilter(
       redacted.select(col("doc_id"), col("source"),

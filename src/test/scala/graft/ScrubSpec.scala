@@ -44,6 +44,35 @@ class ScrubSpec extends AnyFunSuite {
     assert(redactOne("") == ((0L, 0L, 0L, 0L, "")))
   }
 
+  private def cleanOne(text: String): String = {
+    import spark.implicits._
+    Scrub.htmlClean(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("text").as[String].collect().head
+  }
+
+  test("htmlClean strips tags, script/style bodies and comments, " +
+      "decodes entities once, collapses whitespace") {
+    assert(cleanOne("<html><body><p>Hello <b>world</b></p></body></html>")
+      == "Hello world")
+    // script/style CONTENT goes, not just the tags
+    assert(cleanOne("a<script>var x = '<p>';</script>b") == "a b")
+    assert(cleanOne("a<style>p { color: red }</style>b") == "a b")
+    assert(cleanOne("a<!-- hidden\nnav -->b") == "a b")
+    // entity decode
+    assert(cleanOne("1 &lt; 2 &amp;&amp; 3 &gt; 2") == "1 < 2 && 3 > 2")
+    assert(cleanOne("say &quot;hi&quot; &amp; &#39;bye&#39;")
+      == "say \"hi\" & 'bye'")
+    // the double-decode trap: &amp;lt; is the TEXT "&lt;", not "<"
+    assert(cleanOne("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
+    // tags become separators, never gluing words
+    assert(cleanOne("one<br>two<div>three</div>") == "one two three")
+    // whitespace (incl. &nbsp;) collapses, ends trim
+    assert(cleanOne("  a\t\tb&nbsp;&nbsp;c\r\nd  ") == "a b c d")
+    // multiline script with attributes
+    assert(cleanOne("x<script type=\"text/javascript\">\nif (a<b) {}\n" +
+      "</script>y") == "x y")
+  }
+
   test("pseudonymize: stable tokens, salt rotation, referential " +
       "integrity") {
     import spark.implicits._
