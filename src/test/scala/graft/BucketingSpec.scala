@@ -3,26 +3,54 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Co-located join via bucketing: pre-bucketing both fact tables on
-  * the join key removes the per-query shuffle entirely — on a 100 TB
-  * fact table this converts every repeated join into a scan-side
-  * merge. The plan must show a SortMergeJoin with NO Exchange.
+/** Bucketed-write layout levers: pre-bucketing both fact tables on
+  * the join key removes the per-query join shuffle entirely (on a
+  * 100 TB fact table this converts every repeated join into a
+  * scan-side merge), and a point filter on the bucket key prunes the
+  * scan to the one bucket that can hold the key. The plans must show
+  * a SortMergeJoin with NO Exchange, and a pruned SelectedBucketsCount.
   */
 class BucketingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("bucketed tables join without a shuffle") {
+  private def ensureBucketed(): Unit = {
     import org.apache.spark.sql.SaveMode
-    Tables.load(spark, dir, "lineitem")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
-    Tables.load(spark, dir, "orders")
-      .withColumnRenamed("o_orderkey", "l_orderkey")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("o_bucketed")
+    if (!spark.catalog.tableExists("li_bucketed"))
+      Tables.load(spark, dir, "lineitem")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+    if (!spark.catalog.tableExists("o_bucketed"))
+      Tables.load(spark, dir, "orders")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("o_bucketed")
+  }
+
+  test("point filter on the bucket key prunes the scan to one bucket") {
+    ensureBucketed()
+    val key = spark.table("li_bucketed")
+      .select(min(col("l_orderkey"))).collect()(0).getLong(0)
+    // a bare point lookup has no distribution requirement, so the
+    // auto-bucketed-scan heuristic would fall back to a plain scan and
+    // forfeit pruning — disable it for the lookup, as a production
+    // point-query path would
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val q = spark.table("li_bucketed").filter(col("l_orderkey") === key)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from scan:\n$plan")
+      assert(q.count() > 0)
+    } finally spark.conf.set(conf, prev)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    ensureBucketed()
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
