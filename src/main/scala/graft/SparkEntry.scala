@@ -914,9 +914,14 @@ object SparkEntry {
     "q_zorder" -> ((s, dir) => {
       // Morton code over (user, hour) — the write-side clustering key;
       // the oracle recomputes the interleave with the same exact
-      // integer shift/mask arithmetic
-      val hr = call_function("div", unix_micros(col("ts")),
-        lit(3600000000L)).bitwiseAND(lit(0xFFFFL))
+      // integer shift/mask arithmetic. Hour bucket via the
+      // subtract-pmod-then-div idiom (RangeJoin.bucketOf): sign-safe
+      // exact floor, matching DuckDB's `//` even pre-epoch — bare
+      // `div` truncates toward zero and would diverge there
+      val us = unix_micros(col("ts"))
+      val hr = call_function("div",
+        us - pmod(us, lit(3600000000L)), lit(3600000000L))
+        .bitwiseAND(lit(0xFFFFL))
       t(s, dir, "events")
         .select(col("event_id"), col("user_id"), hr.as("hr"))
         .withColumn("z", Layout.zorder2(col("user_id"), col("hr")))

@@ -29,6 +29,15 @@ object Compress {
   // (plus an 8 KB allocation) would dominate the projection's cost at
   // corpus scale. reset() restores the construction-time config, so
   // determinism is unchanged.
+  //
+  // LIFETIME ASSUMPTION: the Deflater is never end()'d — each thread
+  // pins one native zlib stream + 8 KB for its lifetime. Spark
+  // executors run long-lived fixed task pools, so the bound is
+  // #threads, not #tasks; embedding this kernel in a host with thread
+  // CHURN (dynamic pools creating/dropping threads) would leak native
+  // memory per dropped thread. For such hosts, wrap the holder with a
+  // Cleaner that calls end(); not done here because the executor-pool
+  // assumption holds for every Spark deployment of this engine.
   private val local =
     ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
       (new java.util.zip.Deflater(6, true), new Array[Byte](8192)))

@@ -103,10 +103,24 @@ object Dedup {
     */
   def incrementalNear(batch: DataFrame, corpus: DataFrame,
       k: Int = 16, bands: Int = 4, minJaccard: Double = 0.7,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      validateContract: Boolean = true): DataFrame = {
     val b = batch.filter(col(textCol).isNotNull)
     val minBatchId = b.agg(min(col(idCol))).collect()(0)
     if (minBatchId.isNullAt(0)) return b.select(col(idCol), col(textCol))
+    // a violated id contract SILENTLY mislabels survivors (a corpus doc
+    // can be treated as a batch loser and vice versa) — fail loud
+    // instead. The check is one column-pruned max() over a corpus the
+    // band join scans in full anyway; pass validateContract = false
+    // only where the monotone-ingest property is enforced upstream.
+    if (validateContract) {
+      val maxCorpusId = corpus.agg(max(col(idCol))).collect()(0)
+      require(maxCorpusId.isNullAt(0) ||
+        maxCorpusId.getLong(0) < minBatchId.getLong(0),
+        s"incrementalNear: corpus max $idCol (${maxCorpusId.get(0)}) >= " +
+          s"batch min $idCol (${minBatchId.getLong(0)}) — batch ids must " +
+          "all exceed corpus ids (monotone ingest)")
+    }
     val all = corpus.select(col(idCol), col(textCol))
       .filter(col(textCol).isNotNull)
       .unionByName(b.select(col(idCol), col(textCol)))

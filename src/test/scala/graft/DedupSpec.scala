@@ -170,6 +170,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(11L))
   }
 
+  test("incrementalNear fails loud when batch ids do not exceed " +
+      "corpus ids") {
+    import spark.implicits._
+    val corpus = Seq((10L, "corpus text about many things"))
+      .toDF("doc_id", "text")
+    val batch = Seq((5L, "batch doc with a lower id than the corpus"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNear(batch, corpus)
+    }
+    assert(e.getMessage.contains("monotone ingest"))
+    // equal ids violate too (strictly-greater contract)
+    val eq = Seq((10L, "same id as corpus max")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNear(eq, corpus)
+    }
+    // opt-out path still runs for callers who enforce ids upstream
+    assert(Dedup.incrementalNear(batch, corpus, validateContract = false)
+      .count() == 1)
+  }
+
   test("editDistancePairs pairs within-threshold same-prefix docs only") {
     import spark.implicits._
     val docs = Seq(
