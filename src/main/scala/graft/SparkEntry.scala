@@ -757,6 +757,29 @@ object SparkEntry {
           col("text")), k = 50)
         .orderBy(col("doc_id"))
     }),
+    "dedup_keep_latest" -> ((s, dir) => {
+      // recrawl dedup: latest row per key (here: each user's latest
+      // event, ts desc, event_id breaking exact-ts ties)
+      Dedup.keepLatest(t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        keyCol = "user_id", orderCol = "ts", tieBreakCol = "event_id")
+        .orderBy(col("user_id"))
+    }),
+    "q_snapshot_diff" -> ((s, dir) => {
+      // corpus drop audit: old snapshot lacks doc_id%10==3, the new
+      // drop lacks %10==7 and bumps n_chars on %5==0 — added/removed/
+      // changed classified in one full-outer key join
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val oldSnap = base.filter(col("doc_id") % 10 =!= 3)
+      val newSnap = base.filter(col("doc_id") % 10 =!= 7)
+        .withColumn("n_chars",
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")))
+      Diff.snapshot(oldSnap, newSnap, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_fixed_k_stratified" -> ((s, dir) => {
       // k docs PER SOURCE by the same scrambled rank; WindowGroupLimit
       // pre-truncates map-side so the shuffle carries ~k rows/stratum
@@ -1545,6 +1568,30 @@ object SparkEntry {
         SELECT doc_id, source, text FROM r
         ORDER BY rk, doc_id LIMIT 50)
       ORDER BY doc_id""",
+    "dedup_keep_latest" -> """
+      SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id""",
+    "q_snapshot_diff" -> """
+      WITH o AS (SELECT doc_id, source, n_chars FROM documents
+                 WHERE doc_id % 10 <> 3),
+      n AS (SELECT doc_id, source,
+              CASE WHEN doc_id % 5 = 0 THEN n_chars + 1 ELSE n_chars END
+                AS n_chars
+            FROM documents WHERE doc_id % 10 <> 7),
+      j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'A'
+                   WHEN n.doc_id IS NULL THEN 'R'
+                   WHEN o.source IS DISTINCT FROM n.source
+                     OR o.n_chars IS DISTINCT FROM n.n_chars THEN 'C'
+              END AS op,
+              o.source AS old_source, n.source AS new_source,
+              o.n_chars AS old_n_chars, n.n_chars AS new_n_chars
+            FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+      SELECT * FROM j WHERE op IS NOT NULL ORDER BY doc_id""",
     "sample_fixed_k_stratified" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

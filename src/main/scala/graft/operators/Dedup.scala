@@ -56,6 +56,24 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"), col(textCol))
 
+  /** Keep-latest snapshot dedup — the recrawl shape: of every row
+    * sharing a key (canonical URL, entity id), keep only the one with
+    * the highest `orderCol` (crawl time, version), ties broken by the
+    * highest `tieBreakCol` for a total order. One shuffle on the key;
+    * the rank-1 filter compiles to WindowGroupLimit, so each map task
+    * forwards one candidate per key before the exchange — at 100 TB
+    * the shuffle carries ~|keys| rows, not every recrawl.
+    */
+  def keepLatest(df: DataFrame, keyCol: String, orderCol: String,
+      tieBreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(orderCol).desc, col(tieBreakCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Incremental exact dedup — the nightly-ingest shape: keep only
     * batch documents whose content fingerprint is unseen in the
     * existing corpus AND first (smallest id) within the batch.
