@@ -717,6 +717,27 @@ object SparkEntry {
         .select(col("doc_id"), Scrub.htmlCleanCol(staged).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
+    "url_canonical" -> ((s, dir) => {
+      // canonical URL key over a staged crawl URL exercising every
+      // rule: uppercase scheme/host, default port, doubled slashes,
+      // utm params (first + last positions), fragment
+      val staged = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.com:80//a//"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=x#sec"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Urls.canonicalizeUrl(staged).as("url_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+    "url_domains" -> ((s, dir) => {
+      // per-domain corpus stats over the staged URLs
+      val staged = concat(lit("HTTP://user@WWW."), col("source"),
+        lit(".Example.com:80/p"))
+      t(s, dir, "documents")
+        .groupBy(Urls.domainOf(staged).as("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
     "scrub_counts" -> ((s, dir) => {
       Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
     }),
@@ -1951,6 +1972,50 @@ object SparkEntry {
              ${Scrub.DefaultRules.map(r => s"n_${r.name}").mkString(", ")},
              t AS redacted
       FROM s${Scrub.DefaultRules.size} ORDER BY doc_id""",
+    // mirrors Urls.canonicalizeUrl rule for rule (DuckDB backrefs are
+    // \1-style where Spark's are $1; the oracle gate catches drift)
+    "url_canonical" -> """
+      WITH u AS (SELECT doc_id,
+        'HTTP://WWW.' || source || '.Example.com:80//a//' || (doc_id % 7) ||
+        '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#sec' AS url
+        FROM documents),
+      c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+      c2 AS (SELECT doc_id,
+               regexp_replace(u, '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g') AS u
+             FROM c1),
+      c3 AS (SELECT doc_id,
+               regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*&', '?') AS u
+             FROM c2),
+      c4 AS (SELECT doc_id,
+               regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*$', '') AS u
+             FROM c3),
+      c5 AS (SELECT doc_id,
+               regexp_replace(u, '(?i)^(http://[^/:?#]+):80([/?]|$)',
+                 '\1\2') AS u FROM c4),
+      c6 AS (SELECT doc_id,
+               regexp_replace(u, '(?i)^(https://[^/:?#]+):443([/?]|$)',
+                 '\1\2') AS u FROM c5),
+      sp AS (SELECT doc_id,
+               lower(regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS head,
+               regexp_replace(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+             FROM c6),
+      p AS (SELECT doc_id, head,
+              regexp_extract(tail, '^[^?]*') AS path,
+              regexp_extract(tail, '\?.*$') AS query FROM sp)
+      SELECT doc_id,
+             head ||
+             regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+               '/+$', '') || query AS url_canonical
+      FROM p ORDER BY doc_id""",
+    "url_domains" -> """
+      SELECT lower(regexp_extract(
+               'HTTP://user@WWW.' || source || '.Example.com:80/p',
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/:?#@]*@)?([^/:?#]*)', 1))
+               AS domain,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY domain""",
     "text_html_clean" -> s"""
       SELECT doc_id,
              ${htmlCleanSql(
