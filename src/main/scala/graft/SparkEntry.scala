@@ -943,6 +943,20 @@ object SparkEntry {
         keys = Seq("o_custkey"))
         .orderBy(col("o_custkey"), col("valid_from"))
     }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // time travel: each customer's dimension state as of 2000-01-01
+      // — a pushable interval-containment filter over the history
+      val hist = Merge.scd2(
+        t(s, dir, "orders").select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp"))
+            .as("version"), col("o_totalprice"))
+          .groupBy(col("o_custkey"), col("version"))
+          .agg(max(col("o_totalprice")).as("o_totalprice")),
+        keys = Seq("o_custkey"))
+      // 2000-01-01T00:00:00Z in epoch µs
+      Merge.scd2AsOf(hist, lit(946684800000000L))
+        .orderBy(col("o_custkey"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON path extraction over the props column (get_json_object —
       // the row-level JSON scalar surface; from_json's structured
@@ -2091,6 +2105,21 @@ object SparkEntry {
       FROM v
       WINDOW w AS (PARTITION BY o_custkey ORDER BY version)
       ORDER BY o_custkey, valid_from""",
+    "q_scd2_asof" -> """
+      WITH v AS (SELECT o_custkey,
+                   epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS version,
+                   max(o_totalprice) AS o_totalprice
+                 FROM orders GROUP BY 1, 2),
+      h AS (SELECT o_custkey, version, o_totalprice,
+              version AS valid_from,
+              lead(version) OVER w AS valid_to,
+              lead(version) OVER w IS NULL AS is_current
+            FROM v
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY version))
+      SELECT * FROM h
+      WHERE valid_from <= 946684800000000
+        AND (valid_to IS NULL OR valid_to > 946684800000000)
+      ORDER BY o_custkey""",
     "q_json_extract" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,22 @@ object Merge {
         .otherwise(lead(col(versionCol), 1).over(w)))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Time-travel read over an SCD2 history: the state of every key as
+    * of version instant `asOf` — the row whose validity interval
+    * contains it (`valid_from <= asOf < valid_to`, open-ended for the
+    * current row). At most one row per key by [[scd2]] construction
+    * (the intervals partition the version axis).
+    *
+    * Pure pushable filter — no shuffle, no window: once the history
+    * exists, reconstructing ANY historical snapshot is a scan, which
+    * is the point of storing dimensions as SCD2 at 100 TB (versus
+    * materializing one snapshot per day). With valid_from in the file
+    * sort/partition key, the filter prunes at the scan.
+    */
+  def scd2AsOf(hist: DataFrame, asOf: Column): DataFrame =
+    hist.filter(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
 
   /** Plain last-wins upsert (no deletes, no versions): every key in
     * `updates` replaces its target row. `updates` must be

@@ -105,6 +105,23 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.scd2(ok, Seq("k")).count() == 2)
   }
 
+  test("scd2AsOf returns exactly the interval containing the instant, " +
+      "with half-open boundary semantics") {
+    import spark.implicits._
+    val log = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "x"))
+      .toDF("k", "version", "v")
+    val hist = Merge.scd2(log, Seq("k"))
+    def at(asOf: Long): Seq[(Long, String)] =
+      Merge.scd2AsOf(hist, lit(asOf)).orderBy("k")
+        .select("k", "v").as[(Long, String)].collect().toSeq
+    assert(at(15L) == Seq((1L, "a"), (2L, "x")))
+    // boundary: asOf == valid_to of "a" == valid_from of "b" -> "b"
+    assert(at(20L) == Seq((1L, "b"), (2L, "x")))
+    assert(at(100L) == Seq((1L, "b"), (2L, "x")))
+    // before any version of key 1
+    assert(at(7L) == Seq((2L, "x")))
+  }
+
   test("merge operators are total on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("k", "v")
