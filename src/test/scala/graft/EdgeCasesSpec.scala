@@ -113,6 +113,41 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Profile.fkOrphans(docs, docs, "doc_id", "doc_id").count() == 0)
   }
 
+  test("round-7 operators are total on empty input") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Diff, Merge, Profile, Sampling, Scrub, Urls}
+    import org.apache.spark.sql.functions._
+    val docs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n")
+    assert(Diff.snapshot(docs, docs, Seq("doc_id")).count() == 0)
+    assert(Dedup.keepLatest(docs, "text", "n", "doc_id").count() == 0)
+    assert(Sampling.fixedKStratified(docs, 5, "text").count() == 0)
+    assert(Profile.approxTable(docs).count() == 3) // one row per column
+    assert(Scrub.htmlClean(docs).count() == 0)
+    assert(docs.select(Urls.canonicalizeUrl(col("text"))).count() == 0)
+    val hist = Merge.scd2(
+      Seq.empty[(Long, Long)].toDF("k", "version"), Seq("k"))
+    assert(Merge.scd2AsOf(hist, lit(0L)).count() == 0)
+    assert(graft.streaming.EventsStream.attributionOuterToCompletion(
+      spark, emptyEventsDir()).count() == 0)
+  }
+
+  /** A temp dir holding an empty events.parquet with the production
+    * schema, for streaming-twin totality checks. */
+  private def emptyEventsDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-empty-ev").toFile
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(dir, "stage").toString)
+    val part = new java.io.File(dir, "stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "events.parquet").toPath)
+    dir.toString
+  }
+
   test("strict-parity paths are total on empty input") {
     import spark.implicits._
     import graft.operators.DocId

@@ -67,6 +67,23 @@ class PlanSpec extends AnyFunSuite {
     "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse(
       fail(s"no ReadSchema in plan:\n$p"))
 
+  test("snapshot diff is a shuffle join on the key — nothing " +
+      "broadcast or nested-loop, output independent of corpus size") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("approx profiling has no Expand — the sketch replaces the " +
+      "multi-distinct expansion of the exact pass") {
+    val p = plan("profile_approx")
+    assert(!p.contains("Expand"), p)
+    // the exact twin DOES expand (one duplicate of the input per
+    // distinct aggregate) — the contrast is the point
+    assert(plan("profile_documents").contains("Expand"))
+  }
+
   test("sampling split/mixture prune the scan to the columns they use") {
     // bucket math is a computed expression (not scan-pushable), but
     // column pruning must still reach the scan: a sampling decision
