@@ -957,6 +957,24 @@ object SparkEntry {
       Merge.scd2AsOf(hist, lit(946684800000000L))
         .orderBy(col("o_custkey"))
     }),
+    "q_hof_arrays" -> ((s, dir) => {
+      // higher-order array functions over per-order quantity lists:
+      // sort_array for a deterministic collect order, then filter /
+      // transform / aggregate — all codegen-adjacent lambda forms,
+      // integer-exact so the DuckDB list_* twins hash-match
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long")))
+          .as("qs"))
+        .select(col("l_orderkey"),
+          size(col("qs")).as("n_items"),
+          size(filter(col("qs"), q => q > 25L)).as("n_big"),
+          aggregate(col("qs"), lit(0L), (acc, q) => acc + q)
+            .as("total_qty"),
+          aggregate(transform(col("qs"), q => q * q), lit(0L),
+            (acc, q) => acc + q).as("sum_sq"))
+        .orderBy(col("l_orderkey"))
+    }),
     "q_json_extract" -> ((s, dir) => {
       // JSON path extraction over the props column (get_json_object —
       // the row-level JSON scalar surface; from_json's structured
@@ -997,6 +1015,12 @@ object SparkEntry {
     }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    "events_stream_tumbling_append" -> ((s, dir) => {
+      // append-mode twin: windows emit once, on watermark close
+      // (sentinel-flushed); equals the batch tumbling aggregation
+      graft.streaming.EventsStream.tumblingAppendToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
     }),
     "events_stream_sliding" -> ((s, dir) => {
@@ -2057,6 +2081,13 @@ object SparkEntry {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // append-mode twin: identical final table once the sentinel closes
+    // every real window
+    "events_stream_tumbling_append" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sliding" -> slidingSql,
     // streaming twins: same result tables as their batch/SQL
     // equivalents by construction, so the oracles are shared
@@ -2120,6 +2151,17 @@ object SparkEntry {
       WHERE valid_from <= 946684800000000
         AND (valid_to IS NULL OR valid_to > 946684800000000)
       ORDER BY o_custkey""",
+    "q_hof_arrays" -> """
+      WITH g AS (SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+                 FROM lineitem GROUP BY 1)
+      SELECT l_orderkey,
+             CAST(len(qs) AS INT) AS n_items,
+             CAST(len(list_filter(qs, q -> q > 25)) AS INT) AS n_big,
+             CAST(list_sum(qs) AS BIGINT) AS total_qty,
+             CAST(list_sum(list_transform(qs, q -> q * q)) AS BIGINT)
+               AS sum_sq
+      FROM g ORDER BY l_orderkey""",
     "q_json_extract" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -71,6 +71,82 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** APPEND-mode tumbling aggregation — the production output mode for
+    * file/queue sinks: a window row is emitted exactly once, when the
+    * watermark passes its end and the window CLOSES (complete mode, by
+    * contrast, re-emits the whole table each batch — viable only for
+    * sinks that overwrite). The semantic consequence: emission is
+    * watermark-driven, so a finite fixture needs the watermark pushed
+    * past the last real window's end or the tail windows never flush —
+    * same replay-harness shape as the outer join and sessionize
+    * (far-future sentinel row, filtered from the result by its
+    * event_type, whose own window never closes and is never emitted).
+    * Result equals the batch tumbling aggregation, same oracle.
+    */
+  def tumblingAppendToCompletion(spark0: SparkSession, dir: String,
+      width: String = "1 hour"): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val stats = ev.agg(max(unix_micros(col("ts")))).head()
+    if (stats.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("window_start", TimestampType),
+          StructField("event_type", StringType),
+          StructField("n", LongType, nullable = false),
+          StructField("sum_value", DoubleType))))
+    }
+    val sentinelType = "zzz_watermark_sentinel"
+    val sentinelTs = new java.sql.Timestamp(
+      (stats.getLong(0) + 3L * 3600L * 1000000L) / 1000L)
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-append-replay").toFile
+    def writeChunk(df: DataFrame, name: String): Unit = {
+      val stage = new java.io.File(replayDir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replayDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+    val agg = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val qname = "graft_events_stream_append"
+    val q = agg.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      writeChunk(ev, "chunk1")
+      q.processAllAvailable() // only windows already behind the watermark
+      writeChunk(Seq((-1L, sentinelTs, -1L, sentinelType, 0.0))
+        .toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "sentinel")
+      q.processAllAvailable() // watermark clears every real window: flush
+    } finally {
+      q.stop()
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(replayDir)
+    }
+    spark.table(qname).filter(col("event_type") =!= sentinelType)
+  }
+
   /** Sliding-window streaming aggregation — the streaming twin of
     * [[graft.operators.Events.sliding]]: each event lands in
     * width/slide overlapping windows; Spark expands them inside the

@@ -110,6 +110,24 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("append-mode tumbling twin equals batch once the sentinel " +
+      "closes every window, each window emitted exactly once") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.tumbling(Tables.load(spark, dir, "events"))
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, String, Long, String)].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .tumblingAppendToCompletion(spark, dir)
+      .select(col("window_start").cast("string"), col("event_type"), col("n"),
+        col("sum_value").cast("string"))
+      .as[(String, String, Long, String)].collect().toSeq
+    assert(stream.toSet == batch)
+    assert(stream.size == stream.toSet.size, "a window emitted twice")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming twin produces the same sliding result as batch") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
