@@ -957,6 +957,22 @@ object SparkEntry {
       Merge.scd2AsOf(hist, lit(946684800000000L))
         .orderBy(col("o_custkey"))
     }),
+    "q_exists_subquery" -> ((s, dir) => {
+      // correlated EXISTS + NOT EXISTS through the SQL planner path
+      // (RewritePredicateSubquery → semi/anti joins) — the subquery
+      // shapes the DataFrame-API q_semi/q_anti queries don't exercise
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c_custkey, c_name FROM g_customer c
+        WHERE EXISTS (SELECT 1 FROM g_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM g_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey""")
+    }),
     "q_hof_arrays" -> ((s, dir) => {
       // higher-order array functions over per-order quantity lists:
       // sort_array for a deterministic collect order, then filter /
@@ -2151,6 +2167,15 @@ object SparkEntry {
       WHERE valid_from <= 946684800000000
         AND (valid_to IS NULL OR valid_to > 946684800000000)
       ORDER BY o_custkey""",
+    "q_exists_subquery" -> """
+      SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
     "q_hof_arrays" -> """
       WITH g AS (SELECT l_orderkey,
                    list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
