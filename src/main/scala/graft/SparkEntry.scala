@@ -610,6 +610,14 @@ object SparkEntry {
       // pass in OperatorsSpec
       Profile.approxTable(t(s, dir, "documents")).orderBy(col("col_name"))
     }),
+    "profile_equidepth" -> ((s, dir) => {
+      // quantile (equi-depth) histogram, exact boundaries for the
+      // oracle; the approx default is the 100 TB path (same plan, the
+      // sketch replacing the value-buffer percentile)
+      Profile.equiDepthHistogram(t(s, dir, "documents"), "n_chars",
+        nBins = 8, exact = true)
+        .orderBy(col("bin"))
+    }),
     "profile_histogram" -> ((s, dir) => {
       Profile.histogram(t(s, dir, "documents"), "n_chars")
         .orderBy(col("bin"))
@@ -1903,6 +1911,15 @@ object SparkEntry {
              CAST(min($c) AS VARCHAR) AS min_s,
              CAST(max($c) AS VARCHAR) AS max_s
       FROM documents""").mkString(" UNION ALL ") + " ORDER BY col_name"),
+    "profile_equidepth" -> """
+      WITH bs AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS b
+                  FROM documents),
+      v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+            WHERE n_chars IS NOT NULL)
+      SELECT CAST(len(list_filter(b, x -> x <= v)) AS INT) AS bin,
+             min(v) AS lo, max(v) AS hi, count(*) AS n_rows
+      FROM v, bs GROUP BY 1 ORDER BY bin""",
     "profile_histogram" -> """
       WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS blo,
                         CAST(max(n_chars) AS BIGINT) AS bhi

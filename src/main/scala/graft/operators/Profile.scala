@@ -127,6 +127,52 @@ object Profile {
       .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
   }
 
+  /** Equi-DEPTH histogram: bins hold (approximately) equal row counts
+    * instead of equal value ranges — the right view of a skewed column,
+    * where the equi-width [[histogram]] puts 99% of rows in one bin.
+    * Bin i spans `[b_{i-1}, b_i)` with boundaries at the exact
+    * interpolated `i/nBins` percentiles (values above the last internal
+    * boundary fall in bin nBins-1; exact ties on a boundary go to the
+    * higher bin).
+    *
+    * Scale shape: NO global sort window (the naive `ntile` formulation
+    * funnels the corpus through one partition) — one scalar aggregate
+    * computes the nBins-1 boundaries, broadcasts that single row, and
+    * a codegen'd `filter`-HOF counts boundaries below each value. Two
+    * scans total, both full-width parallel; the boundary row is
+    * constant-size at any corpus size.
+    *
+    * Output: (bin, lo, hi, n_rows) for non-empty bins, lo/hi the
+    * bin's OBSERVED min/max (informative on sparse data where
+    * percentile boundaries repeat).
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, nBins: Int = 10,
+      exact: Boolean = false): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val ps = (1 until nBins).map(i => lit(i.toDouble / nBins))
+    val v = col(c).cast("double")
+    // approx (default): KLL-style sketch, constant memory — the 100 TB
+    // path. exact: Spark's interpolated `percentile` (per-partition
+    // value buffers — fine up to memory, and the form DuckDB's
+    // quantile_cont reproduces for the oracle twin).
+    val boundaries =
+      if (nBins == 1) df.sparkSession.range(1).select(
+        array().cast("array<double>").as("_bs"))
+      else if (exact) df.select(v.as("_v")).agg(
+        expr(s"percentile(_v, array(${(1 until nBins)
+          .map(i => s"${i.toDouble / nBins}").mkString(",")}))").as("_bs"))
+      else df.agg(
+        percentile_approx(v, array(ps: _*), lit(10000)).as("_bs"))
+    df.select(v.as("_v")).filter(col("_v").isNotNull)
+      .crossJoin(boundaries)
+      .select(col("_v"),
+        size(filter(col("_bs"), b => b <= col("_v"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"))
+      .select(col("bin"), col("lo"), col("hi"), col("n_rows"))
+  }
+
   /** Referential-integrity audit: child rows whose key has no match
     * in the parent — the orphan check run after any join-dependent
     * corpus assembly. One left_anti shuffle on the key; the parent

@@ -190,6 +190,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(const == Seq((0L, 5L, 6L, 3L))) // zero range -> width 1
   }
 
+  test("equi-depth histogram balances counts on skewed data where " +
+      "equi-width cannot; approx path stays near exact") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // heavy skew: 900 values at 1..9, a thin tail to 10000
+    val vals = (1 to 900).map(i => (i % 9 + 1).toLong) ++
+      (1 to 100).map(i => (i * 100).toLong)
+    val df = vals.toDF("v")
+    val eq = Profile.equiDepthHistogram(df, "v", nBins = 4, exact = true)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(eq.map(_._4).sum == 1000L)
+    // every bin within 2x of the ideal 250 (ties on tiny domains skew)
+    eq.foreach { case (b, lo, hi, n) =>
+      assert(n <= 500, s"bin $b holds $n of 1000")
+      assert(lo <= hi)
+    }
+    // ranges are disjoint and ordered
+    eq.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    // equi-width on the same data: one bin hoards ~90% — the contrast
+    val ew = Profile.histogram(df, "v", nBins = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(ew.map(_._4).max >= 900L)
+    // approx boundaries agree with exact on this size
+    val ap = Profile.equiDepthHistogram(df, "v", nBins = 4)
+      .as[(Int, Double, Double, Long)].collect().sortBy(_._1)
+    assert(ap.map(_._4).sum == 1000L)
+    assert(ap.map(_._1).toSeq == eq.map(_._1).toSeq)
+  }
+
   test("fk orphans surfaces child rows without a parent key") {
     import spark.implicits._
     import graft.operators.Profile
