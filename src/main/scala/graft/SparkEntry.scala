@@ -508,6 +508,15 @@ object SparkEntry {
       Dedup.dropNearDuplicates(docs, groundTruthPairs(s, dir))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "dedup_cluster_reps" -> ((s, dir) => {
+      // quality-aware collapse: keep each near-dup cluster's LONGEST
+      // doc (n_chars as the quality score), not its first-crawled id
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("n_chars"))
+      Dedup.clusterRepresentatives(docs, groundTruthPairs(s, dir),
+        scoreCol = "n_chars")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // brute-force O(N²) pairs: the oracle-checkable GROUND TRUTH
       // (and the recall yardstick for dedup_embedding_ann below);
@@ -1773,6 +1782,38 @@ object SparkEntry {
         SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node)
       SELECT node AS doc_id, min(r) AS cluster_id
       FROM reach GROUP BY node ORDER BY doc_id""",
+    "dedup_cluster_reps" -> """
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM p JOIN n na ON na.doc_id = id_a
+                       JOIN n nb ON nb.doc_id = id_b
+                WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node),
+      cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node),
+      scored AS (SELECT d.doc_id, d.n_chars, cl.cluster_id
+                 FROM d LEFT JOIN cl USING (doc_id)),
+      reps AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM scored WHERE cluster_id IS NOT NULL)
+               WHERE rn = 1)
+      SELECT doc_id FROM scored WHERE cluster_id IS NULL
+      UNION ALL SELECT doc_id FROM reps
+      ORDER BY doc_id""",
     "dedup_filtered" -> """
       WITH RECURSIVE
       d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

@@ -363,6 +363,34 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Quality-aware survivor choice: keep ONE representative per
+    * near-dup cluster — the row with the HIGHEST `scoreCol` (ties →
+    * smallest id) — instead of [[dropNearDuplicates]]'s min-id rule.
+    * The production form of cluster collapse: of a boilerplate
+    * cluster, keep the cleanest/longest copy, not the one that
+    * happened to be crawled first. Docs in no pair survive untouched.
+    *
+    * Cost on top of [[clusters]] (the dominant term): one left join of
+    * the corpus against the (small — clustered docs only) label set on
+    * the id, and one window per cluster_id with a rank-1 filter that
+    * compiles to WindowGroupLimit — the exchange carries one candidate
+    * per (map task × cluster).
+    */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      scoreCol: String, idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs).withColumnRenamed("doc_id", idCol)
+    val joined = docs.join(cl, Seq(idCol), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val reps = joined.filter(col("cluster_id").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "cluster_id")
+    joined.filter(col("cluster_id").isNull).drop("cluster_id")
+      .unionByName(reps)
+  }
+
   /** Exact character-n-gram Jaccard pairs via shingle join (ground
     * truth / oracle-checkable). Output: (id_a, id_b, shared, n_a, n_b)
     * for pairs with jaccard = shared/(n_a+n_b-shared) >= minJaccard.

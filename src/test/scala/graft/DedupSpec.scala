@@ -170,6 +170,19 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Seq(11L))
   }
 
+  test("clusterRepresentatives keeps the highest-score doc per " +
+      "cluster (tie -> min id); singletons survive") {
+    import spark.implicits._
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (9L, 1L))
+      .toDF("doc_id", "score")
+    // clusters: {1,2,3} and {4}... 4 pairs with nobody; 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusterRepresentatives(docs, pairs, "score")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // cluster {1,2,3}: 2 and 3 tie at 50 -> 2 wins; 4 and 9 singleton
+    assert(got == Seq(2L, 4L, 9L))
+  }
+
   test("incrementalNear fails loud when batch ids do not exceed " +
       "corpus ids") {
     import spark.implicits._
