@@ -517,6 +517,15 @@ object SparkEntry {
         scoreCol = "n_chars")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "decontam_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: corpus = vec_id >= 50, eval
+      // set = vec_id < 50; survivors have no eval neighbor at 0.45
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        minCosine = 0.45)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     "dedup_embedding" -> ((s, dir) => {
       // brute-force O(N²) pairs: the oracle-checkable GROUND TRUTH
       // (and the recall yardstick for dedup_embedding_ann below);
@@ -1837,6 +1846,20 @@ object SparkEntry {
       SELECT doc_id FROM d
       WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> root)
       ORDER BY doc_id""",
+    "decontam_semantic" -> s"""
+      WITH $qEmbSql,
+      d AS (SELECT a.vec_id AS cid, b.vec_id AS eid, sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i
+                 AND a.vec_id >= 50 AND b.vec_id < 50
+            GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT cid FROM d
+              JOIN n na ON na.vec_id = cid JOIN n nb ON nb.vec_id = eid
+              WHERE CAST(dot AS DOUBLE) /
+                    sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                    >= 0.45)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id >= 50 AND vec_id NOT IN (SELECT cid FROM bad)
+      ORDER BY vec_id""",
     "dedup_embedding" -> s"""
       WITH $qEmbSql,
       d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot

@@ -43,6 +43,30 @@ object Similarity {
     emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("qv"))
       .withColumn("norm", qdot(col("qv"), col("qv")))
 
+  /** Embedding-space benchmark decontamination — the semantic twin of
+    * [[Decontaminate.clean]]'s gram-overlap check: drop every corpus
+    * vector whose cosine against ANY eval vector reaches `minCosine`
+    * (paraphrased benchmark leakage that exact n-gram overlap misses).
+    *
+    * Same 100 TB posture as the gram path: eval sets are SMALL by
+    * nature, so the quantized eval side broadcasts and the corpus
+    * streams through one narrow scoring pass — O(N·E) exact, with
+    * only flagged ids (tiny) shuffling into the left_anti. Exact
+    * integer-quantized cosine, so the result is engine-reproducible
+    * and the DuckDB oracle checks it end to end.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      minCosine: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = withQuantized(corpus, idCol, vecCol)
+    val e = withQuantized(evalSet, idCol, vecCol)
+    val flagged = c.as("c").crossJoin(broadcast(e).as("e"))
+      .filter(qcosine(qdot(col("c.qv"), col("e.qv")),
+        col("c.norm"), col("e.norm")) >= minCosine)
+      .select(col("c.id").as("__bad")).distinct()
+    corpus.join(flagged, corpus(idCol) === col("__bad"), "left_anti")
+  }
+
   /** All pairs with cosine >= minCosine (embedding near-dup dedup).
     * Brute force O(N²) — ground truth; use [[annTopK]]'s bucketing at
     * scale. Output: (id_a, id_b, cosine).

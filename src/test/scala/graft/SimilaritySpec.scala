@@ -25,6 +25,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L)))
   }
 
+  test("semanticDecontaminate drops corpus vectors near any eval " +
+      "vector, keeps the rest, broadcasts the eval side") {
+    import spark.implicits._
+    // eval = vec 0; corpus = 1 (near-parallel: leak), 2 (orthogonal:
+    // clean), 3 (opposite: clean)
+    val evalSet = vecs.filter(col("vec_id") === 0)
+    val corpus = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+    val kept = Similarity.semanticDecontaminate(corpus, evalSet,
+      minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L))
+    val plan = Similarity.semanticDecontaminate(corpus, evalSet, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
+
   test("topK ranks by cosine with deterministic ties") {
     import spark.implicits._
     val got = Similarity.topK(vecs.filter(col("vec_id") === 0), vecs, k = 4)
