@@ -930,6 +930,32 @@ object SparkEntry {
       Events.sessionize(t(s, dir, "events"))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    "events_session_window" -> ((s, dir) => {
+      // Spark's NATIVE gap-session operator — the built-in alternative
+      // to the custom sessionizer. Boundary semantics differ by design:
+      // session_window's window is [ts, ts+gap), so an event at
+      // EXACTLY prev+gap starts a new session (>=), where
+      // Events.sessionize continues it (>) — the oracle twin encodes >=
+      t(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("session_end"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q_window_dist" -> ((s, dir) => {
+      // distribution window functions: ntile / percent_rank /
+      // cume_dist over a deterministic total order
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
     "q_cdc_merge" -> ((s, dir) => {
       // lakehouse MERGE: a staged change set (updates with two
       // versions for some keys to exercise last-wins, deletes,
@@ -1073,6 +1099,12 @@ object SparkEntry {
       // stream-static dimension join: stateless, append mode; same
       // oracle as the equivalent batch join
       graft.streaming.EventsStream.enrichToCompletion(s, dir)
+        .orderBy(col("event_id"))
+    }),
+    "events_stream_enrich_outer" -> ((s, dir) => {
+      // incomplete dimension: events of every 10th customer surface
+      // with null cust_name instead of silently dropping
+      graft.streaming.EventsStream.enrichOuterToCompletion(s, dir)
         .orderBy(col("event_id"))
     }),
     "events_stream_foreach" -> ((s, dir) => {
@@ -2189,6 +2221,13 @@ object SparkEntry {
     // streaming twins: same result tables as their batch/SQL
     // equivalents by construction, so the oracles are shared
     "events_stream_sliding" -> slidingSql,
+    "events_stream_enrich_outer" -> """
+      SELECT e.event_id, e.user_id, c.c_name AS cust_name
+      FROM events e
+      LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                 WHERE c_custkey % 10 <> 0) c
+        ON e.user_id = c.c_custkey
+      ORDER BY e.event_id""",
     "events_stream_enrich" -> """
       SELECT e.event_id, e.user_id, c.c_name AS cust_name,
              n.n_name AS nation_name
@@ -2347,6 +2386,31 @@ object SparkEntry {
         ON c.user_id = p.user_id
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id NULLS FIRST""",
+    // >= on the gap (session_window's [ts, ts+gap) semantics), where
+    // events_sessionize uses >
+    "events_session_window" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q_window_dist" -> """
+      SELECT c_custkey, c_mktsegment,
+             ntile(4) OVER w AS quartile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""",
     "events_sessionize" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL

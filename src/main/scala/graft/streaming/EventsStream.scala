@@ -198,6 +198,29 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Stream-static LEFT OUTER enrichment — the dimension-lookup shape
+    * when the dimension is INCOMPLETE (late-arriving dims, partial
+    * snapshots): events without a matching dimension row must pass
+    * through with nulls, not silently drop as the inner join does.
+    * Still stateless (no watermark, no state store): the outer side
+    * is the stream, the static side broadcasts per micro-batch.
+    */
+  def enrichOuterToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 10 =!= 0) // staged dimension gaps
+      .select(col("c_custkey"), col("c_name"))
+    val enriched = source(spark, dir)
+      .join(cust, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"),
+        col("c_name").as("cust_name"))
+    val qname = "graft_events_stream_enrich_outer"
+    val q = enriched.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** Streaming dedup within the watermark horizon (the streaming twin
     * of Dedup.exact). `dropDuplicatesWithinWatermark` keeps bounded
     * state — plain `dropDuplicates("event_id")` would never evict it
