@@ -1101,6 +1101,12 @@ object SparkEntry {
       graft.streaming.EventsStream.enrichToCompletion(s, dir)
         .orderBy(col("event_id"))
     }),
+    "events_stream_session_window" -> ((s, dir) => {
+      // native session_window merging state across micro-batches;
+      // sentinel-flushed, same oracle as the batch twin
+      graft.streaming.EventsStream.sessionWindowToCompletion(s, dir)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "events_stream_enrich_outer" -> ((s, dir) => {
       // incomplete dimension: events of every 10th customer surface
       // with null cust_name instead of silently dropping
@@ -1444,6 +1450,23 @@ object SparkEntry {
   /** Sliding-window oracle, shared by the batch and streaming twins
     * (both produce the same result table by construction).
     */
+  /** Shared twin for the batch + streaming native session_window
+    * queries (>= gap boundary — [ts, ts+gap) window semantics). */
+  private val sessionWindowSql: String = """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start"""
+
   private val slidingSql: String = """
       SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE AS window_start,
              count(*) AS n,
@@ -2388,20 +2411,9 @@ object SparkEntry {
       ORDER BY click_id, purchase_id NULLS FIRST""",
     // >= on the gap (session_window's [ts, ts+gap) semantics), where
     // events_sessionize uses >
-    "events_session_window" -> """
-      WITH s AS (SELECT user_id, ts, event_id,
-                   CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
-                        THEN 1 ELSE 0 END AS brk
-                 FROM events
-                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      t AS (SELECT user_id, ts,
-              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS sid
-            FROM s)
-      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-             count(*) AS n_events
-      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "events_session_window" -> sessionWindowSql,
+    // streaming twin merges the same sessions across micro-batches
+    "events_stream_session_window" -> sessionWindowSql,
     "q_window_dist" -> """
       SELECT c_custkey, c_mktsegment,
              ntile(4) OVER w AS quartile,

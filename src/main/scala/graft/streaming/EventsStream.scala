@@ -172,6 +172,77 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Streaming NATIVE session windows — `session_window` inside a
+    * watermarked streaming aggregation: Spark merges overlapping
+    * per-key session state across micro-batches in the agg itself (no
+    * GroupState code), emits a session once the watermark passes its
+    * close. The built-in counterpart of [[sessionizeToCompletion]]'s
+    * hand-rolled GroupState sessionizer; same sentinel-replay harness
+    * to flush open sessions at end of a finite fixture (the sentinel
+    * user's own session never closes and is filtered out).
+    * Oracle: the batch `session_window` twin (>= gap boundary).
+    */
+  def sessionWindowToCompletion(spark0: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val spark = streamSession(spark0)
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val stats = ev.agg(min(col("user_id")),
+      max(unix_micros(col("ts")))).head()
+    if (stats.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("session_start", TimestampType),
+          StructField("session_end", TimestampType),
+          StructField("n_events", LongType, nullable = false))))
+    }
+    val sentinelUid = stats.getLong(0) - 1L
+    val sentinelTs = new java.sql.Timestamp(
+      (stats.getLong(1) + 3L * 3600L * 1000000L) / 1000L)
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-swin-replay").toFile
+    def writeChunk(df: DataFrame, name: String): Unit = {
+      val stage = new java.io.File(replayDir, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replayDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete())
+      stage.delete()
+    }
+    val sessions = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("session_end"), col("n_events"))
+    val qname = "graft_events_stream_session_window"
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      writeChunk(ev, "chunk1")
+      q.processAllAvailable()
+      writeChunk(Seq((sentinelUid, sentinelTs, -1L))
+        .toDF("user_id", "ts", "event_id"), "sentinel")
+      q.processAllAvailable() // watermark clears every real session
+    } finally {
+      q.stop()
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(replayDir)
+    }
+    spark.table(qname).filter(col("user_id") =!= sentinelUid)
+  }
+
   /** Stream-static enrichment join — the continuous-ingest shape of
     * dimension lookup: the event stream joins two static dimension
     * frames (customer, nation) that Spark broadcasts per micro-batch.

@@ -186,6 +186,27 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming native session_window equals the batch native twin " +
+      "across the micro-batch replay") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .sessionWindowToCompletion(spark, dir)
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(stream.toSet == batch)
+    assert(stream.size == stream.toSet.size, "a session emitted twice")
+    assert(batch.nonEmpty)
+  }
+
   test("left-outer attribution equals the batch left join") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
