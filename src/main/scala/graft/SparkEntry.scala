@@ -1009,6 +1009,21 @@ object SparkEntry {
       Merge.scd2AsOf(hist, lit(946684800000000L))
         .orderBy(col("o_custkey"))
     }),
+    "q_lateral_join" -> ((s, dir) => {
+      // LATERAL correlated subquery — per-customer top-order lookup
+      // planned as a correlated join (DecorrelateInnerQuery path),
+      // the remaining subquery shape beside scalar and EXISTS
+      t(s, dir, "customer").createOrReplaceTempView("g_customer")
+      t(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql("""
+        SELECT c.c_custkey, l.n_orders, l.max_price
+        FROM g_customer c,
+        LATERAL (SELECT count(*) AS n_orders,
+                        max(o_totalprice) AS max_price
+                 FROM g_orders o WHERE o.o_custkey = c.c_custkey) l
+        WHERE l.n_orders > 0
+        ORDER BY c.c_custkey""")
+    }),
     "q_exists_subquery" -> ((s, dir) => {
       // correlated EXISTS + NOT EXISTS through the SQL planner path
       // (RewritePredicateSubquery → semi/anti joins) — the subquery
@@ -2310,6 +2325,14 @@ object SparkEntry {
       WHERE valid_from <= 946684800000000
         AND (valid_to IS NULL OR valid_to > 946684800000000)
       ORDER BY o_custkey""",
+    "q_lateral_join" -> """
+      SELECT c.c_custkey, l.n_orders, l.max_price
+      FROM customer c,
+      LATERAL (SELECT count(*) AS n_orders,
+                      max(o_totalprice) AS max_price
+               FROM orders o WHERE o.o_custkey = c.c_custkey) l
+      WHERE l.n_orders > 0
+      ORDER BY c.c_custkey""",
     "q_exists_subquery" -> """
       SELECT c_custkey, c_name FROM customer c
       WHERE EXISTS (SELECT 1 FROM orders o
