@@ -288,6 +288,55 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming restart from checkpoint: the file sink is " +
+      "exactly-once across stop/restart, no loss, no duplicates") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-restart").toFile
+    val replay = new java.io.File(root, "in"); replay.mkdirs()
+    val out = new java.io.File(root, "out").toString
+    val ckpt = new java.io.File(root, "ckpt").toString
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(root, s"_stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(replay, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    // the restarted query must resume from the CHECKPOINT, not rescan:
+    // same checkpoint dir across both query instances
+    def start() = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(replay.toString)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      writeChunk(ev.filter(col("event_id") % 2 === 0), "chunk1")
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop() // "crash" after batch 1
+      writeChunk(ev.filter(col("event_id") % 2 === 1), "chunk2")
+      val q2 = start() // resumes from the same checkpoint
+      try q2.processAllAvailable() finally q2.stop()
+      // reading through _spark_metadata gives the committed-exactly-once view
+      val got = spark.read.schema(ev.schema).parquet(out)
+        .select("event_id").as[Long].collect().toSeq
+      val want = ev.select("event_id").as[Long].collect().toSeq
+      assert(got.sorted == want.sorted,
+        s"lost or duplicated rows: got ${got.size}, want ${want.size}")
+    } finally {
+      def deleteRec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(deleteRec))
+        f.delete()
+      }
+      deleteRec(root)
+    }
+  }
+
   test("streaming fingerprint dedup equals the batch distinct-content " +
       "fingerprint set") {
     import spark.implicits._
