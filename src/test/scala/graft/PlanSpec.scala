@@ -67,6 +67,27 @@ class PlanSpec extends AnyFunSuite {
     "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse(
       fail(s"no ReadSchema in plan:\n$p"))
 
+  test("join strategy hints are honored: SHUFFLE_HASH skips the sort") {
+    // at scale, SMJ's sort cost dominates when one side is much
+    // smaller but over the broadcast threshold — the hint is the
+    // documented lever, and it must actually reach the planner
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.load(spark, dir, "lineitem")
+      val o = Tables.load(spark, dir, "orders")
+      val hinted = li.join(o.hint("SHUFFLE_HASH"),
+        li("l_orderkey") === o("o_orderkey"))
+      val p = hinted.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), p)
+      val unhinted = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(unhinted.contains("SortMergeJoin"), unhinted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("snapshot diff is a shuffle join on the key — nothing " +
       "broadcast or nested-loop, output independent of corpus size") {
     val p = plan("q_snapshot_diff")
