@@ -1009,6 +1009,21 @@ object SparkEntry {
       Merge.scd2AsOf(hist, lit(946684800000000L))
         .orderBy(col("o_custkey"))
     }),
+    "q_nullsafe_join" -> ((s, dir) => {
+      // null-safe equality join (<=>): null keys MATCH each other —
+      // the join a dedup on a nullable key actually needs (plain =
+      // silently drops every null row)
+      val n = t(s, dir, "nation")
+      val a = n.select(col("n_nationkey").as("ak"),
+        when(col("n_nationkey") % 5 === 0, lit(null))
+          .otherwise(col("n_regionkey")).cast("long").as("k"))
+      val b = n.select(col("n_nationkey").as("bk"),
+        when(col("n_nationkey") % 3 === 0, lit(null))
+          .otherwise(col("n_regionkey")).cast("long").as("k2"))
+      a.join(b, col("k") <=> col("k2"))
+        .select(col("ak"), col("bk"), col("k"))
+        .orderBy(col("ak"), col("bk"))
+    }),
     "q_lateral_join" -> ((s, dir) => {
       // LATERAL correlated subquery — per-customer top-order lookup
       // planned as a correlated join (DecorrelateInnerQuery path),
@@ -2325,6 +2340,15 @@ object SparkEntry {
       WHERE valid_from <= 946684800000000
         AND (valid_to IS NULL OR valid_to > 946684800000000)
       ORDER BY o_custkey""",
+    "q_nullsafe_join" -> """
+      WITH a AS (SELECT n_nationkey AS ak,
+                   CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                        ELSE n_regionkey END AS k FROM nation),
+      b AS (SELECT n_nationkey AS bk,
+              CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                   ELSE n_regionkey END AS k2 FROM nation)
+      SELECT ak, bk, k FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+      ORDER BY ak, bk""",
     "q_lateral_join" -> """
       SELECT c.c_custkey, l.n_orders, l.max_price
       FROM customer c,
