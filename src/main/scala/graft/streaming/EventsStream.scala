@@ -28,6 +28,27 @@ object EventsStream {
     ss
   }
 
+  /** Shared replay-harness plumbing: atomically land a chunk as ONE
+    * parquet file in the replay dir (staged write + rename, so the
+    * file stream never sees a partial file), and recursive cleanup.
+    * Used by every sentinel-replay completion harness below.
+    */
+  private def writeChunk(replayDir: java.io.File, df: DataFrame,
+      name: String): Unit = {
+    val stage = new java.io.File(replayDir, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(replayDir, s"$name.parquet").toPath)
+    stage.listFiles().foreach(_.delete())
+    stage.delete()
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRec))
+    f.delete()
+  }
+
   /** Streaming source over the events parquet (nanos ts handled the
     * same way as Tables.load).
     */
@@ -106,15 +127,6 @@ object EventsStream {
       (stats.getLong(0) + 3L * 3600L * 1000000L) / 1000L)
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-append-replay").toFile
-    def writeChunk(df: DataFrame, name: String): Unit = {
-      val stage = new java.io.File(replayDir, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(replayDir, s"$name.parquet").toPath)
-      stage.listFiles().foreach(_.delete())
-      stage.delete()
-    }
     val agg = spark.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -130,18 +142,14 @@ object EventsStream {
     val q = agg.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
     try {
-      writeChunk(ev, "chunk1")
+      writeChunk(replayDir, ev, "chunk1")
       q.processAllAvailable() // only windows already behind the watermark
-      writeChunk(Seq((-1L, sentinelTs, -1L, sentinelType, 0.0))
+      writeChunk(replayDir, Seq((-1L, sentinelTs, -1L, sentinelType, 0.0))
         .toDF("user_id", "ts", "event_id", "event_type", "value"),
         "sentinel")
       q.processAllAvailable() // watermark clears every real window: flush
     } finally {
       q.stop()
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(replayDir)
     }
     spark.table(qname).filter(col("event_type") =!= sentinelType)
@@ -205,15 +213,6 @@ object EventsStream {
       (stats.getLong(1) + 3L * 3600L * 1000000L) / 1000L)
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-swin-replay").toFile
-    def writeChunk(df: DataFrame, name: String): Unit = {
-      val stage = new java.io.File(replayDir, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(replayDir, s"$name.parquet").toPath)
-      stage.listFiles().foreach(_.delete())
-      stage.delete()
-    }
     val sessions = spark.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -227,17 +226,13 @@ object EventsStream {
     val q = sessions.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
     try {
-      writeChunk(ev, "chunk1")
+      writeChunk(replayDir, ev, "chunk1")
       q.processAllAvailable()
-      writeChunk(Seq((sentinelUid, sentinelTs, -1L))
+      writeChunk(replayDir, Seq((sentinelUid, sentinelTs, -1L))
         .toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // watermark clears every real session
     } finally {
       q.stop()
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(replayDir)
     }
     spark.table(qname).filter(col("user_id") =!= sentinelUid)
@@ -434,31 +429,18 @@ object EventsStream {
       new java.sql.Timestamp((hiUs + 3L * 3600L * 1000000L) / 1000L)
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-attr-replay").toFile
-    def writeChunk(df: DataFrame, name: String): Unit = {
-      val stage = new java.io.File(replayDir, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(replayDir, s"$name.parquet").toPath)
-      stage.listFiles().foreach(_.delete())
-      stage.delete()
-    }
     val qname = "graft_events_stream_attribution_outer"
     val q = attributionOuterStart(spark, ev.schema, replayDir.toString, qname)
     try {
-      writeChunk(ev, "chunk1")
+      writeChunk(replayDir, ev, "chunk1")
       q.processAllAvailable() // matched pairs emit here
-      writeChunk(Seq(
+      writeChunk(replayDir, Seq(
         (sentinelClickUid, sentinelTs, -1L, "click", 0.0),
         (sentinelBuyUid, sentinelTs, -2L, "purchase", 0.0))
         .toDF("user_id", "ts", "event_id", "event_type", "value"), "sentinel")
       q.processAllAvailable() // watermark advance + no-data batch: nulls flush
     } finally {
       q.stop()
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(replayDir)
     }
     spark.table(qname)
@@ -610,15 +592,6 @@ object EventsStream {
     val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-replay").toFile
-    def writeChunk(df: DataFrame, name: String): Unit = {
-      val stage = new java.io.File(replayDir, s"_stage_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(replayDir, s"$name.parquet").toPath)
-      stage.listFiles().foreach(_.delete())
-      stage.delete()
-    }
 
     val sessions = spark.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
@@ -676,13 +649,13 @@ object EventsStream {
       .writeStream.outputMode("append").format("memory").queryName(qname)
       .start()
     try {
-      writeChunk(ev.filter(unix_micros(col("ts")) < midUs), "chunk1")
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) < midUs), "chunk1")
       q.processAllAvailable() // batch 1: sessions fully inside chunk 1
-      writeChunk(ev.filter(unix_micros(col("ts")) >= midUs), "chunk2")
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "chunk2")
       q.processAllAvailable() // batch 2: must merge state across the split
       // sentinel: one far-future row pushes the watermark beyond every
       // open session's timeout (hi + gap + delay + margin)
-      writeChunk(Seq((sentinelUid,
+      writeChunk(replayDir, Seq((sentinelUid,
         new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L),
         -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // batch 3 + no-data batch: flush timeouts
@@ -690,10 +663,6 @@ object EventsStream {
       q.stop()
       ev.unpersist()
       // the memory sink holds the results; the replay files are dead
-      def deleteRec(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(deleteRec))
-        f.delete()
-      }
       deleteRec(replayDir)
     }
     spark.table(qname)
