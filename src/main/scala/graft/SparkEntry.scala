@@ -1111,6 +1111,13 @@ object SparkEntry {
       Events.anomalies(t(s, dir, "events"), sigmaTenths = 15)
         .orderBy(col("event_id"))
     }),
+    "events_anomaly_robust" -> ((s, dir) => {
+      // IQR boxplot outliers per event type at k=0.9 (the fixture's
+      // near-uniform values put nothing outside the classic 1.5 fence
+      // — 0.9 exercises both branches)
+      Events.anomaliesRobust(t(s, dir, "events"), k = 0.9)
+        .orderBy(col("event_id"))
+    }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
@@ -2253,6 +2260,16 @@ object SparkEntry {
                 s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
                .mkString(", ")}
       FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
+    "events_anomaly_robust" -> """
+      WITH q AS (SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+                 FROM events GROUP BY 1)
+      SELECT event_id, e.event_type, value,
+             (value < q1 - 0.9 * (q3 - q1)
+              OR value > q3 + 0.9 * (q3 - q1)) AS is_outlier
+      FROM events e JOIN q ON e.event_type = q.event_type
+      ORDER BY event_id""",
     "events_tumbling" -> """
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n,

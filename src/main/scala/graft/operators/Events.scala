@@ -99,6 +99,34 @@ object Events {
     * users flag false (0 > 0). One groupBy + one join, both on the
     * user key.
     */
+  /** Robust (boxplot/IQR) outlier flagging per group — the
+    * quantile-based complement to the σ-test [[anomalies]]: immune to
+    * the outliers' own pull on the threshold (a heavy tail inflates
+    * σ and hides itself; quartiles don't move). Flags values outside
+    * `[Q1 - k·IQR, Q3 + k·IQR]` with exact interpolated quartiles.
+    *
+    * Shape: one map-side-combinable per-group percentile aggregate
+    * (constant-size result per group) joined back — the group stats
+    * frame is tiny at any corpus size, so Catalyst broadcasts it. All
+    * arithmetic on the same doubles in the same order as the DuckDB
+    * `quantile_cont` twin, so the flags hash-match exactly.
+    */
+  def anomaliesRobust(events: DataFrame, groupCol: String = "event_type",
+      k: Double = 1.5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = events.groupBy(col(groupCol))
+      .agg(expr("percentile(value, array(0.25, 0.75))").as("_qs"))
+      .select(col(groupCol), element_at(col("_qs"), 1).as("_q1"),
+        element_at(col("_qs"), 2).as("_q3"))
+    val iqr = col("_q3") - col("_q1")
+    events.join(q, groupCol)
+      .withColumn("is_outlier",
+        col("value") < col("_q1") - lit(k) * iqr ||
+          col("value") > col("_q3") + lit(k) * iqr)
+      .select(col("event_id"), col(groupCol), col("value"),
+        col("is_outlier"))
+  }
+
   def anomalies(events: DataFrame, sigmaTenths: Int = 15): DataFrame = {
     require(sigmaTenths > 0, "sigma must be positive")
     val b = events.select(col("event_id"), col("user_id"),

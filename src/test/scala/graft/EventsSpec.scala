@@ -95,6 +95,21 @@ class EventsSpec extends AnyFunSuite {
     assert(u5 == ts(9))
   }
 
+  test("anomaliesRobust flags IQR-fence outliers; the outlier cannot " +
+      "move the fence") {
+    import spark.implicits._
+    // 9 values in [1,9] and one wild point; Q1/Q3 sit in the bulk, so
+    // the wild point is flagged and nothing else is
+    val rows = (1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+
+      (100L, "a", 1000.0)
+    val ev = rows.toDF("event_id", "event_type", "value")
+    val got = graft.operators.Events.anomaliesRobust(ev)
+      .select("event_id", "is_outlier")
+      .as[(Long, Boolean)].collect().toMap
+    assert(got(100L))
+    (1 to 9).foreach(i => assert(!got(i.toLong), s"value $i flagged"))
+  }
+
   test("streaming twin produces the same tumbling result as batch") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
