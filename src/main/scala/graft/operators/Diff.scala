@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * (`old_<c>`, `new_<c>`) so the audit shows what a `C` actually
   * changed. Column sets must match; mismatched schemas fail loud at
   * plan time rather than diffing incomparable snapshots.
+  *
+  * PRECONDITION: the key must be unique within each snapshot — a
+  * duplicated key fans out m×n in the full-outer join and the `op`
+  * classification is no longer per-key. Dedup first ([[Dedup.keepLatest]]
+  * is the usual upstream) where ingest can produce duplicates.
   */
 object Diff {
 
