@@ -18,9 +18,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** In-place median; n is small (bench repeats), exactness over speed. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Repeated-measure mode: run each query up to REPEATS times and
+    // report the MEDIAN (plus min) per query, so a transient load spike
+    // on the host skews at most one sample instead of the published
+    // number (the r4 and r7 driver artifacts were both load-skewed —
+    // 17 carried queries at 6-17x — and cost a round of triage each).
+    // Queries whose FIRST run exceeds REPEAT_CAP seconds are not
+    // re-run: those are the streaming sentinel-replay harnesses whose
+    // time is a micro-batch machinery floor by construction (load
+    // inflation there is visible from the canary instead), and
+    // re-running them would triple the most expensive third of the
+    // suite for numbers that aren't load-sensitive signal anyway.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3")
+      .toInt.max(1)
+    val repeatCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_CAP", "3.0")
+      .toDouble
     val spark = Sessions.builder("graft-bench", s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,7 +61,12 @@ object Bench {
     // pre-checkpoint plans + stage breadcrumbs here; appended to the
     // query's dump below so checkpoints don't blind the plan audit
     PlanCapture.enabled = true
+    // comma-separated name filter for local iteration (same shape as
+    // Verify's 3rd arg); unset = full suite, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val midpoint = queries.size / 2
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canaryProbe(spark, sfDir)
@@ -50,20 +77,23 @@ object Bench {
         System.err.println(f"BENCH canary[middle] ${canaries.last}%8.2f s")
       }
       PlanCapture.drain() // discard anything left by a previous query
-      val t0 = System.nanoTime()
-      // a failed query must be VISIBLE (name + reason), not a silent
-      // ~0s entry — the run continues so one bad query can't hide the
-      // rest of the numbers
-      val df = try {
-        val d = fn(spark, sfDir); d.count(); Some(d)
-      } catch {
-        case e: Throwable =>
-          System.err.println(
-            s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          None
+      // one timed run: build + count. A failed query must be VISIBLE
+      // (name + reason), not a silent ~0s entry — the run continues so
+      // one bad query can't hide the rest of the numbers.
+      def timedRun(): (Double, Option[org.apache.spark.sql.DataFrame]) = {
+        val t0 = System.nanoTime()
+        val df = try {
+          val d = fn(spark, sfDir); d.count(); Some(d)
+        } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"BENCH FAIL $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+        }
+        ((System.nanoTime() - t0) / 1e9, df)
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"BENCH $name%-28s $elapsed%8.2f s")
+      val (first, df) = timedRun()
+      // plan dump from the FIRST run, before any re-runs drain capture
       df.foreach { d =>
         try {
           val captured = PlanCapture.drain().map { case (label, text) =>
@@ -76,11 +106,25 @@ object Bench {
                 "formatted")) + captured)
         } catch { case _: Throwable => () }
       }
-      name -> elapsed
+      val times =
+        if (df.isEmpty || repeats == 1 || first >= repeatCap) Seq(first)
+        else first +: (2 to repeats).map { _ =>
+          PlanCapture.drain()
+          timedRun()._1
+        }
+      val med = median(times)
+      System.err.println(
+        f"BENCH $name%-28s $med%8.2f s" + (if (times.size > 1)
+          f"  (median of ${times.size}, min ${times.min}%.2f)" else ""))
+      (name, med, times.min)
     }
     canaries += canaryProbe(spark, sfDir)
     System.err.println(f"BENCH canary[end] ${canaries.last}%8.2f s")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // "queries" stays a flat name→seconds map (the median) so existing
+    // consumers parse it unchanged; mins ride in a sibling map.
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val canaryJson = canaries.mkString("[", ",", "]")
@@ -88,7 +132,7 @@ object Bench {
     // self-sufficient read back-to-front: repeat the total, query count and
     // canary AFTER plans_dir so a front-truncated capture still yields the
     // headline numbers without reconstructing them from the per-query map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${results.size},"total_s":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${results.size},"total_s":$total}""")
     spark.stop()
   }
 }
