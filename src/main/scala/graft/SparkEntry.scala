@@ -1413,6 +1413,26 @@ object SparkEntry {
                             shingle_hashes(split(text, ' '), 3)) AS self_shared
         FROM graft_documents ORDER BY doc_id""")
     }),
+
+    // ---- typed Aggregator (UDAF) surface ----
+    "q_udaf" -> ((s, dir) => {
+      // quantity-weighted mean price per return flag via the exact
+      // integer-weighted-mean Aggregator: value pre-quantized to cents
+      // (round-half-up of price*100 — both engines round positive
+      // halves identically), weight = integral l_quantity. All
+      // accumulation is long arithmetic; the single final division is
+      // the only FP op, so the result is merge-order-independent and
+      // hash-comparable to the oracle's SUM/SUM twin.
+      graft.functions.Udafs.register(s)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("weighted_mean_cents(cents, qty)").as("wmean_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -2803,5 +2823,17 @@ object SparkEntry {
       SELECT c_custkey, 'c_nationkey' AS metric,
              CAST(c_nationkey AS DOUBLE) AS val FROM customer
       ORDER BY c_custkey, metric""",
+    // exact-integer twin of the WeightedMean Aggregator: identical
+    // quantization (round half-up of price*100 — positive values, both
+    // engines agree), long sums, one final double division in the same
+    // operation order as Udafs.WeightedMean.finish
+    "q_udaf" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / 100.0 AS wmean_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

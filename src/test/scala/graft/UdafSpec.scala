@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.Udafs
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Typed Aggregator (UDAF) surface: exact values, empty/zero-weight
+  * totality, and the property the 100 TB shape depends on — the
+  * aggregation runs as PARTIAL (map-side combine) + FINAL across
+  * multiple partitions, merging 16-byte buffers through the exchange
+  * rather than shuffling rows.
+  */
+class UdafSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def df(rows: Seq[(String, Long, Long)], parts: Int) = {
+    import spark.implicits._
+    spark.createDataset(rows).toDF("k", "cents", "qty").repartition(parts)
+  }
+
+  test("weighted mean is exact and merge-order-independent") {
+    Udafs.register(spark)
+    // hand-checked: k=a → (100*2 + 250*6) / 8 / 100 = 2.125
+    val rows = Seq(("a", 100L, 2L), ("a", 250L, 6L), ("b", 40L, 1L))
+    for (parts <- Seq(1, 3, 7)) {
+      val out = df(rows, parts).groupBy("k")
+        .agg(expr("weighted_mean_cents(cents, qty)").as("m"))
+        .orderBy("k").collect()
+      assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+        Seq(("a", 2.125), ("b", 0.4)), s"parts=$parts")
+    }
+  }
+
+  test("zero total weight yields null, not NaN") {
+    Udafs.register(spark)
+    val out = df(Seq(("z", 100L, 0L), ("z", 7L, 0L)), 2).groupBy("k")
+      .agg(expr("weighted_mean_cents(cents, qty)").as("m")).collect()
+    assert(out.length === 1 && out(0).isNullAt(1))
+  }
+
+  test("plan is two-phase: partial aggregate before the exchange") {
+    Udafs.register(spark)
+    val q = df((1 to 100).map(i => (s"k${i % 5}", i.toLong, 1L)), 8)
+      .groupBy("k").agg(expr("weighted_mean_cents(cents, qty)").as("m"))
+    val p = q.queryExecution.executedPlan.toString
+    // typed Aggregators run through ObjectHashAggregate; partial mode
+    // renders as partial_<name> upstream of the shuffle
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_weighted_mean_cents"), p)
+    assert(q.rdd.getNumPartitions >= 1 && q.count() === 5)
+  }
+
+  test("q_udaf query runs and is ordered") {
+    val out = SparkEntry.queries("q_udaf")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getString(0)).toSeq ===
+      out.map(_.getString(0)).toSeq.sorted)
+    // weighted means land in a sane price band and are non-null
+    assert(out.forall(r => !r.isNullAt(1) && r.getDouble(1) > 0))
+  }
+}
