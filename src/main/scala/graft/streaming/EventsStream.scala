@@ -22,11 +22,35 @@ object EventsStream {
     * open/commit overhead dominates small streams. Production sizing
     * picks this from state volume, not core count.
     */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // State-store backend: the default HDFS-backed provider keeps every
+    // state row on the executor HEAP — at 100 TB stream scale (billions
+    // of open sessions / join rows) that is an OOM, not a tuning knob.
+    // RocksDB keeps state off-heap with incremental checkpointing, so
+    // state capacity scales with local disk instead of heap. Flag-gated
+    // (default on, SPARK_GRAFT_ROCKSDB_STATE=0 reverts) because results
+    // are provider-independent — only capacity and failure modes change
+    // — and EventsSpec proves both the equivalence and that the
+    // provider actually took effect.
+    if (rocksdbState) {
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: upload only per-batch deltas, not full
+      // RocksDB snapshots — the production default for large state
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     ss
   }
+
+  /** Default ON; env-gated escape hatch for hosts without the RocksDB
+    * JNI (the stock Spark distribution bundles it).
+    */
+  private[graft] def rocksdbState: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_STATE", "1") != "0"
 
   /** Shared replay-harness plumbing: atomically land a chunk as ONE
     * parquet file in the replay dir (staged write + rename, so the

@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import graft.operators.Events
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -108,6 +110,32 @@ class EventsSpec extends AnyFunSuite {
       .as[(Long, Boolean)].collect().toMap
     assert(got(100L))
     (1 to 9).foreach(i => assert(!got(i.toLong), s"value $i flagged"))
+  }
+
+  test("stream sessions run stateful operators on the RocksDB state " +
+      "store, and it actually takes effect") {
+    val ss = graft.streaming.EventsStream.streamSession(spark)
+    assert(ss.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    // run one stateful micro-batch and read the provider's fingerprint
+    // back from the executed query's progress: RocksDB publishes its
+    // own custom state metrics, the HDFS provider doesn't
+    import ss.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = ss.sqlContext
+    val in =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = in.toDF().groupBy(col("value") % 3).count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_rocksdb_probe").start()
+    try {
+      in.addData(1L to 100L)
+      q.processAllAvailable()
+      val metrics = q.lastProgress.stateOperators
+      assert(metrics.nonEmpty)
+      assert(metrics.head.customMetrics.keySet.asScala
+        .exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics: ${metrics.head.customMetrics.keySet}")
+    } finally q.stop()
   }
 
   test("streaming twin produces the same tumbling result as batch") {
