@@ -34,6 +34,14 @@ object Similarity {
 
   /** Deterministic cosine from quantized vectors + precomputed square
     * norms: dot / sqrt(na*nb), all in exactly-rounded double ops.
+    *
+    * PRECONDITION: both norms non-zero. ANSI double division throws on
+    * a 0.0 divisor in Spark 4, so callers whose inputs can contain
+    * degenerate (zero) vectors pre-filter on `norm > 0` — a zero-norm
+    * vector has no defined cosine and can never match a threshold
+    * anyway. Kept as a bare division on purpose: wrapping the divisor
+    * in nullif/CASE pushed the 16-wide centroid-cosine arrays out of
+    * whole-stage codegen and cost 5× on the IVF path (measured).
     */
   def qcosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast("double") / sqrt(na.cast("double") * nb.cast("double"))
@@ -48,19 +56,87 @@ object Similarity {
     * vector whose cosine against ANY eval vector reaches `minCosine`
     * (paraphrased benchmark leakage that exact n-gram overlap misses).
     *
-    * Same 100 TB posture as the gram path: eval sets are SMALL by
-    * nature, so the quantized eval side broadcasts and the corpus
-    * streams through one narrow scoring pass — O(N·E) exact, with
-    * only flagged ids (tiny) shuffling into the left_anti. Exact
-    * integer-quantized cosine, so the result is engine-reproducible
-    * and the DuckDB oracle checks it end to end.
+    * EXACT cell-pruned scan, not an all-pairs cross: the eval set is
+    * k-means-partitioned ([[trainCentroids]] on the eval side — tiny
+    * by nature) and each cell carries its angular radius
+    * r_j = max_e θ(e, μ_j). For corpus doc c the spherical triangle
+    * inequality gives θ(c,e) ≥ θ(c,μ_j) − r_j for every e in cell j,
+    * so a cell with θ(c,μ_j) > θ_t + r_j provably contains NO eval
+    * vector at cosine ≥ minCosine — pruning is a THEOREM, never a
+    * recall probability (sign-LSH prefiltering was considered and
+    * rejected: at low thresholds its collision curve cannot separate
+    * θ_t from background, so identical output is not guaranteeable).
+    * Survivor cells resolve through a broadcast HASH equi-join on the
+    * cell id (no nested loop) with the exact integer-quantized cosine
+    * as the verify, so the result is bit-identical to the full O(N·E)
+    * scan and the DuckDB oracle checks it end to end.
+    *
+    * Cost: nCells·dim column math per corpus doc (the same IVF
+    * assignment shape as [[ivfTopK]]) plus dim work per SURVIVING
+    * (doc, eval-in-candidate-cell) pair — on a clustered eval suite
+    * (the real-world case) most of the N·E dots vanish; on an
+    * adversarially uniform eval set it degrades gracefully to the
+    * exact scan it replaced, never below it by more than the
+    * assignment pass. The angle pruning margin (1e-9 rad) absorbs
+    * FP acos rounding so the bound stays conservative; the OUTPUT
+    * filter is exact quantized cosine either way.
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       minCosine: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", nCells: Int = 16,
+      trainIters: Int = 2): DataFrame = {
     val c = withQuantized(corpus, idCol, vecCol)
-    val e = withQuantized(evalSet, idCol, vecCol)
-    val flagged = c.as("c").crossJoin(broadcast(e).as("e"))
+    // a zero-norm eval vector has undefined cosine against everything —
+    // it can never flag a doc — so drop it before it can seed a
+    // centroid or distort a cell radius
+    // the eval side is read by the trainer (iters+1 passes), the radius
+    // aggregation and the verify join: materialize it once as a single
+    // partition so each of those is a one-task job — at eval sizes
+    // (10²-10⁵ rows) the scan+quantize cost is trivial but the
+    // 32-task-per-pass scheduling overhead is not
+    val e = withQuantized(evalSet, idCol, vecCol).filter(col("norm") > 0)
+      .coalesce(1).localCheckpoint()
+    // a Lloyd-updated centroid can in principle cancel to the zero
+    // vector, whose angles are undefined — that would void the pruning
+    // theorem for its whole cell. Fall back to the raw lowest-id init
+    // (actual eval vectors, all non-zero after the norm filter).
+    val cents0 = trainCentroids(e, nCells, trainIters)
+    val cents = if (cents0.exists(_._2 == 0L)) trainCentroids(e, nCells, 0)
+      else cents0
+    if (cents.isEmpty) return corpus // empty eval set: nothing to flag
+    // safe acos input: exact integer Cauchy-Schwarz guarantees |cos|<=1,
+    // but the double rounding of the division may land 1ulp outside
+    val ang = (x: Column) => acos(least(lit(1d), greatest(lit(-1d), x)))
+    val eAssigned = withCells(e, cents)
+      .withColumn("cellCos", element_at(col("cellArr"), col("cell") + 1))
+      .drop("cellArr")
+    // per-cell angular radius; NULL cosines (degenerate centroid) are
+    // skipped by max so they cannot poison a cell's radius and wrongly
+    // prune real members — their rows still verify via the equi-join
+    val radii = Array.fill(cents.length)(0d)
+    eAssigned.groupBy(col("cell"))
+      .agg(max(ang(col("cellCos"))).as("r")).collect()
+      .foreach(r => if (!r.isNullAt(1)) radii(r.getInt(0)) = r.getDouble(1))
+    val thetaT = math.acos(math.min(1d, math.max(-1d, minCosine)))
+    // candidate cells per corpus doc: posexplode the centroid-cosine
+    // array ONCE per row (lambda-HOF formulations re-inline the whole
+    // array per element — O(nCells²) dots, measured) and prune each
+    // (doc, cell) row with a scalar bound check; a NULL cosine
+    // (degenerate cell) fails the check and is dropped.
+    // Zero-norm corpus docs have no defined cosine against anything:
+    // they can never be flagged, so they skip candidacy entirely (and
+    // keep qcosine's non-zero-divisor precondition); left_anti on the
+    // ORIGINAL corpus still passes them through to the output
+    val radiiLit = typedlit(radii.toSeq)
+    val candCells = c.filter(col("norm") > 0)
+      .withColumn("cellArr", cellCosArr(cents))
+      .select(col("id"), col("qv"), col("norm"),
+        posexplode(col("cellArr")).as(Seq("cell", "cellCos")))
+      .filter(ang(col("cellCos")) <=
+        lit(thetaT) + element_at(radiiLit, col("cell") + 1) + lit(1e-9))
+      .select(col("id"), col("qv"), col("norm"), col("cell"))
+    val flagged = candCells.as("c")
+      .join(broadcast(eAssigned).as("e"), col("c.cell") === col("e.cell"))
       .filter(qcosine(qdot(col("c.qv"), col("e.qv")),
         col("c.norm"), col("e.norm")) >= minCosine)
       .select(col("c.id").as("__bad")).distinct()
@@ -161,7 +237,12 @@ object Similarity {
     */
   private def cellCosArr(cents: Array[(Seq[Long], Long)]): Column =
     array(cents.map { case (cv, cn) =>
-      qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
+      // a degenerate (zero) centroid has no defined angle: emit a
+      // literal NULL decided at PLAN BUILD time (cn is a Scala value),
+      // so the hot path stays a bare codegen'd division and argmax
+      // assignment simply never picks the dead cell
+      if (cn == 0L) lit(null).cast("double")
+      else qcosine(qdot(col("qv"), typedlit(cv)), col("norm"), lit(cn))
     }.toIndexedSeq: _*)
 
   /** Attach the nearest-centroid `cell` (and keep `cellArr` for

@@ -144,6 +144,14 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema(p).contains("text"), p)
   }
 
+  test("semantic decontamination resolves candidates through a hash " +
+      "equi-join on the cell id — the eval×corpus nested loop is gone") {
+    val p = plan("decontam_semantic")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("range join stays an equi-join — no nested-loop fallback") {
     // the bucket quantization must turn interval containment into an
     // equi-join on (keys, bucket); an inequality-only join would plan

@@ -26,7 +26,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("semanticDecontaminate drops corpus vectors near any eval " +
-      "vector, keeps the rest, broadcasts the eval side") {
+      "vector, keeps the rest, with no nested-loop join in the plan") {
     import spark.implicits._
     // eval = vec 0; corpus = 1 (near-parallel: leak), 2 (orthogonal:
     // clean), 3 (opposite: clean)
@@ -38,8 +38,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L))
     val plan = Similarity.semanticDecontaminate(corpus, evalSet, 0.9)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("cell-pruned semanticDecontaminate equals the exhaustive " +
+      "O(N·E) scan — pruning is exact, including at the threshold " +
+      "boundary and with zero-norm eval vectors in a cell") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus + two eval clusters, plus
+    // planted boundary pairs (cosine just above/below threshold) and a
+    // zero-norm eval vector that must not poison its cell's radius
+    def mk(seed: Long, dim: Int): Seq[Float] = {
+      var h = seed
+      (0 until dim).map { i =>
+        h = h * 6364136223846793005L + 1442695040888963407L
+        ((h >>> 33).toInt % 1000) / 1000.0f
+      }
+    }
+    val dim = 8
+    val evalRows = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) mk(1L, dim) else mk(2L, dim)
+      val jit = mk(100 + i, dim)
+      (i, base.zip(jit).map { case (b, j) => b + 0.05f * j })
+    } :+ (20L, Seq.fill(dim)(0.0f)) // zero-norm eval
+    val corpusRows = (100L until 200L).map(i => (i, mk(i, dim))) ++
+      // planted: near-copies of eval cluster members, plus a zero-norm
+      // corpus doc that must survive (no defined cosine = never flagged)
+      Seq((200L, evalRows(0)._2.map(_ * 1.01f)),
+        (201L, evalRows(1)._2.map(x => x + 0.001f)),
+        (202L, Seq.fill(dim)(0.0f)))
+    val evalSet = evalRows.toDF("vec_id", "embedding")
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    for (t <- Seq(0.45, 0.9, 0.99)) {
+      val got = Similarity.semanticDecontaminate(corpus, evalSet, t,
+        nCells = 4)
+        .select("vec_id").as[Long].collect().toSet
+      // exhaustive reference via the brute-force pair scan (zero-norm
+      // vectors excluded: cosine undefined, and qcosine's contract
+      // requires non-zero norms)
+      val q = (c: org.apache.spark.sql.DataFrame) => c
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("norm", Similarity.qdot(col("qv"), col("qv")))
+        .filter(col("norm") > 0)
+      val bad = q(corpus).as("c").crossJoin(q(evalSet).as("e"))
+        .filter(Similarity.qcosine(
+          Similarity.qdot(col("c.qv"), col("e.qv")),
+          col("c.norm"), col("e.norm")) >= t)
+        .select(col("c.id")).as[Long].collect().toSet
+      val want = corpusRows.map(_._1).toSet -- bad
+      assert(got == want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
   }
 
   test("topK ranks by cosine with deterministic ties") {
