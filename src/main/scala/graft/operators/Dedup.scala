@@ -422,6 +422,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
+  /** Blocking depth that holds EXPECTED block occupancy constant as
+    * the corpus grows: each additional prefix character multiplies the
+    * distinct-block count by the text's effective branching factor
+    * (≈16 for natural-language openings), so depth grows with
+    * ceil(log_b(n/n0)) beyond the base. n ≤ n0 keeps the base depth —
+    * existing small-corpus results are unchanged; at 10⁹ rows the
+    * default deepens to 16, at 10¹² (the 100 TB regime) to 18,
+    * keeping Σ|block|² linear in n for prefix-diverse corpora.
+    */
+  private[graft] def autoBlockPrefix(n: Long, base: Int = 12,
+      n0: Long = 100000L, branch: Double = 16.0): Int =
+    if (n <= n0) base
+    else base + math.ceil(math.log(n.toDouble / n0) / math.log(branch)).toInt
+
   /** Edit-distance near-dup pairs via prefix blocking: candidates
     * share their first `blockPrefix` lowercased characters (an
     * equi-join key — quadratic work stays inside each block), pass a
@@ -434,17 +448,25 @@ object Dedup {
     * MinHash banding — recall for speed); typo-class edits cluster in
     * document bodies, not openings, which is what makes prefix
     * blocking the standard cheap key. Cost model: verify work is
-    * Σ|block|² — raise `blockPrefix` as the corpus grows to keep
-    * block occupancy (and the quadratic term) bounded.
+    * Σ|block|² — `blockPrefix = 0` (the default) derives the depth
+    * from the corpus row count ([[autoBlockPrefix]]; one count job),
+    * so default-config occupancy stays bounded as the corpus scales
+    * instead of silently going quadratic. Residual hazard, documented:
+    * a corpus whose documents are IDENTICAL beyond any prefix depth
+    * (exact-dup floods) still collapses into one block — run
+    * [[exact]]/[[minhashPairs]] upstream, which is the pipeline order
+    * the hygiene CLI uses anyway.
     * Output: (id_a, id_b, edits).
     */
   def editDistancePairs(docs: DataFrame, maxEdits: Int = 4,
-      blockPrefix: Int = 12, idCol: String = "doc_id",
+      blockPrefix: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(maxEdits >= 0 && blockPrefix >= 1, "bad edit-dedup params")
+    require(maxEdits >= 0 && blockPrefix >= 0, "bad edit-dedup params")
+    val prefix =
+      if (blockPrefix > 0) blockPrefix else autoBlockPrefix(docs.count())
     val b = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull)
-      .withColumn("blk", substring(lower(col("t")), 1, blockPrefix))
+      .withColumn("blk", substring(lower(col("t")), 1, prefix))
       .withColumn("ln", length(col("t")))
     b.as("a").join(b.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&

@@ -220,6 +220,34 @@ class DedupSpec extends AnyFunSuite {
     // (length prefilter alone rejects it); doc 4 is a blocking miss by
     // design; null text drops
     assert(got == Seq((1L, 2L, 2L)))
+    // default (auto) depth equals the base at small corpus sizes:
+    // identical result with no explicit prefix
+    val auto = Dedup.editDistancePairs(docs, maxEdits = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Long)].collect().toSeq
+    assert(auto == got)
+  }
+
+  test("auto block prefix deepens logarithmically with corpus size, " +
+      "holding expected block occupancy bounded") {
+    // base depth up to n0 — the regime every fixture lives in
+    assert(Dedup.autoBlockPrefix(500) == 12)
+    assert(Dedup.autoBlockPrefix(100000) == 12)
+    // beyond n0 the depth grows one char per branching-factor multiple
+    assert(Dedup.autoBlockPrefix(1600000) == 13)
+    assert(Dedup.autoBlockPrefix(1000000000L) == 16)
+    assert(Dedup.autoBlockPrefix(1000000000000L) == 18)
+    // monotone: growing the corpus never shrinks the depth
+    val ns = Seq(1L, 1000L, 100000L, 200000L, 10000000L,
+      1000000000L, 1000000000000L)
+    val ds = ns.map(Dedup.autoBlockPrefix(_))
+    assert(ds == ds.sorted)
+    // occupancy bound: expected rows per block n / branch^(depth-base)
+    // never exceeds branch * n0 for any corpus size (the quadratic
+    // verify term stays linear in n at constant occupancy)
+    ns.foreach { n =>
+      val occ = n.toDouble / math.pow(16.0, Dedup.autoBlockPrefix(n) - 12)
+      assert(occ <= 16.0 * 100000, s"n=$n occupancy $occ")
+    }
   }
 
   test("duplicatedSpans finds merged cross-doc spans; stats and scrub " +
