@@ -30,29 +30,48 @@ object Compress {
   // corpus scale. reset() restores the construction-time config, so
   // determinism is unchanged.
   //
-  // LIFETIME ASSUMPTION: the Deflater is never end()'d — each thread
-  // pins one native zlib stream + 8 KB for its lifetime. Spark
-  // executors run long-lived fixed task pools, so the bound is
-  // #threads, not #tasks; embedding this kernel in a host with thread
-  // CHURN (dynamic pools creating/dropping threads) would leak native
-  // memory per dropped thread. For such hosts, wrap the holder with a
-  // Cleaner that calls end(); not done here because the executor-pool
-  // assumption holds for every Spark deployment of this engine.
-  private val local =
-    ThreadLocal.withInitial[(java.util.zip.Deflater, Array[Byte])](() =>
-      (new java.util.zip.Deflater(6, true), new Array[Byte](8192)))
+  // LIFETIME: each live thread pins one native zlib stream + 8 KB.
+  // Spark executors run long-lived fixed task pools, so the steady
+  // state is #threads holders — but a host with thread CHURN (dynamic
+  // pools creating/dropping threads) would otherwise leak one native
+  // stream per dropped thread, so every holder is registered with a
+  // Cleaner that end()s the Deflater once its thread dies and the
+  // ThreadLocal entry becomes unreachable. The cleanup action must not
+  // capture the holder itself (that would keep it reachable forever) —
+  // it captures only the Deflater.
+  private val cleaner = java.lang.ref.Cleaner.create()
+
+  /** Count of Deflaters end()'d by the Cleaner — observability for the
+    * thread-churn test; monotone, test-only reads.
+    */
+  private[graft] val cleaned = new java.util.concurrent.atomic.AtomicLong
+
+  private final class Holder {
+    val deflater = new java.util.zip.Deflater(6, true)
+    val buf = new Array[Byte](8192)
+  }
+
+  private val local = ThreadLocal.withInitial[Holder] { () =>
+    val h = new Holder
+    // capture the Deflater through a LOCAL, not a field read — a field
+    // read in the lambda would capture `h` itself and pin it reachable
+    val d = h.deflater
+    cleaner.register(h, () => { d.end(); cleaned.incrementAndGet() })
+    h
+  }
 
   /** Deflate length of the UTF-8 encoding of `s`; null → 0, "" → 0. */
   def deflateLen(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     if (s == null) return 0L
     val bytes = s.getBytes
     if (bytes.isEmpty) return 0L
-    val (d, buf) = local.get()
+    val h = local.get()
+    val d = h.deflater
     d.reset()
     d.setInput(bytes)
     d.finish()
     var total = 0L
-    while (!d.finished()) total += d.deflate(buf)
+    while (!d.finished()) total += d.deflate(h.buf)
     total
   }
 }

@@ -205,6 +205,30 @@ class TextStatsSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("deflate holders are reclaimed under thread churn: dead " +
+      "threads' native Deflaters get end()'d by the Cleaner") {
+    val before = graft.functions.Compress.cleaned.get()
+    val sample = org.apache.spark.unsafe.types.UTF8String
+      .fromString("thread churn probe " * 20)
+    val threads = (1 to 8).map { _ =>
+      val t = new Thread(() => {
+        assert(graft.functions.Compress.deflateLen(sample) > 0)
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    // the holders are now unreachable (threads dead); the Cleaner runs
+    // after GC notices — poll with repeated GC nudges
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (graft.functions.Compress.cleaned.get() < before + 8 &&
+        System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(100)
+    }
+    assert(graft.functions.Compress.cleaned.get() >= before + 8,
+      s"cleaned ${graft.functions.Compress.cleaned.get() - before} of 8")
+  }
+
   test("invertedIndex builds sorted distinct posting lists with df") {
     import spark.implicits._
     val docs = Seq((10L, "a b a"), (2L, "b c"), (3L, ""))
