@@ -34,14 +34,13 @@ object Bench {
     // number (the r4 and r7 driver artifacts were both load-skewed —
     // 17 carried queries at 6-17x — and cost a round of triage each).
     // Queries whose FIRST run exceeds REPEAT_CAP seconds are not
-    // re-run: those are the streaming sentinel-replay harnesses whose
-    // time is a micro-batch machinery floor by construction (load
-    // inflation there is visible from the canary instead), and
-    // re-running them would triple the most expensive third of the
-    // suite for numbers that aren't load-sensitive signal anyway.
+    // re-run — a cost bound so the heaviest harness (the outer-join
+    // sentinel replay, ~8 s of micro-batch machinery floor) doesn't
+    // triple; its load inflation is visible from the canary instead.
+    // Everything under the cap gets median-of-k protection.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3")
       .toInt.max(1)
-    val repeatCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_CAP", "3.0")
+    val repeatCap = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT_CAP", "10.0")
       .toDouble
     val spark = Sessions.builder("graft-bench", s"local[$cpus]", cpus)
       .getOrCreate()
@@ -52,6 +51,23 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "nation").count()
     canaryProbe(spark, sfDir)
+    // streaming machinery warm-up: the FIRST streaming query in a JVM
+    // pays ~3 s of one-time cost (state-store coordinator, RocksDB
+    // JNI load, streaming codegen paths — measured cold 4.6 s vs warm
+    // 1.3 s for the same twin). Absorb it here exactly like the batch
+    // warm-up above, so whichever streaming twin runs first is timed
+    // at steady state.
+    locally {
+      val ss = graft.streaming.EventsStream.streamSession(spark)
+      implicit val sql: org.apache.spark.sql.SQLContext = ss.sqlContext
+      import ss.implicits._
+      val in =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = in.toDF().selectExpr("value % 2 AS k").groupBy("k").count()
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_bench_stream_warmup").start()
+      try { in.addData(1L to 100L); q.processAllAvailable() } finally q.stop()
+    }
     // per-query formatted plans, diffable round-over-round (written
     // after each timed run so plan capture never skews the timing)
     val plansDir = new java.io.File(

@@ -19,12 +19,14 @@ object EventsStream {
     * coalescing, and the shuffle-partition setting is frozen into the
     * state store at first run — at SPARK_GRAFT_CPUS=32 that is 32
     * near-empty state stores per stateful operator, whose per-batch
-    * open/commit overhead dominates small streams. Production sizing
-    * picks this from state volume, not core count.
+    * open/commit overhead dominates small streams (4 stores per
+    * operator keeps per-batch open/commit cost proportional to the
+    * fixture's state volume). Production sizing picks this from state
+    * volume, not core count; results are partitioning-independent.
     */
   private[graft] def streamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
     // State-store backend: the default HDFS-backed provider keeps every
     // state row on the executor HEAP — at 100 TB stream scale (billions
     // of open sessions / join rows) that is an OOM, not a tuning knob.
