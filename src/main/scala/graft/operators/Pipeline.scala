@@ -26,6 +26,17 @@ case class ParquetSource(dir: String, table: String) extends DocSource {
   def load(spark: SparkSession): DataFrame = Tables.load(spark, dir, table)
 }
 
+/** A dimension joined onto the export before projection/filter — the
+  * Sphinx-migration shape the reference could not express (its CQL hit
+  * one Cassandra table; real index sources routinely denormalize a
+  * dimension in). LEFT join on `leftKey = rightKey` (rightKey defaults
+  * to leftKey): export row count never silently shrinks on dimension
+  * gaps — missing attributes render as empty fields, the xmlpipe2
+  * convention for absent values. Small dimensions broadcast via
+  * Catalyst's size estimate; no hint needed.
+  */
+case class JoinSpec(source: DocSource, leftKey: String, rightKey: String)
+
 /** The reference CLI's semantic payload (F14): what to read, which
   * columns (CQL select-list), which predicate (CQL WHERE), which key
   * columns derive the Sphinx doc id. `strictParity` requests
@@ -37,7 +48,8 @@ case class ExportConfig(
     keys: Seq[String],
     columns: Seq[String] = Nil,
     where: String = "",
-    strictParity: Boolean = false)
+    strictParity: Boolean = false,
+    joins: Seq[JoinSpec] = Nil)
 
 object Pipeline {
 
@@ -46,6 +58,21 @@ object Pipeline {
     */
   def docs(spark: SparkSession, cfg: ExportConfig): DataFrame = {
     var df = cfg.source.load(spark)
+    // dimensions join BEFORE projection/filter so cols/where can
+    // reference dimension attributes; key absence fails loudly on both
+    // sides (the CLI contract — never a silent cross or empty export)
+    cfg.joins.foreach { j =>
+      val dim = j.source.load(spark)
+      if (!df.columns.contains(j.leftKey))
+        throw new IllegalArgumentException(
+          s"join key '${j.leftKey}' is not in the export source " +
+            s"(have: ${df.columns.mkString(", ")})")
+      if (!dim.columns.contains(j.rightKey))
+        throw new IllegalArgumentException(
+          s"join key '${j.rightKey}' is not in the joined table " +
+            s"(have: ${dim.columns.mkString(", ")})")
+      df = df.join(dim, df(j.leftKey) === dim(j.rightKey), "left")
+    }
     if (cfg.columns.nonEmpty) df = df.selectExpr(cfg.columns: _*)
     if (cfg.where.nonEmpty) df = df.filter(cfg.where)
     cfg.keys.find(k => !df.columns.contains(k)).foreach { k =>

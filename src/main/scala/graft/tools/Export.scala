@@ -10,6 +10,10 @@ import graft.operators.{ProgressMeter, XmlPipe}
   *
   * Usage:
   *   Export <dir> <table> <keys:comma-separated> [out=-] [cols=*] [where=]
+  *          [--join table:key[=dimKey] ...]
+  *
+  * `--join` left-joins a dimension table before projection/filter (the
+  * denormalizing index-source shape); repeatable.
   *
   * `SPARK_GRAFT_STRICT=1` (env, like the `-debug` twin
   * `SPARK_GRAFT_DEBUG`) switches ids and renderings to bug-for-bug
@@ -21,17 +25,53 @@ import graft.operators.{ProgressMeter, XmlPipe}
   * XML — Query.java:171-176, a defect we do not reproduce).
   */
 object Export {
+
+  /** `--join <table>:<leftKey>[=<rightKey>]` → (table, leftKey,
+    * rightKey); malformed specs are a Left(error). Factored out so the
+    * flag grammar is unit-testable without spawning a CLI JVM.
+    */
+  private[graft] def parseJoin(
+      spec: String): Either[String, (String, String, String)] =
+    spec.split(":", 2) match {
+      case Array(table, keys) if table.nonEmpty && keys.nonEmpty =>
+        keys.split("=", 2) match {
+          case Array(l, r) if l.nonEmpty && r.nonEmpty => Right((table, l, r))
+          case Array(l) if l.nonEmpty => Right((table, l, l))
+          case _ => Left(s"bad --join spec '$spec': empty key")
+        }
+      case _ => Left(s"bad --join spec '$spec': want <table>:<key>[=<key>]")
+    }
+
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) {
+    // flags first (repeatable --join), then the reference's positionals
+    val joinSpecs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    val positional = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      if (args(i) == "--join") {
+        if (i + 1 >= args.length) {
+          System.err.println("error: --join requires <table>:<key>[=<key>]")
+          sys.exit(2)
+        }
+        parseJoin(args(i + 1)) match {
+          case Right(j) => joinSpecs += j
+          case Left(err) => System.err.println(s"error: $err"); sys.exit(2)
+        }
+        i += 2
+      } else { positional += args(i); i += 1 }
+    }
+    if (positional.length < 3) {
       System.err.println(
         "usage: Export <dir> <table> <keys,comma,separated> " +
-          "[out|-|sharded:<dir>] [cols,comma] [where-expr]")
+          "[out|-|sharded:<dir>] [cols,comma] [where-expr] " +
+          "[--join table:key[=dimKey] ...]")
       sys.exit(2)
     }
-    val Array(dir, table, keysArg) = args.take(3)
-    val out = args.lift(3).getOrElse("-")
-    val cols = args.lift(4).getOrElse("*")
-    val where = args.lift(5).getOrElse("")
+    val Seq(dir, table, keysArg) = positional.take(3).toSeq
+    val out = positional.lift(3).getOrElse("-")
+    val cols = positional.lift(4).getOrElse("*")
+    val where = positional.lift(5).getOrElse("")
     // Reference key parsing: comma-split, empties filtered (Query.java:112-119).
     val keys = keysArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (keys.isEmpty) {
@@ -68,7 +108,10 @@ object Export {
             cs
           },
         where = where,
-        strictParity = sys.env.get("SPARK_GRAFT_STRICT").exists(_.nonEmpty))
+        strictParity = sys.env.get("SPARK_GRAFT_STRICT").exists(_.nonEmpty),
+        joins = joinSpecs.toSeq.map { case (t, l, r) =>
+          graft.operators.JoinSpec(graft.operators.ParquetSource(dir, t), l, r)
+        })
       val docs =
         try graft.operators.Pipeline.docs(spark, cfg)
         catch {
