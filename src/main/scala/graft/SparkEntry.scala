@@ -1433,6 +1433,26 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
+    "profile_heavy_sketch" -> ((s, dir) => {
+      // heavy hitters (≥0.5% of the table) the 100 TB way: a one-pass
+      // mergeable Misra-Gries sketch (k=200 counters, ε=1/201 < 0.5%)
+      // yields a candidate set PROVABLY containing every qualifying
+      // key without shuffling all distinct keys; an exact recount of
+      // just the ≤200 candidates (broadcast join, map-side combine)
+      // restores exact deterministic output — identical to the plain
+      // GROUP BY/HAVING the oracle runs, at a bounded shuffle width.
+      graft.functions.Udafs.register(s)
+      val ev = t(s, dir, "events").select(col("user_id"))
+      val cand = ev.agg(expr("heavy_hitter_keys(user_id)").as("ks"))
+        .select(explode(col("ks")).as("user_id"))
+      val counted = ev.join(broadcast(cand), Seq("user_id"))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+      val tot = ev.agg(count(lit(1)).as("tot"))
+      counted.crossJoin(broadcast(tot))
+        .filter(col("n_rows") * 1000 >= col("tot") * 5)
+        .select(col("user_id"), col("n_rows"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -2835,5 +2855,13 @@ object SparkEntry {
                / 100.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // exact twin of the sketch-then-recount pipeline: the MG guarantee
+    // (every key with freq > n/201 survives any merge tree) makes the
+    // candidate superset lossless at the 0.5% threshold, so the
+    // recounted output equals the plain GROUP BY / HAVING
+    "profile_heavy_sketch" -> """
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+      HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 5
+      ORDER BY user_id""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

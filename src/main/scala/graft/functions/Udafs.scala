@@ -52,12 +52,75 @@ object Udafs {
   /** cents in → dollars out; the lineitem-price configuration. */
   val weightedMeanCents = new WeightedMean(100.0)
 
+  /** Mergeable Misra–Gries heavy-hitter sketch: one pass, ≤ k
+    * counters, with the classic deterministic guarantee — every key
+    * with true frequency > n/(k+1) is present in the summary, under
+    * ANY partitioning and merge tree (Agarwal et al., "Mergeable
+    * Summaries", PODS 2012: pointwise-sum then subtract the (k+1)-st
+    * largest count preserves the error bound). The 100 TB shape for
+    * "which keys exceed x% of a table": the exact groupBy must
+    * shuffle EVERY distinct key; the sketch reduces each partition to
+    * ≤ k counters before the exchange, and an exact recount of the
+    * ≤ k CANDIDATE keys (broadcast semi-join, map-side combinable)
+    * restores exact deterministic output — sketch for candidates,
+    * exact pass for truth, the same compose-then-verify shape as the
+    * LSH dedup paths.
+    *
+    * The candidate SET itself is processing-order-dependent below the
+    * guarantee threshold (inherent to MG) — which is why the public
+    * query surface always recounts; only the guaranteed-superset
+    * property is relied on. finish() sorts for a deterministic array
+    * rendering. Buffer updates use persistent maps (O(k) rebuild on
+    * miss-when-full) — fine at fixture scale; a production port at
+    * extreme row rates would switch to a TypedImperativeAggregate
+    * with a mutable open-addressing table and a lazy-decrement
+    * offset, same math.
+    */
+  class HeavyHitterKeys(k: Int)
+      extends Aggregator[Long, Map[Long, Long], Seq[Long]] {
+    require(k >= 1, "k must be >= 1")
+    override def zero: Map[Long, Long] = Map.empty
+    override def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+      b.get(key) match {
+        case Some(c) => b.updated(key, c + 1)
+        case None if b.size < k => b.updated(key, 1L)
+        case None => // decrement-all; zeros vacate their counters
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    override def merge(b1: Map[Long, Long],
+        b2: Map[Long, Long]): Map[Long, Long] = {
+      val sum = b2.foldLeft(b1) { case (m, (key, c)) =>
+        m.updated(key, m.getOrElse(key, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        // subtract the (k+1)-st largest count, drop non-positives
+        val cut = sum.valuesIterator.toIndexedSeq.sorted(
+          Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+    override def finish(r: Map[Long, Long]): Seq[Long] = r.keys.toSeq.sorted
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** ε = 1/201 ≈ 0.4975% — strictly under the 0.5% query threshold,
+    * so the candidate set provably contains every ≥0.5% key.
+    */
+  val heavyHitterKeys200 = new HeavyHitterKeys(200)
+
   /** Session-level registration (UDAFs bind to a session's function
     * registry, unlike the construction-time scalar injection in
     * [[graft.GraftExtensions]]). Idempotent — re-registering replaces
-    * the same binding.
+    * the same bindings.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("weighted_mean_cents",
       org.apache.spark.sql.functions.udaf(weightedMeanCents))
+    spark.udf.register("heavy_hitter_keys",
+      org.apache.spark.sql.functions.udaf(heavyHitterKeys200))
+  }
 }

@@ -50,6 +50,38 @@ class UdafSpec extends AnyFunSuite {
     assert(q.rdd.getNumPartitions >= 1 && q.count() === 5)
   }
 
+  test("Misra-Gries sketch: no-miss guarantee for keys above n/(k+1) " +
+      "under any partitioning; summary never exceeds k counters") {
+    import spark.implicits._
+    val mg = new graft.functions.Udafs.HeavyHitterKeys(9) // ε = 10%
+    val udafCol = org.apache.spark.sql.functions.udaf(mg)
+    // 1000 rows: key 1 at 15% (must ALWAYS survive), keys 100.. spread
+    val rows = Seq.fill(150)(1L) ++ (0 until 850).map(i => 100L + i % 170)
+    for (parts <- Seq(1, 4, 13)) {
+      val ks = spark.createDataset(rows).repartition(parts).toDF("k")
+        .agg(udafCol(col("k")).as("ks")).collect()(0).getSeq[Long](0)
+      assert(ks.contains(1L), s"parts=$parts lost the 15% key: $ks")
+      assert(ks.size <= 9, s"parts=$parts summary overflow: ${ks.size}")
+    }
+  }
+
+  test("sketch-then-recount heavy hitters equal the exact " +
+      "GROUP BY / HAVING result regardless of partitioning") {
+    import spark.implicits._
+    graft.functions.Udafs.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events").select(col("user_id"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(ev.agg(count(lit(1)).as("tot"))))
+      .filter(col("n") * 1000 >= col("tot") * 5)
+      .select(col("user_id"), col("n"))
+      .as[(Long, Long)].collect().toSet
+    val sketch = SparkEntry.queries("profile_heavy_sketch")(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(sketch == exact)
+    assert(exact.nonEmpty, "fixture has no >=0.5% keys — test is vacuous")
+  }
+
   test("q_udaf query runs and is ordered") {
     val out = SparkEntry.queries("q_udaf")(spark, "/root/testdata/sf0.001")
       .collect()
