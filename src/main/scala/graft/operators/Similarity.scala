@@ -94,8 +94,13 @@ object Similarity {
     // partition so each of those is a one-task job — at eval sizes
     // (10²-10⁵ rows) the scan+quantize cost is trivial but the
     // 32-task-per-pass scheduling overhead is not
-    val e = withQuantized(evalSet, idCol, vecCol).filter(col("norm") > 0)
-      .coalesce(1).localCheckpoint()
+    val ePre = withQuantized(evalSet, idCol, vecCol).filter(col("norm") > 0)
+      .coalesce(1)
+    // checkpointing blinds after-the-fact explain to the eval-side
+    // derivation — record it for the bench plan audit
+    graft.PlanCapture.record("semanticDecontaminate eval side " +
+      "(pre-checkpoint)", ePre)
+    val e = ePre.localCheckpoint()
     // a Lloyd-updated centroid can in principle cancel to the zero
     // vector, whose angles are undefined — that would void the pruning
     // theorem for its whole cell. Fall back to the raw lowest-id init

@@ -152,6 +152,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sketch heavy hitters: partial+final sketch aggregate, " +
+      "candidates broadcast into the recount — full key set never " +
+      "shuffles") {
+    val p = plan("profile_heavy_sketch")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_heavy_hitter_keys"), p)
+    // candidates reach the recount as a broadcast HASH join; the only
+    // nested loop is the single-row total-count broadcast (the same
+    // adjudicated scalar pattern as text_keywords / profile_histogram)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("range join stays an equi-join — no nested-loop fallback") {
     // the bucket quantization must turn interval containment into an
     // equi-join on (keys, bucket); an inequality-only join would plan
