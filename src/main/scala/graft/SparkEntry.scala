@@ -201,6 +201,13 @@ object SparkEntry {
         .select(col("event_id"), col("props"), col("ts"))
       XmlPipe.formatDocs(ev, Seq("event_id")).orderBy(col("id"))
     }),
+    "xml_events_stream" -> ((s, dir) => {
+      // the same formatting pipeline driven through Structured
+      // Streaming (continuous-indexing shape); same oracle as the
+      // batch twin
+      graft.streaming.EventsStream.xmlToCompletion(s, dir)
+        .orderBy(col("id"))
+    }),
 
     // ---- doc-id kernels (F4/F5/F6) ----
     "docid_single" -> ((s, dir) => {
@@ -1663,6 +1670,14 @@ object SparkEntry {
       FROM lineitem JOIN sdbm s ON s.sid = l_orderkey * 10 + l_linenumber
       ORDER BY id, doc""",
     "xml_events" -> s"""
+      SELECT event_id AS id,
+             chr(10) || '<sphinx:document id="' || CAST(event_id AS VARCHAR) || '">' ||
+             '<event_id>' || CAST(event_id AS VARCHAR) || '</event_id>' ||
+             '<props>' || ${escSql("props")} || '</props>' ||
+             '<ts>' || strftime(ts, '%Y-%m-%d %H:%M:%S') || '</ts>' ||
+             '</sphinx:document>' AS doc
+      FROM events ORDER BY id""",
+    "xml_events_stream" -> s"""
       SELECT event_id AS id,
              chr(10) || '<sphinx:document id="' || CAST(event_id AS VARCHAR) || '">' ||
              '<event_id>' || CAST(event_id AS VARCHAR) || '</event_id>' ||

@@ -120,4 +120,23 @@ object XmlPipe {
       .mapPartitions(it => Iterator(Header) ++ it ++ Iterator(Footer))
       .write.mode("overwrite").text(path)
   }
+
+  /** Continuous indexing: each micro-batch of a STREAMING formatted
+    * frame lands as a self-contained sharded docset under
+    * `batch_<id>/` — the Sphinx main+delta pattern driven by
+    * Structured Streaming (the reference was a one-shot batch
+    * exporter; delta indexes were re-runs). Exactly-once without a
+    * transactional sink: the batch-id directory name makes a replayed
+    * batch overwrite ITS OWN output (idempotent), and the checkpoint
+    * pins batch ids across restarts — the same batchId-keyed
+    * idempotence contract as the foreachBatch parquet sink.
+    */
+  def writeStreamingDocsets(docs: DataFrame,
+      outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeShardedDocsets(batch, f"$outDir/batch_$id%05d")
+      }
+      .start()
 }

@@ -474,6 +474,27 @@ object EventsStream {
         col("user_id") =!= sentinelBuyUid)
   }
 
+  /** Streaming xmlpipe2 formatting — the reference-parity projection
+    * (doc ids, typed rendering, markup, framing fields) applied to a
+    * LIVE stream: stateless append, so rows flow through the same
+    * codegen'd expressions as the batch exporter and land in the sink
+    * as formatted `(id, doc)` pairs. Batch twin's oracle applies
+    * (ordering imposed on the completed table; a stream itself cannot
+    * sort). The file-sink edge of the same shape is
+    * [[graft.operators.XmlPipe.writeStreamingDocsets]].
+    */
+  def xmlToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val ev = source(spark, dir)
+      .select(col("event_id"), col("props"), col("ts"))
+    val docs = graft.operators.XmlPipe.formatDocs(ev, Seq("event_id"))
+    val qname = "graft_events_stream_xml"
+    val q = docs.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(qname)
+  }
+
   /** foreachBatch sink — the programmable-sink API: each micro-batch
     * lands as an atomic parquet append via the BATCH writer (the
     * production route to any sink Structured Streaming lacks, and to

@@ -3,6 +3,8 @@ package graft
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import graft.functions.SdbmHash
 import graft.operators.XmlPipe
 import org.apache.spark.sql.functions._
@@ -85,6 +87,38 @@ class XmlPipeSpec extends AnyFunSuite {
     assert(sane._1 == (1L << 32) + 7L)
     assert(sane._2.contains("<payload><![CDATA[010203]]></payload>"))
     assert(sane._2.contains("<ts>2024-02-29 13:05:09</ts>"))
+  }
+
+  test("streaming docsets: every micro-batch shard is an individually " +
+      "well-formed docset and no document is lost (delta-index shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val ss = graft.streaming.EventsStream.streamSession(spark)
+    val src = graft.streaming.EventsStream.source(ss, dir)
+      .select(col("event_id"), col("event_type"))
+    val docs = XmlPipe.formatDocs(src, Seq("event_id"))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-stream-docset").toFile
+    try {
+      val q = XmlPipe.writeStreamingDocsets(docs, tmp.toString)
+      try q.processAllAvailable() finally q.stop()
+      val shards = java.nio.file.Files.walk(tmp.toPath).iterator().asScala
+        .map(_.toFile)
+        .filter(f => f.isFile && f.getName.startsWith("part-")).toSeq
+      assert(shards.nonEmpty)
+      var nDocs = 0
+      shards.foreach { f =>
+        val text = new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(text.startsWith(
+          "<?xml version=\"1.0\" encoding=\"utf-8\"?><sphinx:docset>"),
+          f.getName)
+        assert(text.stripLineEnd.endsWith("</sphinx:docset>"), f.getName)
+        nDocs += "<sphinx:document id=".r.findAllIn(text).size
+      }
+      val want = Tables.load(spark, dir, "events").count()
+      assert(nDocs == want, s"docs across shards $nDocs != events $want")
+    } finally SparkTestSession.deleteRecursively(tmp)
   }
 
   test("sharded docsets: each shard is a complete docset") {
