@@ -1421,6 +1421,35 @@ object SparkEntry {
         FROM graft_documents ORDER BY doc_id""")
     }),
 
+    "io_partitioned" -> ((s, dir) => {
+      // hive-partitioned lake layout: write events partitioned by day
+      // (Layout.writeDatePartitioned), read back a 5-day window — the
+      // date filter prunes whole partition DIRECTORIES at listing
+      // time (PartitionFilters in the scan; plan recorded via
+      // PlanCapture because the materialized result hides the read
+      // plan behind the checkpoint leaf). Oracle: the same window
+      // aggregated from the unpartitioned original.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toFile
+      val back =
+        try {
+          val out = new java.io.File(tmp, "events_by_day").toString
+          Layout.writeDatePartitioned(ev, "ts", out)
+          val read = s.read.parquet(out)
+            .filter(col("event_date") >= lit("2024-01-10").cast("date") &&
+              col("event_date") <= lit("2024-01-14").cast("date"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)"))
+                .cast("double").as("sum_value"))
+          graft.PlanCapture.record(
+            "partition-pruned read (pre-materialize)", read)
+          read.localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_type"))
+    }),
+
     // ---- typed Aggregator (UDAF) surface ----
     "q_udaf" -> ((s, dir) => {
       // quantity-weighted mean price per return flag via the exact
@@ -2870,6 +2899,12 @@ object SparkEntry {
                / 100.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "io_partitioned" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type""",
     // exact twin of the sketch-then-recount pipeline: the MG guarantee
     // (every key with freq > n/201 survives any merge tree) makes the
     // candidate superset lossless at the 0.5% threshold, so the

@@ -52,4 +52,18 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
   }
+
+  /** Hive-style date partitioning — the other half of the lake layout
+    * story: Z-order clusters WITHIN files; directory partitioning
+    * prunes whole directories before a single file is opened. A time
+    * filter on `partCol` becomes a `PartitionFilters` entry in the
+    * scan (listing-level pruning — at 100 TB the difference between
+    * touching 5 days and 3 years of files). Derives `partCol` =
+    * `to_date(tsCol)` so readers filter on the partition column
+    * directly.
+    */
+  def writeDatePartitioned(df: DataFrame, tsCol: String, outDir: String,
+      partCol: String = "event_date"): Unit =
+    df.withColumn(partCol, to_date(col(tsCol)))
+      .write.partitionBy(partCol).mode("overwrite").parquet(outDir)
 }

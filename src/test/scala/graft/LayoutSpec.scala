@@ -19,6 +19,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == Seq(39L, 0L, 0x55555555L, 0xAAAAAAAAL, 0L))
   }
 
+  test("date-partitioned lake layout: a time filter prunes whole " +
+      "partitions at listing time and loses no rows") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toFile
+    try {
+      val out = new java.io.File(tmp, "by_day").toString
+      Layout.writeDatePartitioned(ev, "ts", out)
+      // one directory per day on disk
+      val dayDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("event_date="))
+      assert(dayDirs.length > 1, "expected multiple day partitions")
+      val read = spark.read.parquet(out)
+        .filter(col("event_date") === lit("2024-01-10").cast("date"))
+      val p = read.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters"), p)
+      assert(p.contains("event_date"), p)
+      val expect = ev
+        .filter(to_date(col("ts")) === lit("2024-01-10").cast("date"))
+        .count()
+      assert(read.count() == expect && expect > 0)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   test("zorder2 reference check against bit-by-bit interleave") {
     import spark.implicits._
     def morton(a: Long, b: Long): Long =
