@@ -131,6 +131,29 @@ class EdgeCasesSpec extends AnyFunSuite {
       spark, emptyEventsDir()).count() == 0)
   }
 
+  test("round-8 operators are total on empty input") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val some = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // empty eval set: nothing can be flagged, corpus passes through
+    assert(Similarity.semanticDecontaminate(some, emb, 0.5).count() == 2)
+    // empty corpus against a real eval set
+    assert(Similarity.semanticDecontaminate(emb, some, 0.5).count() == 0)
+    // auto-prefix edit dedup on an empty corpus (count-derived depth)
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(docs).count() == 0)
+    // MG sketch over empty input: empty candidate set, empty output
+    graft.functions.Udafs.register(spark)
+    val ks = docs.agg(expr("heavy_hitter_keys(doc_id)").as("ks"))
+      .collect()(0).getSeq[Long](0)
+    assert(ks.isEmpty)
+    // weighted mean over empty input: null, not a failure
+    assert(docs.agg(expr("weighted_mean_cents(doc_id, doc_id)"))
+      .collect()(0).isNullAt(0))
+  }
+
   /** A temp dir holding an empty events.parquet with the production
     * schema, for streaming-twin totality checks. */
   private def emptyEventsDir(): String = {
