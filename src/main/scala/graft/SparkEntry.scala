@@ -1421,6 +1421,26 @@ object SparkEntry {
         FROM graft_documents ORDER BY doc_id""")
     }),
 
+    "xml_read_roundtrip" -> ((s, dir) => {
+      // export → import loop: format documents, land sharded docsets,
+      // parse them back with the docset READER — proving a produced
+      // index source round-trips to the original values (the
+      // migration-validation story). All fields come back as strings;
+      // the oracle renders the same columns as text.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xmlrt").toFile
+      val back =
+        try {
+          val out = new java.io.File(tmp, "docset").toString
+          XmlPipe.writeShardedDocsets(
+            XmlPipe.formatDocs(docs, Seq("doc_id")), out)
+          XmlPipe.readDocset(s, out,
+            Seq("doc_id", "lang", "source", "n_chars")).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("id"))
+    }),
+
     "io_partitioned" -> ((s, dir) => {
       // hive-partitioned lake layout: write events partitioned by day
       // (Layout.writeDatePartitioned), read back a 5-day window — the
@@ -2899,6 +2919,10 @@ object SparkEntry {
                / 100.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "xml_read_roundtrip" -> """
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
+             source, CAST(n_chars AS VARCHAR) AS n_chars
+      FROM documents ORDER BY id""",
     "io_partitioned" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

@@ -121,6 +121,37 @@ object XmlPipe {
       .write.mode("overwrite").text(path)
   }
 
+  /** Inverse of the export — read docset shards back into rows, for
+    * migration validation ("does the index source I just produced
+    * parse back to my data?") and for consuming docsets produced by
+    * OTHER xmlpipe2 emitters. Spark-first and driver-free: the text
+    * source splits each shard on the document open tag (`lineSep`),
+    * so parsing is a narrow per-fragment regex projection — no DOM
+    * materialization, parallel over shards. Requested fields come
+    * back as UNESCAPED strings (`&amp;/&lt;/&gt;` inverted in the
+    * amp-last order that makes escape∘unescape the identity even for
+    * data that literally contains entities); a field absent from a
+    * document reads as the empty string, the xmlpipe2 convention.
+    * CDATA-wrapped bodies (mem markup, binary descriptors) come back
+    * as their rendered markup — the docset is the source of truth for
+    * those.
+    */
+  def readDocset(spark: org.apache.spark.sql.SparkSession, path: String,
+      fields: Seq[String]): DataFrame = {
+    val unescape = (c: Column) =>
+      replace(replace(replace(c, lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")), lit("&amp;"), lit("&"))
+    spark.read.option("lineSep", "\n<sphinx:document id=\"").text(path)
+      // the first fragment per shard is the docset header; real
+      // fragments begin with the id digits the lineSep split exposed
+      .filter(col("value").rlike("^-?[0-9]+\""))
+      .select(
+        regexp_extract(col("value"), "^(-?[0-9]+)\"", 1)
+          .cast(LongType).as("id") +:
+          fields.map(f => unescape(
+            regexp_extract(col("value"), s"(?s)<$f>(.*?)</$f>", 1)).as(f)): _*)
+  }
+
   /** Continuous indexing: each micro-batch of a STREAMING formatted
     * frame lands as a self-contained sharded docset under
     * `batch_<id>/` — the Sphinx main+delta pattern driven by

@@ -121,6 +121,31 @@ class XmlPipeSpec extends AnyFunSuite {
     } finally SparkTestSession.deleteRecursively(tmp)
   }
 
+  test("readDocset inverts the export exactly, including entity-laden " +
+      "and multi-line values") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a<b&c>d", "plain"),
+      (2L, "already &lt;escaped&gt; literal", "x&y"),
+      (3L, "line one\nline two", ""),
+      (4L, null.asInstanceOf[String], "tail"))
+    val docs = rows.toDF("doc_id", "text", "note")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-readback").toFile
+    try {
+      val out = new java.io.File(tmp, "ds").toString
+      XmlPipe.writeShardedDocsets(
+        XmlPipe.formatDocs(docs, Seq("doc_id")), out)
+      val back = XmlPipe.readDocset(spark, out, Seq("text", "note"))
+        .orderBy("id").as[(Long, String, String)].collect().toSeq
+      val want = rows.map { case (id, t, n) =>
+        // nulls render as empty elements → read back as empty strings
+        (id, Option(t).getOrElse(""), Option(n).getOrElse(""))
+      }
+      assert(back == want)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   test("sharded docsets: each shard is a complete docset") {
     val tmp = java.nio.file.Files.createTempDirectory("xmlshard").toString
     val docs = XmlPipe.formatDocs(docsDf.repartition(2), Seq("doc_id"))
