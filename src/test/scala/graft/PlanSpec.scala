@@ -164,6 +164,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("AQE splits skewed join partitions at runtime — the automatic " +
+      "complement to the manual salted join") {
+    // a child session with the skew thresholds scaled to fixture size:
+    // the production config differs only in these numbers (256 MB /
+    // factor 5), the MECHANISM proven here is the same runtime re-plan
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    import org.apache.spark.sql.functions._
+    import ss.implicits._
+    // key 0 carries ~90% of the left side — one shuffle partition far
+    // above the threshold, the shape that stalls a static plan's
+    // straggler task at scale
+    val left = ss.range(0, 20000)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id"))
+        .as("k"), col("id").as("v"),
+        lpad(col("id").cast("string"), 32, "x").as("pad"))
+    val right = ss.range(0, 200).select(col("id").as("k"),
+      col("id").as("w"))
+    val joined = left.join(right, "k").select(col("k"), col("v"), col("w"))
+    // execute THIS frame (count() would plan a separate agg query and
+    // leave this one's adaptive plan unfinalized)
+    assert(joined.collect().nonEmpty)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(400))
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${p.take(2000)}")
+  }
+
   test("range join stays an equi-join — no nested-loop fallback") {
     // the bucket quantization must turn interval containment into an
     // equi-join on (keys, bucket); an inequality-only join would plan
