@@ -146,6 +146,58 @@ class XmlPipeSpec extends AnyFunSuite {
     } finally SparkTestSession.deleteRecursively(tmp)
   }
 
+  test("streaming docset sink is exactly-once across stop/restart: " +
+      "batch ids resume from the checkpoint, no document lost or " +
+      "duplicated") {
+    import spark.implicits._
+    val ss = graft.streaming.EventsStream.streamSession(spark)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("body", StringType)))
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-docset-src").toFile
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-docset-out").toFile
+    def docsStream = {
+      val raw = ss.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      XmlPipe.formatDocs(raw, Seq("doc_id"))
+    }
+    def land(rows: Seq[(Long, String)], name: String): Unit = {
+      val stage = new java.io.File(srcDir, s"_stage_$name")
+      rows.toDF("doc_id", "body").coalesce(1)
+        .write.mode("overwrite").parquet(stage.toString)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    try {
+      land((1L to 5L).map(i => (i, s"first $i")), "chunk1")
+      val q1 = XmlPipe.writeStreamingDocsets(docsStream, outDir.toString)
+      try q1.processAllAvailable() finally q1.stop()
+      // second chunk lands while the query is DOWN; restart must pick
+      // it up from the checkpoint without re-emitting chunk1
+      land((6L to 9L).map(i => (i, s"second $i")), "chunk2")
+      val q2 = XmlPipe.writeStreamingDocsets(docsStream, outDir.toString)
+      try q2.processAllAvailable() finally q2.stop()
+      val ids = java.nio.file.Files.walk(outDir.toPath).iterator().asScala
+        .map(_.toFile)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .flatMap { f =>
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          "<sphinx:document id=\"(-?\\d+)\"".r
+            .findAllMatchIn(text).map(_.group(1).toLong)
+        }.toSeq
+      assert(ids.sorted == (1L to 9L), s"got $ids")
+    } finally {
+      SparkTestSession.deleteRecursively(srcDir)
+      SparkTestSession.deleteRecursively(outDir)
+    }
+  }
+
   test("sharded docsets: each shard is a complete docset") {
     val tmp = java.nio.file.Files.createTempDirectory("xmlshard").toString
     val docs = XmlPipe.formatDocs(docsDf.repartition(2), Seq("doc_id"))
