@@ -93,6 +93,13 @@ object Bench {
         System.err.println(f"BENCH canary[middle] ${canaries.last}%8.2f s")
       }
       PlanCapture.drain() // discard anything left by a previous query
+      // blocks persisted before this query (the cross-query memos and
+      // anything the warm-up left) are protected; everything NEW that
+      // is still persisted after the query finishes is a leak to this
+      // 140-query marathon — localCheckpoint blocks normally freed by
+      // GC+ContextCleaner pile up 3x faster under repeats and tax
+      // later queries (measured as in-suite vs isolated inflation)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       // one timed run: build + count. A failed query must be VISIBLE
       // (name + reason), not a silent ~0s entry — the run continues so
       // one bad query can't hide the rest of the numbers.
@@ -132,6 +139,12 @@ object Bench {
       System.err.println(
         f"BENCH $name%-28s $med%8.2f s" + (if (times.size > 1)
           f"  (median of ${times.size}, min ${times.min}%.2f)" else ""))
+      // sweep blocks this query leaked (untimed; memoized frames kept)
+      val keep = SparkEntry.memoizedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
+        if (!persistedBefore.contains(rid) && !keep.contains(rid))
+          rdd.unpersist(blocking = false)
+      }
       (name, med, times.min)
     }
     canaries += canaryProbe(spark, sfDir)

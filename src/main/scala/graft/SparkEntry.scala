@@ -68,6 +68,21 @@ object SparkEntry {
       case _ => ()
     }
 
+  /** RDD ids backing the cross-query memoized frames for `s` — a
+    * long-lived harness that sweeps leaked checkpoint blocks between
+    * queries (graft.Bench) must exempt these; everything else a query
+    * leaves persisted after it finishes is garbage to such a harness.
+    */
+  def memoizedRddIds(s: SparkSession): Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    pairsMemo.asScala.iterator
+      .collect { case ((sess, _), df) if sess eq s => df }
+      .flatMap(_.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      })
+      .toSet
+  }
+
   /** Drop a session's memoized pair sets, unpersisting their
     * checkpoint blocks (safe no-op on an already-stopped session).
     * Long-lived JVMs that cycle many sessions call this from their
