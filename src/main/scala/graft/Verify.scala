@@ -17,10 +17,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // same leak hygiene as Bench: localCheckpoint blocks a query
+      // leaves behind would otherwise pile up across the 144-query run
+      // (cross-query memoized frames exempt)
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+      val keep = SparkEntry.memoizedRddIds(spark)
+      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
+        if (!persistedBefore.contains(rid) && !keep.contains(rid))
+          rdd.unpersist(blocking = false)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
