@@ -146,6 +146,30 @@ class XmlPipeSpec extends AnyFunSuite {
     } finally SparkTestSession.deleteRecursively(tmp)
   }
 
+  test("readDocset round-trips 300 randomized values: entities, " +
+      "unicode, newlines, quote/angle soup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet =
+      "ab &<>\"'&amp;&lt;\n\tπ漢字é]]></text><text>" // adversarial soup
+    val rows = (1L to 300L).map { i =>
+      val len = rnd.nextInt(60)
+      val s = (0 until len)
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (i, s)
+    }
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-fuzz-rt").toFile
+    try {
+      val out = new java.io.File(tmp, "ds").toString
+      XmlPipe.writeShardedDocsets(
+        XmlPipe.formatDocs(rows.toDF("doc_id", "body"), Seq("doc_id")), out)
+      val back = XmlPipe.readDocset(spark, out, Seq("body"))
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(back == rows)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   test("streaming docset sink is exactly-once across stop/restart: " +
       "batch ids resume from the checkpoint, no document lost or " +
       "duplicated") {
