@@ -1436,6 +1436,20 @@ object SparkEntry {
         FROM graft_documents ORDER BY doc_id""")
     }),
 
+    "text_normalize" -> ((s, dir) => {
+      // Unicode hygiene: append decomposed (e+U+0301, o+U+0308) and
+      // composed (é ø ñ ü ç) forms to the fixture text, then NFC-
+      // canonicalize and accent-fold — the same word in different
+      // composition forms must converge before fingerprints/vocab
+      val dirty = concat(col("text"),
+        lit(" café Nöel éøñüç"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.nfc_normalize(dirty).as("nfc_text"),
+          graft.functions.strip_accents(dirty).as("plain_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "xml_read_roundtrip" -> ((s, dir) => {
       // export → import loop: format documents, land sharded docsets,
       // parse them back with the docset READER — proving a produced
@@ -2934,6 +2948,17 @@ object SparkEntry {
                / 100.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // chr(769)/chr(776) are the combining acute/diaeresis — DuckDB's
+    // utf8proc implements the same UAX #15 tables as java.text.Normalizer.
+    // (no line may START with || — oracleSql's stripMargin eats a
+    // leading pipe)
+    "text_normalize" -> """
+      SELECT doc_id,
+             nfc_normalize(concat(text, ' cafe', chr(769), ' No', chr(776),
+               'el éøñüç')) AS nfc_text,
+             strip_accents(concat(text, ' cafe', chr(769), ' No', chr(776),
+               'el éøñüç')) AS plain_text
+      FROM documents ORDER BY doc_id""",
     "xml_read_roundtrip" -> """
       SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
              source, CAST(n_chars AS VARCHAR) AS n_chars

@@ -58,6 +58,14 @@ package object functions {
   def char_collision(c: Column): Column =
     Bridge.column(CharCollisionExpr(Bridge.expression(c.cast("string"))))
 
+  /** Unicode NFC canonical composition (codegen'd; UAX #15). */
+  def nfc_normalize(c: Column): Column =
+    Bridge.column(NfcNormalizeExpr(Bridge.expression(c.cast("string"))))
+
+  /** Diacritic folding: NFD then drop combining marks (codegen'd). */
+  def strip_accents(c: Column): Column =
+    Bridge.column(StripAccentsExpr(Bridge.expression(c.cast("string"))))
+
   /** Sign-random-projection LSH bucket id of an array<double>;
     * `planeOffset` selects an independent LSH table's planes.
     */
@@ -104,7 +112,9 @@ package object functions {
         SignLshExpr(v, litInt(p, "planes"), litInt(o, "planeOffset"))
     },
     "char_ngrams" -> { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) },
-    "char_collision" -> { case Seq(c) => CharCollisionExpr(c) })
+    "char_collision" -> { case Seq(c) => CharCollisionExpr(c) },
+    "nfc_normalize" -> { case Seq(c) => NfcNormalizeExpr(c) },
+    "strip_accents" -> { case Seq(c) => StripAccentsExpr(c) })
 
   /** Register graft's expressions as SQL functions on a session, so
     * `spark.sql` text queries can call them: sdbm_hash(seed, s),

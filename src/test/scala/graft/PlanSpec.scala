@@ -58,7 +58,9 @@ class PlanSpec extends AnyFunSuite {
     val p = docs.select(
       sdbm_hash(col("doc_id"), col("text")),
       minhash_shingled(split(col("text"), " "), 3, 16),
-      simhash64(split(col("text"), " ")))
+      simhash64(split(col("text"), " ")),
+      nfc_normalize(col("text")),
+      strip_accents(col("text")))
       .queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), p)
   }

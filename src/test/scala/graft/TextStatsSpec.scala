@@ -229,6 +229,35 @@ class TextStatsSpec extends AnyFunSuite {
       s"cleaned ${graft.functions.Compress.cleaned.get() - before} of 8")
   }
 
+  test("unicode normalization: NFC composes, strip_accents folds " +
+      "diacritics, non-decomposables pass through, null is total") {
+    import spark.implicits._
+    // explicit escapes only: editors silently re-compose source text
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val composed = "caf\u00e9"     // precomposed e-acute
+    val exotic = "\u00f8\u00f1\u00fc\u00e7\u00df" // o-slash n-tilde u-uml c-ced sharp-s
+    val rows = Seq(
+      (1L, decomposed), (2L, composed), (3L, exotic),
+      (4L, null.asInstanceOf[String]))
+    val got = rows.toDF("id", "s")
+      .select(col("id"), graft.functions.nfc_normalize(col("s")).as("n"),
+        graft.functions.strip_accents(col("s")).as("p"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(got(0)._2 == composed && got(1)._2 == composed)
+    // composition forms converge: the dedup-fingerprint property
+    assert(got(0)._2 == got(1)._2 && got(0)._3 == got(1)._3)
+    assert(got(0)._3 == "cafe")
+    // n-tilde/u-umlaut/c-cedilla fold; o-slash and sharp-s have no
+    // canonical decomposition and pass through
+    assert(got(2)._3 == "\u00f8nuc\u00df")
+    assert(got(3)._2 == null && got(3)._3 == null)
+    // SQL surface (config-injected): same kernels by name
+    val viaSql = spark.sql(
+      s"SELECT nfc_normalize('$decomposed'), strip_accents('$decomposed')")
+      .collect()(0)
+    assert(viaSql.getString(0) == composed && viaSql.getString(1) == "cafe")
+  }
+
   test("invertedIndex builds sorted distinct posting lists with df") {
     import spark.implicits._
     val docs = Seq((10L, "a b a"), (2L, "b c"), (3L, ""))
