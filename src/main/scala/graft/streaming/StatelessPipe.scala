@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** Run a stateless batch transform as a Structured Streaming query —
   * the zero-cost half of the batch/stream duality: any narrow
@@ -31,5 +31,35 @@ object StatelessPipe {
       .outputMode("append").format("memory").queryName(qname).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(qname)
+  }
+
+  /** As [[toCompletion]], additionally collecting aggregate metrics
+    * through `Dataset.observe` — observability piggybacked on the
+    * stream itself: the metrics ride the micro-batch (CollectMetrics
+    * in-plan), costing no second pass and no extra action. This is
+    * how a production hygiene stage reports kept/dropped/PII counts
+    * per batch without re-reading what it just processed. Returns the
+    * materialized output plus the metrics row of the last data
+    * micro-batch (single-file sources run one data batch, so it
+    * covers the whole input; a multi-batch deployment reads each
+    * progress event's observedMetrics instead).
+    */
+  def toCompletionObserved(spark0: SparkSession, dir: String,
+      table: String, transform: DataFrame => DataFrame,
+      metrics: Seq[Column]): (DataFrame, Option[Row]) = {
+    require(metrics.nonEmpty, "observe needs at least one metric column")
+    val spark = spark0.newSession()
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    val qname = s"graft_stateless_obs_$table"
+    val q = transform(src).observe("hygiene", metrics.head, metrics.tail: _*)
+      .writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val row = q.recentProgress.reverseIterator
+      .flatMap(p => Option(p.observedMetrics.get("hygiene")))
+      .take(1).toSeq.headOption
+    (spark.table(qname), row)
   }
 }

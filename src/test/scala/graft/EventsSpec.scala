@@ -479,4 +479,22 @@ class EventsSpec extends AnyFunSuite {
     assert(stream == batch)
     assert(batch.nonEmpty)
   }
+
+  test("observed metrics ride the hygiene stream: kept/total counts " +
+      "from the micro-batch itself, no second pass") {
+    val dir = "/root/testdata/sf0.001"
+    val (out, metrics) = graft.streaming.StatelessPipe
+      .toCompletionObserved(spark, dir, "documents",
+        graft.operators.TextStats.qualityFilter(_),
+        Seq(count(lit(1)).as("n_rows"),
+          sum(col("keep").cast("long")).as("n_kept")))
+    val batch = graft.operators.TextStats.qualityFilter(
+      Tables.load(spark, dir, "documents"))
+    val wantRows = batch.count()
+    val wantKept = batch.filter(col("keep")).count()
+    assert(out.count() == wantRows)
+    val m = metrics.getOrElse(fail("no observed metrics surfaced"))
+    assert(m.getAs[Long]("n_rows") == wantRows)
+    assert(m.getAs[Long]("n_kept") == wantKept)
+  }
 }
