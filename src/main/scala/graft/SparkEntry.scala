@@ -1470,6 +1470,28 @@ object SparkEntry {
       back.orderBy(col("id"))
     }),
 
+    "xml_dsv2_source" -> ((s, dir) => {
+      // the DataSource V2 connector end to end: export documents as
+      // sharded docsets, read them back through
+      // format("xmlpipe2") — the registered TableProvider — proving
+      // the connector seam (the one a Cassandra source would plug
+      // into) against the driver oracle. Same equivalence as
+      // xml_read_roundtrip, via the DSv2 scan instead of column exprs.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2q").toFile
+      val back =
+        try {
+          val out = new java.io.File(tmp, "docset").toString
+          XmlPipe.writeShardedDocsets(
+            XmlPipe.formatDocs(docs, Seq("doc_id")), out)
+          s.read.format("xmlpipe2")
+            .option("fields", "doc_id,lang,source,n_chars").load(out)
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("id"))
+    }),
+
     "io_partitioned" -> ((s, dir) => {
       // hive-partitioned lake layout: write events partitioned by day
       // (Layout.writeDatePartitioned), read back a 5-day window — the
@@ -2960,6 +2982,10 @@ object SparkEntry {
                'el éøñüç')) AS plain_text
       FROM documents ORDER BY doc_id""",
     "xml_read_roundtrip" -> """
+      SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
+             source, CAST(n_chars AS VARCHAR) AS n_chars
+      FROM documents ORDER BY id""",
+    "xml_dsv2_source" -> """
       SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
              source, CAST(n_chars AS VARCHAR) AS n_chars
       FROM documents ORDER BY id""",

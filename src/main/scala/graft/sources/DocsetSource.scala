@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the xmlpipe2 docset format:
+  *
+  *   spark.read.format("xmlpipe2").option("fields", "text,source")
+  *     .load(shardDir)
+  *
+  * This is the engine's demonstration of the CONNECTOR extension
+  * point — the same `TableProvider`/`Scan`/`PartitionReader` seam a
+  * Cassandra source (F1/F2, Query.java:127-143) plugs into in a
+  * connected deployment (this sandbox has no Cassandra, so the
+  * machinery is proven on the engine's own interchange format
+  * instead). Plan integration is real, not cosmetic: one input
+  * partition per shard file (reader parallelism = shard count, the
+  * write side's sharding contract), and column pruning pushes into
+  * the scan via `SupportsPushDownRequiredColumns` — `select(one
+  * field)` parses only that field per fragment, visible as the
+  * BatchScan's pruned readSchema.
+  *
+  * Schema: `id` (long, from the document attribute) plus one string
+  * column per requested field (absent field → empty string, the
+  * xmlpipe2 convention; entities unescaped amp-last, the exact
+  * inverse of the writer — same kernel as
+  * [[graft.operators.XmlPipe.readDocset]]'s column formulation).
+  * Each reader streams fragment-by-fragment from its shard; a shard
+  * is one writer partition, so memory is bounded by the write-side
+  * shard sizing.
+  */
+class DocsetSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "xmlpipe2"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocsetSource.schemaFor(DocsetSource.fields(options))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new DocsetTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object DocsetSource {
+  private[sources] def fields(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("fields")).toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  private[sources] def schemaFor(fields: Seq[String]): StructType =
+    StructType(StructField("id", LongType, nullable = false) +:
+      fields.map(f => StructField(f, StringType, nullable = false)))
+
+  /** List shard files under `path` (skips hidden/_SUCCESS entries). */
+  private[sources] def shardFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) Seq(f.toString)
+    else Option(f.listFiles()).fold(Seq.empty[String])(_.toSeq
+      .filter(c => c.isFile && !c.getName.startsWith("_") &&
+        !c.getName.startsWith("."))
+      .map(_.toString).sorted)
+  }
+}
+
+private[sources] class DocsetTable(tableSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"xmlpipe2 ${options.get("path")}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new DocsetScanBuilder(tableSchema, Option(options.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "xmlpipe2 source requires a load(path)")))
+}
+
+private[sources] class DocsetScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new DocsetScan(required, path)
+}
+
+private[sources] class DocsetScan(required: StructType, path: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"xmlpipe2 $path ${required.fieldNames.mkString("[", ",", "]")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    DocsetSource.shardFiles(path).map(DocsetPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsetReaderFactory(required)
+}
+
+private[sources] case class DocsetPartition(file: String)
+    extends InputPartition
+
+private[sources] class DocsetReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new DocsetPartitionReader(
+      partition.asInstanceOf[DocsetPartition].file, required)
+}
+
+/** Streams one shard: fragments split on the document open tag, one
+  * row per fragment, parsing only the pruned columns.
+  */
+private[sources] class DocsetPartitionReader(file: String,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val fragments: Iterator[String] = {
+    val content = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // index 0 is the docset header (before the first document)
+    content.split("\n<sphinx:document id=\"").iterator.drop(1)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!fragments.hasNext) false
+    else { current = parse(fragments.next()); true }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+
+  private def parse(frag: String): InternalRow = {
+    val values = required.fields.map { f =>
+      if (f.name == "id") {
+        java.lang.Long.valueOf(frag.takeWhile(_ != '"'))
+      } else {
+        val open = s"<${f.name}>"
+        val start = frag.indexOf(open)
+        val raw =
+          if (start < 0) ""
+          else {
+            val from = start + open.length
+            val end = frag.indexOf(s"</${f.name}>", from)
+            if (end < 0) "" else frag.substring(from, end)
+          }
+        // amp-last: the exact inverse of the writer's escape order
+        UTF8String.fromString(raw.replace("&lt;", "<")
+          .replace("&gt;", ">").replace("&amp;", "&"))
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.XmlPipe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 connector for the docset format: short-name
+  * registration, shard-per-partition parallelism, round-trip
+  * fidelity, and column pruning pushed into the scan.
+  */
+class DocsetSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withDocset[A](rows: Seq[(Long, String, String)])(
+      f: String => A): A = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dsv2").toFile
+    try {
+      val out = new java.io.File(tmp, "ds").toString
+      XmlPipe.writeShardedDocsets(
+        XmlPipe.formatDocs(
+          rows.toDF("doc_id", "text", "note").repartition(3),
+          Seq("doc_id")), out)
+      f(out)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
+  private val rows = Seq(
+    (1L, "a<b&c>d", "plain"),
+    (2L, "already &lt;escaped&gt;", "x&y"),
+    (3L, "line one\nline two", ""),
+    (4L, "tail", "end"))
+
+  test("format(\"xmlpipe2\") round-trips the export by short name, " +
+      "one partition per shard") {
+    import spark.implicits._
+    withDocset(rows) { out =>
+      val df = spark.read.format("xmlpipe2")
+        .option("fields", "text,note").load(out)
+      assert(df.rdd.getNumPartitions == 3, "one reader per shard file")
+      val got = df.orderBy("id")
+        .as[(Long, String, String)].collect().toSeq
+      assert(got == rows)
+    }
+  }
+
+  test("column pruning pushes into the scan: select(one field) reads " +
+      "a pruned schema") {
+    withDocset(rows) { out =>
+      val df = spark.read.format("xmlpipe2")
+        .option("fields", "text,note").load(out)
+        .select("text")
+      val scans = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.readSchema().fieldNames.toSeq
+      }
+      assert(scans == Seq(Seq("text")), scans)
+      assert(df.count() == rows.size)
+    }
+  }
+
+  test("missing fields read as empty strings; load without a path " +
+      "fails loudly") {
+    withDocset(rows) { out =>
+      import spark.implicits._
+      val got = spark.read.format("xmlpipe2")
+        .option("fields", "text,nonexistent").load(out)
+        .orderBy("id").as[(Long, String, String)].collect().toSeq
+      assert(got.map(_._3).forall(_ == ""))
+      assert(got.map(_._2) == rows.map(_._2))
+    }
+    // the missing-path error surfaces when the scan is built (action
+    // time), not at load() — DSv2 resolves lazily
+    val pathless = spark.read.format("xmlpipe2").option("fields", "x").load()
+    val e = intercept[Exception](pathless.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("requires a load(path)")),
+      messages(e).mkString(" | "))
+  }
+}
