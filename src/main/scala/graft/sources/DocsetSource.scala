@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,6 +41,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DocsetSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xmlpipe2"
+  // writes carry the dataframe's own schema (the (id, doc) contract);
+  // reads without one fall back to inferSchema from the fields option
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DocsetSource.schemaFor(DocsetSource.fields(options))
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -68,16 +72,89 @@ object DocsetSource {
 }
 
 private[sources] class DocsetTable(tableSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"xmlpipe2 ${options.get("path")}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  private def path: String = Option(options.get("path"))
+    .getOrElse(throw new IllegalArgumentException(
+      "xmlpipe2 source requires a path"))
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new DocsetScanBuilder(tableSchema, Option(options.get("path"))
-      .getOrElse(throw new IllegalArgumentException(
-        "xmlpipe2 source requires a load(path)")))
+    new DocsetScanBuilder(tableSchema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DocsetWriteBuilder(info.schema(), path)
+}
+
+/** Write side of the connector: the input contract is the formatted
+  * `(id, doc)` frame [[graft.operators.XmlPipe.formatDocs]] produces;
+  * each task writes one individually-well-formed docset shard
+  * (header + its partition's documents + footer) via write-then-rename
+  * so a killed task never leaves a partial shard visible — speculative
+  * duplicates overwrite each other's identical output, the same
+  * idempotence story as the text sink. Overwrite mode = truncate
+  * support (clears prior shards at job start).
+  */
+private[sources] class DocsetWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  require(schema.fieldNames.contains("doc"),
+    s"xmlpipe2 write expects the formatted (id, doc) frame, " +
+      s"got ${schema.fieldNames.mkString(", ")}")
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new DocsetBatchWrite(
+      schema, path, doTruncate)
+  }
+}
+
+private[sources] class DocsetBatchWrite(schema: StructType, path: String,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new java.io.File(path)
+    if (truncate) Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+    dir.mkdirs()
+    new DocsetWriterFactory(schema.fieldIndex("doc"), path)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class DocsetWriterFactory(docIdx: Int, path: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DocsetShardWriter(docIdx, path, partitionId)
+}
+
+private[sources] case class DocsetCommit(shard: String)
+    extends WriterCommitMessage
+
+private[sources] class DocsetShardWriter(docIdx: Int, path: String,
+    partitionId: Int) extends DataWriter[InternalRow] {
+  private val tmp = java.io.File.createTempFile(
+    s"_shard_$partitionId-", ".tmp", new java.io.File(path))
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(tmp),
+    java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+  out.write(graft.operators.XmlPipe.Header)
+
+  override def write(record: InternalRow): Unit =
+    out.write(record.getUTF8String(docIdx).toString)
+  override def commit(): WriterCommitMessage = {
+    out.write(graft.operators.XmlPipe.Footer)
+    out.close()
+    val dest = new java.io.File(path, f"part-$partitionId%05d.xml")
+    java.nio.file.Files.move(tmp.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    DocsetCommit(dest.toString)
+  }
+  override def abort(): Unit = { out.close(); tmp.delete() }
+  override def close(): Unit = ()
 }
 
 private[sources] class DocsetScanBuilder(full: StructType, path: String)

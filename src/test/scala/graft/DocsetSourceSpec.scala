@@ -60,6 +60,44 @@ class DocsetSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("write side: df.write.format(\"xmlpipe2\") lands well-formed " +
+      "shards, overwrite truncates, and the read side round-trips it") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dsv2w").toFile
+    try {
+      val out = new java.io.File(tmp, "ds").toString
+      val docs = XmlPipe.formatDocs(
+        rows.toDF("doc_id", "text", "note").repartition(2), Seq("doc_id"))
+      docs.write.format("xmlpipe2").mode("overwrite").save(out)
+      // every shard individually well-formed
+      val shards = new java.io.File(out).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      assert(shards.length == 2)
+      shards.foreach { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(text.startsWith(XmlPipe.Header) &&
+          text.stripLineEnd.endsWith("</sphinx:docset>"), f.getName)
+      }
+      // second overwrite replaces, never appends
+      docs.write.format("xmlpipe2").mode("overwrite").save(out)
+      val back = spark.read.format("xmlpipe2")
+        .option("fields", "text,note").load(out)
+        .orderBy("id").as[(Long, String, String)].collect().toSeq
+      assert(back == rows)
+      // wrong input contract fails loudly at plan time
+      val bad = rows.toDF("doc_id", "text", "note")
+      val e = intercept[Exception](
+        bad.write.format("xmlpipe2").mode("overwrite").save(out))
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("(id, doc)")),
+        messages(e).mkString(" | "))
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   test("missing fields read as empty strings; load without a path " +
       "fails loudly") {
     withDocset(rows) { out =>
@@ -77,7 +115,7 @@ class DocsetSourceSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("requires a load(path)")),
+    assert(messages(e).exists(_.contains("requires a path")),
       messages(e).mkString(" | "))
   }
 }
