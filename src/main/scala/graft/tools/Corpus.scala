@@ -49,11 +49,15 @@ object Corpus {
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       shards: Int = 4, evalDocs: Option[DataFrame] = None): Report = {
-    // stage 0+1+2 fused: strip boilerplate, redact the CLEANED text,
-    // then score the REDACTED text (quality judged on what survives
+    // stage 0+1+2 fused: NFC-canonicalize (composition forms must
+    // converge before fingerprints — ASCII text passes through
+    // unchanged), strip boilerplate, redact the CLEANED text, then
+    // score the REDACTED text (quality judged on what survives
     // scrubbing) — one narrow projection end to end, no join between
     // the stages
-    val redacted = Scrub.redact(Scrub.htmlClean(docs),
+    val canonical = docs.withColumn("text",
+      graft.functions.nfc_normalize(col("text")))
+    val redacted = Scrub.redact(Scrub.htmlClean(canonical),
       keyCols = Seq("doc_id", "source"))
     val hitCols = Scrub.DefaultRules.map(r => col(s"n_${r.name}"))
     val scored = TextStats.qualityFilter(
