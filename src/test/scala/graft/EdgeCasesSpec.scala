@@ -154,6 +154,24 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("docset reader and DSv2 source are total on empty docsets") {
+    import spark.implicits._
+    import graft.operators.XmlPipe
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-empty-ds").toFile
+    try {
+      val out = new java.io.File(tmp, "ds").toString
+      // empty input → header-only shards, still well-formed docsets
+      XmlPipe.writeShardedDocsets(
+        XmlPipe.formatDocs(
+          Seq.empty[(Long, String)].toDF("doc_id", "text"), Seq("doc_id")),
+        out)
+      assert(XmlPipe.readDocset(spark, out, Seq("text")).count() == 0)
+      assert(spark.read.format("xmlpipe2").option("fields", "text")
+        .load(out).count() == 0)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   /** A temp dir holding an empty events.parquet with the production
     * schema, for streaming-twin totality checks. */
   private def emptyEventsDir(): String = {
