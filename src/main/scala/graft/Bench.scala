@@ -129,22 +129,23 @@ object Bench {
                 "formatted")) + captured)
         } catch { case _: Throwable => () }
       }
+      // only SUCCESSFUL runs contribute to the published numbers: a
+      // re-run that fails (transient flake) would otherwise inject its
+      // short abort time into the median/min and silently deflate the
+      // artifact the repeats feature exists to protect
       val times =
         if (df.isEmpty || repeats == 1 || first >= repeatCap) Seq(first)
-        else first +: (2 to repeats).map { _ =>
+        else first +: (2 to repeats).flatMap { _ =>
           PlanCapture.drain()
-          timedRun()._1
+          val (t, ok) = timedRun()
+          if (ok.isDefined) Some(t) else None
         }
       val med = median(times)
       System.err.println(
         f"BENCH $name%-28s $med%8.2f s" + (if (times.size > 1)
           f"  (median of ${times.size}, min ${times.min}%.2f)" else ""))
       // sweep blocks this query leaked (untimed; memoized frames kept)
-      val keep = SparkEntry.memoizedRddIds(spark)
-      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
-        if (!persistedBefore.contains(rid) && !keep.contains(rid))
-          rdd.unpersist(blocking = false)
-      }
+      SparkEntry.sweepLeakedBlocks(spark, persistedBefore)
       (name, med, times.min)
     }
     canaries += canaryProbe(spark, sfDir)

@@ -83,6 +83,23 @@ object SparkEntry {
       .toSet
   }
 
+  /** Sweep blocks a query left persisted: everything in the context's
+    * persistent-RDD registry that was not there before the query and
+    * is not a cross-query memo is a leak to a long-running harness
+    * (localCheckpoint blocks otherwise wait on GC + ContextCleaner
+    * and pile up across a 140+-query marathon — measured as 2-8×
+    * in-suite inflation). ONE implementation shared by Bench and
+    * Verify so the memo exemption cannot drift between them.
+    */
+  def sweepLeakedBlocks(s: SparkSession,
+      persistedBefore: scala.collection.Set[Int]): Unit = {
+    val keep = memoizedRddIds(s)
+    s.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
+      if (!persistedBefore.contains(rid) && !keep.contains(rid))
+        rdd.unpersist(blocking = false)
+    }
+  }
+
   /** Drop a session's memoized pair sets, unpersisting their
     * checkpoint blocks (safe no-op on an already-stopped session).
     * Long-lived JVMs that cycle many sessions call this from their
@@ -1441,7 +1458,9 @@ object SparkEntry {
       // composed (é ø ñ ü ç) forms to the fixture text, then NFC-
       // canonicalize and accent-fold — the same word in different
       // composition forms must converge before fingerprints/vocab
-      val dirty = concat(col("text"),
+      // coalesce: Spark concat null-propagates while DuckDB concat
+      // skips NULLs — without it a NULL text row would hash-diverge
+      val dirty = concat(coalesce(col("text"), lit("")),
         lit(" café Nöel éøñüç"))
       t(s, dir, "documents")
         .select(col("doc_id"),

@@ -26,11 +26,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      val keep = SparkEntry.memoizedRddIds(spark)
-      spark.sparkContext.getPersistentRDDs.foreach { case (rid, rdd) =>
-        if (!persistedBefore.contains(rid) && !keep.contains(rid))
-          rdd.unpersist(blocking = false)
-      }
+      SparkEntry.sweepLeakedBlocks(spark, persistedBefore)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -71,7 +71,14 @@ object Pipeline {
         throw new IllegalArgumentException(
           s"join key '${j.rightKey}' is not in the joined table " +
             s"(have: ${dim.columns.mkString(", ")})")
-      df = df.join(dim, df(j.leftKey) === dim(j.rightKey), "left")
+      // same-named key (the table:key shorthand): USING-join so the
+      // frame keeps ONE key column — a qualified-equality join would
+      // leave two same-named columns and make every later reference
+      // (projection, where, doc-id keys, the formatter itself)
+      // ambiguous. Distinct names keep both columns; they can't clash.
+      df =
+        if (j.leftKey == j.rightKey) df.join(dim, Seq(j.leftKey), "left")
+        else df.join(dim, df(j.leftKey) === dim(j.rightKey), "left")
     }
     if (cfg.columns.nonEmpty) df = df.selectExpr(cfg.columns: _*)
     if (cfg.where.nonEmpty) df = df.filter(cfg.where)

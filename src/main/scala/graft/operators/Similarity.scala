@@ -137,8 +137,13 @@ object Similarity {
       .withColumn("cellArr", cellCosArr(cents))
       .select(col("id"), col("qv"), col("norm"),
         posexplode(col("cellArr")).as(Seq("cell", "cellCos")))
+      // 1e-7 rad margin: acos error near the pole reaches ~2e-8 rad
+      // when a clamped cosine sits within an ulp of 1 (d(acos)/dx → ∞
+      // at x=1), so the margin must dominate THAT, not just generic
+      // 1-ulp arithmetic noise — conservative-only, never admits a
+      // wrong pair (the exact cosine verify follows)
       .filter(ang(col("cellCos")) <=
-        lit(thetaT) + element_at(radiiLit, col("cell") + 1) + lit(1e-9))
+        lit(thetaT) + element_at(radiiLit, col("cell") + 1) + lit(1e-7))
       .select(col("id"), col("qv"), col("norm"), col("cell"))
     val flagged = candCells.as("c")
       .join(broadcast(eAssigned).as("e"), col("c.cell") === col("e.cell"))

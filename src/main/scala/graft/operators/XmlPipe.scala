@@ -148,8 +148,13 @@ object XmlPipe {
       .select(
         regexp_extract(col("value"), "^(-?[0-9]+)\"", 1)
           .cast(LongType).as("id") +:
-          fields.map(f => unescape(
-            regexp_extract(col("value"), s"(?s)<$f>(.*?)</$f>", 1)).as(f)): _*)
+          fields.map { f =>
+            // quote the field name: element names are data here, not
+            // pattern syntax (a dot would otherwise match any char)
+            val q = java.util.regex.Pattern.quote(f)
+            unescape(
+              regexp_extract(col("value"), s"(?s)<$q>(.*?)</$q>", 1)).as(f)
+          }: _*)
   }
 
   /** Continuous indexing: each micro-batch of a STREAMING formatted

@@ -92,11 +92,17 @@ private[sources] class DocsetTable(tableSchema: StructType,
 /** Write side of the connector: the input contract is the formatted
   * `(id, doc)` frame [[graft.operators.XmlPipe.formatDocs]] produces;
   * each task writes one individually-well-formed docset shard
-  * (header + its partition's documents + footer) via write-then-rename
-  * so a killed task never leaves a partial shard visible — speculative
-  * duplicates overwrite each other's identical output, the same
-  * idempotence story as the text sink. Overwrite mode = truncate
-  * support (clears prior shards at job start).
+  * (header + its partition's documents + footer) to a HIDDEN temp
+  * file, and the JOB commit performs the swap — delete old shards,
+  * rename every temp into its final name — so a job that dies with
+  * some tasks committed leaves the OLD docset fully intact (task
+  * failures never touch visible files; job abort deletes the temps).
+  * Only `mode("overwrite")` is supported: shard names derive from
+  * partition ids, so an append would collide with the prior write's
+  * names — rejected loudly rather than silently replacing data.
+  * (Renames run on the driver against the same filesystem; a
+  * cluster deployment does the same through the Hadoop FileSystem
+  * API — rename is the primitive that makes the swap near-atomic.)
   */
 private[sources] class DocsetWriteBuilder(schema: StructType, path: String)
     extends WriteBuilder with SupportsTruncate {
@@ -105,23 +111,41 @@ private[sources] class DocsetWriteBuilder(schema: StructType, path: String)
       s"got ${schema.fieldNames.mkString(", ")}")
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new DocsetBatchWrite(
-      schema, path, doTruncate)
+  override def build(): Write = {
+    if (!doTruncate)
+      throw new IllegalArgumentException(
+        "xmlpipe2 write supports mode(\"overwrite\") only: shard names " +
+          "derive from partition ids, so append would silently replace " +
+          "the prior write's shards")
+    new Write {
+      override def toBatch: BatchWrite = new DocsetBatchWrite(schema, path)
+    }
   }
 }
 
-private[sources] class DocsetBatchWrite(schema: StructType, path: String,
-    truncate: Boolean) extends BatchWrite {
+private[sources] class DocsetBatchWrite(schema: StructType, path: String)
+    extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new java.io.File(path)
-    if (truncate) Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-    dir.mkdirs()
+    new java.io.File(path).mkdirs()
     new DocsetWriterFactory(schema.fieldIndex("doc"), path)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // the swap: old shards go only once EVERY task has succeeded
+    Option(new java.io.File(path).listFiles()).foreach(_.foreach { f =>
+      if (f.isFile && f.getName.startsWith("part-")) f.delete()
+    })
+    messages.foreach { case DocsetCommit(tmpPath, partitionId) =>
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmpPath),
+        new java.io.File(path, f"part-$partitionId%05d.xml").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach { case DocsetCommit(tmpPath, _) =>
+      new java.io.File(tmpPath).delete()
+    }
 }
 
 private[sources] class DocsetWriterFactory(docIdx: Int, path: String)
@@ -131,7 +155,7 @@ private[sources] class DocsetWriterFactory(docIdx: Int, path: String)
     new DocsetShardWriter(docIdx, path, partitionId)
 }
 
-private[sources] case class DocsetCommit(shard: String)
+private[sources] case class DocsetCommit(tmpPath: String, partitionId: Int)
     extends WriterCommitMessage
 
 private[sources] class DocsetShardWriter(docIdx: Int, path: String,
@@ -148,10 +172,8 @@ private[sources] class DocsetShardWriter(docIdx: Int, path: String,
   override def commit(): WriterCommitMessage = {
     out.write(graft.operators.XmlPipe.Footer)
     out.close()
-    val dest = new java.io.File(path, f"part-$partitionId%05d.xml")
-    java.nio.file.Files.move(tmp.toPath, dest.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    DocsetCommit(dest.toString)
+    // no rename here: visibility is the JOB commit's decision
+    DocsetCommit(tmp.toString, partitionId)
   }
   override def abort(): Unit = { out.close(); tmp.delete() }
   override def close(): Unit = ()
@@ -190,6 +212,13 @@ private[sources] class DocsetReaderFactory(required: StructType)
 
 /** Streams one shard: fragments split on the document open tag, one
   * row per fragment, parsing only the pruned columns.
+  *
+  * KEEP IN LOCKSTEP with [[graft.operators.XmlPipe.readDocset]]'s
+  * column formulation: same fragment split, same absent-field →
+  * empty-string convention, same amp-last unescape order. Two
+  * mechanisms on purpose (JVM loop here for the connector's row
+  * reader, codegen'd column exprs there) — a change to the escaping
+  * contract must land in both.
   */
 private[sources] class DocsetPartitionReader(file: String,
     required: StructType) extends PartitionReader[InternalRow] {

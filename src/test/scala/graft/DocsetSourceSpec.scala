@@ -86,6 +86,15 @@ class DocsetSourceSpec extends AnyFunSuite {
         .option("fields", "text,note").load(out)
         .orderBy("id").as[(Long, String, String)].collect().toSeq
       assert(back == rows)
+      // append would collide with the prior write's shard names and
+      // silently replace data — rejected loudly instead
+      val eAppend = intercept[Exception](
+        docs.write.format("xmlpipe2").mode("append").save(out))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(eAppend).exists(_.contains("overwrite")),
+        msgs(eAppend).mkString(" | "))
       // wrong input contract fails loudly at plan time
       val bad = rows.toDF("doc_id", "text", "note")
       val e = intercept[Exception](

@@ -60,6 +60,30 @@ class ExportJoinSpec extends AnyFunSuite {
     assert(got.endsWith("</sphinx:docset>"))
   }
 
+  test("same-named key shorthand keeps ONE key column — later " +
+      "references (projection, formatter) stay unambiguous") {
+    import spark.implicits._
+    case class FrameSource(df: org.apache.spark.sql.DataFrame)
+        extends graft.operators.DocSource {
+      def load(s: org.apache.spark.sql.SparkSession) = df
+    }
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val cfg = ExportConfig(
+      source = ParquetSource(dir, "events"),
+      keys = Seq("event_id"),
+      columns = Seq("event_id", "user_id", "tier"),
+      joins = Seq(JoinSpec(FrameSource(dim), "user_id", "user_id")))
+    // must not throw AMBIGUOUS_REFERENCE; one user_id column survives
+    val docs = Pipeline.docs(spark, cfg)
+    assert(docs.count() ==
+      Tables.load(spark, dir, "events").count())
+    val out = new ByteArrayOutputStream()
+    XmlPipe.writeDocset(docs.orderBy(col("id")).limit(1), out)
+    val got = out.toString(StandardCharsets.UTF_8)
+    // exactly one user_id element per document
+    assert("<user_id>".r.findAllIn(got).size == 1, got.take(400))
+  }
+
   test("join key errors fail loudly on either side") {
     val badLeft = ExportConfig(
       source = ParquetSource(dir, "events"), keys = Seq("event_id"),
