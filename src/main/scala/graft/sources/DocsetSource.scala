@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -78,6 +79,7 @@ private[sources] class DocsetTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   private def path: String = Option(options.get("path"))
     .getOrElse(throw new IllegalArgumentException(
@@ -197,6 +199,55 @@ private[sources] class DocsetScan(required: StructType, path: String)
     DocsetSource.shardFiles(path).map(DocsetPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsetReaderFactory(required)
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new DocsetMicroBatchStream(required, path)
+}
+
+/** Streaming read — continuous docset ingestion (`readStream.format
+  * ("xmlpipe2")`): each micro-batch picks up the shard files that
+  * landed since the last one. The offset is the lexicographically
+  * LARGEST file name processed so far; correctness therefore requires
+  * producers to land files under lexicographically increasing names —
+  * exactly what [[graft.operators.XmlPipe.writeStreamingDocsets]]'
+  * `batch_<id>` naming and any timestamped landing convention give —
+  * and files must be immutable once visible (land-then-rename, the
+  * convention every writer in this engine follows). A file sorting
+  * BELOW the watermark is never read; producers that cannot promise
+  * ordered names should land through the batch connector instead.
+  * The offset serializes as the plain name string, so checkpoints
+  * are human-readable and restarts resume after the watermark.
+  */
+private[sources] case class DocsetNameOffset(name: String) extends Offset {
+  override def json(): String = name
+}
+
+private[sources] class DocsetMicroBatchStream(required: StructType,
+    path: String) extends MicroBatchStream {
+  private def filesAfter(watermark: String): Seq[String] =
+    DocsetSource.shardFiles(path)
+      .filter(f => fileName(f) > watermark)
+  private def fileName(f: String): String = new java.io.File(f).getName
+
+  override def initialOffset(): Offset = DocsetNameOffset("")
+  override def latestOffset(): Offset = {
+    val fs = DocsetSource.shardFiles(path)
+    DocsetNameOffset(if (fs.isEmpty) "" else fs.map(fileName).max)
+  }
+  override def deserializeOffset(json: String): Offset =
+    DocsetNameOffset(json)
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[DocsetNameOffset].name
+    val hi = end.asInstanceOf[DocsetNameOffset].name
+    DocsetSource.shardFiles(path)
+      .filter(f => fileName(f) > lo && fileName(f) <= hi)
+      .map(DocsetPartition.apply).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocsetReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class DocsetPartition(file: String)
