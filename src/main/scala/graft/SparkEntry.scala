@@ -1452,6 +1452,21 @@ object SparkEntry {
                             shingle_hashes(split(text, ' '), 3)) AS self_shared
         FROM graft_documents ORDER BY doc_id""")
     }),
+    "q_udtf" -> ((s, dir) => {
+      // the UDTF leg of the UDF/UDAF/UDTF surface: chunk_text is a
+      // registered Catalyst Generator, so it resolves in the SQL
+      // table-function position (LATERAL VIEW) like explode — one
+      // (chunk_id, chunk) row per overlapping 120-char window,
+      // bit-identical to the relational TextStats.chunk formulation
+      // (which stays codegen'd and is the scale path; this proves the
+      // SQL-surface capability)
+      t(s, dir, "documents").createOrReplaceTempView("graft_docs_udtf")
+      s.sql("""
+        SELECT doc_id, c.chunk_id, c.chunk
+        FROM graft_docs_udtf
+        LATERAL VIEW chunk_text(text, 120, 30) c AS chunk_id, chunk
+        ORDER BY doc_id, chunk_id""")
+    }),
 
     "text_normalize" -> ((s, dir) => {
       // Unicode hygiene: append decomposed (e+U+0301, o+U+0308) and
@@ -2989,6 +3004,16 @@ object SparkEntry {
                / 100.0 AS wmean_price,
              count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // stride = 120 - 30 = 90; n_chunks = ceil((len - overlap)/stride),
+    // min 1 — the same closed form the generator and TextStats.chunk use
+    "q_udtf" -> """
+      WITH c AS (SELECT doc_id, text,
+          greatest(1, (length(text) - 30 + 89) // 90) AS n_chunks
+        FROM documents)
+      SELECT doc_id, i AS chunk_id,
+             substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
+      FROM c, UNNEST(range(0, n_chunks)) AS t(i)
+      ORDER BY doc_id, chunk_id""",
     // chr(769)/chr(776) are the combining acute/diaeresis — DuckDB's
     // utf8proc implements the same UAX #15 tables as java.text.Normalizer.
     // (no line may START with || — oracleSql's stripMargin eats a

@@ -66,6 +66,14 @@ package object functions {
   def strip_accents(c: Column): Column =
     Bridge.column(StripAccentsExpr(Bridge.expression(c.cast("string"))))
 
+  /** UDTF: overlapping character-window chunks as generated rows
+    * `(chunk_id, chunk)` — use inside `select` like `explode`:
+    * `docs.select($"doc_id", chunk_text($"text", 120, 30))`.
+    */
+  def chunk_text(c: Column, size: Int, overlap: Int): Column =
+    Bridge.column(ChunkTextGen(
+      Bridge.expression(c.cast("string")), size, overlap))
+
   /** Sign-random-projection LSH bucket id of an array<double>;
     * `planeOffset` selects an independent LSH table's planes.
     */
@@ -114,7 +122,11 @@ package object functions {
     "char_ngrams" -> { case Seq(c, n) => CharNgramsExpr(c, litInt(n, "n")) },
     "char_collision" -> { case Seq(c) => CharCollisionExpr(c) },
     "nfc_normalize" -> { case Seq(c) => NfcNormalizeExpr(c) },
-    "strip_accents" -> { case Seq(c) => StripAccentsExpr(c) })
+    "strip_accents" -> { case Seq(c) => StripAccentsExpr(c) },
+    // the UDTF leg of the surface: resolves under LATERAL VIEW /
+    // generator positions because the built expression IS a Generator
+    "chunk_text" -> { case Seq(c, s, o) =>
+      ChunkTextGen(c, litInt(s, "size"), litInt(o, "overlap")) })
 
   /** Register graft's expressions as SQL functions on a session, so
     * `spark.sql` text queries can call them: sdbm_hash(seed, s),
