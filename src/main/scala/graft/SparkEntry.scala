@@ -1467,6 +1467,44 @@ object SparkEntry {
         LATERAL VIEW chunk_text(text, 120, 30) c AS chunk_id, chunk
         ORDER BY doc_id, chunk_id""")
     }),
+    "q_variant" -> ((s, dir) => {
+      // Spark 4 native semi-structured ingestion: compose a nested
+      // JSON doc (deterministic fixture injection, like the scrub
+      // queries), parse ONCE to VARIANT, extract typed fields by
+      // path at query time — the open-schema shape where no schema
+      // is declared up front and each field is typed at extraction.
+      // Extracted outputs are plain scalars so the DuckDB JSON twin
+      // hash-compares; the VARIANT stays internal (parquet has no
+      // comparable physical rendering). try_variant_get probes a
+      // missing path → null, not failure.
+      val ev = t(s, dir, "events")
+      val j = concat(lit("""{"meta":{"type":""""), col("event_type"),
+        lit("""","uid":"""), col("user_id"),
+        lit("""},"payload":"""), col("props"), lit("}"))
+      ev.select(col("event_id"), parse_json(j).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.meta.type", "string").as("etype"),
+          variant_get(col("v"), "$.meta.uid", "bigint").as("uid"),
+          variant_get(col("v"), "$.payload.k", "bigint").as("k"),
+          try_variant_get(col("v"), "$.payload.missing", "bigint")
+            .as("missing"))
+        .orderBy(col("event_id"))
+    }),
+    "q_variant_agg" -> ((s, dir) => {
+      // variant extractions flow through relational ops like any
+      // column: group by a path extraction, sum another — proving
+      // VARIANT composes with the agg pipeline (partial+final hash
+      // agg), not just row-at-a-time projection
+      val ev = t(s, dir, "events")
+      val j = concat(lit("""{"meta":{"type":""""), col("event_type"),
+        lit("""","uid":"""), col("user_id"),
+        lit("""},"payload":"""), col("props"), lit("}"))
+      ev.select(parse_json(j).as("v"))
+        .groupBy(variant_get(col("v"), "$.meta.type", "string").as("etype"))
+        .agg(sum(variant_get(col("v"), "$.payload.k", "bigint")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy(col("etype"))
+    }),
 
     "text_normalize" -> ((s, dir) => {
       // Unicode hygiene: append decomposed (e+U+0301, o+U+0308) and
@@ -3014,6 +3052,27 @@ object SparkEntry {
              substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
       FROM c, UNNEST(range(0, n_chunks)) AS t(i)
       ORDER BY doc_id, chunk_id""",
+    // DuckDB's JSON path functions are the oracle twin of Spark's
+    // VARIANT extraction; both engines see the identical composed doc
+    "q_variant" -> """
+      WITH j AS (SELECT event_id,
+          concat('{"meta":{"type":"', event_type, '","uid":', user_id,
+                 '},"payload":', props, '}') AS v FROM events)
+      SELECT event_id,
+             json_extract_string(v, '$.meta.type') AS etype,
+             CAST(json_extract(v, '$.meta.uid') AS BIGINT) AS uid,
+             CAST(json_extract(v, '$.payload.k') AS BIGINT) AS k,
+             CAST(json_extract(v, '$.payload.missing') AS BIGINT) AS missing
+      FROM j ORDER BY event_id""",
+    "q_variant_agg" -> """
+      WITH j AS (SELECT
+          concat('{"meta":{"type":"', event_type, '","uid":', user_id,
+                 '},"payload":', props, '}') AS v FROM events)
+      SELECT json_extract_string(v, '$.meta.type') AS etype,
+             CAST(sum(CAST(json_extract(v, '$.payload.k') AS BIGINT))
+               AS BIGINT) AS k_sum,
+             count(*) AS n
+      FROM j GROUP BY 1 ORDER BY etype""",
     // chr(769)/chr(776) are the combining acute/diaeresis — DuckDB's
     // utf8proc implements the same UAX #15 tables as java.text.Normalizer.
     // (no line may START with || — oracleSql's stripMargin eats a
