@@ -602,8 +602,18 @@ object EventsStream {
     else loUs + (hiUs - loUs) / 2
   }
 
-  def sessionizeToCompletion(spark0: SparkSession, dir: String,
-      gapMinutes: Int = 30): DataFrame = {
+  /** Shared sentinel-replay harness for the sessionizer twins: both
+    * the flatMapGroupsWithState and the transformWithState sessionizer
+    * consume the identical watermarked typed stream and emit the same
+    * `(user_id, start_us, end_us, n_events)` rows — only the stateful
+    * operator in the middle differs, so the replay plumbing (chunk
+    * split bisecting an open session, far-future sentinel flushing
+    * open state) lives here once.
+    */
+  private def sessionReplay(spark0: SparkSession, dir: String,
+      gapMinutes: Int, qname: String)(
+      stateful: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Long, Long)] =>
+        org.apache.spark.sql.Dataset[(Long, Long, Long, Long)]): DataFrame = {
     val spark = streamSession(spark0)
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -640,7 +650,7 @@ object EventsStream {
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-replay").toFile
 
-    val sessions = spark.readStream.schema(ev.schema)
+    val src = spark.readStream.schema(ev.schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
       .parquet(replayDir.toString)
@@ -651,46 +661,7 @@ object EventsStream {
       .select(col("user_id"), col("ts"),
         unix_micros(col("ts")).as("us"), col("event_id"))
       .as[(Long, java.sql.Timestamp, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Long)],
-            state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last+gap with no new events: session over
-            val (start, last, n) = state.get
-            state.remove()
-            Iterator.single((uid, start, last, n))
-          } else {
-            val evs = it.map(e => (e._3, e._4)).toVector.sorted
-            if (evs.isEmpty) Iterator.empty
-            else {
-              val out = Vector.newBuilder[(Long, Long, Long, Long)]
-              var (start, last, n) =
-                state.getOption.getOrElse((evs.head._1, evs.head._1, 0L))
-              for (e <- evs) {
-                if (e._1 - last > gapUs) {
-                  out += ((uid, start, last, n))
-                  start = e._1
-                  n = 0L
-                }
-                last = e._1
-                n += 1
-              }
-              state.update((start, last, n))
-              // fires once the watermark (event time) passes the gap;
-              // always > current watermark because `last` comes from a
-              // row this batch accepted. Ceiling µs→ms: flooring could
-              // fire up to 999µs early and split a session whose
-              // boundary event (ts-last == gap exactly) is still in
-              // flight on an out-of-order stream.
-              state.setTimeoutTimestamp(
-                (last + 999L) / 1000L + gapMinutes * 60L * 1000L)
-              out.result().iterator
-            }
-          }
-      }
-    val qname = "graft_events_sessions"
+    val sessions = stateful(src)
     val q = sessions
       .toDF("user_id", "start_us", "end_us", "n_events")
       .writeStream.outputMode("append").format("memory").queryName(qname)
@@ -717,5 +688,137 @@ object EventsStream {
       .select(col("user_id"),
         timestamp_micros(col("start_us")).as("session_start"),
         timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
+  }
+
+  def sessionizeToCompletion(spark0: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionReplay(spark0, dir, gapMinutes, "graft_events_sessions") { src =>
+      import src.sparkSession.implicits._
+      val gapUs = gapMinutes * 60L * 1000000L
+      src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+              state: GroupState[(Long, Long, Long)]) =>
+            if (state.hasTimedOut) {
+              // watermark passed last+gap with no new events: session over
+              val (start, last, n) = state.get
+              state.remove()
+              Iterator.single((uid, start, last, n))
+            } else {
+              val evs = it.map(e => (e._3, e._4)).toVector.sorted
+              if (evs.isEmpty) Iterator.empty
+              else {
+                val out = Vector.newBuilder[(Long, Long, Long, Long)]
+                var (start, last, n) =
+                  state.getOption.getOrElse((evs.head._1, evs.head._1, 0L))
+                for (e <- evs) {
+                  if (e._1 - last > gapUs) {
+                    out += ((uid, start, last, n))
+                    start = e._1
+                    n = 0L
+                  }
+                  last = e._1
+                  n += 1
+                }
+                state.update((start, last, n))
+                // fires once the watermark (event time) passes the gap;
+                // always > current watermark because `last` comes from a
+                // row this batch accepted. Ceiling µs→ms: flooring could
+                // fire up to 999µs early and split a session whose
+                // boundary event (ts-last == gap exactly) is still in
+                // flight on an out-of-order stream.
+                state.setTimeoutTimestamp(
+                  (last + 999L) / 1000L + gapMinutes * 60L * 1000L)
+                out.result().iterator
+              }
+            }
+        }
+    }
+
+  /** The transformWithState sessionizer — Spark 4's arbitrary-state
+    * API (the successor of flatMapGroupsWithState, SPARK-49564):
+    * typed ValueState holds the open session, an explicit event-time
+    * TIMER (registerTimer/handleExpiredTimer, replacing the single
+    * implicit GroupStateTimeout) closes it once the watermark passes
+    * last+gap. Same stream in, same rows out as
+    * [[sessionizeToCompletion]] — both share the batch sessionizer's
+    * oracle — but state and timers are first-class handles the
+    * processor composes (a processor can hold several named states;
+    * the old API allowed exactly one state value and one timeout).
+    * Runs on the RocksDB provider like every stateful twin here.
+    */
+  def sessionizeTwsToCompletion(spark0: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame =
+    sessionReplay(spark0, dir, gapMinutes, "graft_events_sessions_tws") { src =>
+      import org.apache.spark.sql.streaming.TimeMode
+      import src.sparkSession.implicits._
+      src.groupByKey(_._1)
+        .transformWithState(
+          new SessionProcessor(gapMinutes),
+          TimeMode.EventTime(),
+          OutputMode.Append())
+    }
+
+  /** StatefulProcessor for [[sessionizeTwsToCompletion]]. State layout:
+    * one ValueState `(start_us, last_us, n_events, timer_ms)` per user.
+    * Each batch merges its (sorted) events into the open session,
+    * emitting every session the gap closes mid-batch; the previous
+    * timer is explicitly deleted and one new timer is registered at
+    * ceil(last µs→ms) + gap — when it expires (watermark-driven, Spark
+    * runs the no-data batch), the open session flushes. The stored
+    * timer_ms double-checks expiry against state so a stale timer that
+    * raced a concurrent update can never emit a half-merged session.
+    */
+  private[streaming] class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var session: ValueState[(Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[(Long, Long, Long, Long)]("session",
+        org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+        TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val evs = rows.map(e => (e._3, e._4)).toVector.sorted
+      if (evs.isEmpty) return Iterator.empty
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      var (start, last, n, oldTimer) =
+        if (session.exists()) session.get()
+        else (evs.head._1, evs.head._1, 0L, -1L)
+      for (e <- evs) {
+        if (e._1 - last > gapUs) {
+          out += ((uid, start, last, n))
+          start = e._1
+          n = 0L
+        }
+        last = e._1
+        n += 1
+      }
+      if (oldTimer >= 0L) getHandle.deleteTimer(oldTimer)
+      // ceiling µs→ms like the GroupState twin: flooring could fire up
+      // to 999µs early and split a session whose boundary event is
+      // still in flight on an out-of-order stream
+      val timer = (last + 999L) / 1000L + gapMinutes * 60L * 1000L
+      getHandle.registerTimer(timer)
+      session.update((start, last, n, timer))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+      if (session.exists()) {
+        val (start, last, n, timer) = session.get()
+        if (timer == expired.getExpiryTimeInMs) {
+          session.clear()
+          Iterator.single((uid, start, last, n))
+        } else Iterator.empty
+      } else Iterator.empty
   }
 }

@@ -91,6 +91,22 @@ class OperatorsSpec extends AnyFunSuite {
       "the cross-batch state path is untested by this fixture")
   }
 
+  test("transformWithState sessionize equals batch sessionize (typed " +
+      "ValueState + explicit event-time timers, RocksDB provider)") {
+    import spark.implicits._
+    val batch = Events.sessionize(Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .sessionizeTwsToCompletion(spark, dir)
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(stream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("asof join: latest right row at-or-before, null when none precedes") {
     import spark.implicits._
     import graft.operators.AsOfJoin
