@@ -1216,6 +1216,15 @@ object SparkEntry {
       graft.streaming.EventsStream.attributionOuterToCompletion(s, dir)
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+    "events_stream_attribution_full" -> ((s, dir) => {
+      // stream-stream FULL OUTER interval join: unmatched clicks AND
+      // unmatched purchases emit null-sided rows, each flushed by its
+      // own watermark-driven state eviction — the last cell of the
+      // streaming join matrix
+      graft.streaming.EventsStream.attributionFullOuterToCompletion(s, dir)
+        .orderBy(col("click_id").asc_nulls_first,
+          col("purchase_id").asc_nulls_first)
+    }),
 
     // ---- north star: multimodal column plumbing ----
     "multimodal_meta" -> ((s, dir) => {
@@ -2709,6 +2718,18 @@ object SparkEntry {
         ON c.user_id = p.user_id
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY click_id, purchase_id NULLS FIRST""",
+    // full outer adds the purchase-only rows: click_id is now nullable
+    // too, so BOTH sort keys pin NULLS FIRST (Spark's asc default;
+    // DuckDB defaults to NULLS LAST)
+    "events_stream_attribution_full" -> """
+      SELECT coalesce(c.user_id, p.user_id) AS user_id,
+             c.event_id AS click_id, p.event_id AS purchase_id,
+             epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""",
     // >= on the gap (session_window's [ts, ts+gap) semantics), where
     // events_sessionize uses >
     "events_session_window" -> sessionWindowSql,

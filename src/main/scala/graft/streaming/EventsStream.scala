@@ -395,7 +395,8 @@ object EventsStream {
     */
   private[graft] def attributionOuterStart(spark: SparkSession,
       schema: org.apache.spark.sql.types.StructType, replayDir: String,
-      qname: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      qname: String, joinType: String = "leftOuter")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "*.parquet")
       .option("maxFilesPerTrigger", "1")
@@ -413,9 +414,11 @@ object EventsStream {
       col("c_user") === col("p_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-      "leftOuter")
-      .select(col("c_user").as("user_id"), col("click_id"),
-        col("purchase_id"),
+      joinType)
+      // coalesce is an identity under leftOuter (c_user never null) and
+      // picks the surviving side under fullOuter's purchase-only rows
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
           .as("lag_us"),
         col("value"))
@@ -424,7 +427,28 @@ object EventsStream {
   }
 
   def attributionOuterToCompletion(spark0: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    attributionOuterCompletion(spark0, dir, "leftOuter",
+      "graft_events_stream_attribution_outer")
+
+  /** Stream-stream FULL OUTER interval join — the last cell of the
+    * streaming join matrix: matched pairs emit eagerly; an unmatched
+    * CLICK emits (click, null) once the watermark passes its interval
+    * upper bound (as in the left-outer twin); an unmatched PURCHASE
+    * emits (null, purchase) once the click-side watermark proves no
+    * click in `[purchase_ts − 1 h, purchase_ts]` can still arrive.
+    * Both null-side flushes are watermark-driven, so the one sentinel
+    * pair (two out-of-band users, so the sentinels cannot join each
+    * other) clears both states. Oracle: the batch FULL JOIN with the
+    * same interval predicate.
+    */
+  def attributionFullOuterToCompletion(spark0: SparkSession,
+      dir: String): DataFrame =
+    attributionOuterCompletion(spark0, dir, "fullOuter",
+      "graft_events_stream_attribution_full")
+
+  private def attributionOuterCompletion(spark0: SparkSession,
+      dir: String, joinType: String, qname: String): DataFrame = {
     val spark = streamSession(spark0)
     import spark.implicits._
     val ev = graft.Tables.load(spark, dir, "events")
@@ -455,8 +479,8 @@ object EventsStream {
       new java.sql.Timestamp((hiUs + 3L * 3600L * 1000000L) / 1000L)
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-attr-replay").toFile
-    val qname = "graft_events_stream_attribution_outer"
-    val q = attributionOuterStart(spark, ev.schema, replayDir.toString, qname)
+    val q = attributionOuterStart(spark, ev.schema, replayDir.toString,
+      qname, joinType)
     try {
       writeChunk(replayDir, ev, "chunk1")
       q.processAllAvailable() // matched pairs emit here

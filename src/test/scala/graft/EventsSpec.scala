@@ -328,6 +328,34 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.exists(_._2.isEmpty), "fixture has no unmatched clicks")
   }
 
+  test("full-outer attribution equals the batch full join and emits " +
+      "BOTH null sides") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"))
+    val batch = c.join(p, col("user_id") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"), "full")
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Option[Long], Option[Long])].collect().toSet
+    val stream = graft.streaming.EventsStream
+      .attributionFullOuterToCompletion(spark, dir)
+      .select(col("click_id"), col("purchase_id"))
+      .as[(Option[Long], Option[Long])].collect().toSeq
+    assert(stream.toSet == batch)
+    assert(stream.size == stream.toSet.size, "row emitted twice")
+    // the full join must contribute BOTH unmatched sides on this
+    // fixture, or the purchase-side eviction path went untested
+    assert(batch.exists(_._2.isEmpty), "fixture has no unmatched clicks")
+    assert(batch.exists(_._1.isEmpty), "fixture has no unmatched purchases")
+  }
+
   test("outer-attribution null rows flush only after the watermark " +
       "passes the click's eviction point") {
     import spark.implicits._
