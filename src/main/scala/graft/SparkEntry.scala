@@ -753,6 +753,14 @@ object SparkEntry {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
     }),
+    "hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval: tf·idf lexical pool + exact-cosine vector
+      // pool fused by integer-quantized reciprocal-rank fusion — the
+      // two-tower search shape with a deterministic BIGINT score
+      Retrieval.hybridTopK(t(s, dir, "documents"),
+        t(s, dir, "embeddings"),
+        Seq("spark", "window", "merge"), queryVecId = 0L)
+    }),
     "quality_filtered" -> ((s, dir) => {
       // default thresholds chosen so every reason fires on the
       // fixture: token bounds cut ~10% each side, lang drops the
@@ -2411,6 +2419,46 @@ object SparkEntry {
       FROM tf f JOIN df d USING (term) CROSS JOIN n
       GROUP BY f.doc_id
       ORDER BY score DESC, f.doc_id LIMIT 10""",
+    // text_search's lexical pool (poolK=20) + sim_topk's cosine pool
+    // for query vector 0, fused: rrf = Σ 1e6 // (60 + rank), BIGINT
+    "hybrid_search" -> s"""
+      WITH $qEmbSql,
+      toks AS (SELECT doc_id, w AS term
+               FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+               WHERE w IN ('spark', 'window', 'merge')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nc AS (SELECT count(*) AS n_corpus FROM documents),
+      lexpool AS (SELECT f.doc_id,
+               CAST(sum(f.tf * ((1000000 * (nc.n_corpus + 1)) // (d.df + 1)))
+                 AS BIGINT) AS score
+             FROM tf f JOIN df d USING (term) CROSS JOIN nc
+             GROUP BY f.doc_id
+             ORDER BY score DESC, f.doc_id LIMIT 20),
+      lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+              FROM lexpool),
+      vs AS (SELECT b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+             FROM e a JOIN e b ON a.i = b.i
+               AND a.vec_id = 0 AND b.vec_id <> 0
+             GROUP BY 1),
+      vc AS (SELECT neighbor_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                 AS cosine
+             FROM vs JOIN n na ON na.vec_id = 0
+                     JOIN n nb ON nb.vec_id = neighbor_id),
+      vrk AS (SELECT neighbor_id, vec_rank FROM
+               (SELECT neighbor_id, row_number() OVER
+                  (ORDER BY cosine DESC, neighbor_id) AS vec_rank
+                FROM vc) r
+              WHERE vec_rank <= 20)
+      SELECT coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(1000000 // (60 + l.lex_rank), 0) +
+               coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_micros
+      FROM lex l FULL JOIN vrk v ON l.doc_id = v.neighbor_id
+      ORDER BY rrf_micros DESC, doc_id LIMIT 10""",
     "text_keywords" -> """
       WITH t AS (SELECT doc_id, w AS term
                  FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hybrid RRF fusion: both-pool docs outrank single-pool docs, a
+  * single-leg doc carries a null rank for the missing leg, the score
+  * is an exact integer, and results are partitioning-independent.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // doc 1 matches the query terms AND is the closest vector; doc 2 is
+  // lexical-only; doc 3 is vector-only; doc 4 is in neither pool.
+  // vec_id 0 is the query vector.
+  private def fixtures = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window merge spark"),
+      (2L, "spark merge plan"),
+      (3L, "nothing relevant here"),
+      (4L, "also irrelevant text")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // cosine ≈ 0.994 → vec rank 1
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(0.7f, 0.3f, 0.0f)),   // cosine ≈ 0.919 → vec rank 2
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    (docs, embs)
+  }
+
+  test("doc in both pools wins; single-leg docs carry a null rank") {
+    val (docs, embs) = fixtures
+    val out = Retrieval.hybridTopK(docs, embs,
+      Seq("spark", "window", "merge"), queryVecId = 0L, poolK = 2).collect()
+    assert(out.head.getLong(0) === 1L) // both-pool doc fuses highest
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toMap
+    assert(byId(1L)._1.isDefined && byId(1L)._2.isDefined)
+    assert(byId(2L)._1.isDefined && byId(2L)._2.isEmpty)  // lexical only
+    assert(byId(3L)._1.isEmpty && byId(3L)._2.isDefined)  // vector only
+    assert(!byId.contains(4L))
+    // exact integer RRF: rank 1 both legs = 2 * (1e6 div 61)
+    assert(byId(1L)._3 === 2L * (1000000L / 61L))
+  }
+
+  test("fusion is partitioning-independent") {
+    val (docs, embs) = fixtures
+    val a = Retrieval.hybridTopK(docs.repartition(1), embs.repartition(1),
+      Seq("spark", "merge"), 0L).collect().toSeq
+    val b = Retrieval.hybridTopK(docs.repartition(7), embs.repartition(5),
+      Seq("spark", "merge"), 0L).collect().toSeq
+    assert(a === b)
+  }
+}
