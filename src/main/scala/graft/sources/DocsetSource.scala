@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -181,24 +181,104 @@ private[sources] class DocsetShardWriter(docIdx: Int, path: String,
   override def close(): Unit = ()
 }
 
-private[sources] class DocsetScanBuilder(full: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = full
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new DocsetScan(required, path)
+/** Conjunctive bound on the document id, compiled from the pushed
+  * filters. The id is the cheapest field in a fragment — it is parsed
+  * from the fragment PREFIX before any element extraction or entity
+  * unescaping — so a pushed id predicate lets the reader skip
+  * non-matching documents at ~zero cost (the text-format analog of
+  * parquet row-group skipping). Pushdown is advisory, parquet-style:
+  * Spark re-evaluates every filter post-scan, so a bound here can
+  * only skip rows the filter would drop anyway.
+  */
+private[sources] case class DocsetIdBound(lo: Long = Long.MinValue,
+    hi: Long = Long.MaxValue, in: Option[Set[Long]] = None) {
+  def matches(id: Long): Boolean =
+    id >= lo && id <= hi && in.forall(_.contains(id))
+  def isTrivial: Boolean =
+    lo == Long.MinValue && hi == Long.MaxValue && in.isEmpty
+  override def toString: String = {
+    val parts =
+      (if (lo != Long.MinValue) Seq(s"id >= $lo") else Nil) ++
+      (if (hi != Long.MaxValue) Seq(s"id <= $hi") else Nil) ++
+      in.map(s => s"id IN {${s.toSeq.sorted.mkString(",")}}").toSeq
+    parts.mkString(" AND ")
+  }
 }
 
-private[sources] class DocsetScan(required: StructType, path: String)
-    extends Scan with Batch {
+private[sources] object DocsetIdBound {
+  import org.apache.spark.sql.sources._
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None // non-integral comparands stay post-scan only
+  }
+
+  /** (bound, accepted) — filters not on `id` or not representable
+    * stay unaccepted and are evaluated by Spark alone.
+    */
+  def compile(filters: Array[Filter]): (DocsetIdBound, Array[Filter]) =
+    filters.foldLeft((DocsetIdBound(), Array.empty[Filter])) {
+      case ((b, acc), f) =>
+        val next = f match {
+          case EqualTo("id", v) =>
+            asLong(v).map(l => b.copy(lo = b.lo max l, hi = b.hi min l))
+          case GreaterThan("id", v) =>
+            asLong(v).map(l => b.copy(lo = b.lo max (l + 1)))
+          case GreaterThanOrEqual("id", v) =>
+            asLong(v).map(l => b.copy(lo = b.lo max l))
+          case LessThan("id", v) =>
+            asLong(v).map(l => b.copy(hi = b.hi min (l - 1)))
+          case LessThanOrEqual("id", v) =>
+            asLong(v).map(l => b.copy(hi = b.hi min l))
+          case In("id", vs) =>
+            val ls = vs.flatMap(asLong)
+            if (ls.length == vs.length)
+              Some(b.copy(in = Some(b.in.fold(ls.toSet)(_ intersect ls.toSet))))
+            else None
+          case _ => None
+        }
+        next.fold((b, acc))(nb => (nb, acc :+ f))
+    }
+}
+
+private[sources] class DocsetScanBuilder(full: StructType, path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var bound: DocsetIdBound = DocsetIdBound()
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (b, acc) = DocsetIdBound.compile(filters)
+    bound = b
+    accepted = acc
+    // return ALL filters as residual: the bound only skips rows the
+    // filters would drop, so Spark's re-evaluation keeps every
+    // non-representable predicate (and the accepted ones) exact
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    accepted
+  override def build(): Scan = new DocsetScan(required, path, bound)
+}
+
+private[sources] class DocsetScan(required: StructType, path: String,
+    bound: DocsetIdBound = DocsetIdBound()) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"xmlpipe2 $path ${required.fieldNames.mkString("[", ",", "]")}"
+    s"xmlpipe2 $path ${required.fieldNames.mkString("[", ",", "]")}" +
+      (if (bound.isTrivial) "" else s" PushedIdBound: [$bound]")
   override def planInputPartitions(): Array[InputPartition] =
     DocsetSource.shardFiles(path).map(DocsetPartition.apply).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocsetReaderFactory(required)
+    new DocsetReaderFactory(required, bound)
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new DocsetMicroBatchStream(required, path)
@@ -253,12 +333,13 @@ private[sources] class DocsetMicroBatchStream(required: StructType,
 private[sources] case class DocsetPartition(file: String)
     extends InputPartition
 
-private[sources] class DocsetReaderFactory(required: StructType)
+private[sources] class DocsetReaderFactory(required: StructType,
+    bound: DocsetIdBound = DocsetIdBound())
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new DocsetPartitionReader(
-      partition.asInstanceOf[DocsetPartition].file, required)
+      partition.asInstanceOf[DocsetPartition].file, required, bound)
 }
 
 /** Streams one shard: fragments split on the document open tag, one
@@ -272,7 +353,8 @@ private[sources] class DocsetReaderFactory(required: StructType)
   * contract must land in both.
   */
 private[sources] class DocsetPartitionReader(file: String,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, bound: DocsetIdBound = DocsetIdBound())
+    extends PartitionReader[InternalRow] {
   private val fragments: Iterator[String] = {
     val content = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)),
@@ -282,9 +364,20 @@ private[sources] class DocsetPartitionReader(file: String,
   }
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!fragments.hasNext) false
-    else { current = parse(fragments.next()); true }
+  override def next(): Boolean = {
+    // pushed id bound: decide on the fragment PREFIX (the id
+    // attribute) before paying element extraction + unescape for a
+    // document the filter would drop anyway
+    while (fragments.hasNext) {
+      val frag = fragments.next()
+      if (bound.matches(
+          java.lang.Long.parseLong(frag.takeWhile(_ != '"')))) {
+        current = parse(frag)
+        return true
+      }
+    }
+    false
+  }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 

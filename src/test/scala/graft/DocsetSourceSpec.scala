@@ -60,6 +60,42 @@ class DocsetSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("id-filter pushdown: bounds skip fragments in the reader, the " +
+      "scan advertises them, and semantics stay exact") {
+    import spark.implicits._
+    withDocset(rows) { out =>
+      def ds = spark.read.format("xmlpipe2")
+        .option("fields", "text,note").load(out)
+      // every representable shape, each against a plain-filter twin
+      val cases = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        _ === 2L, _ >= 3L, _ > 1L, _ <= 2L, _ < 3L, _.isin(1L, 4L, 99L))
+      for (mk <- cases) {
+        val got = ds.filter(mk(col("id"))).orderBy("id")
+          .as[(Long, String, String)].collect().toSeq
+        // twin: the same predicate over the in-memory rows, so the
+        // expected set comes from Spark itself rather than a re-
+        // implementation of each comparison
+        val twin = rows.toDF("id", "text", "note")
+          .filter(mk(col("id"))).orderBy("id")
+          .as[(Long, String, String)].collect().toSeq
+        assert(got == twin, s"pushdown changed semantics (got $got)")
+      }
+      // the executed scan advertises the bound (conjunction of range
+      // + IN), and a non-id predicate is NOT claimed
+      val q = ds.filter(col("id") >= 2L && col("id") < 4L &&
+        col("note") =!= "x&y")
+      val desc = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.mkString("\n")
+      // the exact bound string also proves the note predicate was NOT
+      // claimed (it would have to appear inside the brackets)
+      assert(desc.contains("PushedIdBound: [id >= 2 AND id <= 3]"), desc)
+      assert(q.orderBy("id").as[(Long, String, String)].collect().toSeq ==
+        Seq((3L, "line one\nline two", "")))
+    }
+  }
+
   test("write side: df.write.format(\"xmlpipe2\") lands well-formed " +
       "shards, overwrite truncates, and the read side round-trips it") {
     import spark.implicits._
