@@ -1175,6 +1175,14 @@ object SparkEntry {
       graft.streaming.EventsStream.tumblingAppendToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
     }),
+    "events_state_inspect" -> ((s, dir) => {
+      // offline state introspection: the tumbling count's RocksDB
+      // checkpoint read back via format("statestore") with no query
+      // running — complete-mode drain leaves state == final aggregate,
+      // so the batch GROUP BY is the oracle
+      graft.streaming.EventsStream.stateInspect(s, dir)
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     "events_stream_sliding" -> ((s, dir) => {
       graft.streaming.EventsStream.slidingToCompletion(s, dir)
         .orderBy(col("window_start"))
@@ -2572,6 +2580,12 @@ object SparkEntry {
       SELECT date_trunc('hour', ts) AS window_start, event_type,
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the state read-back after a complete-mode drain IS the final
+    // aggregate — the plain GROUP BY checks the introspection path
+    "events_state_inspect" -> """
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // append-mode twin: identical final table once the sentinel closes
     // every real window

@@ -118,6 +118,53 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Offline state introspection — Spark's State Data Source
+    * (`spark.read.format("statestore")`, SPARK-45511): run the
+    * tumbling count to a REAL checkpoint, stop the query, then read
+    * the aggregation state back from the checkpoint files with no
+    * streaming query running. In complete mode a full drain leaves
+    * state == the final aggregate, so the read-back is oracle-checkable
+    * against the batch GROUP BY — proving the operational surface a
+    * 100 TB deployment leans on for debugging stuck state, auditing
+    * skewed keys, and seeding migrations, and proving it against the
+    * RocksDB provider's checkpoint layout (the session default here).
+    * Key/value struct field names come from the checkpoint schema, not
+    * hard-coded (Spark names computed grouping keys internally).
+    */
+  def stateInspect(spark0: SparkSession, dir: String,
+      width: String = "1 hour"): DataFrame = {
+    val spark = streamSession(spark0)
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft-state-ckpt").toFile
+    val agg = source(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val qname = "graft_events_state_inspect"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", ckptDir.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val st = spark.read.format("statestore")
+      .option("path", ckptDir.toString).load()
+    val keyFields = st.schema("key").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val valFields = st.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val out = st.select(
+        col(s"key.${keyFields(0)}.start").as("window_start"),
+        col(s"key.${keyFields(1)}").as("event_type"),
+        col(s"value.${valFields(0)}").as("n"))
+      // materialize before the checkpoint dir is deleted (the state
+      // source reads its files lazily); Bench/Verify sweep the blocks
+      .localCheckpoint()
+    deleteRec(ckptDir)
+    out
+  }
+
   /** APPEND-mode tumbling aggregation — the production output mode for
     * file/queue sinks: a window row is emitted exactly once, when the
     * watermark passes its end and the window CLOSES (complete mode, by

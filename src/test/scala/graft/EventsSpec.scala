@@ -138,6 +138,22 @@ class EventsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("state data source reads a stopped query's aggregation state " +
+      "back from the RocksDB checkpoint, equal to the batch aggregate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val fromState = graft.streaming.EventsStream.stateInspect(spark, dir)
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = Events.tumbling(Tables.load(spark, dir, "events"))
+      .select(col("window_start").cast("string"), col("event_type"),
+        col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(fromState == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("Trigger.AvailableNow runs as an incremental job: first run " +
       "drains the backlog and stops, second run processes only the " +
       "delta from the checkpoint") {
