@@ -756,7 +756,10 @@ object SparkEntry {
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval: tf·idf lexical pool + exact-cosine vector
       // pool fused by integer-quantized reciprocal-rank fusion — the
-      // two-tower search shape with a deterministic BIGINT score
+      // two-tower search shape with a deterministic BIGINT score.
+      // (the vector pool's BNLJ carries a ONE-row build side — the
+      // single query vector — same adjudicated shape as the other
+      // single-row broadcasts)
       Retrieval.hybridTopK(t(s, dir, "documents"),
         t(s, dir, "embeddings"),
         Seq("spark", "window", "merge"), queryVecId = 0L)
@@ -1514,7 +1517,8 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val j = concat(lit("""{"meta":{"type":""""), col("event_type"),
         lit("""","uid":"""), col("user_id"),
-        lit("""},"payload":"""), col("props"), lit("}"))
+        lit("""},"payload":"""),
+        coalesce(col("props"), lit("{}")), lit("}"))
       ev.select(col("event_id"), parse_json(j).as("v"))
         .select(col("event_id"),
           variant_get(col("v"), "$.meta.type", "string").as("etype"),
@@ -1532,7 +1536,8 @@ object SparkEntry {
       val ev = t(s, dir, "events")
       val j = concat(lit("""{"meta":{"type":""""), col("event_type"),
         lit("""","uid":"""), col("user_id"),
-        lit("""},"payload":"""), col("props"), lit("}"))
+        lit("""},"payload":"""),
+        coalesce(col("props"), lit("{}")), lit("}"))
       ev.select(parse_json(j).as("v"))
         .groupBy(variant_get(col("v"), "$.meta.type", "string").as("etype"))
         .agg(sum(variant_get(col("v"), "$.payload.k", "bigint")).as("k_sum"),
@@ -3165,7 +3170,7 @@ object SparkEntry {
     "q_variant" -> """
       WITH j AS (SELECT event_id,
           concat('{"meta":{"type":"', event_type, '","uid":', user_id,
-                 '},"payload":', props, '}') AS v FROM events)
+                 '},"payload":', coalesce(props, '{}'), '}') AS v FROM events)
       SELECT event_id,
              json_extract_string(v, '$.meta.type') AS etype,
              CAST(json_extract(v, '$.meta.uid') AS BIGINT) AS uid,
@@ -3175,7 +3180,7 @@ object SparkEntry {
     "q_variant_agg" -> """
       WITH j AS (SELECT
           concat('{"meta":{"type":"', event_type, '","uid":', user_id,
-                 '},"payload":', props, '}') AS v FROM events)
+                 '},"payload":', coalesce(props, '{}'), '}') AS v FROM events)
       SELECT json_extract_string(v, '$.meta.type') AS etype,
              CAST(sum(CAST(json_extract(v, '$.payload.k') AS BIGINT))
                AS BIGINT) AS k_sum,

@@ -364,13 +364,16 @@ private[sources] class DocsetPartitionReader(file: String,
   }
   private var current: InternalRow = _
 
+  // no bound pushed → don't even parse the id prefix per fragment
+  private val trivialBound = bound.isTrivial
+
   override def next(): Boolean = {
     // pushed id bound: decide on the fragment PREFIX (the id
     // attribute) before paying element extraction + unescape for a
     // document the filter would drop anyway
     while (fragments.hasNext) {
       val frag = fragments.next()
-      if (bound.matches(
+      if (trivialBound || bound.matches(
           java.lang.Long.parseLong(frag.takeWhile(_ != '"')))) {
         current = parse(frag)
         return true
