@@ -1383,6 +1383,15 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "events_stream_sessionize_warm" -> ((s, dir) => {
+      // batch→streaming cutover: pre-cutover sessions computed in
+      // batch, the open one per user bootstrapped into the stream as
+      // transformWithState INITIAL STATE, post-cutover events
+      // streamed — union equals the all-batch sessionize
+      graft.streaming.EventsStream.sessionizeWarmStartToCompletion(s, dir)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "events_stream_dedup" -> ((s, dir) => {
       graft.streaming.EventsStream.dedupToCompletion(s, dir)
         .orderBy(col("event_type"))
@@ -2944,6 +2953,22 @@ object SparkEntry {
       FROM u JOIN sdbm s ON s.sid = u.norm
       ORDER BY norm""",
     "events_stream_sessionize" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s)
+      SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events
+      FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // the warm-start cutover computes the identical sessions: batch
+    // half + bootstrapped streaming half = the all-batch result
+    "events_stream_sessionize_warm" -> """
       WITH s AS (SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000

@@ -831,23 +831,139 @@ object EventsStream {
           OutputMode.Append())
     }
 
-  /** StatefulProcessor for [[sessionizeTwsToCompletion]]. State layout:
-    * one ValueState `(start_us, last_us, n_events, timer_ms)` per user.
-    * Each batch merges its (sorted) events into the open session,
-    * emitting every session the gap closes mid-batch; the previous
-    * timer is explicitly deleted and one new timer is registered at
-    * ceil(last µs→ms) + gap — when it expires (watermark-driven, Spark
-    * runs the no-data batch), the open session flushes. The stored
-    * timer_ms double-checks expiry against state so a stale timer that
-    * raced a concurrent update can never emit a half-merged session.
+  /** Batch→streaming migration cutover: sessionize everything BEFORE
+    * the cutover instant in batch, hand the still-open session per
+    * user to the streaming sessionizer as transformWithState INITIAL
+    * STATE (`StatefulProcessorWithInitialState`), and stream only the
+    * events after the cutover. Closed pre-cutover sessions are final
+    * batch rows; sessions spanning the cutover are merged from the
+    * bootstrapped state — the union equals the all-batch sessionize,
+    * so the batch window-SQL oracle checks the whole migration path.
+    * This is how a 100 TB deployment turns on streaming without
+    * replaying history or dropping the sessions open at the switch.
     */
-  private[streaming] class SessionProcessor(gapMinutes: Int)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, (Long, java.sql.Timestamp, Long, Long), (Long, Long, Long, Long)] {
+  def sessionizeWarmStartToCompletion(spark0: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val spark = streamSession(spark0)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val delayUs = 3600L * 1000000L
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    if (stats.isNullAt(0)) {
+      ev.unpersist()
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("session_start", TimestampType),
+          StructField("session_end", TimestampType),
+          StructField("n_events", LongType))))
+    }
+    val hiUs = stats.getLong(1)
+    // the cutover bisects an open session (same instant the replay
+    // harness uses), so the bootstrap path is provably exercised
+    val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
+    val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
+
+    // ---- batch half: history up to the cutover ----
+    val pre = graft.operators.Events.sessionize(
+      ev.filter(unix_micros(col("ts")) < midUs), gapMinutes)
+    val rn = row_number().over(Window.partitionBy(col("user_id"))
+      .orderBy(col("session_end").desc))
+    val ranked = pre.withColumn("rn", rn)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every session but the user's LAST is final — no later event can
+    // extend it (the last one might continue across the cutover)
+    // materialized now: the union at the end runs after the caches are
+    // released, and the finals must not recompute the batch sessionize
+    val finals = ranked.filter(col("rn") > 1)
+      .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"), col("n_events"))
+      .localCheckpoint()
+    val initState = ranked.filter(col("rn") === 1)
+      .select(col("user_id"), unix_micros(col("session_start")),
+        unix_micros(col("session_end")), col("n_events"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3, t._4))
+
+    // ---- streaming half: post-cutover events over bootstrapped state ----
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-warm-replay").toFile
+    val src = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+    val sessions = src.groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessorWarmStart(gapMinutes),
+        TimeMode.EventTime(),
+        OutputMode.Append(),
+        initState)
+    val qname = "graft_events_sessions_warm"
+    val q = sessions
+      .toDF("user_id", "start_us", "end_us", "n_events")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .start()
+    try {
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs),
+        "post")
+      q.processAllAvailable() // bootstrap + post-cutover merge
+      writeChunk(replayDir, Seq((sentinelUid,
+        new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L),
+        -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
+      q.processAllAvailable() // watermark flush of surviving state
+    } finally {
+      q.stop()
+      ranked.unpersist()
+      ev.unpersist()
+      deleteRec(replayDir)
+    }
+    spark.table(qname)
+      .filter(col("user_id") =!= sentinelUid)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"))
+      .union(finals)
+      .select(col("user_id"),
+        timestamp_micros(col("start_us")).as("session_start"),
+        timestamp_micros(col("end_us")).as("session_end"), col("n_events"))
+  }
+
+  /** Shared state machine for the transformWithState sessionizers.
+    * State layout: one ValueState `(start_us, last_us, n_events,
+    * timer_ms)` per user. Each batch merges its (sorted) events into
+    * the open session, emitting every session the gap closes
+    * mid-batch; the previous timer is explicitly deleted and one new
+    * timer is registered at ceil(last µs→ms) + gap — when it expires
+    * (watermark-driven, Spark runs the no-data batch), the open
+    * session flushes. The stored timer_ms double-checks expiry
+    * against state so a stale timer that raced a concurrent update
+    * can never emit a half-merged session.
+    */
+  private[streaming] trait SessionLogic {
+    this: org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Long, Long), (Long, Long, Long, Long)] =>
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
 
-    private val gapUs = gapMinutes * 60L * 1000000L
-    @transient private var session: ValueState[(Long, Long, Long, Long)] = _
+    protected def gapMinutes: Int
+    private def gapUs = gapMinutes * 60L * 1000000L
+    @transient protected var session: ValueState[(Long, Long, Long, Long)] = _
+
+    // ceiling µs→ms like the GroupState twin: flooring could fire up
+    // to 999µs early and split a session whose boundary event is
+    // still in flight on an out-of-order stream
+    protected def sessionTimerMs(lastUs: Long): Long =
+      (lastUs + 999L) / 1000L + gapMinutes * 60L * 1000L
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       session = getHandle.getValueState[(Long, Long, Long, Long)]("session",
@@ -873,10 +989,7 @@ object EventsStream {
         n += 1
       }
       if (oldTimer >= 0L) getHandle.deleteTimer(oldTimer)
-      // ceiling µs→ms like the GroupState twin: flooring could fire up
-      // to 999µs early and split a session whose boundary event is
-      // still in flight on an out-of-order stream
-      val timer = (last + 999L) / 1000L + gapMinutes * 60L * 1000L
+      val timer = sessionTimerMs(last)
       getHandle.registerTimer(timer)
       session.update((start, last, n, timer))
       out.result().iterator
@@ -891,5 +1004,35 @@ object EventsStream {
           Iterator.single((uid, start, last, n))
         } else Iterator.empty
       } else Iterator.empty
+  }
+
+  /** StatefulProcessor for [[sessionizeTwsToCompletion]] — the shared
+    * [[SessionLogic]] state machine with no initial state.
+    */
+  private[streaming] class SessionProcessor(
+      protected val gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long, Long), (Long, Long, Long, Long)]
+      with SessionLogic
+
+  /** Warm-start variant for [[sessionizeWarmStartToCompletion]]: the
+    * same state machine, bootstrapped from a batch-computed open
+    * session `(start_us, last_us, n_events)` per user. Each initial
+    * row seeds the ValueState AND registers its flush timer, so a
+    * user who never appears on the stream still emits the carried
+    * session once the watermark passes last+gap.
+    */
+  private[streaming] class SessionProcessorWarmStart(
+      protected val gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, java.sql.Timestamp, Long, Long), (Long, Long, Long, Long),
+        (Long, Long, Long)]
+      with SessionLogic {
+    override def handleInitialState(uid: Long, init: (Long, Long, Long),
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      val timer = sessionTimerMs(init._2)
+      getHandle.registerTimer(timer)
+      session.update((init._1, init._2, init._3, timer))
+    }
   }
 }

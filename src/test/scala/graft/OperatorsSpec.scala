@@ -107,6 +107,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("warm-start sessionize: batch history + bootstrapped initial " +
+      "state + post-cutover stream equals the all-batch sessionize") {
+    import spark.implicits._
+    val batch = Events.sessionize(Tables.load(spark, dir, "events"))
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    val warm = graft.streaming.EventsStream
+      .sessionizeWarmStartToCompletion(spark, dir)
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    // the cutover bisects an open session (splitInstant), so equality
+    // here proves the bootstrapped state actually merged with
+    // post-cutover events — not just that both halves were disjoint
+    assert(warm == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("asof join: latest right row at-or-before, null when none precedes") {
     import spark.implicits._
     import graft.operators.AsOfJoin
