@@ -1392,6 +1392,14 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    "events_stream_type_profile" -> ((s, dir) => {
+      // MapState + ListState primitives: per-user type counts merged
+      // across micro-batches, flushed exactly once by a fixed-horizon
+      // timer; list emitted sorted so the batch GROUP BY oracles it
+      graft.streaming.EventsStream.typeProfileToCompletion(s, dir)
+        .orderBy(col("user_id"))
+    }),
+
     "events_stream_dedup" -> ((s, dir) => {
       graft.streaming.EventsStream.dedupToCompletion(s, dir)
         .orderBy(col("event_type"))
@@ -2966,6 +2974,12 @@ object SparkEntry {
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "events_stream_type_profile" -> """
+      SELECT user_id, count(DISTINCT event_type) AS n_types,
+             count(*) AS n_events,
+             string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+               AS types_csv
+      FROM events GROUP BY user_id ORDER BY user_id""",
     // the warm-start cutover computes the identical sessions: batch
     // half + bootstrapped streaming half = the all-batch result
     "events_stream_sessionize_warm" -> """

@@ -831,6 +831,130 @@ object EventsStream {
           OutputMode.Append())
     }
 
+  /** Per-user event-type profile through the remaining
+    * transformWithState primitives: a MapState (type → count) and a
+    * ListState (types in first-seen order) per user, flushed EXACTLY
+    * ONCE by a timer at a fixed event-time horizon the harness knows
+    * (the sentinel pushes the watermark past it). ValueState + timers
+    * are covered by the sessionizers; this proves the keyed
+    * collection states — at 100 TB these are the difference between
+    * "state = one row per key" and "state = an updatable map per key
+    * without rewriting the whole value" (RocksDB point-puts vs
+    * read-modify-write of a blob). Output is deterministic: the map
+    * yields counts (order-free sums), the list is emitted SORTED, so
+    * the batch GROUP BY with count(DISTINCT)/string_agg is the oracle.
+    */
+  def typeProfileToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = ev.agg(min(col("user_id")).as("lo_uid"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    if (stats.isNullAt(0)) {
+      ev.unpersist()
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("n_types", LongType),
+          StructField("n_events", LongType),
+          StructField("types_csv", StringType))))
+    }
+    val hiUs = stats.getLong(1)
+    val sentinelUid = stats.getLong(0) - 1L
+    val delayUs = 3600L * 1000000L
+    // fixed flush horizon: above every real event, below the sentinel-
+    // driven watermark (sentinel ts − 1 h delay), so every profile
+    // emits exactly once when the sentinel lands
+    val flushAtMs = (hiUs + delayUs) / 1000L
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-profile-replay").toFile
+    val src = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val profiles = src.groupByKey(_._1)
+      .transformWithState(
+        new TypeProfileProcessor(flushAtMs),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+    val qname = "graft_events_type_profile"
+    val q = profiles
+      .toDF("user_id", "n_types", "n_events", "types_csv")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .start()
+    try {
+      // two chunks: the map/list must MERGE across micro-batches
+      val midUs = (stats.getLong(1) + ev.agg(min(unix_micros(col("ts"))))
+        .head().getLong(0)) / 2
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) < midUs), "c1")
+      q.processAllAvailable()
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
+      q.processAllAvailable()
+      writeChunk(replayDir, Seq((sentinelUid,
+        new java.sql.Timestamp((hiUs + 3L * delayUs) / 1000L), "sentinel"))
+        .toDF("user_id", "ts", "event_type"), "sentinel")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      ev.unpersist()
+      deleteRec(replayDir)
+    }
+    spark.table(qname).filter(col("user_id") =!= sentinelUid)
+  }
+
+  /** Processor for [[typeProfileToCompletion]]: MapState counts per
+    * event type (point-increments — no blob rewrite), ListState keeps
+    * first-seen types, one timer at the fixed horizon flushes the
+    * profile exactly once. The timer is registered when the key first
+    * appears (ListState empty ⇒ no timer yet — never re-registered,
+    * so no deleteTimer bookkeeping).
+    */
+  private[streaming] class TypeProfileProcessor(flushAtMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, String), (Long, Long, Long, String)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var seen: ListState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      seen = getHandle.getListState[String]("seen",
+        org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, String)] = {
+      if (!seen.exists()) getHandle.registerTimer(flushAtMs)
+      rows.foreach { r =>
+        val t = r._3
+        if (counts.containsKey(t)) counts.updateValue(t, counts.getValue(t) + 1L)
+        else { counts.updateValue(t, 1L); seen.appendValue(t) }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, String)] = {
+      val types = seen.get().toVector
+      val total = types.iterator.map(counts.getValue).sum
+      counts.clear()
+      seen.clear()
+      Iterator.single((uid, types.size.toLong, total, types.sorted.mkString(",")))
+    }
+  }
+
   /** Batch→streaming migration cutover: sessionize everything BEFORE
     * the cutover instant in batch, hand the still-open session per
     * user to the streaming sessionizer as transformWithState INITIAL

@@ -154,6 +154,24 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("MapState/ListState type profile merges across micro-batches " +
+      "and equals the batch distinct aggregate") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val fromStream = graft.streaming.EventsStream
+      .typeProfileToCompletion(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"),
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("types_csv"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(fromStream == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("Trigger.AvailableNow runs as an incremental job: first run " +
       "drains the backlog and stops, second run processes only the " +
       "delta from the checkpoint") {
