@@ -256,6 +256,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), p)
   }
 
+  test("hybrid retrieval: the lexical pool still compiles to " +
+      "TakeOrderedAndProject and the vector pool's only nested loop " +
+      "carries the single-row query broadcast") {
+    val p = plan("hybrid_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // exactly the two adjudicated single-row build sides appear: the
+    // lexical leg's corpus-count crossJoin (as in text_search) and the
+    // vector leg's one-row query broadcast — nothing larger nested-loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("variant extraction is a narrow codegen'd projection over a " +
+      "pruned scan — parse once, no shuffle before the sort") {
+    val p = plan("q_variant")
+    // the JSON doc is parsed to VARIANT exactly once; the four typed
+    // outputs are variant_get projections over that single parse
+    assert("parseJson".r.findAllIn(p).size == 1, p)
+    assert("variant_get".r.findAllIn(p).size == 4, p)
+    // reads only the composed columns, not the whole table (the
+    // unused double column must be pruned from the scan schema)
+    assert(!p.contains("value:double"), "unpruned events scan: value read")
+    // exactly one exchange: the final presentation orderBy
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("variant aggregation keeps partial+final hash aggregation — " +
+      "extractions flow through the agg pipeline") {
+    val p = plan("q_variant_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("strict-parity rendering stays one codegen'd narrow projection") {
     // the projection itself (before the presentation orderBy, whose
     // range exchange wraps the plan in AQE and hides codegen spans)
