@@ -667,6 +667,20 @@ object SparkEntry {
       // pass in OperatorsSpec
       Profile.approxTable(t(s, dir, "documents")).orderBy(col("col_name"))
     }),
+    "profile_sketch_lake" -> ((s, dir) => {
+      // sketches AS DATA: per-(type, day) HLL sketches unioned at
+      // query time — deterministic DataSketches estimates but not
+      // ANSI-reproducible -> no_oracle; ProfileSketchSpec pins
+      // two-level == single-pass identity and the error bound
+      Profile.hllSketchLake(t(s, dir, "events"))
+        .orderBy(col("event_type"))
+    }),
+    "profile_sketch_overlap" -> ((s, dir) => {
+      // Theta set algebra over stored sketches: |click ∩ purchase|
+      // without joining raw id sets; no_oracle (sketch estimate),
+      // error-bounded in ProfileSketchSpec
+      Profile.audienceOverlap(t(s, dir, "events"), "click", "purchase")
+    }),
     "profile_equidepth" -> ((s, dir) => {
       // quantile (equi-depth) histogram, exact boundaries for the
       // oracle; the approx default is the 100 TB path (same plan, the
