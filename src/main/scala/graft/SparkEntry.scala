@@ -1535,6 +1535,41 @@ object SparkEntry {
         LATERAL VIEW chunk_text(text, 120, 30) c AS chunk_id, chunk
         ORDER BY doc_id, chunk_id""")
     }),
+    "q_recursive_cte" -> ((s, dir) => {
+      // recursive CTE (Spark 4.1): bounded-depth hierarchy flattening
+      // — every node's root ancestor and depth in a synthetic decimal
+      // tree (parent = id div 10) over customers. Spark executes
+      // recursion LEVEL BY LEVEL (one plan iteration per level), so
+      // the shape only scales when depth is bounded — this tree is
+      // ≤5 levels at any SF, vs the divergent date-spine formulation
+      // (thousands of levels) that a Spark deployment must avoid.
+      // Seed = single-digit ids; id 0's 0->0 self-edge is excluded
+      // from the recursion or it never terminates.
+      t(s, dir, "customer").createOrReplaceTempView("graft_cust_rec")
+      s.sql("""
+        WITH RECURSIVE e AS (
+          SELECT c_custkey AS id, c_custkey div 10 AS parent
+          FROM graft_cust_rec),
+        walk(id, root, depth) AS (
+          SELECT id, id, 0 FROM e WHERE id < 10
+          UNION ALL
+          SELECT e.id, w.root, w.depth + 1
+          FROM e JOIN walk w ON e.parent = w.id
+          WHERE e.id >= 10)
+        SELECT id, root, depth FROM walk ORDER BY id""")
+    }),
+    "q_collation" -> ((s, dir) => {
+      // Spark 4 collation support: grouping under UTF8_LCASE merges
+      // case variants at the COMPARISON level (no lower() rewrite of
+      // the data); the output key is normalized so both engines emit
+      // identical text. Mixed case is injected deterministically.
+      t(s, dir, "events").createOrReplaceTempView("graft_events_coll")
+      s.sql("""
+        SELECT lower(k) AS etype, count(*) AS n FROM (
+          SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END COLLATE UTF8_LCASE AS k
+          FROM graft_events_coll) GROUP BY k ORDER BY etype""")
+    }),
     "q_variant" -> ((s, dir) => {
       // Spark 4 native semi-structured ingestion: compose a nested
       // JSON doc (deterministic fixture injection, like the scrub
@@ -3218,6 +3253,23 @@ object SparkEntry {
              substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
       FROM c, UNNEST(range(0, n_chunks)) AS t(i)
       ORDER BY doc_id, chunk_id""",
+    "q_recursive_cte" -> """
+      WITH RECURSIVE e AS (
+        SELECT c_custkey AS id, c_custkey // 10 AS parent FROM customer),
+      walk(id, root, depth) AS (
+        SELECT id, id, 0 FROM e WHERE id < 10
+        UNION ALL
+        SELECT e.id, w.root, w.depth + 1
+        FROM e JOIN walk w ON e.parent = w.id
+        WHERE e.id >= 10)
+      SELECT id, root, depth FROM walk ORDER BY id""",
+    // DuckDB groups by lower() — same partition as Spark's UTF8_LCASE
+    // comparison on this ASCII domain; both emit the normalized key
+    "q_collation" -> """
+      SELECT lower(k) AS etype, count(*) AS n FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS k
+        FROM events) t GROUP BY lower(k) ORDER BY etype""",
     // DuckDB's JSON path functions are the oracle twin of Spark's
     // VARIANT extraction; both engines see the identical composed doc
     "q_variant" -> """
