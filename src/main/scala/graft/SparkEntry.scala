@@ -1535,6 +1535,17 @@ object SparkEntry {
         LATERAL VIEW chunk_text(text, 120, 30) c AS chunk_id, chunk
         ORDER BY doc_id, chunk_id""")
     }),
+    "q_listagg" -> ((s, dir) => {
+      // ordered string aggregation (SQL:2016 listagg, new in 4.1):
+      // WITHIN GROUP pins element order so the result is
+      // deterministic under any partitioning
+      t(s, dir, "nation").createOrReplaceTempView("graft_nation_la")
+      s.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS names
+        FROM graft_nation_la GROUP BY n_regionkey ORDER BY n_regionkey""")
+    }),
     "q_recursive_cte" -> ((s, dir) => {
       // recursive CTE (Spark 4.1): bounded-depth hierarchy flattening
       // — every node's root ancestor and depth in a synthetic decimal
@@ -3253,6 +3264,10 @@ object SparkEntry {
              substr(text, CAST(i * 90 + 1 AS INT), 120) AS chunk
       FROM c, UNNEST(range(0, n_chunks)) AS t(i)
       ORDER BY doc_id, chunk_id""",
+    "q_listagg" -> """
+      SELECT n_regionkey,
+             string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_recursive_cte" -> """
       WITH RECURSIVE e AS (
         SELECT c_custkey AS id, c_custkey // 10 AS parent FROM customer),
