@@ -154,6 +154,36 @@ class EdgeCasesSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("late round-8 operators are total on empty input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val empty = emptyEventsDir()
+    // streaming twins with replay short-circuits
+    assert(graft.streaming.EventsStream
+      .sessionizeWarmStartToCompletion(spark, empty).count() == 0)
+    assert(graft.streaming.EventsStream
+      .typeProfileToCompletion(spark, empty).count() == 0)
+    // state introspection over a checkpoint with zero state rows
+    assert(graft.streaming.EventsStream
+      .stateInspect(spark, empty).count() == 0)
+    // hybrid retrieval over empty corpus and empty embeddings
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val emb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.operators.Retrieval
+      .hybridTopK(docs, emb, Seq("x"), 0L).count() == 0)
+    // sketch lake / overlap over empty events
+    val ev = Tables.load(spark, empty, "events")
+    assert(graft.operators.Profile.hllSketchLake(ev).count() == 0)
+    // overlap emits its single row with a 0 estimate only when both
+    // segment sketches exist; on empty input the cross of two empty
+    // single-row frames is empty
+    assert(graft.operators.Profile
+      .audienceOverlap(ev, "click", "purchase").count() == 0)
+    // the UDTF on an empty frame
+    assert(docs.select(graft.functions.chunk_text(col("text"), 10, 2))
+      .count() == 0)
+  }
+
   test("docset reader and DSv2 source are total on empty docsets") {
     import spark.implicits._
     import graft.operators.XmlPipe
