@@ -56,13 +56,28 @@ case class ChunkTextGen(child: Expression, size: Int, overlap: Int)
     val t = child.eval(input)
     if (t == null) return Iterator.empty
     val s = t.asInstanceOf[UTF8String].toString
-    val n = math.max(1L, (s.length.toLong - overlap + stride - 1) / stride)
-    (0L until n).iterator.map { i =>
-      val from = (i * stride).toInt
+    // window by CODE POINTS, not UTF-16 units — Spark's length/substr
+    // (and the relational twin built on them) count code points, so an
+    // astral character must advance the window by one, not two.
+    // offs(i) = UTF-16 offset of code point i; offs(nCp) = s.length
+    val nCp = s.codePointCount(0, s.length)
+    val offs = new Array[Int](nCp + 1)
+    var i = 0
+    var o = 0
+    while (i < nCp) {
+      offs(i) = o
+      o += Character.charCount(s.codePointAt(o))
+      i += 1
+    }
+    offs(nCp) = s.length
+    val n = math.max(1L, (nCp.toLong - overlap + stride - 1) / stride)
+    (0L until n).iterator.map { k =>
+      val fromCp = math.min((k * stride).toInt, nCp)
+      val toCp = math.min(fromCp + size, nCp)
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
-      row.setLong(0, i)
+      row.setLong(0, k)
       row.update(1, UTF8String.fromString(
-        s.substring(from, math.min(from + size, s.length))))
+        s.substring(offs(fromCp), offs(toCp))))
       row
     }
   }

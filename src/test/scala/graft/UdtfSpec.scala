@@ -55,6 +55,26 @@ class UdtfSpec extends AnyFunSuite {
     assert(n === 11) // 6 + 1 + 1 + 0 + 1 + 2
   }
 
+  test("seeded random sweep: generator matches the relational op on " +
+      "arbitrary text (unicode incl. astral) and window geometry") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // alphabet stresses every boundary: ASCII, combining mark, BMP
+    // CJK, and an ASTRAL (surrogate-pair) codepoint
+    val alphabet = Array("a", "b", " ", "é", "́", "中",
+      new String(Character.toChars(0x1F600)))
+    def randText() = (0 until rnd.nextInt(300))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    for ((size, overlap) <- Seq((7, 0), (10, 3), (64, 63), (200, 50))) {
+      val docs = (1L to 40L).map(i => (i, randText())).toDF("doc_id", "text")
+      val gen = docs.select(col("doc_id"), chunk_text(col("text"), size, overlap))
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      val rel = operators.TextStats.chunk(docs, size, overlap)
+        .orderBy("doc_id", "chunk_id").collect().toSeq
+      assert(gen == rel, s"size=$size overlap=$overlap diverged")
+    }
+  }
+
   test("bad window parameters fail at analysis time, not per row") {
     val e = intercept[AnalysisException] {
       docs.select(chunk_text(col("text"), 100, 100)).collect()
