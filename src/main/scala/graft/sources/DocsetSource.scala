@@ -190,7 +190,7 @@ private[sources] class DocsetShardWriter(docIdx: Int, path: String,
   * Spark re-evaluates every filter post-scan, so a bound here can
   * only skip rows the filter would drop anyway.
   */
-private[sources] case class DocsetIdBound(lo: Long = Long.MinValue,
+private[graft] case class DocsetIdBound(lo: Long = Long.MinValue,
     hi: Long = Long.MaxValue, in: Option[Set[Long]] = None) {
   def matches(id: Long): Boolean =
     id >= lo && id <= hi && in.forall(_.contains(id))
@@ -205,7 +205,7 @@ private[sources] case class DocsetIdBound(lo: Long = Long.MinValue,
   }
 }
 
-private[sources] object DocsetIdBound {
+private[graft] object DocsetIdBound {
   import org.apache.spark.sql.sources._
 
   private def asLong(v: Any): Option[Long] = v match {

@@ -96,6 +96,40 @@ class DocsetSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("id-bound compiler: random filter conjunctions match naive " +
+      "evaluation for every accepted filter") {
+    import org.apache.spark.sql.sources._
+    val rnd = new scala.util.Random(7)
+    def randFilter(): Filter = rnd.nextInt(6) match {
+      case 0 => EqualTo("id", rnd.nextInt(20).toLong)
+      case 1 => GreaterThan("id", rnd.nextInt(20).toLong)
+      case 2 => GreaterThanOrEqual("id", rnd.nextInt(20))
+      case 3 => LessThan("id", rnd.nextInt(20).toLong)
+      case 4 => LessThanOrEqual("id", rnd.nextInt(20))
+      case 5 => In("id", Array.fill(1 + rnd.nextInt(4))(
+        rnd.nextInt(20).toLong: Any))
+    }
+    def naive(f: Filter, id: Long): Boolean = f match {
+      case EqualTo(_, v: Long) => id == v
+      case GreaterThan(_, v: Long) => id > v
+      case GreaterThanOrEqual(_, v: Int) => id >= v
+      case LessThan(_, v: Long) => id < v
+      case LessThanOrEqual(_, v: Int) => id <= v
+      case In(_, vs) => vs.exists(_ == id)
+      case _ => true
+    }
+    for (_ <- 1 to 300) {
+      val fs = Array.fill(1 + rnd.nextInt(3))(randFilter())
+      val (bound, accepted) = graft.sources.DocsetIdBound.compile(fs)
+      assert(accepted.length == fs.length, "integral id filters all accept")
+      for (id <- -1L to 21L) {
+        val want = fs.forall(naive(_, id))
+        assert(bound.matches(id) == want,
+          s"id=$id bound=$bound filters=${fs.mkString(";")}")
+      }
+    }
+  }
+
   test("write side: df.write.format(\"xmlpipe2\") lands well-formed " +
       "shards, overwrite truncates, and the read side round-trips it") {
     import spark.implicits._
