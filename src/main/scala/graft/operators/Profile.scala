@@ -234,18 +234,23 @@ object Profile {
     */
   def audienceOverlap(events: DataFrame, a: String, b: String,
       keyCol: String = "event_type", idCol: String = "user_id"): DataFrame = {
+    // conditional aggregation builds BOTH segment sketches in one
+    // row (theta_sketch_agg skips nulls), so a segment with no users
+    // yields an empty sketch and the overlap answers 0 — one output
+    // row always, never a silent empty result
     val sk = events.filter(col(keyCol).isin(a, b))
-      .groupBy(col(keyCol)).agg(theta_sketch_agg(col(idCol)).as("sk"))
-    val ska = sk.filter(col(keyCol) === a).select(col("sk").as("sk_a"))
-    val skb = sk.filter(col(keyCol) === b).select(col("sk").as("sk_b"))
+      .agg(
+        theta_sketch_agg(when(col(keyCol) === a, col(idCol))).as("sk_a"),
+        theta_sketch_agg(when(col(keyCol) === b, col(idCol))).as("sk_b"))
     val exact = events.filter(col(keyCol).isin(a, b))
       .groupBy(col(idCol))
       .agg(countDistinct(col(keyCol)).as("n_kinds"))
       .filter(col("n_kinds") === 2)
       .agg(count(lit(1)).as("exact_overlap"))
-    ska.crossJoin(skb)
-      .select(round(theta_sketch_estimate(
-        theta_intersection(col("sk_a"), col("sk_b")))).cast("long")
+    // a segment with zero members aggregates to a NULL sketch —
+    // null-propagate to estimate 0 rather than a null overlap
+    sk.select(coalesce(round(theta_sketch_estimate(
+        theta_intersection(col("sk_a"), col("sk_b")))).cast("long"), lit(0L))
         .as("est_overlap"))
       .crossJoin(exact)
   }

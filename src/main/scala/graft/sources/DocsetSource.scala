@@ -226,11 +226,17 @@ private[graft] object DocsetIdBound {
           case EqualTo("id", v) =>
             asLong(v).map(l => b.copy(lo = b.lo max l, hi = b.hi min l))
           case GreaterThan("id", v) =>
-            asLong(v).map(l => b.copy(lo = b.lo max (l + 1)))
+            // l+1 would wrap at MaxValue: id > MaxValue matches nothing
+            asLong(v).map(l =>
+              if (l == Long.MaxValue) b.copy(lo = Long.MaxValue, hi = Long.MinValue)
+              else b.copy(lo = b.lo max (l + 1)))
           case GreaterThanOrEqual("id", v) =>
             asLong(v).map(l => b.copy(lo = b.lo max l))
           case LessThan("id", v) =>
-            asLong(v).map(l => b.copy(hi = b.hi min (l - 1)))
+            // l-1 would wrap at MinValue: id < MinValue matches nothing
+            asLong(v).map(l =>
+              if (l == Long.MinValue) b.copy(lo = Long.MaxValue, hi = Long.MinValue)
+              else b.copy(hi = b.hi min (l - 1)))
           case LessThanOrEqual("id", v) =>
             asLong(v).map(l => b.copy(hi = b.hi min l))
           case In("id", vs) =>
@@ -370,24 +376,29 @@ private[sources] class DocsetPartitionReader(file: String,
   override def next(): Boolean = {
     // pushed id bound: decide on the fragment PREFIX (the id
     // attribute) before paying element extraction + unescape for a
-    // document the filter would drop anyway
+    // document the filter would drop anyway. The parsed id is handed
+    // to parse() so accepted fragments never pay the prefix scan twice.
     while (fragments.hasNext) {
       val frag = fragments.next()
-      if (trivialBound || bound.matches(
-          java.lang.Long.parseLong(frag.takeWhile(_ != '"')))) {
-        current = parse(frag)
+      val id: java.lang.Long =
+        if (trivialBound) null else parseId(frag)
+      if (trivialBound || bound.matches(id)) {
+        current = parse(frag, id)
         return true
       }
     }
     false
   }
+
+  private def parseId(frag: String): java.lang.Long =
+    java.lang.Long.valueOf(frag.takeWhile(_ != '"'))
   override def get(): InternalRow = current
   override def close(): Unit = ()
 
-  private def parse(frag: String): InternalRow = {
+  private def parse(frag: String, preParsedId: java.lang.Long): InternalRow = {
     val values = required.fields.map { f =>
       if (f.name == "id") {
-        java.lang.Long.valueOf(frag.takeWhile(_ != '"'))
+        if (preParsedId ne null) preParsedId else parseId(frag)
       } else {
         val open = s"<${f.name}>"
         val start = frag.indexOf(open)

@@ -147,22 +147,22 @@ object EventsStream {
       .queryName(qname)
       .option("checkpointLocation", ckptDir.toString)
       .start()
-    try q.processAllAvailable() finally q.stop()
-    val st = spark.read.format("statestore")
-      .option("path", ckptDir.toString).load()
-    val keyFields = st.schema("key").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-    val valFields = st.schema("value").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
-    val out = st.select(
-        col(s"key.${keyFields(0)}.start").as("window_start"),
-        col(s"key.${keyFields(1)}").as("event_type"),
-        col(s"value.${valFields(0)}").as("n"))
-      // materialize before the checkpoint dir is deleted (the state
-      // source reads its files lazily); Bench/Verify sweep the blocks
-      .localCheckpoint()
-    deleteRec(ckptDir)
-    out
+    try {
+      try q.processAllAvailable() finally q.stop()
+      val st = spark.read.format("statestore")
+        .option("path", ckptDir.toString).load()
+      val keyFields = st.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      val valFields = st.schema("value").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      st.select(
+          col(s"key.${keyFields(0)}.start").as("window_start"),
+          col(s"key.${keyFields(1)}").as("event_type"),
+          col(s"value.${valFields(0)}").as("n"))
+        // materialize before the checkpoint dir is deleted (the state
+        // source reads its files lazily); Bench/Verify sweep the blocks
+        .localCheckpoint()
+    } finally deleteRec(ckptDir)
   }
 
   /** APPEND-mode tumbling aggregation — the production output mode for
@@ -698,7 +698,8 @@ object EventsStream {
       .select(col("user_id"), col("ts"), col("event_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"),
+      min(col("user_id")).as("lo_uid")).head()
     if (stats.isNullAt(0)) {
       // empty fixture: min/max aggregates are null — short-circuit with
       // an empty result of the output schema instead of NPE'ing in the
@@ -717,7 +718,7 @@ object EventsStream {
     val hiUs: Long = stats.getLong(1)
     val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
     // sentinel id guaranteed out-of-band for this dataset
-    val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
+    val sentinelUid = stats.getLong(2) - 1L
     val replayDir = java.nio.file.Files
       .createTempDirectory("graft-replay").toFile
 
@@ -852,7 +853,8 @@ object EventsStream {
       .select(col("user_id"), col("ts"), col("event_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ev.agg(min(col("user_id")).as("lo_uid"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"),
+      min(unix_micros(col("ts"))).as("lo")).head()
     if (stats.isNullAt(0)) {
       ev.unpersist()
       import org.apache.spark.sql.types._
@@ -892,8 +894,7 @@ object EventsStream {
       .start()
     try {
       // two chunks: the map/list must MERGE across micro-batches
-      val midUs = (stats.getLong(1) + ev.agg(min(unix_micros(col("ts"))))
-        .head().getLong(0)) / 2
+      val midUs = (stats.getLong(1) + stats.getLong(2)) / 2
       writeChunk(replayDir, ev.filter(unix_micros(col("ts")) < midUs), "c1")
       q.processAllAvailable()
       writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
@@ -924,6 +925,7 @@ object EventsStream {
 
     @transient private var counts: MapState[String, Long] = _
     @transient private var seen: ListState[String] = _
+    @transient private var flushed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long]("counts",
@@ -931,11 +933,17 @@ object EventsStream {
         org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       seen = getHandle.getListState[String]("seen",
         org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+      flushed = getHandle.getValueState[Boolean]("flushed",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
     }
 
     override def handleInputRows(uid: Long,
         rows: Iterator[(Long, java.sql.Timestamp, String)],
         timerValues: TimerValues): Iterator[(Long, Long, Long, String)] = {
+      // exactly-once contract: a profile flushed at the horizon stays
+      // flushed — a straggler past flushAtMs must not re-register the
+      // (already past) timer and emit a second, partial profile row
+      if (flushed.exists()) return Iterator.empty
       if (!seen.exists()) getHandle.registerTimer(flushAtMs)
       rows.foreach { r =>
         val t = r._3
@@ -951,6 +959,7 @@ object EventsStream {
       val total = types.iterator.map(counts.getValue).sum
       counts.clear()
       seen.clear()
+      flushed.update(true)
       Iterator.single((uid, types.size.toLong, total, types.sorted.mkString(",")))
     }
   }
@@ -978,7 +987,8 @@ object EventsStream {
       .select(col("user_id"), col("ts"), col("event_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
+      max(unix_micros(col("ts"))).as("hi"),
+      min(col("user_id")).as("lo_uid")).head()
     if (stats.isNullAt(0)) {
       ev.unpersist()
       import org.apache.spark.sql.types._
@@ -994,7 +1004,7 @@ object EventsStream {
     // the cutover bisects an open session (same instant the replay
     // harness uses), so the bootstrap path is provably exercised
     val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
-    val sentinelUid = ev.agg(min(col("user_id"))).head().getLong(0) - 1L
+    val sentinelUid = stats.getLong(2) - 1L
 
     // ---- batch half: history up to the cutover ----
     val pre = graft.operators.Events.sessionize(

@@ -174,11 +174,11 @@ class EdgeCasesSpec extends AnyFunSuite {
     // sketch lake / overlap over empty events
     val ev = Tables.load(spark, empty, "events")
     assert(graft.operators.Profile.hllSketchLake(ev).count() == 0)
-    // overlap emits its single row with a 0 estimate only when both
-    // segment sketches exist; on empty input the cross of two empty
-    // single-row frames is empty
-    assert(graft.operators.Profile
-      .audienceOverlap(ev, "click", "purchase").count() == 0)
+    // overlap always answers: one row of zeros on empty input (and,
+    // by the same conditional-agg shape, when only ONE segment exists)
+    val ov = graft.operators.Profile
+      .audienceOverlap(ev, "click", "purchase").collect()
+    assert(ov.length == 1 && ov(0).getLong(0) == 0L && ov(0).getLong(1) == 0L)
     // the UDTF on an empty frame
     assert(docs.select(graft.functions.chunk_text(col("text"), 10, 2))
       .count() == 0)
