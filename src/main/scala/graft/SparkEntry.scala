@@ -950,6 +950,16 @@ object SparkEntry {
       Sampling.hashSplit(t(s, dir, "documents"))
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     }),
+    "sample_split_leakage_free" -> ((s, dir) => {
+      // leakage-free split: each doc takes the split of its near-dup
+      // CLUSTER (connected-components root over the ground-truth pair
+      // graph), so paraphrase families never straddle train/test
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"))
+      Sampling.splitByCluster(docs, groundTruthPairs(s, dir))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_mixture" -> ((s, dir) => {
       // target mixture: src0 quartered, src1 halved, src2 dropped,
       // everything else at 3/4 weight
@@ -2150,6 +2160,39 @@ object SparkEntry {
                   ELSE 'test' END AS split
       FROM documents d JOIN sdbm s ON s.sid = d.doc_id
       ORDER BY d.doc_id""",
+    // the dedup_clusters CTE chain (identical text) + the sample_split
+    // hash CTE over the cluster root instead of the doc id
+    "sample_split_leakage_free" -> s"""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM p JOIN n na ON na.doc_id = id_a
+                       JOIN n nb ON nb.doc_id = id_b
+                WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node),
+      cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node),
+      keyed AS (SELECT d.doc_id,
+                  coalesce(cl.cluster_id, d.doc_id) AS split_key
+                FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      ${sdbmCte("keyed", "split_key", "0", "CAST(split_key AS VARCHAR)")}
+      SELECT k.doc_id, k.split_key,
+             CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                  WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keyed k JOIN sdbm s ON s.sid = k.split_key
+      ORDER BY k.doc_id""",
     "sample_mixture" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")}

@@ -101,6 +101,39 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-free split: near-duplicate documents must never straddle
+    * a train/val/test boundary, or the held-out set is contaminated by
+    * paraphrases of training rows and eval scores inflate. Each doc is
+    * assigned the split of its near-dup CLUSTER — the connected-
+    * components root over the candidate pair graph ([[Dedup.clusters]])
+    * — hashed with the same scrambled-bucket scheme as [[hashSplit]];
+    * docs in no pair are their own singleton cluster. Whole clusters
+    * move together, so membership is rerun-stable and boundary-safe by
+    * construction. Output adds `split_key` (the hashed cluster root)
+    * next to `split` so the grouping is auditable.
+    *
+    * 100 TB shape: the pair graph is the (already bucketed) near-dup
+    * candidate output, clusters run bounded label-propagation rounds,
+    * and the final assignment is one broadcast-or-shuffle join on the
+    * cluster map — no new quadratic stage.
+    */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be non-negative and sum to at most 100")
+    val cl = graft.operators.Dedup.clusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val keyed = docs.join(cl, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    val b = bucket(col("split_key"))
+    keyed.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Weighted down-sampling to a target stratum mixture: a row in
     * stratum s survives with probability `weights(s)` (default for
     * unlisted strata) — deterministically, via its bucket. Weight 0

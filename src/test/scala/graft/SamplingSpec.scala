@@ -189,4 +189,29 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
     assert(got == expected)
   }
+
+  test("splitByCluster: no near-dup pair ever straddles a split " +
+      "boundary; singletons follow the plain hash split") {
+    import spark.implicits._
+    val docs = (1L to 200L).toDF("doc_id")
+    // chain 1-2-3 must move as one cluster; 10-11 as another
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.splitByCluster(docs, pairs)
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(out.length == 200)
+    // the leakage invariant: paired docs share key AND split
+    for ((a, b) <- Seq((1L, 2L), (2L, 3L), (10L, 11L))) {
+      assert(byId(a)._2 == byId(b)._2, s"$a/$b split_key diverged")
+      assert(byId(a)._3 == byId(b)._3, s"$a/$b straddle a boundary")
+    }
+    // docs in no pair: own key, same assignment as hashSplit
+    val plain = Sampling.hashSplit((1L to 200L).toDF("doc_id"))
+      .as[(Long, String)].collect().toMap
+    out.filter(r => !Seq(1L, 2L, 3L, 10L, 11L).contains(r._1))
+      .foreach { r =>
+        assert(r._2 == r._1 && r._3 == plain(r._1), s"singleton ${r._1}")
+      }
+  }
 }
