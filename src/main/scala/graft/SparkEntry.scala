@@ -1690,6 +1690,19 @@ object SparkEntry {
       back.orderBy(col("id"))
     }),
 
+    "io_provenance" -> ((s, dir) => {
+      // row-level lineage without lineage columns: the _metadata
+      // hidden column on file sources names the physical file and the
+      // row's position inside it — at 100 TB this is how a sample, a
+      // dedup survivor, or a flagged doc traces back to its shard
+      // (the fixture file is written in doc_id order, so row_index
+      // has a rank-based oracle)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"))
+        .orderBy(col("doc_id"))
+    }),
     "io_partitioned" -> ((s, dir) => {
       // hive-partitioned lake layout: write events partitioned by day
       // (Layout.writeDatePartitioned), read back a 5-day window — the
@@ -3368,6 +3381,12 @@ object SparkEntry {
       SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
              source, CAST(n_chars AS VARCHAR) AS n_chars
       FROM documents ORDER BY id""",
+    // the fixture file is written in doc_id order (verified), so the
+    // physical row index equals the doc_id rank
+    "io_provenance" -> """
+      SELECT doc_id, 'documents.parquet' AS file_name,
+             row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+      FROM documents ORDER BY doc_id""",
     "io_partitioned" -> """
       SELECT event_type, count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
