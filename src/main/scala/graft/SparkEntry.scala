@@ -1690,6 +1690,21 @@ object SparkEntry {
       back.orderBy(col("id"))
     }),
 
+    "corpus_manifest" -> ((s, dir) => {
+      // reproducibility manifest: per-source doc count, total size,
+      // and an ORDER-INDEPENDENT content fingerprint (XOR-fold of the
+      // per-doc sdbm hash — overflow-free, identical under any
+      // partitioning) — the dataset-card row a corpus release pins so
+      // a rebuild can prove content identity without a byte diff
+      t(s, dir, "documents")
+        .withColumn("fp", graft.functions.sdbm_hash(lit(0L), col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("decimal(38,0)")).cast("long")
+            .as("total_chars"),
+          expr("bit_xor(fp)").as("content_fp"))
+        .orderBy(col("source"))
+    }),
     "io_provenance" -> ((s, dir) => {
       // row-level lineage without lineage columns: the _metadata
       // hidden column on file sources names the physical file and the
@@ -3381,6 +3396,13 @@ object SparkEntry {
       SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
              source, CAST(n_chars AS VARCHAR) AS n_chars
       FROM documents ORDER BY id""",
+    "corpus_manifest" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0", "text")}
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+             bit_xor(s.hash) AS content_fp
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      GROUP BY d.source ORDER BY d.source""",
     // the fixture file is written in doc_id order (verified), so the
     // physical row index equals the doc_id rank
     "io_provenance" -> """
