@@ -28,8 +28,11 @@ import org.apache.spark.sql.functions._
   * metric.
   *
   * Usage: Corpus <sfDir> <outDir> [shards=4] [evalSlice=0]
+  *        [--near-dup-safe-split]
   * (evalSlice > 0 decontaminates against the doc_id < evalSlice
-  * rows, the same held-out convention as the decontam_* queries)
+  * rows, the same held-out convention as the decontam_* queries;
+  * the split flag upgrades the hash split to the leakage-free
+  * cluster split — see Sampling.splitByCluster)
   */
 object Corpus {
 
@@ -48,7 +51,8 @@ object Corpus {
     * (doc_id, source, text).
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      shards: Int = 4, evalDocs: Option[DataFrame] = None): Report = {
+      shards: Int = 4, evalDocs: Option[DataFrame] = None,
+      nearDupSafeSplit: Boolean = false): Report = {
     // stage 0+1+2 fused: NFC-canonicalize (composition forms must
     // converge before fingerprints — ASCII text passes through
     // unchanged), strip boilerplate, redact the CLEANED text, then
@@ -102,8 +106,20 @@ object Corpus {
           (d, n, Some(sf))
         case None => (spanFixed, 0L, None)
       }
-      // stage 6: deterministic split + stage 7: JSONL per split
-      val split = Sampling.hashSplit(decon)
+      // stage 6: deterministic split + stage 7: JSONL per split.
+      // Default split hashes the doc id; `nearDupSafeSplit` upgrades
+      // it to the leakage-free variant — MinHash-LSH pairs over the
+      // surviving docs, whole near-dup clusters assigned together —
+      // so a paraphrase family can never straddle train/test (exact
+      // dups are already gone by stage 3, but near-dups above the
+      // fingerprint level are not)
+      val assigned =
+        if (nearDupSafeSplit)
+          Sampling.splitByCluster(decon,
+            graft.operators.Dedup.minhashPairs(
+              decon.select(col("doc_id"), col("text"))))
+        else Sampling.hashSplit(decon)
+      val split = assigned
         .select(col("doc_id"), col("source"), col("split"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -135,6 +151,7 @@ object Corpus {
     val Array(sfDir, outDir) = args.take(2)
     val shards = args.lift(2).map(_.toInt).getOrElse(4)
     val evalSlice = args.lift(3).map(_.toLong).getOrElse(0L)
+    val safeSplit = args.lift(4).contains("--near-dup-safe-split")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.Sessions.builder("graft-corpus", s"local[$cpus]", cpus)
       .getOrCreate()
@@ -147,7 +164,7 @@ object Corpus {
           Some(docs.filter(col("doc_id") < evalSlice)
             .select(col("doc_id"), col("text")))
         else None
-      println(run(spark, docs, outDir, shards, evalDocs).json)
+      println(run(spark, docs, outDir, shards, evalDocs, safeSplit).json)
     } finally spark.stop()
   }
 }

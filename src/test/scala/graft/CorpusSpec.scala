@@ -37,6 +37,36 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup-safe split keeps LSH pair members in one split and " +
+      "preserves the pipeline's row accounting") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-corpus-s").toFile
+    try {
+      val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val r = Corpus.run(spark, docs, tmp.toString, shards = 1,
+        nearDupSafeSplit = true)
+      assert(r.train + r.valN + r.test == r.deduped)
+      // re-read the splits and check the leakage invariant against
+      // the SAME pair generator the pipeline used
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      val all = Seq("train", "val", "test").map { s =>
+        JsonlSource.read(spark, s"${tmp}/$s", schema)
+          .withColumn("split", lit(s))
+      }.reduce(_ unionByName _)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = graft.operators.Dedup
+          .minhashPairs(all.select(col("doc_id"), col("text")))
+        val straddling = pairs
+          .join(all.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+          .join(all.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+          .filter(col("sa") =!= col("sb")).count()
+        assert(straddling == 0, "near-dup pair straddles a split boundary")
+      } finally all.unpersist()
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
   test("span-scrub and decontamination stages engage and report counts") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-corpus4").toFile
