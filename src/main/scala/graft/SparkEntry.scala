@@ -1465,6 +1465,40 @@ object SparkEntry {
       back.orderBy(col("doc_id"))
     }),
 
+    "jsonl_corrupt_audit" -> ((s, dir) => {
+      // quarantine ingestion: a deterministic dirty corpus (every doc
+      // as a clean JSONL line, PLUS one truncated line per
+      // doc_id % 50 == 0) read back PERMISSIVE — clean rows parse,
+      // malformed lines land whole in _corrupt with null fields, and
+      // the job survives. The audit row (counts + clean-id checksum)
+      // is derivable from the documents table, which is the oracle.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val clean = docs.select(
+        to_json(struct(col("doc_id"), col("source"))).as("line"))
+      val bad = docs.filter(col("doc_id") % 50 === 0)
+        .select(concat(lit("""{"doc_id":"""), col("doc_id")).as("line"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-dirty").toFile
+      val r =
+        try {
+          clean.union(bad).coalesce(2).write.mode("overwrite")
+            .text(tmp.toString)
+          JsonlSource.readWithCorrupt(s, tmp.toString, schema)
+            .agg(
+              count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+              sum(when(col("_corrupt").isNull, col("doc_id")))
+                .cast("long").as("clean_id_sum"),
+              count(col("_corrupt")).as("n_corrupt"))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      r
+    }),
+
     "csv_roundtrip" -> ((s, dir) => {
       // same contract proof as jsonl_roundtrip for the CSV dialect:
       // sink → explicit-schema source → driver hashes vs parquet truth
@@ -3162,6 +3196,14 @@ object SparkEntry {
       FROM documents ORDER BY doc_id NULLS FIRST""",
     "jsonl_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+    // the dirty corpus is composed FROM documents, so the audit row
+    // (clean count, clean-id checksum, corrupt count) derives from it
+    "jsonl_corrupt_audit" -> """
+      SELECT count(*) AS n_clean,
+             CAST(sum(doc_id) AS BIGINT) AS clean_id_sum,
+             CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt
+      FROM documents""",
     "csv_roundtrip" -> """
       SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
     "orc_roundtrip" -> """
