@@ -24,7 +24,25 @@ object EventsStream {
     * fixture's state volume). Production sizing picks this from state
     * volume, not core count; results are partitioning-independent.
     */
-  private[graft] def streamSession(spark: SparkSession): SparkSession = {
+  private[graft] def streamSession(spark: SparkSession): SparkSession =
+    sessionMemo.synchronized {
+      val cached = sessionMemo.get(spark)
+      if (cached != null) cached
+      else { val ss = buildStreamSession(spark); sessionMemo.put(spark, ss); ss }
+    }
+
+  /** One stream-session clone per parent session, built once and
+    * reused by every streaming twin: the clone's conf is identical on
+    * every call (shuffle partitions + state-store provider, below), so
+    * sharing it is semantics-free, but it saves rebuilding session
+    * state (analyzer, catalog, conf copy) per query — ~20 streaming
+    * queries in a bench run each paid that floor. Weak keys so a
+    * stopped-and-dropped parent session doesn't pin its clone.
+    */
+  private val sessionMemo =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def buildStreamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "4")
     // State-store backend: the default HDFS-backed provider keeps every

@@ -16,17 +16,25 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
   */
 object StatelessPipe {
 
+  /** Memory-sink names are unique per invocation: the pipes run on the
+    * shared stream-session clone (see EventsStream.streamSession), so
+    * two different stateless twins over the same table would otherwise
+    * replace each other's sink view — and the returned DataFrame is a
+    * lazy reference to that view.
+    */
+  private val qSeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Stream `<table>.parquet` under `dir` through `transform`
     * (which must be stateless: no aggregation, no dedup, no
     * watermark) and return the fully-materialized append output.
     */
   def toCompletion(spark0: SparkSession, dir: String, table: String,
       transform: DataFrame => DataFrame): DataFrame = {
-    val spark = spark0.newSession()
+    val spark = EventsStream.streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    val qname = s"graft_stateless_$table"
+    val qname = s"graft_stateless_${table}_${qSeq.incrementAndGet()}"
     val q = transform(src).writeStream
       .outputMode("append").format("memory").queryName(qname).start()
     try q.processAllAvailable() finally q.stop()
@@ -48,11 +56,11 @@ object StatelessPipe {
       table: String, transform: DataFrame => DataFrame,
       metrics: Seq[Column]): (DataFrame, Option[Row]) = {
     require(metrics.nonEmpty, "observe needs at least one metric column")
-    val spark = spark0.newSession()
+    val spark = EventsStream.streamSession(spark0)
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    val qname = s"graft_stateless_obs_$table"
+    val qname = s"graft_stateless_obs_${table}_${qSeq.incrementAndGet()}"
     val q = transform(src).observe("hygiene", metrics.head, metrics.tail: _*)
       .writeStream
       .outputMode("append").format("memory").queryName(qname).start()
