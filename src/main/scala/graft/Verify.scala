@@ -40,8 +40,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the recall-gate oracles read the sketch outputs the queries above
+    // materialized for THIS sfDir — resolve the path placeholder now so
+    // the dumped SQL is directly runnable by the driver's DuckDB
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(
+        SparkEntry.RecallDirToken, SparkEntry.recallDumpDir(sfDir)))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
