@@ -77,9 +77,10 @@ object Similarity {
     * (the real-world case) most of the N·E dots vanish; on an
     * adversarially uniform eval set it degrades gracefully to the
     * exact scan it replaced, never below it by more than the
-    * assignment pass. The angle pruning margin (1e-9 rad) absorbs
-    * FP acos rounding so the bound stays conservative; the OUTPUT
-    * filter is exact quantized cosine either way.
+    * assignment pass. The angle pruning margin (1e-7 rad — sized to
+    * dominate acos's ~2e-8 rad error near the pole, see the inline
+    * note) absorbs FP rounding so the bound stays conservative; the
+    * OUTPUT filter is exact quantized cosine either way.
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       minCosine: Double, idCol: String = "vec_id",

@@ -133,16 +133,25 @@ private[sources] class DocsetBatchWrite(schema: StructType, path: String)
     new DocsetWriterFactory(schema.fieldIndex("doc"), path)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // the swap: old shards go only once EVERY task has succeeded
-    Option(new java.io.File(path).listFiles()).foreach(_.foreach { f =>
-      if (f.isFile && f.getName.startsWith("part-")) f.delete()
-    })
-    messages.foreach { case DocsetCommit(tmpPath, partitionId) =>
+    // the swap runs only once EVERY task has succeeded, and its order
+    // matters for crash atomicity: move each temp into its final name
+    // FIRST (same-directory move, so each individual swap is atomic),
+    // THEN delete only the stale shards a previous wider write left
+    // behind. A driver crash mid-commit thus leaves every shard name
+    // with a complete file (old or new) — delete-first left a window
+    // where neither generation existed.
+    val fresh = messages.map { case DocsetCommit(tmpPath, partitionId) =>
+      val name = f"part-$partitionId%05d.xml"
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmpPath),
-        new java.io.File(path, f"part-$partitionId%05d.xml").toPath,
+        new java.io.File(path, name).toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+      name
+    }.toSet
+    Option(new java.io.File(path).listFiles()).foreach(_.foreach { f =>
+      if (f.isFile && f.getName.startsWith("part-") &&
+          !fresh.contains(f.getName)) f.delete()
+    })
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach { case DocsetCommit(tmpPath, _) =>
@@ -390,8 +399,22 @@ private[sources] class DocsetPartitionReader(file: String,
     false
   }
 
-  private def parseId(frag: String): java.lang.Long =
-    java.lang.Long.valueOf(frag.takeWhile(_ != '"'))
+  private def parseId(frag: String): java.lang.Long = {
+    // fail with the file and fragment named: a foreign/corrupt docset
+    // whose id attribute is non-numeric should read as a data error,
+    // not a bare NumberFormatException from a nameless task (the
+    // column-expression twin readDocset drops such fragments via its
+    // rlike guard; the row reader is strict by design — silent skips
+    // in a CONNECTOR hide corruption)
+    val prefix = frag.takeWhile(_ != '"')
+    try java.lang.Long.valueOf(prefix)
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$file: malformed sphinx:document id attribute " +
+            s"'${prefix.take(32)}' (expected a decimal long)")
+    }
+  }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 

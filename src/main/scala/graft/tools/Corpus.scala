@@ -144,14 +144,23 @@ object Corpus {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 2) {
-      System.err.println("usage: Corpus <sfDir> <outDir> [shards=4]")
+    // flags are position-independent (filtered out before positional
+    // parsing, like Export's --join) — passed early they'd otherwise
+    // crash the shards/evalSlice numeric parse, passed late they'd be
+    // silently ignored
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val safeSplit = flags.contains("--near-dup-safe-split")
+    val unknown = flags.filterNot(_ == "--near-dup-safe-split")
+    if (unknown.nonEmpty || positional.length < 2) {
+      if (unknown.nonEmpty)
+        System.err.println(s"unknown flag(s): ${unknown.mkString(", ")}")
+      System.err.println("usage: Corpus <sfDir> <outDir> [shards=4] " +
+        "[evalSlice=0] [--near-dup-safe-split]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args.take(2)
-    val shards = args.lift(2).map(_.toInt).getOrElse(4)
-    val evalSlice = args.lift(3).map(_.toLong).getOrElse(0L)
-    val safeSplit = args.lift(4).contains("--near-dup-safe-split")
+    val Array(sfDir, outDir) = positional.take(2)
+    val shards = positional.lift(2).map(_.toInt).getOrElse(4)
+    val evalSlice = positional.lift(3).map(_.toLong).getOrElse(0L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.Sessions.builder("graft-corpus", s"local[$cpus]", cpus)
       .getOrCreate()
