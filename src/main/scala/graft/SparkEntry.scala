@@ -3184,10 +3184,10 @@ object SparkEntry {
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "multimodal_resize" -> """
       SELECT doc_id, width, height,
-             (width * 256) // greatest(width, height) AS new_w,
-             (height * 256) // greatest(width, height) AS new_h
-      FROM (SELECT doc_id, 64 + octet_length(encode(coalesce(text, ''))) % 1024 AS width,
-                   64 + (octet_length(encode(coalesce(text, ''))) * 7) % 768 AS height
+             CAST((width * 256) // greatest(width, height) AS INT) AS new_w,
+             CAST((height * 256) // greatest(width, height) AS INT) AS new_h
+      FROM (SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 24 AS INT) AS height
             FROM documents)
       ORDER BY doc_id""",
     "multimodal_frames" -> """
@@ -3353,12 +3353,19 @@ object SparkEntry {
              count(*) AS n_events
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "multimodal_meta" -> """
-      SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes,
-             64 + octet_length(encode(coalesce(text, ''))) % 1024 AS width,
-             64 + (octet_length(encode(coalesce(text, ''))) * 7) % 768 AS height,
-             CASE octet_length(encode(coalesce(text, ''))) % 3 WHEN 0 THEN 'jpeg'
-                  WHEN 1 THEN 'png' ELSE 'webp' END AS format
-      FROM documents ORDER BY doc_id""",
+      WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+                        CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
+                        CASE doc_id % 3 WHEN 0 THEN 'png'
+                             WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
+                 FROM documents),
+      px AS (SELECT doc_id,
+                    CAST(sum((doc_id + xs.i + ys.i) % 256) AS BIGINT)
+                      AS px_sum
+             FROM m, UNNEST(range(width)) xs(i), UNNEST(range(height)) ys(i)
+             GROUP BY doc_id)
+      SELECT m.doc_id, width, height, format, px_sum
+      FROM m JOIN px ON m.doc_id = px.doc_id
+      ORDER BY m.doc_id""",
     "docid_single" ->
       "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
     "jsonl_documents" -> s"""

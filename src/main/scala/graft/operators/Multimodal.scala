@@ -5,44 +5,131 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the extended surface: media payloads
   * travel as opaque `binary` columns + typed metadata; decode /
-  * feature-extraction runs per partition so a real codec would be
-  * loaded once per task, not once per row (the Scala analogue of
-  * arrow-batched `mapInPandas`).
+  * feature-extraction runs per partition so codecs are set up once per
+  * task, not once per row (the Scala analogue of arrow-batched
+  * `mapInPandas`).
   *
-  * The decode step itself is a clearly-marked deterministic STUB
-  * (image/audio codecs are not available in this environment). The
-  * Spark-side contract — binary column, schema, partition-batched
-  * execution, metadata struct — is real and oracle-tested.
+  * The IMAGE leg is real: payloads are genuine PNG/BMP/GIF containers
+  * encoded with the JDK's `javax.imageio` (no external codecs needed),
+  * and [[decodeMeta]] parses them back through `ImageIO` — actual
+  * header dimensions, the actual sniffed container format, and the
+  * actual decoded raster pixel sum. Geometry and pixel content derive
+  * deterministically from `doc_id`, so the DuckDB oracle can predict
+  * what a CORRECT decode must yield without being able to parse PNG
+  * itself; all three containers are lossless for 8-bit gray, so the
+  * raster round-trips bit-exact. (The container's BYTE LENGTH is
+  * deliberately not part of any oracle-checked output — compressed
+  * size is encoder-version-dependent.) Video frame extraction remains
+  * a documented arithmetic stand-in (no video codecs in this
+  * environment) with the real explode-shaped plumbing.
   */
 object Multimodal {
 
-  /** Extracted media metadata (stub decode). */
-  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-      format: String)
+  /** Deterministic image geometry/content for a doc id — mirrored by
+    * the multimodal oracles: width = 16 + id % 32, height =
+    * 16 + (id*7) % 24, gray pixel (x,y) = (id + x + y) % 256,
+    * container = id % 3 → png/bmp/gif.
+    */
+  private def geom(id: Long): (Int, Int, String) =
+    ((16 + id % 32).toInt, (16 + (id * 7) % 24).toInt,
+      id % 3 match { case 0 => "png"; case 1 => "bmp"; case _ => "gif" })
+
+  /** A doc's media payload: real encoded image bytes. */
+  case class MediaPayload(doc_id: Long, media: Array[Byte])
+
+  /** Metadata extracted by a real ImageIO decode. */
+  case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      format: String, px_sum: Long)
 
   /** Attach a binary "media" payload (UTF-8 bytes of the text column —
-    * a deterministic stand-in for image bytes). Null text → empty
-    * payload (defined behavior, mirrored in the oracles).
+    * a deterministic stand-in used by the video-ish [[frameSample]]).
+    * Null text → empty payload (defined behavior, mirrored in the
+    * oracles).
     */
   def withBinaryPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       encode(coalesce(col("text"), lit("")), "UTF-8").as("media"))
 
-  /** STUB decode: derives metadata arithmetically from the payload
-    * bytes (a real implementation would decode image headers here —
-    * same signature, same partition-batched shape).
+  /** Real image payloads: one 8-bit grayscale PNG/BMP/GIF per doc,
+    * encoded in the partition-batched path ([[geom]] fixes size,
+    * pixels, and container per doc id). This models the ingest edge
+    * where media arrives as opaque bytes; everything downstream
+    * ([[decodeMeta]], [[resizePlan]]) must work from the bytes alone.
     */
-  private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = if (bytes == null) 0 else bytes.length
-    val fmt = n % 3 match {
-      case 0 => "jpeg"
-      case 1 => "png"
-      case _ => "webp"
-    }
-    MediaMeta(id, n, 64 + n % 1024, 64 + (n * 7) % 768, fmt)
+  def imagePayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      // per-partition codec setup: keep ImageIO's stream scratch in
+      // memory — the default disk cache would write a temp file per
+      // image
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { id =>
+        val (w, h, fmt) = geom(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, ((id + x + y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, fmt, bos),
+          s"doc $id: no ImageIO writer for $fmt")
+        MediaPayload(id, bos.toByteArray)
+      }
+    }.toDF()
   }
 
-  /** Frame sampling over a (stub-decoded) video-like payload: one row
+  /** Decode/feature-extract over the binary column, partition-batched:
+    * sniff the container (reader chosen by content, not by what
+    * [[geom]] intended), read the header dimensions, and sum the
+    * decoded raster — a wrong byte anywhere in encode, shuffle, or
+    * decode shows up in the oracle-predicted px_sum. Corrupt payloads
+    * fail loud with the doc named.
+    */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    imagePayload(docs).as[MediaPayload].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { p =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p.media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"doc ${p.doc_id}: no ImageIO reader recognizes the payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+          MediaMeta(p.doc_id, img.getWidth, img.getHeight,
+            reader.getFormatName.toLowerCase, sum)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling over a (stand-in) video-like payload: one row
     * per sampled frame with deterministic pts/fingerprint — the
     * explode-shaped plumbing a real frame sampler needs (schema,
     * per-frame rows, bounded fan-out), with arithmetic in place of the
@@ -76,17 +163,5 @@ object Multimodal {
     meta.select(col("doc_id"), col("width"), col("height"),
       floor(col("width") * target / longSide).cast("int").as("new_w"),
       floor(col("height") * target / longSide).cast("int").as("new_h"))
-  }
-
-  /** Decode/feature-extract over the binary column, partition-batched. */
-  def decodeMeta(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val payloads: Dataset[(Long, Array[Byte])] =
-      withBinaryPayload(docs).as[(Long, Array[Byte])]
-    payloads.mapPartitions { it =>
-      // per-partition setup point (codec init in a real decoder)
-      it.map { case (id, bytes) => stubDecode(id, bytes) }
-    }.toDF()
   }
 }
