@@ -1829,6 +1829,26 @@ object SparkEntry {
           expr("bit_xor(fp)").as("content_fp"))
         .orderBy(col("source"))
     }),
+    "corpus_pipeline" -> ((s, dir) => {
+      // end-to-end hygiene-chain gate: the COMPOSED default pipeline
+      // (NFC-canonicalize → boilerplate strip → PII redact → quality
+      // filter → exact fingerprint dedup → duplicated-span removal →
+      // deterministic hash split), reduced to a 3-row per-split
+      // manifest (count, chars, order-independent content
+      // fingerprint). Every stage is individually oracle-green
+      // elsewhere; this entry proves their COMPOSITION — a drifted
+      // join key, lost column, or reordered stage anywhere in
+      // Corpus.pipelineFrame changes a fingerprint here.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.tools.Corpus.pipelineFrame(docs)
+        .withColumn("fp", graft.functions.sdbm_hash(lit(0L), col("text")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          expr("bit_xor(fp)").as("content_fp"))
+        .orderBy(col("split"))
+    }),
     "io_provenance" -> ((s, dir) => {
       // row-level lineage without lineage columns: the _metadata
       // hidden column on file sources names the physical file and the
@@ -1925,25 +1945,30 @@ object SparkEntry {
     * units for all BMP text (the only kind in the fixtures).
     * Emits CTEs `sdbm_src`/`sdbm_rec`/`sdbm` with (sid, hash).
     */
+  /** `name` prefixes the emitted CTEs (`<name>_src`, `<name>_rec`,
+    * `<name>`) so one query can instantiate the chain more than once
+    * (the corpus_pipeline oracle hashes content, split key, and
+    * manifest fingerprints in a single statement).
+    */
   private def sdbmCte(fromSql: String, sidExpr: String, seedExpr: String,
-      strExpr: String): String = s"""
-    sdbm_src AS (SELECT DISTINCT $sidExpr AS sid, CAST($seedExpr AS HUGEINT) AS h0,
+      strExpr: String, name: String = "sdbm"): String = s"""
+    ${name}_src AS (SELECT DISTINCT $sidExpr AS sid, CAST($seedExpr AS HUGEINT) AS h0,
                         $strExpr AS s FROM $fromSql),
-    sdbm_rec AS (
+    ${name}_rec AS (
       SELECT sid, h0 % 18446744073709551616 AS h, s, 1 AS i, length(s) AS n
-      FROM sdbm_src
+      FROM ${name}_src
       UNION ALL
       SELECT sid, (h * 65599 + unicode(substr(s, i, 1))) % 18446744073709551616,
              s, i + 1, n
-      FROM sdbm_rec WHERE i <= n),
-    sdbm AS (
+      FROM ${name}_rec WHERE i <= n),
+    $name AS (
       SELECT sid, CAST(CASE WHEN hs > 0 THEN hs
                             WHEN hs = -9223372036854775808 THEN hs
                             ELSE -hs END AS BIGINT) AS hash
       FROM (SELECT sid,
               CASE WHEN h >= 9223372036854775808
                    THEN h - 18446744073709551616 ELSE h END AS hs
-            FROM sdbm_rec WHERE i = n + 1))"""
+            FROM ${name}_rec WHERE i = n + 1))"""
 
   /** SQL twin of [[Sampling.bucket]]: MINSTD-scrambled sdbm hash mod
     * 100 (see the scramble rationale in Sampling's scaladoc).
@@ -1957,11 +1982,11 @@ object SparkEntry {
     * them by xxhash64, identical modulo a ~1e-8 collision). Yields
     * `spans(doc_id, span_start, span_end)`.
     */
-  private val spanCteSql: String = """
+  private def spanCteSqlOver(from: String): String = s"""
       p AS (SELECT doc_id, text,
               unnest(range(1, greatest(CAST(len(text) AS BIGINT) - 28, 1)))
                 AS pos
-            FROM documents),
+            FROM $from),
       g AS (SELECT doc_id, pos, substr(text, CAST(pos AS INT), 30) AS gram
             FROM p),
       d AS (SELECT gram FROM g GROUP BY gram
@@ -1980,6 +2005,8 @@ object SparkEntry {
       spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
                        CAST(max(pos) + 29 AS BIGINT) AS span_end
                 FROM isl GROUP BY doc_id, gid)"""
+
+  private val spanCteSql: String = spanCteSqlOver("documents")
 
   /** Sliding-window oracle, shared by the batch and streaming twins
     * (both produce the same result table by construction).
@@ -2106,9 +2133,14 @@ object SparkEntry {
     * batch query and its stateless-streaming twin, which emit
     * identical rows by construction.
     */
-  private val qualityFilterSql: String = s"""
-      WITH base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
-                    FROM documents),
+  /** The quality-score CTE chain over `$from(doc_id, text)`, ending in
+    * `r(doc_id, n_tokens, rep_ratio, quality, pred_lang, reason)` —
+    * parameterized so the corpus_pipeline oracle can score REDACTED
+    * text while the standalone query scores raw documents.
+    */
+  private def qualityCtesSql(from: String): String = s"""
+      base AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                    FROM $from),
       sig AS (SELECT doc_id, null_text, n_tokens, rep_ratio, quality,
           CASE WHEN s_en + s_de + s_fr + s_es IS NULL
                  OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
@@ -2142,7 +2174,10 @@ object SparkEntry {
                WHEN rep_ratio > 0.04 THEN 'repetitive'
                WHEN quality < 0.5 THEN 'low_quality'
                ELSE 'ok' END AS reason
-        FROM sig)
+        FROM sig)"""
+
+  private val qualityFilterSql: String = s"""
+      WITH ${qualityCtesSql("documents")}
       SELECT doc_id, n_tokens, rep_ratio, quality, pred_lang,
              reason = 'ok' AS keep, reason
       FROM r ORDER BY doc_id"""
@@ -3627,6 +3662,70 @@ object SparkEntry {
              bit_xor(s.hash) AS content_fp
       FROM documents d JOIN sdbm s ON s.sid = d.doc_id
       GROUP BY d.source ORDER BY d.source""",
+    // the composed hygiene chain, stage twins spliced end to end:
+    // html-clean + scrub over NFC text -> quality reasons over the
+    // REDACTED text -> fingerprint-dedup (sdbm of the normalized
+    // text, min doc_id wins) -> span removal over the deduped set ->
+    // hash split -> per-split manifest. Three sdbm instantiations
+    // (content fingerprint, split key, manifest fingerprint) under
+    // distinct CTE prefixes.
+    "corpus_pipeline" -> s"""
+      WITH RECURSIVE
+      clean AS (SELECT doc_id, source,
+                  ${htmlCleanSql("nfc_normalize(text)")} AS t0
+                FROM documents),
+      pii AS (SELECT doc_id, source, t0 AS t FROM clean),
+      ${scrubChainSql("doc_id, source")},
+      red AS (SELECT doc_id, source, t AS text
+              FROM s${Scrub.DefaultRules.size}),
+      ${qualityCtesSql("red")},
+      kept AS (SELECT rd.doc_id, rd.source, rd.text
+               FROM red rd JOIN r ON r.doc_id = rd.doc_id
+               WHERE r.reason = 'ok'),
+      ${sdbmCte("kept", "doc_id", "0",
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))", "fph")},
+      win AS (SELECT min(sid) AS doc_id FROM fph GROUP BY hash),
+      ded AS (SELECT k.doc_id, k.source, k.text
+              FROM kept k JOIN win ON win.doc_id = k.doc_id),
+      ${spanCteSqlOver("ded")},
+      keepseg AS (
+        SELECT doc_id, s, e FROM (
+          SELECT doc_id,
+                 coalesce(lag(span_end) OVER
+                   (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS s,
+                 span_start - 1 AS e
+          FROM spans) WHERE s <= e
+        UNION ALL
+        SELECT sp.doc_id, sp.mx + 1 AS s, CAST(len(dd.text) AS BIGINT) AS e
+        FROM (SELECT doc_id, max(span_end) AS mx FROM spans
+              GROUP BY doc_id) sp
+        JOIN ded dd ON dd.doc_id = sp.doc_id
+        WHERE sp.mx + 1 <= len(dd.text)),
+      scrubbed AS (SELECT a.doc_id,
+                  coalesce(string_agg(
+                    substr(dd.text, CAST(k.s AS INT),
+                           CAST(k.e - k.s + 1 AS INT)),
+                    '' ORDER BY k.s), '') AS clean_text
+                FROM (SELECT DISTINCT doc_id FROM spans) a
+                JOIN ded dd ON dd.doc_id = a.doc_id
+                LEFT JOIN keepseg k ON k.doc_id = a.doc_id
+                GROUP BY a.doc_id),
+      fin AS (SELECT dd.doc_id, dd.source,
+                coalesce(sc.clean_text, dd.text) AS text
+              FROM ded dd LEFT JOIN scrubbed sc ON sc.doc_id = dd.doc_id),
+      ${sdbmCte("documents", "doc_id", "0", "CAST(doc_id AS VARCHAR)",
+        "sph")},
+      assigned AS (SELECT f.doc_id, f.source, f.text,
+            CASE WHEN ${bucketSql("sph.hash")} < 80 THEN 'train'
+                 WHEN ${bucketSql("sph.hash")} < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM fin f JOIN sph ON sph.sid = f.doc_id),
+      ${sdbmCte("assigned", "doc_id", "0", "text", "mfp")}
+      SELECT a.split, count(*) AS n_docs,
+             CAST(sum(len(a.text)) AS BIGINT) AS n_chars,
+             bit_xor(m.hash) AS content_fp
+      FROM assigned a JOIN mfp m ON m.sid = a.doc_id
+      GROUP BY a.split ORDER BY a.split""",
     // the fixture file is written in doc_id order (verified), so the
     // physical row index equals the doc_id rank
     "io_provenance" -> """

@@ -47,50 +47,85 @@ object Corpus {
         s""""train":$train,"val":$valN,"test":$test}"""
   }
 
+  /** Stage 0+1+2 fused: NFC-canonicalize (composition forms must
+    * converge before fingerprints — ASCII text passes through
+    * unchanged), strip boilerplate, redact the CLEANED text, then
+    * score the REDACTED text (quality judged on what survives
+    * scrubbing) — one narrow projection end to end, no join between
+    * the stages. Output: (doc_id, source, text, n_pii, keep, ...).
+    */
+  def scoreDocs(docs: DataFrame): DataFrame = {
+    val canonical = docs.withColumn("text",
+      graft.functions.nfc_normalize(col("text")))
+    val redacted = Scrub.redact(Scrub.htmlClean(canonical),
+      keyCols = Seq("doc_id", "source"))
+    val hitCols = Scrub.DefaultRules.map(r => col(s"n_${r.name}"))
+    TextStats.qualityFilter(
+      redacted.select(col("doc_id"), col("source"),
+        hitCols.reduce(_ + _).as("n_pii"),
+        col("redacted").as("text")),
+      extraCols = Seq("source", "text", "n_pii"))
+  }
+
+  /** Stage 3: exact content dedup, first doc_id wins (the
+    * within-batch half of Dedup.incremental — no prior corpus).
+    */
+  def dedupFirstWins(kept: DataFrame): DataFrame = {
+    val winners = TextStats.fingerprint(kept.select("doc_id", "text"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    kept.join(winners.select("doc_id"), "doc_id")
+  }
+
+  /** Stage 4a: the (small) duplicated-span fix-ups frame —
+    * (doc_id, clean_text) for affected docs only.
+    */
+  def spanFixes(deduped: DataFrame): DataFrame =
+    graft.operators.Dedup
+      .removeDuplicatedSpans(deduped.select("doc_id", "text"))
+      .select(col("doc_id"), col("clean_text"))
+
+  /** Stage 4b: join the fix-ups back; unaffected docs pass through. */
+  def applySpanFixes(deduped: DataFrame, fixes: DataFrame): DataFrame =
+    deduped.join(fixes, Seq("doc_id"), "left")
+      .withColumn("text", coalesce(col("clean_text"), col("text")))
+      .drop("clean_text")
+
+  /** The default transformation chain as ONE declarative frame — no
+    * persists, counts, or side outputs: docs → (doc_id, source,
+    * split, text). SparkEntry's `corpus_pipeline` driver gate hashes
+    * a per-split manifest of THIS frame, so the composed chain — not
+    * just its individually-verified stages — is oracle-checked end to
+    * end. [[run]] wires the same stage functions with the persists
+    * and per-stage counters a production launch wants.
+    */
+  def pipelineFrame(docs: DataFrame): DataFrame = {
+    val kept = scoreDocs(docs).filter(col("keep"))
+    val deduped = dedupFirstWins(kept)
+    val fixed = applySpanFixes(deduped, spanFixes(deduped))
+    Sampling.hashSplit(fixed)
+      .select(col("doc_id"), col("source"), col("split"), col("text"))
+  }
+
   /** Run the pipeline; returns the per-stage report. `docs` needs
     * (doc_id, source, text).
     */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       shards: Int = 4, evalDocs: Option[DataFrame] = None,
       nearDupSafeSplit: Boolean = false): Report = {
-    // stage 0+1+2 fused: NFC-canonicalize (composition forms must
-    // converge before fingerprints — ASCII text passes through
-    // unchanged), strip boilerplate, redact the CLEANED text, then
-    // score the REDACTED text (quality judged on what survives
-    // scrubbing) — one narrow projection end to end, no join between
-    // the stages
-    val canonical = docs.withColumn("text",
-      graft.functions.nfc_normalize(col("text")))
-    val redacted = Scrub.redact(Scrub.htmlClean(canonical),
-      keyCols = Seq("doc_id", "source"))
-    val hitCols = Scrub.DefaultRules.map(r => col(s"n_${r.name}"))
-    val scored = TextStats.qualityFilter(
-      redacted.select(col("doc_id"), col("source"),
-        hitCols.reduce(_ + _).as("n_pii"),
-        col("redacted").as("text")),
-      extraCols = Seq("source", "text", "n_pii"))
-    val cached = scored.persist(
+    val cached = scoreDocs(docs).persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val input = cached.count()
       val piiDocs = cached.filter(col("n_pii") > 0).count()
       val kept = cached.filter(col("keep"))
       val keptN = kept.count()
-      // stage 3: exact content dedup, first doc_id wins (the
-      // within-batch half of Dedup.incremental — no prior corpus)
-      val winners = TextStats.fingerprint(kept.select("doc_id", "text"))
-        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      val deduped = kept.join(winners.select("doc_id"), "doc_id")
-      // stage 4: cut cross-doc duplicated spans; only the (small)
-      // affected-doc fix-ups join back, everything else passes through
-      val fixes = graft.operators.Dedup
-        .removeDuplicatedSpans(deduped.select("doc_id", "text"))
-        .select(col("doc_id"), col("clean_text"))
+      val deduped = dedupFirstWins(kept)
+      // the fix-ups are persisted: the report needs their cardinality
+      // and the join consumes them again
+      val fixes = spanFixes(deduped)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSpanScrubbed = fixes.count()
-      val spanFixed = deduped.join(fixes, Seq("doc_id"), "left")
-        .withColumn("text", coalesce(col("clean_text"), col("text")))
-        .drop("clean_text")
+      val spanFixed = applySpanFixes(deduped, fixes)
       // stage 5: optional benchmark decontamination (broadcasts only
       // the eval-set gram table). spanFixed is persisted for this
       // branch: the drop count needs its cardinality, and without the
