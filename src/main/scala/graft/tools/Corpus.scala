@@ -90,16 +90,27 @@ object Corpus {
       .withColumn("text", coalesce(col("clean_text"), col("text")))
       .drop("clean_text")
 
-  /** The default transformation chain as ONE declarative frame — no
-    * persists, counts, or side outputs: docs → (doc_id, source,
-    * split, text). SparkEntry's `corpus_pipeline` driver gate hashes
-    * a per-split manifest of THIS frame, so the composed chain — not
-    * just its individually-verified stages — is oracle-checked end to
-    * end. [[run]] wires the same stage functions with the persists
-    * and per-stage counters a production launch wants.
+  /** The default transformation chain as ONE frame — no counts or
+    * side outputs: docs → (doc_id, source, split, text). SparkEntry's
+    * `corpus_pipeline` driver gate hashes a per-split manifest of
+    * THIS frame, so the composed chain — not just its individually-
+    * verified stages — is oracle-checked end to end. [[run]] wires
+    * the same stage functions with the persists and per-stage
+    * counters a production launch wants.
+    *
+    * The scored frame is materialized (localCheckpoint — the same
+    * barrier [[run]] gets from its persist): without it, predicate
+    * pushdown substitutes the FULL 16-regex clean+scrub chain into
+    * every `txt` reference of the pushed `keep` condition, and the
+    * downstream dedup/span/split branches re-derive the chain from
+    * the scan again — measured 33 s vs 6 s for the identical result
+    * at sf0.1. Scoring runs once, everything downstream reads
+    * computed rows.
     */
   def pipelineFrame(docs: DataFrame): DataFrame = {
-    val kept = scoreDocs(docs).filter(col("keep"))
+    val scored = scoreDocs(docs)
+    graft.PlanCapture.record("corpus_pipeline:scored", scored)
+    val kept = scored.localCheckpoint().filter(col("keep"))
     val deduped = dedupFirstWins(kept)
     val fixed = applySpanFixes(deduped, spanFixes(deduped))
     Sampling.hashSplit(fixed)
