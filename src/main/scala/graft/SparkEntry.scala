@@ -145,13 +145,22 @@ object SparkEntry {
     * below the observed fixture minimum (measured across sf0.001/0.01/
     * 0.1 by [[graft.tools.RecallProbe]]), not at it.
     */
+  /** Materialize a frame under [[recallDumpDir]] and read it back —
+    * the shared move behind every `*_recall` / `*_bounds` gate: Spark
+    * and the DuckDB oracle then score byte-identical rows.
+    */
+  private def dumpForOracle(s: SparkSession, dir: String, name: String,
+      df: DataFrame): DataFrame = {
+    val path = s"${recallDumpDir(dir)}/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   private def recallGate(s: SparkSession, dir: String, name: String,
       exact: DataFrame, approx: DataFrame, keys: Seq[String],
       floorBp: Int): DataFrame = {
-    val path = s"${recallDumpDir(dir)}/$name"
-    approx.select(keys.map(col): _*).distinct()
-      .coalesce(1).write.mode("overwrite").parquet(path)
-    val dumped = s.read.parquet(path)
+    val dumped = dumpForOracle(s, dir, name,
+      approx.select(keys.map(col): _*).distinct())
     val ex = exact.select(keys.map(col): _*)
     val recallBp = "CASE WHEN n_exact = 0 THEN CAST(10000 AS BIGINT) " +
       "ELSE (10000 * n_hit) DIV n_exact END"
@@ -730,6 +739,104 @@ object SparkEntry {
         Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
         Similarity.ivfTopK(emb, col("id") < 10, k = 5),
         Seq("query_id", "neighbor_id"), floorBp = 8000)
+    }),
+    "dedup_semantic_recall" -> ((s, dir) => {
+      // SemDeDup co-clustering recall vs the brute-force pair set;
+      // nCells=4 on the near-orthogonal fixture keeps ~2/3 of true
+      // pairs co-clustered (measured across scales by RecallProbe) —
+      // a real clustered corpus concentrates near-dups in one cell
+      val emb = t(s, dir, "embeddings")
+      recallGate(s, dir, "dedup_semantic_recall",
+        Similarity.cosinePairs(emb, minCosine = 0.45),
+        Similarity.semanticPairs(emb, minCosine = 0.45, nCells = 4),
+        Seq("id_a", "id_b"), floorBp = 4000)
+    }),
+    // ---- sketch error-bound gates ----
+    // Same materialize-as-data trick as the recall gates, applied to
+    // the estimate-valued sketch queries: the DataSketches estimates
+    // land in parquet, DuckDB re-reads them next to its own exact
+    // computation, and the oracle asserts the expected within-bound
+    // outcome — an estimate drifting past its published error bound
+    // becomes a hash mismatch, not a silently-agreeing false.
+    "profile_sketch_lake_bounds" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dumped = dumpForOracle(s, dir, "profile_sketch_lake_bounds",
+        Profile.hllSketchLake(ev).select(col("event_type"),
+          col("est_users")))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      dumped.join(exact, "event_type")
+        .selectExpr("event_type", "est_users", "exact_users",
+          // HLL at default lgK: spec-pinned 5% relative bound, with
+          // an absolute floor of 1 for tiny segments
+          "100 * abs(est_users - exact_users) <= " +
+            "greatest(100L, 5 * exact_users) AS within_bound")
+        .orderBy(col("event_type"))
+    }),
+    "profile_sketch_overlap_bounds" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dumped = dumpForOracle(s, dir, "profile_sketch_overlap_bounds",
+        Profile.audienceOverlap(ev, "click", "purchase")
+          .select(col("est_overlap")))
+      val exact = ev.filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(count_distinct(col("event_type")).as("nk"))
+        .filter(col("nk") === 2)
+        .agg(count(lit(1)).as("exact_overlap"))
+      dumped.crossJoin(exact)
+        .selectExpr("est_overlap", "exact_overlap",
+          "100 * abs(est_overlap - exact_overlap) <= " +
+            "greatest(100L, 5 * exact_overlap) AS within_bound")
+    }),
+    "profile_approx_bounds" -> ((s, dir) => {
+      // the approxTable estimates scored against the exact profiling
+      // pass: HLL distinct within the 3-sigma 15% band, approx
+      // percentiles within ±1% rank of their target (two-sided via
+      // the [count(<p), count(<=p)] rank interval, so value ties
+      // cannot false-flag). Rank counts ride along as cross-checked
+      // integers; the ok booleans are oracle-asserted TRUE.
+      val docs = t(s, dir, "documents")
+      val dumped = dumpForOracle(s, dir, "profile_approx_bounds",
+        Profile.approxTable(docs))
+      val exact = Profile.table(docs)
+        .select(col("col_name"), col("n").as("e_n"),
+          col("n_null").as("e_null"), col("n_distinct").as("nd_exact"))
+      val nums = docs.select(explode(array(
+          struct(lit("doc_id").as("col_name"),
+            col("doc_id").cast("double").as("v")),
+          struct(lit("n_chars").as("col_name"),
+            col("n_chars").cast("double").as("v")))).as("m"))
+        .select(col("m.col_name"), col("m.v"))
+        .filter(col("v").isNotNull)
+      val rk = nums
+        .join(dumped.select(col("col_name"), col("p50"), col("p95"),
+          col("p99")), "col_name")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("nv"),
+          sum(when(col("v") < col("p50"), 1L).otherwise(0L)).as("r50_lt"),
+          sum(when(col("v") <= col("p50"), 1L).otherwise(0L)).as("r50_le"),
+          sum(when(col("v") < col("p95"), 1L).otherwise(0L)).as("r95_lt"),
+          sum(when(col("v") <= col("p95"), 1L).otherwise(0L)).as("r95_le"),
+          sum(when(col("v") < col("p99"), 1L).otherwise(0L)).as("r99_lt"),
+          sum(when(col("v") <= col("p99"), 1L).otherwise(0L)).as("r99_le"))
+      // no NULLs in the output: a NULL BIGINT/BOOLEAN stringifies
+      // differently between the two compare paths (None vs nan) —
+      // non-numeric columns get vacuously-TRUE percentile oks and
+      // zero rank counts on BOTH sides instead
+      def band(q: Int): String =
+        s"CASE WHEN nv IS NULL THEN TRUE ELSE " +
+          s"r${q}_lt <= ($q * nv) DIV 100 + greatest(1L, nv DIV 100) AND " +
+          s"r${q}_le >= ($q * nv) DIV 100 - greatest(1L, nv DIV 100) " +
+          s"END AS p${q}_ok"
+      dumped.join(exact, "col_name").join(rk, Seq("col_name"), "left")
+        .selectExpr(Seq("col_name", "nd_exact",
+          "n = e_n AND n_null = e_null AS n_ok",
+          "abs(approx_distinct - nd_exact) <= " +
+            "greatest(1L, (15 * nd_exact) DIV 100) AS nd_ok") ++
+          Seq("r50_lt", "r50_le", "r95_lt", "r95_le", "r99_lt", "r99_le")
+            .map(c => s"coalesce($c, 0L) AS $c") ++
+          Seq(band(50), band(95), band(99)): _*)
+        .orderBy(col("col_name"))
     }),
 
     // ---- north star: text analysis ----
@@ -2105,6 +2212,11 @@ object SparkEntry {
     * CTE the caller prepends, and emit the same one-row
     * (n_exact, n_hit, recall_bp, meets_floor) frame as [[recallGate]]
     * — `//` truncates like Spark's DIV for non-negative counts.
+    * `meets_floor` is the literal expected TRUE (not recomputed): the
+    * independent cross-check lives in n_exact/n_hit/recall_bp, and
+    * asserting the expectation makes a floor violation a visible
+    * hash MISMATCH — were both sides to compute the boolean, a
+    * recall regression would emit `false` twice and stay green.
     */
   private def recallTailSql(name: String, keys: String,
       floorBp: Int): String = {
@@ -2117,7 +2229,7 @@ object SparkEntry {
     hit AS (SELECT count(*) AS n_hit
             FROM exact ex JOIN approx ap USING ($keys))
     SELECT n_exact, n_hit, $bp AS recall_bp,
-           $bp >= $floorBp AS meets_floor
+           TRUE AS meets_floor
     FROM cnt, hit"""
   }
 
@@ -2637,6 +2749,70 @@ object SparkEntry {
       WITH $qEmbSql,
       $exactTop5CteSql,
       ${recallTailSql("sim_ann_ivf_recall", "query_id, neighbor_id", 8000)}""",
+    "dedup_semantic_recall" -> s"""
+      WITH $qEmbSql,
+      d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2),
+      exact AS (SELECT id_a, id_b
+                FROM d JOIN n na ON na.vec_id = id_a
+                       JOIN n nb ON nb.vec_id = id_b
+                WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE)) >= 0.45),
+      ${recallTailSql("dedup_semantic_recall", "id_a, id_b", 4000)}""",
+    // within_bound is the literal expected TRUE on the oracle side —
+    // see recallTailSql's rationale: both-sides-computed booleans
+    // would agree on a violation and stay green; the assertion makes
+    // a bound breach a visible hash mismatch.
+    "profile_sketch_lake_bounds" -> s"""
+      WITH apx AS (SELECT event_type, est_users
+                   FROM read_parquet('$RecallDirToken/profile_sketch_lake_bounds/*.parquet')),
+      ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+             FROM events GROUP BY event_type)
+      SELECT a.event_type, a.est_users, e.exact_users,
+             TRUE AS within_bound
+      FROM apx a JOIN ex e USING (event_type)
+      ORDER BY a.event_type""",
+    "profile_sketch_overlap_bounds" -> s"""
+      WITH apx AS (SELECT est_overlap
+                   FROM read_parquet('$RecallDirToken/profile_sketch_overlap_bounds/*.parquet')),
+      ex AS (SELECT count(*) AS exact_overlap FROM (
+               SELECT user_id FROM events
+               WHERE event_type IN ('click', 'purchase')
+               GROUP BY user_id
+               HAVING count(DISTINCT event_type) = 2))
+      SELECT est_overlap, exact_overlap, TRUE AS within_bound
+      FROM apx, ex""",
+    "profile_approx_bounds" -> s"""
+      WITH apx AS (SELECT * FROM read_parquet('$RecallDirToken/profile_approx_bounds/*.parquet')),
+      ex AS (${Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name,
+               count(DISTINCT $c) AS nd_exact FROM documents""")
+        .mkString(" UNION ALL ")}),
+      nums AS (SELECT 'doc_id' AS col_name, CAST(doc_id AS DOUBLE) AS v
+               FROM documents WHERE doc_id IS NOT NULL
+               UNION ALL
+               SELECT 'n_chars', CAST(n_chars AS DOUBLE)
+               FROM documents WHERE n_chars IS NOT NULL),
+      rk AS (SELECT nm.col_name,
+               CAST(sum(CASE WHEN v < a.p50 THEN 1 ELSE 0 END) AS BIGINT) AS r50_lt,
+               CAST(sum(CASE WHEN v <= a.p50 THEN 1 ELSE 0 END) AS BIGINT) AS r50_le,
+               CAST(sum(CASE WHEN v < a.p95 THEN 1 ELSE 0 END) AS BIGINT) AS r95_lt,
+               CAST(sum(CASE WHEN v <= a.p95 THEN 1 ELSE 0 END) AS BIGINT) AS r95_le,
+               CAST(sum(CASE WHEN v < a.p99 THEN 1 ELSE 0 END) AS BIGINT) AS r99_lt,
+               CAST(sum(CASE WHEN v <= a.p99 THEN 1 ELSE 0 END) AS BIGINT) AS r99_le
+             FROM nums nm JOIN apx a USING (col_name)
+             GROUP BY nm.col_name)
+      SELECT e.col_name, e.nd_exact,
+             TRUE AS n_ok, TRUE AS nd_ok,
+             coalesce(rk.r50_lt, CAST(0 AS BIGINT)) AS r50_lt,
+             coalesce(rk.r50_le, CAST(0 AS BIGINT)) AS r50_le,
+             coalesce(rk.r95_lt, CAST(0 AS BIGINT)) AS r95_lt,
+             coalesce(rk.r95_le, CAST(0 AS BIGINT)) AS r95_le,
+             coalesce(rk.r99_lt, CAST(0 AS BIGINT)) AS r99_lt,
+             coalesce(rk.r99_le, CAST(0 AS BIGINT)) AS r99_le,
+             TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+      FROM ex e LEFT JOIN rk ON rk.col_name = e.col_name
+      ORDER BY e.col_name""",
     "text_token_stats" -> """
       SELECT doc_id, length(text) AS n_chars_m,
              CASE WHEN length(trim(text)) = 0 THEN 0

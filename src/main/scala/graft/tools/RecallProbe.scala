@@ -54,7 +54,10 @@ object RecallProbe {
           nTables = 12), Seq("query_id", "neighbor_id"))),
       "ann_ivf" -> (() => recallOf(exactTop5,
         Similarity.ivfTopK(emb, col("id") < 10, k = 5),
-        Seq("query_id", "neighbor_id"))))
+        Seq("query_id", "neighbor_id"))),
+      "semantic" -> (() => recallOf(exactPairs,
+        Similarity.semanticPairs(emb, minCosine = 0.45, nCells = 4),
+        Seq("id_a", "id_b"))))
     val fields = probes.filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, f) =>
       val (n, hit) = f()
