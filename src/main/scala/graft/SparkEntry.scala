@@ -740,6 +740,32 @@ object SparkEntry {
         Similarity.ivfTopK(emb, col("id") < 10, k = 5),
         Seq("query_id", "neighbor_id"), floorBp = 8000)
     }),
+    "dedup_incremental_near_recall" -> ((s, dir) => {
+      // the staged recrawls (corpus docs < 50 re-ingested under
+      // id+10000 with a short suffix) are near-dups BY CONSTRUCTION,
+      // so the must-drop set needs no sketch math: recall = the share
+      // of them the incremental near-dedup actually dropped. The
+      // survivor ids are materialized; the oracle recomputes the
+      // staged set and the drop count from them directly.
+      val all = t(s, dir, "documents")
+      val corpus = all.filter(col("doc_id") < 400)
+      val batch = all.filter(col("doc_id") >= 400)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(col("text"), lit(" recrawled")).as("text")))
+      val dumped = dumpForOracle(s, dir, "dedup_incremental_near_recall",
+        Dedup.incrementalNear(batch, corpus).select(col("doc_id")))
+      val staged = corpus.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"))
+      val recallBp = "CASE WHEN n_exact = 0 THEN CAST(10000 AS BIGINT) " +
+        "ELSE (10000 * n_hit) DIV n_exact END"
+      staged.agg(count(lit(1)).as("n_exact")).crossJoin(
+          staged.join(dumped, Seq("doc_id"), "left_anti")
+            .agg(count(lit(1)).as("n_hit")))
+        .selectExpr("n_exact", "n_hit", s"$recallBp AS recall_bp",
+          s"$recallBp >= 9500 AS meets_floor")
+    }),
     "dedup_semantic_recall" -> ((s, dir) => {
       // SemDeDup co-clustering recall vs the brute-force pair set;
       // nCells=4 on the near-orthogonal fixture keeps ~2/3 of true
@@ -2749,6 +2775,20 @@ object SparkEntry {
       WITH $qEmbSql,
       $exactTop5CteSql,
       ${recallTailSql("sim_ann_ivf_recall", "query_id, neighbor_id", 8000)}""",
+    "dedup_incremental_near_recall" -> s"""
+      WITH surv AS (SELECT doc_id
+                    FROM read_parquet('$RecallDirToken/dedup_incremental_near_recall/*.parquet')),
+      staged AS (SELECT doc_id + 10000 AS doc_id FROM documents
+                 WHERE doc_id < 50),
+      cnt AS (SELECT count(*) AS n_exact FROM staged),
+      hit AS (SELECT count(*) AS n_hit FROM staged st
+              WHERE NOT EXISTS (SELECT 1 FROM surv sv
+                                WHERE sv.doc_id = st.doc_id))
+      SELECT n_exact, n_hit,
+             CASE WHEN n_exact = 0 THEN CAST(10000 AS BIGINT)
+                  ELSE (10000 * n_hit) // n_exact END AS recall_bp,
+             TRUE AS meets_floor
+      FROM cnt, hit""",
     "dedup_semantic_recall" -> s"""
       WITH $qEmbSql,
       d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
