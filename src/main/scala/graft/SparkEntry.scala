@@ -814,6 +814,35 @@ object SparkEntry {
           "100 * abs(est_overlap - exact_overlap) <= " +
             "greatest(100L, 5 * exact_overlap) AS within_bound")
     }),
+    "text_compression_bounds" -> ((s, dir) => {
+      // the deflate kernel's output scored against what any correct
+      // DEFLATE of text must satisfy: positive, never past the
+      // worst-case envelope (stored-block overhead ≤ 64 bytes at
+      // fixture sizes), and a corpus mean ratio in the natural-prose
+      // band (observed 0.478; bounds 0.20-0.80) — the oracle computes
+      // byte totals from the table itself and asserts the expected
+      // outcome booleans
+      val docs = t(s, dir, "documents")
+      val dumped = dumpForOracle(s, dir, "text_compression_bounds",
+        TextStats.compressionSignal(docs)
+          .select(col("doc_id"), col("deflate_len")))
+      val exact = docs.select(col("doc_id"),
+        octet_length(coalesce(col("text"), lit(""))).cast("long")
+          .as("n_bytes"))
+      dumped.join(exact, "doc_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("bytes_total"),
+          sum(col("deflate_len")).as("deflate_total"),
+          sum(when(col("n_bytes") === 0L ||
+              (col("deflate_len") > 0L &&
+                col("deflate_len") <= col("n_bytes") + 64L), 0L)
+            .otherwise(1L)).as("n_bad"))
+        .selectExpr("n_docs", "bytes_total", "deflate_total",
+          "(10000 * deflate_total) DIV bytes_total AS mean_ratio_bp",
+          "n_bad = 0 AS all_within_worstcase",
+          "(10000 * deflate_total) DIV bytes_total " +
+            "BETWEEN 2000 AND 8000 AS ratio_plausible")
+    }),
     "profile_approx_bounds" -> ((s, dir) => {
       // the approxTable estimates scored against the exact profiling
       // pass: HLL distinct within the 3-sigma 15% band, approx
@@ -2822,6 +2851,23 @@ object SparkEntry {
                HAVING count(DISTINCT event_type) = 2))
       SELECT est_overlap, exact_overlap, TRUE AS within_bound
       FROM apx, ex""",
+    "text_compression_bounds" -> s"""
+      WITH apx AS (SELECT doc_id, deflate_len
+                   FROM read_parquet('$RecallDirToken/text_compression_bounds/*.parquet')),
+      ex AS (SELECT doc_id,
+               CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                 AS n_bytes
+             FROM documents),
+      j AS (SELECT a.doc_id, a.deflate_len, e.n_bytes
+            FROM apx a JOIN ex e USING (doc_id))
+      SELECT count(*) AS n_docs,
+             CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(deflate_len) AS BIGINT) AS deflate_total,
+             (10000 * CAST(sum(deflate_len) AS BIGINT)) //
+               CAST(sum(n_bytes) AS BIGINT) AS mean_ratio_bp,
+             TRUE AS all_within_worstcase,
+             TRUE AS ratio_plausible
+      FROM j""",
     "profile_approx_bounds" -> s"""
       WITH apx AS (SELECT * FROM read_parquet('$RecallDirToken/profile_approx_bounds/*.parquet')),
       ex AS (${Seq("doc_id", "text", "lang", "source", "n_chars").map(c =>
