@@ -445,6 +445,116 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
     }),
+    // ---- TPC-H composite shapes (multi-join + agg + top-k — the
+    // canonical 100 TB warehouse workloads, adapted to the fixture
+    // schema; revenue rides the decimal(18,4) quantization so both
+    // engines hash identically) ----
+    "tpch_q3" -> ((s, dir) => {
+      // Q3 shipping priority (o_orderpriority stands in for the
+      // fixture's missing o_shippriority). The selective segment
+      // filter broadcasts into the orders⋈lineitem shuffle join; the
+      // final top-10 compiles to TakeOrderedAndProject, with the
+      // orderkey tie-break making the cut deterministic cross-engine.
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+        .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "tpch_q5" -> ((s, dir) => {
+      // Q5 local supplier volume: revenue from orders where supplier
+      // and customer share a nation, nations restricted to one region,
+      // one order year. All dims broadcast (region→nation 5 rows,
+      // supplier 1%, customer 3% of lineitem); the only shuffle join
+      // is fact-side lineitem⋈orders. The c_nationkey = s_nationkey
+      // constraint rides the supplier broadcast join condition.
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "tpch_q8" -> ((s, dir) => {
+      // Q8 national market share, reshaped to the fixture: among
+      // ECONOMY-type parts bought by AMERICA-region customers, the
+      // yearly revenue share held by NATION_7 suppliers. Double
+      // division is not hash-stable cross-engine, so the share is
+      // integer basis points over exact decimal tenth-cent sums
+      // (both engines truncate non-negative integer division).
+      val americaKeys = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val supplierNation = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(americaKeys), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(supplierNation),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_7", volume)
+            .otherwise(lit(0).cast("decimal(18,4)"))) * 10000)
+            .cast("long").as("nation_rev_tc"),
+          (sum(volume) * 10000).cast("long").as("total_rev_tc"))
+        .select(col("o_year"), col("nation_rev_tc"), col("total_rev_tc"),
+          expr("(10000 * nation_rev_tc) div total_rev_tc").as("share_bp"))
+        .orderBy(col("o_year"))
+    }),
+    "tpch_q10" -> ((s, dir) => {
+      // Q10 returned-item reporting: customers who returned goods in
+      // one quarter, ranked by lost revenue, top 20. Customer and
+      // nation broadcast; the returnflag filter prunes the fact scan.
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders").filter(
+          col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -3754,6 +3864,62 @@ object SparkEntry {
       JOIN customer ON o_custkey  = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+    "tpch_q3" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate  > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5" -> """
+      SELECT n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q8" -> """
+      SELECT o_year, nation_rev_tc, total_rev_tc,
+             (10000 * nation_rev_tc) // total_rev_tc AS share_bp
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS nation_rev_tc,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_rev_tc
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        GROUP BY 1) t
+      ORDER BY o_year""",
+    "tpch_q10" -> """
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-07-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_window_rank" -> """
       SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
