@@ -924,6 +924,37 @@ object SparkEntry {
           "100 * abs(est_overlap - exact_overlap) <= " +
             "greatest(100L, 5 * exact_overlap) AS within_bound")
     }),
+    "sqlfn_gate" -> ((s, dir) => {
+      // derived driver gate for q_sql_functions — the last no_oracle
+      // entry that had no derived check: materialize the SQL-registry
+      // demo output and score every SQL-expressible invariant in
+      // DuckDB. The oracle recomputes `h` INDEPENDENTLY via the
+      // recursive sdbm CTE (the engine-neutral twin that already pins
+      // docid_composite and corpus_manifest), recomputes the shingle
+      // count from the text itself, and checks the sorted-merge
+      // self-intersection identity; simhash stays ScalaTest-pinned
+      // (murmur is the one leg SQL cannot reach).
+      val dumped = dumpForOracle(s, dir, "sqlfn_gate",
+        queries("q_sql_functions")(s, dir))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").as("d_id"), col("text"))
+      dumped.join(docs, col("doc_id") === col("d_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("h") ===
+            graft.functions.sdbm_hash(col("d_id"), col("text")), 1L)
+            .otherwise(0L)).as("n_h_match"),
+          sum(when(col("n_shingles") ===
+            greatest(size(split(col("text"), " ")) - 2, lit(0)), 1L)
+            .otherwise(0L)).as("n_shingle_match"),
+          sum(when(col("self_shared") === col("n_distinct_shingles"), 1L)
+            .otherwise(0L)).as("n_selfshared_match"))
+        .selectExpr("n_rows", "n_h_match", "n_shingle_match",
+          "n_selfshared_match",
+          "n_h_match = n_rows AS h_ok",
+          "n_shingle_match = n_rows AS shingle_ok",
+          "n_selfshared_match = n_rows AS selfshared_ok")
+    }),
     "text_compression_bounds" -> ((s, dir) => {
       // the deflate kernel's output scored against what any correct
       // DEFLATE of text must satisfy: positive, never past the
@@ -2064,6 +2095,32 @@ object SparkEntry {
       back.orderBy(col("id"))
     }),
 
+    "xml_parse_roundtrip" -> ((s, dir) => {
+      // the built-in-parser twin of xml_read_roundtrip: format the
+      // full documents row through the xmlpipe2 renderer, then parse
+      // each fragment back with Spark 4's NATIVE from_xml — typed
+      // recovery (attribute id → _id, entity unescaping, int
+      // re-typing) through Catalyst's own StaxXmlParser instead of
+      // the regex docset reader. Proves a produced fragment is
+      // consumable by a stock Spark pipeline with no graft code on
+      // the read side; the oracle reads the same values straight
+      // from the source table. Narrow per-row projection — no
+      // shuffle before the presentation sort.
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      XmlPipe.formatDocs(docs, Seq("doc_id"))
+        .select(from_xml(col("doc"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_id BIGINT, doc_id BIGINT, text STRING, lang STRING, " +
+              "source STRING, n_chars BIGINT"),
+          new java.util.HashMap[String, String]()).as("p"))
+        .select(col("p._id").as("id"), col("p.doc_id").as("doc_id"),
+          col("p.text").as("text"), col("p.lang").as("lang"),
+          col("p.source").as("source"), col("p.n_chars").as("n_chars"))
+        .orderBy(col("id"))
+    }),
+
     "xml_dsv2_source" -> ((s, dir) => {
       // the DataSource V2 connector end to end: export documents as
       // sharded docsets, read them back through
@@ -2961,6 +3018,21 @@ object SparkEntry {
                HAVING count(DISTINCT event_type) = 2))
       SELECT est_overlap, exact_overlap, TRUE AS within_bound
       FROM apx, ex""",
+    "sqlfn_gate" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "doc_id", "text", "sg")},
+      d AS (SELECT doc_id, h, n_shingles, n_distinct_shingles, self_shared
+            FROM read_parquet('$RecallDirToken/sqlfn_gate/*.parquet'))
+      SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN d.h = sg.hash THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_h_match,
+             CAST(sum(CASE WHEN d.n_shingles =
+                  greatest(len(string_split(doc.text, ' ')) - 2, 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_shingle_match,
+             CAST(sum(CASE WHEN d.self_shared = d.n_distinct_shingles
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_selfshared_match,
+             TRUE AS h_ok, TRUE AS shingle_ok, TRUE AS selfshared_ok
+      FROM d JOIN documents doc ON d.doc_id = doc.doc_id
+             JOIN sg ON sg.sid = d.doc_id""",
     "text_compression_bounds" -> s"""
       WITH apx AS (SELECT doc_id, deflate_len
                    FROM read_parquet('$RecallDirToken/text_compression_bounds/*.parquet')),
@@ -4082,6 +4154,9 @@ object SparkEntry {
     "xml_dsv2_source" -> """
       SELECT doc_id AS id, CAST(doc_id AS VARCHAR) AS doc_id, lang,
              source, CAST(n_chars AS VARCHAR) AS n_chars
+      FROM documents ORDER BY id""",
+    "xml_parse_roundtrip" -> """
+      SELECT doc_id AS id, doc_id, text, lang, source, n_chars
       FROM documents ORDER BY id""",
     "corpus_manifest" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0", "text")}
