@@ -303,4 +303,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
     assert(p.contains("*(1)"), p)
   }
+
+  test("tpch_q3: segment dim broadcasts, top-10 is TakeOrderedAndProject") {
+    val p = plan("tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q5: every dim broadcasts — the only shuffle join is " +
+      "fact-side lineitem⋈orders") {
+    val p = plan("tpch_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim " +
+      "join when the fact scan clears the size threshold") {
+    // At 100 TB the fact side dwarfs the 10 GB default threshold and
+    // this injection is automatic; the fixture scan is KBs, so lower
+    // the threshold to prove the optimizer seam fires. Broadcast is
+    // disabled because a broadcast join already semi-joins the fact
+    // side — the bloom filter is the SHUFFLE-join complement.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val sel = Tables.load(s, dir, "orders").filter(col("o_custkey") < 5)
+      val j = Tables.load(s, dir, "lineitem")
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
 }
