@@ -619,6 +619,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_percentiles" -> ((s, dir) => {
+      // exact interpolated quartiles over integer cents per order
+      // priority — percentile() (NOT percentile_approx), restricted
+      // to power-of-two quantiles: the interpolation fraction and the
+      // (b−a)·f product are then exact binary operations, so the
+      // resulting doubles hash-match DuckDB's quantile_cont (the same
+      // trick events_session_stats / events_anomaly_robust ride). One
+      // map-side-combinable sort-based aggregate per group at scale.
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.25)").as("q1_cents"),
+          expr("percentile(cents, 0.5)").as("median_cents"),
+          expr("percentile(cents, 0.75)").as("q3_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "q_anti_join" -> ((s, dir) => {
       t(s, dir, "customer")
         .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
@@ -1143,6 +1162,17 @@ object SparkEntry {
           Dedup.tokens(col("text")), 2)).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(100)
+    }),
+    "text_lm_score" -> ((s, dir) => {
+      // corpus-as-its-own-language-model fluency scoring
+      // (TextStats.lmScore): mean bigram conditional probability in
+      // integer basis points. Repartitioned off the single fixture
+      // row group like text_bigrams so the explode parallelizes.
+      val par = s.sparkContext.defaultParallelism
+      TextStats.lmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(par, col("doc_id")))
+        .orderBy(col("doc_id"))
     }),
     "text_postings" -> ((s, dir) => {
       // inverted index (IR/retrieval prep): term -> df + sorted
@@ -3246,6 +3276,28 @@ object SparkEntry {
             FROM t, unnest(range(1, len(ws))) AS r(i))
       SELECT pair, count(*) AS n FROM p
       GROUP BY pair ORDER BY n DESC, pair LIMIT 100""",
+    "text_lm_score" -> """
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+                 FROM documents),
+      bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                    ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                      AS pair
+             FROM t, unnest(range(1, len(ws))) AS r(i)),
+      pc AS (SELECT pair, count(*) AS n_pair FROM bg GROUP BY pair),
+      wc AS (SELECT w1, count(*) AS n_w1 FROM bg GROUP BY w1),
+      sc AS (SELECT bg.doc_id, (10000 * pc.n_pair) // wc.n_w1 AS pair_bp
+             FROM bg JOIN pc USING (pair) JOIN wc USING (w1)),
+      ag AS (SELECT doc_id, count(*) AS n_bigrams,
+                    CAST(sum(pair_bp) AS BIGINT) AS bp_sum
+             FROM sc GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(ag.n_bigrams, 0) AS n_bigrams,
+             CASE WHEN coalesce(ag.n_bigrams, 0) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE ag.bp_sum // ag.n_bigrams END AS mean_bp
+      FROM documents d LEFT JOIN ag USING (doc_id)
+      ORDER BY d.doc_id""",
     "text_postings" -> """
       SELECT term, count(DISTINCT doc_id) AS df,
              array_to_string(list_sort(list(DISTINCT doc_id)), ',')
@@ -4029,6 +4081,16 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
              count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentiles" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             quantile_cont(cents, 0.25) AS q1_cents,
+             quantile_cont(cents, 0.5)  AS median_cents,
+             quantile_cont(cents, 0.75) AS q3_cents
+      FROM (SELECT o_orderpriority,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM orders) t
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_anti_join" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -293,6 +293,56 @@ object TextStats {
             col("n_bytes").cast("double")))
   }
 
+  /** CCNet-style fluency proxy without floats: score each document by
+    * the mean corpus-bigram conditional probability of its adjacent
+    * token pairs — P(w2|w1) = n(w1 w2) / n(w1 ·), where the
+    * denominator counts bigrams STARTING with w1 (so the conditional
+    * distribution sums to 1 per w1). A document whose transitions are
+    * common in the corpus scores high; boilerplate-ish or shuffled
+    * text scores low. The real CCNet scores against a pretrained
+    * KenLM; here the corpus is its own language model — the
+    * self-supervised variant a hygiene pipeline can always run.
+    *
+    * Exact integer arithmetic end to end: per-pair score is
+    * `(10000 * n_pair) div n_w1` basis points (truncating in both
+    * engines for non-negative counts), the per-doc mean is again a
+    * truncating `div`, so the oracle hash-matches bit for bit —
+    * no log-prob floats, no libm divergence.
+    *
+    * 100 TB shape: the count tables are corpus-global aggregates over
+    * the bigram explode — map-side-combinable groupBys keyed by pair /
+    * first token, then two shuffle equi-joins back onto the per-doc
+    * bigram stream and one final groupBy(doc_id). Vocabulary-sized
+    * sides are NOT broadcast (a web-scale bigram table is many GB);
+    * every join is a plain hash equi-join that AQE can re-plan. Docs
+    * with fewer than two tokens keep a row via the left join, scoring
+    * (0, 0) — totality preserved.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.word_shingles(Dedup.tokens(col("text")), 2))
+          .as("pair"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    val pairCounts = bigrams.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pair"))
+    val startCounts = bigrams.groupBy(col("w1"))
+      .agg(count(lit(1)).as("n_w1"))
+    val scored = bigrams
+      .join(pairCounts, "pair")
+      .join(startCounts, "w1")
+      .select(col("doc_id"),
+        expr("(10000 * n_pair) div n_w1").as("pair_bp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("pair_bp")).as("bp_sum"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("bp_sum div n_bigrams")).as("mean_bp"))
+  }
+
   /** Inverted index over whitespace tokens: one row per term with its
     * document frequency and the sorted posting list (comma-joined
     * string — stable to hash and engine-neutral; a production store

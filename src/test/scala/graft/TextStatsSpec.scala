@@ -311,4 +311,25 @@ class TextStatsSpec extends AnyFunSuite {
       .select("keep", "reason").as[(Boolean, String)].collect().head
     assert(withNull == ((false, "null_text")))
   }
+
+  test("lmScore: hand-computed bigram conditional probabilities, " +
+      "total on short docs") {
+    import spark.implicits._
+    // corpus bigrams: "a b" ×2, "b a" ×1, "a c" ×1  →  starts:
+    // a·=3, b·=1.  P(b|a)=2/3→6666bp, P(a|b)=1/1→10000bp,
+    // P(c|a)=1/3→3333bp.
+    val docs = Seq(
+      (1L, "a b a c"),   // pairs: a b (6666), b a (10000), a c (3333)
+      (2L, "a b"),       // pair:  a b (6666)
+      (3L, "solo"),      // no bigram — scores (0, 0), still present
+      (4L, "")           // empty — (0, 0)
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, (6666L + 10000L + 3333L) / 3),
+      (2L, 1L, 6666L),
+      (3L, 0L, 0L),
+      (4L, 0L, 0L)))
+  }
 }
