@@ -309,30 +309,34 @@ object TextStats {
     * truncating `div`, so the oracle hash-matches bit for bit —
     * no log-prob floats, no libm divergence.
     *
-    * 100 TB shape: the count tables are corpus-global aggregates over
-    * the bigram explode — map-side-combinable groupBys keyed by pair /
-    * first token, then two shuffle equi-joins back onto the per-doc
-    * bigram stream and one final groupBy(doc_id). Vocabulary-sized
-    * sides are NOT broadcast (a web-scale bigram table is many GB);
-    * every join is a plain hash equi-join that AQE can re-plan. Docs
-    * with fewer than two tokens keep a row via the left join, scoring
-    * (0, 0) — totality preserved.
+    * 100 TB shape: the fact-side bigram stream is touched exactly
+    * three times — one map-side-combinable groupBy(pair) to build the
+    * model, one hash equi-join to attach per-pair scores, one final
+    * groupBy(doc_id). Everything else happens on the VOCABULARY-sized
+    * pair table: n(w1 ·) is re-aggregated from the pair counts
+    * (Σ_pairs-starting-with-w1 n_pair ≡ the raw start count — no
+    * second pass over the corpus), and the bp score is attached there
+    * too, so the model join carries one ready long per pair. Model
+    * sides are NOT hint-broadcast (a web-scale bigram table is many
+    * GB); they are plain hash equi-joins AQE can re-plan — at fixture
+    * scale it broadcasts them on stats, which is exactly the
+    * behavior you want either way. Docs with fewer than two tokens
+    * keep a row via the left join, scoring (0, 0) — totality
+    * preserved.
     */
   def lmScore(docs: DataFrame): DataFrame = {
     val bigrams = docs
       .select(col("doc_id"),
         explode(graft.functions.word_shingles(Dedup.tokens(col("text")), 2))
           .as("pair"))
-      .withColumn("w1", split(col("pair"), " ").getItem(0))
     val pairCounts = bigrams.groupBy(col("pair"))
       .agg(count(lit(1)).as("n_pair"))
-    val startCounts = bigrams.groupBy(col("w1"))
-      .agg(count(lit(1)).as("n_w1"))
-    val scored = bigrams
-      .join(pairCounts, "pair")
-      .join(startCounts, "w1")
-      .select(col("doc_id"),
-        expr("(10000 * n_pair) div n_w1").as("pair_bp"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+    val startCounts = pairCounts.groupBy(col("w1"))
+      .agg(sum(col("n_pair")).as("n_w1"))
+    val pairModel = pairCounts.join(startCounts, "w1")
+      .select(col("pair"), expr("(10000 * n_pair) div n_w1").as("pair_bp"))
+    val scored = bigrams.join(pairModel, "pair")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("pair_bp")).as("bp_sum"))

@@ -317,6 +317,14 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("text_lm_score: model joins are hash equi-joins — no nested " +
+      "loop, no cartesian; the corpus stream aggregates map-side first") {
+    val p = plan("text_lm_score")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim " +
       "join when the fact scan clears the size threshold") {
     // At 100 TB the fact side dwarfs the 10 GB default threshold and
