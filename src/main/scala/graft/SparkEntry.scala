@@ -2173,6 +2173,29 @@ object SparkEntry {
       back.orderBy(col("id"))
     }),
 
+    "xml_dsv2_count" -> ((s, dir) => {
+      // aggregate pushdown through the connector: COUNT(*) answered
+      // by per-shard delimiter counts (SupportsPushDownAggregates,
+      // partial mode — Spark's final agg sums one pre-counted long
+      // per shard; no fragment is parsed). The plan must show the
+      // pushed aggregation — a silent fallback to a row scan would
+      // still count correctly, so the query asserts the plan shape
+      // into the hashed output.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2c").toFile
+      try {
+        val out = new java.io.File(tmp, "docset").toString
+        XmlPipe.writeShardedDocsets(
+          XmlPipe.formatDocs(docs, Seq("doc_id")), out)
+        val counted = s.read.format("xmlpipe2")
+          .option("fields", "doc_id").load(out)
+          .agg(count(lit(1)).as("n_docs"))
+        val pushed = counted.queryExecution.executedPlan.toString
+          .contains("PushedAggregation: [COUNT(*)]")
+        counted.withColumn("agg_pushed", lit(pushed)).localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+
     "corpus_manifest" -> ((s, dir) => {
       // reproducibility manifest: per-source doc count, total size,
       // and an ORDER-INDEPENDENT content fingerprint (XOR-fold of the
@@ -4220,6 +4243,8 @@ object SparkEntry {
     "xml_parse_roundtrip" -> """
       SELECT doc_id AS id, doc_id, text, lang, source, n_chars
       FROM documents ORDER BY id""",
+    "xml_dsv2_count" -> """
+      SELECT count(*) AS n_docs, TRUE AS agg_pushed FROM documents""",
     "corpus_manifest" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0", "text")}
       SELECT d.source, count(*) AS n_docs,

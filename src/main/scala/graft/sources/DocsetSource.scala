@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -261,10 +262,11 @@ private[graft] object DocsetIdBound {
 
 private[sources] class DocsetScanBuilder(full: StructType, path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = full
   private var bound: DocsetIdBound = DocsetIdBound()
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var countPushed = false
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushFilters(
@@ -280,7 +282,83 @@ private[sources] class DocsetScanBuilder(full: StructType, path: String)
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     accepted
-  override def build(): Scan = new DocsetScan(required, path, bound)
+  /** Ungrouped COUNT(*) answered by counting fragment delimiters —
+    * no per-field parse, no unescape, no UTF8String per row. PARTIAL
+    * pushdown (one pre-counted row per shard, Spark sums them), so
+    * the final aggregate stays engine-side and AQE-visible. Spark
+    * only attempts this when every filter was fully consumed; this
+    * builder keeps all filters residual (see pushFilters), so a scan
+    * with any predicate never reaches here — belt and braces, the
+    * trivial-bound check below would refuse it anyway.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = bound.isTrivial && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar]
+    if (ok) countPushed = true
+    ok
+  }
+  override def build(): Scan =
+    if (countPushed) new DocsetCountScan(path)
+    else new DocsetScan(required, path, bound)
+}
+
+/** COUNT(*)-pushdown scan: one long per shard file — the number of
+  * fragment open tags — summed by Spark's final aggregate.
+  */
+private[sources] class DocsetCountScan(path: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"xmlpipe2 $path PushedAggregation: [COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    DocsetSource.shardFiles(path).map(DocsetPartition.apply).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] =
+        new DocsetCountReader(
+          partition.asInstanceOf[DocsetPartition].file)
+    }
+}
+
+/** Counts `\n<sphinx:document id="` delimiters in one shard with a
+  * streamed byte match — the whole file is never materialized as a
+  * String and no fragment is parsed.
+  */
+private[sources] class DocsetCountReader(file: String)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  private var count = 0L
+  override def next(): Boolean = {
+    if (done) return false
+    val delim = ("\n<sphinx:document id=\"")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(file), 1 << 16)
+    try {
+      var matched = 0
+      var b = in.read()
+      while (b >= 0) {
+        if (b == delim(matched)) {
+          matched += 1
+          if (matched == delim.length) { count += 1; matched = 0 }
+        } else if (matched > 0) {
+          // the delimiter has no internal repeated prefix beyond a
+          // restart at its own first byte, so the only fallback to
+          // check is whether the mismatching byte re-opens it
+          matched = if (b == delim(0)) 1 else 0
+        }
+        b = in.read()
+      }
+    } finally in.close()
+    done = true
+    true
+  }
+  override def get(): InternalRow = new GenericInternalRow(Array[Any](count))
+  override def close(): Unit = ()
 }
 
 private[sources] class DocsetScan(required: StructType, path: String,

@@ -60,6 +60,29 @@ class DocsetSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("COUNT(*) pushes into the scan — per-shard delimiter counts, " +
+      "no fragment parse; a filtered count stays row-based and exact") {
+    withDocset(rows) { out =>
+      def ds = spark.read.format("xmlpipe2")
+        .option("fields", "text,note").load(out)
+      val counted = ds.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = counted.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)]"),
+        s"count not pushed:\n$p")
+      assert(counted.collect().head.getLong(0) == rows.length)
+      // with a predicate the builder keeps the filter residual, so
+      // Spark must NOT push the aggregate — the count stays exact
+      val filtered = ds.filter(org.apache.spark.sql.functions.col("id") > 2)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val fp = filtered.queryExecution.executedPlan.toString
+      assert(!fp.contains("PushedAggregation"), fp)
+      assert(filtered.collect().head.getLong(0) ==
+        rows.count(_._1 > 2))
+    }
+  }
+
   test("id-filter pushdown: bounds skip fragments in the reader, the " +
       "scan advertises them, and semantics stay exact") {
     import spark.implicits._
