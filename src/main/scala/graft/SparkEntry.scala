@@ -619,6 +619,35 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
+    "q_map_funcs" -> ((s, dir) => {
+      // map-typed column surface: build a per-user event_type→count
+      // map with map_from_entries over a sorted entry array, then
+      // interrogate it with try_element_at (ANSI element_at throws on
+      // a missing key), map_filter, and map_entries. Maps are
+      // UNORDERED — the hashed output renders entries through the
+      // sorted array, never the map itself, and the oracle computes
+      // the same answers relationally (DuckDB's MAP dialect differs;
+      // the point is the Spark surface, the oracle just needs the
+      // values).
+      val counts = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts.groupBy(col("user_id"))
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("event_type"), col("n")))))
+          .as("m"))
+        .select(
+          col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(expr("try_element_at(m, 'click')"), lit(0L))
+            .as("clicks"),
+          size(map_filter(col("m"), (_, v) => v >= 10)).cast("long")
+            .as("n_heavy"),
+          array_join(transform(map_entries(col("m")),
+            e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+            ",").as("summary"))
+        .orderBy(col("user_id"))
+    }),
     "q_percentiles" -> ((s, dir) => {
       // exact interpolated quartiles over integer cents per order
       // priority — percentile() (NOT percentile_approx), restricted
@@ -4104,6 +4133,18 @@ object SparkEntry {
       SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
              count(DISTINCT l_suppkey) AS nd_supp, count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_map_funcs" -> """
+      WITH c AS (SELECT user_id, event_type, count(*) AS n
+                 FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             count(*) AS n_types,
+             coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0)
+               AS clicks,
+             CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_heavy,
+             string_agg(event_type || ':' || n, ',' ORDER BY event_type)
+               AS summary
+      FROM c GROUP BY user_id ORDER BY user_id""",
     "q_percentiles" -> """
       SELECT o_orderpriority, count(*) AS n,
              quantile_cont(cents, 0.25) AS q1_cents,
