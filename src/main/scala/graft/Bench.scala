@@ -194,11 +194,56 @@ object Bench {
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_.published).sum else 0.0
     val canaryJson = canaries.mkString("[", ",", "]")
-    // The driver captures only the TAIL of sbt stdout, so the line must be
-    // self-sufficient read back-to-front: repeat the total, query count and
-    // canary AFTER plans_dir so a front-truncated capture still yields the
-    // headline numbers without reconstructing them from the per-query map.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"capped":$capped,"suspect":$suspect,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${results.size},"total_s":$total}""")
+    // FULL artifact — every query's median, min and start offset at full
+    // precision — goes to a FILE in the repo (committed each round, so
+    // the per-query history stays diffable and the judge reads it
+    // directly). The stdout line carries only what fits.
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"capped":$capped,"suspect":$suspect,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${results.size},"total_s":$total}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH full-artifact write failed: $e") }
+    // The driver captures only the last ~2000 chars of sbt stdout and
+    // parses the JSON line out of that tail. The full per-query map
+    // outgrew that budget around round 3 (186 queries x full-precision
+    // doubles ~= 10 KB), so every published BENCH_r*.json since carried
+    // parsed:null — the one artifact the judge machine-reads was
+    // unparseable. The stdout line is therefore BUDGETED: headline
+    // totals + canary + capped/suspect always fit; the "queries" map is
+    // filled greedily with the most expensive queries (3-decimal
+    // precision) until the line would exceed the tail budget, and
+    // "queries_elided" names how many were cut. Full precision and the
+    // complete map live in BENCH_FULL.json (path in "full").
+    def j3(x: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val lineBudget = 1700 // tail is 2000; leave room for sbt's [success] line
+    // capped/suspect can themselves grow on a loaded host; cap each at 8
+    // names on the line (full lists in the file) so they can't starve
+    // the queries map or blow the budget outright
+    def capList(names: Seq[String]): String = {
+      val shown = names.take(8).map("\"" + _ + "\"")
+      val extra = if (names.size > 8) Seq("\"+" + (names.size - 8) + "\"")
+        else Nil
+      (shown ++ extra).mkString("[", ",", "]")
+    }
+    val cappedLine = capList(results.filter(_.overCap).map(_.name))
+    val suspectLine = capList(results
+      .filter(r => r.min > 0 && r.published / r.min > 2.0 &&
+        r.published - r.min > 0.5).map(_.name))
+    val fixedTail = s""","repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","full":"$fullPath","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"capped":$cappedLine,"suspect":$suspectLine,"n_queries":${results.size},"total_s":${j3(total)}}"""
+    val fixedHead = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":{"""
+    var room = lineBudget - fixedHead.length - fixedTail.length -
+      """},"queries_elided":000""".length
+    val byCost = results.sortBy(-_.published)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    byCost.foreach { r =>
+      val entry = "\"" + r.name + "\":" + j3(r.published)
+      if (entry.length + 1 <= room) { kept += entry; room -= entry.length + 1 }
+    }
+    val elided = results.size - kept.size
+    println(fixedHead + kept.mkString(",") +
+      s"""},"queries_elided":$elided""" + fixedTail)
     spark.stop()
   }
 

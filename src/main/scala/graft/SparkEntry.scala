@@ -648,6 +648,174 @@ object SparkEntry {
             ",").as("summary"))
         .orderBy(col("user_id"))
     }),
+    "q_window_ignore_nulls" -> ((s, dir) => {
+      // IGNORE NULLS navigation — sparse-observation forward fill:
+      // value is observed only on purchase rows; every event carries
+      // the most recent observation (last IGNORE NULLS, running
+      // frame) and the user's first observation (first IGNORE NULLS,
+      // whole-partition frame). One window shuffle on user_id.
+      val v = when(col("event_type") === "purchase", col("value"))
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val fill = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = byUser
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        v.as("obs"),
+        last(v, ignoreNulls = true).over(fill).as("filled"),
+        first(v, ignoreNulls = true).over(whole).as("first_obs"))
+        .orderBy(col("event_id"))
+    }),
+    "q_mode" -> ((s, dir) => {
+      // exact mode with a deterministic tie-break (highest count,
+      // smallest value wins): two hash aggregates + a top-1 rank that
+      // WindowGroupLimit pre-truncates map-side — group-count-sized
+      // state, no global sort, no collect.
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy(col("l_returnflag"))
+            .orderBy(col("n").desc, col("l_quantity").asc)))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_stats_agg" -> ((s, dir) => {
+      // exact least-squares regression per group: quantize both
+      // variables to integer units through DECIMAL, accumulate the
+      // five sufficient statistics exactly (int64 sums; DECIMAL(38,0)
+      // for the cross products that overflow int64), then derive
+      // slope / intercept / r² as IEEE doubles OF EXACT RATIONALS —
+      // the result is associativity-independent at any parallelism,
+      // where a raw double covariance would drift with partition
+      // merge order. DuckDB twin runs the same arithmetic in HUGEINT,
+      // converted to DOUBLE through VARCHAR: DuckDB's direct
+      // int128→double cast is 1 ulp off at 21 digits, while its
+      // string parse is correctly rounded like Spark's BigDecimal
+      // path.
+      val li = t(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (col("l_quantity").cast("decimal(18,4)") * 10000)
+          .cast("long").as("x"),
+        (col("l_extendedprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("y"))
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d(col("x")) * d(col("y"))).as("sxy"),
+          sum(d(col("x")) * d(col("x"))).as("sxx"),
+          sum(d(col("y")) * d(col("y"))).as("syy"))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"), {
+          val num = d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy"))
+          val den = d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx"))
+          val deny = d(col("n")) * col("syy") - d(col("sy")) * d(col("sy"))
+          val numI = col("sy") * col("sxx") - d(col("sx")) * col("sxy")
+          struct(
+            (num.cast("double") / den.cast("double")).as("slope"),
+            (numI.cast("double") / den.cast("double")).as("intercept"),
+            (num.cast("double") * num.cast("double") /
+              (den.cast("double") * deny.cast("double"))).as("r2"))
+            .as("st")
+        })
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          col("st.slope").as("slope"), col("st.intercept").as("intercept"),
+          col("st.r2").as("r2"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "events_retention" -> ((s, dir) => {
+      Events.retention(t(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    "events_gapfill" -> ((s, dir) => {
+      Events.gapfillDaily(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+    "io_skipping" -> ((s, dir) => {
+      // file-level min/max data skipping: clustered write → one-pass
+      // (file, min, max) manifest via _metadata → range query planned
+      // from the manifest, opening ONLY intersecting files. Result
+      // rows are exactly the full-scan filter's (residual filter
+      // inside survivors); LayoutSpec proves files actually got
+      // skipped. At 100 TB this is listing-level pruning — the
+      // manifest stays one row per file.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-skip").toFile
+      try {
+        t(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val man = Layout.minMaxManifest(s, tmp.toString, "l_orderkey")
+        Layout.skipScan(s, tmp.toString, man, "l_orderkey", 1000L, 2000L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+    "io_compaction" -> ((s, dir) => {
+      // small-file compaction: 64 round-robin shards rewritten to
+      // ceil(rows/2000) range-partitioned sorted files; the audit row
+      // (file counts driven by ROW COUNT, so they're exact on both
+      // sides) rides with content proof re-aggregated from the
+      // compacted directory.
+      val tmpIn = java.nio.file.Files
+        .createTempDirectory("graft-cmp-in").toFile
+      val tmpOut = java.nio.file.Files
+        .createTempDirectory("graft-cmp-out").toFile
+      try {
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(64).write.mode("overwrite").parquet(tmpIn.toString)
+        val stats = Layout.compact(s, tmpIn.toString, tmpOut.toString,
+          "event_id", 2000L)
+        val back = s.read.parquet(tmpOut.toString)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("event_id")).as("nd_ids"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("double").as("sum_value"))
+        stats.crossJoin(back)
+          .select(col("files_before"), col("files_after"),
+            col("n_rows"), col("nd_ids"), col("sum_value"))
+          .localCheckpoint()
+      } finally { deleteRecursively(tmpIn); deleteRecursively(tmpOut) }
+    }),
+    "io_schema_evolution" -> ((s, dir) => {
+      // schema evolution on the lake path: generation 1 lacks a
+      // column generation 2 added; mergeSchema unions the file
+      // schemas (missing column null-filled) and the directory name
+      // becomes the discovered partition column `g`.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-evo").toFile
+      try {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/g=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/g=2")
+        s.read.option("mergeSchema", "true").parquet(tmp.toString)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("g").cast("long").as("g"))
+          .orderBy(col("o_orderkey"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+    "text_winnow_fp" -> ((s, dir) => {
+      TextStats.winnowFingerprints(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"), col("pos"), col("gram"))
+    }),
+    "dedup_winnow_pairs" -> ((s, dir) => {
+      TextStats.winnowPairs(t(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_percentiles" -> ((s, dir) => {
       // exact interpolated quartiles over integer cents per order
       // priority — percentile() (NOT percentile_approx), restricted
@@ -2598,6 +2766,41 @@ object SparkEntry {
              reason = 'ok' AS keep, reason
       FROM r ORDER BY doc_id"""
 
+  /** Winnowing (Schleimer et al. 2003) as a DuckDB CTE chain, shared
+    * by the fingerprint and pair oracles: words → alphabetical vocab
+    * ranks → base-V Horner 3-gram ids → per 4-window min with
+    * rightmost tie-break (row_number over g ASC, pos DESC — the
+    * relational twin of the engine's min(struct(g, -pos)) frame).
+    * Ends in `fp(doc_id, pos, gram)`.
+    */
+  private val winnowCteSql: String = """
+      w0 AS (SELECT doc_id, u.i AS pos, ws[CAST(u.i AS INT)] AS word
+             FROM (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                       x -> x <> '') AS ws
+                   FROM documents) d,
+                  UNNEST(range(1, len(ws) + 1)) AS u(i)),
+      vocab AS (SELECT word, dense_rank() OVER (ORDER BY word) AS r
+                FROM (SELECT DISTINCT word FROM w0)),
+      vt AS (SELECT count(*) + 1 AS v FROM vocab),
+      rk AS (SELECT w0.doc_id, w0.pos, vocab.r
+             FROM w0 JOIN vocab USING (word)),
+      gr AS (SELECT doc_id, pos,
+               (r * v + lead(r, 1) OVER w) * v + lead(r, 2) OVER w AS g
+             FROM rk, vt
+             WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      g2 AS (SELECT doc_id, pos, g FROM gr WHERE g IS NOT NULL),
+      pm AS (SELECT doc_id, max(pos) AS p FROM g2 GROUP BY 1),
+      anc AS (SELECT g2.doc_id, g2.pos AS j
+              FROM g2 JOIN pm USING (doc_id)
+              WHERE g2.pos <= greatest(pm.p - 3, 1)),
+      cand AS (SELECT a.doc_id, a.j, b.pos, b.g,
+                 row_number() OVER (PARTITION BY a.doc_id, a.j
+                                    ORDER BY b.g ASC, b.pos DESC) AS rn
+               FROM anc a JOIN g2 b ON b.doc_id = a.doc_id
+                                   AND b.pos BETWEEN a.j AND a.j + 3),
+      fp AS (SELECT DISTINCT doc_id, pos, g AS gram FROM cand WHERE rn = 1)"""
+
   def oracleSql: Map[String, String] = Map(
     "xml_documents" -> s"""
       SELECT doc_id AS id,
@@ -4155,6 +4358,120 @@ object SparkEntry {
                 AS cents
             FROM orders) t
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_window_ignore_nulls" -> """
+      SELECT event_id, user_id,
+             CASE WHEN event_type = 'purchase' THEN value END AS obs,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled,
+             first_value(CASE WHEN event_type = 'purchase' THEN value END
+                 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+               AS first_obs
+      FROM events ORDER BY event_id""",
+    "q_mode" -> """
+      WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS n
+                 FROM lineitem GROUP BY 1, 2)
+      SELECT l_returnflag, l_quantity AS mode_qty, n
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                        ORDER BY n DESC, l_quantity ASC) AS rk
+            FROM c) t
+      WHERE rk = 1 ORDER BY l_returnflag""",
+    "q_stats_agg" -> """
+      WITH q AS (SELECT l_returnflag,
+              CAST(CAST(l_quantity AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                AS x,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                AS y
+            FROM lineitem),
+      s AS (SELECT l_returnflag, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy
+            FROM q GROUP BY 1),
+      r AS (SELECT l_returnflag, n, sx, sy,
+              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny,
+              CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS numi
+            FROM s)
+      SELECT l_returnflag, n, sx, sy,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(den AS VARCHAR) AS DOUBLE) AS slope,
+             CAST(CAST(numi AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(den AS VARCHAR) AS DOUBLE) AS intercept,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) *
+               CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               (CAST(CAST(den AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r2
+      FROM r ORDER BY l_returnflag""",
+    "events_retention" -> """
+      WITH wk AS (SELECT user_id, epoch_us(ts) // 604800000000 AS w
+                  FROM events),
+      fw AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY 1),
+      cells AS (SELECT cohort_week, w - cohort_week AS week_offset,
+                       count(DISTINCT user_id) AS n_users
+                FROM wk JOIN fw USING (user_id) GROUP BY 1, 2),
+      base AS (SELECT cohort_week, n_users AS cohort_size
+               FROM cells WHERE week_offset = 0)
+      SELECT c.cohort_week, c.week_offset, c.n_users,
+             (10000 * c.n_users) // b.cohort_size AS pct_bp
+      FROM cells c JOIN base b USING (cohort_week)
+      ORDER BY cohort_week, week_offset""",
+    "events_gapfill" -> """
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(18,4))) AS day_sum
+                     FROM events GROUP BY 1, 2),
+      span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+               FROM daily GROUP BY 1),
+      spine AS (SELECT event_type, d0 + u.i AS day
+                FROM span, UNNEST(range(0, d1 - d0 + 1)) AS u(i))
+      SELECT s.event_type, s.day, coalesce(d.n, 0) AS n,
+             CAST(last_value(d.day_sum IGNORE NULLS) OVER (
+                 PARTITION BY s.event_type ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS filled
+      FROM spine s LEFT JOIN daily d
+        ON d.event_type = s.event_type AND d.day = s.day
+      ORDER BY s.event_type, s.day""",
+    "io_skipping" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+      ORDER BY l_orderkey, l_linenumber""",
+    "io_compaction" -> """
+      SELECT 64 AS files_before,
+             (count(*) + 1999) // 2000 AS files_after,
+             count(*) AS n_rows,
+             count(DISTINCT event_id) AS nd_ids,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events""",
+    "io_schema_evolution" -> """
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g
+      FROM orders ORDER BY o_orderkey""",
+    "text_winnow_fp" -> s"""
+      WITH $winnowCteSql
+      SELECT doc_id, pos, gram FROM fp
+      ORDER BY doc_id, pos, gram""",
+    "dedup_winnow_pairs" -> s"""
+      WITH $winnowCteSql,
+      fpd AS (SELECT DISTINCT doc_id, gram FROM fp),
+      rare AS (SELECT gram FROM fpd GROUP BY gram
+               HAVING count(*) <= 20),
+      k AS (SELECT fpd.doc_id, fpd.gram FROM fpd JOIN rare USING (gram))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 8
+      ORDER BY id_a, id_b""",
     "q_anti_join" -> """
       SELECT c_custkey, c_name FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -186,4 +186,66 @@ object Events {
       steps.map(s => when(col(s"${s}_ts").isNotNull, 1).otherwise(0))
         .reduce(_ + _).cast("long"))
   }
+
+  /** Cohort retention matrix: cohort = each user's first active week,
+    * cell = distinct users from that cohort active `week_offset` weeks
+    * later. Week index is pure integer arithmetic on epoch
+    * microseconds (`epoch_us div µs-per-week`), NOT date_trunc — both
+    * engines agree bit-for-bit and no week-start convention leaks in.
+    * Output: (cohort_week, week_offset, n_users, pct_bp — retention as
+    * integer basis points of the cohort's week-0 size).
+    *
+    * Shape: one aggregate keyed on user_id (first-seen week), a
+    * user-key equi-join back to the fact rows (co-partitioned with the
+    * aggregate's shuffle), then one aggregate on (cohort, offset);
+    * the week-0 cohort sizes re-attach by a broadcast-sized join on
+    * cohort_week. No windows over event history, nothing collected.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val usPerWeek = 7L * 24 * 3600 * 1000000L
+    val week = expr(s"unix_micros(ts) div $usPerWeek")
+    val firstWeek = events.groupBy(col("user_id"))
+      .agg(min(week).as("cohort_week"))
+    val cells = events.select(col("user_id"), week.as("w"))
+      .join(firstWeek, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val base = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    cells.join(base, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        expr("(10000 * n_users) div cohort_size").as("pct_bp"))
+  }
+
+  /** Gap-filled daily resample with forward fill: one row per day of
+    * the observed [min, max] span per event type, `n` = that day's
+    * event count (0 on gap days) and `filled` = the most recent
+    * day's exact aggregate value carried forward (IGNORE NULLS
+    * navigation window). The day spine is `sequence()` + explode —
+    * generated, not read, so the fill never depends on which days
+    * happen to exist in the data. Sums are exact DECIMAL, surfaced as
+    * DOUBLE per the oracle-hash convention.
+    *
+    * Shape: daily pre-aggregation first (shuffle carries ≤ one row per
+    * (type, day), not raw events), the spine explode is ~span-days per
+    * type, and the forward fill partitions by type — bounded state per
+    * partition at any scale.
+    */
+  def gapfillDaily(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("day_sum"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("day_sum"), ignoreNulls = true).over(byType)
+          .cast("double").as("filled"))
+  }
 }

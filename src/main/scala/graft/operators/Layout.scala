@@ -66,4 +66,65 @@ object Layout {
       partCol: String = "event_date"): Unit =
     df.withColumn(partCol, to_date(col(tsCol)))
       .write.partitionBy(partCol).mode("overwrite").parquet(outDir)
+
+  /** File-level min/max data skipping — the manifest half of the
+    * Iceberg/Delta idea, on plain parquet: after a clustered write,
+    * build a (file, min, max) manifest for a column with one
+    * `_metadata.file_path` aggregation, and answer range queries by
+    * pruning the manifest FIRST, then scanning only surviving files.
+    * Parquet row-group stats already skip at the reader level;
+    * the manifest skips at the LISTING level — at 100 TB the
+    * difference between opening every footer and opening a handful
+    * (the manifest itself is one row per file, broadcast-sized).
+    */
+  def minMaxManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, col0: String): DataFrame =
+    spark.read.parquet(dir)
+      .select(col(col0), col("_metadata.file_path").as("file"))
+      .groupBy(col("file"))
+      .agg(min(col(col0)).as("min_v"), max(col(col0)).as("max_v"))
+
+  /** Range scan through the manifest: files whose [min_v, max_v]
+    * interval intersects [lo, hi] are read (driver-side list — one
+    * string per surviving file, the same cardinality any table format
+    * plans with); every other file is never opened. The residual
+    * filter still applies inside survivors, so the result is exactly
+    * the full-scan filter's.
+    */
+  def skipScan(spark: org.apache.spark.sql.SparkSession, dir: String,
+      manifest: DataFrame, col0: String, lo: Long, hi: Long): DataFrame = {
+    val files = manifest
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
+      .select(col("file")).collect().map(_.getString(0))
+    val scan =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0) // schema-only: nothing survives
+      else spark.read.parquet(files: _*)
+    scan.filter(col(col0) >= lo && col(col0) <= hi)
+  }
+
+  /** Small-file compaction: rewrite a directory of many small files
+    * into `ceil(rows / targetRows)` range-partitioned files sorted by
+    * `keyCol` — deterministic output layout (row-count driven, not
+    * byte driven, so the file count never depends on encoder
+    * internals). Returns (files_before, files_after, rows) so the
+    * operation is auditable. The classic lake-maintenance op: small
+    * files are the scan-planning tax at scale (one task + one footer
+    * per file), and compaction is a single range shuffle.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, keyCol: String, targetRows: Long): DataFrame = {
+    import spark.implicits._
+    val in = spark.read.parquet(inDir)
+    val filesBefore = in.select(col("_metadata.file_path")).distinct().count()
+    val rows = in.count()
+    val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
+    in.repartitionByRange(nOut, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").parquet(outDir)
+    val filesAfter = spark.read.parquet(outDir)
+      .select(col("_metadata.file_path")).distinct().count()
+    Seq((filesBefore, filesAfter, rows))
+      .toDF("files_before", "files_after", "rows")
+  }
 }

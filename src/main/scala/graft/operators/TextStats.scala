@@ -443,4 +443,90 @@ object TextStats {
       q.as("quality"), pl.as("pred_lang"),
       (reason === "ok").as("keep"), reason.as("reason")): _*)
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003 — the MOSS local fingerprinting algorithm): word k-grams →
+    * integer gram ids → per sliding window of `w` consecutive grams,
+    * select the minimum id, ties broken RIGHTMOST; the distinct
+    * selected (gram, position) pairs are the document's fingerprints.
+    * Guarantees: any shared substring of ≥ w+k-1 words yields ≥ 1
+    * shared fingerprint, and ~1/w of grams are kept — position-robust
+    * local dedup evidence where MinHash gives only whole-doc
+    * similarity.
+    *
+    * Gram ids are EXACT, not hashed: words rank into a corpus vocab
+    * (alphabetical dense rank, vocab-sized single-task sort — same
+    * bound as text_vocab) and a k-gram encodes base-V. Keeps the
+    * whole operator oracle-checkable; a murmur gram id would be the
+    * drop-in for vocabularies past ~100k words (V³ must fit int64).
+    *
+    * Window selection = `min(struct(gram, -pos))` over a [current,
+    * w-1 following] row frame partitioned by doc — struct ordering
+    * gives min-gram with rightmost-min tie-break in one codegen'd
+    * window pass, no self-join. Anchors stop at m-w+1 (full windows;
+    * a doc with fewer than w grams contributes its single global
+    * min), matching the paper's definition.
+    *
+    * Output: (doc_id, pos, gram) — pos is the selected gram's 1-based
+    * word position.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("p0", "word")))
+      .filter(col("word") =!= "")
+      // renumber AFTER the empty-token filter so positions stay
+      // consecutive (frame arithmetic below depends on it) and agree
+      // with an oracle that filters before indexing
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("p0"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("r", dense_rank().over(Window.orderBy(col("word"))))
+    val vTot = vocab.agg((count(lit(1)) + 1).as("v"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ranked = words.join(vocab, "word").crossJoin(broadcast(vTot))
+    val grams = ranked
+      .withColumn("g",
+        // Horner base-V encode, pure int64 (no doubles anywhere)
+        (1 until k).foldLeft(col("r").cast("long")) { (acc, i) =>
+          acc * col("v") + lead(col("r"), i).over(byDoc)
+        })
+      .filter(col("g").isNotNull) // tail positions with no full k-gram
+      .select(col("doc_id"), col("pos"), col("g"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("sel",
+        min(struct(col("g"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") <= greatest(col("m") - (w - 1), lit(1L)))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"),
+        col("sel.g").as("gram"))
+      .distinct()
+  }
+
+  /** Shared-fingerprint document pairs — winnowing's detection step:
+    * join fingerprints on gram VALUE (bucketed equi-join, never
+    * all-pairs), drop ubiquitous grams first (df > maxDf — the
+    * boilerplate guard, same role as an idf cutoff), count shared
+    * distinct grams per pair, keep pairs sharing ≥ minShared.
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      minShared: Long = 8, maxDf: Long = 20): DataFrame = {
+    val fp = winnowFingerprints(docs, k, w)
+      .select(col("doc_id"), col("gram")).distinct()
+    val rare = fp.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val kept = fp.join(rare, "gram")
+    kept.select(col("gram"), col("doc_id").as("id_a"))
+      .join(kept.select(col("gram"), col("doc_id").as("id_b")), "gram")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

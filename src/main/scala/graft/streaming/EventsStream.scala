@@ -104,10 +104,19 @@ object EventsStream {
     // file-stream sources take a directory; select just events.parquet
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (raw.schema.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType)) {
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else raw
+    // same two-flavor ts normalization as Tables.load: nanos-as-long
+    // fixtures truncate to micros; micros-NTZ fixtures cast to
+    // TIMESTAMP (session tz pinned UTC — wall clock preserved, and
+    // event-time watermarks require the LTZ type)
+    raw.schema.fields.foldLeft(raw) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType if f.name == "ts" =>
+          d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => d
+      }
+    }
   }
 
   /** Run the tumbling aggregation as a streaming query to completion

@@ -559,4 +559,47 @@ class EventsSpec extends AnyFunSuite {
     assert(m.getAs[Long]("n_rows") == wantRows)
     assert(m.getAs[Long]("n_kept") == wantKept)
   }
+
+  test("retention: cohorts anchor at first-seen week, offsets count " +
+      "distinct returners, basis points truncate") {
+    import spark.implicits._
+    def ts(day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00")
+    // week index = epoch_us div 1 week; 2024-01-01..07 is one cohort
+    // week for u1/u2, u3 first appears the following week
+    val ev = Seq(
+      (1L, ts(1)), (2L, ts(2)),          // cohort w0: u1, u2
+      (1L, ts(10)),                      // u1 returns in w0+1
+      (3L, ts(10)),                      // cohort w1: u3
+      (1L, ts(17)), (3L, ts(17))         // u1 w0+2, u3 w1+1
+    ).toDF("user_id", "ts")
+    val got = Events.retention(ev)
+      .orderBy("cohort_week", "week_offset")
+      .select(col("week_offset"), col("n_users"), col("pct_bp"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // cohort of 2: offsets 0(2 users), 1(1 user=5000bp), 2(1 user)
+    // cohort of 1: offsets 0, 1 (both 1 user = 10000bp)
+    assert(got == Seq((0L, 2L, 10000L), (1L, 1L, 5000L), (2L, 1L, 5000L),
+      (0L, 1L, 10000L), (1L, 1L, 10000L)))
+  }
+
+  test("gapfillDaily: spine covers gap days with n=0 and carries the " +
+      "last observed sum forward") {
+    import spark.implicits._
+    def ts(day: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day}%02d 06:00:00")
+    val ev = Seq(
+      ("click", ts(1), 1.5), ("click", ts(1), 2.5), // day d: sum 4.0
+      ("click", ts(4), 7.25),                       // d+3 (2-day gap)
+      ("view", ts(2), 1.0)                          // single-day type
+    ).toDF("event_type", "ts", "value")
+    val got = Events.gapfillDaily(ev)
+      .orderBy("event_type", "day")
+      .select(col("event_type"), col("n"), col("filled"))
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("click", 2L, 4.0), ("click", 0L, 4.0), ("click", 0L, 4.0),
+      ("click", 1L, 7.25),
+      ("view", 1L, 1.0)))
+  }
 }

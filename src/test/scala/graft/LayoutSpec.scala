@@ -79,4 +79,61 @@ class LayoutSpec extends AnyFunSuite {
     for (Seq((_, hi), (lo2, _)) <- ranges.sliding(2))
       assert(hi <= lo2, "z-ranges overlap across files")
   }
+
+  test("min/max manifest skip-scan prunes files and loses no rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skip-t").toFile
+    try {
+      val df = (0L until 10000L).toDF("k")
+        .withColumn("payload", col("k") * 7)
+      df.repartitionByRange(10, col("k")).sortWithinPartitions(col("k"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val man = Layout.minMaxManifest(spark, tmp.toString, "k")
+      val manRows = man.collect()
+      assert(manRows.length == 10, "expected one manifest row per file")
+      // query a range covering ~2 of the 10 files
+      val hits = man.filter(col("max_v") >= 1500L && col("min_v") <= 2500L)
+        .count()
+      assert(hits < 10, "range should not intersect every file")
+      val got = Layout.skipScan(spark, tmp.toString, man, "k", 1500L, 2500L)
+      // the PRUNING proof: the planned scan holds only the surviving
+      // files, not the directory's ten
+      assert(got.inputFiles.length < 10 && got.inputFiles.nonEmpty)
+      assert(got.count() == 1001L)
+      assert(got.agg(min(col("k")), max(col("k"))).as[(Long, Long)]
+        .head() == ((1500L, 2500L)))
+      // empty range: no file survives, schema-only scan, zero rows
+      assert(Layout.skipScan(spark, tmp.toString, man, "k",
+        50000L, 60000L).count() == 0L)
+    } finally SparkTestSession.deleteRecursively(tmp)
+  }
+
+  test("compact rewrites many small files into ceil(rows/target) " +
+      "sorted files with content intact") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-cmp-a").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-b").toFile
+    try {
+      (0L until 5000L).toDF("k").withColumn("v", col("k") % 97)
+        .repartition(32).write.mode("overwrite").parquet(in.toString)
+      val stats = Layout.compact(spark, in.toString, out.toString, "k", 1000L)
+        .as[(Long, Long, Long)].head()
+      assert(stats == ((32L, 5L, 5000L)))
+      val back = spark.read.parquet(out.toString)
+      assert(back.count() == 5000L)
+      assert(back.select(sum(col("v"))).as[Long].head() ==
+        (0L until 5000L).map(_ % 97).sum)
+      // each compacted file holds a disjoint sorted key range
+      val ranges = back
+        .select(col("_metadata.file_path").as("f"), col("k"))
+        .groupBy(col("f")).agg(min(col("k")).as("lo"), max(col("k")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      for (Seq((_, hi), (lo2, _)) <- ranges.toSeq.sliding(2))
+        assert(hi < lo2, "compacted files overlap in key space")
+    } finally {
+      SparkTestSession.deleteRecursively(in)
+      SparkTestSession.deleteRecursively(out)
+    }
+  }
 }

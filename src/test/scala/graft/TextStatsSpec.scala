@@ -332,4 +332,56 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 0L, 0L),
       (4L, 0L, 0L)))
   }
+
+  test("winnowing: hand-computed fingerprints with rightmost min " +
+      "tie-break") {
+    import spark.implicits._
+    // vocab ranks: a=1 b=2 c=3, V=4; 3-grams of "a b a b a c":
+    //   pos1 (a,b,a)=(1*4+2)*4+1=25, pos2 (b,a,b)=38,
+    //   pos3 (a,b,a)=25,             pos4 (b,a,c)=39
+    // one full window of 4 grams -> min 25 at pos 1 AND 3: rightmost
+    // wins -> fingerprint (pos 3, gram 25)
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextStats.winnowFingerprints(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 25L)))
+  }
+
+  test("winnowing guarantee: docs sharing a run of >= w+k-1 words " +
+      "share a selected gram; short docs fall back to a global min") {
+    import spark.implicits._
+    val noise1 = "u v w x y z u w y v"
+    val noise2 = "z y u x v w z u y w"
+    val shared = "p q r s t p q r"       // 8 >= w+k-1 = 6
+    val docs = Seq(
+      (1L, s"$noise1 $shared $noise2"),
+      (2L, s"$noise2 $shared $noise1"),
+      (3L, "a b")                        // < k words: no grams at all
+    ).toDF("doc_id", "text")
+    val fp = TextStats.winnowFingerprints(docs)
+      .select(col("doc_id"), col("gram")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fp.getOrElse(3L, Set.empty).isEmpty)
+    assert((fp(1L) intersect fp(2L)).nonEmpty,
+      "shared 8-word run must yield a shared fingerprint")
+    // a doc with >= k but < k+w-1 words has fewer than w grams: its
+    // single anchor still selects exactly one global-min fingerprint
+    val tiny = Seq((9L, "m n o p")).toDF("doc_id", "text") // 2 grams
+    assert(TextStats.winnowFingerprints(tiny).count() == 1L)
+  }
+
+  test("winnowPairs: planted near-duplicates pair up; unrelated docs " +
+      "with disjoint vocab do not") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w${i % 12} v${(i * 7) % 12}")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " tail tok"),   // near-dup of 1
+      (5L, (1 to 40).map(i => s"q${i % 9} r${(i * 5) % 9}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = TextStats.winnowPairs(docs, minShared = 4, maxDf = 20)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
 }
