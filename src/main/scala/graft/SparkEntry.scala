@@ -806,6 +806,111 @@ object SparkEntry {
           .localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
+    "q_explode_outer" -> ((s, dir) => {
+      // explode_outer: generator rows for non-empty arrays, a single
+      // null row for empty/missing — the LEFT JOIN of generators. The
+      // oracle IS that left join, relationally.
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("long")))
+          .as("qs"))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), explode_outer(col("qs")).as("big_qty"))
+        .orderBy(col("o_orderkey"), col("big_qty").asc_nulls_first)
+    }),
+    "q_union_by_name" -> ((s, dir) => {
+      // schema reconciliation union: inputs with different column
+      // ORDER and a missing column union by NAME, the absent column
+      // null-filled (allowMissingColumns) — position-based union
+      // would scramble or reject these
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val b = c.filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_name"), col("c_custkey"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("c_custkey"))
+    }),
+    "q_try_arith" -> ((s, dir) => {
+      // try_* arithmetic: errors become NULL instead of killing the
+      // job — division by zero and int64 overflow, the two failure
+      // modes a 100 TB pipeline cannot afford to discover row 9
+      // billion into a stage. Oracles spell out the same NULL cases.
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        expr("try_divide(l_extendedprice, l_linenumber - 1)")
+          .as("per_prior"),
+        expr("try_multiply(9223372036854775807L, CAST(l_quantity AS LONG))")
+          .as("overflow_null"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q_bitwise_agg" -> ((s, dir) => {
+      // bitwise aggregate surface: AND/OR/XOR folds over user ids +
+      // a popcount sum — integer-exact, partitioning-invariant
+      // (bitwise ops are commutative/associative)
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(expr("bit_and(user_id)").as("b_and"),
+          expr("bit_or(user_id)").as("b_or"),
+          expr("bit_xor(user_id)").as("b_xor"),
+          sum(expr("bit_count(user_id)")).as("pop_sum"))
+        .orderBy(col("event_type"))
+    }),
+    "q_array_setops" -> ((s, dir) => {
+      // array set algebra between the quantity sets of the two line
+      // statuses per flag; every derived array is sorted before
+      // rendering because set-op output order is implementation-
+      // defined in BOTH engines
+      val byStatus = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          sort_array(collect_set(when(col("l_linestatus") === "O",
+            col("l_quantity").cast("long")))).as("qo"),
+          sort_array(collect_set(when(col("l_linestatus") === "F",
+            col("l_quantity").cast("long")))).as("qf"))
+      byStatus.select(col("l_returnflag"),
+        size(col("qo")).as("n_o"), size(col("qf")).as("n_f"),
+        array_join(sort_array(array_intersect(col("qo"), col("qf"))), ",")
+          .as("inter_s"),
+        array_join(sort_array(array_distinct(
+          concat(col("qo"), col("qf")))), ",").as("union_s"),
+        array_join(sort_array(array_except(col("qo"), col("qf"))), ",")
+          .as("except_s"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q_string_funcs" -> ((s, dir) => {
+      // the string-function surface beyond q_scalar_funcs: translate,
+      // padding, reverse, 1-based substring position, delimited-field
+      // extraction — each with an exact DuckDB twin
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        reverse(col("p_brand")).as("rev"),
+        instr(col("p_type"), "a").as("pos_a"),
+        expr("split_part(p_type, ' ', 1)").as("first_word"))
+        .orderBy(col("p_partkey"))
+    }),
+    "q_ivm_agg" -> ((s, dir) => {
+      // incremental materialized-view maintenance: per-customer
+      // (count, sum-cents) state updated by a signed delta batch
+      // (deletes: every 10th order; inserts: every 7th, restated +1¢)
+      // WITHOUT touching base rows — hash-equal to the full recompute
+      // the oracle performs. Delta-sized work is the entire point at
+      // 100 TB.
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val state = Merge.aggState(o, "o_custkey", "cents")
+      val deletes = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey"), col("cents"), lit("D").as("op"))
+      val inserts = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_custkey"), (col("cents") + 1).as("cents"),
+          lit("I").as("op"))
+      Merge.incrementalAgg(state, deletes.unionByName(inserts),
+        "o_custkey", "cents")
+        .orderBy(col("o_custkey"))
+    }),
     "text_winnow_fp" -> ((s, dir) => {
       TextStats.winnowFingerprints(t(s, dir, "documents")
           .select(col("doc_id"), col("text")))
@@ -4458,6 +4563,72 @@ object SparkEntry {
                AS o_orderpriority,
              CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g
       FROM orders ORDER BY o_orderkey""",
+    "q_explode_outer" -> """
+      SELECT o_orderkey, CAST(l.l_quantity AS BIGINT) AS big_qty
+      FROM orders o LEFT JOIN
+        (SELECT l_orderkey, l_quantity FROM lineitem
+         WHERE l_quantity > 45) l
+        ON l.l_orderkey = o.o_orderkey
+      ORDER BY o_orderkey, big_qty NULLS FIRST""",
+    "q_union_by_name" -> """
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, c_name, NULL FROM customer
+      WHERE c_mktsegment = 'AUTOMOBILE'
+      ORDER BY c_custkey""",
+    "q_try_arith" -> """
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_linenumber = 1 THEN NULL
+                  ELSE l_extendedprice / (l_linenumber - 1) END
+               AS per_prior,
+             CASE WHEN CAST(l_quantity AS BIGINT) = 1
+                  THEN 9223372036854775807 ELSE NULL END
+               AS overflow_null
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_bitwise_agg" -> """
+      SELECT event_type,
+             bit_and(user_id) AS b_and, bit_or(user_id) AS b_or,
+             bit_xor(user_id) AS b_xor,
+             CAST(sum(bit_count(user_id)) AS BIGINT) AS pop_sum
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_array_setops" -> """
+      WITH s AS (SELECT l_returnflag,
+              coalesce(list_sort(list_distinct(
+                list(CAST(l_quantity AS BIGINT))
+                  FILTER (WHERE l_linestatus = 'O'))), []) AS qo,
+              coalesce(list_sort(list_distinct(
+                list(CAST(l_quantity AS BIGINT))
+                  FILTER (WHERE l_linestatus = 'F'))), []) AS qf
+            FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             len(qo) AS n_o, len(qf) AS n_f,
+             coalesce(array_to_string(list_sort(list_intersect(qo, qf)),
+               ','), '') AS inter_s,
+             coalesce(array_to_string(list_sort(list_distinct(qo || qf)),
+               ','), '') AS union_s,
+             coalesce(array_to_string(list_sort(list_filter(qo,
+               x -> NOT list_contains(qf, x))), ','), '') AS except_s
+      FROM s ORDER BY l_returnflag""",
+    "q_string_funcs" -> """
+      SELECT p_partkey,
+             translate(p_name, 'aeiou', 'AEIOU') AS tr,
+             lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+             reverse(p_brand) AS rev,
+             strpos(p_type, 'a') AS pos_a,
+             split_part(p_type, ' ', 1) AS first_word
+      FROM part ORDER BY p_partkey""",
+    "q_ivm_agg" -> """
+      WITH o AS (SELECT o_orderkey, o_custkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM orders),
+      survivors AS (
+        SELECT o_custkey, cents FROM o WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_custkey, cents + 1 FROM o WHERE o_orderkey % 7 = 0)
+      SELECT o_custkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM survivors GROUP BY o_custkey ORDER BY o_custkey""",
     "text_winnow_fp" -> s"""
       WITH $winnowCteSql
       SELECT doc_id, pos, gram FROM fp

@@ -128,4 +128,46 @@ object Merge {
     target.join(u.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(u)
   }
+
+  /** Incremental aggregate (materialized-view) maintenance: count/sum
+    * per key kept current under an insert/delete delta WITHOUT
+    * re-aggregating the base. Deltas are signed (+1/+v for op `I`,
+    * −1/−v for op `D`), pre-aggregated to one row per touched key,
+    * then FULL OUTER merged into the existing state; keys whose count
+    * reaches zero drop out. This is the classic self-maintainable
+    * view algebra for distributive aggregates (count/sum — and avg as
+    * their quotient): correct because the aggregate is an abelian
+    * group, so `agg(base ⊎ delta) = agg(base) ⊕ agg(delta)`.
+    *
+    * Scale shape: the delta aggregation shuffles only delta rows and
+    * the merge join shuffles state ∂-side-bounded by touched keys —
+    * at 100 TB the base table is never rescanned, which is the whole
+    * point of maintaining the view. `valCol` must be an exact type
+    * (integer/decimal units): a double sum would drift from the
+    * recompute it must stay bit-equal to.
+    *
+    * `state`: (key, n, s) from a previous [[aggState]] call.
+    * `delta`: (key, op, valCol) with op ∈ {I, D}; D rows must match
+    * base rows exactly (loud-failure guards live upstream in
+    * [[applyCdc]]'s validation).
+    */
+  def incrementalAgg(state: DataFrame, delta: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val sign = when(col("op") === "I", lit(1L))
+      .when(col("op") === "D", lit(-1L))
+      .otherwise(raise_error(concat(lit("incrementalAgg: invalid op "),
+        col("op"))))
+    val d = delta.groupBy(col(keyCol))
+      .agg(sum(sign).as("dn"), sum(sign * col(valCol)).as("ds"))
+    state.join(d, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .filter(col("n") > 0)
+  }
+
+  /** The (key, n, s) aggregate state [[incrementalAgg]] maintains. */
+  def aggState(base: DataFrame, keyCol: String, valCol: String): DataFrame =
+    base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valCol)).as("s"))
 }

@@ -516,8 +516,16 @@ object TextStats {
     */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       minShared: Long = 8, maxDf: Long = 20): DataFrame = {
-    val fp = winnowFingerprints(docs, k, w)
+    // the fingerprint relation feeds the df-filter AND both sides of
+    // the pair self-join — four consumers of the same words→vocab→
+    // grams→window lineage. Checkpoint it once (≈ n/w rows, the
+    // selected grams only) so the plan holds ONE winnowing pass, not
+    // four re-derivations each re-scanning the corpus.
+    val fpFull = winnowFingerprints(docs, k, w)
       .select(col("doc_id"), col("gram")).distinct()
+    graft.PlanCapture.record("winnowPairs fingerprints (pre-checkpoint)",
+      fpFull)
+    val fp = fpFull.localCheckpoint()
     val rare = fp.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
       .select(col("gram"))

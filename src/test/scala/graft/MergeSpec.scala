@@ -132,4 +132,29 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.applyCdc(tgt, emptyC, Seq("k")).count() == 1)
     assert(Merge.upsert(tgt, empty, Seq("k")).count() == 1)
   }
+
+  test("incrementalAgg: delta-applied state equals the full recompute, " +
+      "zero-count keys drop, invalid ops fail loud") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "v")
+    val state = Merge.aggState(base, "k", "v")
+    // delete one of k=1's rows, both of... k=3 entirely; insert k=4
+    val delta = Seq((1L, 10L, "D"), (3L, 7L, "D"), (4L, 9L, "I"))
+      .toDF("k", "v", "op")
+    val got = Merge.incrementalAgg(state, delta, "k", "v")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    // recompute from the surviving multiset
+    val want = Seq((1L, 1L, 20L), (2L, 1L, 5L), (4L, 1L, 9L))
+    assert(got == want)
+    // untouched keys pass through; deleted-to-zero key 3 is gone
+    assert(!got.exists(_._1 == 3L))
+    // invalid op: loud failure, not silent sign guessing
+    val bad = Seq((1L, 1L, "X")).toDF("k", "v", "op")
+    val e = intercept[Exception] {
+      Merge.incrementalAgg(state, bad, "k", "v").collect()
+    }
+    assert(e.getMessage.contains("invalid op") ||
+      Option(e.getCause).exists(_.getMessage.contains("invalid op")))
+  }
 }
