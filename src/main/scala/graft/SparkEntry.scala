@@ -806,6 +806,36 @@ object SparkEntry {
           .localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
+    "dq_checks" -> ((s, dir) => {
+      // declarative data-quality contract over a corpus drop: all six
+      // row-level checks ride ONE aggregate pass, each Unique adds
+      // one hash agg, referential integrity one anti-join — the
+      // whole report is 9 rows however big the table
+      import Expectations._
+      val docs = t(s, dir, "documents")
+      val report = Expectations.run(docs, Seq(
+        NotNull("text"),
+        InRange("n_chars", 1, 500),
+        Matches("source", "^src[0-9]+$"),
+        InSet("lang", Seq("en", "de", "fr", "es")),
+        Predicate("len_eq_n_chars", length(col("text")) === col("n_chars")),
+        Unique(Seq("doc_id")),
+        Unique(Seq("text"))))
+      val fkOrders = Expectations.refIntegrity(t(s, dir, "orders"),
+        t(s, dir, "customer"), "o_custkey", "c_custkey")
+      val fkEvents = Expectations.refIntegrity(t(s, dir, "events"),
+        t(s, dir, "customer"), "user_id", "c_custkey")
+      report.unionByName(fkOrders).unionByName(fkEvents)
+        .orderBy(col("check"), col("detail"))
+    }),
+    "dedup_jaccard_allpairs" -> ((s, dir) => {
+      // prefix-filtered AllPairs similarity join — SAME oracle as
+      // dedup_ngram_jaccard: identical output, ~25x smaller candidate
+      // join (only rank-order prefixes hit the equi-join)
+      Dedup.jaccardPairsAllPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_explode_outer" -> ((s, dir) => {
       // explode_outer: generator rows for non-empty arrays, a single
       // null row for empty/missing — the LEFT JOIN of generators. The
@@ -4563,6 +4593,61 @@ object SparkEntry {
                AS o_orderpriority,
              CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g
       FROM orders ORDER BY o_orderkey""",
+    "dq_checks" -> """
+      WITH rl AS (SELECT
+          CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_notnull,
+          CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+                         OR n_chars > 500 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_range,
+          CAST(sum(CASE WHEN source IS NULL
+                         OR NOT regexp_matches(source, '^src[0-9]+$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_match,
+          CAST(sum(CASE WHEN lang IS NULL
+                         OR lang NOT IN ('en','de','fr','es')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+          CAST(sum(CASE WHEN length(text) = n_chars THEN 0 ELSE 1 END)
+            AS BIGINT) AS v_pred
+        FROM documents),
+      u_id AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v
+               FROM (SELECT count(*) AS n FROM documents
+                     GROUP BY doc_id)),
+      u_text AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS v
+                 FROM (SELECT count(*) AS n FROM documents
+                       GROUP BY text)),
+      fk_o AS (SELECT CAST(count(*) AS BIGINT) AS v FROM orders
+               WHERE o_custkey IS NULL OR NOT EXISTS
+                 (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      fk_e AS (SELECT CAST(count(*) AS BIGINT) AS v FROM events
+               WHERE user_id IS NULL OR NOT EXISTS
+                 (SELECT 1 FROM customer WHERE c_custkey = user_id)),
+      rep AS (
+        SELECT 'not_null' AS "check", 'text' AS detail,
+               v_notnull AS violations FROM rl
+        UNION ALL SELECT 'in_range', 'n_chars[1.0,500.0]', v_range FROM rl
+        UNION ALL SELECT 'matches', 'source', v_match FROM rl
+        UNION ALL SELECT 'in_set', 'lang', v_set FROM rl
+        UNION ALL SELECT 'predicate', 'len_eq_n_chars', v_pred FROM rl
+        UNION ALL SELECT 'unique', 'doc_id', v FROM u_id
+        UNION ALL SELECT 'unique', 'text', v FROM u_text
+        UNION ALL SELECT 'ref_integrity', 'o_custkey->c_custkey', v
+          FROM fk_o
+        UNION ALL SELECT 'ref_integrity', 'user_id->c_custkey', v
+          FROM fk_e)
+      SELECT "check", detail, violations, violations = 0 AS passed
+      FROM rep ORDER BY "check", detail""",
+    "dedup_jaccard_allpairs" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id)
+      SELECT id_a, id_b, shared, na.ng AS n_a, nb.ng AS n_b
+      FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8
+      ORDER BY id_a, id_b""",
     "q_explode_outer" -> """
       SELECT o_orderkey, CAST(l.l_quantity AS BIGINT) AS big_qty
       FROM orders o LEFT JOIN

@@ -315,4 +315,29 @@ class DedupSpec extends AnyFunSuite {
       .as[Seq[String]].collect().head
     assert(got == Seq("a b c", "b c d"))
   }
+
+  test("jaccardPairsAllPairs: prefix-filtered join returns exactly " +
+      "ngramJaccardPairs' output") {
+    import spark.implicits._
+    // crafted corpus: 1~2 near-identical, 3 shares a substring with 1
+    // below threshold, 4 disjoint, 5 exact dup of 2
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonite"),
+      (3L, "the quick brown cat naps quietly under a warm sun"),
+      (4L, "zebras graze beyond violet canyons while owls watch"),
+      (5L, "the quick brown fox jumps over the lazy dog tonite")
+    ).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val base = norm(Dedup.ngramJaccardPairs(docs, minJaccard = 0.6))
+    val fast = norm(Dedup.jaccardPairsAllPairs(docs, minJaccard = 0.6))
+    assert(fast == base)
+    assert(base.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(base.map(p => (p._1, p._2)).contains((2L, 5L)))
+    // threshold 0.8 too: different prefix lengths, same equality
+    assert(norm(Dedup.jaccardPairsAllPairs(docs)) ==
+      norm(Dedup.ngramJaccardPairs(docs)))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Expectations
+import graft.operators.Expectations._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("every check class counts exact violations; row-level checks " +
+      "share one aggregate pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", "en", 5L),
+      (2L, null: String, "en", 0L),     // null text; n_chars out of range
+      (3L, "beta", "xx", 4L),           // lang outside set
+      (3L, "beta", "en", 4L),           // duplicate id AND text
+      (4L, "x y", "de", 9L)             // predicate violation (len 3 != 9)
+    ).toDF("id", "text", "lang", "n_chars")
+    val got = Expectations.run(df, Seq(
+      NotNull("text"),
+      InRange("n_chars", 1, 100),
+      InSet("lang", Seq("en", "de", "fr")),
+      Predicate("len_ok", length(col("text")) === col("n_chars")),
+      Unique(Seq("id")),
+      Unique(Seq("text"))))
+      .orderBy("check", "detail")
+      .select("check", "detail", "violations")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("in_range", "n_chars[1.0,100.0]", 1L),
+      ("in_set", "lang", 1L),
+      ("not_null", "text", 1L),
+      // len_ok: row2 null text -> null predicate -> violation; row5
+      ("predicate", "len_ok", 2L),
+      ("unique", "id", 1L),
+      ("unique", "text", 1L)))
+    // the row-level checks compile to ONE aggregate over one scan
+    val rowLevel = Expectations.run(df,
+      Seq(NotNull("text"), InRange("n_chars", 1, 100), InSet("lang",
+        Seq("en")), Predicate("p", col("n_chars") > 0)))
+    val scans = rowLevel.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("LocalTableScan"))
+    assert(scans == 1, "row-level checks must share a single scan")
+  }
+
+  test("refIntegrity counts null and unmatched keys as orphans") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), None, Some(9L)).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Expectations.refIntegrity(child, parent, "fk", "pk")
+      .select("violations", "passed").as[(Long, Boolean)].head()
+    assert(r == ((2L, false))) // null + 9
+  }
+
+  test("matches check: non-matching and null both violate") {
+    import spark.implicits._
+    val df = Seq("src1", "SRC2", null).toDF("s")
+    val r = Expectations.run(df, Seq(Matches("s", "^src[0-9]+$")))
+      .select("violations").as[Long].head()
+    assert(r == 2L)
+  }
+}
