@@ -941,6 +941,13 @@ object SparkEntry {
         "o_custkey", "cents")
         .orderBy(col("o_custkey"))
     }),
+    "ivm_stream" -> ((s, dir) => {
+      // q_ivm_agg's delta replayed as a 3-micro-batch STREAM, state
+      // folded forward per batch via foreachBatch — same oracle: the
+      // abelian merge makes the final state batching-invariant
+      graft.streaming.EventsStream.ivmToCompletion(s, dir)
+        .orderBy(col("o_custkey"))
+    }),
     "text_winnow_fp" -> ((s, dir) => {
       TextStats.winnowFingerprints(t(s, dir, "documents")
           .select(col("doc_id"), col("text")))
@@ -1158,6 +1165,21 @@ object SparkEntry {
       Similarity.ivfTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "sim_ann_pq" -> ((s, dir) => {
+      // IVF-PQ (FAISS IVFPQ shape): coarse cells prune, asymmetric
+      // distance tables rank candidates in m lookups each, exact
+      // rerank restores bit-true cosines; recall driver-gated by
+      // sim_ann_pq_recall. Fixture-suited geometry (same reasoning as
+      // sim_ann_lsh): the synthetic embeddings are near-orthogonal, so
+      // true top-5 neighbors sit in a near-tie band around cosine ~0.3
+      // where coarse ADC ordering is hardest — finer subspaces
+      // (m=16 × ksub=32) and a deeper exact rerank (12k) hold recall
+      // at 0.84–0.96 across fixture scales; a corpus with real
+      // near-dup structure is the easy case and runs the m=8 default.
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5,
+        nProbe = 8, m = 16, ksub = 32, rerankFactor = 12)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // ---- approximate-operator recall gates ----
     // The five sketch operators above are murmur-based and therefore
@@ -1199,6 +1221,14 @@ object SparkEntry {
       recallGate(s, dir, "sim_ann_ivf_recall",
         Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
         Similarity.ivfTopK(emb, col("id") < 10, k = 5),
+        Seq("query_id", "neighbor_id"), floorBp = 8000)
+    }),
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(s, dir, "sim_ann_pq_recall",
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        Similarity.ivfPqTopK(emb, col("id") < 10, k = 5, nProbe = 8,
+          m = 16, ksub = 32, rerankFactor = 12),
         Seq("query_id", "neighbor_id"), floorBp = 8000)
     }),
     "dedup_incremental_near_recall" -> ((s, dir) => {
@@ -3391,6 +3421,10 @@ object SparkEntry {
       WITH $qEmbSql,
       $exactTop5CteSql,
       ${recallTailSql("sim_ann_ivf_recall", "query_id, neighbor_id", 8000)}""",
+    "sim_ann_pq_recall" -> s"""
+      WITH $qEmbSql,
+      $exactTop5CteSql,
+      ${recallTailSql("sim_ann_pq_recall", "query_id, neighbor_id", 8000)}""",
     "dedup_incremental_near_recall" -> s"""
       WITH surv AS (SELECT doc_id
                     FROM read_parquet('$RecallDirToken/dedup_incremental_near_recall/*.parquet')),
@@ -4704,6 +4738,17 @@ object SparkEntry {
              split_part(p_type, ' ', 1) AS first_word
       FROM part ORDER BY p_partkey""",
     "q_ivm_agg" -> """
+      WITH o AS (SELECT o_orderkey, o_custkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM orders),
+      survivors AS (
+        SELECT o_custkey, cents FROM o WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_custkey, cents + 1 FROM o WHERE o_orderkey % 7 = 0)
+      SELECT o_custkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM survivors GROUP BY o_custkey ORDER BY o_custkey""",
+    "ivm_stream" -> """
       WITH o AS (SELECT o_orderkey, o_custkey,
               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                 AS cents

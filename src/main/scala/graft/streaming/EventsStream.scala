@@ -601,6 +601,59 @@ object EventsStream {
     * Returns the re-read output so the driver oracle hash-checks the
     * full sink→source loop.
     */
+  /** Streaming incremental view maintenance — the q_ivm_agg delta
+    * applied as a STREAM: the signed insert/delete batch is chunked
+    * into three replay files (`maxFilesPerTrigger = 1` forces one
+    * micro-batch each), and foreachBatch folds every micro-batch into
+    * driver-held (count, sum) state via
+    * [[graft.operators.Merge.incrementalAgg]], checkpointing the new
+    * state per batch so lineage stays one-batch deep. Because the
+    * merge is an abelian-group fold, the final state is independent
+    * of HOW the delta was micro-batched and equals the one-shot batch
+    * apply — the driver gate runs this against the same full-recompute
+    * oracle as q_ivm_agg. This is the production pattern for keeping a
+    * 100 TB aggregate current under CDC: per-trigger work ∝ that
+    * trigger's delta, the base is never rescanned.
+    */
+  def ivmToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(spark0)
+    val o = graft.Tables.load(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("cents"))
+    val state0 = graft.operators.Merge.aggState(
+      o.select(col("o_custkey"), col("cents")), "o_custkey", "cents")
+    val delta = o.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+        lit("D").as("op"))
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("cents") + 1).as("cents"), lit("I").as("op")))
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-ivm-replay").toFile
+    try {
+      (0 until 3).foreach { i =>
+        writeChunk(replayDir, delta.filter(col("o_orderkey") % 3 === i),
+          s"chunk$i")
+      }
+      var state = state0.localCheckpoint()
+      val schema = spark.read
+        .parquet(new java.io.File(replayDir, "chunk0.parquet").toString)
+        .schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(replayDir.toString)
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          state = graft.operators.Merge.incrementalAgg(state,
+            batch.select(col("o_custkey"), col("cents"), col("op")),
+            "o_custkey", "cents").localCheckpoint()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      state
+    } finally deleteRec(replayDir)
+  }
+
   def foreachBatchToParquet(spark0: SparkSession, dir: String,
       outDir: String): DataFrame = {
     val spark = streamSession(spark0)

@@ -303,4 +303,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b1 == b2)
     assert(b1.distinct.size > 1) // buckets actually split the space
   }
+
+  test("ivfPq results carry brute-force cosines, full k per query, " +
+      "and recall >= the gated floor") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val pq = Similarity.ivfPqTopK(emb, col("id") < 10, k = 5,
+      nProbe = 8, m = 16, ksub = 32, rerankFactor = 12)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    // reranked cosines are the EXACT quantized cosine — bit-equal to
+    // brute force for every recalled pair
+    val brute = Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 500)
+      .select("query_id", "neighbor_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for ((q, n, c) <- pq) assert(brute((q, n)) == c)
+    val perQuery = pq.groupBy(_._1).view.mapValues(_.length)
+    assert(perQuery.values.forall(_ == 5))
+    // recall vs the exact top-5 (the driver gate pins 0.80; the spec
+    // pins the same floor so a regression fails fast locally)
+    val exact5 = Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val hit = exact5.count { case (q, n) => pq.exists(p => p._1 == q && p._2 == n) }
+    assert(hit * 10000 / exact5.size >= 8000,
+      s"pq recall ${hit}/${exact5.size} below floor")
+  }
+
+  test("ivfPq codebook training and encoding are deterministic " +
+      "across runs") {
+    import spark.implicits._
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    def run() = Similarity.ivfPqTopK(emb, col("id") < 10, k = 5,
+      m = 8, ksub = 16, trainIters = 3)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(run() == run())
+  }
 }
