@@ -806,6 +806,27 @@ object SparkEntry {
           .localCheckpoint()
       } finally deleteRecursively(tmp)
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // 3-iteration damped PageRank over the customer↔supplier
+      // bipartite graph (an edge per distinct trading pair, both
+      // directions; suppliers offset +100000 into a disjoint id
+      // space). Exact integer micro-unit ranks — the DuckDB twin
+      // unrolls the identical iterations relationally.
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      // customer and supplier id spaces are disjoint, so the reverse
+      // union introduces no duplicate edges (matches the oracle's
+      // deduplicating UNION)
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges).orderBy(col("node"))
+    }),
     "dq_checks" -> ((s, dir) => {
       // declarative data-quality contract over a corpus drop: all six
       // row-level checks ride ONE aggregate pass, each Unique adds
@@ -4627,6 +4648,30 @@ object SparkEntry {
                AS o_orderpriority,
              CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g
       FROM orders ORDER BY o_orderkey""",
+    "graph_pagerank" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      base AS (SELECT ((1000000000000 // n) * 15) // 100 AS b,
+                      1000000000000 // n AS init FROM cnt),
+      deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+      r0 AS (SELECT node, init AS rank_micro FROM nodes CROSS JOIN base),
+      ${Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT nodes.node,
+          b + (coalesce(s.sc, 0) * 85) // 100 AS rank_micro
+        FROM nodes CROSS JOIN base
+        LEFT JOIN (SELECT e2.dst AS node,
+                     sum(r.rank_micro // deg.deg) AS sc
+                   FROM e2 JOIN deg USING (src)
+                        JOIN $prev r ON r.node = e2.src
+                   GROUP BY e2.dst) s USING (node))"""
+      }.mkString(",")}
+      SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r3 ORDER BY node""",
     "dq_checks" -> """
       WITH rl AS (SELECT
           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on edge DataFrames — the category beyond
+  * [[Dedup.clusters]]' connected components. PageRank here is the
+  * classic damped power iteration (Page, Brin, Motwani & Winograd
+  * 1999) in EXACT INTEGER micro-units: ranks live in units of 1e-12
+  * of the initial per-node mass, every division is truncating
+  * (`div`), so after any fixed iteration count the ranks are
+  * bit-identical on any cluster topology AND re-derivable by a
+  * relational engine — which is what makes the operator
+  * oracle-checkable (DuckDB unrolls the same iterations with `//`).
+  *
+  * Scale shape per iteration: one equi-join of edges to the rank
+  * frame on the source key plus one aggregation on the destination —
+  * both shuffles on node keys (co-partitioned round over round),
+  * nothing broadcast except Catalyst's own choice for the
+  * (node-count-sized) rank frame when it is small. Lineage is cut
+  * with a localCheckpoint per round, the same bounded-iteration
+  * discipline as [[Dedup.clusters]].
+  *
+  * Deliberate simplifications, documented: dangling-node mass is NOT
+  * redistributed (their outflow vanishes — total mass decays, ranking
+  * order is unaffected for fixed iteration counts), and the damping
+  * base term uses the truncating per-node constant
+  * `((unit div n) · (100−d)) div 100`.
+  */
+object Graph {
+
+  /** `edges`: (src: long, dst: long), pre-deduplicated by the caller
+    * if multi-edges should not weigh double. Returns (node,
+    * rank_micro) for every node appearing as a source or target.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
+      unit: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank_micro", lit(0L))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val init = unit / n
+    val base = (init * (100 - dampingPct)) / 100
+    var r = nodes.withColumn("rank_micro", lit(init))
+    for (i <- 0 until iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(coalesce(sc, 0L) * $dampingPct) div 100"))
+            .as("rank_micro"))
+      if (i == 0)
+        graft.PlanCapture.record("pageRank per-iteration plan", next)
+      r = next.localCheckpoint()
+    }
+    r
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("pageRank: hand-computed ranks on a two-node chain with a sink") {
+    import spark.implicits._
+    // 1 → 2 only. n=2, init=5e11, base=(5e11·15)//100=7.5e10.
+    // r1(1)=base (no inflow); r1(2)=base+(5e11·85)//100=5e11
+    // r2(2)=base+(7.5e10·85)//100=1.3875e11; r3 = r2 (fixed point of
+    // the truncated recurrence for this chain)
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 75000000000L), (2L, 138750000000L)))
+  }
+
+  test("pageRank: symmetric two-cycle holds mass; determinism across " +
+      "runs; hub outranks leaves on a star") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val c = Graph.pageRank(cyc, iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(c == Seq((1L, 500000000000L), (2L, 500000000000L)))
+    // star: leaves 2..5 ↔ hub 1; the hub accumulates rank
+    val star = (2L to 5L).flatMap(l => Seq((l, 1L), (1L, l)))
+      .toDF("src", "dst")
+    def run() = Graph.pageRank(star, iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val r = run()
+    assert(r == run())
+    val ranks = r.toMap
+    assert((2L to 5L).forall(l => ranks(1L) > ranks(l)))
+    assert((3L to 5L).forall(l => ranks(l) == ranks(2L)),
+      "symmetric leaves must tie exactly")
+  }
+}
