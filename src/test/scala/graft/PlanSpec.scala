@@ -355,4 +355,51 @@ class PlanSpec extends AnyFunSuite {
       case (k, None)    => s.conf.unset(k)
     }
   }
+
+  test("mode top-1 rank is map-side pre-truncated by WindowGroupLimit") {
+    val p = plan("q_mode")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("winnow pair join runs ONE winnowing pass: the checkpoint " +
+      "leaves no vocab re-derivation in the pair plan") {
+    graft.PlanCapture.enabled = true
+    graft.PlanCapture.drain()
+    val p = plan("dedup_winnow_pairs")
+    // post-checkpoint plan: the self-join reads the checkpointed
+    // fingerprint scan, not four re-derivations of the corpus scan
+    assert(!p.contains("dense_rank"), "vocab ranking re-derived:\n" + p)
+    val captured = graft.PlanCapture.drain()
+    assert(captured.exists(_._1.contains("winnowPairs fingerprints")),
+      "pre-checkpoint fingerprint plan not recorded")
+  }
+
+  test("AllPairs candidate join fans over the rank-order prefix, and " +
+      "the verify stage joins candidates by key — no cartesian") {
+    val p = plan("dedup_jaccard_allpairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // prefix filter present: the rank row_number feeds a <= bound
+    assert(p.contains("row_number") || p.contains("RunningWindowFunction"),
+      p)
+  }
+
+  test("retention and gapfill shuffle on their aggregate keys only — " +
+      "no window over raw events in retention, spine join keyed") {
+    val pr = plan("events_retention")
+    assert(!pr.contains("CartesianProduct"), pr)
+    val pg = plan("events_gapfill")
+    assert(!pg.contains("CartesianProduct"), pg)
+    // forward fill partitions by event_type (bounded per-partition
+    // state), visible as a Window over the type key
+    assert(pg.contains("Window"), pg)
+  }
+
+  test("incremental view maintenance joins delta-aggregated state — " +
+      "a full-outer shuffle join on the key, base never re-aggregated " +
+      "twice") {
+    val p = plan("q_ivm_agg")
+    assert(p.contains("FullOuter") || p.contains("full_outer") ||
+      p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter") ||
+      p.contains("fullouter"), p)
+  }
 }
