@@ -1476,6 +1476,37 @@ object SparkEntry {
       // error-bounded in ProfileSketchSpec
       Profile.audienceOverlap(t(s, dir, "events"), "click", "purchase")
     }),
+    "profile_kll_lake" -> ((s, dir) => {
+      // the QUANTILE leg of sketches-as-data: per-(type, day) KLL
+      // sketches merged at query time; no_oracle (KLL merge is
+      // order-sensitive, so estimates are bound-checked, not
+      // hash-checked — profile_kll_lake_bounds below)
+      Profile.kllQuantileLake(t(s, dir, "events"))
+        .orderBy(col("event_type"))
+    }),
+    "profile_kll_lake_bounds" -> ((s, dir) => {
+      // rank audit of the materialized KLL estimates: the inclusive
+      // rank of each estimated quantile must sit within 500 bp of its
+      // target (k=200 normalized rank error ~165 bp + discreteness);
+      // DuckDB recomputes the SAME ranks from the dump, asserting the
+      // within flags TRUE — a drift past the bound hash-mismatches
+      val ev = t(s, dir, "events")
+      val dumped = dumpForOracle(s, dir, "profile_kll_lake_bounds",
+        Profile.kllQuantileLake(ev))
+      ev.join(dumped, "event_type")
+        .groupBy(col("event_type"), col("p50_est"), col("p95_est"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L))
+            .as("le50"),
+          sum(when(col("value") <= col("p95_est"), 1L).otherwise(0L))
+            .as("le95"))
+        .selectExpr("event_type",
+          "(10000 * le50) div n AS r50_bp",
+          "(10000 * le95) div n AS r95_bp",
+          "abs((10000 * le50) div n - 5000) <= 500 AS p50_within",
+          "abs((10000 * le95) div n - 9500) <= 500 AS p95_within")
+        .orderBy(col("event_type"))
+    }),
     "profile_equidepth" -> ((s, dir) => {
       // quantile (equi-depth) histogram, exact boundaries for the
       // oracle; the approx default is the 100 TB path (same plan, the
@@ -3483,6 +3514,21 @@ object SparkEntry {
              TRUE AS within_bound
       FROM apx a JOIN ex e USING (event_type)
       ORDER BY a.event_type""",
+    "profile_kll_lake_bounds" -> s"""
+      WITH apx AS (SELECT event_type, p50_est, p95_est
+                   FROM read_parquet('$RecallDirToken/profile_kll_lake_bounds/*.parquet')),
+      r AS (SELECT e.event_type, a.p50_est, a.p95_est, count(*) AS n,
+              sum(CASE WHEN e.value <= a.p50_est THEN 1 ELSE 0 END)
+                AS le50,
+              sum(CASE WHEN e.value <= a.p95_est THEN 1 ELSE 0 END)
+                AS le95
+            FROM events e JOIN apx a USING (event_type)
+            GROUP BY 1, 2, 3)
+      SELECT event_type,
+             CAST((10000 * le50) // n AS BIGINT) AS r50_bp,
+             CAST((10000 * le95) // n AS BIGINT) AS r95_bp,
+             TRUE AS p50_within, TRUE AS p95_within
+      FROM r ORDER BY event_type""",
     "profile_sketch_overlap_bounds" -> s"""
       WITH apx AS (SELECT est_overlap
                    FROM read_parquet('$RecallDirToken/profile_sketch_overlap_bounds/*.parquet')),

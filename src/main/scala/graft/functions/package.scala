@@ -58,6 +58,22 @@ package object functions {
   def char_collision(c: Column): Column =
     Bridge.column(CharCollisionExpr(Bridge.expression(c.cast("string"))))
 
+  /** KLL quantile sketch aggregate (serialized sketch per group). */
+  def kll_sketch_agg(c: Column, k: Int = 200): Column =
+    Bridge.column(
+      KllSketchAggExpr(Bridge.expression(c.cast("double")), k)
+        .toAggregateExpression())
+
+  /** Query-time union of serialized KLL sketches. */
+  def kll_merge_agg(c: Column, k: Int = 200): Column =
+    Bridge.column(
+      KllMergeAggExpr(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Quantile estimate from a serialized KLL sketch. */
+  def kll_quantile(sketch: Column, fraction: Column): Column =
+    Bridge.column(KllQuantileExpr(Bridge.expression(sketch),
+      Bridge.expression(fraction.cast("double"))))
+
   /** Unicode NFC canonical composition (codegen'd; UAX #15). */
   def nfc_normalize(c: Column): Column =
     Bridge.column(NfcNormalizeExpr(Bridge.expression(c.cast("string"))))
@@ -126,7 +142,19 @@ package object functions {
     // the UDTF leg of the surface: resolves under LATERAL VIEW /
     // generator positions because the built expression IS a Generator
     "chunk_text" -> { case Seq(c, s, o) =>
-      ChunkTextGen(c, litInt(s, "size"), litInt(o, "overlap")) })
+      ChunkTextGen(c, litInt(s, "size"), litInt(o, "overlap")) },
+    // aggregate builders: the analyzer wraps a returned
+    // AggregateFunction in its AggregateExpression automatically
+    "kll_sketch_agg" -> { case Seq(c, k) =>
+      KllSketchAggExpr(
+        org.apache.spark.sql.catalyst.expressions.Cast(c,
+          org.apache.spark.sql.types.DoubleType), litInt(k, "k")) },
+    "kll_merge_agg" -> { case Seq(c, k) =>
+      KllMergeAggExpr(c, litInt(k, "k")) },
+    "kll_quantile" -> { case Seq(s, f) =>
+      KllQuantileExpr(s,
+        org.apache.spark.sql.catalyst.expressions.Cast(f,
+          org.apache.spark.sql.types.DoubleType)) })
 
   /** Register graft's expressions as SQL functions on a session, so
     * `spark.sql` text queries can call them: sdbm_hash(seed, s),

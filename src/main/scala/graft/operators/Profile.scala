@@ -223,6 +223,33 @@ object Profile {
     merged.join(exact, keyCol)
   }
 
+  /** Quantile-sketch lake via KLL (Karnin, Lang & Liberty 2016) —
+    * the QUANTILE twin of [[hllSketchLake]]: a nightly job reduces
+    * each (key, day) shard to one KLL sketch binary
+    * (`kll_sketch_agg`), and query time merges sketches
+    * (`kll_merge_agg`) and reads any quantile (`kll_quantile`)
+    * without rescanning raw rows. KLL merge compaction is
+    * order-sensitive (unlike HLL's register max), so the two-level
+    * estimate is error-bound-equal to a single pass, not
+    * hash-equal — the bounds gate audits the RANK of each estimate
+    * against the raw data (normalized rank error ~1.65% at k = 200;
+    * gate margin 3%). Output: (key, p50_est, p95_est) doubles.
+    */
+  def kllQuantileLake(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts", valCol: String = "value",
+      k: Int = 200): DataFrame = {
+    import graft.functions.{kll_merge_agg, kll_quantile, kll_sketch_agg}
+    val daily = events
+      .select(col(keyCol), to_date(col(tsCol)).as("day"), col(valCol))
+      .groupBy(col(keyCol), col("day"))
+      .agg(kll_sketch_agg(col(valCol), k).as("sk"))
+    daily.groupBy(col(keyCol))
+      .agg(kll_merge_agg(col("sk"), k).as("merged"))
+      .select(col(keyCol),
+        kll_quantile(col("merged"), lit(0.5)).as("p50_est"),
+        kll_quantile(col("merged"), lit(0.95)).as("p95_est"))
+  }
+
   /** Audience overlap via Theta sketches — the set-operation family
     * HLL cannot express: |users(a) ∩ users(b)| from two mergeable
     * per-segment sketches (`theta_sketch_agg` → `theta_intersection`),

@@ -24,10 +24,10 @@ class GatesSpec extends AnyFunSuite {
     // not shrink the set silently
     val expected = Set("dedup_minhash_recall", "dedup_simhash_recall",
       "dedup_embedding_ann_recall", "sim_ann_lsh_recall",
-      "sim_ann_ivf_recall", "dedup_semantic_recall",
+      "sim_ann_ivf_recall", "sim_ann_pq_recall", "dedup_semantic_recall",
       "dedup_incremental_near_recall", "profile_sketch_lake_bounds",
-      "profile_sketch_overlap_bounds", "profile_approx_bounds",
-      "text_compression_bounds")
+      "profile_sketch_overlap_bounds", "profile_kll_lake_bounds",
+      "profile_approx_bounds", "text_compression_bounds")
     assert(gateNames == expected,
       s"gate roster drift: +${gateNames.diff(expected)} " +
         s"-${expected.diff(gateNames)}")

@@ -49,4 +49,39 @@ class ProfileSketchSpec extends AnyFunSuite {
     assert(math.abs(est - exact) / exact.toDouble < 0.05,
       s"est $est vs exact $exact")
   }
+
+  test("KLL lake: merged two-level quantiles sit within the rank " +
+      "error bound of the raw data, and the SQL surface resolves") {
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val lake = Profile.kllQuantileLake(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(lake.nonEmpty)
+    for ((tpe, (p50, p95)) <- lake) {
+      assert(p50 <= p95, s"$tpe: quantiles not monotone")
+      val vals = ev.filter(col("event_type") === tpe)
+        .select(col("value")).as[Double].collect()
+      val r50 = vals.count(_ <= p50).toDouble / vals.length
+      val r95 = vals.count(_ <= p95).toDouble / vals.length
+      assert(math.abs(r50 - 0.50) <= 0.05, s"$tpe p50 rank $r50")
+      assert(math.abs(r95 - 0.95) <= 0.05, s"$tpe p95 rank $r95")
+    }
+    // single-pass sketch (no daily split) obeys the same bound — the
+    // lake's two-level merge loses only bounded accuracy, not
+    // correctness
+    val one = ev.agg(graft.functions.kll_quantile(
+      graft.functions.kll_sketch_agg(col("value")), lit(0.5)))
+      .as[Double].head()
+    val all = ev.select(col("value")).as[Double].collect()
+    assert(math.abs(all.count(_ <= one).toDouble / all.length - 0.5)
+      <= 0.05)
+    // config-injected SQL surface (GraftExtensions): text queries can
+    // build and read sketches with no registration call
+    ev.createOrReplaceTempView("ev_kll")
+    val viaSql = spark.sql(
+      "SELECT kll_quantile(kll_sketch_agg(value, 200), CAST(0.5 AS DOUBLE)) FROM ev_kll")
+      .as[Double].head()
+    assert(math.abs(all.count(_ <= viaSql).toDouble / all.length - 0.5)
+      <= 0.05)
+  }
 }

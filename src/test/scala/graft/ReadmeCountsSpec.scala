@@ -37,14 +37,15 @@ class ReadmeCountsSpec extends AnyFunSuite {
   }
 
   test("every oracle names a registered query, and the no_oracle set " +
-      "is exactly the documented thirteen") {
+      "is exactly the documented fourteen") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     val noOracle = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
     val documented = Set("dedup_minhash", "dedup_simhash", "dedup_semantic",
       "dedup_embedding_ann", "dedup_incremental_near", "sim_ann_lsh",
       "sim_ann_ivf", "sim_ann_pq", "q_sql_functions", "text_compression",
-      "profile_approx", "profile_sketch_lake", "profile_sketch_overlap")
+      "profile_approx", "profile_sketch_lake", "profile_sketch_overlap",
+      "profile_kll_lake")
     assert(noOracle == documented,
       s"no_oracle drift: +${noOracle.diff(documented)} " +
         s"-${documented.diff(noOracle)}")
