@@ -103,7 +103,7 @@ object Bench {
       PlanCapture.drain() // discard anything left by a previous query
       // blocks persisted before this query (the cross-query memos and
       // anything the warm-up left) are protected; everything NEW that
-      // is still persisted after a run is a leak to this 160-query
+      // is still persisted after a run is a leak to this 200+-query
       // marathon — localCheckpoint blocks normally freed by
       // GC+ContextCleaner pile up 3x faster under repeats and tax
       // later queries (measured as in-suite vs isolated inflation), so

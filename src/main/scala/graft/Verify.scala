@@ -18,7 +18,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       // same leak hygiene as Bench: localCheckpoint blocks a query
-      // leaves behind would otherwise pile up across the 144-query run
+      // leaves behind would otherwise pile up across the 200+-query run
       // (cross-query memoized frames exempt)
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

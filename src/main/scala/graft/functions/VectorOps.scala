@@ -240,6 +240,69 @@ object VectorOps {
   }
 
   def signLsh(vec: ArrayData, nPlanes: Int): Long = signLsh(vec, nPlanes, 0)
+
+  /** All-m product-quantization code assignment in ONE pass: `cents`
+    * is the flattened [m][ksub][dsub] codebook; returns the m nearest
+    * sub-centroid indices by exact integer squared L2 with a
+    * FIRST-index tie-break (strict `<`) — identical codes to an
+    * argmin over a per-centroid distance array, without building
+    * m × ksub distance expressions per row (which blows whole-stage
+    * codegen's method limit and falls back to interpretation).
+    */
+  def pqEncode(v: ArrayData, cents: Array[Long], m: Int,
+      ksub: Int): ArrayData = {
+    val dim = v.numElements()
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val base = (s * ksub + c) * dsub
+        var d = 0L
+        var j = 0
+        while (j < dsub) {
+          val diff = v.getLong(s * dsub + j) - cents(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pq_encode(array<long>) → array<int>` — all-m PQ code assignment
+  * against a plan-literal flattened codebook, codegen'd tight loop.
+  */
+case class PqEncodeExpr(child: Expression, cents: Seq[Long], m: Int,
+    ksub: Int) extends UnaryExpression {
+  require(m > 0 && ksub > 0 && cents.length % (m * ksub) == 0,
+    "flattened codebook must be m*ksub sub-centroids")
+  @transient private lazy val centsArr: Array[Long] = cents.toArray
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  protected override def nullSafeEval(input: Any): Any =
+    VectorOps.pqEncode(input.asInstanceOf[ArrayData], centsArr, m, ksub)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", centsArr, "long[]")
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorOps.pqEncode($a, $ref, $m, $ksub)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExpr = copy(child = newChild)
 }
 
 /** `dot_long(array<long>, array<long>) → long` — codegen'd loop. */

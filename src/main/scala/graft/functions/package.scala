@@ -58,6 +58,12 @@ package object functions {
   def char_collision(c: Column): Column =
     Bridge.column(CharCollisionExpr(Bridge.expression(c.cast("string"))))
 
+  /** All-m PQ code assignment against a flattened codebook literal
+    * (codegen'd tight loop; see PqEncodeExpr).
+    */
+  def pq_encode(v: Column, cents: Seq[Long], m: Int, ksub: Int): Column =
+    Bridge.column(PqEncodeExpr(Bridge.expression(v), cents, m, ksub))
+
   /** KLL quantile sketch aggregate (serialized sketch per group). */
   def kll_sketch_agg(c: Column, k: Int = 200): Column =
     Bridge.column(
