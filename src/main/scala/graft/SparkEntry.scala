@@ -648,6 +648,39 @@ object SparkEntry {
             ",").as("summary"))
         .orderBy(col("user_id"))
     }),
+    "q_window_ratio" -> ((s, dir) => {
+      // percent-of-total window (ratio_to_report): each line's share
+      // of its order's revenue in exact integer basis points — the
+      // window sum runs over int64 cents, so shares are
+      // partitioning-invariant (a double window sum would not be)
+      val w = Window.partitionBy(col("l_orderkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        .withColumn("order_cents", sum(col("cents")).over(w))
+        .selectExpr("l_orderkey", "l_linenumber", "cents",
+          "(10000 * cents) div order_cents AS share_bp")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "profile_benford" -> ((s, dir) => {
+      // Benford leading-digit audit — the classic fabricated-data
+      // smell test: observed first-digit distribution of order
+      // totals vs the Benford expectation (literal basis points on
+      // both sides, so no engine's log10 enters the hash)
+      val exp = Map(1 -> 3010, 2 -> 1761, 3 -> 1249, 4 -> 969,
+        5 -> 792, 6 -> 669, 7 -> 580, 8 -> 512, 9 -> 458)
+      val d = t(s, dir, "orders")
+        .select(substring((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      d.crossJoin(broadcast(d.agg(sum(col("n")).as("total"))))
+        .selectExpr("digit", "n", "(10000 * n) div total AS obs_bp")
+        .withColumn("exp_bp",
+          exp.foldLeft(lit(0)) { case (acc, (k, v)) =>
+            when(col("digit") === k, v).otherwise(acc) }.cast("long"))
+        .orderBy(col("digit"))
+    }),
     "q_window_ignore_nulls" -> ((s, dir) => {
       // IGNORE NULLS navigation — sparse-observation forward fill:
       // value is observed only on purchase rows; every event carries
@@ -4594,6 +4627,29 @@ object SparkEntry {
                 AS cents
             FROM orders) t
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_window_ratio" -> """
+      WITH c AS (SELECT l_orderkey, l_linenumber,
+              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM lineitem)
+      SELECT l_orderkey, l_linenumber, cents,
+             CAST((10000 * cents) //
+               sum(cents) OVER (PARTITION BY l_orderkey) AS BIGINT)
+               AS share_bp
+      FROM c ORDER BY l_orderkey, l_linenumber""",
+    "profile_benford" -> """
+      WITH d AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+                   AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                   AS INT) AS digit
+                 FROM orders),
+      g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+      SELECT digit, n, CAST((10000 * n) // total AS BIGINT) AS obs_bp,
+             CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1761
+               WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 792
+               WHEN 6 THEN 669 WHEN 7 THEN 580 WHEN 8 THEN 512
+               WHEN 9 THEN 458 ELSE 0 END AS BIGINT) AS exp_bp
+      FROM g, t ORDER BY digit""",
     "q_window_ignore_nulls" -> """
       SELECT event_id, user_id,
              CASE WHEN event_type = 'purchase' THEN value END AS obs,
