@@ -21,6 +21,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** SF-envelope broadcast for dimensions that GROW with scale factor
+    * (customer/supplier/part — unlike nation/region, which are O(1)
+    * rows at every SF): the hint is applied only while Catalyst's size
+    * estimate for the frame stays under the session broadcast
+    * threshold, so at sf0.1 the dims broadcast as intended and at
+    * sf100 (customer ≈ 15 M rows / GBs) the join goes unhinted and
+    * AQE picks the strategy from observed runtime sizes instead of a
+    * forced driver-side collect. Stats come from the optimized logical
+    * plan (file sizes for scans — no job is run), the same estimate
+    * the static planner itself compares against the threshold.
+    */
+  private def bcDim(df: DataFrame): DataFrame = {
+    val threshold =
+      df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (threshold > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold)
+      broadcast(df)
+    else df
+  }
+
   /** The scoped ground-truth near-dup pair set (exact n-gram Jaccard
     * over the capped 500-doc slice) feeds three queries: the pairs
     * themselves, connected-components clustering, and the corpus
@@ -430,11 +450,12 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     "q_join_agg" -> ((s, dir) => {
-      // Q5-style revenue per nation; dims broadcast (nation: 25 rows,
-      // customer: small relative to lineitem — broadcast both).
+      // Q5-style revenue per nation; nation (25 rows, O(1) at every SF)
+      // broadcasts unconditionally, customer rides the bcDim size gate
+      // (it grows with SF — hinted under the threshold, AQE above it).
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(bcDim(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
@@ -459,7 +480,7 @@ object SparkEntry {
       t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
         .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")
+        .join(bcDim(t(s, dir, "customer")
             .filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"),
@@ -472,9 +493,10 @@ object SparkEntry {
     "tpch_q5" -> ((s, dir) => {
       // Q5 local supplier volume: revenue from orders where supplier
       // and customer share a nation, nations restricted to one region,
-      // one order year. All dims broadcast (region→nation 5 rows,
-      // supplier 1%, customer 3% of lineitem); the only shuffle join
-      // is fact-side lineitem⋈orders. The c_nationkey = s_nationkey
+      // one order year. The O(1) region→nation frame (5 rows) broadcasts
+      // unconditionally; customer/supplier grow with SF so they ride
+      // the bcDim size gate. The only guaranteed shuffle join is
+      // fact-side lineitem⋈orders. The c_nationkey = s_nationkey
       // constraint rides the supplier broadcast join condition.
       val asiaNations = t(s, dir, "nation")
         .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
@@ -485,9 +507,9 @@ object SparkEntry {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(bcDim(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "supplier")),
+        .join(bcDim(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asiaNations),
@@ -515,14 +537,14 @@ object SparkEntry {
       val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(18,4)")
       t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "part")
+        .join(bcDim(t(s, dir, "part")
             .filter(col("p_type") === "ECONOMY")),
           col("l_partkey") === col("p_partkey"))
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(bcDim(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(americaKeys), col("c_nationkey") === col("cn_key"))
-        .join(broadcast(supplierNation),
+        .join(bcDim(supplierNation),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(
@@ -536,14 +558,15 @@ object SparkEntry {
     }),
     "tpch_q10" -> ((s, dir) => {
       // Q10 returned-item reporting: customers who returned goods in
-      // one quarter, ranked by lost revenue, top 20. Customer and
-      // nation broadcast; the returnflag filter prunes the fact scan.
+      // one quarter, ranked by lost revenue, top 20. Nation broadcasts
+      // unconditionally, customer via the bcDim size gate; the
+      // returnflag filter prunes the fact scan.
       t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
         .join(t(s, dir, "orders").filter(
           col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(t(s, dir, "customer")),
+        .join(bcDim(t(s, dir, "customer")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))

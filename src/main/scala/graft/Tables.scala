@@ -49,5 +49,14 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    try normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+    catch {
+      // a TIMESTAMP(NANOS) fixture read on a session built without the
+      // nanosAsLong conf fails Spark's parquet schema conversion; keep
+      // the curated guidance instead of the raw "Illegal Parquet type"
+      case e: Exception
+          if Option(e.getMessage).exists(_.contains("Illegal Parquet type")) =>
+        requireNanosConf(spark) // throws the curated message if unset
+        throw e                 // conf was set; some other illegal type
+    }
 }

@@ -447,6 +447,16 @@ object Dedup {
     * Output: (id_a, id_b, shared, n_a, n_b) — bit-identical to
     * [[ngramJaccardPairs]] (the driver gate runs both against the
     * same oracle).
+    *
+    * Scale shape: this is the billed 100 TB AllPairs path, so nothing
+    * corpus-sized is ever broadcast or globally sorted. The per-doc
+    * count table (one row per document) re-attaches via plain shuffled
+    * equi-joins on id — AQE is free to broadcast it at small scale,
+    * but no hint forces a 10⁹-row collect. The global token order
+    * (ascending document frequency, gram as tie-break) is never
+    * materialized as a rank table: the per-doc prefix window only
+    * needs the ORDER, so it sorts by (df, g) directly inside each
+    * id partition — no single-task vocab-wide row_number sort.
     */
   def jaccardPairsAllPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.8, idCol: String = "doc_id",
@@ -454,14 +464,10 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
-    // global token order: ascending df, gram text as tie-break —
-    // vocab-sized rank table (same single-task bound text_vocab rides)
-    val rank = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .withColumn("r", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("df"), col("g"))))
-      .select(col("g"), col("r"))
-    val ranked = grams.join(rank, "g").join(broadcast(counts), "id")
+    // global token order key: ascending df, gram text as tie-break —
+    // attached per-gram by a vocab-keyed equi-join (no rank window)
+    val dfTable = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = grams.join(dfTable, "g").join(counts, "id")
     // per-doc prefix: the first ng − ⌈t·ng⌉ + 1 grams in rank order.
     // The 1e-9 nudge keeps a float ulp above an exact integer t·ng
     // from SHORTENING the prefix (which could lose pairs); it can
@@ -469,7 +475,7 @@ object Dedup {
     val prefix = ranked
       .withColumn("pos", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(col("id")).orderBy(col("r"))))
+          .partitionBy(col("id")).orderBy(col("df"), col("g"))))
       .filter(col("pos") <=
         col("ng") - ceil(col("ng") * minJaccard - 1e-9).cast("long") + 1)
       .select(col("id"), col("g"), col("ng"))
@@ -491,9 +497,9 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(counts).withColumnRenamed("id", "id_a")
+      .join(counts.withColumnRenamed("id", "id_a")
         .withColumnRenamed("ng", "n_a"), "id_a")
-      .join(broadcast(counts).withColumnRenamed("id", "id_b")
+      .join(counts.withColumnRenamed("id", "id_b")
         .withColumnRenamed("ng", "n_b"), "id_b")
       .filter(col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")) >= minJaccard)

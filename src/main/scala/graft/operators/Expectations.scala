@@ -86,11 +86,15 @@ object Expectations {
         sum(violationFlag(c)).as(s"v$i")
       }
       val wide = df.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = rowLevel.zipWithIndex.map { case (c, i) =>
-        s"'${c.name}', '${c.detail}', v$i"
-      }.mkString(", ")
-      parts += wide.selectExpr(
-        s"stack(${rowLevel.size}, $stackArgs) AS (check, detail, violations)")
+      // unpivot via typed lit() structs, not an interpolated stack()
+      // SQL string — a check name/detail containing a quote is data,
+      // not syntax (e.g. a Predicate label over a quoted column)
+      val rows = rowLevel.zipWithIndex.map { case (c, i) =>
+        struct(lit(c.name).as("check"), lit(c.detail).as("detail"),
+          col(s"v$i").as("violations"))
+      }
+      parts += wide.select(explode(array(rows: _*)).as("kv"))
+        .select(col("kv.check"), col("kv.detail"), col("kv.violations"))
     }
     uniques.foreach { case u @ Unique(cols0) =>
       parts += df.groupBy(cols0.map(col): _*)

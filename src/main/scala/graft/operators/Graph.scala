@@ -64,4 +64,54 @@ object Graph {
     }
     r
   }
+
+  /** [[pageRank]] with an L1-delta early exit — the production entry
+    * point. Iterates the same damped update but stops as soon as the
+    * total absolute rank movement Σ|rᵢ − rᵢ₋₁| (micro-units) falls to
+    * `tolMicro`, or at `maxIters`. Returns (ranks, itersRun). The
+    * fixed-iteration twin stays the oracle-gated query (DuckDB unrolls
+    * an identical iteration count); convergence testing costs one
+    * node-keyed join + scalar agg per iteration — same shuffle key the
+    * iteration already uses, and each iterate is localCheckpoint'ed so
+    * lineage stays flat either way.
+    */
+  def pageRankConverged(edges: DataFrame, maxIters: Int = 20,
+      tolMicro: Long = 1000L, dampingPct: Int = 85,
+      unit: Long = 1000000000000L): (DataFrame, Int) = {
+    require(maxIters >= 1 && tolMicro >= 0 &&
+      dampingPct >= 0 && dampingPct <= 100)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return (nodes.withColumn("rank_micro", lit(0L)), 0)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val init = unit / n
+    val base = (init * (100 - dampingPct)) / 100
+    var r = nodes.withColumn("rank_micro", lit(init)).localCheckpoint()
+    var iters = 0
+    var moved = Long.MaxValue
+    while (iters < maxIters && moved > tolMicro) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("rank_micro div deg").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"(coalesce(sc, 0L) * $dampingPct) div 100"))
+            .as("rank_micro"))
+        .localCheckpoint()
+      moved = next
+        .join(r.withColumnRenamed("rank_micro", "prev"), "node")
+        .agg(sum(abs(col("rank_micro") - col("prev"))).as("d"))
+        .head().getLong(0)
+      r = next
+      iters += 1
+    }
+    (r, iters)
+  }
 }

@@ -124,6 +124,16 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     val filesAfter = spark.read.parquet(outDir)
       .select(col("_metadata.file_path")).distinct().count()
+    // Invariant, asserted loud: the audit row claims ceil(rows /
+    // targetRows) output files, and RangePartitioner CAN emit fewer
+    // (empty ranges write no file) when distinct keyCol values are
+    // sparse or boundary sampling is skewed. A silent shortfall would
+    // surface as a downstream audit mismatch; name the cause here.
+    require(filesAfter == nOut,
+      s"compaction wrote $filesAfter files, expected $nOut: keyCol " +
+        s"'$keyCol' has too few distinct values (or skewed range " +
+        "sampling) for the requested targetRows — compact on a " +
+        "higher-cardinality key or raise targetRows")
     Seq((filesBefore, filesAfter, rows))
       .toDF("files_before", "files_after", "rows")
   }

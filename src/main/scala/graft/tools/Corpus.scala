@@ -189,24 +189,42 @@ object Corpus {
     } finally cached.unpersist()
   }
 
-  def main(args: Array[String]): Unit = {
-    // flags are position-independent (filtered out before positional
-    // parsing, like Export's --join) — passed early they'd otherwise
-    // crash the shards/evalSlice numeric parse, passed late they'd be
-    // silently ignored
+  /** CLI argument parse, extracted so position-independence is
+    * testable without a session: flags are filtered out BEFORE
+    * positional parsing (like Export's `--join`) — an early
+    * `--near-dup-safe-split` would otherwise crash the shards /
+    * evalSlice numeric parse, and a late one would be silently
+    * ignored. Unknown flags fail loud.
+    */
+  private[graft] def parseArgs(args: Array[String])
+      : Either[String, (String, String, Int, Long, Boolean)] = {
     val (flags, positional) = args.partition(_.startsWith("--"))
     val safeSplit = flags.contains("--near-dup-safe-split")
     val unknown = flags.filterNot(_ == "--near-dup-safe-split")
-    if (unknown.nonEmpty || positional.length < 2) {
-      if (unknown.nonEmpty)
-        System.err.println(s"unknown flag(s): ${unknown.mkString(", ")}")
-      System.err.println("usage: Corpus <sfDir> <outDir> [shards=4] " +
-        "[evalSlice=0] [--near-dup-safe-split]")
-      sys.exit(2)
-    }
-    val Array(sfDir, outDir) = positional.take(2)
-    val shards = positional.lift(2).map(_.toInt).getOrElse(4)
-    val evalSlice = positional.lift(3).map(_.toLong).getOrElse(0L)
+    if (unknown.nonEmpty)
+      Left(s"unknown flag(s): ${unknown.mkString(", ")}")
+    else if (positional.length < 2)
+      Left("need <sfDir> <outDir>")
+    else
+      try Right((positional(0), positional(1),
+        positional.lift(2).map(_.toInt).getOrElse(4),
+        positional.lift(3).map(_.toLong).getOrElse(0L), safeSplit))
+      catch {
+        case e: NumberFormatException =>
+          Left(s"bad numeric argument: ${e.getMessage}")
+      }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (sfDir, outDir, shards, evalSlice, safeSplit) =
+      parseArgs(args) match {
+        case Right(parsed) => parsed
+        case Left(err) =>
+          System.err.println(err)
+          System.err.println("usage: Corpus <sfDir> <outDir> [shards=4] " +
+            "[evalSlice=0] [--near-dup-safe-split]")
+          sys.exit(2)
+      }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.Sessions.builder("graft-corpus", s"local[$cpus]", cpus)
       .getOrCreate()

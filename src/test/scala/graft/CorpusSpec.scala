@@ -109,4 +109,28 @@ class CorpusSpec extends AnyFunSuite {
       SparkTestSession.deleteRecursively(tmp)
     }
   }
+
+  test("CLI: --near-dup-safe-split parses at every position; unknown " +
+      "flags and bad numerics fail loud instead of crashing or being " +
+      "silently dropped") {
+    val expected = Right(("/sf", "/out", 2, 5L, true))
+    val argvs = Seq(
+      Array("--near-dup-safe-split", "/sf", "/out", "2", "5"),
+      Array("/sf", "--near-dup-safe-split", "/out", "2", "5"),
+      Array("/sf", "/out", "--near-dup-safe-split", "2", "5"),
+      Array("/sf", "/out", "2", "--near-dup-safe-split", "5"),
+      Array("/sf", "/out", "2", "5", "--near-dup-safe-split"))
+    for (argv <- argvs)
+      assert(Corpus.parseArgs(argv) == expected,
+        s"flag position broke parse: ${argv.mkString(" ")}")
+    // defaults without the flag
+    assert(Corpus.parseArgs(Array("/sf", "/out")) ==
+      Right(("/sf", "/out", 4, 0L, false)))
+    // unknown flag → loud Left, never silently ignored
+    val unknown = Corpus.parseArgs(Array("/sf", "/out", "--typo"))
+    assert(unknown.isLeft && unknown.swap.exists(_.contains("--typo")))
+    // too few positionals / non-numeric shards → Left, not a crash
+    assert(Corpus.parseArgs(Array("/sf")).isLeft)
+    assert(Corpus.parseArgs(Array("/sf", "/out", "abc")).isLeft)
+  }
 }

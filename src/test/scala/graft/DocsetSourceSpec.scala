@@ -253,6 +253,37 @@ class DocsetSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("a malformed fragment id reads as a data error naming the " +
+      "shard file — not a bare NumberFormatException from a nameless " +
+      "task") {
+    withDocset(rows) { out =>
+      // corrupt one shard in place: a foreign/corrupt docset whose id
+      // attribute is non-numeric
+      val shard = new java.io.File(out).listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .sortBy(_.getName)
+        .find(f => new String(java.nio.file.Files.readAllBytes(f.toPath))
+          .contains("sphinx:document id=\"")).get
+      val txt = new String(java.nio.file.Files.readAllBytes(shard.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val bad = txt.replaceFirst("sphinx:document id=\"\\d+\"",
+        "sphinx:document id=\"oops\"")
+      assert(bad != txt, "corruption did not apply")
+      java.nio.file.Files.write(shard.toPath,
+        bad.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val e = intercept[Exception] {
+        spark.read.format("xmlpipe2")
+          .option("fields", "text,note").load(out).collect()
+      }
+      val chain = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      assert(chain.contains("malformed sphinx:document id"), chain)
+      assert(chain.contains(shard.getName), "error does not name the file")
+    }
+  }
+
   test("missing fields read as empty strings; load without a path " +
       "fails loudly") {
     withDocset(rows) { out =>

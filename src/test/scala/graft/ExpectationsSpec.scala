@@ -45,6 +45,21 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans == 1, "row-level checks must share a single scan")
   }
 
+  test("check names and details containing quotes are data, not SQL — " +
+      "the unpivot is typed literals, not an interpolated stack()") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, null: String)).toDF("id", "it's")
+    val got = Expectations.run(df, Seq(
+      NotNull("it's"),
+      Predicate("o'brien's rule", col("id") > 0)))
+      .orderBy("check")
+      .select("check", "detail", "violations")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("not_null", "it's", 1L),
+      ("predicate", "o'brien's rule", 0L)))
+  }
+
   test("refIntegrity counts null and unmatched keys as orphans") {
     import spark.implicits._
     val child = Seq(Some(1L), Some(2L), None, Some(9L)).toDF("fk")

@@ -38,4 +38,26 @@ class GraphSpec extends AnyFunSuite {
     assert((3L to 5L).forall(l => ranks(l) == ranks(2L)),
       "symmetric leaves must tie exactly")
   }
+
+  test("pageRankConverged exits early at the truncated fixed point " +
+      "and matches the fixed-iteration twin at its exit count") {
+    import spark.implicits._
+    // 1 → 2 reaches its fixed point at iteration 2 (GraphSpec above
+    // hand-computes r3 = r2), so tol=0 must stop at 3: the iteration
+    // that observes zero movement. maxIters=20 left untouched.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val (ranks, iters) = Graph.pageRankConverged(edges, maxIters = 20,
+      tolMicro = 0L)
+    assert(iters < 20, "no early exit")
+    val got = ranks.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 75000000000L), (2L, 138750000000L)))
+    // equivalence with the oracle-gated twin at the same depth
+    val fixed = Graph.pageRank(edges, iters = iters)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == fixed)
+    // a tolerance wider than the first step's movement stops at 1
+    val (_, one) = Graph.pageRankConverged(edges, maxIters = 20,
+      tolMicro = Long.MaxValue / 2)
+    assert(one == 1)
+  }
 }

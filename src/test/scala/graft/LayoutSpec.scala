@@ -136,4 +136,24 @@ class LayoutSpec extends AnyFunSuite {
       SparkTestSession.deleteRecursively(out)
     }
   }
+
+  test("compact fails loud when the key cannot fill the requested " +
+      "file count (empty range partitions), naming the cause") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-cmp-c").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-cmp-d").toFile
+    try {
+      // one distinct key, 4000 rows, target 1000 → nOut=4 but the
+      // RangePartitioner can only fill one partition
+      Seq.fill(4000)(7L).toDF("k")
+        .repartition(8).write.mode("overwrite").parquet(in.toString)
+      val e = intercept[IllegalArgumentException] {
+        Layout.compact(spark, in.toString, out.toString, "k", 1000L)
+      }
+      assert(e.getMessage.contains("distinct"), e.getMessage)
+    } finally {
+      SparkTestSession.deleteRecursively(in)
+      SparkTestSession.deleteRecursively(out)
+    }
+  }
 }

@@ -383,6 +383,25 @@ class PlanSpec extends AnyFunSuite {
       p)
   }
 
+  test("AllPairs is the 100 TB path: no forced broadcast of the " +
+      "per-doc count table and no unpartitioned (single-task) window") {
+    val qe = SparkEntry.queries("dedup_jaccard_allpairs")(spark, dir)
+      .queryExecution
+    // no broadcast() hints anywhere in the operator — the per-doc
+    // counts frame must re-attach via plain equi-joins so AQE decides
+    // by runtime size instead of a forced corpus-sized collect
+    assert(!qe.analyzed.toString.contains("ResolvedHint"),
+      "forced broadcast hint in AllPairs plan:\n" + qe.analyzed)
+    // every window is partitioned (by id) — the global token order is
+    // an ORDER KEY (df, g), never a vocab-wide row_number sort
+    val unpartitioned = qe.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "single-task unpartitioned window in AllPairs plan")
+  }
+
   test("retention and gapfill shuffle on their aggregate keys only — " +
       "no window over raw events in retention, spine join keyed") {
     val pr = plan("events_retention")
@@ -401,5 +420,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("FullOuter") || p.contains("full_outer") ||
       p.contains("FullOuterJoin") || p.contains("SortMergeJoin FullOuter") ||
       p.contains("fullouter"), p)
+  }
+
+  test("TPC-H SF-scaling dims ride a size gate — hinted broadcast " +
+      "while under the session threshold, unhinted above it so AQE " +
+      "decides from runtime sizes") {
+    // default threshold (10 MB): sf0.001 customer is KBs, so the gate
+    // applies the hint and the plan broadcasts the dim
+    val hinted = plan("tpch_q10")
+    assert(hinted.contains("BroadcastHashJoin"), hinted)
+    // the sf100 regime (customer ≈ 15 M rows / GBs > any threshold),
+    // simulated by disabling the threshold: bcDim must NOT force the
+    // broadcast — only nation's O(1)-rows unconditional hint remains,
+    // and the customer join falls back to a shuffle join until AQE
+    // re-plans it from observed sizes
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val qe = SparkEntry.queries("tpch_q10")(spark, dir).queryExecution
+      val hints = "ResolvedHint".r.findAllIn(qe.analyzed.toString).size
+      assert(hints == 1,
+        s"expected only the nation hint to survive:\n${qe.analyzed}")
+      val exec = qe.executedPlan.toString
+      assert(exec.contains("SortMergeJoin") ||
+        exec.contains("ShuffledHashJoin"), exec)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
