@@ -578,6 +578,147 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tpch_q7" -> ((s, dir) => {
+      // Q7 volume shipping: bilateral trade between two nations by
+      // year — revenue where the supplier sits in one and the customer
+      // in the other, both directions kept as separate groups. The two
+      // nation lookups are O(1) broadcasts; customer/supplier ride the
+      // bcDim SF gate; the only guaranteed shuffle join is
+      // lineitem⋈orders.
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(bcDim(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(bcDim(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("ck"))
+        .join(broadcast(nation.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("sk"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    "tpch_q9" -> ((s, dir) => {
+      // Q9 product-type profit, adapted: the fixture has no partsupp
+      // table, so "profit" is discounted revenue without the
+      // ps_supplycost·l_quantity subtrahend — the plan shape (name-
+      // filtered part dim pruning the fact scan, supplier→nation
+      // rollup, year grouping) is the exercise. part/supplier ride the
+      // bcDim gate, nation broadcasts unconditionally.
+      t(s, dir, "lineitem")
+        .join(bcDim(t(s, dir, "part")
+            .filter(col("p_name").like("%widget%"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(bcDim(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    "tpch_q12" -> ((s, dir) => {
+      // Q12 late-shipment priority audit, adapted to the fixture (no
+      // l_shipmode/commitdate/receiptdate): per line status over one
+      // shipping year, how many lines belong to URGENT/HIGH-priority
+      // orders vs the rest — the canonical conditional-count-after-
+      // join shape. One shuffle join; the CASE counts fold map-side.
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+    "tpch_q14" -> ((s, dir) => {
+      // Q14 promotion effect: share of one month's revenue from PROMO
+      // parts, in integer basis points over exact tenth-cent sums
+      // (double division is not hash-stable cross-engine). The part
+      // dim rides the bcDim gate; single-row output.
+      val volume = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(bcDim(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", volume)
+            .otherwise(lit(0).cast("decimal(18,4)"))) * 10000)
+            .cast("long").as("promo_rev_tc"),
+          (sum(volume) * 10000).cast("long").as("total_rev_tc"))
+        .select(col("promo_rev_tc"), col("total_rev_tc"),
+          expr("(10000 * promo_rev_tc) div total_rev_tc").as("promo_bp"))
+    }),
+    "tpch_q17" -> ((s, dir) => {
+      // Q17 small-quantity-order revenue: among one brand's parts,
+      // revenue from lineitems whose quantity is below 20% of that
+      // part's average quantity, scaled to a yearly figure. The
+      // correlated scalar subquery decorrelates to a per-part
+      // aggregate joined back to the fact — quantity sums are exact
+      // (integer-valued doubles), so the 0.2·avg threshold is one
+      // deterministic IEEE multiply on both engines.
+      val brandParts = bcDim(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12").select(col("p_partkey")))
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+        .agg((sum(col("l_quantity")) / count(col("l_quantity")))
+          .as("avg_qty"))
+      li.join(brandParts, col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("ap_key"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"))
+    }),
+    "tpch_q18" -> ((s, dir) => {
+      // Q18 large-volume customers: orders whose total quantity tops
+      // 300, with their customer, ranked by order value. The HAVING
+      // pre-aggregates the fact table BEFORE any join (the shape that
+      // matters at scale — the join fan-in is the handful of
+      // qualifying orders, not the fact table), then customer rides
+      // the bcDim gate.
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bo_key"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("bo_key"))
+        .join(bcDim(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -882,6 +1023,55 @@ object SparkEntry {
       val edges = e1.unionByName(
         e1.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRank(edges).orderBy(col("node"))
+    }),
+    "graph_triangles" -> ((s, dir) => {
+      // exact triangle census + local clustering coefficient over the
+      // parts co-purchase graph (parts linked when one order contains
+      // both — the market-basket projection; the within-order pair
+      // expansion is bounded by basket size, not corpus size). The
+      // degree-oriented wedge join keeps the census O(m^1.5) under hub
+      // skew — see Graph.triangles.
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("src"), col("j.p").as("dst")).distinct()
+      Graph.triangles(edges).orderBy(col("node"))
+    }),
+    "text_pmi" -> ((s, dir) => {
+      // collocation mining: pointwise-mutual-information association
+      // for adjacent token pairs, as the EXACT integer lift ratio
+      // n_ab·N·10⁶ div (n_a·n_b) (monotone in PMI — the log is
+      // presentation, the ratio is the statistic; integer division
+      // keeps both engines bit-identical). Marginals are counted over
+      // bigram SLOTS (first-position / second-position occurrences),
+      // the standard bigram-PMI denominators. Three hash aggregations
+      // over one exploded pass + two vocabulary-keyed equi-joins;
+      // the single-row N attaches via a bounded 1-row broadcast.
+      val par = s.sparkContext.defaultParallelism
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(par, col("doc_id"))
+        .select(explode(graft.functions.word_shingles(
+          Dedup.tokens(col("text")), 2)).as("pair"))
+        .select(col("pair"),
+          substring_index(col("pair"), " ", 1).as("w1"),
+          substring_index(col("pair"), " ", -1).as("w2"))
+      val pairCounts = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val firstCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("n_a"))
+      val secondCounts = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_b"))
+      val total = bg.agg(count(lit(1)).as("n_total"))
+      pairCounts.filter(col("n_ab") >= 3)
+        .join(firstCounts, "w1")
+        .join(secondCounts, "w2")
+        .crossJoin(broadcast(total))
+        .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * n_total * 1000000) div (n_a * n_b)")
+            .as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+        .limit(50)
     }),
     "dq_checks" -> ((s, dir) => {
       // declarative data-quality contract over a corpus drop: all six
@@ -4591,6 +4781,71 @@ object SparkEntry {
         AND o_orderdate <  TIMESTAMP '1997-07-01'
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q7" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
+             (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+    "tpch_q9" -> """
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "tpch_q12" -> """
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "tpch_q14" -> """
+      SELECT promo_rev_tc, total_rev_tc,
+             (10000 * promo_rev_tc) // total_rev_tc AS promo_bp
+      FROM (
+        SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT) AS promo_rev_tc,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_rev_tc
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01') t""",
+    "tpch_q17" -> """
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN (SELECT l_partkey AS ap_key,
+                   sum(l_quantity) / count(l_quantity) AS avg_qty
+            FROM lineitem GROUP BY 1) a ON l_partkey = ap_key
+      WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_qty""",
+    "tpch_q18" -> """
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             total_qty
+      FROM (SELECT l_orderkey AS bo_key,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+      JOIN orders   ON o_orderkey = bo_key
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q_window_rank" -> """
       SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -4797,6 +5052,47 @@ object SparkEntry {
       }.mkString(",")}
       SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
       FROM r3 ORDER BY node""",
+    "graph_triangles" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT i.p AS a, j.p AS b
+            FROM it i JOIN it j ON i.o = j.o AND i.p < j.p),
+      d AS (SELECT node, count(*) AS deg
+            FROM (SELECT a AS node FROM e
+                  UNION ALL SELECT b FROM e) n GROUP BY node),
+      tr AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT node, count(*) AS triangles
+             FROM (SELECT n1 AS node FROM tr
+                   UNION ALL SELECT n2 FROM tr
+                   UNION ALL SELECT n3 FROM tr) x GROUP BY node)
+      SELECT d.node, d.deg,
+             COALESCE(pn.triangles, 0) AS triangles,
+             CASE WHEN d.deg > 1
+                  THEN (2000000 * COALESCE(pn.triangles, 0))
+                         // (d.deg * (d.deg - 1))
+                  ELSE 0 END AS cc_micro
+      FROM d LEFT JOIN pn ON d.node = pn.node
+      ORDER BY d.node""",
+    "text_pmi" -> """
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+                 FROM documents),
+      bg AS (SELECT ws[CAST(i AS INT)] AS w1,
+                    ws[CAST(i AS INT) + 1] AS w2
+             FROM t, unnest(range(1, len(ws))) AS r(i)),
+      pc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+      fc AS (SELECT w1, count(*) AS n_a FROM bg GROUP BY 1),
+      sc AS (SELECT w2, count(*) AS n_b FROM bg GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM bg)
+      SELECT w1, w2, n_ab, n_a, n_b,
+             (n_ab * n_total * 1000000) // (n_a * n_b) AS lift_micro
+      FROM pc JOIN fc USING (w1) JOIN sc USING (w2), tot
+      WHERE n_ab >= 3
+      ORDER BY lift_micro DESC, w1, w2 LIMIT 50""",
     "dq_checks" -> """
       WITH rl AS (SELECT
           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)

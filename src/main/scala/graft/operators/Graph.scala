@@ -114,4 +114,68 @@ object Graph {
     }
     (r, iters)
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient,
+    * via the degree-oriented two-join plan (the MapReduce triangle
+    * pattern of Suri & Vassilvitskii, WWW 2011 "Counting Triangles
+    * and the Curse of the Last Reducer"): canonicalize to an
+    * undirected simple graph, orient every edge from its LOWER to its
+    * higher endpoint under the total order (degree, node), enumerate
+    * wedges inside each node's out-neighborhood, and close them with
+    * one equi-join back against the oriented edge set.
+    *
+    * Why orientation matters at 100 TB: out-degrees under the
+    * (degree, node) order are bounded by O(√m), so wedge work is
+    * O(m^1.5) however skewed the hubs — a value-order orientation
+    * would enumerate Θ(deg²) wedges AT the hub (the "last reducer"
+    * of the paper's title). Every step is a shuffle equi-join or
+    * hash aggregation on node keys; nothing is broadcast or
+    * collected. Each triangle is found exactly once (at its
+    * lowest-ordered apex).
+    *
+    * Output: (node, deg, triangles, cc_micro) — cc_micro the local
+    * clustering coefficient 2·tri/(deg·(deg−1)) in exact integer
+    * micro-units (truncating division, 0 for deg ≤ 1).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    // carry the head's (deg, node) key so the wedge pair order and the
+    // closing join never need to re-attach degrees
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+        struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+        .as("e"))
+      .select(col("e.u"), col("e.v"), col("e.dv"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (struct(col("x.dv"), col("x.v")) <
+            struct(col("y.dv"), col("y.v"))))
+      .select(col("x.u").as("n1"), col("x.v").as("n2"),
+        col("y.v").as("n3"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("n2"), col("v").as("n3")),
+      Seq("n2", "n3"))
+    val perNode = tris.select(col("n1").as("node"))
+      .union(tris.select(col("n2").as("node")))
+      .union(tris.select(col("n3").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_micro",
+        when(col("deg") > 1,
+          expr("(2000000 * triangles) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
 }

@@ -60,4 +60,23 @@ class GraphSpec extends AnyFunSuite {
       tolMicro = Long.MaxValue / 2)
     assert(one == 1)
   }
+
+  test("triangles: hand-computed census on K4 + a path + an isolated " +
+      "edge; duplicate/reversed input edges collapse") {
+    import spark.implicits._
+    // K4 on 1..4 (each unordered pair once, some reversed, one dup),
+    // a 3-path 5-6-7 (no triangle), and an isolated edge 8-9
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (3L, 2L), (2L, 4L), (4L, 3L),
+      (2L, 1L), // reversed duplicate
+      (5L, 6L), (6L, 7L), (8L, 9L)).toDF("src", "dst")
+    val got = Graph.triangles(edges).orderBy("node")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // K4: deg 3, C(3,2)=3 triangles per node, cc = 2·3/(3·2) = 1
+    assert(got == Seq(
+      (1L, 3L, 3L, 1000000L), (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L), (4L, 3L, 3L, 1000000L),
+      (5L, 1L, 0L, 0L), (6L, 2L, 0L, 0L), (7L, 1L, 0L, 0L),
+      (8L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
+  }
 }
