@@ -719,6 +719,49 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "tpch_q13" -> ((s, dir) => {
+      // Q13 customer order-count distribution: how many customers
+      // placed N orders, zeros included — the canonical two-level
+      // aggregation (outer-join count, then histogram the counts).
+      // The first agg shuffles on custkey, the second on the tiny
+      // count domain; customers with no orders ride the left join.
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "tpch_q22" -> ((s, dir) => {
+      // Q22 global-sales-opportunity, adapted twice to the fixture:
+      // nation key stands in for the missing phone country code, and
+      // "never ordered" becomes "DORMANT — no order since 1999" (the
+      // generator gives every customer at least one order, so the
+      // classic predicate is structurally empty). Positive-balance
+      // customers above the positive-balance average, grouped by
+      // nation. The above-average test runs on exact integer cents
+      // with the division cross-multiplied away (bal·n > total on
+      // both engines — no FP threshold to disagree on); dormancy is
+      // one left-anti join against the date-pruned orders scan.
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_c",
+          round(col("c_acctbal") * 100).cast("long"))
+      val posStats = cust.filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("tot_c"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(posStats))
+        .filter(col("bal_c") > 0L &&
+          col("bal_c") * col("n_pos") > col("tot_c"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntry"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totbal_c"))
+        .orderBy(col("cntry"))
+    }),
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -1949,6 +1992,17 @@ object SparkEntry {
       Sampling.fixedK(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           col("text")), k = 50)
+        .orderBy(col("doc_id"))
+    }),
+    "sample_weighted_priority" -> ((s, dir) => {
+      // weighted sample: k docs by Duffield–Lund–Thorup priority
+      // (w/u, deterministic u from the id hash) — long docs
+      // near-certain, short docs ∝ n_chars, variance-optimal subset
+      // estimation. Two-limb exact-division priorities keep both
+      // engines bit-identical without 64-bit overflow.
+      Sampling.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        k = 50, weightCol = "n_chars")
         .orderBy(col("doc_id"))
     }),
     "dedup_keep_latest" -> ((s, dir) => {
@@ -3444,6 +3498,38 @@ object SparkEntry {
         SELECT doc_id, source, text FROM r
         ORDER BY rk, doc_id LIMIT 50)
       ORDER BY doc_id""",
+    "sample_weighted_priority" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.n_chars,
+              (((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647) + 1 AS u
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, n_chars, prio_unit, prio_frac FROM (
+        SELECT doc_id, n_chars,
+               (n_chars * 1000000) // u AS prio_unit,
+               (((n_chars * 1000000) % u) * 1000000) // u AS prio_frac
+        FROM r ORDER BY prio_unit DESC, prio_frac DESC, doc_id LIMIT 50)
+      ORDER BY doc_id""",
+    "tpch_q13" -> """
+      SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q22" -> """
+      WITH c AS (SELECT c_custkey, c_nationkey,
+                        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                 FROM customer),
+      p AS (SELECT CAST(sum(bal_c) AS BIGINT) AS tot_c,
+                   count(*) AS n_pos FROM c WHERE bal_c > 0)
+      SELECT c_nationkey AS cntry, CAST(count(*) AS BIGINT) AS numcust,
+             CAST(sum(bal_c) AS BIGINT) AS totbal_c
+      FROM c, p
+      WHERE bal_c > 0 AND bal_c * n_pos > tot_c
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY 1 ORDER BY cntry""",
     "dedup_keep_latest" -> """
       SELECT user_id, ts, event_id, event_type FROM (
         SELECT user_id, ts, event_id, event_type,

@@ -65,6 +65,41 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Weighted fixed-size sample by PRIORITY SAMPLING (Duffield, Lund
+    * & Thorup, JACM 2007 "Priority sampling for estimation of
+    * arbitrary subset sums"): each row draws the deterministic
+    * uniform u ∈ [1, 2³¹−1] from its id ([[scrambledRank]] + 1) and
+    * takes priority w/u; the sample is the k HIGHEST priorities.
+    * Inclusion probability grows with weight — heavy rows are
+    * near-certain members, light rows enter with probability ∝ w —
+    * and the DLT subset-sum estimator over such a sample is within a
+    * factor 1+O(1/k) of the minimum variance achievable by ANY
+    * k+1-sparse unbiased estimator (their main theorem).
+    *
+    * The priority w/u is materialized as TWO integer limbs of its
+    * exact long division — `prio_unit` = w·10⁶ div u and `prio_frac`
+    * = the next six decimal digits ((w·10⁶ mod u)·10⁶ div u) — so
+    * ordering (unit, frac) is the exact rational order down to
+    * 10⁻¹² granularity with NO 64-bit overflow for weights up to
+    * ~9·10¹² (a single-limb w·10¹² scaling would overflow at
+    * w ≈ 9·10⁶; ANSI mode fails loud beyond the documented bound).
+    * Identical on every engine, rerun, and partitioning (same
+    * determinism contract as [[fixedK]]); ties break by id. Weights
+    * must be positive. Compiles to TakeOrderedAndProject:
+    * per-partition top-k, driver merge — no global sort at any scale.
+    */
+  def prioritySample(df: DataFrame, k: Int, weightCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    df.withColumn("_u", scrambledRank(col(idCol)) + lit(1L))
+      .withColumn("_w6", expr(s"cast($weightCol as bigint) * 1000000"))
+      .withColumn("prio_unit", expr("_w6 div _u"))
+      .withColumn("prio_frac", expr("((_w6 % _u) * 1000000) div _u"))
+      .orderBy(col("prio_unit").desc, col("prio_frac").desc, col(idCol))
+      .limit(k)
+      .drop("_u", "_w6")
+  }
+
   /** Per-stratum deterministic fixed-size sample: exactly `k` rows
     * from EACH stratum (fewer only where a stratum is smaller) — the
     * standard corpus-construction ask ("k docs per source"), chosen

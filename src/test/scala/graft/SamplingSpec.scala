@@ -28,6 +28,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("prioritySample: exactly k rows, rerun/partitioning-stable, " +
+      "weight-dominant rows always selected, priorities exact") {
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("n_chars"))
+    val a = Sampling.prioritySample(base, 40, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.prioritySample(base.repartition(13), 40, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 40 && a == b, "not partitioning-stable")
+    // a weight > 2³¹× every other row's has priority w/u above any
+    // rival's even at the u extremes — it can never miss the sample
+    // (and 2³³·10⁶ stays far inside the two-limb overflow bound)
+    val whale = base.withColumn("n_chars",
+      when(col("doc_id") === 7L, lit(1L << 33)).otherwise(lit(1L)))
+    val w = Sampling.prioritySample(whale, 5, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(w.contains(7L), "heaviest row missed the sample")
+    // two-limb priority pinned: exact long division of w/u to 10⁻¹²
+    val got = Sampling.prioritySample(base, 1, "n_chars")
+      .select(col("doc_id"), col("n_chars"), col("prio_unit"),
+        col("prio_frac"))
+      .as[(Long, Long, Long, Long)].head()
+    val u = base.filter(col("doc_id") === got._1)
+      .select(Sampling.scrambledRank(col("doc_id")) + lit(1L))
+      .as[Long].head()
+    val w6 = got._2 * 1000000L
+    assert(got._3 == w6 / u && got._4 == (w6 % u) * 1000000L / u)
+  }
+
   test("fixedKStratified: k rows per stratum, partitioning-stable, " +
       "with map-side WindowGroupLimit") {
     import spark.implicits._
