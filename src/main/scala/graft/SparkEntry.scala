@@ -719,6 +719,95 @@ object SparkEntry {
         .limit(100)
     }),
 
+    "tpch_q4" -> ((s, dir) => {
+      // Q4 order-priority checking, adapted (no l_commitdate /
+      // l_receiptdate in the fixture): an order is "late" when some
+      // line shipped more than 60 days after the order date. The
+      // EXISTS compiles to one left-semi shuffle join with the date
+      // condition evaluated join-side; the quarter filter prunes the
+      // orders scan.
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      o.join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "tpch_q6" -> ((s, dir) => {
+      // Q6 forecasting-revenue change: the pure scan-filter-aggregate
+      // — every predicate pushes into the parquet scan, no join, no
+      // shuffle beyond the final 1-row agg. Discount bounds compare
+      // STORED doubles against literal doubles (no arithmetic), so
+      // both engines agree bit-for-bit.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+    "tpch_q15" -> ((s, dir) => {
+      // Q15 top supplier: quarter revenue per supplier, keep the
+      // max-revenue one(s). Revenue compares in exact tenth-cent
+      // integers so the max-equality join cannot split on FP noise;
+      // the 1-row max attaches as a bounded broadcast.
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-10-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg((sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")) * 10000).cast("long").as("total_rev_tc"))
+      val top = rev.agg(max(col("total_rev_tc")).as("max_tc"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("total_rev_tc") === col("max_tc"))
+        .join(bcDim(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_tc"))
+        .orderBy(col("s_suppkey"))
+    }),
+    "tpch_q16" -> ((s, dir) => {
+      // Q16 part-supplier relationship counts, adapted: no partsupp
+      // table, so "suppliers who can supply" becomes "suppliers who
+      // HAVE supplied" (distinct l_suppkey via lineitem), and the
+      // no-complaints supplier exclusion is dropped (no comment
+      // column). The distinct-count shuffles once on the descriptor
+      // key after the dim join prunes the fact scan.
+      t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").like("PROMO%") &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_partkey"), col("l_suppkey")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+    "tpch_q19" -> ((s, dir) => {
+      // Q19 discounted revenue under disjunctive brackets — three
+      // (brand, size-range, quantity-range) OR-arms that Catalyst
+      // must keep as one residual predicate over a single join (no
+      // union-of-scans blowup); the part dim rides the bcDim gate.
+      val li = t(s, dir, "lineitem")
+      val arm = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+        col("p_brand") === brand &&
+          col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(bcDim(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(arm("Brand#3", 5, 1, 11) || arm("Brand#9", 10, 10, 20) ||
+          arm("Brand#15", 15, 20, 30))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
     "tpch_q13" -> ((s, dir) => {
       // Q13 customer order-count distribution: how many customers
       // placed N orders, zeros included — the canonical two-level
@@ -1369,6 +1458,21 @@ object SparkEntry {
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       groundTruthPairs(s, dir).orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric excerpt detector: pairs where the smaller 8-gram
+      // set is ≥ 90% contained in the larger — catches short-doc-
+      // quoted-in-long-doc shapes Jaccard's union term drowns. Char
+      // 8-grams, not 3-grams: a small alphabet makes short-gram SETS
+      // converge across unrelated docs (3-gram containment ≥ 0.55
+      // matched 117k of the 125k possible pairs — pure alphabet
+      // saturation), while 8-grams keep sets doc-specific. Same
+      // scoped 500-doc ground-truth contract as dedup_ngram_jaccard.
+      Dedup.containmentPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text")),
+        n = 8, minContainmentBp = 9000L)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "dedup_clusters" -> ((s, dir) => {
       Dedup.clusters(groundTruthPairs(s, dir)).orderBy(col("doc_id"))
@@ -3511,6 +3615,51 @@ object SparkEntry {
                (((n_chars * 1000000) % u) * 1000000) // u AS prio_frac
         FROM r ORDER BY prio_unit DESC, prio_frac DESC, doc_id LIMIT 50)
       ORDER BY doc_id""",
+    "tpch_q4" -> """
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q6" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24""",
+    "tpch_q15" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS total_rev_tc
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev_tc
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev_tc = (SELECT max(total_rev_tc) FROM rev)
+      ORDER BY s_suppkey""",
+    "tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#5' AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q19" -> """
+      SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
     "tpch_q13" -> """
       SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
         SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
@@ -3664,6 +3813,20 @@ object SparkEntry {
       FROM p JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
       WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8
       ORDER BY id_a, id_b""",
+    "dedup_containment" -> """
+      WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g
+            FROM d, UNNEST(range(1, length(text) - 6)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id)
+      SELECT id_a, id_b, shared, n_a, n_b, cont_bp FROM (
+        SELECT id_a, id_b, shared, na.ng AS n_a, nb.ng AS n_b,
+               (10000 * shared) // least(na.ng, nb.ng) AS cont_bp
+        FROM p JOIN n na ON na.doc_id = id_a
+               JOIN n nb ON nb.doc_id = id_b) t
+      WHERE cont_bp >= 9000 ORDER BY id_a, id_b""",
     "dedup_clusters" -> """
       WITH RECURSIVE
       d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

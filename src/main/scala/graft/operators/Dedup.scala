@@ -422,6 +422,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("shared"), col("n_a"), col("n_b"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: containment(A, B) =
+    * |grams(A) ∩ grams(B)| / min(|grams(A)|, |grams(B)|) — the
+    * excerpt-duplication detector. Symmetric Jaccard misses a short
+    * document quoted verbatim inside a long one (the union term
+    * drowns the overlap: a 50-gram doc fully contained in a
+    * 5000-gram doc has Jaccard ≈ 0.01 but containment 1.0); training
+    * corpora are full of exactly that shape (quoted articles,
+    * boilerplate-wrapped reposts — the Lee et al. 2022 substring-dup
+    * motivation at whole-doc granularity).
+    *
+    * Same scoped ground-truth contract as [[ngramJaccardPairs]]
+    * (quadratic shingle self-join, run on capped slices; there is no
+    * lossless size prefilter for containment — ANY size ratio can
+    * qualify, which is the point). The scale path composes the same
+    * way the Jaccard one does: MinHash buckets generate candidates,
+    * this verify re-scores them.
+    *
+    * Output: (id_a, id_b, shared, n_a, n_b, cont_bp) with
+    * cont_bp = ⌊10⁴·shared / min(n_a, n_b)⌋ exact integer basis
+    * points, pairs with cont_bp ≥ minContainmentBp.
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      minContainmentBp: Long = 9000L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"),
+      explode(charNgrams(col(textCol), n)).as("g"))
+    val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+    val g = grams.join(broadcast(counts), "id")
+    g.as("a")
+      .join(g.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("a.ng")).as("n_a"),
+        first(col("b.ng")).as("n_b"))
+      .withColumn("cont_bp",
+        expr("(10000 * shared) div least(n_a, n_b)"))
+      .filter(col("cont_bp") >= minContainmentBp)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("n_b"), col("cont_bp"))
+  }
+
   /** Exact Jaccard self-join with PREFIX FILTERING (Bayardo,
     * Ma & Srikant, WWW 2007 "Scaling Up All Pairs Similarity
     * Search") — the same output as [[ngramJaccardPairs]] from a plan

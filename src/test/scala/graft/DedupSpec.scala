@@ -340,4 +340,27 @@ class DedupSpec extends AnyFunSuite {
     assert(norm(Dedup.jaccardPairsAllPairs(docs)) ==
       norm(Dedup.ngramJaccardPairs(docs)))
   }
+
+  test("containmentPairs finds an excerpt fully quoted in a long doc " +
+      "that symmetric Jaccard misses, and scores it exactly") {
+    import spark.implicits._
+    val excerpt = "the quick brown fox jumps over the lazy dog"
+    val long = "breaking news from the city desk tonight: " + excerpt +
+      " was the sentence of the day, editors said, noting that " +
+      "typing drills have not changed in a century of newsroom life"
+    val docs = Seq((1L, excerpt), (2L, long),
+      (3L, "zebras graze beyond violet canyons while owls watch"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, n = 8,
+      minContainmentBp = 9000L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val (_, _, shared, nA, _, contBp) = pairs.head
+    assert(shared == nA, "every excerpt gram must appear in the host")
+    assert(contBp == 10000L)
+    // the same pair is invisible to Jaccard at any useful threshold:
+    // the host doc's extra grams drown the union
+    assert(Dedup.ngramJaccardPairs(docs, n = 8, minJaccard = 0.6)
+      .count() == 0L)
+  }
 }
