@@ -1171,6 +1171,22 @@ object SparkEntry {
         .select(col("i.p").as("src"), col("j.p").as("dst")).distinct()
       Graph.triangles(edges).orderBy(col("node"))
     }),
+    "graph_communities" -> ((s, dir) => {
+      // deterministic synchronous label propagation (2 rounds, min-
+      // label ties) over the same customer↔supplier bipartite graph
+      // as graph_pagerank; the oracle unrolls identical rounds
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, iters = 2).orderBy(col("node"))
+    }),
     "text_pmi" -> ((s, dir) => {
       // collocation mining: pointwise-mutual-information association
       // for adjacent token pairs, as the EXACT integer lift ratio
@@ -1561,6 +1577,23 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 10)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: top-3 nearest DIFFERENT-
+      // label vectors per anchor, exact quantized cosine (the anchor
+      // broadcast is batch-sized — 8 rows — same adjudicated shape
+      // as sim_topk)
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+        col("vec_id") < 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_triplets" -> ((s, dir) => {
+      // batch-hard triplet construction: per anchor the farthest
+      // same-label positive + nearest different-label negative, with
+      // the triplet-violation margin
+      Similarity.hardTriplets(t(s, dir, "embeddings"),
+        col("vec_id") < 16)
+        .orderBy(col("anchor_id"))
     }),
     "sim_ann_lsh" -> ((s, dir) => {
       // fixture-suited table geometry: the synthetic embeddings are
@@ -1992,6 +2025,20 @@ object SparkEntry {
       // already totally ordered (score desc, doc_id) inside the op
       TextStats.searchTopK(t(s, dir, "documents"),
         Seq("spark", "window", "merge"), k = 10)
+    }),
+    "text_bm25" -> ((s, dir) => {
+      // Okapi BM25 (k1=1.2, b=0.75 as exact rationals) — the length-
+      // normalized ranking twin of text_search; integer-exact scores,
+      // totally ordered inside the op
+      TextStats.bm25TopK(t(s, dir, "documents"),
+        Seq("spark", "window", "merge"), k = 10)
+    }),
+    "text_chisq" -> ((s, dir) => {
+      // χ² term–class feature selection over the 20 source classes:
+      // top-3 most class-associated terms each, micro-exact scores
+      TextStats.chiSquareTerms(t(s, dir, "documents"), "source",
+        k = 3, minDf = 3)
+        .orderBy(col("cls"), col("rank"))
     }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
@@ -2432,6 +2479,12 @@ object SparkEntry {
       // — 0.9 exercises both branches)
       Events.anomaliesRobust(t(s, dir, "events"), k = 0.9)
         .orderBy(col("event_id"))
+    }),
+    "events_ewma" -> ((s, dir) => {
+      // exact truncated-EWMA smoothing (α=1/2, depth 8) of hourly
+      // per-type value sums — integer weights, floor-normalized
+      Events.ewmaHourly(t(s, dir, "events"), depth = 8)
+        .orderBy(col("event_type"), col("hour"))
     }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
@@ -3944,6 +3997,61 @@ object SparkEntry {
                      ORDER BY cosine DESC, neighbor_id) AS rank
             FROM c) rk
       WHERE rank <= 10 ORDER BY query_id, rank""",
+    // top-3 nearest different-label per anchor (vec_id < 8)
+    "sim_hard_negatives" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 8
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT query_id, la.label AS query_label, neighbor_id,
+                   lc.label AS neighbor_label,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                     AS cosine
+            FROM s JOIN n na ON na.vec_id = query_id
+                   JOIN n nb ON nb.vec_id = neighbor_id
+                   JOIN lb la ON la.vec_id = query_id
+                   JOIN lb lc ON lc.vec_id = neighbor_id
+            WHERE la.label <> lc.label)
+      SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+             cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM c) rk
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+    // batch-hard triplets for anchors vec_id < 16: farthest same-label
+    // (cosine ASC, id ties) + nearest different-label (cosine DESC)
+    "sim_triplets" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cid,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 16
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT anchor_id, la.label AS anchor_label, cid,
+                   lc.label = la.label AS same,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                     AS cosine
+            FROM s JOIN n na ON na.vec_id = anchor_id
+                   JOIN n nb ON nb.vec_id = cid
+                   JOIN lb la ON la.vec_id = anchor_id
+                   JOIN lb lc ON lc.vec_id = cid),
+      pos AS (SELECT anchor_id, anchor_label, cid AS pos_id,
+                     cosine AS pos_cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine ASC, cid) AS rk
+                    FROM c WHERE same) p WHERE rk = 1),
+      neg AS (SELECT anchor_id, cid AS neg_id, cosine AS neg_cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine DESC, cid) AS rk
+                    FROM c WHERE NOT same) q WHERE rk = 1)
+      SELECT p.anchor_id, p.anchor_label, pos_id, pos_cosine,
+             neg_id, neg_cosine, neg_cosine - pos_cosine AS viol_margin
+      FROM pos p JOIN neg USING (anchor_id) ORDER BY anchor_id""",
     "dedup_minhash_recall" -> s"""
       WITH $gtPairsCteSql,
       ${recallTailSql("dedup_minhash_recall", "id_a, id_b", 9500)}""",
@@ -4306,6 +4414,72 @@ object SparkEntry {
       FROM tf f JOIN df d USING (term) CROSS JOIN n
       GROUP BY f.doc_id
       ORDER BY score DESC, f.doc_id LIMIT 10""",
+    // BM25 with k1=6/5, b=3/4 multiplied through by 10·L: per-term
+    // contribution (w·22·L·tf) // (10·L·tf + 3·L + 9·N·dl)
+    "text_bm25" -> """
+      WITH toks AS (SELECT doc_id, w AS term
+                    FROM documents,
+                         UNNEST(string_split(lower(text), ' ')) AS u(w)
+                    WHERE w <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      corpus AS (SELECT sum(dl) AS len_corpus FROM dl),
+      n AS (SELECT count(*) AS n_corpus FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      SELECT f.doc_id,
+             CAST(sum((CAST((1000000 * (n.n_corpus + 1)) // (d.df + 1)
+                        AS HUGEINT) * 22 * c.len_corpus * f.tf)
+                      // (10 * c.len_corpus * f.tf + 3 * c.len_corpus
+                          + 9 * n.n_corpus * l.dl))
+               AS BIGINT) AS score,
+             count(*) AS n_terms
+      FROM tf f JOIN df d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN n CROSS JOIN corpus c
+      GROUP BY f.doc_id
+      ORDER BY score DESC, f.doc_id LIMIT 10""",
+    // χ² per (source, term) over document-level presence; single floor
+    // division, df ∈ [3, N), top-3 per class with term-text ties
+    "text_chisq" -> """
+      WITH dt AS (SELECT doc_id, source AS cls, w AS term
+                  FROM documents,
+                       UNNEST(list_distinct(string_split(lower(text), ' ')))
+                         AS u(w)
+                  WHERE w <> ''),
+      n AS (SELECT count(*) AS n_total FROM documents),
+      cs AS (SELECT source AS cls, count(*) AS n_cls
+             FROM documents GROUP BY 1),
+      dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY 1
+              HAVING count(*) >= 3),
+      ac AS (SELECT cls, term, count(*) AS a FROM dt GROUP BY 1, 2),
+      grid AS (SELECT cs.cls, dfq.term, dfq.df, cs.n_cls,
+                      coalesce(ac.a, 0) AS a
+               FROM cs CROSS JOIN dfq
+               LEFT JOIN ac ON ac.cls = cs.cls AND ac.term = dfq.term),
+      tab AS (SELECT g.cls, g.term, g.df, g.a,
+                     g.df - g.a AS b, g.n_cls - g.a AS c,
+                     n.n_total - g.df - (g.n_cls - g.a) AS d,
+                     n.n_total AS n_total
+              FROM grid g CROSS JOIN n
+              WHERE g.df < n.n_total),
+      chi AS (SELECT cls, term, df, a,
+                     CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c
+                       AS det,
+                     a + b AS s1, c + d AS s2, a + c AS s3, b + d AS s4,
+                     n_total
+              FROM tab),
+      sc AS (SELECT cls, term, df, a AS in_class_df,
+                    (1000000 * n_total * det * det)
+                      // (CAST(s1 AS HUGEINT) * s2 * s3 * s4)
+                      AS chi2_micro,
+                    CASE WHEN det > 0 THEN 1 WHEN det < 0 THEN -1
+                         ELSE 0 END AS direction
+             FROM chi)
+      SELECT cls, rank, term, df, in_class_df,
+             CAST(chi2_micro AS BIGINT) AS chi2_micro, direction
+      FROM (SELECT *, row_number() OVER (PARTITION BY cls
+              ORDER BY chi2_micro DESC, term) AS rank FROM sc) r
+      WHERE rank <= 3 ORDER BY cls, rank""",
     // text_search's lexical pool (poolK=20) + sim_topk's cosine pool
     // for query vector 0, fused: rrf = Σ 1e6 // (60 + rank), BIGINT
     "hybrid_search" -> s"""
@@ -4641,6 +4815,30 @@ object SparkEntry {
                225 * (CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s)
                AS is_anomaly
       FROM b JOIN a USING (user_id) ORDER BY event_id""",
+    // truncated EWMA, α=1/2 depth 8: explicit integer-weight lags,
+    // floor-normalized over the weights actually present
+    "events_ewma" -> {
+      val depth = 8
+      val lagCols = (1 until depth)
+        .map(j => s"lag(q, $j) OVER w AS q$j").mkString(", ")
+      val wsum = (s"${1L << (depth - 1)} * q" +: (1 until depth)
+        .map(j => s"coalesce(${1L << (depth - 1 - j)} * q$j, 0)"))
+        .mkString(" + ")
+      val wdiv = (s"${1L << (depth - 1)}" +: (1 until depth)
+        .map(j =>
+          s"CASE WHEN q$j IS NULL THEN 0 ELSE ${1L << (depth - 1 - j)} END"))
+        .mkString(" + ")
+      s"""
+      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS q,
+                   count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      l AS (SELECT event_type, hour, n, q, $lagCols
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+      SELECT event_type, hour, n, q,
+             CAST(($wsum) // ($wdiv) AS BIGINT) AS ewma_q
+      FROM l ORDER BY event_type, hour"""
+    },
     "events_stream_attribution" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
@@ -5325,6 +5523,28 @@ object SparkEntry {
                   ELSE 0 END AS cc_micro
       FROM d LEFT JOIN pn ON d.node = pn.node
       ORDER BY d.node""",
+    // 2 synchronous LPA rounds unrolled; argmax(count) with min-label
+    // ties via row_number — must mirror Graph.labelPropagation exactly
+    "graph_communities" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      ${Seq(("l0", "l1"), ("l1", "l2")).map { case (prev, nxt) => s"""
+      $nxt AS (SELECT n.node, coalesce(w.new_label, p.label) AS label
+        FROM nodes n JOIN $prev p ON p.node = n.node
+        LEFT JOIN (SELECT node, label AS new_label FROM (
+            SELECT v.node, v.label,
+                   row_number() OVER (PARTITION BY v.node
+                     ORDER BY v.n DESC, v.label) AS rk
+            FROM (SELECT e2.dst AS node, r.label, count(*) AS n
+                  FROM e2 JOIN $prev r ON r.node = e2.src
+                  GROUP BY e2.dst, r.label) v) rkq
+          WHERE rk = 1) w ON w.node = n.node)"""
+      }.mkString(",")}
+      SELECT node, label FROM l2 ORDER BY node""",
     "text_pmi" -> """
       WITH t AS (SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\s+'),

@@ -248,4 +248,142 @@ object Events {
         last(col("day_sum"), ignoreNulls = true).over(byType)
           .cast("double").as("filled"))
   }
+
+  /** Truncated exponentially-weighted moving average per event type
+    * over hourly buckets, EXACT: values quantize to 1e-4 units
+    * (`round(value·10000)`, the [[anomalies]] convention), α = 1/2,
+    * and the exponential tail truncates at `depth` buckets so every
+    * weight is the integer 2^(depth−1−j) for lag j — the smoothed
+    * value is `Σ wⱼ·xⱼ div Σ wⱼ` with no FP accumulation anywhere.
+    * The dropped tail carries < 2^−depth of the mass (< 0.4% at the
+    * default 8), the price of making an inherently-recursive smoother
+    * a FIXED window expression — which is also what makes it a single
+    * codegen'd window pass instead of a sequential scan, and lets the
+    * oracle re-derive it with the same `depth` explicit lags.
+    *
+    * Lags are observation-indexed over the buckets that exist; for
+    * time-indexed smoothing over sparse series, densify with
+    * [[gapfillDaily]]'s spine pattern first (empty hours then enter
+    * as zero observations). Leading buckets with fewer than `depth`
+    * predecessors renormalize over the weights actually present —
+    * the standard `adjust=true` EWM convention.
+    *
+    * Shape at scale: hourly pre-aggregation shuffles ≤ one row per
+    * (type, hour); the smoother is one window over that already-small
+    * frame, partitioned by type — no self-join, no state beyond
+    * `depth` rows per partition.
+    */
+  def ewmaHourly(events: DataFrame, depth: Int = 8): DataFrame = {
+    require(depth >= 1 && depth <= 62, "depth must keep 2^depth in long")
+    val hour = expr("unix_micros(ts) div 3600000000")
+    val hourly = events.groupBy(col("event_type"), hour.as("hour"))
+      .agg(sum(expr("cast(round(value * 10000) as long)")).as("q"),
+        count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val terms = (0 until depth).map { j =>
+      val wj = 1L << (depth - 1 - j)
+      val x = lag(col("q"), j).over(byType)
+      (when(x.isNotNull, lit(wj) * x).otherwise(lit(0L)),
+        when(x.isNotNull, lit(wj)).otherwise(lit(0L)))
+    }
+    val wsum = terms.map(_._1).reduce(_ + _)
+    val wdiv = terms.map(_._2).reduce(_ + _)
+    hourly
+      .withColumn("ewma_q", call_function("div", wsum, wdiv))
+      .select(col("event_type"), col("hour"), col("n"), col("q"),
+        col("ewma_q"))
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: count every consecutive (prev_type → next_type) pair
+    * (ordered by ts, event_id ties) and emit the per-source transition
+    * probability in exact integer basis points
+    * (`(10000·n) div Σ_next n`) — the product-analytics "what happens
+    * after X" table, and the model behind next-event prediction
+    * baselines.
+    *
+    * Shape at scale: one per-user window (`lead`) — the shuffle is on
+    * user_id, state one row — then a (prev, next) count aggregate
+    * whose output is |event-type|² rows at most; the per-source
+    * totals re-attach by a join on prev_type that AQE broadcasts
+    * (type-cardinality-sized, not data-sized).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_type").as("prev_type"),
+        lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("tot"))
+    pairs.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        call_function("div", lit(10000L) * col("n"), col("tot"))
+          .as("p_bp"))
+  }
+
+  /** Median/MAD robust outlier test — the third of the anomaly trio
+    * ([[anomalies]] σ-test, [[anomaliesRobust]] IQR fences): flag
+    * events where `|q − median| · 10 > mad · kTenths`, with MAD the
+    * median absolute deviation. Both medians interpolate at worst to
+    * .5 (then .25 for the MAD) — dyadic rationals that doubles carry
+    * EXACTLY and both engines compute identically from exact integer
+    * operands, so the flag is deterministic like its two siblings.
+    * MAD's 50% breakdown point beats both: the σ-test's moments and
+    * even the IQR fence can be dragged by a heavy contaminated tail.
+    *
+    * Two grouped medians over the user key (same shuffle twice, AQE
+    * reuses the partitioning) + one join back; no window, no sort
+    * beyond the median's own.
+    */
+  def anomaliesMad(events: DataFrame, kTenths: Int = 15): DataFrame = {
+    require(kTenths > 0, "k must be positive")
+    val b = events.select(col("event_id"), col("user_id"),
+      round(col("value") * 10000).cast("long").as("q"))
+    val m = b.groupBy(col("user_id")).agg(median(col("q")).as("med"))
+    val d = b.join(m, "user_id")
+      .withColumn("adev", abs(col("q") - col("med")))
+    val md = d.groupBy(col("user_id")).agg(median(col("adev")).as("mad"))
+    d.join(md, "user_id")
+      .select(col("event_id"), col("user_id"), col("q"),
+        (col("adev") * 10 > col("mad") * kTenths).as("is_anomaly"))
+  }
+
+  /** Rank-based two-sided winsorization per event type: clip values
+    * below the ⌈n/20⌉-th smallest (≈ p05) or above the mirrored rank
+    * (≈ p95) to those bound VALUES — the standard heavy-tail taming
+    * step before training on a numeric feature. Bounds are defined by
+    * RANK, not interpolated quantiles, so they are exact integers
+    * with no interpolation-formula cross-engine hazard; ties rank
+    * deterministically by event_id.
+    *
+    * One per-type window pass (rank + count) and a per-type bounds
+    * aggregate re-attached by a tiny join — the bound table has one
+    * row per type. At scale the rank window is the cost: it shuffles
+    * on event_type; heavy single types are exactly the case where
+    * the [[Profile]] sketch quantiles replace rank bounds.
+    */
+  def winsorize(events: DataFrame): DataFrame = {
+    val b = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 10000).cast("long").as("q"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("q"), col("event_id"))
+    val r = b.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("klo", expr("(n + 19) div 20"))
+    val bounds = r.groupBy(col("event_type")).agg(
+      max(when(col("rk") === col("klo"), col("q"))).as("lo"),
+      max(when(col("rk") === col("n") + 1 - col("klo"), col("q")))
+        .as("hi"))
+    b.join(bounds, "event_type")
+      .select(col("event_id"), col("event_type"), col("q"),
+        when(col("q") < col("lo"), col("lo"))
+          .when(col("q") > col("hi"), col("hi"))
+          .otherwise(col("q")).as("q_clip"),
+        (col("q") < col("lo") || col("q") > col("hi")).as("clipped"))
+  }
 }

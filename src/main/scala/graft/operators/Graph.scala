@@ -178,4 +178,55 @@ object Graph {
           expr("(2000000 * triangles) div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara 2007), made fully deterministic: every node
+    * starts as its own label (its id), and each round SIMULTANEOUSLY
+    * adopts the label most frequent among its in-neighbors — ties
+    * broken by the SMALLEST label, nodes with no in-edges keep their
+    * label. The paper's random update order and random tie-break are
+    * exactly what makes vanilla LPA irreproducible; fixed synchronous
+    * rounds + min-label ties give a pure function of (edges, iters)
+    * that any engine re-derives bit-identically (the oracle unrolls
+    * the same rounds relationally). The cost is the known synchronous-
+    * LPA oscillation mode on bipartite-ish structure — at a fixed
+    * round count that is still a deterministic (and useful) labeling,
+    * and callers wanting the asynchronous flavor run more rounds on
+    * the symmetrized graph.
+    *
+    * Scale shape per round, same discipline as [[pageRank]]: one
+    * equi-join of edges to the label frame on the source key, one
+    * (node, label) count aggregate, one argmax via `min(struct(-n,
+    * label))` — all shuffles on node keys, lineage cut per round with
+    * localCheckpoint. Nothing is ever collected or broadcast by hint;
+    * the label frame is node-sized and AQE decides.
+    *
+    * `edges`: (src, dst) directed — pass both directions for the
+    * undirected semantics the paper assumes.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "labelPropagation needs at least one round")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (i <- 0 until iters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val winner = votes
+        .groupBy(col("node"))
+        .agg(min(struct((-col("n")).as("neg_n"), col("label")))
+          .as("w"))
+        .select(col("node"), col("w.label").as("new_label"))
+      val next = labels.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      if (i == 0)
+        graft.PlanCapture.record("labelPropagation per-round plan", next)
+      labels = next.localCheckpoint()
+    }
+    labels
+  }
 }

@@ -627,4 +627,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cosine"))
   }
+
+  private def withQuantizedLabeled(emb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("norm", qdot(col("qv"), col("qv")))
+
+  /** Hard-negative mining for contrastive training: for each anchor
+    * vector (selected by `queryFilter` over the raw frame), the top-k
+    * most similar vectors with a DIFFERENT label — exactly the
+    * negatives a contrastive loss learns most from (Robinson et al.
+    * 2021, "Contrastive Learning with Hard Negative Samples").
+    * Cosines are the exact int64-quantized kind ([[qcosine]]), ranks
+    * total (ties by neighbor id), so the mined set is reproducible
+    * across runs and engines — which for TRAINING DATA is a lineage
+    * property, not a nicety.
+    *
+    * Scale shape: identical to [[topK]] — the anchor set is small by
+    * construction (it is the training batch / probe set, not the
+    * corpus), so it broadcasts against the corpus scan; the label
+    * inequality rides the join condition. For corpus-sized anchor
+    * sets, generate candidates with [[ivfTopK]] first and apply the
+    * label filter to its output — this operator is the exact kernel.
+    */
+  def hardNegatives(emb: DataFrame, queryFilter: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val v = withQuantizedLabeled(emb, idCol, vecCol, labelCol)
+    val q = withQuantizedLabeled(emb.filter(queryFilter), idCol, vecCol,
+      labelCol)
+    val scored = broadcast(q).as("q")
+      .join(v.as("c"), col("q.lbl") =!= col("c.lbl"))
+      .select(col("q.id").as("query_id"), col("q.lbl").as("query_label"),
+        col("c.id").as("neighbor_id"), col("c.lbl").as("neighbor_label"),
+        qcosine(qdot(col("q.qv"), col("c.qv")), col("q.norm"),
+          col("c.norm")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("neighbor_id"), col("neighbor_label"), col("cosine"))
+  }
+
+  /** Hard triplet construction (anchor, hardest positive, hardest
+    * negative) — the batch-hard mining rule of Hermans, Beyer & Leibe
+    * 2017 ("In Defense of the Triplet Loss"): per anchor, the
+    * FARTHEST same-label vector (minimum cosine — the positive the
+    * loss must pull hardest) and the NEAREST different-label vector
+    * (maximum cosine — the negative it must push hardest).
+    * `viol_margin = neg_cosine − pos_cosine` orders anchors by how
+    * badly the embedding violates the triplet constraint (> 0 means
+    * the hardest negative is currently closer than the hardest
+    * positive — the rows a curriculum feeds first). One double
+    * subtraction of two deterministic doubles: exact.
+    *
+    * Both extremes come from ONE scored pass in a single aggregate —
+    * `min(struct(cosine, id))` under a same-label guard and
+    * `min(struct(−cosine, id))` under the complement — so ties break
+    * by id and the whole mine is two codegen'd conditional aggregates,
+    * no window, no second join. Anchors broadcast as in
+    * [[hardNegatives]]; anchors whose label has no same-label peer
+    * (or no different-label peer) drop — a triplet needs both sides.
+    */
+  def hardTriplets(emb: DataFrame, queryFilter: Column,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val v = withQuantizedLabeled(emb, idCol, vecCol, labelCol)
+    val q = withQuantizedLabeled(emb.filter(queryFilter), idCol, vecCol,
+      labelCol)
+    val scored = broadcast(q).as("q")
+      .join(v.as("c"), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("anchor_id"), col("q.lbl").as("anchor_label"),
+        (col("q.lbl") === col("c.lbl")).as("same"),
+        col("c.id").as("cid"),
+        qcosine(qdot(col("q.qv"), col("c.qv")), col("q.norm"),
+          col("c.norm")).as("cosine"))
+    scored.groupBy(col("anchor_id"), col("anchor_label"))
+      .agg(
+        min(when(col("same"), struct(col("cosine"), col("cid"))))
+          .as("pos"),
+        min(when(!col("same"), struct((-col("cosine")).as("neg_cos"),
+          col("cid")))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("anchor_id"), col("anchor_label"),
+        col("pos.cid").as("pos_id"), col("pos.cosine").as("pos_cosine"),
+        col("neg.cid").as("neg_id"),
+        (-col("neg.neg_cos")).as("neg_cosine"))
+      .withColumn("viol_margin", col("neg_cosine") - col("pos_cosine"))
+  }
 }

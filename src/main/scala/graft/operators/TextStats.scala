@@ -537,4 +537,126 @@ object TextStats {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Okapi BM25 top-k search (Robertson & Walker 1994) in PURE integer
+    * arithmetic — the length-normalized upgrade of [[searchTopK]]'s
+    * flat tf·idf. Classic parameters k1 = 1.2, b = 0.75 are kept as
+    * the exact rationals 6/5 and 3/4; with corpus length L = Σ dl and
+    * N docs (avgdl = L/N), per (doc, term):
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 22·L·tf / (10·L·tf + 3·L + 9·N·dl)
+    *
+    * after multiplying through by 10·L — so each term's contribution
+    * is `(w · 22 · L · tf) div (10·L·tf + 3·L + 9·N·dl)` with the
+    * same ln-free rational idf `w = (1e6·(N+1)) div (df+1)` as the
+    * rest of the retrieval family. Every step is integer (numerator
+    * decimal-widened: w reaches ~5e14 at 1e9 docs and L multiplies
+    * past long range; the divisor stays in long until ~1e17 tokens),
+    * so scores are exact BIGINTs — no FP summation order, no ln ulp,
+    * bit-identical on any topology and re-derivable by the oracle.
+    *
+    * Plan shape at scale: one tokenize pass feeds BOTH the per-doc
+    * length table (full-corpus agg — BM25's length prior needs it)
+    * and the term-filtered tf frame; df is a rollup of tf; N and L
+    * join as 1-row frames. Final top-k is TakeOrderedAndProject.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "BM25 search needs at least one term")
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(sum(col("dl")).as("len_corpus"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(n).crossJoin(corpus)
+      .withColumn("w", call_function("div",
+        lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
+      .withColumn("contrib", call_function("div",
+        col("w").cast("decimal(38,0)") * lit(22L) * col("len_corpus")
+          * col("tf"),
+        lit(10L) * col("len_corpus") * col("tf")
+          + lit(3L) * col("len_corpus")
+          + lit(9L) * col("n_corpus") * col("dl")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** χ² term–class feature selection (the classic text-classification
+    * feature ranking, e.g. Yang & Pedersen, ICML 1997): for each
+    * (class, term) contingency table over document-level presence —
+    * a = in-class docs containing the term, b = out-of-class docs
+    * containing it, c/d their complements, N total docs —
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * emitted as `chi2_micro = (1e6·N·(ad−bc)²) div denom`, all
+    * integer: counts are exact, the single floor division is the only
+    * rounding, so ranks are total and oracle-checkable. `direction`
+    * = sign(ad − bc) says whether the term is over- (+1) or under-
+    * (−1) represented in the class — χ² itself is two-sided.
+    *
+    * Numerator is decimal-widened: exact while N·(ad−bc)² ≤ ~1e32
+    * (e.g. 10⁶ docs with df ≤ 10⁴ — DuckDB's HUGEINT has the same
+    * 128-bit envelope). Past that a double χ² keeps the ranking and
+    * drops only the micro-exactness, which exists for the oracle.
+    *
+    * Plan shape at scale: tokenize → per-doc DISTINCT terms (the
+    * presence model — `array_distinct` before explode keeps the
+    * dedup inside the map stage) → (class, term) counts with partial
+    * aggregation → vocabulary-sized df rollup → the FULL class×term
+    * grid (every qualifying term is scored against every class, so a
+    * term's ABSENCE from a class is evidence too — a = 0 rows carry
+    * direction −1; the grid is |classes|·|vocab ≥ minDf| rows, the
+    * size a feature-selection table has to be) → per-class window
+    * top-k. Terms present in every document are excluded (their
+    * (c+d) = 0 denominator mirrors their zero information content);
+    * `minDf` prunes the hapax tail before the grid, the same
+    * df-cutoff a real feature selector applies.
+    */
+  def chiSquareTerms(docs: DataFrame, classCol: String = "source",
+      k: Int = 3, minDf: Long = 3): DataFrame = {
+    val dt = docs.select(col("doc_id"), col(classCol).as("cls"),
+        explode(array_distinct(split(lower(col("text")), " ")))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val clsSize = docs.groupBy(col(classCol).as("cls"))
+      .agg(count(lit(1)).as("n_cls"))
+    val dfTab = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val present = dt.groupBy(col("cls"), col("term"))
+      .agg(count(lit(1)).as("a_present"))
+    val scored = clsSize.crossJoin(dfTab)
+      .join(present, Seq("cls", "term"), "left")
+      .withColumn("a", coalesce(col("a_present"), lit(0L)))
+      .crossJoin(n)
+      .filter(col("df") < col("n_total"))
+      .withColumn("b", col("df") - col("a"))
+      .withColumn("c", col("n_cls") - col("a"))
+      .withColumn("d",
+        col("n_total") - col("df") - col("n_cls") + col("a"))
+      .withColumn("det",
+        (col("a") * col("d") - col("b") * col("c"))
+          .cast("decimal(38,0)"))
+      .withColumn("chi2_micro", call_function("div",
+        lit(1000000L) * col("n_total") * col("det") * col("det"),
+        (col("a") + col("b")) * (col("c") + col("d"))
+          * (col("a") + col("c")) * (col("b") + col("d"))))
+      .withColumn("direction", signum(col("det")).cast("int"))
+    val w = Window.partitionBy(col("cls"))
+      .orderBy(col("chi2_micro").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("cls"), col("rank"), col("term"), col("df"),
+        col("a").as("in_class_df"), col("chi2_micro"), col("direction"))
+  }
 }

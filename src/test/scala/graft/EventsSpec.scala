@@ -602,4 +602,27 @@ class EventsSpec extends AnyFunSuite {
       ("click", 1L, 7.25),
       ("view", 1L, 1.0)))
   }
+
+  test("ewmaHourly: hand-computed truncated weights at depth 2, " +
+      "leading-bucket renormalization at depth 8") {
+    import spark.implicits._
+    // one event per hour, values 1.0 / 3.0 / 5.0 → q = 1e4/3e4/5e4
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 01:10:00"), 1L, "a", 3.0),
+      (3L, ts("2024-01-01 02:10:00"), 1L, "a", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    // depth 2: weights (2, 1). h0: 2·1e4/2 = 1e4. h1: (2·3e4 + 1e4)/3
+    // = 23333 (floor). h2: (2·5e4 + 3e4)/3 = 43333
+    val d2 = Events.ewmaHourly(ev, depth = 2).orderBy("hour")
+      .select(col("q"), col("ewma_q")).as[(Long, Long)].collect().toSeq
+    assert(d2 == Seq((10000L, 10000L), (30000L, 23333L),
+      (50000L, 43333L)))
+    // depth 8: the first bucket has no history — renormalized EWMA of
+    // one point is the point itself; second is (128·3e4 + 64·1e4)/192
+    val d8 = Events.ewmaHourly(ev, depth = 8).orderBy("hour")
+      .select(col("ewma_q")).as[Long].collect().toSeq
+    assert(d8.head == 10000L)
+    assert(d8(1) == (128L * 30000 + 64L * 10000) / 192)
+  }
 }

@@ -79,4 +79,41 @@ class GraphSpec extends AnyFunSuite {
       (5L, 1L, 0L, 0L), (6L, 2L, 0L, 0L), (7L, 1L, 0L, 0L),
       (8L, 1L, 0L, 0L), (9L, 1L, 0L, 0L)))
   }
+
+  test("labelPropagation: disjoint triangles converge to their min " +
+      "node id in two rounds") {
+    import spark.implicits._
+    // round 1 on a triangle: each node ties between its two peers'
+    // labels → min label; round 2: min id floods the component
+    def tri(a: Long) =
+      Seq((a, a + 1), (a + 1, a + 2), (a + 2, a)).flatMap {
+        case (u, v) => Seq((u, v), (v, u))
+      }
+    val edges = (tri(1L) ++ tri(10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L)))
+  }
+
+  test("labelPropagation: a source-only node keeps its own label; " +
+      "the documented synchronous oscillation on a 2-cycle is " +
+      "deterministic") {
+    import spark.implicits._
+    // 1 → 2 directed only: node 1 has no in-edges, keeps label 1
+    val chain = Seq((1L, 2L)).toDF("src", "dst")
+    val g1 = Graph.labelPropagation(chain, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(g1 == Seq((1L, 1L), (2L, 1L)))
+    // undirected pair: synchronous swap each round — after an even
+    // round count every node is back to its own label, exactly as the
+    // scaladoc warns for bipartite structure
+    val pair = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val even = Graph.labelPropagation(pair, iters = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(even == Seq((1L, 1L), (2L, 2L)))
+    val odd = Graph.labelPropagation(pair, iters = 1)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(odd == Seq((1L, 2L), (2L, 1L)))
+  }
 }

@@ -343,4 +343,54 @@ class SimilaritySpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._2))
     assert(run() == run())
   }
+
+  private def labeled = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0),     // anchor
+      (1L, Seq(0.0f, 1.0f), 0),     // same label, orthogonal (far)
+      (2L, Seq(0.995f, 0.1f), 1),   // diff label, near
+      (3L, Seq(-1.0f, 0.0f), 1),    // diff label, opposite
+      (4L, Seq(0.9f, 0.44f), 0)     // same label, near
+    ).toDF("vec_id", "embedding", "label")
+  }
+
+  test("hardNegatives ranks only different-label vectors, nearest " +
+      "first") {
+    import spark.implicits._
+    val got = Similarity.hardNegatives(labeled, col("vec_id") === 0L,
+      k = 3)
+      .select("query_id", "rank", "neighbor_id", "neighbor_label")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    // same-label 1 and 4 must never appear; 2 (cos ~0.995) before 3
+    // (cos −1); only two negatives exist so k=3 yields 2 rows
+    assert(got == Seq((0L, 1, 2L, 1), (0L, 2, 3L, 1)))
+  }
+
+  test("hardTriplets picks the farthest positive and nearest " +
+      "negative, with the violation margin") {
+    import spark.implicits._
+    val got = Similarity.hardTriplets(labeled, col("vec_id") === 0L)
+      .select("anchor_id", "pos_id", "neg_id", "viol_margin")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // positive = 1 (orthogonal same-label, cos 0), NOT the near 4;
+    // negative = 2 (cos ~0.995), NOT the opposite 3; margin ≈ 0.995
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((0L, 1L, 2L)))
+    assert(got.head._4 > 0.99 && got.head._4 < 1.0)
+  }
+
+  test("hardTriplets drops anchors lacking a positive or negative " +
+      "side") {
+    import spark.implicits._
+    val solo = Seq(
+      (0L, Seq(1.0f, 0.0f), 7),    // only vector with label 7
+      (1L, Seq(0.0f, 1.0f), 1),
+      (2L, Seq(0.5f, 0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // anchor 0 has negatives but no same-label positive → dropped;
+    // anchor 1 has positive 2 and negative 0 → kept
+    val got = Similarity.hardTriplets(solo, col("vec_id") < 2)
+      .select("anchor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
 }

@@ -384,4 +384,51 @@ class TextStatsSpec extends AnyFunSuite {
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
   }
+
+  test("bm25TopK: length normalization ranks the shorter doc above " +
+      "an equal-tf longer one, at the hand-computed exact scores") {
+    import spark.implicits._
+    // equal tf("q")=2; flat tf·idf would tie them — BM25 must not.
+    // N=2, L=11, df=2 → w = (1e6·3)//3 = 1e6; contribution =
+    // (w·22·L·tf) // (10·L·tf + 3·L + 9·N·dl)
+    val docs = Seq(
+      (1L, "q q a"),                // dl 3 → 484e6 // 307 = 1576547
+      (2L, "q q a b b b b b")       // dl 8 → 484e6 // 397 = 1219143
+    ).toDF("doc_id", "text")
+    val got = TextStats.bm25TopK(docs, Seq("q"), k = 10)
+      .select(col("doc_id"), col("score")).as[(Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((1L, 1576547L), (2L, 1219143L)))
+  }
+
+  test("chiSquareTerms: a class-exclusive term scores the exact χ², " +
+      "an evenly-spread term scores zero, direction carries the sign") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zz both filler1", "A"), (2L, "zz both filler2", "A"),
+      (3L, "both other1 x", "B"), (4L, "both other2 y", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = TextStats.chiSquareTerms(docs, "source", k = 2, minDf = 1)
+      .select(col("cls"), col("rank"), col("term"), col("chi2_micro"),
+        col("direction"))
+      .as[(String, Int, String, Long, Int)].collect().toSeq
+    // zz in A: a=2 b=0 c=0 d=2, det=4 → 1e6·4·16 // 16 = 4e6, over-
+    // represented (+1); zz in B is the mirror table det=−4 → same χ²,
+    // direction −1 (χ² is two-sided); 'both' is in every doc →
+    // excluded by the df < N guard
+    val a1 = got.find(r => r._1 == "A" && r._2 == 1).get
+    assert(a1._3 == "zz" && a1._4 == 4000000L && a1._5 == 1)
+    val b1 = got.find(r => r._1 == "B" && r._2 == 1).get
+    assert(b1._3 == "zz" && b1._4 == 4000000L && b1._5 == -1)
+    assert(!got.exists(_._3 == "both"))
+    // singleton terms score 1333333 from BOTH sides (in-class: a=1
+    // b=0 c=1 d=2, det=2; out-of-class: a=0 b=1 c=2 d=1, det=−2 —
+    // same χ², opposite direction), so rank 2 ties at 1333333 and
+    // breaks to the alphabetical min 'filler1': +1 seen from A (it
+    // lives there), −1 seen from B
+    val a2 = got.find(r => r._1 == "A" && r._2 == 2).get
+    val b2 = got.find(r => r._1 == "B" && r._2 == 2).get
+    assert(a2._3 == "filler1" && a2._4 == 1333333L && a2._5 == 1)
+    assert(b2._3 == "filler1" && b2._4 == 1333333L && b2._5 == -1)
+  }
 }
