@@ -2040,6 +2040,13 @@ object SparkEntry {
         k = 3, minDf = 3)
         .orderBy(col("cls"), col("rank"))
     }),
+    "text_prf_search" -> ((s, dir) => {
+      // RM3-lite pseudo-relevance feedback: BM25 → top-5 feedback
+      // docs → 3 expansion terms by tf_fb·idf → expanded BM25;
+      // fully declarative, nothing collected
+      Retrieval.prfSearch(t(s, dir, "documents"),
+        Seq("spark", "window", "merge"), k = 10)
+    }),
     "text_keywords" -> ((s, dir) => {
       TextStats.tfidfKeywords(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("rank"))
@@ -2486,6 +2493,24 @@ object SparkEntry {
       Events.ewmaHourly(t(s, dir, "events"), depth = 8)
         .orderBy(col("event_type"), col("hour"))
     }),
+    "events_transitions" -> ((s, dir) => {
+      // first-order Markov next-event matrix with basis-point
+      // transition probabilities
+      Events.transitions(t(s, dir, "events"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+    "events_anomaly_mad" -> ((s, dir) => {
+      // median/MAD robust z-test at k=1.5 — completes the anomaly
+      // trio (σ, IQR, MAD); dyadic-exact double medians both engines
+      Events.anomaliesMad(t(s, dir, "events"), kTenths = 15)
+        .orderBy(col("event_id"))
+    }),
+    "events_winsorize" -> ((s, dir) => {
+      // rank-based p05/p95 winsorization per type — exact integer
+      // bounds by rank, no quantile interpolation
+      Events.winsorize(t(s, dir, "events"))
+        .orderBy(col("event_id"))
+    }),
     "events_stream_tumbling" -> ((s, dir) => {
       graft.streaming.EventsStream.tumblingToCompletion(s, dir)
         .orderBy(col("window_start"), col("event_type"))
@@ -2566,6 +2591,17 @@ object SparkEntry {
     // ---- north star: multimodal column plumbing ----
     "multimodal_meta" -> ((s, dir) => {
       Multimodal.decodeMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_phash" -> ((s, dir) => {
+      // perceptual average-hash over the real decoded rasters; the
+      // oracle re-derives every bit from the generator's closed form
+      Multimodal.aHash(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_phash_groups" -> ((s, dir) => {
+      // image near-dup collapse: groups sharing an identical aHash
+      // across different geometries/containers
+      Multimodal.aHashGroups(t(s, dir, "documents"))
+        .orderBy(col("ahash"))
     }),
     "multimodal_resize" -> ((s, dir) => {
       Multimodal.resizePlan(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -3305,6 +3341,47 @@ object SparkEntry {
     * (the SQL twin of Similarity.quantize/qdot — see its scaladoc for
     * why quantization makes FP results engine-independent).
     */
+  /** Shared CTE chain re-deriving [[Multimodal.aHash]] from the
+    * generator's closed-form raster: 8×8 block floor-averages →
+    * floor-mean threshold → bits packed via an exact HUGEINT
+    * power-of-two table (bit 63 wraps two's-complement on the final
+    * BIGINT cast, matching the JVM long). Callers must prefix
+    * `WITH RECURSIVE` (the power table is the recursive member).
+    */
+  private val phashCteSql: String = """
+      pw AS (SELECT 0 AS k, CAST(1 AS HUGEINT) AS v
+             UNION ALL SELECT k + 1, v * 2 FROM pw WHERE k < 63),
+      g AS (SELECT doc_id, CAST(16 + doc_id % 32 AS BIGINT) AS w,
+                   CAST(16 + (doc_id * 7) % 24 AS BIGINT) AS h
+            FROM documents),
+      cellbox AS (SELECT doc_id, w, h, i, j,
+                    (i * w) // 8 AS x0, ((i + 1) * w) // 8 AS x1,
+                    (j * h) // 8 AS y0, ((j + 1) * h) // 8 AS y1
+                  FROM g, UNNEST(range(8)) AS a(i),
+                       UNNEST(range(8)) AS b(j)),
+      blocksum AS (SELECT doc_id, i, j,
+                     sum((doc_id + x + y) % 256) AS s, count(*) AS c
+                   FROM cellbox, UNNEST(range(x0, x1)) AS xs(x),
+                        UNNEST(range(y0, y1)) AS ys(y)
+                   GROUP BY 1, 2, 3),
+      cells AS (SELECT doc_id, i, j, s // c AS cv FROM blocksum),
+      cmean AS (SELECT doc_id, sum(cv) // 64 AS mean
+                FROM cells GROUP BY 1),
+      hbits AS (SELECT c.doc_id, c.j * 8 + c.i AS k
+                FROM cells c JOIN cmean m USING (doc_id)
+                WHERE c.cv > m.mean),
+      hraw AS (SELECT g.doc_id, g.w, g.h,
+                 coalesce(sum(pw.v), CAST(0 AS HUGEINT)) AS hu
+               FROM g LEFT JOIN hbits USING (doc_id)
+               LEFT JOIN pw ON pw.k = hbits.k
+               GROUP BY 1, 2, 3),
+      ph AS (SELECT doc_id, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(hu - CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS ahash
+             FROM hraw)"""
+
   private val qEmbSql: String = """
     q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
@@ -4438,6 +4515,56 @@ object SparkEntry {
       CROSS JOIN n CROSS JOIN corpus c
       GROUP BY f.doc_id
       ORDER BY score DESC, f.doc_id LIMIT 10""",
+    // PRF: BM25 pass 1 → top-5 feedback docs → top-3 expansion terms
+    // by tf_fb·idf (ties by term) → BM25 pass 2 over the union
+    "text_prf_search" -> """
+      WITH toks AS (SELECT doc_id, w AS term
+                    FROM documents,
+                         UNNEST(string_split(lower(text), ' ')) AS u(w)
+                    WHERE w <> ''),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      corpus AS (SELECT sum(dl) AS len_corpus FROM dl),
+      n AS (SELECT count(*) AS n_corpus FROM documents),
+      q0 AS (SELECT * FROM (VALUES ('spark'), ('window'), ('merge'))
+             t(term)),
+      tf0 AS (SELECT doc_id, term, count(*) AS tf
+              FROM toks JOIN q0 USING (term) GROUP BY 1, 2),
+      df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+      s0 AS (SELECT f.doc_id,
+               sum((CAST((1000000 * (n.n_corpus + 1)) // (d.df + 1)
+                     AS HUGEINT) * 22 * c.len_corpus * f.tf)
+                   // (10 * c.len_corpus * f.tf + 3 * c.len_corpus
+                       + 9 * n.n_corpus * l.dl)) AS score
+             FROM tf0 f JOIN df0 d USING (term) JOIN dl l USING (doc_id)
+             CROSS JOIN n CROSS JOIN corpus c
+             GROUP BY 1),
+      fb AS (SELECT doc_id FROM s0 ORDER BY score DESC, doc_id LIMIT 5),
+      dfa AS (SELECT term, count(DISTINCT doc_id) AS dfc
+              FROM toks GROUP BY 1),
+      expc AS (SELECT t.term, count(*) AS tf_fb
+               FROM toks t JOIN fb USING (doc_id)
+               WHERE t.term NOT IN (SELECT term FROM q0)
+               GROUP BY 1),
+      exps AS (SELECT e.term,
+                 e.tf_fb * ((1000000 * (n.n_corpus + 1)) // (d.dfc + 1))
+                   AS escore
+               FROM expc e JOIN dfa d USING (term) CROSS JOIN n),
+      expt AS (SELECT term FROM exps ORDER BY escore DESC, term LIMIT 3),
+      qf AS (SELECT term FROM q0 UNION SELECT term FROM expt),
+      tf1 AS (SELECT doc_id, term, count(*) AS tf
+              FROM toks JOIN qf USING (term) GROUP BY 1, 2),
+      df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1)
+      SELECT f.doc_id,
+             CAST(sum((CAST((1000000 * (n.n_corpus + 1)) // (d.df + 1)
+                        AS HUGEINT) * 22 * c.len_corpus * f.tf)
+                      // (10 * c.len_corpus * f.tf + 3 * c.len_corpus
+                          + 9 * n.n_corpus * l.dl))
+               AS BIGINT) AS score,
+             count(*) AS n_terms
+      FROM tf1 f JOIN df1 d USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN n CROSS JOIN corpus c
+      GROUP BY f.doc_id
+      ORDER BY score DESC, f.doc_id LIMIT 10""",
     // χ² per (source, term) over document-level presence; single floor
     // division, df ∈ [3, N), top-3 per class with term-text ties
     "text_chisq" -> """
@@ -4839,6 +4966,49 @@ object SparkEntry {
              CAST(($wsum) // ($wdiv) AS BIGINT) AS ewma_q
       FROM l ORDER BY event_type, hour"""
     },
+    "events_transitions" -> """
+      WITH o AS (SELECT user_id, event_type AS prev_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_type
+                 FROM events),
+      p AS (SELECT prev_type, next_type, count(*) AS n FROM o
+            WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT prev_type, sum(n) AS tot FROM p GROUP BY 1)
+      SELECT p.prev_type, p.next_type, n,
+             CAST((10000 * n) // tot AS BIGINT) AS p_bp
+      FROM p JOIN t USING (prev_type)
+      ORDER BY prev_type, next_type""",
+    // both medians interpolate at worst to dyadic rationals — exact
+    // doubles on both engines, so the flag comparison is deterministic
+    "events_anomaly_mad" -> """
+      WITH b AS (SELECT event_id, user_id,
+                   CAST(round(value * 10000) AS BIGINT) AS q
+                 FROM events),
+      m AS (SELECT user_id, median(q) AS med FROM b GROUP BY 1),
+      d AS (SELECT b.event_id, b.user_id, b.q,
+              abs(b.q - m.med) AS adev
+            FROM b JOIN m USING (user_id)),
+      md AS (SELECT user_id, median(adev) AS mad FROM d GROUP BY 1)
+      SELECT event_id, d.user_id, q, (adev * 10 > mad * 15) AS is_anomaly
+      FROM d JOIN md USING (user_id) ORDER BY event_id""",
+    "events_winsorize" -> """
+      WITH b AS (SELECT event_id, event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS q
+                 FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY q, event_id) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM b),
+      bounds AS (SELECT event_type,
+                   max(CASE WHEN rk = (n + 19) // 20 THEN q END) AS lo,
+                   max(CASE WHEN rk = n + 1 - (n + 19) // 20 THEN q END)
+                     AS hi
+                 FROM r GROUP BY event_type)
+      SELECT event_id, b.event_type, q,
+             CASE WHEN q < lo THEN lo WHEN q > hi THEN hi
+                  ELSE q END AS q_clip,
+             (q < lo OR q > hi) AS clipped
+      FROM b JOIN bounds USING (event_type) ORDER BY event_id""",
     "events_stream_attribution" -> """
       SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
              epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
@@ -5081,6 +5251,14 @@ object SparkEntry {
       SELECT m.doc_id, width, height, format, px_sum
       FROM m JOIN px ON m.doc_id = px.doc_id
       ORDER BY m.doc_id""",
+    "multimodal_phash" -> s"""
+      WITH RECURSIVE $phashCteSql
+      SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",
+    "multimodal_phash_groups" -> s"""
+      WITH RECURSIVE $phashCteSql
+      SELECT ahash, count(*) AS n_docs, min(doc_id) AS min_doc
+      FROM ph GROUP BY ahash HAVING count(*) >= 2
+      ORDER BY ahash""",
     "docid_single" ->
       "SELECT CAST(doc_id AS BIGINT) AS id FROM documents ORDER BY id",
     "jsonl_documents" -> s"""

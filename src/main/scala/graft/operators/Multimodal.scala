@@ -148,6 +148,93 @@ object Multimodal {
           lit(2147483647L)).as("frame_hash"))
   }
 
+  /** A doc's perceptual hash row. */
+  case class MediaHash(doc_id: Long, width: Int, height: Int,
+      ahash: Long)
+
+  /** Perceptual average-hash (aHash — the classic pHash-family
+    * baseline) over the REAL decoded raster: block-average the image
+    * onto an 8×8 grid (cell (i,j) covers x ∈ [⌊i·w/8⌋, ⌊(i+1)·w/8⌋),
+    * same for y; cell value = ⌊Σpx / n⌋), threshold each cell against
+    * ⌊Σcells / 64⌋, and pack the 64 `cell > mean` bits into an int64
+    * (bit k = j·8 + i, two's-complement wrap at bit 63). Every step
+    * is integer, so the hash is a pure function of the pixels — the
+    * oracle re-derives it from the generator's closed-form raster,
+    * which means a wrong byte ANYWHERE in encode → shuffle → decode →
+    * downsample flips a verifiable bit.
+    *
+    * This is the image-side near-dup primitive: identical hashes ⇒
+    * perceptually identical content at 8×8 granularity regardless of
+    * original size or container, and Hamming-adjacent hashes are the
+    * banded-join candidates (16-bit bands — the MinHash pattern with
+    * hash halves as band keys) if a threshold variant is needed.
+    * Partition-batched decode like [[decodeMeta]]; downstream is one
+    * narrow (id, w, h, hash) frame.
+    */
+  def aHash(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    imagePayload(docs).as[MediaPayload].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { p =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p.media))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext,
+          s"doc ${p.doc_id}: no ImageIO reader recognizes the payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val img = reader.read(0)
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val cells = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+            var i = 0
+            while (i < 8) {
+              val x0 = i * w / 8; val x1 = (i + 1) * w / 8
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
+                y += 1
+              }
+              cells(j * 8 + i) = s / ((x1 - x0).toLong * (y1 - y0))
+              i += 1
+            }
+            j += 1
+          }
+          val mean = cells.sum / 64
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (cells(k) > mean) hash |= (1L << k)
+            k += 1
+          }
+          MediaHash(p.doc_id, w, h, hash)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
+      }
+    }.toDF()
+  }
+
+  /** Exact perceptual-duplicate groups: docs sharing an identical
+    * [[aHash]] regardless of source geometry/container. One hash
+    * aggregate over the narrow hash frame — the image twin of
+    * `Dedup.exact`'s text-fingerprint collapse. Output: (ahash,
+    * n_docs, min_doc) for groups of ≥ 2.
+    */
+  def aHashGroups(docs: DataFrame): DataFrame =
+    aHash(docs).groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** Resize planning over decoded metadata: fit into a `target`-sized
     * box preserving aspect ratio. All integer arithmetic
     * (`w*target // max(w,h)`), so the plan is exact and oracle-

@@ -61,4 +61,78 @@ object Retrieval {
       .orderBy(col("rrf_micros").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Pseudo-relevance-feedback search (RM3-lite, Lavrenko & Croft
+    * 2001 reduced to its exact core): run the BM25 query, take the
+    * top-`fbDocs` results ON FAITH as relevant, mine their
+    * `expTerms` highest-scoring non-query terms (feedback tf ×
+    * ln-free rational idf over the FULL corpus — integer exact), and
+    * re-run BM25 with the expanded term set. The classic fix for
+    * vocabulary mismatch: documents discussing the topic in other
+    * words now match through the expansion terms.
+    *
+    * Everything stays declarative — the query, feedback set, and
+    * expansion terms are all DataFrames (nothing collected to the
+    * driver): BM25 scoring takes the term set as a frame and joins
+    * it into the token stream, so the same plan shape serves both
+    * passes. The feedback and expansion frames are ≤ fbDocs/expTerms
+    * rows by construction (TakeOrderedAndProject), and AQE
+    * broadcasts them into the corpus-sized joins.
+    *
+    * Scale cost, honestly: two BM25 passes + one feedback-token
+    * rollup over the corpus tokenization — the canonical PRF price.
+    * The per-term expansion score `tf_fb · w` stays in int64
+    * (tf_fb ≤ fbDocs · max dl; w ≤ ~5e14 at 1e9 docs — overflow
+    * needs a 10⁴-token feedback window at that corpus, the same
+    * documented envelope as the searchTopK family).
+    *
+    * Output: (doc_id, score, n_terms) like [[TextStats.bm25TopK]].
+    */
+  def prfSearch(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      fbDocs: Int = 5, expTerms: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "PRF search needs at least one term")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(sum(col("dl")).as("len_corpus"))
+    val n = docs.agg(count(lit(1)).as("n_corpus"))
+    val q0 = terms.toDF("term")
+    def bm25(termFrame: DataFrame): DataFrame = {
+      val tf = toks.join(termFrame, "term")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df, "term").join(dl, "doc_id")
+        .crossJoin(n).crossJoin(corpus)
+        .withColumn("w", call_function("div",
+          lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
+        .withColumn("contrib", call_function("div",
+          col("w").cast("decimal(38,0)") * lit(22L) * col("len_corpus")
+            * col("tf"),
+          lit(10L) * col("len_corpus") * col("tf")
+            + lit(3L) * col("len_corpus")
+            + lit(9L) * col("n_corpus") * col("dl")))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("contrib")).as("score"),
+          count(lit(1)).as("n_terms"))
+    }
+    val fb = bm25(q0)
+      .orderBy(col("score").desc, col("doc_id")).limit(fbDocs)
+      .select(col("doc_id"))
+    val dfAll = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val exp = toks.join(fb, "doc_id")
+      .join(q0, Seq("term"), "left_anti")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+      .join(dfAll, "term").crossJoin(n)
+      .withColumn("escore", col("tf_fb") * call_function("div",
+        lit(1000000L) * (col("n_corpus") + 1L), col("dfc") + 1L))
+      .orderBy(col("escore").desc, col("term")).limit(expTerms)
+      .select(col("term"))
+    bm25(q0.union(exp))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }

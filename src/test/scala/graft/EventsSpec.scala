@@ -625,4 +625,50 @@ class EventsSpec extends AnyFunSuite {
     assert(d8.head == 10000L)
     assert(d8(1) == (128L * 30000 + 64L * 10000) / 192)
   }
+
+  test("transitions: per-user consecutive pairs with basis-point " +
+      "probabilities") {
+    import spark.implicits._
+    // user 1: click→click→view; user 2: click→view. Pairs:
+    // (click,click)=1, (click,view)=2 → from click: 3333/6666 bp
+    val got = Events.transitions(evts)
+      .orderBy("prev_type", "next_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("p_bp"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(("click", "click", 1L, 3333L),
+      ("click", "view", 2L, 6666L)))
+  }
+
+  test("anomaliesMad flags by median/MAD and survives a contaminated " +
+      "tail that drags the sigma test") {
+    import spark.implicits._
+    // nine 1.0s and one 100.0 for one user: med=1, MAD=0 → the
+    // outlier (adev>0) flags, the 1.0s (adev=0) do not
+    val ev = ((1 to 9).map(i =>
+        (i.toLong, ts("2024-01-01 00:00:00"), 1L, "t", 1.0)) :+
+      (10L, ts("2024-01-01 00:00:00"), 1L, "t", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.anomaliesMad(ev).orderBy("event_id")
+      .select(col("is_anomaly")).as[Boolean].collect().toSeq
+    assert(got == Seq.fill(9)(false) :+ true)
+  }
+
+  test("winsorize clips to the rank-based bounds and reports " +
+      "clipped rows") {
+    import spark.implicits._
+    // 20 values 1..20 of one type: klo = ceil(20/20) = 1 → lo = q at
+    // rank 1 = min, hi = q at rank 20 = max → nothing clips; with 40
+    // values klo = 2 → bounds are the 2nd/39th values
+    val ev40 = (1 to 40).map(i =>
+        (i.toLong, ts("2024-01-01 00:00:00"), 1L, "t", i.toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.winsorize(ev40).orderBy("event_id")
+      .select(col("q_clip"), col("clipped"))
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got.head == (20000L, true), "1 clips up to the rank-2 value")
+    assert(got(1) == (20000L, false))
+    assert(got(38) == (390000L, false))
+    assert(got.last == (390000L, true), "40 clips down to rank 39")
+    assert(got.count(_._2) == 2)
+  }
 }

@@ -64,4 +64,33 @@ class MultimodalSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(bogus.head().media))
     assert(!javax.imageio.ImageIO.getImageReaders(iis).hasNext)
   }
+
+  test("aHash: identical generated rasters (ids congruent mod 768) " +
+      "hash equal; the hash is a deterministic function of the " +
+      "decoded pixels") {
+    import spark.implicits._
+    // 768 = lcm(256 pixel cycle, 32 width cycle, 24/gcd(7,24) height
+    // cycle): ids 1 and 769 produce byte-identical images; id 2 does
+    // not
+    val docs = Seq((1L, "x"), (769L, "x"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.aHash(docs).orderBy("doc_id")
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toSeq
+    val byId = got.toMap
+    assert(byId(1L) == byId(769L),
+      "same generated raster must produce the same perceptual hash")
+    assert(got.map(_._2).distinct.nonEmpty)
+    // determinism across runs
+    assert(Multimodal.aHash(docs).orderBy("doc_id")
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toSeq == got)
+  }
+
+  test("aHashGroups collapses only perceptually identical images") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (769L, "b"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.aHashGroups(docs)
+      .select("n_docs", "min_doc").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)))
+  }
 }

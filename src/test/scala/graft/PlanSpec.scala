@@ -447,4 +447,38 @@ class PlanSpec extends AnyFunSuite {
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("round-11 operators keep the scale invariants: no cartesian " +
+      "products, corpus joins hashed, top-k as TakeOrdered") {
+    // BM25/PRF: corpus-sized frames meet only in hash equi-joins; the
+    // single-row N / L frames are the adjudicated 1-row BNLJ shape;
+    // final top-k must be TakeOrderedAndProject, not a global sort
+    for (q <- Seq("text_bm25", "text_prf_search")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+    // χ² grid: the class×vocab crossJoin is the documented feature
+    // table build — both sides are AGGREGATED frames (class-sized ×
+    // vocab-sized), never the corpus; no row-level cartesian appears
+    val chisq = plan("text_chisq")
+    assert(!chisq.contains("CartesianProduct"), chisq)
+    // LPA round: edges join labels in a hash join on the node key
+    val lpa = plan("graph_communities")
+    assert(!lpa.contains("CartesianProduct"), lpa)
+    assert(!lpa.contains("BroadcastNestedLoopJoin"), lpa)
+    // events family: one window + equi-joins, nothing nested-loop
+    for (q <- Seq("events_ewma", "events_transitions",
+        "events_anomaly_mad", "events_winsorize")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // triplet mining: the anchor side must be the broadcast build
+    // (batch-sized), never the corpus: exactly one broadcast exchange
+    // feeding the BNLJ, and it hangs below the anchor filter
+    val tri = plan("sim_triplets")
+    assert(tri.contains("vec_id") && tri.contains("BroadcastExchange"),
+      tri)
+  }
 }

@@ -53,4 +53,42 @@ class RetrievalSpec extends AnyFunSuite {
       Seq("spark", "merge"), 0L).collect().toSeq
     assert(a === b)
   }
+
+  test("prfSearch expansion rescues a vocabulary-mismatched doc the " +
+      "plain query cannot reach") {
+    import spark.implicits._
+    // query 'apple': docs 1-2 match directly and dominate the
+    // feedback set; their non-query term 'banana' becomes the
+    // expansion term; doc 3 contains ONLY 'banana' — invisible to
+    // the raw query, found by the expanded one
+    val docs = Seq(
+      (1L, "apple banana pie"),
+      (2L, "apple banana tart"),
+      (3L, "banana split dessert"),
+      (4L, "cherry cake slice")
+    ).toDF("doc_id", "text")
+    val expanded = Retrieval.prfSearch(docs, Seq("apple"), k = 10,
+      fbDocs = 2, expTerms = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(expanded.contains(3L),
+      s"expansion must surface the banana-only doc: $expanded")
+    assert(!expanded.contains(4L), "unrelated doc stays invisible")
+    val raw = graft.operators.TextStats.bm25TopK(docs, Seq("apple"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(!raw.contains(3L), "without PRF doc 3 is unreachable")
+  }
+
+  test("prfSearch is deterministic and degrades to plain BM25 when " +
+      "feedback adds nothing") {
+    import spark.implicits._
+    // single-doc corpus: feedback = that doc, whose every non-query
+    // term expands, but ranking still returns exactly the corpus
+    val docs = Seq((1L, "apple only here")).toDF("doc_id", "text")
+    def run() = Retrieval.prfSearch(docs, Seq("apple"), k = 5,
+      fbDocs = 1, expTerms = 2)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSeq
+    val got = run()
+    assert(got.map(_._1) == Seq(1L))
+    assert(run() == got)
+  }
 }
