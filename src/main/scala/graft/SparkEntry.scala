@@ -3219,6 +3219,183 @@ object SparkEntry {
         .select(col("user_id"), col("n_rows"))
         .orderBy(col("user_id"))
     }),
+
+    // ---- round-11 wave: reachability, market-basket association,
+    //      time-series diagnostics, Welch testing, skyline, corpus
+    //      novelty ----
+    "graph_bfs_levels" -> ((s, dir) => {
+      // bounded single-source BFS over the same customer↔supplier
+      // bipartite graph as graph_pagerank, source = smallest node key
+      // (derived, so both engines agree); the oracle's recursive CTE
+      // caps depth identically and takes min(d) per node.
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.bfsLevels(edges, maxHops = 3).orderBy(col("node"))
+    }),
+    "basket_pairs" -> ((s, dir) => {
+      // Apriori-prefiltered co-purchase pairs over order baskets with
+      // exact integer lift and cosine²; the full tiebreak (support,
+      // p1, p2) makes the top-100 deterministic.
+      Basket.frequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minItemSup = 5L, minPairSup = 2L)
+        .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+        .limit(100)
+    }),
+    "basket_item_sim" -> ((s, dir) => {
+      // each item's 3 strongest associates by binarized cosine — the
+      // per-key-top-k (WindowGroupLimit) shape over the symmetrized
+      // pair frame.
+      Basket.itemNeighbors(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        k = 3, minItemSup = 5L, minPairSup = 2L)
+        .orderBy(col("item"), col("rk"))
+    }),
+    "events_acf" -> ((s, dir) =>
+      Events.acfDaily(t(s, dir, "events"), maxLag = 7)),
+    "events_cusum" -> ((s, dir) =>
+      Events.cusumDaily(t(s, dir, "events"))),
+    "q_welch_ttest" -> ((s, dir) => {
+      // Welch's unequal-variance t² for every event-type pair, as a
+      // double OF EXACT RATIONALS (the q_stats_agg discipline): value
+      // quantized to centi-units by round-half-up (positive halves
+      // round identically in both engines), the five sufficient
+      // statistics accumulate exactly (int64 sums, DECIMAL(38,0)
+      // cross products), and t² = numᴵ/denᴵ is the single FP op.
+      // t² = (S₁n₂−S₂n₁)²(n₁−1)(n₂−1) /
+      //      [(n₁Q₁−S₁²)(n₂−1)n₂² + (n₂Q₂−S₂²)(n₁−1)n₁²]
+      // — the textbook t²=(x̄₁−x̄₂)²/(s₁²/n₁+s₂²/n₂) cleared of
+      // denominators; all products bounded ≲10³⁵ at sf100, inside
+      // DECIMAL(38,0)/HUGEINT. One data-sized hash aggregation; the
+      // pair join runs on the event-type-count-sized stats frame.
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val st = t(s, dir, "events")
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(d(col("x")) * col("x")).as("qx"))
+      st.as("a").join(st.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"),
+          (d(col("a.sx")) * col("b.n") - d(col("b.sx")) * col("a.n"))
+            .as("aa"),
+          (d(col("a.n")) * col("a.qx") - d(col("a.sx")) * col("a.sx"))
+            .as("bb"),
+          (d(col("b.n")) * col("b.qx") - d(col("b.sx")) * col("b.sx"))
+            .as("cc"))
+        .withColumn("num",
+          col("aa") * col("aa") * (col("n_a") - 1) * (col("n_b") - 1))
+        .withColumn("den",
+          col("bb") * (col("n_b") - 1) * col("n_b") * col("n_b") +
+            col("cc") * (col("n_a") - 1) * col("n_a") * col("n_a"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          expr("aa div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+            .as("mean_diff_centi"),
+          (col("num").cast("double") / col("den").cast("double"))
+            .as("t2"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier of the part catalog: minimize retail price
+      // (exact cents), maximize size — via the bucketed running-max
+      // plan (no quadratic self-join, no global sort window).
+      Skyline.pareto2d(
+        t(s, dir, "part").select(col("p_partkey").as("id"),
+          round(col("p_retailprice") * 100).cast("long").as("cost"),
+          col("p_size").cast("long").as("gain")),
+        bucketWidth = 100L)
+        .orderBy(col("cost"), col("id"))
+    }),
+    "text_zipf" -> ((s, dir) => {
+      // corpus vocabulary-shape summary: token count, vocabulary
+      // size, hapax/dis legomena, max frequency, type-token ratio —
+      // the Zipf/Heaps diagnostics a curation pass reads before
+      // choosing dedup and quality thresholds. One exploded hash
+      // aggregation to the vocabulary, one scalar rollup.
+      val vc = t(s, dir, "documents")
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      vc.agg(sum(col("f")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(when(col("f") === 2, 1L).otherwise(0L)).as("dis"),
+          max(col("f")).as("f_max"))
+        .withColumn("ttr_micro", expr("(1000000 * vocab) div n_tokens"))
+        .withColumn("hapax_vocab_micro",
+          expr("(1000000 * hapax) div vocab"))
+    }),
+    "graph_kcore" -> ((s, dir) => {
+      // 3-round k=3 core peel over the customer↔supplier graph; the
+      // oracle unrolls identical rounds (each a two-sided alive
+      // restriction + degree count)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCore(edges, k = 3, rounds = 3).orderBy(col("node"))
+    }),
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the same graph — exact sufficient
+      // statistics, doubles of exact rationals (q_stats_agg pattern)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.assortativity(edges)
+    }),
+    "events_seasonal" -> ((s, dir) =>
+      Events.seasonalDow(t(s, dir, "events"))),
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
+        window = 5, minJaccardBp = 8000L)
+        .orderBy(col("id_a"), col("id_b"))),
+    "text_novelty" -> ((s, dir) => {
+      // per-document novelty against everything EARLIER in the corpus
+      // (doc_id order): share of the doc's distinct word 3-grams whose
+      // first corpus occurrence is this doc — the dataset-growth
+      // freshness curve (novelty collapsing toward 0 says new data is
+      // re-crawl). Gram-keyed min aggregation + one gram-keyed join
+      // back; both shuffles key on the gram, never all-pairs.
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.word_shingles(
+            Dedup.tokens(col("text")), 3)).as("g"))
+        .distinct()
+      val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("fd"))
+      g.join(first, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_micro",
+          expr("(1000000 * n_novel) div n_grams"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -6108,5 +6285,245 @@ object SparkEntry {
       SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
       HAVING count(*) * 1000 >= (SELECT count(*) FROM events) * 5
       ORDER BY user_id""",
+    // depth-capped recursive BFS; UNION (distinct) bounds the
+    // recursion, min(d) per node = the hop distance
+    "graph_bfs_levels" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      s AS (SELECT min(src) AS s0 FROM e2),
+      bfs(node, d) AS (
+        SELECT s0, 0 FROM s
+        UNION
+        SELECT e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
+      SELECT node, CAST(min(d) AS BIGINT) AS hop
+      FROM bfs GROUP BY node ORDER BY node""",
+    "basket_pairs" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+                    l_partkey AS item FROM lineitem),
+      nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+      sup AS (SELECT item, count(*) AS n_i FROM it
+              GROUP BY 1 HAVING count(*) >= 5),
+      pr AS (SELECT it.basket, it.item, sup.n_i
+             FROM it JOIN sup USING (item)),
+      pairs AS (SELECT i.item AS p1, j.item AS p2,
+                  i.n_i AS n_a, j.n_i AS n_b, count(*) AS n_ab
+                FROM pr i JOIN pr j
+                  ON i.basket = j.basket AND i.item < j.item
+                GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      SELECT p1, p2, n_ab, n_a, n_b,
+             CAST((1000000 * CAST(n_ab AS HUGEINT) * n_baskets)
+               // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro,
+             CAST((1000000 * CAST(n_ab AS HUGEINT) * n_ab)
+               // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS cos2_micro
+      FROM pairs, nb
+      ORDER BY n_ab DESC, p1, p2 LIMIT 100""",
+    "basket_item_sim" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+                    l_partkey AS item FROM lineitem),
+      sup AS (SELECT item, count(*) AS n_i FROM it
+              GROUP BY 1 HAVING count(*) >= 5),
+      pr AS (SELECT it.basket, it.item, sup.n_i
+             FROM it JOIN sup USING (item)),
+      pairs AS (SELECT i.item AS p1, j.item AS p2,
+                  i.n_i AS n_a, j.n_i AS n_b, count(*) AS n_ab
+                FROM pr i JOIN pr j
+                  ON i.basket = j.basket AND i.item < j.item
+                GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      scored AS (SELECT p1, p2, n_a, n_b, n_ab,
+                   CAST((1000000 * CAST(n_ab AS HUGEINT) * n_ab)
+                     // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS cos2_micro
+                 FROM pairs),
+      sym AS (SELECT p1 AS item, p2 AS neighbor, n_ab, cos2_micro
+                FROM scored
+              UNION ALL
+              SELECT p2, p1, n_ab, cos2_micro FROM scored),
+      rk AS (SELECT item, neighbor, n_ab, cos2_micro,
+               CAST(row_number() OVER (PARTITION BY item
+                 ORDER BY cos2_micro DESC, neighbor) AS INT) AS rk
+             FROM sym)
+      SELECT item, rk, neighbor, n_ab, cos2_micro
+      FROM rk WHERE rk <= 3 ORDER BY item, rk""",
+    // n-scaled centering (y = n·x − Σx) keeps the ACF ratio exact
+    // integer arithmetic; HUGEINT mirrors the DECIMAL(38,0) sums
+    "events_acf" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS x FROM events GROUP BY 1),
+      st AS (SELECT count(*) AS n, sum(x) AS sx FROM d),
+      y AS (SELECT row_number() OVER (ORDER BY day) AS i,
+              n * x - sx AS y FROM d, st),
+      den AS (SELECT sum(CAST(y AS HUGEINT) * y) AS dd FROM y),
+      lags AS (SELECT CAST(l AS INT) AS lag
+               FROM unnest([1, 2, 3, 4, 5, 6, 7]) AS t(l))
+      SELECT lag,
+             CAST((1000000 * sum(CAST(a.y AS HUGEINT) * b.y)) // dd
+               AS BIGINT) AS acf_micro
+      FROM lags JOIN y a ON true JOIN y b ON b.i = a.i - lag, den
+      GROUP BY lag, dd ORDER BY lag""",
+    // prefix-sum closed form of the recursive CUSUM: S_t =
+    // P_t − min(0, min_{j≤t} P_j) (mirror with max for the down side)
+    "events_cusum" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS x FROM events GROUP BY 1),
+      st AS (SELECT count(*) AS n, sum(x) AS sx FROM d),
+      p AS (SELECT day, x,
+              sum(n * x - sx) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+            FROM d, st)
+      SELECT day, x,
+             CAST(p - least(0, min(p) OVER w) AS BIGINT) AS cusum_up,
+             CAST(greatest(0, max(p) OVER w) - p AS BIGINT) AS cusum_down
+      FROM p WINDOW w AS (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY day""",
+    // denominator-cleared Welch t²; HUGEINT → VARCHAR → DOUBLE is
+    // correctly rounded like Spark's BigDecimal path (q_stats_agg)
+    "q_welch_ttest" -> """
+      WITH q AS (SELECT event_type,
+              CAST(round(value * 100) AS BIGINT) AS x FROM events),
+      st AS (SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               sum(CAST(x AS HUGEINT) * x) AS qx
+             FROM q GROUP BY 1),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+              a.n AS n_a, b.n AS n_b,
+              CAST(a.sx AS HUGEINT) * b.n
+                - CAST(b.sx AS HUGEINT) * a.n AS aa,
+              CAST(a.n AS HUGEINT) * a.qx
+                - CAST(a.sx AS HUGEINT) * a.sx AS bb,
+              CAST(b.n AS HUGEINT) * b.qx
+                - CAST(b.sx AS HUGEINT) * b.sx AS cc
+            FROM st a JOIN st b ON a.event_type < b.event_type)
+      SELECT type_a, type_b, n_a, n_b,
+             CAST(aa // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+               AS mean_diff_centi,
+             CAST(CAST(aa * aa * (n_a - 1) * (n_b - 1) AS VARCHAR)
+                 AS DOUBLE) /
+               CAST(CAST(bb * (n_b - 1) * n_b * n_b
+                 + cc * (n_a - 1) * n_a * n_a AS VARCHAR) AS DOUBLE)
+               AS t2
+      FROM p ORDER BY type_a, type_b""",
+    "q_skyline" -> """
+      WITH p AS (SELECT p_partkey AS id,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cost,
+                   CAST(p_size AS BIGINT) AS gain FROM part)
+      SELECT id, cost, gain FROM p a
+      WHERE NOT EXISTS (SELECT 1 FROM p b
+        WHERE b.cost <= a.cost AND b.gain >= a.gain
+          AND (b.cost < a.cost OR b.gain > a.gain))
+      ORDER BY cost, id""",
+    "text_zipf" -> """
+      WITH tk AS (SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\s+'), x -> x <> ''))
+              AS w FROM documents),
+      vc AS (SELECT w, count(*) AS f FROM tk GROUP BY 1)
+      SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis,
+             CAST(max(f) AS BIGINT) AS f_max,
+             (1000000 * count(*)) // CAST(sum(f) AS BIGINT) AS ttr_micro,
+             (1000000 * CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+               AS BIGINT)) // count(*) AS hapax_vocab_micro
+      FROM vc""",
+    // 3 peel rounds unrolled; output = last round's degrees over the
+    // surviving alive set
+    "graph_kcore" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      a0 AS (SELECT DISTINCT src AS node FROM e2),
+      ${Seq(("a0", "d1", "a1"), ("a1", "d2", "a2"), ("a2", "d3", "a3"))
+        .map { case (prev, dg, nxt) => s"""
+      $dg AS (SELECT e2.src AS node, count(*) AS deg FROM e2
+              JOIN $prev s ON s.node = e2.src
+              JOIN $prev t ON t.node = e2.dst GROUP BY 1),
+      $nxt AS (SELECT node FROM $dg WHERE deg >= 3)"""
+        }.mkString(",")}
+      SELECT node, CAST(deg AS BIGINT) AS deg
+      FROM d3 WHERE deg >= 3 ORDER BY node""",
+    "graph_assortativity" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+      xy AS (SELECT dx.deg AS x, dy.deg AS y
+             FROM e2 JOIN deg dx ON dx.node = e2.src
+                     JOIN deg dy ON dy.node = e2.dst),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy FROM xy),
+      r AS (SELECT n, sx, sy,
+              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+            FROM s)
+      SELECT n AS n_edges, sx, sy,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(den AS VARCHAR) AS DOUBLE) AS slope,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) *
+               CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               (CAST(CAST(den AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r2
+      FROM r""",
+    "events_seasonal" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS x FROM events GROUP BY 1),
+      dw AS (SELECT day % 7 AS dow, count(*) AS dow_days,
+               CAST(sum(x) AS BIGINT) AS dow_events FROM d GROUP BY 1),
+      tot AS (SELECT count(*) AS n_days,
+                CAST(sum(x) AS BIGINT) AS total FROM d)
+      SELECT dow, dow_days, dow_events,
+             (10000 * dow_events * n_days) // (dow_days * total)
+               AS index_bp
+      FROM dw, tot ORDER BY dow""",
+    "dedup_sorted_neighborhood" -> """
+      WITH r AS (SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY text, doc_id) AS rk
+             FROM documents),
+      c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+              greatest(a.doc_id, b.doc_id) AS id_b
+            FROM r a JOIN r b ON a.source = b.source
+              AND b.rk > a.rk AND b.rk <= a.rk + 5),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS g
+            FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      sh AS (SELECT c.id_a, c.id_b, count(*) AS shared
+             FROM c JOIN g ga ON ga.doc_id = c.id_a
+                    JOIN g gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+             GROUP BY 1, 2)
+      SELECT id_a, id_b, shared, n_a, n_b, jac_bp FROM (
+        SELECT id_a, id_b, shared, na.ng AS n_a, nb.ng AS n_b,
+               (10000 * shared) // (na.ng + nb.ng - shared) AS jac_bp
+        FROM sh JOIN n na ON na.doc_id = id_a
+                JOIN n nb ON nb.doc_id = id_b) q
+      WHERE jac_bp >= 8000 ORDER BY id_a, id_b""",
+    "text_novelty" -> """
+      WITH t AS (SELECT doc_id, list_filter(
+              string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+            FROM documents),
+      g0 AS (SELECT DISTINCT doc_id,
+               concat_ws(' ', ws[CAST(i AS INT)],
+                 ws[CAST(i AS INT) + 1], ws[CAST(i AS INT) + 2]) AS g
+             FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+      fd AS (SELECT g, min(doc_id) AS fd FROM g0 GROUP BY 1),
+      agg AS (SELECT g0.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN fd.fd = g0.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+              FROM g0 JOIN fd USING (g) GROUP BY 1)
+      SELECT doc_id, n_grams, n_novel,
+             (1000000 * n_novel) // n_grams AS novelty_micro
+      FROM agg ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -745,4 +745,58 @@ object Dedup {
         (col("_tlen") - length(col("clean_text")).cast("long"))
           .as("n_removed"))
   }
+
+  /** Multi-pass sorted-neighborhood near-dup pairs (Hernández &
+    * Stolfo, SIGMOD 1995): sort records on a discriminating key, slide
+    * a `window`-row window, and verify only the pairs that fall inside
+    * it — the third blocking family next to MinHash bands (hash
+    * blocking) and [[editDistancePairs]]' prefix blocking (value
+    * blocking). SNM's strength is key-local typos and prefix-sharing
+    * duplicates that hash whole-document signatures apart.
+    *
+    * This is the MULTI-PASS flavor: the sort ranks are computed per
+    * `source` partition (the pass key), so the rank window is a
+    * partitioned `row_number` — parallel across sources, never a
+    * global single-task sort; the candidate join is an equi-join on
+    * the pass key with the rank-distance predicate as residual, so
+    * candidates are capped at window·N and nothing goes quadratic.
+    * Classic single-key SNM over a corpus-unique key would need the
+    * two-stage bucketed rank instead (the equi-depth-histogram trick).
+    *
+    * Verify is exact distinct-char-n-gram Jaccard, computed with
+    * `array_intersect` on the per-doc gram arrays attached by id
+    * equi-joins — candidate-pairs-sized work, no gram-keyed shuffle of
+    * the full corpus. Output: (id_a, id_b, shared, n_a, n_b, jac_bp)
+    * with id_a < id_b, jac_bp = ⌊10⁴·|∩|/|∪|⌋ ≥ `minJaccardBp`.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 5,
+      minJaccardBp: Long = 8000L, n: Int = 3): DataFrame = {
+    require(window >= 1)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("text"), col("doc_id"))
+    val r = docs.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("rk", row_number().over(w))
+    val cand = r.as("a").join(r.as("b"),
+        col("a.source") === col("b.source") &&
+          col("b.rk") > col("a.rk") &&
+          col("b.rk") <= col("a.rk") + window)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+    val gs = docs.select(col("doc_id"),
+      charNgrams(col("text"), n).as("gs"))
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .filter(col("ng") > 0)
+    cand
+      .join(gs.select(col("doc_id").as("id_a"), col("gs").as("ga"),
+        col("ng").as("n_a")), "id_a")
+      .join(gs.select(col("doc_id").as("id_b"), col("gs").as("gb"),
+        col("ng").as("n_b")), "id_b")
+      .withColumn("shared",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jac_bp",
+        expr("(10000 * shared) div (n_a + n_b - shared)"))
+      .filter(col("jac_bp") >= minJaccardBp)
+      .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+        col("n_b"), col("jac_bp"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -350,6 +350,108 @@ object Events {
     d.join(md, "user_id")
       .select(col("event_id"), col("user_id"), col("q"),
         (col("adev") * 10 > col("mad") * kTenths).as("is_anomaly"))
+  }
+
+  /** Autocorrelation of the daily event-count series at lags
+    * 1..`maxLag` — the seasonality probe run before windowed feature
+    * engineering (a strong lag-7 spike says "weekly cycle; bucket by
+    * day-of-week", a lag-1 spike says "momentum; EWMA features help",
+    * cf. [[ewmaHourly]]). The estimator is the standard
+    * sample ACF r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ_t(x_t−x̄)²,
+    * made EXACTLY cross-engine-reproducible by n-scaling the
+    * centering: y_t = n·x_t − Σx is an exact integer, and r_k in
+    * micro-units is 10⁶·Σ y_t·y_{t−k} div Σ y_t² (the n² factors
+    * cancel). Products accumulate in DECIMAL(38,0) — at large scale
+    * daily counts are ~10⁹ and y² overflows int64 long before the
+    * series gets long.
+    *
+    * Scale shape: ONE hash aggregation over raw events (to daily
+    * grain) does all the data-sized work; everything after runs on
+    * the day series, which is calendar-bounded (365 rows/year — the
+    * global day-index window is a deliberately tiny single partition,
+    * same justification as [[gapfillDaily]]). The lag shift is a
+    * self-equi-join on day index against a `maxLag`-row lag frame,
+    * not `maxLag` window passes.
+    */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1)
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val y = d.crossJoin(st) // 1-row broadcast
+      .select(row_number().over(Window.orderBy(col("day"))).as("i"),
+        (col("n") * col("x") - col("sx")).as("y"))
+      .localCheckpoint() // tiny; reused three times below
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val den = y.agg(sum(dec(col("y")) * col("y")).as("dd"))
+    val lags = y.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    y.as("a").crossJoin(lags)
+      .join(y.as("b"), col("b.i") === col("a.i") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(dec(col("a.y")) * col("b.y")).as("num"))
+      .crossJoin(den) // 1-row broadcast
+      .withColumn("nm", col("num") * 1000000L)
+      .select(col("lag"), expr("nm div dd").as("acf_micro"))
+      .orderBy(col("lag"))
+  }
+
+  /** Day-of-week seasonal index: each weekday's mean daily volume
+    * relative to the overall mean, in exact integer basis points —
+    * the companion readout to [[acfDaily]] (a lag-7 ACF spike says
+    * "weekly cycle exists"; this says WHICH days carry it). dow is
+    * epoch-day mod 7 (day 0 = 1970-01-01 = a Thursday, documented
+    * rather than localized — both engines share it by construction).
+    * index_bp = 10⁴·(dow_sum/dow_days)/(S/N) cleared of fractions:
+    * 10⁴·dow_sum·N div (dow_days·S).
+    *
+    * Scale shape: one data-sized hash aggregation to daily grain;
+    * everything after runs on the ≤7-row dow rollup with the 1-row
+    * total attached as a bounded broadcast.
+    */
+  def seasonalDow(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dw = d.groupBy(expr("day % 7").as("dow"))
+      .agg(count(lit(1)).as("dow_days"), sum(col("x")).as("dow_events"))
+    val tot = d.agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"))
+    dw.crossJoin(tot) // 1-row broadcast
+      .select(col("dow"), col("dow_days"), col("dow_events"),
+        expr("(10000 * dow_events * n_days) div (dow_days * total)")
+          .as("index_bp"))
+      .orderBy(col("dow"))
+  }
+
+  /** CUSUM change detection on the daily event-count series (Page
+    * 1954), in the closed prefix-sum form: with the n-scaled centered
+    * series z_t = n·x_t − Σx (exact integers, mean zero), the upward
+    * CUSUM S_t = max(0, S_{t−1} + z_t) equals P_t − min(0, min_{j≤t}
+    * P_j) for the prefix sums P_t — which turns the recursive
+    * definition into two ordered-window passes (running sum, running
+    * min) that any engine evaluates identically. The downward CUSUM
+    * is the mirror with running max. A sustained level shift shows as
+    * a ramp in one of the two sides; the argmax day is the classic
+    * changepoint estimate.
+    *
+    * Scale shape: identical to [[acfDaily]] — one data-sized hash
+    * aggregation to daily grain, then calendar-bounded windows.
+    * Output: (day, x, cusum_up, cusum_down) in n-scaled units,
+    * ordered by day.
+    */
+  def cusumDaily(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+      .withColumn("p", sum(col("n") * col("x") - col("sx")).over(w))
+      .withColumn("cusum_up", col("p") - least(lit(0L), min(col("p")).over(w)))
+      .withColumn("cusum_down", greatest(lit(0L), max(col("p")).over(w)) - col("p"))
+      .select(col("day"), col("x"), col("cusum_up"), col("cusum_down"))
+      .orderBy(col("day"))
   }
 
   /** Rank-based two-sided winsorization per event type: clip values

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge DataFrames — the category beyond
@@ -115,6 +115,51 @@ object Graph {
     (r, iters)
   }
 
+  /** Single-source BFS hop distances, bounded at `maxHops` rounds —
+    * the reachability/radius primitive the other iterative operators
+    * ([[pageRank]], [[labelPropagation]]) assume the caller already
+    * has. The source is the smallest source key in the edge set (a
+    * pure function of the input, so any engine re-derives the same
+    * start node); each round expands the current frontier through ONE
+    * equi-join on the source key, anti-joins against the settled set
+    * (a node keeps its FIRST hop — BFS minimality), and unions the
+    * survivors in.
+    *
+    * Scale shape per round: frontier⋈edges is a shuffle equi-join on
+    * node keys, the settled-set anti-join likewise; the frontier and
+    * settled frames are node-bounded, never corpus-bounded, and AQE
+    * is free to broadcast a small frontier. Lineage is cut per round
+    * with localCheckpoint, the same bounded-iteration discipline as
+    * [[pageRank]]. The only driver-side value is the 1-row min-source
+    * fetch. Fixed `maxHops` keeps the operator a pure function for
+    * the oracle; real radii want a loop-until-empty-frontier variant,
+    * which is the same loop with an `isEmpty` probe per round.
+    *
+    * Output: (node, hop) for every node within `maxHops` of the
+    * source, hop = exact BFS distance.
+    */
+  def bfsLevels(edges: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1, "bfsLevels needs at least one round")
+    val src0 = edges.agg(min(col("src"))).head().getLong(0)
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(src0).as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("node").as("src"))
+        .join(edges, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop"))
+      if (h == 1)
+        graft.PlanCapture.record("bfsLevels per-round plan", next)
+      frontier = next.localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+    }
+    dist
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient,
     * via the degree-oriented two-join plan (the MapReduce triangle
     * pattern of Suri & Vassilvitskii, WWW 2011 "Counting Triangles
@@ -177,6 +222,86 @@ object Graph {
         when(col("deg") > 1,
           expr("(2000000 * triangles) div (deg * (deg - 1))"))
           .otherwise(lit(0L)))
+  }
+
+  /** Bounded k-core peeling (Seidman 1983): repeatedly drop nodes
+    * whose degree among SURVIVING nodes falls below `k`; after enough
+    * rounds the survivors are exactly the k-core (maximal subgraph of
+    * min-degree ≥ k). Fixed `rounds` keeps the operator a pure
+    * function of (edges, k, rounds) — the oracle unrolls identical
+    * rounds; real users raise `rounds` until a round removes nothing
+    * (each round can only shrink the alive set, so convergence is
+    * monotone and detectable with a count probe).
+    *
+    * Scale shape per round: two alive-set equi-joins restrict the
+    * edge set (node-keyed shuffles, alive is node-bounded so AQE may
+    * broadcast it as it shrinks), then one degree hash-aggregation —
+    * the [[pageRank]] discipline, lineage cut per round. `edges`:
+    * directed; pass both directions for the undirected semantics
+    * (degree = in-degree over the symmetrized edge set).
+    *
+    * Output: (node, deg) for nodes alive after `rounds` rounds, deg =
+    * their degree within the surviving subgraph of the LAST round.
+    */
+  def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var alive = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    var deg: DataFrame = null
+    for (r <- 0 until rounds) {
+      val e = edges
+        .join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+      deg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint()
+      if (r == 0)
+        graft.PlanCapture.record("kCore per-round plan", deg)
+      alive = deg.filter(col("deg") >= k).select(col("node"))
+        .localCheckpoint()
+    }
+    deg.join(alive, "node").select(col("node"), col("deg"))
+  }
+
+  /** Degree assortativity — the Pearson correlation of endpoint
+    * degrees across (directed) edges, the one-number answer to "do
+    * hubs link to hubs?" (Newman 2002). Computed with the
+    * [[graft.SparkEntry]] q_stats_agg discipline: degrees are exact
+    * integers, the five sufficient statistics accumulate exactly
+    * (int64 / DECIMAL(38,0)), and the final slope/r² are IEEE doubles
+    * OF EXACT RATIONALS — merge-order-independent at any parallelism.
+    * r² is reported with the slope carrying the sign (r = sign(slope)
+    * ·√r²; the square root is presentation, the rationals are the
+    * statistic). Scale shape: two degree-keyed equi-joins to decorate
+    * edges + one scalar aggregate — nothing windowed, nothing
+    * collected.
+    *
+    * Output: 1 row (n_edges, sx, sy, slope, r2).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    // out-degree over the symmetrized edge list = undirected degree;
+    // pass both directions (as the scaladoc requires) so every
+    // endpoint has a degree row
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    xy.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(d(col("x")) * col("y")).as("sxy"),
+        sum(d(col("x")) * col("x")).as("sxx"),
+        sum(d(col("y")) * col("y")).as("syy"))
+      .withColumn("num", d(col("n")) * col("sxy") - d(col("sx")) * col("sy"))
+      .withColumn("den", d(col("n")) * col("sxx") - d(col("sx")) * col("sx"))
+      .withColumn("deny", d(col("n")) * col("syy") - d(col("sy")) * col("sy"))
+      .select(col("n").as("n_edges"), col("sx"), col("sy"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("slope"),
+        (col("num").cast("double") * col("num").cast("double") /
+          (col("den").cast("double") * col("deny").cast("double")))
+          .as("r2"))
   }
 
   /** Synchronous label-propagation community detection (Raghavan,

@@ -363,4 +363,33 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(docs, n = 8, minJaccard = 0.6)
       .count() == 0L)
   }
+
+  test("sortedNeighborhoodPairs: identical texts in one source pair " +
+      "at 10000 bp; a same-text doc in ANOTHER source never pairs " +
+      "(multi-pass SNM is per-pass-key by design)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "abcdef"),
+      (2L, "s1", "abcdef"),   // exact dup of 1, adjacent in sort
+      (3L, "s1", "zzzzzz"),   // in-window candidate, zero overlap
+      (4L, "s2", "abcdef")    // same text, different pass key
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, window = 5,
+        minJaccardBp = 8000L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 4L, 4L, 10000L)))
+  }
+
+  test("sortedNeighborhoodPairs: the rank window caps candidates — " +
+      "7 unique docs at window 2 yield exactly 6+5 zero-overlap pairs") {
+    import spark.implicits._
+    val docs = ('a' to 'g').zipWithIndex.map { case (c, i) =>
+      (i.toLong, "s1", c.toString * 4)
+    }.toDF("doc_id", "source", "text")
+    val all = Dedup.sortedNeighborhoodPairs(docs, window = 2,
+      minJaccardBp = 0L)
+    assert(all.count() == 11L)
+    assert(all.filter(col("shared") > 0).count() == 0L)
+  }
 }

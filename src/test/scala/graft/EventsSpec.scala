@@ -24,6 +24,53 @@ class EventsSpec extends AnyFunSuite {
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  test("acfDaily: exact integer ACF of an alternating daily series — " +
+      "negative at odd lags, positive at even, truncating division") {
+    import spark.implicits._
+    // daily counts [2,1,2,1,2,1]: y = 6x−9 = [3,−3,3,−3,3,−3], den=54
+    val rows = (1 to 6).flatMap { d =>
+      val day = f"2024-01-0$d 12:00:00"
+      if (d % 2 == 1) Seq(ts(day), ts(day)) else Seq(ts(day))
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val ev = rows.toDF("event_id", "ts")
+    val got = Events.acfDaily(ev, maxLag = 3)
+      .as[(Int, Long)].collect().toSeq
+    // lag1: Σ=−45 → −45e6 div 54 = −833333 (trunc toward zero)
+    // lag2: Σ=36 → 666666;  lag3: Σ=−27 → −500000
+    assert(got == Seq((1, -833333L), (2, 666666L), (3, -500000L)))
+  }
+
+  test("seasonalDow: exact basis-point index per epoch weekday " +
+      "(2024-01-01 is a Monday = dow 4 with day 0 = Thursday)") {
+    import spark.implicits._
+    // Mondays 2024-01-01 (2 events) + 2024-01-08 (4), Tuesday
+    // 2024-01-02 (6): dow4 mean 3 vs overall mean 4 → 7500 bp;
+    // dow5 mean 6 → 15000 bp
+    val rows = (Seq.fill(2)(ts("2024-01-01 10:00:00")) ++
+      Seq.fill(4)(ts("2024-01-08 10:00:00")) ++
+      Seq.fill(6)(ts("2024-01-02 10:00:00")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = Events.seasonalDow(rows.toDF("event_id", "ts"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 2L, 6L, 7500L), (5L, 1L, 6L, 15000L)))
+  }
+
+  test("cusumDaily: prefix-sum closed form equals the recursive " +
+      "CUSUM — a final spike ramps the up side, the flat run before " +
+      "it accumulates on the down side") {
+    import spark.implicits._
+    // daily counts [1,1,1,3]: z = 4x−6 = [−2,−2,−2,6], P = [−2,−4,−6,0]
+    val rows = ((1 to 3).map(d => ts(f"2024-02-0$d 06:00:00")) ++
+      Seq.fill(3)(ts("2024-02-04 06:00:00")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val ev = rows.toDF("event_id", "ts")
+    val got = Events.cusumDaily(ev)
+      .select(col("x"), col("cusum_up"), col("cusum_down"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 2L), (1L, 0L, 4L), (1L, 0L, 6L),
+      (3L, 6L, 0L)))
+  }
+
   test("sessionize splits on the inactivity gap") {
     import spark.implicits._
     val got = Events.sessionize(evts, gapMinutes = 30)

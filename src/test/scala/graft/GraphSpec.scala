@@ -116,4 +116,56 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(odd == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("kCore: pendant nodes peel off, the triangle survives as the " +
+      "2-core, and extra rounds are a no-op once converged") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 hanging off 1, both directions
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    val converged = Graph.kCore(edges, k = 2, rounds = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(converged == got, "peel had converged by round 2")
+    // k above the max degree empties the core
+    assert(Graph.kCore(edges, k = 4, rounds = 2).count() == 0)
+  }
+
+  test("assortativity: a star is perfectly disassortative " +
+      "(slope −1, r² 1) — exact rationals, no drift") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val row = Graph.assortativity(edges).collect().head
+    assert(row.getAs[Long]("n_edges") == 4L)
+    assert(row.getAs[Long]("sx") == 6L && row.getAs[Long]("sy") == 6L)
+    assert(row.getAs[Double]("slope") == -1.0)
+    assert(row.getAs[Double]("r2") == 1.0)
+  }
+
+  test("bfsLevels: exact hop distances on a path from the minimal " +
+      "source, capped at maxHops, unreachable component absent") {
+    import spark.implicits._
+    // path 1→2→3→4→5 plus a disconnected edge 8→9; source = min src = 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, maxHops = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // node 5 is 4 hops away (cut by the cap); 8/9 unreachable
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("bfsLevels keeps the MINIMAL hop when multiple paths reach a " +
+      "node (anti-join settles nodes at first discovery)") {
+    import spark.implicits._
+    // diamond 1→{2,3}→4 plus the shortcut 1→4: hop(4) must be 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.bfsLevels(edges, maxHops = 3)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
 }

@@ -481,4 +481,29 @@ class PlanSpec extends AnyFunSuite {
     assert(tri.contains("vec_id") && tri.contains("BroadcastExchange"),
       tri)
   }
+
+  test("round-11 wave plan shapes: basket expansion is equi-join only, " +
+      "neighbor top-k pre-truncates, skyline never goes quadratic") {
+    // basket pair expansion: hash equi-join on the basket key; the
+    // ONLY nested-loop is the 1-row basket-total broadcast
+    val bp = plan("basket_pairs")
+    assert(!bp.contains("CartesianProduct"), bp)
+    assert(bp.split("BroadcastNestedLoopJoin").length - 1 <= 1, bp)
+    // per-item neighbor rank truncates map-side before the shuffle
+    val sim = plan("basket_item_sim")
+    assert(sim.contains("WindowGroupLimit"), sim)
+    // skyline: the whole point is avoiding the quadratic dominance
+    // self-join — no nested loop, no cartesian anywhere in the plan
+    val sky = plan("q_skyline")
+    assert(!sky.contains("CartesianProduct"), sky)
+    assert(!sky.contains("BroadcastNestedLoopJoin"), sky)
+    // Welch: one data-sized aggregation; the pair join runs on the
+    // 5-row stats frame (broadcast), never on raw events
+    val w = plan("q_welch_ttest")
+    assert(!w.contains("CartesianProduct"), w)
+    // novelty: both shuffles key on the gram — no nested loop
+    val nv = plan("text_novelty")
+    assert(!nv.contains("CartesianProduct"), nv)
+    assert(!nv.contains("BroadcastNestedLoopJoin"), nv)
+  }
 }
