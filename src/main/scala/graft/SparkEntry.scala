@@ -3370,6 +3370,50 @@ object SparkEntry {
     }),
     "events_seasonal" -> ((s, dir) =>
       Events.seasonalDow(t(s, dir, "events"))),
+    "graph_sssp" -> ((s, dir) => {
+      // bounded Bellman–Ford over the customer↔supplier graph with
+      // inverse-strength weights (w = 10⁶ div pair link count): the
+      // cheapest path routes through the strongest trading relations.
+      // The oracle unrolls the identical three relaxation rounds.
+      val p = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val e1 = p.select(col("src"), col("dst"),
+        expr("1000000 div n").as("w"))
+      val edges = e1.unionByName(e1.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      Graph.sssp(edges, rounds = 3).orderBy(col("node"))
+    }),
+    "q_bucket_recon" -> ((s, dir) => {
+      // Merkle-style snapshot reconciliation: sparse synthetic churn
+      // (one add, one remove, one change — all ids present at every
+      // SF) so the digest phase prunes all but ≤3 of the ~keyspace/100
+      // buckets before any row-level compare runs.
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val oldS = base.filter(col("doc_id") =!= 277)
+      val newS = base.filter(col("doc_id") =!= 137)
+        .withColumn("n_chars",
+          when(col("doc_id") === 421, col("n_chars") + 7)
+            .otherwise(col("n_chars")))
+      Diff.bucketReconcile(oldS, newS, "doc_id",
+        expr("(doc_id * 1000003 + n_chars) % 1000000007"),
+        bucketWidth = 100L)
+        .orderBy(col("doc_id"))
+    }),
+    "dedup_snm_clusters" -> ((s, dir) => {
+      // the blocking families all feed the same cluster collapse:
+      // sorted-neighborhood pairs → bounded-lineage connected
+      // components, the composition a recrawl dedup actually runs
+      Dedup.clusters(Dedup.sortedNeighborhoodPairs(
+          t(s, dir, "documents"), window = 5, minJaccardBp = 8000L))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_sorted_neighborhood" -> ((s, dir) =>
       Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
         window = 5, minJaccardBp = 8000L)
@@ -6487,6 +6531,88 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    // 3 Bellman–Ford relaxation rounds unrolled
+    "graph_sssp" -> s"""
+      WITH p AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+                   count(*) AS n
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2),
+      e AS (SELECT src, dst, 1000000 // n AS w FROM p
+            UNION ALL SELECT dst, src, 1000000 // n FROM p),
+      s AS (SELECT min(src) AS s0 FROM e),
+      d0 AS (SELECT s0 AS node, CAST(0 AS BIGINT) AS dist FROM s),
+      ${Seq(("d0", "d1"), ("d1", "d2"), ("d2", "d3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT node, min(d) AS dist FROM (
+          SELECT node, dist AS d FROM $prev
+          UNION ALL
+          SELECT e.dst, $prev.dist + e.w FROM $prev
+          JOIN e ON e.src = $prev.node) u GROUP BY 1)"""
+      }.mkString(",")}
+      SELECT node, CAST(dist AS BIGINT) AS dist
+      FROM d3 ORDER BY node""",
+    "q_bucket_recon" -> """
+      WITH o AS (SELECT doc_id, n_chars FROM documents
+                 WHERE doc_id <> 277),
+      nw AS (SELECT doc_id, CASE WHEN doc_id = 421 THEN n_chars + 7
+                              ELSE n_chars END AS n_chars
+             FROM documents WHERE doc_id <> 137),
+      of AS (SELECT doc_id, doc_id // 100 AS bucket,
+               (doc_id * 1000003 + n_chars) % 1000000007 AS fp FROM o),
+      nf AS (SELECT doc_id, doc_id // 100 AS bucket,
+               (doc_id * 1000003 + n_chars) % 1000000007 AS fp FROM nw),
+      dgo AS (SELECT bucket, count(*) AS n, sum(fp) AS s
+              FROM of GROUP BY 1),
+      dgn AS (SELECT bucket, count(*) AS n, sum(fp) AS s
+              FROM nf GROUP BY 1),
+      db AS (SELECT coalesce(dgo.bucket, dgn.bucket) AS bucket
+             FROM dgo FULL OUTER JOIN dgn ON dgo.bucket = dgn.bucket
+             WHERE dgo.n IS DISTINCT FROM dgn.n
+                OR dgo.s IS DISTINCT FROM dgn.s),
+      oo AS (SELECT of.bucket, of.doc_id, of.fp
+             FROM of JOIN db USING (bucket)),
+      nn AS (SELECT nf.bucket, nf.doc_id, nf.fp
+             FROM nf JOIN db USING (bucket))
+      SELECT bucket, doc_id, op, old_fp, new_fp FROM (
+        SELECT coalesce(oo.bucket, nn.bucket) AS bucket,
+               coalesce(oo.doc_id, nn.doc_id) AS doc_id,
+               CASE WHEN oo.doc_id IS NULL THEN 'A'
+                    WHEN nn.doc_id IS NULL THEN 'R'
+                    WHEN oo.fp <> nn.fp THEN 'C' END AS op,
+               oo.fp AS old_fp, nn.fp AS new_fp
+        FROM oo FULL OUTER JOIN nn
+          ON oo.bucket = nn.bucket AND oo.doc_id = nn.doc_id) q
+      WHERE op IS NOT NULL ORDER BY doc_id""",
+    "dedup_snm_clusters" -> """
+      WITH RECURSIVE
+      r AS (SELECT doc_id, source, text,
+              row_number() OVER (PARTITION BY source
+                ORDER BY text, doc_id) AS rk
+            FROM documents),
+      c AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+              greatest(a.doc_id, b.doc_id) AS id_b
+            FROM r a JOIN r b ON a.source = b.source
+              AND b.rk > a.rk AND b.rk <= a.rk + 5),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+      sh AS (SELECT c.id_a, c.id_b, count(*) AS shared
+             FROM c JOIN g ga ON ga.doc_id = c.id_a
+                    JOIN g gb ON gb.doc_id = c.id_b AND gb.gr = ga.gr
+             GROUP BY 1, 2),
+      pairs AS (SELECT id_a, id_b FROM sh
+                JOIN n na ON na.doc_id = id_a
+                JOIN n nb ON nb.doc_id = id_b
+                WHERE (10000 * shared) // (na.ng + nb.ng - shared)
+                  >= 8000),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS lbl FROM e
+        UNION
+        SELECT e.b AS node, reach.lbl FROM reach JOIN e ON e.a = reach.node)
+      SELECT node AS doc_id, min(lbl) AS cluster_id
+      FROM reach GROUP BY node ORDER BY doc_id""",
     "dedup_sorted_neighborhood" -> """
       WITH r AS (SELECT doc_id, source, text,
                row_number() OVER (PARTITION BY source

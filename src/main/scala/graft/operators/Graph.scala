@@ -160,6 +160,44 @@ object Graph {
     dist
   }
 
+  /** Bounded Bellman–Ford single-source shortest paths over
+    * positively-weighted edges — [[bfsLevels]]' weighted sibling. Each
+    * round relaxes every edge once: dist' = min(dist, min over
+    * in-edges(dist(src) + w)); after `rounds` rounds the frame holds
+    * exact shortest distances among paths of ≤ `rounds` edges (full
+    * convergence at rounds = diameter; fixed rounds keep the operator
+    * a pure function for the oracle, which unrolls the identical
+    * relaxations).
+    *
+    * Scale shape per round: one equi-join of the dist frame to edges
+    * on the source key + one min-aggregation on the destination —
+    * node-keyed shuffles, dist is node-bounded, lineage cut per round
+    * ([[pageRank]] discipline). Source = smallest source key, derived
+    * like [[bfsLevels]]. `edges`: (src, dst, w) with w a positive
+    * integer; pass both directions for undirected semantics.
+    *
+    * Output: (node, dist) for nodes reachable within `rounds` edges.
+    */
+  def sssp(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    val src0 = edges.agg(min(col("src"))).head().getLong(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(src0).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (r <- 0 until rounds) {
+      val relaxed = dist.select(col("node").as("src"), col("dist"))
+        .join(edges, "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
+      val next = dist.select(col("node"), col("dist").as("d"))
+        .unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("d")).as("dist"))
+      if (r == 0)
+        graft.PlanCapture.record("sssp per-round plan", next)
+      dist = next.localCheckpoint()
+    }
+    dist
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient,
     * via the degree-oriented two-join plan (the MapReduce triangle
     * pattern of Suri & Vassilvitskii, WWW 2011 "Counting Triangles

@@ -63,4 +63,29 @@ class DiffSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("bucketReconcile classifies exactly like the full snapshot " +
+      "diff, and identical snapshots drill zero rows") {
+    import spark.implicits._
+    val oldS = Seq((1L, 10L), (2L, 20L), (3L, 30L), (1001L, 40L))
+      .toDF("k", "v")
+    val newS = Seq((1L, 10L), (2L, 25L), (4L, 50L), (1001L, 40L))
+      .toDF("k", "v") // 2 changed, 3 removed, 4 added, 1001 untouched
+    val fp = expr("(k * 7 + v) % 1000003")
+    val got = Diff.bucketReconcile(oldS, newS, "k", fp,
+        bucketWidth = 1000L)
+      .orderBy("k").select("k", "op")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "C"), (3L, "R"), (4L, "A")))
+    // equivalence with the exhaustive diff's classification
+    val full = Diff.snapshot(oldS, newS, Seq("k"))
+      .orderBy("k").select("k", "op")
+      .as[(Long, String)].collect().toSeq
+    assert(got == full)
+    // bucket 1 (key 1001) has matching digests → never drilled
+    assert(Diff.bucketReconcile(oldS, newS, "k", fp, 1000L)
+      .filter(col("bucket") === 1L).count() == 0)
+    // zero churn → zero output
+    assert(Diff.bucketReconcile(oldS, oldS, "k", fp, 1000L).count() == 0)
+  }
 }

@@ -117,6 +117,23 @@ class GraphSpec extends AnyFunSuite {
     assert(odd == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("sssp: weighted shortcut loses to the multi-hop path once " +
+      "rounds admit it — exact Bellman–Ford semantics at each depth") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 at w=1 each, plus a direct 1→5 at w=10
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .map { case (a, b) => (a, b, 1L) } :+ (1L, 5L, 10L))
+      .toDF("src", "dst", "w")
+    val r3 = Graph.sssp(edges, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // ≤3-edge paths: node 5 still rides the w=10 shortcut
+    assert(r3 == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 10L)))
+    val r4 = Graph.sssp(edges, rounds = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // the 4-edge chain (cost 4) now undercuts the shortcut
+    assert(r4 == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+  }
+
   test("kCore: pendant nodes peel off, the triangle survives as the " +
       "2-core, and extra rounds are a no-op once converged") {
     import spark.implicits._
