@@ -3406,6 +3406,85 @@ object SparkEntry {
         bucketWidth = 100L)
         .orderBy(col("doc_id"))
     }),
+    "events_streaks" -> ((s, dir) =>
+      Events.streaks(t(s, dir, "events")).orderBy(col("user_id"))),
+    "q_block_bootstrap" -> ((s, dir) => {
+      // distributed standard-error estimate without resampling: 32
+      // deterministic key blocks, per-block exact integer means
+      // (micro-cents), then the variance of block means — the block
+      // bootstrap / batch-means estimator. One data-sized hash
+      // aggregation; the block rollup is 32 rows. Final variance and
+      // se² are doubles OF EXACT RATIONALS (q_stats_agg discipline).
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val o = t(s, dir, "orders").select(
+        (col("o_orderkey") % 32).as("blk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val blocks = o.groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("s_b"))
+        .withColumn("mbn", lit(1000000L) * d(col("s_b")))
+        .withColumn("mb", expr("mbn div n_b"))
+      blocks.agg(count(lit(1)).as("n_blocks"),
+          sum(col("n_b")).as("n_rows"), sum(col("s_b")).as("s_cents"),
+          sum(col("mb")).as("sm"), sum(d(col("mb")) * col("mb")).as("smm"))
+        .withColumn("mean_num", lit(1000000L) * d(col("s_cents")))
+        .withColumn("vnum",
+          d(col("n_blocks")) * col("smm") - d(col("sm")) * col("sm"))
+        .withColumn("vden",
+          d(col("n_blocks")) * (col("n_blocks") - 1))
+        .select(col("n_blocks"), col("n_rows"),
+          expr("mean_num div n_rows").as("mean_micro"),
+          (col("vnum").cast("double") / col("vden").cast("double"))
+            .as("var_mb"),
+          (col("vnum").cast("double") /
+            (col("vden") * d(col("n_blocks"))).cast("double"))
+            .as("se2_micro"))
+    }),
+    "q_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al., WSDM 2013): per-user
+      // pre-period spend (first 15 days) as the covariate for the
+      // post-period outcome; θ = cov/var and the achievable variance
+      // reduction ρ² from exact integer sufficient statistics. The
+      // cut day derives from the data (min day + 15), attached as a
+      // 1-row broadcast, so the operator is a pure function.
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cut = ev.agg((min(col("day")) + 15).as("cut"))
+      val ux = ev.crossJoin(cut) // 1-row broadcast
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("cut"), col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("cut"), col("cents"))
+            .otherwise(0L)).as("y"))
+      ux.agg(count(lit(1)).as("n_users"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(d(col("x")) * col("y")).as("sxy"),
+          sum(d(col("x")) * col("x")).as("sxx"),
+          sum(d(col("y")) * col("y")).as("syy"))
+        .withColumn("num",
+          d(col("n_users")) * col("sxy") - d(col("sx")) * col("sy"))
+        .withColumn("denx",
+          d(col("n_users")) * col("sxx") - d(col("sx")) * col("sx"))
+        .withColumn("deny",
+          d(col("n_users")) * col("syy") - d(col("sy")) * col("sy"))
+        .select(col("n_users"), col("sx"), col("sy"),
+          (col("num").cast("double") / col("denx").cast("double"))
+            .as("theta"),
+          (col("num").cast("double") * col("num").cast("double") /
+            (col("denx").cast("double") * col("deny").cast("double")))
+            .as("var_reduction"))
+    }),
+    "q_quantile_norm" -> ((s, dir) => {
+      // align per-source n_chars distributions onto the pooled corpus
+      // distribution by exact rank mapping — see QuantileNorm
+      QuantileNorm.quantileNormalize(
+        t(s, dir, "documents").select(col("doc_id").as("id"),
+          col("source").as("group"), col("n_chars").as("v")))
+        .select(col("id").as("doc_id"), col("group").as("source"),
+          col("v").as("n_chars"), col("norm_v").as("norm_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "dedup_snm_clusters" -> ((s, dir) => {
       // the blocking families all feed the same cluster collapse:
       // sorted-neighborhood pairs → bounded-lineage connected
@@ -6531,6 +6610,94 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    "events_streaks" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 86400000000 AS day FROM events),
+      i AS (SELECT user_id, day,
+              day - dense_rank() OVER (PARTITION BY user_id
+                ORDER BY day) AS island FROM ud),
+      st AS (SELECT user_id, island, count(*) AS len
+             FROM i GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             count(*) AS n_streaks,
+             CAST(max(len) AS BIGINT) AS longest_streak
+      FROM st GROUP BY 1 ORDER BY user_id""",
+    "q_block_bootstrap" -> """
+      WITH o AS (SELECT o_orderkey % 32 AS blk,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             FROM orders),
+      b AS (SELECT blk, count(*) AS n_b,
+              CAST(sum(cents) AS BIGINT) AS s_b FROM o GROUP BY 1),
+      m AS (SELECT blk, n_b, s_b,
+              (1000000 * CAST(s_b AS HUGEINT)) // n_b AS mb FROM b),
+      agg AS (SELECT count(*) AS n_blocks,
+                CAST(sum(n_b) AS BIGINT) AS n_rows,
+                CAST(sum(s_b) AS BIGINT) AS s_cents,
+                CAST(sum(mb) AS HUGEINT) AS sm,
+                sum(CAST(mb AS HUGEINT) * mb) AS smm FROM m),
+      r AS (SELECT n_blocks, n_rows,
+              (1000000 * CAST(s_cents AS HUGEINT)) // n_rows AS mean_micro,
+              CAST(n_blocks AS HUGEINT) * smm - sm * sm AS vnum,
+              CAST(n_blocks AS HUGEINT) * (n_blocks - 1) AS vden
+            FROM agg)
+      SELECT n_blocks, n_rows, CAST(mean_micro AS BIGINT) AS mean_micro,
+             CAST(CAST(vnum AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(vden AS VARCHAR) AS DOUBLE) AS var_mb,
+             CAST(CAST(vnum AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(vden * n_blocks AS VARCHAR) AS DOUBLE)
+               AS se2_micro
+      FROM r""",
+    "q_cuped" -> """
+      WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      cut AS (SELECT min(day) + 15 AS cut FROM ev),
+      ux AS (SELECT user_id,
+               CAST(sum(CASE WHEN day < cut THEN cents ELSE 0 END)
+                 AS BIGINT) AS x,
+               CAST(sum(CASE WHEN day >= cut THEN cents ELSE 0 END)
+                 AS BIGINT) AS y
+             FROM ev, cut GROUP BY 1),
+      s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy FROM ux),
+      r AS (SELECT n, sx, sy,
+              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denx,
+              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+            FROM s)
+      SELECT n AS n_users, sx, sy,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(denx AS VARCHAR) AS DOUBLE) AS theta,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) *
+               CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               (CAST(CAST(denx AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS var_reduction
+      FROM r""",
+    "q_quantile_norm" -> """
+      WITH d AS (SELECT doc_id AS id, source AS grp, n_chars AS v
+                 FROM documents),
+      rk AS (SELECT id, grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, id) AS r
+             FROM d),
+      gn AS (SELECT grp, count(*) AS n FROM d GROUP BY 1),
+      vc AS (SELECT v, count(*) AS c FROM d GROUP BY 1),
+      cum AS (SELECT v AS pv,
+                sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) - c AS cum_prev,
+                sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS cum
+              FROM vc),
+      t AS (SELECT count(*) AS big_n FROM d),
+      r2 AS (SELECT rk.id, rk.grp, rk.v,
+               (rk.r * t.big_n + gn.n - 1) // gn.n AS rstar
+             FROM rk JOIN gn USING (grp), t)
+      SELECT r2.id AS doc_id, r2.grp AS source, r2.v AS n_chars,
+             cum.pv AS norm_chars
+      FROM r2 JOIN cum ON r2.rstar > cum.cum_prev
+                      AND r2.rstar <= cum.cum
+      ORDER BY doc_id""",
     // 3 Bellman–Ford relaxation rounds unrolled
     "graph_sssp" -> s"""
       WITH p AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,

@@ -454,6 +454,35 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** Longest consecutive-active-day streak per user — the classic
+    * gaps-and-islands rewrite: an island of consecutive days has
+    * constant (day − dense_rank(day)), so grouping on that difference
+    * turns each streak into one aggregation key; no self-join, no
+    * recursion. Engagement streaks are the standard retention feature
+    * the cohort matrix ([[retention]]) can't see (it buckets by week,
+    * not contiguity).
+    *
+    * Scale shape: one hash aggregation to (user, day) grain, one
+    * user-partitioned window for the dense rank (parallel across
+    * users, frame bounded by a user's active days), two more
+    * user-keyed aggregations — everything shuffles on user_id once.
+    * Output: (user_id, n_active_days, n_streaks, longest_streak).
+    */
+  def streaks(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("island", col("day") - dense_rank().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
   /** Rank-based two-sided winsorization per event type: clip values
     * below the ⌈n/20⌉-th smallest (≈ p05) or above the mirrored rank
     * (≈ p95) to those bound VALUES — the standard heavy-tail taming

@@ -40,6 +40,22 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1, -833333L), (2, 666666L), (3, -500000L)))
   }
 
+  test("streaks: gaps-and-islands collapses consecutive active days " +
+      "without self-joins — exact lengths, gaps split islands") {
+    import spark.implicits._
+    // user 1 active on days 1,2,3 then 5 (gap splits); user 2 one day
+    val rows = Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-05").map(d => (1L, ts(s"$d 09:00:00"))) ++
+      Seq((2L, ts("2024-01-10 09:00:00")),
+        (2L, ts("2024-01-10 18:00:00"))) // same day twice → one day
+    val ev = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, t, u) }
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.streaks(ev).orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
   test("seasonalDow: exact basis-point index per epoch weekday " +
       "(2024-01-01 is a Monday = dow 4 with day 0 = Thursday)") {
     import spark.implicits._
