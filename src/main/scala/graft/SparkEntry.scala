@@ -3408,6 +3408,16 @@ object SparkEntry {
     }),
     "events_streaks" -> ((s, dir) =>
       Events.streaks(t(s, dir, "events")).orderBy(col("user_id"))),
+    "sim_gram" -> ((s, dir) =>
+      // exact integer Gram matrix upper triangle, dimension-bounded
+      // shuffle; string-rendered values stay exact at any scale
+      Similarity.gramUpper(t(s, dir, "embeddings"))
+        .orderBy(col("j"), col("k"))),
+    "sim_pca_pc1" -> ((s, dir) =>
+      // dominant principal direction by exact integer power iteration
+      // (3 rounds, L∞ normalization); oracle replays identical rounds
+      Similarity.powerIterationPC(t(s, dir, "embeddings"), rounds = 3)
+        .orderBy(col("dim"))),
     "q_block_bootstrap" -> ((s, dir) => {
       // distributed standard-error estimate without resampling: 32
       // deterministic key blocks, per-block exact integer means
@@ -6610,6 +6620,30 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    "sim_gram" -> s"""
+      WITH $qEmbSql,
+      p AS (SELECT CAST(a.i AS BIGINT) AS j, CAST(b.i AS BIGINT) AS k,
+              sum(CAST(a.x AS HUGEINT) * b.x) AS g
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2)
+      SELECT j, k, CAST(g AS VARCHAR) AS gram FROM p ORDER BY j, k""",
+    // 3 power-iteration rounds unrolled: s = X·v (row dots), w = Xᵀs
+    // (dim aggregation), L∞ renormalize to 2^20 by truncating division
+    "sim_pca_pc1" -> s"""
+      WITH $qEmbSql,
+      v0 AS (SELECT DISTINCT i AS j, CAST(1048576 AS HUGEINT) AS v
+             FROM e),
+      ${Seq(("v0", "1"), ("v1", "2"), ("v2", "3")).map {
+        case (prev, r) => s"""
+      s$r AS (SELECT e.vec_id, sum(CAST(e.x AS HUGEINT) * v.v) AS s
+              FROM e JOIN $prev v ON v.j = e.i GROUP BY 1),
+      w$r AS (SELECT e.i AS j, sum(s$r.s * e.x) AS w
+              FROM e JOIN s$r ON s$r.vec_id = e.vec_id GROUP BY 1),
+      m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+      v$r AS (SELECT j, (w * 1048576) // m AS v FROM w$r, m$r)"""
+      }.mkString(",")}
+      SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS component
+      FROM v3 ORDER BY dim""",
     "events_streaks" -> """
       WITH ud AS (SELECT DISTINCT user_id,
                     epoch_us(ts) // 86400000000 AS day FROM events),

@@ -717,4 +717,79 @@ object Similarity {
         (-col("neg.neg_cos")).as("neg_cosine"))
       .withColumn("viol_margin", col("neg_cosine") - col("pos_cosine"))
   }
+
+  /** Upper triangle of the exact integer Gram matrix XᵀX over the
+    * quantized embeddings — the d×d sufficient statistic every
+    * spectral method (PCA, whitening, ridge) starts from, computed
+    * distributed: ONE pass explodes each vector into its d(d+1)/2
+    * coordinate pairs and hash-aggregates on the (j,k) cell key.
+    * Work is N·d²/2 multiply-adds with map-side combine into at most
+    * d² cells — the shuffle is dimension-bounded, never corpus-
+    * bounded. Products accumulate in DECIMAL(38,0) (N·q² overflows
+    * int64 at corpus scale). 1-based dims to match SQL ordinality.
+    * Output: (j, k, gram) for j ≤ k.
+    */
+  def gramUpper(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(quantize(col(vecCol)).as("q"))
+    q.select(posexplode(col("q")).as(Seq("j0", "x")), col("q"))
+      .select((col("j0") + 1).cast("long").as("j"), col("x"),
+        posexplode(col("q")).as(Seq("k0", "y")))
+      .filter(col("k0") + 1 >= col("j"))
+      .groupBy(col("j"), (col("k0") + 1).cast("long").as("k"))
+      .agg(sum(col("x").cast("decimal(38,0)") * col("y")).as("g"))
+      // string output: exact at any scale, and DECIMAL must never be
+      // exposed in a hashed result (driver canonicalization hazard)
+      .select(col("j"), col("k"), col("g").cast("string").as("gram"))
+  }
+
+  /** Dominant principal direction of the (uncentered) quantized
+    * embedding matrix by EXACT INTEGER power iteration — v_{t+1} =
+    * normalize(Xᵀ(X·v_t)) with L∞ normalization to `scale` through
+    * truncating division, so every iterate is a pure integer function
+    * of the input and the oracle replays the identical rounds. The
+    * all-ones start vector is deterministic; `rounds` fixed like
+    * [[graft.operators.Graph.pageRank]].
+    *
+    * Scale shape per round: the row-space pass s = X·v is one
+    * codegen'd dot product per row against a LITERAL v (no join); the
+    * dimension-space pass w = Σ sᵢ·xᵢ is one posexplode +
+    * dimension-keyed hash aggregation (d cells, map-side combined).
+    * The only driver-side data is the d-vector collected to become
+    * the next round's literal — the IVF-centroid precedent. s·q
+    * products reach N·d·scale·q² territory, so they accumulate in
+    * DECIMAL(38,0); the collected normalization runs in BigInt.
+    *
+    * Output: (dim, component) — 1-based dims, components integer in
+    * [−scale, scale] with max |component| = scale.
+    */
+  def powerIterationPC(emb: DataFrame, rounds: Int = 3,
+      scale: Long = 1048576L, vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1 && scale >= 2)
+    val q = emb.select(quantize(col(vecCol)).as("q")).localCheckpoint()
+    val d = q.select(size(col("q"))).head().getInt(0)
+    var v = Array.fill(d)(scale)
+    for (r <- 0 until rounds) {
+      val vLit = array(v.map(lit(_)): _*)
+      val w = q
+        .select(col("q"), dot_long(col("q"), vLit).as("s"))
+        .select(posexplode(col("q")).as(Seq("j0", "x")), col("s"))
+        .groupBy((col("j0") + 1).cast("long").as("j"))
+        .agg(sum(col("s").cast("decimal(38,0)") * col("x")).as("w"))
+      if (r == 0)
+        graft.PlanCapture.record("powerIterationPC per-round plan", w)
+      val rows = w.collect().map(row =>
+        (row.getLong(0), BigInt(row.getDecimal(1).toBigInteger)))
+      val m = rows.map(_._2.abs).max
+      require(m > 0, "degenerate input: X^T X v vanished")
+      val next = Array.fill(d)(0L)
+      rows.foreach { case (j, wj) =>
+        next(j.toInt - 1) = ((wj * scale) / m).toLong
+      }
+      v = next
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("dim", "component")
+  }
 }

@@ -393,4 +393,31 @@ class SimilaritySpec extends AnyFunSuite {
       .select("anchor_id").as[Long].collect().toSeq
     assert(got == Seq(1L))
   }
+
+  test("gramUpper: exact integer X^T X upper triangle on a " +
+      "hand-computed vector") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.gramUpper(emb)
+      .orderBy("j", "k").as[(Long, Long, String)].collect().toSeq
+    // q = (10000, 20000): 1e8, 2e8, 4e8
+    assert(got == Seq((1L, 1L, "100000000"), (1L, 2L, "200000000"),
+      (2L, 2L, "400000000")))
+  }
+
+  test("powerIterationPC recovers the exact direction of rank-1 data " +
+      "and is a fixed point from round 1") {
+    import spark.implicits._
+    // all vectors are multiples of (3, 1) — the principal direction
+    // is exact, so the L∞-normalized iterate is (2^20, 2^20 div 3)
+    val emb = Seq(
+      (1L, Seq(0.3f, 0.1f)), (2L, Seq(0.6f, 0.2f)),
+      (3L, Seq(-0.3f, -0.1f))).toDF("vec_id", "embedding")
+    val r3 = Similarity.powerIterationPC(emb, rounds = 3)
+      .orderBy("dim").as[(Long, Long)].collect().toSeq
+    assert(r3 == Seq((1L, 1048576L), (2L, 349525L)))
+    val r1 = Similarity.powerIterationPC(emb, rounds = 1)
+      .orderBy("dim").as[(Long, Long)].collect().toSeq
+    assert(r1 == r3, "rank-1 input converges in one round")
+  }
 }
