@@ -3408,6 +3408,76 @@ object SparkEntry {
     }),
     "events_streaks" -> ((s, dir) =>
       Events.streaks(t(s, dir, "events")).orderBy(col("user_id"))),
+    "events_trimmed_mean" -> ((s, dir) =>
+      Events.trimmedMean(t(s, dir, "events"))
+        .orderBy(col("event_type"))),
+    "q_did" -> ((s, dir) => {
+      // difference-in-differences on the purchase "treatment": four
+      // (treat × pre/post) cell means in truncated micro-units, DiD =
+      // (m_tp − m_tr) − (m_cp − m_cr). Truncating per-cell means keep
+      // the arithmetic int64-safe at ANY scale factor (the cleared-
+      // denominator form overflows DECIMAL(38) near sf100). One
+      // data-sized aggregation; the cut day is a 1-row broadcast.
+      val ev = t(s, dir, "events").select(
+        (col("event_type") === "purchase").as("treat"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cut = ev.agg((min(col("day")) + 15).as("cut"))
+      val post = col("day") >= col("cut")
+      val a = ev.crossJoin(cut).agg(
+        count(when(col("treat") && post, 1)).as("n_tp"),
+        sum(when(col("treat") && post, col("cents"))).as("s_tp"),
+        count(when(col("treat") && !post, 1)).as("n_tr"),
+        sum(when(col("treat") && !post, col("cents"))).as("s_tr"),
+        count(when(!col("treat") && post, 1)).as("n_cp"),
+        sum(when(!col("treat") && post, col("cents"))).as("s_cp"),
+        count(when(!col("treat") && !post, 1)).as("n_cr"),
+        sum(when(!col("treat") && !post, col("cents"))).as("s_cr"))
+      a.select(col("n_tp"), col("n_tr"), col("n_cp"), col("n_cr"),
+          expr("(1000000 * s_tp) div n_tp").as("m_tp"),
+          expr("(1000000 * s_tr) div n_tr").as("m_tr"),
+          expr("(1000000 * s_cp) div n_cp").as("m_cp"),
+          expr("(1000000 * s_cr) div n_cr").as("m_cr"))
+        .withColumn("did_micro",
+          col("m_tp") - col("m_tr") - col("m_cp") + col("m_cr"))
+    }),
+    "sim_centroids" -> ((s, dir) => {
+      // label centroids (exact truncated integer means per dimension)
+      // and their pairwise cosines — the label-collision diagnostic
+      // before contrastive training. All frames after the one explode
+      // are (labels × dims)-sized.
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val e = t(s, dir, "embeddings").select(col("label"),
+        posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("j0", "x")))
+        .select(col("label"), (col("j0") + 1).as("j"), col("x"))
+      val cent = e.groupBy(col("label"), col("j"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("label"), col("j"), expr("sx div n").as("c"))
+      val dots = cent.as("a").join(cent.as("b"),
+          col("a.j") === col("b.j") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"),
+          col("b.label").as("label_b"))
+        .agg(sum(d(col("a.c")) * col("b.c")).as("dot"))
+      val nr = cent.groupBy(col("label"))
+        .agg(sum(d(col("c")) * col("c")).as("nn"))
+      dots
+        .join(nr.select(col("label").as("label_a"), col("nn").as("na")),
+          "label_a")
+        .join(nr.select(col("label").as("label_b"), col("nn").as("nb")),
+          "label_b")
+        .select(col("label_a"), col("label_b"),
+          (col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+    "sim_rbm" -> ((s, dir) =>
+      // mutual nearest neighbors over the capped slice — the scoped
+      // exact ground truth (ANN top-1 both ways is the scale path)
+      Similarity.mutualNearestNeighbors(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500))
+        .orderBy(col("id_a"), col("id_b"))),
     "sim_gram" -> ((s, dir) =>
       // exact integer Gram matrix upper triangle, dimension-bounded
       // shuffle; string-rendered values stay exact at any scale
@@ -6620,6 +6690,95 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    "events_trimmed_mean" -> """
+      WITH b AS (SELECT event_type, event_id,
+               CAST(round(value * 10000) AS BIGINT) AS q FROM events),
+      r AS (SELECT event_type, q,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY q, event_id) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM b),
+      k AS (SELECT event_type, q, rk, n, (n + 19) // 20 AS klo FROM r)
+      SELECT event_type, count(*) AS n_kept,
+             (100 * CAST(sum(q) AS BIGINT)) // count(*)
+               AS trimmed_mean_micro
+      FROM k WHERE rk > klo AND rk <= n - klo
+      GROUP BY event_type ORDER BY event_type""",
+    "q_did" -> """
+      WITH ev AS (SELECT event_type = 'purchase' AS treat,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      cut AS (SELECT min(day) + 15 AS cut FROM ev),
+      a AS (SELECT
+              count(CASE WHEN treat AND day >= cut THEN 1 END) AS n_tp,
+              sum(CASE WHEN treat AND day >= cut THEN cents END) AS s_tp,
+              count(CASE WHEN treat AND day < cut THEN 1 END) AS n_tr,
+              sum(CASE WHEN treat AND day < cut THEN cents END) AS s_tr,
+              count(CASE WHEN NOT treat AND day >= cut THEN 1 END)
+                AS n_cp,
+              sum(CASE WHEN NOT treat AND day >= cut THEN cents END)
+                AS s_cp,
+              count(CASE WHEN NOT treat AND day < cut THEN 1 END)
+                AS n_cr,
+              sum(CASE WHEN NOT treat AND day < cut THEN cents END)
+                AS s_cr
+            FROM ev, cut),
+      m AS (SELECT n_tp, n_tr, n_cp, n_cr,
+              CAST((1000000 * CAST(s_tp AS HUGEINT)) // n_tp AS BIGINT)
+                AS m_tp,
+              CAST((1000000 * CAST(s_tr AS HUGEINT)) // n_tr AS BIGINT)
+                AS m_tr,
+              CAST((1000000 * CAST(s_cp AS HUGEINT)) // n_cp AS BIGINT)
+                AS m_cp,
+              CAST((1000000 * CAST(s_cr AS HUGEINT)) // n_cr AS BIGINT)
+                AS m_cr
+            FROM a)
+      SELECT n_tp, n_tr, n_cp, n_cr, m_tp, m_tr, m_cp, m_cr,
+             m_tp - m_tr - m_cp + m_cr AS did_micro FROM m""",
+    "sim_centroids" -> """
+      WITH qe AS (SELECT label, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+               AS qv FROM embeddings),
+      ee AS (SELECT label, CAST(i AS BIGINT) AS j, qv[CAST(i AS INT)] AS x
+             FROM qe, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+      cent AS (SELECT label, j,
+                 CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS c
+               FROM ee GROUP BY 1, 2),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM cent a JOIN cent b
+                 ON a.j = b.j AND a.label < b.label GROUP BY 1, 2),
+      nr AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS nn
+             FROM cent GROUP BY 1)
+      SELECT label_a, label_b,
+             CAST(dot AS DOUBLE) /
+               sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+               AS cosine
+      FROM dots JOIN nr na ON na.label = label_a
+                JOIN nr nb ON nb.label = label_b
+      ORDER BY label_a, label_b""",
+    "sim_rbm" -> s"""
+      WITH $qEmbSql,
+      s AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+              sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+              AND a.vec_id < 500 AND b.vec_id < 500
+            GROUP BY 1, 2),
+      c AS (SELECT id, nid,
+              CAST(dot AS DOUBLE) /
+                sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                AS cosine
+            FROM s JOIN n na ON na.vec_id = id
+                   JOIN n nb ON nb.vec_id = nid),
+      best AS (SELECT id, nid AS best, cosine FROM (
+                 SELECT id, nid, cosine,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY cosine DESC, nid) AS rk FROM c) t
+               WHERE rk = 1)
+      SELECT x.id AS id_a, y.id AS id_b, x.cosine
+      FROM best x JOIN best y
+        ON x.best = y.id AND y.best = x.id AND x.id < y.id
+      ORDER BY id_a, id_b""",
     "sim_gram" -> s"""
       WITH $qEmbSql,
       p AS (SELECT CAST(a.i AS BIGINT) AS j, CAST(b.i AS BIGINT) AS k,

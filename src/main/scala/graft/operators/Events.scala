@@ -483,6 +483,30 @@ object Events {
         max(col("len")).as("longest_streak"))
   }
 
+  /** Two-sided trimmed mean per event type — [[winsorize]]'s sibling:
+    * instead of clipping the tail VALUES to the rank bounds, the tail
+    * ROWS (⌈n/20⌉ per side, ≈ p05/p95) are dropped and the middle
+    * averaged. Rank-defined cut, exact integer mean in micro-units —
+    * no interpolation, no FP accumulation. One per-type rank window
+    * (parallel across types) + one hash aggregation.
+    * Output: (event_type, n_kept, trimmed_mean_micro).
+    */
+  def trimmedMean(events: DataFrame): DataFrame = {
+    val b = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 10000).cast("long").as("q"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("q"), col("event_id"))
+    b.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("event_type"))))
+      .withColumn("klo", expr("(n + 19) div 20"))
+      .filter(col("rk") > col("klo") && col("rk") <= col("n") - col("klo"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("q")).as("sum_q"))
+      .select(col("event_type"), col("n_kept"),
+        expr("(100 * sum_q) div n_kept").as("trimmed_mean_micro"))
+  }
+
   /** Rank-based two-sided winsorization per event type: clip values
     * below the ⌈n/20⌉-th smallest (≈ p05) or above the mirrored rank
     * (≈ p95) to those bound VALUES — the standard heavy-tail taming

@@ -718,6 +718,37 @@ object Similarity {
       .withColumn("viol_margin", col("neg_cosine") - col("pos_cosine"))
   }
 
+  /** Reciprocal-best-match (mutual nearest neighbor) pairs: a and b
+    * link iff each is the other's single nearest neighbor by exact
+    * quantized cosine — the high-precision alignment filter of bitext
+    * / cross-dedup mining (a one-way top-1 is easily hubbed; mutuality
+    * kills hub false positives). Ties break by neighbor id through
+    * min(struct), so the result is deterministic.
+    *
+    * Same scoped ground-truth contract as the exact [[cosinePairs]]
+    * family: the scoring pass is the documented O(N²) pair join, run
+    * on capped slices; at corpus scale the candidate generator is an
+    * ANN twin (LSH/IVF top-1 both directions) and this exact pass
+    * re-scores candidates. Output: (id_a, id_b, cosine), id_a < id_b.
+    */
+  def mutualNearestNeighbors(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = withQuantized(emb, idCol, vecCol)
+    val scored = q.as("a").join(q.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.norm"),
+          col("b.norm")).as("cosine"))
+    val best = scored.groupBy(col("id"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("nid"))).as("w"))
+      .select(col("id"), col("w.nid").as("best"),
+        (-col("w.nc")).as("cosine"))
+    best.as("x").join(best.as("y"),
+        col("x.best") === col("y.id") && col("y.best") === col("x.id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.cosine").as("cosine"))
+  }
+
   /** Upper triangle of the exact integer Gram matrix XᵀX over the
     * quantized embeddings — the d×d sufficient statistic every
     * spectral method (PCA, whitening, ridge) starts from, computed

@@ -56,6 +56,18 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
   }
 
+  test("trimmedMean drops exactly one rank per side at n=3 and " +
+      "averages the middle — outlier-immune where the raw mean isn't") {
+    import spark.implicits._
+    val ev = Seq((1L, ts("2024-01-01 00:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-01 01:00:00"), 1L, "a", 2.0),
+      (3L, ts("2024-01-01 02:00:00"), 1L, "a", 100.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.trimmedMean(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 2000000L)))
+  }
+
   test("seasonalDow: exact basis-point index per epoch weekday " +
       "(2024-01-01 is a Monday = dow 4 with day 0 = Thursday)") {
     import spark.implicits._

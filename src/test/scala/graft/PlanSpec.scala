@@ -506,4 +506,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!nv.contains("CartesianProduct"), nv)
     assert(!nv.contains("BroadcastNestedLoopJoin"), nv)
   }
+
+  test("wave-5 plan shapes: streaks shuffle on user only, gram/PCA " +
+      "stay narrow+agg, quantile-norm's range lookup broadcasts the " +
+      "domain table") {
+    val st = plan("events_streaks")
+    assert(!st.contains("CartesianProduct") &&
+      !st.contains("BroadcastNestedLoopJoin"), st)
+    // gram: explode + hash agg, nothing joined at all
+    val gm = plan("sim_gram")
+    assert(!gm.contains("Join"), gm)
+    // quantile norm: the only nested-loop inputs are the 1-row total
+    // and the value-DOMAIN cumulative table (both broadcast); the
+    // row-sized frames join hash-wise on group
+    val qn = plan("q_quantile_norm")
+    assert(!qn.contains("CartesianProduct"), qn)
+    assert(qn.split("BroadcastNestedLoopJoin").length - 1 <= 2, qn)
+    assert(qn.contains("BroadcastExchange"), qn)
+    // bucket reconciliation: digest phase is agg-only; drill joins are
+    // hash equi-joins on (bucket) / (bucket, key)
+    val br = plan("q_bucket_recon")
+    assert(!br.contains("CartesianProduct") &&
+      !br.contains("BroadcastNestedLoopJoin"), br)
+  }
 }

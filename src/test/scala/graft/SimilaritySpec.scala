@@ -394,6 +394,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("mutualNearestNeighbors keeps only reciprocal top-1 links — " +
+      "a one-way nearest neighbor never pairs") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), // mutual pair
+      (3L, Seq(0.0f, 1.0f)), // 3's NN is 2, but 2's NN is 1 → no pair
+      (4L, Seq(-1.0f, 0.0f)) // anti-aligned with everything
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mutualNearestNeighbors(emb)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("gramUpper: exact integer X^T X upper triangle on a " +
       "hand-computed vector") {
     import spark.implicits._
