@@ -3411,6 +3411,21 @@ object SparkEntry {
     "events_trimmed_mean" -> ((s, dir) =>
       Events.trimmedMean(t(s, dir, "events"))
         .orderBy(col("event_type"))),
+    "events_anomaly_seasonal" -> ((s, dir) =>
+      Events.anomaliesSeasonal(t(s, dir, "events"))),
+    "events_attribution_position" -> ((s, dir) =>
+      Events.positionAttribution(t(s, dir, "events"))
+        .orderBy(col("channel"))),
+    "text_readability" -> ((s, dir) =>
+      TextStats.readability(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "sample_coreset" -> ((s, dir) =>
+      // k-center greedy diverse subset over the capped slice; the
+      // Spark path is k·N scans, the oracle replays rounds over its
+      // (oracle-scale) all-pairs distance table
+      Similarity.farthestPointSample(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), k = 8)
+        .orderBy(col("rank"))),
     "q_did" -> ((s, dir) => {
       // difference-in-differences on the purchase "treatment": four
       // (treat × pre/post) cell means in truncated micro-units, DiD =
@@ -6690,6 +6705,88 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    "events_anomaly_seasonal" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS x FROM events GROUP BY 1),
+      dd AS (SELECT day, day % 7 AS dow, x FROM d),
+      st AS (SELECT dow, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+               sum(CAST(x AS HUGEINT) * x) AS qq FROM dd GROUP BY 1)
+      SELECT day, dow, x,
+             (CAST(dd.x AS HUGEINT) * n - s) *
+               (CAST(dd.x AS HUGEINT) * n - s) * 100 >
+               (CAST(n AS HUGEINT) * qq - CAST(s AS HUGEINT) * s) * 400
+               AS is_anomaly
+      FROM dd JOIN st USING (dow) ORDER BY day""",
+    "events_attribution_position" -> """
+      WITH conv AS (SELECT user_id, event_id AS conv_id,
+                      epoch_us(ts) AS ct
+                    FROM events WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id, event_type AS channel,
+                  event_id AS touch_id, epoch_us(ts) AS tt
+                FROM events WHERE event_type <> 'purchase'),
+      j AS (SELECT t.channel, t.touch_id, t.tt, c.conv_id
+            FROM touch t JOIN conv c ON c.user_id = t.user_id
+              AND t.tt < c.ct),
+      r AS (SELECT channel, conv_id,
+              row_number() OVER (PARTITION BY conv_id
+                ORDER BY tt, touch_id) AS rk,
+              count(*) OVER (PARTITION BY conv_id) AS k FROM j),
+      cr AS (SELECT channel,
+               CASE WHEN k = 1 THEN 10000
+                    WHEN rk = 1 OR rk = k THEN
+                      CASE WHEN k = 2 THEN 5000 ELSE 4000 END
+                    ELSE 2000 // (k - 2) END AS credit_bp FROM r)
+      SELECT channel, count(*) AS n_touches,
+             CAST(sum(credit_bp) AS BIGINT) AS credit_bp_sum
+      FROM cr GROUP BY 1 ORDER BY channel""",
+    "text_readability" -> """
+      WITH b AS (SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '')) AS words0,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                 AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                 AS syllables
+             FROM documents)
+      SELECT doc_id, CAST(words0 AS BIGINT) AS words,
+             CAST(sentences AS BIGINT) AS sentences,
+             CAST(syllables AS BIGINT) AS syllables,
+             206835000 - (1015000 * CAST(words0 AS BIGINT)) // sentences
+               - (84600000 * CAST(syllables AS BIGINT)) // words0
+               AS flesch_micro
+      FROM b WHERE words0 > 0 ORDER BY doc_id""",
+    // 7 farthest-point rounds unrolled over the all-pairs distance
+    // table (oracle-scale only; the engine does k·N scans)
+    "sample_coreset" -> s"""
+      WITH $qEmbSql,
+      q5 AS (SELECT vec_id FROM q WHERE vec_id < 500),
+      dots AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 sum(a.x * b.x) AS dot
+               FROM e a JOIN e b ON a.i = b.i
+                 AND a.vec_id < 500 AND b.vec_id < 500
+                 AND a.vec_id <> b.vec_id
+               GROUP BY 1, 2),
+      d2t AS MATERIALIZED (SELECT d.ia, d.ib,
+                CAST(na.norm + nb.norm - 2 * d.dot AS BIGINT) AS d2
+              FROM dots d JOIN n na ON na.vec_id = d.ia
+                   JOIN n nb ON nb.vec_id = d.ib),
+      ch1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM q5),
+      ${(2 to 8).map { r => s"""
+      m$r AS (SELECT t.ia AS id, min(t.d2) AS mind
+              FROM d2t t JOIN ch${r - 1} c ON t.ib = c.id
+              WHERE t.ia NOT IN (SELECT id FROM ch${r - 1})
+              GROUP BY 1),
+      p$r AS MATERIALIZED (SELECT id, mind FROM m$r
+               ORDER BY mind DESC, id LIMIT 1),
+      ch$r AS MATERIALIZED (SELECT id FROM ch${r - 1}
+               UNION ALL SELECT id FROM p$r)"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
+             CAST(0 AS BIGINT) AS d2 FROM ch1
+      ${(2 to 8).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), id, mind FROM p$r")
+        .mkString(" ")}
+      ORDER BY rank""",
     "events_trimmed_mean" -> """
       WITH b AS (SELECT event_type, event_id,
                CAST(round(value * 10000) AS BIGINT) AS q FROM events),

@@ -483,6 +483,77 @@ object Events {
         max(col("len")).as("longest_streak"))
   }
 
+  /** Seasonally-adjusted volume anomalies: each day's event count is
+    * tested against ITS OWN WEEKDAY's distribution — the σ-test of
+    * [[anomalies]] re-grouped by day-of-week, so a quiet Sunday is not
+    * flagged merely for being a Sunday (the classic false positive of
+    * an unconditional volume alarm; [[seasonalDow]] quantifies exactly
+    * the cycle this test removes). Integer cross-multiplied form:
+    * (n·x − S)²·100 > k²·(n·Q − S²) with per-dow sufficient
+    * statistics — n² cancels, no division, bit-identical anywhere.
+    *
+    * One data-sized aggregation to daily grain; the dow stats table
+    * is 7 rows. Output: (day, dow, x, is_anomaly) by day.
+    */
+  def anomaliesSeasonal(events: DataFrame,
+      sigmaTenths: Int = 20): DataFrame = {
+    require(sigmaTenths > 0)
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", expr("day % 7"))
+    val xd = col("x").cast("decimal(38,0)")
+    val st = d.groupBy(col("dow")).agg(count(lit(1)).as("n"),
+      sum(col("x")).as("s"), sum(xd * col("x")).as("qq"))
+    val dev = xd * col("n") - col("s")
+    val varTerm = col("n").cast("decimal(38,0)") * col("qq") -
+      col("s").cast("decimal(38,0)") * col("s")
+    d.join(st, Seq("dow"))
+      .select(col("day"), col("dow"), col("x"),
+        (dev * dev * 100 >
+          varTerm * (sigmaTenths.toLong * sigmaTenths))
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  /** Position-based (U-shaped) multi-touch attribution: every
+    * conversion distributes 10⁴ basis points of credit over the
+    * user's PRECEDING touches — 40% to the first touch, 40% to the
+    * last, the middle 20% split evenly (the standard 40/20/40 model;
+    * 1 touch takes all 10⁴, 2 touches split 5000/5000). Credits are
+    * exact integers (the middle split truncates — the lost remainder
+    * is < (k−2) micro-bp per conversion, documented rather than
+    * redistributed).
+    *
+    * Shape: one user-keyed equi-join of touches to conversions with
+    * the time predicate as residual (fan-out bounded by per-user
+    * activity), one per-conversion rank window, one channel rollup.
+    * Output: (channel, n_touches, credit_bp_sum).
+    */
+  def positionAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("ct"))
+    val touch = events.filter(col("event_type") =!= convType)
+      .select(col("user_id"), col("event_type").as("channel"),
+        col("event_id").as("touch_id"), unix_micros(col("ts")).as("tt"))
+    val j = touch.join(conv, "user_id").filter(col("tt") < col("ct"))
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("tt"), col("touch_id"))
+    j.withColumn("rk", row_number().over(w))
+      .withColumn("k", count(lit(1))
+        .over(Window.partitionBy(col("conv_id"))))
+      .withColumn("credit_bp",
+        when(col("k") === 1, 10000L)
+          .when(col("rk") === 1 || col("rk") === col("k"),
+            when(col("k") === 2, 5000L).otherwise(4000L))
+          .otherwise(expr("2000 div (k - 2)")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_bp")).as("credit_bp_sum"))
+  }
+
   /** Two-sided trimmed mean per event type — [[winsorize]]'s sibling:
     * instead of clipping the tail VALUES to the rank bounds, the tail
     * ROWS (⌈n/20⌉ per side, ≈ p05/p95) are dropped and the middle

@@ -718,6 +718,55 @@ object Similarity {
       .withColumn("viol_margin", col("neg_cosine") - col("pos_cosine"))
   }
 
+  /** Farthest-point (k-center greedy) coreset sampling — Gonzalez
+    * 1985's 2-approximation to the k-center cover, the standard
+    * diverse-subset selector for curation and codebook seeding: start
+    * from the lowest id, then k−1 times add the point FARTHEST from
+    * the already-chosen set (exact integer squared L2 over quantized
+    * vectors; ties to the smallest id, so the sample is a pure
+    * function of the input).
+    *
+    * Scale shape per round: distances to the chosen set are one
+    * crossJoin against the ≤k-row (broadcast) chosen frame + a
+    * min-aggregation per point — k·N work TOTAL, never the N² all-
+    * pairs table (the oracle, which replays rounds relationally, IS
+    * allowed the N² dots table — at oracle scale). The only driver
+    * data is one (id, distance) row per round.
+    *
+    * Output: (rank, vec_id, d2) — d2 the squared distance to the
+    * previously-chosen set at selection time (0 for the seed).
+    */
+  def farthestPointSample(emb: DataFrame, k: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1)
+    val q = withQuantized(emb, idCol, vecCol).localCheckpoint()
+    val seed = q.agg(min(col("id"))).head().getLong(0)
+    var chosen = Vector((seed, 0L))
+    for (r <- 2 to k) {
+      val ids = chosen.map(_._1)
+      val cdf = q.filter(col("id").isInCollection(ids))
+        .select(col("id").as("cid"), col("qv").as("cqv"),
+          col("norm").as("cnorm"))
+      val mind = q.filter(!col("id").isInCollection(ids))
+        .crossJoin(broadcast(cdf)) // ≤k rows
+        .select(col("id"),
+          (col("norm") + col("cnorm") -
+            lit(2L) * qdot(col("qv"), col("cqv"))).as("d2"))
+        .groupBy(col("id")).agg(min(col("d2")).as("mind"))
+      if (r == 2)
+        graft.PlanCapture.record("farthestPointSample per-round plan",
+          mind)
+      val far = mind.agg(max(struct(col("mind"), (-col("id")).as("ni"))))
+        .head().getStruct(0)
+      chosen = chosen :+ (-far.getLong(1), far.getLong(0))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, d2), i) => ((i + 1).toLong, id, d2) }
+      .toDF("rank", "vec_id", "d2")
+  }
+
   /** Reciprocal-best-match (mutual nearest neighbor) pairs: a and b
     * link iff each is the other's single nearest neighbor by exact
     * quantized cosine — the high-precision alignment filter of bitext

@@ -622,6 +622,34 @@ object TextStats {
     * `minDf` prunes the hapax tail before the grid, the same
     * df-cutoff a real feature selector applies.
     */
+  /** Flesch reading-ease score in exact integer micro-units — the
+    * readability heuristic of the quality-filter family (alongside
+    * stopword/punct ratios): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated by vowel
+    * GROUPS (`[aeiouy]+` runs — the standard cheap proxy) and
+    * sentences by terminal-punctuation runs, floored at 1 so the
+    * division is total. Two truncating divisions are the only
+    * rounding, so both engines agree bit-wise; the exact constant
+    * arithmetic is documented in-line. Shuffle-free: one codegen'd
+    * projection (regexp counts + a split length), the [[qualityFilter]]
+    * plan shape. Docs with zero words are excluded (no defined score).
+    * Output: (doc_id, words, sentences, syllables, flesch_micro).
+    */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long").as("words"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+          .as("sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+          .as("syllables"))
+      .filter(col("words") > 0)
+      // flesch·10⁶ = 206835000 − 1015000·w div s − 84600000·syl div w
+      .withColumn("flesch_micro",
+        lit(206835000L) - expr("(1015000 * words) div sentences") -
+          expr("(84600000 * syllables) div words"))
+
   def chiSquareTerms(docs: DataFrame, classCol: String = "source",
       k: Int = 3, minDf: Long = 3): DataFrame = {
     val dt = docs.select(col("doc_id"), col(classCol).as("cls"),

@@ -56,6 +56,45 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
   }
 
+  test("anomaliesSeasonal: a spike is judged against its own " +
+      "weekday, not the whole series") {
+    import spark.implicits._
+    // six Mondays at 2 events, a seventh at 30 — the spike clears 2σ
+    // of the Monday population (which includes its own pull); the
+    // steady Mondays do not
+    val days = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-22", "2024-01-29", "2024-02-05").map(_ -> 2) :+
+      ("2024-02-12" -> 30)
+    val rows = days.flatMap { case (d, n) =>
+      Seq.fill(n)(ts(s"$d 09:00:00"))
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = Events.anomaliesSeasonal(rows.toDF("event_id", "ts"))
+      .select(col("x"), col("is_anomaly"))
+      .as[(Long, Boolean)].collect().toSeq
+    assert(got == Seq.fill(6)((2L, false)) :+ (30L, true))
+  }
+
+  test("positionAttribution: 40/20/40 credit over preceding touches, " +
+      "exact basis points, single-touch takes all") {
+    import spark.implicits._
+    // user 1: click, view, click, view → purchase (4 touches:
+    // 4000/1000/1000/4000); user 2: one view → purchase (10000)
+    val rows = Seq(
+      (1L, "click", "00:01"), (2L, "view", "00:02"),
+      (3L, "click", "00:03"), (4L, "view", "00:04"),
+      (5L, "purchase", "00:05")).map { case (id, ty, hm) =>
+      (id, ts(s"2024-01-01 $hm:00"), 1L, ty, 1.0)
+    } ++ Seq(
+      (6L, ts("2024-01-02 00:01:00"), 2L, "view", 1.0),
+      (7L, ts("2024-01-02 00:02:00"), 2L, "purchase", 1.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    val got = Events.positionAttribution(ev).orderBy("channel")
+      .as[(String, Long, Long)].collect().toSeq
+    // click: 4000 + 1000; view: 1000 + 4000 + 10000
+    assert(got == Seq(("click", 2L, 5000L), ("view", 3L, 15000L)))
+  }
+
   test("trimmedMean drops exactly one rank per side at n=3 and " +
       "averages the middle — outlier-immune where the raw mean isn't") {
     import spark.implicits._

@@ -394,6 +394,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("farthestPointSample: greedy k-center picks the far point " +
+      "first, exact squared distances at selection time") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.1f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.farthestPointSample(emb, k = 3)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    // seed 1; then 3 at d²=10000² = 1e8; then 2 at d²=1000² = 1e6
+    assert(got == Seq((1L, 1L, 0L), (2L, 3L, 100000000L),
+      (3L, 2L, 1000000L)))
+  }
+
   test("mutualNearestNeighbors keeps only reciprocal top-1 links — " +
       "a one-way nearest neighbor never pairs") {
     import spark.implicits._

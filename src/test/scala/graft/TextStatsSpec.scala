@@ -431,4 +431,15 @@ class TextStatsSpec extends AnyFunSuite {
     assert(a2._3 == "filler1" && a2._4 == 1333333L && a2._5 == 1)
     assert(b2._3 == "filler1" && b2._4 == 1333333L && b2._5 == -1)
   }
+
+  test("readability: hand-computed Flesch micro score — vowel-group " +
+      "syllables, punctuation-run sentences, truncating divisions") {
+    import spark.implicits._
+    // words 5, sentences 2, vowel groups 6:
+    // 206835000 − (1015000·5) div 2 − (84600000·6) div 5 = 102777500
+    val docs = Seq((1L, "Hello world. It is good.")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.readability(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L, 6L, 102777500L)))
+  }
 }
