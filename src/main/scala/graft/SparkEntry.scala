@@ -3413,6 +3413,32 @@ object SparkEntry {
         .orderBy(col("event_type"))),
     "events_anomaly_seasonal" -> ((s, dir) =>
       Events.anomaliesSeasonal(t(s, dir, "events"))),
+    "events_concurrency" -> ((s, dir) =>
+      Events.maxConcurrencyDaily(t(s, dir, "events"))),
+    "events_paths" -> ((s, dir) =>
+      Events.eventPaths(t(s, dir, "events"), k = 20)),
+    "graph_landmarks" -> ((s, dir) => {
+      // 3-landmark simultaneous BFS over the customer↔supplier graph
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
+        .orderBy(col("source"), col("node"))
+    }),
+    "text_langid_confusion" -> ((s, dir) =>
+      // label × prediction confusion matrix over the n-gram langid —
+      // the evaluation readout of the heuristic classifier
+      TextStats.langId(t(s, dir, "documents"))
+        .groupBy(col("lang_label"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_label"), col("pred_lang"))),
     "events_attribution_position" -> ((s, dir) =>
       Events.positionAttribution(t(s, dir, "events"))
         .orderBy(col("channel"))),
@@ -6705,6 +6731,74 @@ object SparkEntry {
              (10000 * dow_events * n_days) // (dow_days * total)
                AS index_bp
       FROM dw, tot ORDER BY dow""",
+    // global-window twin of the engine's two-stage prefix sum — same
+    // values by associativity; RANGE frame gives peers one value
+    "events_concurrency" -> """
+      WITH s AS (SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+                 FROM events
+                 WINDOW w AS (PARTITION BY user_id
+                   ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts,
+              sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+      sess AS (SELECT user_id, min(ts) AS st, max(ts) AS en
+               FROM t GROUP BY user_id, sid),
+      ep AS (SELECT epoch_us(st) AS t, 1 AS d FROM sess
+             UNION ALL SELECT epoch_us(en) + 1, -1 FROM sess),
+      e2 AS (SELECT t, d, t * 2 + (d + 1) // 2 AS ord FROM ep),
+      c AS (SELECT t, d,
+              sum(d) OVER (ORDER BY ord RANGE BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS conc FROM e2)
+      SELECT t // 86400000000 AS day,
+             CAST(max(conc) AS BIGINT) AS max_concurrency
+      FROM c GROUP BY 1 ORDER BY day""",
+    "events_paths" -> """
+      WITH p AS (SELECT event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT t1, t2, t3, count(*) AS n FROM p
+      WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    "graph_landmarks" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      seeds AS (SELECT src FROM (
+        SELECT DISTINCT src FROM e2 ORDER BY src LIMIT 3)),
+      bfs(source, node, d) AS (
+        SELECT src, src, 0 FROM seeds
+        UNION
+        SELECT bfs.source, e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
+      SELECT source, node, CAST(min(d) AS BIGINT) AS hop
+      FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "text_langid_confusion" -> s"""
+      SELECT lang_label, pred_lang, count(*) AS n FROM (
+        SELECT lang_label,
+               CASE WHEN s_en + s_de + s_fr + s_es IS NULL
+                      OR s_en + s_de + s_fr + s_es = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_fr
+                      AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM (SELECT lang AS lang_label,
+                ${graft.operators.TextStats.LangProfiles.map {
+                  case (l, ws) =>
+                    ws.map(hitsSql).mkString(" + ") + s" AS s_$l"
+                }.mkString(", ")}
+              FROM (SELECT lang, ' ' || lower(text) || ' ' AS p
+                    FROM documents)))
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_anomaly_seasonal" -> """
       WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
                    count(*) AS x FROM events GROUP BY 1),

@@ -483,6 +483,68 @@ object Events {
         max(col("len")).as("longest_streak"))
   }
 
+  /** Maximum concurrent sessions per day — the interval-overlap sweep
+    * (capacity planning's "peak simultaneous users"), computed
+    * WITHOUT a global endpoint sort: session intervals become ±1
+    * deltas, per-HOUR delta sums roll up first (time-domain-bounded
+    * table), an ordered window over that small table provides each
+    * hour's carry-in level, and the within-hour running sum is a
+    * window PARTITIONED by hour — the same two-stage prefix-sum shape
+    * as the skyline and the equi-depth histogram. Ties (equal
+    * instants) are made deterministic by folding the delta into the
+    * RANGE-frame ordering key (ord = 2t + [d>0], ends sort before
+    * starts so touching sessions never overlap), and the RANGE frame
+    * gives every peer the same running value.
+    *
+    * Output: (day, max_concurrency) — the max over state-change
+    * points inside each day; sessions are [start, end] closed (the
+    * end delta fires at end + 1 µs). Reuses [[sessionize]].
+    */
+  def maxConcurrencyDaily(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame = {
+    val s = sessionize(events, gapMinutes)
+    val ep = s.select(unix_micros(col("session_start")).as("t"),
+        lit(1L).as("d"))
+      .unionByName(s.select(
+        (unix_micros(col("session_end")) + 1L).as("t"),
+        lit(-1L).as("d")))
+    val e2 = ep.withColumn("ord", col("t") * 2 + expr("(d + 1) div 2"))
+      .withColumn("bk", expr("t div 3600000000"))
+    val carry = e2.groupBy(col("bk")).agg(sum(col("d")).as("bd"))
+      .withColumn("carry",
+        coalesce(sum(col("bd")).over(Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bk"), col("carry"))
+    val wIn = Window.partitionBy(col("bk")).orderBy(col("ord"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    e2.join(carry, "bk")
+      .withColumn("conc", col("carry") + sum(col("d")).over(wIn))
+      .groupBy(expr("t div 86400000000").as("day"))
+      .agg(max(col("conc")).as("max_concurrency"))
+      .orderBy(col("day"))
+  }
+
+  /** Top-k most frequent length-3 event-type paths (per-user ordered
+    * trigrams) — [[transitions]]' bigram matrix extended one step,
+    * the "what do journeys actually look like" readout. Two lead
+    * windows per user (parallel across users), one |types|³-bounded
+    * aggregation, full tiebreak for a deterministic top-k.
+    * Output: (t1, t2, t3, n).
+    */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Seasonally-adjusted volume anomalies: each day's event count is
     * tested against ITS OWN WEEKDAY's distribution — the σ-test of
     * [[anomalies]] re-grouped by day-of-week, so a quiet Sunday is not

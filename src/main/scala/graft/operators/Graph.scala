@@ -160,6 +160,38 @@ object Graph {
     dist
   }
 
+  /** Multi-source BFS — [[bfsLevels]] generalized to the `nSources`
+    * smallest source keys expanding SIMULTANEOUSLY in one composite-
+    * keyed frame (source, node): the landmark-distance primitive of
+    * approximate closeness/centrality schemes (pick k landmarks, BFS
+    * from all of them, estimate distances through landmark sums).
+    * Same per-round shape as [[bfsLevels]] — frontier⋈edges equi-join
+    * + settled anti-join, now keyed (source, node) — so k landmarks
+    * cost the SAME number of rounds, not k separate traversals.
+    * Output: (source, node, hop).
+    */
+  def multiSourceBfsLevels(edges: DataFrame, nSources: Int = 3,
+      maxHops: Int = 3): DataFrame = {
+    require(nSources >= 1 && maxHops >= 1)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcs = edges.select(col("src")).distinct().orderBy(col("src"))
+      .limit(nSources).as[Long].collect().toSeq
+    var dist = srcs.map(s => (s, s, 0L))
+      .toDF("source", "node", "hop").localCheckpoint()
+    var frontier = dist
+    for (h <- 1 to maxHops) {
+      val next = frontier.select(col("source"), col("node").as("src"))
+        .join(edges, "src")
+        .select(col("source"), col("dst").as("node")).distinct()
+        .join(dist, Seq("source", "node"), "left_anti")
+        .select(col("source"), col("node"), lit(h.toLong).as("hop"))
+      frontier = next.localCheckpoint()
+      dist = dist.union(frontier).localCheckpoint()
+    }
+    dist
+  }
+
   /** Bounded Bellman–Ford single-source shortest paths over
     * positively-weighted edges — [[bfsLevels]]' weighted sibling. Each
     * round relaxes every edge once: dist' = min(dist, min over

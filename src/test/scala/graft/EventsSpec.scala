@@ -56,6 +56,36 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
   }
 
+  test("maxConcurrencyDaily: overlapping sessions stack, the " +
+      "two-stage prefix sum matches the obvious sweep") {
+    import spark.implicits._
+    // day 1: user 1 session 10:00–10:10 overlaps user 2 10:05–10:15
+    // → peak 2; day 2: one single-event session → peak 1
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:10:00"), 1L),
+      (3L, ts("2024-01-01 10:05:00"), 2L),
+      (4L, ts("2024-01-01 10:15:00"), 2L),
+      (5L, ts("2024-01-02 09:00:00"), 3L))
+      .map { case (id, t, u) => (id, t, u, "click", 1.0) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    val got = Events.maxConcurrencyDaily(ev)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((19723L, 2L), (19724L, 1L)))
+  }
+
+  test("eventPaths: ordered per-user trigrams with deterministic " +
+      "top-k tiebreak") {
+    import spark.implicits._
+    val ev = Seq("a", "b", "c", "d").zipWithIndex.map { case (t, i) =>
+      (i.toLong, ts(s"2024-01-01 0$i:00:00"), 1L, t, 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.eventPaths(ev, k = 5)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
   test("anomaliesSeasonal: a spike is judged against its own " +
       "weekday, not the whole series") {
     import spark.implicits._

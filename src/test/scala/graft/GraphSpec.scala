@@ -175,6 +175,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
   }
 
+  test("multiSourceBfsLevels: landmarks expand simultaneously in one " +
+      "composite-keyed frame, each with its own distances") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = Graph.multiSourceBfsLevels(edges, nSources = 2,
+        maxHops = 3)
+      .orderBy("source", "node")
+      .as[(Long, Long, Long)].collect().toSeq
+    // sources = two smallest srcs {1, 2}
+    assert(got == Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L),
+      (2L, 2L, 0L), (2L, 3L, 1L)))
+  }
+
   test("bfsLevels keeps the MINIMAL hop when multiple paths reach a " +
       "node (anti-join settles nodes at first discovery)") {
     import spark.implicits._
