@@ -3432,6 +3432,25 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "profile_fd" -> ((s, dir) => {
+      // declared-candidate functional dependencies: the primary-key
+      // shaped ones hold, the fact-table ones are counted violations
+      val o = Profile.functionalDeps(t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_custkey"), ("o_custkey", "o_orderkey")))
+      val l = Profile.functionalDeps(t(s, dir, "lineitem"),
+        Seq(("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey")))
+      o.unionByName(l).orderBy(col("fd"))
+    }),
+    "profile_skew" -> ((s, dir) =>
+      Profile.keySkew(t(s, dir, "events"),
+        Seq("user_id", "event_type")).orderBy(col("column"))),
+    "text_boilerplate" -> ((s, dir) =>
+      // the synthetic fixture has NO cross-doc repeated sentences, so
+      // this report is legitimately empty here (oracle agrees on the
+      // empty set + schema); TextStatsSpec plants real boilerplate
+      // and pins the non-empty behavior
+      TextStats.boilerplateSentences(t(s, dir, "documents"),
+        minDocs = 3L, k = 20)),
     "text_langid_confusion" -> ((s, dir) =>
       // label × prediction confusion matrix over the n-gram langid —
       // the evaluation readout of the heuristic classifier
@@ -6781,6 +6800,52 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "profile_fd" -> """
+      WITH fds AS (
+        SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_keys,
+               CAST(sum(ndv - 1) AS BIGINT) AS violations
+        FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS ndv
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'o_custkey->o_orderkey', count(*),
+               CAST(sum(ndv - 1) AS BIGINT)
+        FROM (SELECT o_custkey, count(DISTINCT o_orderkey) AS ndv
+              FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag', count(*),
+               CAST(sum(ndv - 1) AS BIGINT)
+        FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS ndv
+              FROM lineitem GROUP BY 1)
+        UNION ALL
+        SELECT 'l_partkey->l_suppkey', count(*),
+               CAST(sum(ndv - 1) AS BIGINT)
+        FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS ndv
+              FROM lineitem GROUP BY 1))
+      SELECT fd, n_keys, violations, violations = 0 AS holds
+      FROM fds ORDER BY fd""",
+    "profile_skew" -> """
+      WITH u AS (SELECT 'user_id' AS "column", count(*) AS ndv,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(max(n) AS BIGINT) AS top1_n
+             FROM (SELECT user_id, count(*) AS n
+                   FROM events GROUP BY 1)
+             UNION ALL
+             SELECT 'event_type', count(*), CAST(sum(n) AS BIGINT),
+               CAST(max(n) AS BIGINT)
+             FROM (SELECT event_type, count(*) AS n
+                   FROM events GROUP BY 1))
+      SELECT "column", n_rows, ndv, top1_n,
+             (10000 * top1_n) // n_rows AS top1_share_bp
+      FROM u ORDER BY "column"""",
+    "text_boilerplate" -> """
+      WITH s AS (SELECT DISTINCT doc_id, trim(lower(x)) AS sentence
+                 FROM (SELECT doc_id,
+                         unnest(string_split_regex(text, '[.!?]+')) AS x
+                       FROM documents)
+                 WHERE trim(lower(x)) <> '')
+      SELECT sentence, count(DISTINCT doc_id) AS n_docs
+      FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+      ORDER BY n_docs DESC, sentence LIMIT 20""",
     "text_langid_confusion" -> s"""
       SELECT lang_label, pred_lang, count(*) AS n FROM (
         SELECT lang_label,

@@ -281,4 +281,47 @@ object Profile {
         .as("est_overlap"))
       .crossJoin(exact)
   }
+
+  /** Functional-dependency audit (the Metanome-style profiling
+    * check): for each declared candidate A→B, the number of DISTINCT
+    * A-values and the violation count Σ_A (ndv(B|A) − 1) — zero
+    * violations means the dependency HOLDS in this snapshot (a fact
+    * schema designers, dedup keys and CDC merge keys all silently
+    * assume; this makes it a checked report). One hash aggregation
+    * per declared pair, each shuffling on its own A key — no
+    * column-pair search space, the caller declares the candidates
+    * (the search variant is a different, exponential problem).
+    * Output: (fd, n_keys, violations, holds), one row per pair.
+    */
+  def functionalDeps(df: DataFrame,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    pairs.map { case (a, b) =>
+      df.groupBy(col(a)).agg(countDistinct(col(b)).as("ndv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("ndv") - 1).as("violations"))
+        .select(lit(s"$a->$b").as("fd"), col("n_keys"),
+          col("violations"), (col("violations") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Join-key skew report: for each candidate key column, row count,
+    * distinct count and the heaviest key's share in exact basis
+    * points — the number that decides salting / AQE skew-join before
+    * a shuffle goes degenerate (top1_share ≈ 10⁴ means one reducer
+    * gets everything). One hash aggregation per column plus a 1-row
+    * rollup; the per-key count table never leaves the executors.
+    * Output: (column, n_rows, ndv, top1_n, top1_share_bp).
+    */
+  def keySkew(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("ndv"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("top1_n"))
+        .select(lit(c).as("column"), col("n_rows"), col("ndv"),
+          col("top1_n"),
+          expr("(10000 * top1_n) div n_rows").as("top1_share_bp"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -650,6 +650,33 @@ object TextStats {
         lit(206835000L) - expr("(1015000 * words) div sentences") -
           expr("(84600000 * syllables) div words"))
 
+  /** Corpus boilerplate-sentence detection — the CCNet/RefinedWeb
+    * paragraph-dedup signal at sentence grain: a sentence appearing
+    * verbatim in ≥ `minDocs` DISTINCT documents is template noise
+    * (cookie banners, nav text, license footers), not content, and a
+    * training-corpus cleaner strips it before near-dup scoring ever
+    * runs. Sentences are terminal-punctuation splits, trimmed and
+    * lowercased; counting is per DISTINCT (doc, sentence) so a
+    * sentence repeated inside ONE doc (that's [[repetition]]'s
+    * signal) doesn't inflate its corpus spread.
+    *
+    * Shape: one explode → distinct → sentence-keyed count — the
+    * text_novelty plan with sentence keys. Output: top-k
+    * (sentence, n_docs), n_docs ≥ minDocs, deterministic tiebreak.
+    */
+  def boilerplateSentences(docs: DataFrame, minDocs: Long = 3L,
+      k: Int = 20): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col("text"), "[.!?]+")).as("s0"))
+      .select(col("doc_id"), trim(lower(col("s0"))).as("sentence"))
+      .filter(col("sentence") =!= "")
+      .distinct()
+      .groupBy(col("sentence"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("sentence"))
+      .limit(k)
+
   def chiSquareTerms(docs: DataFrame, classCol: String = "source",
       k: Int = 3, minDf: Long = 3): DataFrame = {
     val dt = docs.select(col("doc_id"), col(classCol).as("cls"),

@@ -84,4 +84,33 @@ class ProfileSketchSpec extends AnyFunSuite {
     assert(math.abs(all.count(_ <= viaSql).toDouble / all.length - 0.5)
       <= 0.05)
   }
+
+  test("functionalDeps: holding and violated dependencies with exact " +
+      "violation counts") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (3L, "b", 40L)).toDF("k", "g", "v")
+    val got = Profile.functionalDeps(df,
+        Seq(("k", "g"), ("g", "v"), ("k", "v")))
+      .orderBy("fd").as[(String, Long, Long, Boolean)].collect().toSeq
+    // k→g holds (each k one g); g→v: a has 2 v (1), b has 2 v (1) = 2;
+    // k→v: k=3 has 2 distinct v → 1 violation
+    assert(got == Seq(("g->v", 2L, 2L, false), ("k->g", 3L, 0L, true),
+      ("k->v", 3L, 1L, false)))
+  }
+
+  test("keySkew: the heaviest key's exact basis-point share") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq.fill(3)("hot").zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }
+      .++(Seq((3L, "cold"))).toDF("id", "key")
+    val got = Profile.keySkew(df, Seq("key", "id"))
+      .orderBy("column").as[(String, Long, Long, Long, Long)]
+      .collect().toSeq
+    // key: hot 3/4 = 7500 bp; id: uniform 1/4 = 2500 bp
+    assert(got == Seq(("id", 4L, 4L, 1L, 2500L),
+      ("key", 4L, 2L, 3L, 7500L)))
+  }
 }

@@ -432,6 +432,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(b2._3 == "filler1" && b2._4 == 1333333L && b2._5 == -1)
   }
 
+  test("boilerplateSentences: a footer shared by 3 docs is flagged; " +
+      "within-doc repetition alone is not corpus boilerplate") {
+    import spark.implicits._
+    val footer = "All rights reserved"
+    val docs = Seq(
+      (1L, s"Unique alpha. $footer."),
+      (2L, s"Unique beta! $footer."),
+      (3L, s"Unique gamma? $footer."),
+      // doc 4 repeats ITS OWN sentence 3× — must not count as spread
+      (4L, "Same line. Same line. Same line.")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextStats
+      .boilerplateSentences(docs, minDocs = 3L, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq((footer.toLowerCase, 3L)))
+  }
+
   test("readability: hand-computed Flesch micro score — vowel-group " +
       "syllables, punctuation-run sentences, truncating divisions") {
     import spark.implicits._
