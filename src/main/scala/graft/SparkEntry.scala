@@ -3432,6 +3432,11 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "sample_coverage" -> ((s, dir) =>
+      // greedy max-coverage selection; the oracle replays the same 5
+      // rounds over materialized gram CTEs
+      Sampling.greedyCoverage(t(s, dir, "documents"), k = 5)
+        .orderBy(col("rank"))),
     "profile_fd" -> ((s, dir) => {
       // declared-candidate functional dependencies: the primary-key
       // shaped ones hold, the fact-table ones are counted violations
@@ -6800,6 +6805,37 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    // 5 greedy max-coverage rounds over materialized gram CTEs
+    "sample_coverage" -> s"""
+      WITH t AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ws FROM documents),
+      g0 AS MATERIALIZED (SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[CAST(i AS INT)],
+               ws[CAST(i AS INT) + 1], ws[CAST(i AS INT) + 2]) AS g
+           FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+      p1 AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM g0
+           GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+      sel1 AS (SELECT doc_id FROM p1),
+      cov1 AS MATERIALIZED (SELECT DISTINCT g FROM g0
+           JOIN p1 USING (doc_id)),
+      ${(2 to 5).map { r => s"""
+      m$r AS (SELECT g0.doc_id, count(*) AS gain FROM g0
+              WHERE g0.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+                AND g0.g NOT IN (SELECT g FROM cov${r - 1})
+              GROUP BY 1),
+      p$r AS MATERIALIZED (SELECT doc_id, gain FROM m$r
+           ORDER BY gain DESC, doc_id LIMIT 1),
+      sel$r AS (SELECT doc_id FROM sel${r - 1}
+                UNION ALL SELECT doc_id FROM p$r),
+      cov$r AS MATERIALIZED (SELECT g FROM cov${r - 1}
+           UNION SELECT g0.g FROM g0 JOIN p$r USING (doc_id))"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS rank, doc_id, gain FROM p1
+      ${(2 to 5).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), doc_id, gain FROM p$r")
+        .mkString(" ")}
+      ORDER BY rank""",
     "profile_fd" -> """
       WITH fds AS (
         SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_keys,

@@ -298,4 +298,66 @@ object Sampling {
         array_join(transform(
           array_sort(collect_list(struct(col(idCol), col(textCol)))),
           x => x.getField(textCol)), sep).as("text"))
+
+  /** Greedy maximum-coverage document selection — the submodular
+    * curation selector (Nemhauser et al. 1978's (1−1/e) greedy):
+    * repeatedly pick the document covering the most word-3-grams NOT
+    * yet covered by the chosen set. The lexical-diversity counterpart
+    * to the embedding-space coreset ([[Similarity.farthestPointSample]]):
+    * that one spreads the sample geometrically, this one maximizes
+    * vocabulary/recipe coverage — the instruction-data dedup-by-
+    * coverage pattern. Deterministic: gain ties break to the smallest
+    * doc id.
+    *
+    * Scale shape per round: uncovered gram counts are ONE anti-join
+    * of the gram frame against the covered-gram frame (gram-keyed
+    * shuffle; covered grows by ≤ one doc's grams per round) + one
+    * doc-keyed count; the only driver data is the 1-row argmax. k
+    * rounds total — k·(gram-frame) work, never pairwise. Lineage cut
+    * per round.
+    *
+    * Output: (rank, doc_id, gain) — gain = newly covered grams at
+    * selection time.
+    */
+  def greedyCoverage(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val g = docs.select(col("doc_id"),
+        explode(graft.functions.word_shingles(
+          Dedup.tokens(col("text")), 3)).as("g"))
+      .distinct().localCheckpoint()
+    var covered = g.sparkSession.emptyDataFrame
+      .withColumn("g", lit("")).select(col("g")).limit(0)
+      .localCheckpoint()
+    var picked = Vector.empty[(Long, Long)]
+    for (r <- 1 to k) {
+      val gains = g
+        .filter(!col("doc_id")
+          .isInCollection(picked.map(_._1) :+ -1L))
+        .join(covered, Seq("g"), "left_anti")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+      if (r == 1)
+        graft.PlanCapture.record("greedyCoverage per-round plan", gains)
+      val top = gains
+        .agg(max(struct(col("gain"), (-col("doc_id")).as("ni"))))
+        .head().getStruct(0)
+      if (top == null) {
+        // every remaining doc adds zero new grams — coverage saturated
+        return toPickedDf(docs.sparkSession, picked)
+      }
+      val id = -top.getLong(1)
+      picked = picked :+ (id, top.getLong(0))
+      covered = covered
+        .unionByName(g.filter(col("doc_id") === id).select(col("g")))
+        .distinct().localCheckpoint()
+    }
+    toPickedDf(docs.sparkSession, picked)
+  }
+
+  private def toPickedDf(spark: org.apache.spark.sql.SparkSession,
+      picked: Vector[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, gain), i) => ((i + 1).toLong, id, gain) }
+      .toDF("rank", "doc_id", "gain")
+  }
 }

@@ -243,4 +243,16 @@ class SamplingSpec extends AnyFunSuite {
         assert(r._2 == r._1 && r._3 == plain(r._1), s"singleton ${r._1}")
       }
   }
+
+  test("greedyCoverage: marginal gains shrink as grams get covered, " +
+      "ties break to the smaller id, saturation exits early") {
+    import spark.implicits._
+    // doc1 grams {abc,bcd}; doc2 {bcd,cde}; doc3 {abc} (fully covered
+    // after doc1) — k=3 must stop at 2 picks
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Sampling.greedyCoverage(docs, k = 3)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
+  }
 }
