@@ -3432,6 +3432,11 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "text_code_score" -> ((s, dir) =>
+      TextStats.codeScore(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "events_pareto" -> ((s, dir) =>
+      Events.paretoConcentration(t(s, dir, "events"))),
     "sample_coverage" -> ((s, dir) =>
       // greedy max-coverage selection; the oracle replays the same 5
       // rounds over materialized gram CTEs
@@ -6805,6 +6810,44 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "text_code_score" -> """
+      WITH b AS (SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[{}\[\]();]'))
+                 AS BIGINT) AS syntax_chars,
+               CAST(len(regexp_extract_all(text, '=')) AS BIGINT)
+                 AS assigns,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                 x -> x LIKE '  %')) AS BIGINT) AS indented_lines,
+               greatest(1, length(text)) AS nc
+             FROM documents)
+      SELECT doc_id, syntax_chars, assigns, indented_lines,
+             (10000 * (3 * syntax_chars + 2 * assigns +
+               5 * indented_lines)) // nc AS code_bp
+      FROM b ORDER BY doc_id""",
+    "events_pareto" -> """
+      WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      h AS (SELECT c, count(*) AS nu FROM uc GROUP BY 1),
+      tot AS (SELECT count(*) AS n_users,
+                CAST(sum(c) AS BIGINT) AS n_events FROM uc),
+      cw AS (SELECT c, nu,
+               CAST(sum(c * nu) OVER (ORDER BY c DESC ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_ev,
+               CAST(sum(nu) OVER (ORDER BY c DESC ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_us
+             FROM h),
+      x AS (SELECT cw.c, cw.nu, cw.cum_ev, cw.cum_us, n_users,
+              n_events, (4 * n_events + 4) // 5 AS target
+            FROM cw, tot WHERE cum_ev >= (4 * n_events + 4) // 5
+            ORDER BY c DESC LIMIT 1)
+      SELECT n_users, n_events, target AS target_events, c AS cstar,
+             cum_us - nu + (target - (cum_ev - c * nu) + c - 1) // c
+               AS users_for_80pct,
+             (10000 * (cum_us - nu +
+               (target - (cum_ev - c * nu) + c - 1) // c)) // n_users
+               AS share_bp
+      FROM x""",
     // 5 greedy max-coverage rounds over materialized gram CTEs
     "sample_coverage" -> s"""
       WITH t AS (SELECT doc_id, list_filter(

@@ -483,6 +483,43 @@ object Events {
         max(col("len")).as("longest_streak"))
   }
 
+  /** Pareto concentration of activity — "how many users produce 80%
+    * of events", computed scale-safely through the COUNT-OF-COUNTS
+    * histogram: per-user counts roll up to (activity level c →
+    * n_users), and the cumulative walk runs over activity LEVELS
+    * (bounded by max per-user activity, not by the user population),
+    * never a user-ranked global window. The partial level at the
+    * threshold is filled by exact ceiling division. All integers:
+    * target = ⌈0.8·E⌉ via (4E+4) div 5.
+    *
+    * Output: 1 row (n_users, n_events, target_events, cstar,
+    * users_for_80pct, share_bp) — cstar the activity level where the
+    * cumulative crosses the target, share_bp = 10⁴·users/total.
+    */
+  def paretoConcentration(events: DataFrame): DataFrame = {
+    val uc = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val hist = uc.groupBy(col("c")).agg(count(lit(1)).as("nu"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = uc.agg(count(lit(1)).as("n_users"),
+      sum(col("c")).as("n_events"))
+    val cum = hist
+      .withColumn("cum_ev", sum(col("c") * col("nu")).over(w))
+      .withColumn("cum_us", sum(col("nu")).over(w))
+      .crossJoin(tot) // 1-row broadcast
+      .withColumn("target", expr("(4 * n_events + 4) div 5"))
+      .filter(col("cum_ev") >= col("target"))
+      .orderBy(col("c").desc).limit(1)
+    cum.select(col("n_users"), col("n_events"), col("target")
+        .as("target_events"), col("c").as("cstar"),
+        (col("cum_us") - col("nu") +
+          // events still missing above this level, filled at c* rate
+          expr("(target - (cum_ev - c * nu) + c - 1) div c"))
+          .as("users_for_80pct"))
+      .withColumn("share_bp",
+        expr("(10000 * users_for_80pct) div n_users"))
+  }
+
   /** Maximum concurrent sessions per day — the interval-overlap sweep
     * (capacity planning's "peak simultaneous users"), computed
     * WITHOUT a global endpoint sort: session intervals become ±1

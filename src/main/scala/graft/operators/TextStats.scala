@@ -650,6 +650,29 @@ object TextStats {
         lit(206835000L) - expr("(1015000 * words) div sentences") -
           expr("(84600000 * syllables) div words"))
 
+  /** Code-vs-prose heuristic — the pretraining-corpus router signal
+    * (code wants different tokenization, dedup grain and quality
+    * thresholds than prose): exact integer counts of code-shaped
+    * syntax characters, assignment operators and indented lines,
+    * folded into one basis-point score per kilochar-ish unit
+    * (weights are heuristic and DOCUMENTED, the counts are the
+    * signal). Shuffle-free codegen'd projection like [[readability]].
+    * Output: (doc_id, syntax_chars, assigns, indented_lines, code_bp).
+    */
+  def codeScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("[{}\\[\\]();]")).cast("long")
+          .as("syntax_chars"),
+        regexp_count(col("text"), lit("=")).cast("long").as("assigns"),
+        size(filter(split(col("text"), "\n"), l => l.startsWith("  ")))
+          .cast("long").as("indented_lines"),
+        greatest(lit(1L), length(col("text")).cast("long")).as("nc"))
+      .withColumn("code_bp",
+        expr("(10000 * (3 * syntax_chars + 2 * assigns + " +
+          "5 * indented_lines)) div nc"))
+      .select(col("doc_id"), col("syntax_chars"), col("assigns"),
+        col("indented_lines"), col("code_bp"))
+
   /** Corpus boilerplate-sentence detection — the CCNet/RefinedWeb
     * paragraph-dedup signal at sentence grain: a sentence appearing
     * verbatim in ≥ `minDocs` DISTINCT documents is template noise

@@ -56,6 +56,20 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
   }
 
+  test("paretoConcentration: count-of-counts walk finds the exact " +
+      "user count covering 80% of events") {
+    import spark.implicits._
+    // user 1: 8 events, users 2 and 3: 1 each → E=10, target=8 →
+    // one user suffices (c*=8), share 3333 bp
+    val rows = (Seq.fill(8)(1L) ++ Seq(2L, 3L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, ts("2024-01-01 10:00:00"), u)
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id")
+    val got = Events.paretoConcentration(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 10L, 8L, 8L, 1L, 3333L)))
+  }
+
   test("maxConcurrencyDaily: overlapping sessions stack, the " +
       "two-stage prefix sum matches the obvious sweep") {
     import spark.implicits._

@@ -432,6 +432,17 @@ class TextStatsSpec extends AnyFunSuite {
     assert(b2._3 == "filler1" && b2._4 == 1333333L && b2._5 == -1)
   }
 
+  test("codeScore: syntax/assign/indent counts and the weighted " +
+      "basis-point score, hand-computed") {
+    import spark.implicits._
+    // text: "x = f(y);\n  return x;" → syntax {(,),;,;}=4, '='=1,
+    // indented lines 1, len 21 → (10000·(12+2+5)) div 21 = 9047
+    val docs = Seq((1L, "x = f(y);\n  return x;")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.codeScore(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 1L, 1L, 9047L)))
+  }
+
   test("boilerplateSentences: a footer shared by 3 docs is flagged; " +
       "within-doc repetition alone is not corpus boilerplate") {
     import spark.implicits._
