@@ -3432,6 +3432,19 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "q_nearest_join" -> ((s, dir) => {
+      // nearest order within ±3 days of each event (either
+      // direction), per user — the bidirectional as-of variant
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id"), unix_micros(col("ts")).as("t"))
+      val or = t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          unix_micros(col("o_orderdate")).as("ot"))
+        .agg(min(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.nearestJoin(ev, or, "user_id", "o_custkey", "t", "ot",
+        Seq("o_orderkey"), toleranceUs = 259200000000L)
+        .orderBy(col("event_id"))
+    }),
     "text_code_score" -> ((s, dir) =>
       TextStats.codeScore(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -6810,6 +6823,37 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "q_nearest_join" -> """
+      WITH r0 AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t0,
+               min(o_orderkey) AS okey FROM orders GROUP BY 1, 2),
+      l AS (SELECT event_id, user_id, user_id AS k, epoch_us(ts) AS t
+            FROM events),
+      u AS (SELECT k, t, 1 AS side, event_id, user_id,
+              CAST(NULL AS BIGINT) AS rv, CAST(NULL AS BIGINT) AS rt
+            FROM l
+            UNION ALL
+            SELECT k, t0, 0, NULL, NULL, okey, t0 FROM r0),
+      w AS (SELECT u.*,
+              last_value(rv IGNORE NULLS) OVER wb AS bv,
+              last_value(rt IGNORE NULLS) OVER wb AS bt,
+              first_value(rv IGNORE NULLS) OVER wf AS fv,
+              first_value(rt IGNORE NULLS) OVER wf AS ft
+            FROM u
+            WINDOW wb AS (PARTITION BY k ORDER BY t, side
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY k ORDER BY t, side
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+      x AS (SELECT event_id, user_id, t,
+              bt IS NOT NULL AND t - bt <= 259200000000 AS bok,
+              ft IS NOT NULL AND ft - t <= 259200000000 AS fok,
+              t - bt AS bg, ft - t AS fg, bv, fv
+            FROM w WHERE side = 1)
+      SELECT event_id, user_id, t,
+             CASE WHEN bok AND (NOT fok OR bg <= fg) THEN bv
+                  WHEN fok THEN fv END AS o_orderkey,
+             CASE WHEN bok AND (NOT fok OR bg <= fg) THEN bg
+                  WHEN fok THEN fg END AS gap_us
+      FROM x ORDER BY event_id""",
     "text_code_score" -> """
       WITH b AS (SELECT doc_id,
                CAST(len(regexp_extract_all(text, '[{}\[\]();]'))

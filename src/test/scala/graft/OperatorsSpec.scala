@@ -145,6 +145,26 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 4L, None)))       // key absent on right
   }
 
+  test("nearestJoin: tolerance-filtered bidirectional match, nearer " +
+      "side wins, exact ties go backward, absent key yields null") {
+    import graft.operators.AsOfJoin
+    import spark.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 91L), (3L, 2L, 50L),
+      (5L, 3L, 95L)).toDF("id", "k", "t")
+    val right = Seq((1L, 90L, "A"), (1L, 105L, "B"),
+      (3L, 90L, "C"), (3L, 100L, "D")).toDF("rk", "rt", "v")
+    val got = AsOfJoin.nearestJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), toleranceUs = 5L)
+      .orderBy("id")
+      .select(col("id"), col("v"), col("gap_us"))
+      .as[(Long, Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("B"), Some(5L)), // forward nearer (5 vs 10), at tol
+      (2L, Some("A"), Some(1L)), // backward nearer
+      (3L, None, None),          // key absent on right
+      (5L, Some("C"), Some(5L)))) // exact 5/5 tie → backward
+  }
+
   test("GraftExtensions injects SQL functions at session construction") {
     import spark.implicits._
     // newSession drops temp-function registrations but keeps the
