@@ -3432,6 +3432,23 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "events_cumulative_users" -> ((s, dir) => {
+      // user-growth curve: first-seen day per user (one user-keyed
+      // aggregation), daily new-user counts, cumulative over the
+      // calendar-bounded day sequence — the novelty-attribution shape
+      // (min-key first-touch) on the acquisition axis
+      val first = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(expr("min(unix_micros(ts) div 86400000000)").as("day"))
+      val perDay = first.groupBy(col("day"))
+        .agg(count(lit(1)).as("new_users"))
+      perDay.withColumn("cum_users",
+          sum(col("new_users")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, 0)))
+        .orderBy(col("day"))
+    }),
     "q_nearest_join" -> ((s, dir) => {
       // nearest order within ±3 days of each event (either
       // direction), per user — the bidirectional as-of variant
@@ -6823,6 +6840,16 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "events_cumulative_users" -> """
+      WITH f AS (SELECT user_id,
+                   min(epoch_us(ts) // 86400000000) AS day
+                 FROM events GROUP BY 1),
+      d AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+      SELECT day, new_users,
+             CAST(sum(new_users) OVER (ORDER BY day ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_users
+      FROM d ORDER BY day""",
     "q_nearest_join" -> """
       WITH r0 AS (SELECT o_custkey AS k, epoch_us(o_orderdate) AS t0,
                min(o_orderkey) AS okey FROM orders GROUP BY 1, 2),
