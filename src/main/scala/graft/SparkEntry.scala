@@ -3432,6 +3432,15 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "events_funnel_windowed" -> ((s, dir) =>
+      // signup→click→purchase with each step due within 24h of the
+      // previous — the bounded-conversion funnel variant
+      Events.funnelWindowed(t(s, dir, "events"),
+        maxDelayUs = 86400000000L).orderBy(col("user_id"))),
+    "sim_knn_accuracy" -> ((s, dir) =>
+      // leave-one-out 1-NN label accuracy over the capped slice
+      Similarity.knnLabelAccuracy(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500))),
     "events_cumulative_users" -> ((s, dir) => {
       // user-growth curve: first-seen day per user (one user-keyed
       // aggregation), daily new-user counts, cumulative over the
@@ -6840,6 +6849,55 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "events_funnel_windowed" -> """
+      WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+                 WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM events e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.signup_ts
+              AND epoch_us(e.ts) - epoch_us(s.signup_ts)
+                <= 86400000000
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.click_ts
+              AND epoch_us(e.ts) - epoch_us(c.click_ts)
+                <= 86400000000
+            GROUP BY e.user_id)
+      SELECT s.user_id, s.signup_ts, c.click_ts, p.purchase_ts,
+             CAST((CASE WHEN s.signup_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+                + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0
+                   END) AS BIGINT) AS stage
+      FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      ORDER BY s.user_id""",
+    "sim_knn_accuracy" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      sdot AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+                 sum(a.x * b.x) AS dot
+               FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 AND a.vec_id < 500 AND b.vec_id < 500
+               GROUP BY 1, 2),
+      c AS (SELECT id, nid,
+              CAST(dot AS DOUBLE) /
+                sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                AS cosine
+            FROM sdot JOIN n na ON na.vec_id = id
+                      JOIN n nb ON nb.vec_id = nid),
+      b AS (SELECT id, nid FROM (
+              SELECT id, nid, row_number() OVER (PARTITION BY id
+                ORDER BY cosine DESC, nid) AS rk FROM c) t
+            WHERE rk = 1),
+      j AS (SELECT la.label AS lbl, lnb.label AS plbl
+            FROM b JOIN lb la ON la.vec_id = b.id
+                   JOIN lb lnb ON lnb.vec_id = b.nid)
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END)
+               AS BIGINT) AS correct,
+             (10000 * CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END)
+               AS BIGINT)) // count(*) AS acc_bp
+      FROM j""",
     "events_cumulative_users" -> """
       WITH f AS (SELECT user_id,
                    min(epoch_us(ts) // 86400000000) AS day

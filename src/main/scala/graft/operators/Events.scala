@@ -187,6 +187,41 @@ object Events {
         .reduce(_ + _).cast("long"))
   }
 
+  /** [[funnel]] with a per-step completion window: a step counts only
+    * if it happens within `maxDelayUs` of the PREVIOUS step's
+    * qualifying time (the product-analytics "converted within N
+    * hours" funnel — an unbounded funnel overstates conversion by
+    * crediting purchases weeks after the click). Same join shape as
+    * [[funnel]] (one filtered min-aggregate + user-key equi-join per
+    * step); the window is one extra residual predicate on the join,
+    * zero extra shuffles.
+    */
+  def funnelWindowed(events: DataFrame,
+      steps: Seq[String] = Seq("signup", "click", "purchase"),
+      maxDelayUs: Long = 86400000000L): DataFrame = {
+    require(steps.nonEmpty && maxDelayUs >= 0)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(s"${steps.head}_ts"))
+    val full = steps.zipWithIndex.tail.foldLeft(first) {
+      case (acc, (s, i)) =>
+        val prevCol = s"${steps(i - 1)}_ts"
+        val nxt = events.filter(col("event_type") === s)
+          .select(col("user_id").as("__u"), col("ts").as("__t"))
+          .join(acc.select(col("user_id").as("__u"), col(prevCol))
+              .filter(col(prevCol).isNotNull),
+            Seq("__u"))
+          .filter(col("__t") >= col(prevCol) &&
+            unix_micros(col("__t")) - unix_micros(col(prevCol))
+              <= maxDelayUs)
+          .groupBy(col("__u")).agg(min(col("__t")).as(s"${s}_ts"))
+          .withColumnRenamed("__u", "user_id")
+        acc.join(nxt, Seq("user_id"), "left")
+    }
+    full.withColumn("stage",
+      steps.map(s => when(col(s"${s}_ts").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("long"))
+  }
+
   /** Cohort retention matrix: cohort = each user's first active week,
     * cell = distinct users from that cohort active `week_offset` weeks
     * later. Week index is pure integer arithmetic on epoch

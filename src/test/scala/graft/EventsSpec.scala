@@ -56,6 +56,29 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 2L, 3L), (2L, 1L, 1L, 1L)))
   }
 
+  test("funnelWindowed: a step landing past the window no longer " +
+      "converts — the unbounded funnel would have credited it") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: click 25h after signup → stage stops at 1
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup", 1.0),
+      (2L, ts("2024-01-02 01:00:00"), 1L, "click", 1.0),
+      // user 2: click 1h after signup → stage 2
+      (3L, ts("2024-01-01 00:00:00"), 2L, "signup", 1.0),
+      (4L, ts("2024-01-01 01:00:00"), 2L, "click", 1.0))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value")
+    val got = Events.funnelWindowed(ev, maxDelayUs = 86400000000L)
+      .orderBy("user_id").select(col("user_id"), col("stage"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 2L)))
+    // the unbounded funnel credits user 1's late click
+    val unbounded = Events.funnel(ev).orderBy("user_id")
+      .select(col("user_id"), col("stage"))
+      .as[(Long, Long)].collect().toSeq
+    assert(unbounded == Seq((1L, 2L), (2L, 2L)))
+  }
+
   test("paretoConcentration: count-of-counts walk finds the exact " +
       "user count covering 80% of events") {
     import spark.implicits._

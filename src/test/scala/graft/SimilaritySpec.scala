@@ -394,6 +394,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("knnLabelAccuracy: clean label clusters score a perfect " +
+      "leave-one-out 1-NN accuracy") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelAccuracy(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((4L, 4L, 10000L)))
+  }
+
   test("farthestPointSample: greedy k-center picks the far point " +
       "first, exact squared distances at selection time") {
     import spark.implicits._
