@@ -3432,6 +3432,18 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "text_mmr_rerank" -> ((s, dir) => {
+      // diversity re-rank of a 10-doc candidate pool (longest src0
+      // docs, rel = n_chars as the stand-in upstream score); the
+      // oracle replays the identical greedy rounds
+      val pool = t(s, dir, "documents")
+        .filter(col("source") === "src0")
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(10)
+        .select(col("doc_id").as("id"), col("n_chars").as("rel"),
+          col("text"))
+      Retrieval.mmrRerank(pool, k = 5, lambdaBp = 5000L)
+        .orderBy(col("rank"))
+    }),
     "events_funnel_windowed" -> ((s, dir) =>
       // signup→click→purchase with each step due within 24h of the
       // previous — the bounded-conversion funnel variant
@@ -6849,6 +6861,49 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    // 5 greedy MMR rounds (λ = 1/2) over materialized pool CTEs
+    "text_mmr_rerank" -> s"""
+      WITH pool AS MATERIALIZED (SELECT doc_id AS id, n_chars AS rel,
+             text FROM documents WHERE source = 'src0'
+           ORDER BY n_chars DESC, doc_id LIMIT 10),
+      gr AS MATERIALIZED (SELECT DISTINCT id,
+             substr(text, CAST(i AS INT), 3) AS g
+           FROM pool, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      ngt AS (SELECT id, count(*) AS ng FROM gr GROUP BY 1),
+      mx AS (SELECT max(rel) AS mr FROM pool),
+      base AS MATERIALIZED (SELECT pool.id,
+             (10000 * rel) // mr AS rel_bp
+           FROM pool JOIN ngt ON ngt.id = pool.id, mx),
+      sims AS MATERIALIZED (SELECT s.aid AS ia, s.bid AS ib,
+             (10000 * s.cnt) // (na.ng + nb.ng - s.cnt) AS sim_bp
+           FROM (SELECT ga.id AS aid, gb.id AS bid, count(*) AS cnt
+                 FROM gr ga JOIN gr gb
+                   ON ga.g = gb.g AND ga.id <> gb.id
+                 GROUP BY 1, 2) s
+           JOIN ngt na ON na.id = s.aid
+           JOIN ngt nb ON nb.id = s.bid),
+      p1 AS MATERIALIZED (SELECT id, rel_bp * 5000 AS mmr FROM base
+           ORDER BY mmr DESC, id LIMIT 1),
+      sel1 AS (SELECT id FROM p1),
+      ${(2 to 5).map { r => s"""
+      m$r AS (SELECT b.id,
+                b.rel_bp * 5000 - coalesce(ms.ms, 0) * 5000 AS mmr
+              FROM base b LEFT JOIN (
+                SELECT sims.ia AS id, max(sims.sim_bp) AS ms
+                FROM sims JOIN sel${r - 1} s ON s.id = sims.ib
+                GROUP BY 1) ms USING (id)
+              WHERE b.id NOT IN (SELECT id FROM sel${r - 1})),
+      p$r AS MATERIALIZED (SELECT id, mmr FROM m$r
+           ORDER BY mmr DESC, id LIMIT 1),
+      sel$r AS (SELECT id FROM sel${r - 1}
+                UNION ALL SELECT id FROM p$r)"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS rank, id, CAST(mmr AS BIGINT) AS mmr
+      FROM p1
+      ${(2 to 5).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), id, CAST(mmr AS BIGINT) FROM p$r")
+        .mkString(" ")}
+      ORDER BY rank""",
     "events_funnel_windowed" -> """
       WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
                  WHERE event_type = 'signup' GROUP BY user_id),

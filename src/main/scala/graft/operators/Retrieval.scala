@@ -135,4 +135,78 @@ object Retrieval {
     bm25(q0.union(exp))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Maximal-marginal-relevance diversity re-rank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick from a scored candidate
+    * pool maximizing λ·relevance − (1−λ)·max-similarity-to-chosen —
+    * the standard RAG/search result diversifier (a plain top-k returns
+    * five near-copies of the best hit; MMR trades a little relevance
+    * for coverage). All integer basis points: relevance normalizes to
+    * rel_bp = 10⁴·rel div max(rel); similarity is exact distinct
+    * char-3-gram Jaccard bp via `array_intersect`; ties break to the
+    * smallest id. λ is `lambdaBp`/10⁴.
+    *
+    * Scale shape: the EXPENSIVE work — scoring the corpus down to the
+    * candidate pool — happens upstream (BM25/ANN); this operator runs
+    * on the POOL (top-m, m small by construction): the pairwise sim
+    * table is m²-bounded, each greedy round is one join + argmax, and
+    * the only driver data is the 1-row argmax per round. The oracle
+    * replays the identical rounds.
+    *
+    * `cands`: (id: long, rel: long, text). Output: (rank, id, mmr_bp).
+    */
+  def mmrRerank(cands: DataFrame, k: Int = 5,
+      lambdaBp: Long = 5000L): DataFrame = {
+    require(k >= 1 && lambdaBp >= 0 && lambdaBp <= 10000)
+    val g = cands.select(col("id"), col("rel"),
+        Dedup.charNgrams(col("text"), 3).as("gs"))
+      .withColumn("ng", size(col("gs")).cast("long"))
+      .filter(col("ng") > 0)
+    val mx = g.agg(max(col("rel")).as("mr"))
+    val base = g.crossJoin(mx) // 1-row broadcast
+      .withColumn("rel_bp", expr("(10000 * rel) div mr"))
+      .select(col("id"), col("rel_bp"), col("gs"), col("ng"))
+      .localCheckpoint()
+    // m²-bounded pairwise similarity table
+    val sims = base.as("a").join(base.as("b"),
+        col("a.id") =!= col("b.id"))
+      .withColumn("shared",
+        size(array_intersect(col("a.gs"), col("b.gs"))).cast("long"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        expr("(10000 * shared) div (a.ng + b.ng - shared)")
+          .as("sim_bp"))
+      .localCheckpoint()
+    var picked = Vector.empty[(Long, Long)]
+    for (r <- 1 to k) {
+      val rest = base.filter(!col("id")
+        .isInCollection(picked.map(_._1) :+ -1L))
+      val scored =
+        if (picked.isEmpty)
+          rest.select(col("id"),
+            (col("rel_bp") * lambdaBp).as("mmr"))
+        else rest
+          .join(sims.filter(col("ib")
+              .isInCollection(picked.map(_._1)))
+            .groupBy(col("ia").as("id"))
+            .agg(max(col("sim_bp")).as("ms")), Seq("id"), "left")
+          .select(col("id"),
+            (col("rel_bp") * lambdaBp -
+              coalesce(col("ms"), lit(0L)) * (10000L - lambdaBp))
+              .as("mmr"))
+      val top = scored
+        .agg(max(struct(col("mmr"), (-col("id")).as("ni"))))
+        .head().getStruct(0)
+      if (top == null) return toRanked(cands.sparkSession, picked)
+      picked = picked :+ (-top.getLong(1), top.getLong(0))
+    }
+    toRanked(cands.sparkSession, picked)
+  }
+
+  private def toRanked(spark: org.apache.spark.sql.SparkSession,
+      picked: Vector[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, mmr), i) => ((i + 1).toLong, id, mmr) }
+      .toDF("rank", "id", "mmr")
+  }
 }

@@ -91,4 +91,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq(1L))
     assert(run() == got)
   }
+
+  test("mmrRerank: a near-duplicate of the top hit drops below a " +
+      "less relevant but diverse candidate — hand-computed scores") {
+    import spark.implicits._
+    // A (rel 100) and near-dup B (rel 99, jaccard 5000 bp to A),
+    // diverse C (rel 50): plain top-2 = A,B; MMR = A,C,B
+    val cands = Seq(
+      (1L, 100L, "xxxxxxx"), (2L, 99L, "xxxxxxy"),
+      (3L, 50L, "zzzzzzz")).toDF("id", "rel", "text")
+    val got = graft.operators.Retrieval.mmrRerank(cands, k = 3)
+      .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 50000000L), (2L, 3L, 25000000L),
+      (3L, 2L, 24500000L)))
+  }
 }
