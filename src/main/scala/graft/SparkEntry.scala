@@ -3432,6 +3432,22 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "events_wow_growth" -> ((s, dir) => {
+      // week-over-week volume growth per event type in exact basis
+      // points: one hash aggregation to (type, epoch-week) grain,
+      // then a lag window over the calendar-bounded week sequence
+      // per type; growth null on each type's first week
+      val wk = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("week"))
+      wk.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("growth_bp",
+          expr("(10000 * (n - prev_n)) div prev_n"))
+        .orderBy(col("event_type"), col("week"))
+    }),
     "text_mmr_rerank" -> ((s, dir) => {
       // diversity re-rank of a 10-doc candidate pool (longest src0
       // docs, rel = n_chars as the stand-in upstream score); the
@@ -6861,6 +6877,18 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "events_wow_growth" -> """
+      WITH wk AS (SELECT event_type,
+                    epoch_us(ts) // 604800000000 AS week,
+                    count(*) AS n
+                  FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, week, n,
+              lag(n) OVER (PARTITION BY event_type ORDER BY week)
+                AS prev_n
+            FROM wk)
+      SELECT event_type, week, n, prev_n,
+             (10000 * (n - prev_n)) // prev_n AS growth_bp
+      FROM g ORDER BY event_type, week""",
     // 5 greedy MMR rounds (λ = 1/2) over materialized pool CTEs
     "text_mmr_rerank" -> s"""
       WITH pool AS MATERIALIZED (SELECT doc_id AS id, n_chars AS rel,
