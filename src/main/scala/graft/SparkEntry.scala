@@ -3432,6 +3432,51 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "dedup_source_matrix" -> ((s, dir) => {
+      // which sources duplicate each other: the scoped ground-truth
+      // near-dup pairs attributed to (source, source) cells — the
+      // provenance readout a crawl dedup report leads with
+      val src = t(s, dir, "documents").select(col("doc_id"),
+        col("source"))
+      groundTruthPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+    "events_drift_tv" -> ((s, dir) => {
+      // day-over-day type-mix drift as exact total-variation distance
+      // in basis points: TV = Σ|n_t/N − m_t/M|/2, cleared of
+      // fractions to (10⁴·Σ|n_t·M − m_t·N|) div (2·N·M) — the data-
+      // drift monitor for ingest mix shifts. One daily aggregation,
+      // one self-join shifted a day, one |types|-bounded rollup.
+      val d = t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = d.groupBy(col("day")).agg(sum(col("n")).as("nd"))
+      val days = tot.join(
+        tot.select((col("day") + 1).as("day"), col("nd").as("md")),
+        "day")
+      val cu = d.select(col("day"), col("event_type"), col("n"))
+      val pv = d.select((col("day") + 1).as("day"), col("event_type"),
+        col("n").as("m"))
+      cu.join(pv, Seq("day", "event_type"), "full_outer")
+        .select(col("day"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("m"), lit(0L)).as("m"))
+        .join(days, "day") // inner: only days with a previous day
+        .groupBy(col("day"), col("nd"), col("md"))
+        .agg(sum(abs(col("n") * col("md") - col("m") * col("nd")))
+          .as("s"))
+        .select(col("day"),
+          expr("(10000 * s) div (2 * nd * md)").as("tv_bp"))
+        .orderBy(col("day"))
+    }),
     "events_wow_growth" -> ((s, dir) => {
       // week-over-week volume growth per event type in exact basis
       // points: one hash aggregation to (type, epoch-week) grain,
@@ -6877,6 +6922,35 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "dedup_source_matrix" -> s"""
+      WITH $gtPairsCteSql,
+      src AS (SELECT doc_id, source FROM documents)
+      SELECT least(sa.source, sb.source) AS src_a,
+             greatest(sa.source, sb.source) AS src_b,
+             count(*) AS n_pairs
+      FROM exact JOIN src sa ON sa.doc_id = exact.id_a
+                 JOIN src sb ON sb.doc_id = exact.id_b
+      GROUP BY 1, 2 ORDER BY src_a, src_b""",
+    "events_drift_tv" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   event_type, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS nd
+              FROM d GROUP BY 1),
+      days AS (SELECT t1.day, t1.nd, t2.nd AS md
+               FROM tot t1 JOIN tot t2 ON t2.day = t1.day - 1),
+      cu AS (SELECT day, event_type, n FROM d),
+      pv AS (SELECT day + 1 AS day, event_type, n AS m FROM d),
+      fo AS (SELECT coalesce(cu.day, pv.day) AS day,
+               coalesce(cu.event_type, pv.event_type) AS event_type,
+               coalesce(cu.n, 0) AS n, coalesce(pv.m, 0) AS m
+             FROM cu FULL OUTER JOIN pv
+               ON cu.day = pv.day AND cu.event_type = pv.event_type)
+      SELECT fo.day,
+             (10000 * CAST(sum(abs(n * md - m * nd)) AS BIGINT))
+               // (2 * nd * md) AS tv_bp
+      FROM fo JOIN days ON days.day = fo.day
+      GROUP BY fo.day, nd, md ORDER BY fo.day""",
     "events_wow_growth" -> """
       WITH wk AS (SELECT event_type,
                     epoch_us(ts) // 604800000000 AS week,
