@@ -3432,6 +3432,39 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "text_zipf_by_source" -> ((s, dir) => {
+      // per-source vocabulary shape — the text_zipf rollup grouped by
+      // source, the side-by-side source-quality comparison (a source
+      // with collapsed TTR is template spam before any dedup runs)
+      val vc = t(s, dir, "documents")
+        .select(col("source"), explode(Dedup.tokens(col("text")))
+          .as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+      vc.groupBy(col("source"))
+        .agg(sum(col("f")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"),
+          max(col("f")).as("f_max"))
+        .withColumn("ttr_micro", expr("(1000000 * vocab) div n_tokens"))
+        .orderBy(col("source"))
+    }),
+    "graph_degree_dist" -> ((s, dir) => {
+      // degree distribution (count-of-counts over nodes) of the
+      // customer↔supplier graph — the first thing anyone plots about
+      // a graph, and the skew input the triangle orientation relies on
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
     "dedup_source_matrix" -> ((s, dir) => {
       // which sources duplicate each other: the scoped ground-truth
       // near-dup pairs attributed to (source, source) cells — the
@@ -6922,6 +6955,27 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "text_zipf_by_source" -> """
+      WITH tk AS (SELECT source, unnest(list_filter(
+              string_split_regex(lower(text), '\s+'), x -> x <> ''))
+              AS w FROM documents),
+      vc AS (SELECT source, w, count(*) AS f FROM tk GROUP BY 1, 2)
+      SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+             count(*) AS vocab,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(max(f) AS BIGINT) AS f_max,
+             (1000000 * count(*)) // CAST(sum(f) AS BIGINT)
+               AS ttr_micro
+      FROM vc GROUP BY source ORDER BY source""",
+    "graph_degree_dist" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      dg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1)
+      SELECT deg, count(*) AS n_nodes FROM dg
+      GROUP BY deg ORDER BY deg""",
     "dedup_source_matrix" -> s"""
       WITH $gtPairsCteSql,
       src AS (SELECT doc_id, source FROM documents)
