@@ -3432,6 +3432,36 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "events_hourly_heatmap" -> ((s, dir) =>
+      // (day-of-week, hour-of-day) activity matrix — the ops heatmap
+      // feed; pure epoch integer arithmetic, one hash aggregation
+      t(s, dir, "events")
+        .groupBy(expr("(unix_micros(ts) div 86400000000) % 7")
+            .as("dow"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("dow"), col("hour"))),
+    "sim_label_separation" -> ((s, dir) => {
+      // embedding separation: mean signed cos² (exact integer bp) for
+      // same-label vs cross-label pairs over the scoped slice — the
+      // one-row margin readout behind sim_knn_accuracy
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("label").as("lbl"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("norm", Similarity.qdot(col("qv"), col("qv")))
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+        .select((col("a.lbl") === col("b.lbl")).as("intra"),
+          Similarity.qdot(col("a.qv"), col("b.qv")).as("dot"),
+          (col("a.norm") * d(col("b.norm"))).as("nn"))
+        .withColumn("cos2_bp",
+          expr("(10000 * CAST(dot AS DECIMAL(38,0)) * abs(dot)) " +
+            "div nn"))
+        .groupBy(col("intra"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cos2_bp) div count(1)").as("mean_cos2_bp"))
+        .orderBy(col("intra"))
+    }),
     "text_zipf_by_source" -> ((s, dir) => {
       // per-source vocabulary shape — the text_zipf rollup grouped by
       // source, the side-by-side source-quality comparison (a source
@@ -6955,6 +6985,29 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "events_hourly_heatmap" -> """
+      SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hour,
+             count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY dow, hour""",
+    "sim_label_separation" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+              sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              AND b.vec_id < 500
+            GROUP BY 1, 2),
+      c AS (SELECT la.label = lbb.label AS intra,
+              (10000 * dot * abs(dot)) //
+                (CAST(na.norm AS HUGEINT) * nb.norm) AS cos2_bp
+            FROM p JOIN n na ON na.vec_id = ia
+                 JOIN n nb ON nb.vec_id = ib
+                 JOIN lb la ON la.vec_id = ia
+                 JOIN lb lbb ON lbb.vec_id = ib)
+      SELECT intra, count(*) AS n_pairs,
+             CAST(sum(cos2_bp) // count(*) AS BIGINT) AS mean_cos2_bp
+      FROM c GROUP BY 1 ORDER BY intra""",
     "text_zipf_by_source" -> """
       WITH tk AS (SELECT source, unnest(list_filter(
               string_split_regex(lower(text), '\s+'), x -> x <> ''))
