@@ -3432,6 +3432,41 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "profile_log2_hist" -> ((s, dir) =>
+      // order-of-magnitude histogram of order totals: the log₂
+      // bucket is length(bin(cents)) − 1 — EXACT integer in both
+      // engines, no floating log2 at power-of-two edges
+      t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long")
+          .as("cents"))
+        .groupBy((length(bin(col("cents"))) - 1).cast("long")
+          .as("log2_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("log2_bucket"))),
+    "events_dau_wau" -> ((s, dir) => {
+      // DAU/WAU stickiness: daily actives vs 7-day rolling distinct
+      // actives. The rolling distinct is computed by fanning each
+      // (user, active-day) row onto the ≤7 window days it supports —
+      // a bounded 7× expansion of the user-day frame, never a
+      // distinct-over-window shuffle per day.
+      val ud = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val dau = ud.groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .distinct()
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(10000 * dau) div wau").as("stickiness_bp"))
+        .orderBy(col("day"))
+    }),
     "events_hourly_heatmap" -> ((s, dir) =>
       // (day-of-week, hour-of-day) activity matrix — the ops heatmap
       // feed; pure epoch integer arithmetic, one hash aggregation
@@ -6985,6 +7020,24 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "profile_log2_hist" -> """
+      WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS cents FROM orders)
+      SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS log2_bucket,
+             count(*) AS n, min(cents) AS min_cents,
+             max(cents) AS max_cents
+      FROM c GROUP BY 1 ORDER BY log2_bucket""",
+    "events_dau_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id,
+                    epoch_us(ts) // 86400000000 AS day FROM events),
+      dau AS (SELECT day, count(*) AS n_dau FROM ud GROUP BY 1),
+      fan AS (SELECT DISTINCT user_id, ud.day + CAST(i AS BIGINT)
+                AS day
+              FROM ud, unnest(range(0, 7)) AS t(i)),
+      wau AS (SELECT day, count(*) AS n_wau FROM fan GROUP BY 1)
+      SELECT dau.day, n_dau AS dau, n_wau AS wau,
+             (10000 * n_dau) // n_wau AS stickiness_bp
+      FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day""",
     "events_hourly_heatmap" -> """
       SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
              (epoch_us(ts) // 3600000000) % 24 AS hour,
