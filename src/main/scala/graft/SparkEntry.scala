@@ -3432,6 +3432,16 @@ object SparkEntry {
       Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
         .orderBy(col("source"), col("node"))
     }),
+    "events_error_rate" -> ((s, dir) =>
+      // daily error share in exact bp — the SRE burn-rate input; one
+      // conditional aggregation at daily grain
+      t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"))
+        .withColumn("error_bp", expr("(10000 * errors) div n"))
+        .orderBy(col("day"))),
     "profile_log2_hist" -> ((s, dir) =>
       // order-of-magnitude histogram of order totals: the log₂
       // bucket is length(bin(cents)) − 1 — EXACT integer in both
@@ -7020,6 +7030,13 @@ object SparkEntry {
         JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
       SELECT source, node, CAST(min(d) AS BIGINT) AS hop
       FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "events_error_rate" -> """
+      SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+               END) AS BIGINT) AS errors,
+             (10000 * CAST(sum(CASE WHEN event_type = 'error' THEN 1
+               ELSE 0 END) AS BIGINT)) // count(*) AS error_bp
+      FROM events GROUP BY 1 ORDER BY day""",
     "profile_log2_hist" -> """
       WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
                    AS cents FROM orders)
