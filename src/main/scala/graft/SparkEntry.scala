@@ -2493,6 +2493,13 @@ object SparkEntry {
       Events.ewmaHourly(t(s, dir, "events"), depth = 8)
         .orderBy(col("event_type"), col("hour"))
     }),
+    "events_ewma_hourly" -> ((s, dir) => {
+      // the ewma's input frame on its own — the diagnostic half of
+      // the ewma gate: bisects any divergence to bucketing vs
+      // smoothing in one run
+      Events.hourlyQuantized(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
     "events_transitions" -> ((s, dir) => {
       // first-order Markov next-event matrix with basis-point
       // transition probabilities
@@ -5613,7 +5620,14 @@ object SparkEntry {
                AS is_anomaly
       FROM b JOIN a USING (user_id) ORDER BY event_id""",
     // truncated EWMA, α=1/2 depth 8: explicit integer-weight lags,
-    // floor-normalized over the weights actually present
+    // floor-normalized over the weights actually present. Written in
+    // DuckDB-version-stable primitives only: every operand is pinned
+    // to BIGINT (no sum→HUGEINT leaking into the divide), and every
+    // integer division — hour bucket and the final normalize alike —
+    // is `(a - a % b) / b`: exact integers into a float divide whose
+    // quotient is exactly representable, identical across engines and
+    // versions (no `//`, whose result type/rounding has shifted
+    // across DuckDB releases for mixed operands).
     "events_ewma" -> {
       val depth = 8
       val lagCols = (1 until depth)
@@ -5626,16 +5640,31 @@ object SparkEntry {
           s"CASE WHEN q$j IS NULL THEN 0 ELSE ${1L << (depth - 1 - j)} END"))
         .mkString(" + ")
       s"""
-      WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-                   sum(CAST(round(value * 10000) AS BIGINT)) AS q,
+      WITH h AS (SELECT event_type,
+                   CAST((epoch_us(ts) - (epoch_us(ts) % 3600000000))
+                     / 3600000000 AS BIGINT)
+                     AS hour,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                     AS BIGINT) AS q,
                    count(*) AS n
                  FROM events GROUP BY 1, 2),
       l AS (SELECT event_type, hour, n, q, $lagCols
-            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour))
+            FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+      f AS (SELECT event_type, hour, n, q,
+              CAST($wsum AS BIGINT) AS ws, CAST($wdiv AS BIGINT) AS wd
+            FROM l)
       SELECT event_type, hour, n, q,
-             CAST(($wsum) // ($wdiv) AS BIGINT) AS ewma_q
-      FROM l ORDER BY event_type, hour"""
+             CAST((ws - (ws % wd)) / wd AS BIGINT) AS ewma_q
+      FROM f ORDER BY event_type, hour"""
     },
+    "events_ewma_hourly" -> """
+      SELECT event_type,
+             CAST((epoch_us(ts) - (epoch_us(ts) % 3600000000))
+                     / 3600000000 AS BIGINT) AS hour,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS q,
+             count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY event_type, hour""",
     "events_transitions" -> """
       WITH o AS (SELECT user_id, event_type AS prev_type,
                    lead(event_type) OVER (PARTITION BY user_id

@@ -310,10 +310,7 @@ object Events {
     */
   def ewmaHourly(events: DataFrame, depth: Int = 8): DataFrame = {
     require(depth >= 1 && depth <= 62, "depth must keep 2^depth in long")
-    val hour = expr("unix_micros(ts) div 3600000000")
-    val hourly = events.groupBy(col("event_type"), hour.as("hour"))
-      .agg(sum(expr("cast(round(value * 10000) as long)")).as("q"),
-        count(lit(1)).as("n"))
+    val hourly = hourlyQuantized(events)
     val byType = Window.partitionBy(col("event_type")).orderBy(col("hour"))
     val terms = (0 until depth).map { j =>
       val wj = 1L << (depth - 1 - j)
@@ -328,6 +325,21 @@ object Events {
       .select(col("event_type"), col("hour"), col("n"), col("q"),
         col("ewma_q"))
   }
+
+  /** The hourly pre-aggregation [[ewmaHourly]] smooths over, exposed
+    * on its own: per (event_type, hour-since-epoch) bucket, the count
+    * and the exact 1e-4-quantized value sum. Exists both as a reusable
+    * building block and as the DIAGNOSTIC half of the ewma gate — its
+    * own oracle bisects any cross-engine divergence to "bucketing"
+    * (this frame differs) vs "smoothing" (this frame matches, the
+    * window pass differs) in a single run. One shuffle, ≤ one row out
+    * per (type, hour) — the same scale shape as any hourly rollup.
+    */
+  def hourlyQuantized(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(sum(expr("cast(round(value * 10000) as long)")).as("q"),
+        count(lit(1)).as("n"))
 
   /** First-order Markov transition matrix over per-user event
     * sequences: count every consecutive (prev_type → next_type) pair
