@@ -78,14 +78,15 @@ object EventsStream {
     * Used by every sentinel-replay completion harness below.
     */
   private def writeChunk(replayDir: java.io.File, df: DataFrame,
-      name: String): Unit = {
+      name: String): java.io.File = {
     val stage = new java.io.File(replayDir, s"_stage_$name")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      new java.io.File(replayDir, s"$name.parquet").toPath)
+    val target = new java.io.File(replayDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath)
     stage.listFiles().foreach(_.delete())
     stage.delete()
+    target
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -973,15 +974,22 @@ object EventsStream {
       .writeStream.outputMode("append").format("memory").queryName(qname)
       .start()
     try {
-      // two chunks: the map/list must MERGE across micro-batches
+      // two chunks: the map/list must MERGE across micro-batches.
+      // Two fences, not three: c1 fences alone (it must be a batch of
+      // its own for the merge proof), then c2 + sentinel land together
+      // — maxFilesPerTrigger=1 still gives each file its own
+      // micro-batch, and the explicit mtime bump pins the source's
+      // mod-time file order so the sentinel cannot overtake c2 and
+      // watermark-drop its events.
       val midUs = (stats.getLong(1) + stats.getLong(2)) / 2
       writeChunk(replayDir, ev.filter(unix_micros(col("ts")) < midUs), "c1")
       q.processAllAvailable()
-      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
-      q.processAllAvailable()
-      writeChunk(replayDir, Seq((sentinelUid,
+      val c2f =
+        writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
+      val sf = writeChunk(replayDir, Seq((sentinelUid,
         new java.sql.Timestamp((hiUs + 3L * delayUs) / 1000L), "sentinel"))
         .toDF("user_id", "ts", "event_type"), "sentinel")
+      sf.setLastModified(c2f.lastModified() + 60000L)
       q.processAllAvailable()
     } finally {
       q.stop()
