@@ -404,10 +404,12 @@ object Dedup {
     // Lossless size prefilter: jaccard >= t forces the distinct-gram
     // counts to satisfy min(na,nb) >= t*max(na,nb) (shared <= min and
     // shared >= t*(na+nb-shared) together imply it). Attaching counts
-    // (broadcast: one row per doc) and filtering INSIDE the gram join
-    // prunes most of the quadratic pair space before the group-by,
-    // with an identical result set.
-    val g = grams.join(broadcast(counts), "id")
+    // and filtering INSIDE the gram join prunes most of the quadratic
+    // pair space before the group-by, with an identical result set.
+    // Counts re-attach via a plain equi-join on id — no forced
+    // broadcast, so AQE decides by runtime size instead of a
+    // corpus-sized collect (the same cleanup the AllPairs path got).
+    val g = grams.join(counts, "id")
     val shared = g.as("a")
       .join(g.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
@@ -449,7 +451,8 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
-    val g = grams.join(broadcast(counts), "id")
+    // plain equi-join on id — AQE picks the strategy by runtime size
+    val g = grams.join(counts, "id")
     g.as("a")
       .join(g.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))

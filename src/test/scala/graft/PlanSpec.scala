@@ -402,6 +402,16 @@ class PlanSpec extends AnyFunSuite {
       "single-task unpartitioned window in AllPairs plan")
   }
 
+  test("ground-truth twins carry no forced broadcast either: the " +
+      "per-doc count table re-attaches via plain equi-joins in both " +
+      "ngram-Jaccard and containment") {
+    for (q <- Seq("dedup_ngram_jaccard", "dedup_containment")) {
+      val qe = SparkEntry.queries(q)(spark, dir).queryExecution
+      assert(!qe.analyzed.toString.contains("ResolvedHint"),
+        s"forced broadcast hint in $q plan:\n" + qe.analyzed)
+    }
+  }
+
   test("retention and gapfill shuffle on their aggregate keys only — " +
       "no window over raw events in retention, spine join keyed") {
     val pr = plan("events_retention")
