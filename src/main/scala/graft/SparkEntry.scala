@@ -3282,9 +3282,17 @@ object SparkEntry {
       // t² = (S₁n₂−S₂n₁)²(n₁−1)(n₂−1) /
       //      [(n₁Q₁−S₁²)(n₂−1)n₂² + (n₂Q₂−S₂²)(n₁−1)n₁²]
       // — the textbook t²=(x̄₁−x̄₂)²/(s₁²/n₁+s₂²/n₂) cleared of
-      // denominators; all products bounded ≲10³⁵ at sf100, inside
-      // DECIMAL(38,0)/HUGEINT. One data-sized hash aggregation; the
-      // pair join runs on the event-type-count-sized stats frame.
+      // denominators. Exactness boundary: aa, bb, cc stay exact
+      // decimals (bounded ≲10²⁴ at sf100 — n≈2·10⁷/type, x≤5.6·10⁴
+      // centi-units), then CAST TO DOUBLE before the (n−1)·n²
+      // combine: num ~ aa²n² ≈ 10⁵² and den ≈ 10⁴⁵ at sf100 would
+      // overflow DECIMAL(38,0) — Spark's non-ANSI decimal overflow
+      // NULLs silently while DuckDB errors, a divergent failure at
+      // the documented target scale. Doubles of exact rationals with
+      // the same left-assoc op order on both engines keep t2
+      // bit-reproducible (the graph_assortativity/q_cuped
+      // discipline). One data-sized hash aggregation; the pair join
+      // runs on the event-type-count-sized stats frame.
       val d = (c: Column) => c.cast("decimal(38,0)")
       val st = t(s, dir, "events")
         .select(col("event_type"),
@@ -3304,15 +3312,18 @@ object SparkEntry {
           (d(col("b.n")) * col("b.qx") - d(col("b.sx")) * col("b.sx"))
             .as("cc"))
         .withColumn("num",
-          col("aa") * col("aa") * (col("n_a") - 1) * (col("n_b") - 1))
+          col("aa").cast("double") * col("aa").cast("double") *
+            (col("n_a") - 1).cast("double") *
+            (col("n_b") - 1).cast("double"))
         .withColumn("den",
-          col("bb") * (col("n_b") - 1) * col("n_b") * col("n_b") +
-            col("cc") * (col("n_a") - 1) * col("n_a") * col("n_a"))
+          col("bb").cast("double") * (col("n_b") - 1).cast("double") *
+            col("n_b").cast("double") * col("n_b").cast("double") +
+            col("cc").cast("double") * (col("n_a") - 1).cast("double") *
+              col("n_a").cast("double") * col("n_a").cast("double"))
         .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
           expr("aa div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
             .as("mean_diff_centi"),
-          (col("num").cast("double") / col("den").cast("double"))
-            .as("t2"))
+          (col("num") / col("den")).as("t2"))
         .orderBy(col("type_a"), col("type_b"))
     }),
     "q_skyline" -> ((s, dir) => {
@@ -6923,10 +6934,15 @@ object SparkEntry {
       SELECT type_a, type_b, n_a, n_b,
              CAST(aa // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
                AS mean_diff_centi,
-             CAST(CAST(aa * aa * (n_a - 1) * (n_b - 1) AS VARCHAR)
-                 AS DOUBLE) /
-               CAST(CAST(bb * (n_b - 1) * n_b * n_b
-                 + cc * (n_a - 1) * n_a * n_a AS VARCHAR) AS DOUBLE)
+             (CAST(CAST(aa AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(aa AS VARCHAR) AS DOUBLE)
+                * CAST(n_a - 1 AS DOUBLE) * CAST(n_b - 1 AS DOUBLE)) /
+               (CAST(CAST(bb AS VARCHAR) AS DOUBLE)
+                  * CAST(n_b - 1 AS DOUBLE) * CAST(n_b AS DOUBLE)
+                  * CAST(n_b AS DOUBLE)
+                + CAST(CAST(cc AS VARCHAR) AS DOUBLE)
+                  * CAST(n_a - 1 AS DOUBLE) * CAST(n_a AS DOUBLE)
+                  * CAST(n_a AS DOUBLE))
                AS t2
       FROM p ORDER BY type_a, type_b""",
     "q_skyline" -> """

@@ -419,6 +419,12 @@ object Events {
     * same justification as [[gapfillDaily]]). The lag shift is a
     * self-equi-join on day index against a `maxLag`-row lag frame,
     * not `maxLag` window passes.
+    *
+    * Degenerate input: a CONSTANT daily series has den Σy² = 0, and
+    * the integer division yields NULL acf_micro for every lag (DuckDB
+    * agrees — division by zero is NULL there too). Consumers must
+    * treat an all-NULL column as "ACF undefined: the series has no
+    * variance", not as missing data.
     */
   def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1)

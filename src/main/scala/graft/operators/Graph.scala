@@ -140,7 +140,9 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1, "bfsLevels needs at least one round")
-    val src0 = edges.agg(min(col("src"))).head().getLong(0)
+    val srcRow = edges.agg(min(col("src"))).head()
+    require(!srcRow.isNullAt(0), "bfsLevels needs a non-empty edge set")
+    val src0 = srcRow.getLong(0)
     val spark = edges.sparkSession
     var dist = spark.range(1)
       .select(lit(src0).as("node"), lit(0L).as("hop"))
@@ -212,7 +214,9 @@ object Graph {
     */
   def sssp(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1)
-    val src0 = edges.agg(min(col("src"))).head().getLong(0)
+    val srcRow = edges.agg(min(col("src"))).head()
+    require(!srcRow.isNullAt(0), "sssp needs a non-empty edge set")
+    val src0 = srcRow.getLong(0)
     var dist = edges.sparkSession.range(1)
       .select(lit(src0).as("node"), lit(0L).as("dist"))
       .localCheckpoint()

@@ -153,7 +153,10 @@ object Retrieval {
     * the only driver data is the 1-row argmax per round. The oracle
     * replays the identical rounds.
     *
-    * `cands`: (id: long, rel: long, text). Output: (rank, id, mmr_bp).
+    * `cands`: (id: long, rel: long, text). Output: (rank, id, mmr) —
+    * mmr in integer basis points scaled by 10⁴ (λ·rel_bp −
+    * (1−λ)·maxsim_bp, both already bp, so the column is bp²-scaled;
+    * callers ranking by it never rescale).
     */
   def mmrRerank(cands: DataFrame, k: Int = 5,
       lambdaBp: Long = 5000L): DataFrame = {

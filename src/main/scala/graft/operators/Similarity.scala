@@ -740,7 +740,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1)
     val q = withQuantized(emb, idCol, vecCol).localCheckpoint()
-    val seed = q.agg(min(col("id"))).head().getLong(0)
+    val seedRow = q.agg(min(col("id"))).head()
+    require(!seedRow.isNullAt(0),
+      "farthestPointSample needs a non-empty embedding set")
+    val seed = seedRow.getLong(0)
     var chosen = Vector((seed, 0L))
     for (r <- 2 to k) {
       val ids = chosen.map(_._1)
@@ -875,7 +878,10 @@ object Similarity {
       scale: Long = 1048576L, vecCol: String = "embedding"): DataFrame = {
     require(rounds >= 1 && scale >= 2)
     val q = emb.select(quantize(col(vecCol)).as("q")).localCheckpoint()
-    val d = q.select(size(col("q"))).head().getInt(0)
+    val dRow = q.select(size(col("q"))).take(1)
+    require(dRow.nonEmpty,
+      "powerIterationPC needs a non-empty embedding set")
+    val d = dRow(0).getInt(0)
     var v = Array.fill(d)(scale)
     for (r <- 0 until rounds) {
       val vLit = array(v.map(lit(_)): _*)
