@@ -2462,7 +2462,7 @@ object SparkEntry {
       // exact floor, matching DuckDB's `//` even pre-epoch — bare
       // `div` truncates toward zero and would diverge there
       val us = unix_micros(col("ts"))
-      val hr = call_function("div",
+      val hr = idiv(
         us - pmod(us, lit(3600000000L)), lit(3600000000L))
         .bitwiseAND(lit(0xFFFFL))
       t(s, dir, "events")

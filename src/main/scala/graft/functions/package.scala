@@ -6,6 +6,31 @@ import org.apache.spark.sql.graftshim.Bridge
 /** Column-level entry points for graft's custom Catalyst expressions. */
 package object functions {
 
+  /** THE integer division for every exact-rational output column —
+    * Spark's `div` operator, centralized so the next cross-engine
+    * division mismatch has one place to audit (r11 verdict: 15 call
+    * sites each carried their own truncation assumption, and the
+    * ewma-class oracle bugs all live in division semantics).
+    *
+    * Contract:
+    *   - Semantics: TRUNCATES toward zero (Spark `div`); THROWS on
+    *     divide-by-zero (graft sessions run Spark 4's ANSI default).
+    *     A site whose divisor can be zero must guard it explicitly
+    *     (`when(b =!= 0, idiv(a, b))`) — a silent NULL would be a
+    *     semantics decision this helper refuses to make.
+    *   - DuckDB oracle twins spell it `a // b` (or `div`) on
+    *     integer/HUGEINT operands, which also truncates — but ONLY
+    *     the non-negative case is semantics-proof across engines and
+    *     versions (truncation == floor there). Every call site must
+    *     either prove both operands non-negative at that point, or
+    *     floor-adjust explicitly and say so in a comment.
+    *   - Operands must already be integral (long/decimal) — this
+    *     helper does not cast; a double operand is a bug at the call
+    *     site, not here.
+    */
+  def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("div", a, b)
+
   /** Reference doc-id hash (Query.java:303-316) as a codegen'd
     * expression: `sdbm_hash(seed, str)`. Null string → 0.
     */

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.idiv
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -321,7 +322,7 @@ object Events {
     val wsum = terms.map(_._1).reduce(_ + _)
     val wdiv = terms.map(_._2).reduce(_ + _)
     hourly
-      .withColumn("ewma_q", call_function("div", wsum, wdiv))
+      .withColumn("ewma_q", idiv(wsum, wdiv))
       .select(col("event_type"), col("hour"), col("n"), col("q"),
         col("ewma_q"))
   }
@@ -368,7 +369,7 @@ object Events {
       .agg(sum(col("n")).as("tot"))
     pairs.join(totals, "prev_type")
       .select(col("prev_type"), col("next_type"), col("n"),
-        call_function("div", lit(10000L) * col("n"), col("tot"))
+        idiv(lit(10000L) * col("n"), col("tot"))
           .as("p_bp"))
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.idiv
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -113,11 +114,11 @@ object Profile {
     val bounds = df.agg(min(col(c)).cast("long").as("_lo"),
       max(col(c)).cast("long").as("_hi"))
     val width = greatest(
-      call_function("div", col("_hi") - col("_lo") + nBins, lit(nBins.toLong)),
+      idiv(col("_hi") - col("_lo") + nBins, lit(nBins.toLong)),
       lit(1L))
     df.select(col(c)).crossJoin(bounds)
       .select(
-        call_function("div", col(c).cast("long") - col("_lo"), width)
+        idiv(col(c).cast("long") - col("_lo"), width)
           .as("bin"),
         col("_lo"), width.as("_w"))
       .groupBy(col("bin"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.idiv
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object RangeJoin {
     // is exact floor division for any sign — and stays exact past
     // 2^53 µs where the double-division form would drift.
     val us = unix_micros(c)
-    call_function("div", us - pmod(us, lit(widthUs)), lit(widthUs))
+    idiv(us - pmod(us, lit(widthUs)), lit(widthUs))
   }
 
   /** Join `points` (event-time `pointTs`) to `intervals`

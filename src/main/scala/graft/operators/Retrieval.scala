@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.idiv
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +53,7 @@ object Retrieval {
       .topK(embs.filter(col("vec_id") === queryVecId), embs, poolK)
       .select(col("neighbor_id").as("vid"), col("rank").as("vec_rank"))
     def rrf(rank: org.apache.spark.sql.Column) =
-      coalesce(call_function("div", lit(1000000L), lit(rrfK.toLong) + rank),
+      coalesce(idiv(lit(1000000L), lit(rrfK.toLong) + rank),
         lit(0L))
     lex.join(vec, col("lid") === col("vid"), "fullOuter")
       .select(coalesce(col("lid"), col("vid")).as("doc_id"),
@@ -107,9 +108,9 @@ object Retrieval {
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(df, "term").join(dl, "doc_id")
         .crossJoin(n).crossJoin(corpus)
-        .withColumn("w", call_function("div",
+        .withColumn("w", idiv(
           lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
-        .withColumn("contrib", call_function("div",
+        .withColumn("contrib", idiv(
           col("w").cast("decimal(38,0)") * lit(22L) * col("len_corpus")
             * col("tf"),
           lit(10L) * col("len_corpus") * col("tf")
@@ -128,7 +129,7 @@ object Retrieval {
       .join(q0, Seq("term"), "left_anti")
       .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
       .join(dfAll, "term").crossJoin(n)
-      .withColumn("escore", col("tf_fb") * call_function("div",
+      .withColumn("escore", col("tf_fb") * idiv(
         lit(1000000L) * (col("n_corpus") + 1L), col("dfc") + 1L))
       .orderBy(col("escore").desc, col("term")).limit(expTerms)
       .select(col("term"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.sdbm_hash
+import graft.functions.{idiv, sdbm_hash}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -268,7 +268,7 @@ object Sampling {
       // would silently drift the bin there (same posture as
       // Profile.histogram).
       .withColumn("bin",
-        call_function("div", col("cum") - col("n_tokens"),
+        idiv(col("cum") - col("n_tokens"),
           lit(budget)))
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.sdbm_hash
+import graft.functions.{idiv, sdbm_hash}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -395,7 +395,7 @@ object TextStats {
     // docs, documented headroom. Output cast back to BIGINT (values
     // fit; the oracle does the same from HUGEINT).
     tf.join(df, "term").crossJoin(n)
-      .withColumn("w", call_function("div",
+      .withColumn("w", idiv(
         lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf").cast("decimal(38,0)") * col("w"))
@@ -576,9 +576,9 @@ object TextStats {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, "term").join(dl, "doc_id")
       .crossJoin(n).crossJoin(corpus)
-      .withColumn("w", call_function("div",
+      .withColumn("w", idiv(
         lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
-      .withColumn("contrib", call_function("div",
+      .withColumn("contrib", idiv(
         col("w").cast("decimal(38,0)") * lit(22L) * col("len_corpus")
           * col("tf"),
         lit(10L) * col("len_corpus") * col("tf")
@@ -725,7 +725,7 @@ object TextStats {
       .withColumn("det",
         (col("a") * col("d") - col("b") * col("c"))
           .cast("decimal(38,0)"))
-      .withColumn("chi2_micro", call_function("div",
+      .withColumn("chi2_micro", idiv(
         lit(1000000L) * col("n_total") * col("det") * col("det"),
         (col("a") + col("b")) * (col("c") + col("d"))
           * (col("a") + col("c")) * (col("b") + col("d"))))

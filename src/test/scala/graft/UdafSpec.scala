@@ -82,6 +82,32 @@ class UdafSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture has no >=0.5% keys — test is vacuous")
   }
 
+  test("idiv truncates toward zero for every sign combination and " +
+      "throws on zero divisor — the one audited division contract") {
+    import spark.implicits._
+    // cross of negative/positive/boundary numerators and divisors:
+    // the exact region where truncation (Spark div, JVM /) and floor
+    // (what DuckDB `//` means on some version/type mixes) disagree
+    val as = Seq(-7L, -6L, -1L, 0L, 1L, 6L, 7L, Long.MinValue + 1,
+      Long.MaxValue)
+    val bs = Seq(-3L, -1L, 1L, 2L, 3L)
+    val rows = for (a <- as; b <- bs) yield (a, b)
+    val got = spark.createDataset(rows).toDF("a", "b")
+      .repartition(4)
+      .select(col("a"), col("b"),
+        graft.functions.idiv(col("a"), col("b")).as("q"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (a <- as; b <- bs)
+      assert(got((a, b)) == a / b, s"idiv($a, $b)") // JVM / truncates
+    // ANSI session: zero divisor must FAIL LOUD, never a silent NULL
+    val ex = intercept[Exception] {
+      spark.createDataset(Seq((1L, 0L))).toDF("a", "b")
+        .select(graft.functions.idiv(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("divide"), ex.getMessage)
+  }
+
   test("q_udaf query runs and is ordered") {
     val out = SparkEntry.queries("q_udaf")(spark, "/root/testdata/sf0.001")
       .collect()
