@@ -1223,9 +1223,10 @@ object SparkEntry {
     }),
     "dq_checks" -> ((s, dir) => {
       // declarative data-quality contract over a corpus drop: all six
-      // row-level checks ride ONE aggregate pass, each Unique adds
-      // one hash agg, referential integrity one anti-join — the
-      // whole report is 9 rows however big the table
+      // row-level checks ride ONE aggregate pass, ALL Unique checks
+      // fuse into one grouping-sets shuffle, referential integrity
+      // one anti-join each — the whole report is 9 rows however big
+      // the table
       import Expectations._
       val docs = t(s, dir, "documents")
       val report = Expectations.run(docs, Seq(

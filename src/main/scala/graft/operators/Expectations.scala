@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *    membership, custom predicate) folds into ONE aggregate pass —
   *    a single scan however many checks ride it, all map-side
   *    combinable sums of 0/1 flags;
-  *  - UNIQUENESS adds one hash aggregation on its key (count vs
-  *    distinct count in the same pass as the row-level checks);
+  *  - ALL UNIQUENESS checks together add ONE hash aggregation: they
+  *    fuse into a single GROUPING SETS pass (Expand → one shuffle
+  *    keyed by (grouping_id, key tuple)), however many key tuples
+  *    are checked;
   *  - REFERENTIAL integrity adds one left-anti join per named
   *    dimension (broadcast when the dimension is small — Catalyst
   *    decides).
@@ -73,8 +75,8 @@ object Expectations {
   }
 
   /** Evaluate `checks` over `df`; see class doc for the plan shape.
-    * Row-level checks share one pass; each Unique adds one aggregate
-    * on its key columns.
+    * Row-level checks share one pass; ALL Unique checks share one
+    * grouping-sets aggregation (one shuffle total).
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
@@ -96,13 +98,38 @@ object Expectations {
       parts += wide.select(explode(array(rows: _*)).as("kv"))
         .select(col("kv.check"), col("kv.detail"), col("kv.violations"))
     }
-    uniques.foreach { case u @ Unique(cols0) =>
-      parts += df.groupBy(cols0.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("violations"))
-        .select(lit(u.name).as("check"), lit(u.detail).as("detail"),
-          col("violations"))
-      case _ => ()
+    if (uniques.nonEmpty) {
+      // ALL uniqueness checks fused into ONE shuffle via GROUPING
+      // SETS: the Expand operator emits each row once per key tuple,
+      // a single hash aggregation counts per (grouping_id, key), and
+      // one map-side-combinable global agg folds each set's
+      // Σ(n−1) excess. N checks used to be N hash aggs = N shuffles;
+      // now the shuffle count is 1 regardless of N. grouping_id (not
+      // null-ness of the passthrough columns) identifies the set a
+      // group row belongs to — a null KEY VALUE is data, not set
+      // membership.
+      val us = uniques.collect { case u: Unique => u }
+      val allCols = us.flatMap(_.cols).distinct
+      val k = allCols.size
+      val gidOf = us.map { u =>
+        allCols.zipWithIndex.collect {
+          case (c, i) if !u.cols.contains(c) => 1L << (k - 1 - i)
+        }.sum
+      }
+      val grouped = df
+        .groupingSets(us.map(_.cols.map(col)), allCols.map(col): _*)
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      val aggs = us.zip(gidOf).zipWithIndex.map { case ((_, gid), i) =>
+        coalesce(sum(when(col("gid") === gid, col("n") - 1)), lit(0L))
+          .as(s"u$i")
+      }
+      val wide = grouped.agg(aggs.head, aggs.tail: _*)
+      val rows = us.zipWithIndex.map { case (u, i) =>
+        struct(lit(u.name).as("check"), lit(u.detail).as("detail"),
+          col(s"u$i").as("violations"))
+      }
+      parts += wide.select(explode(array(rows: _*)).as("kv"))
+        .select(col("kv.check"), col("kv.detail"), col("kv.violations"))
     }
     parts.reduce(_ unionByName _)
       .select(col("check"), col("detail"), col("violations"),

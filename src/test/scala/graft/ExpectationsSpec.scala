@@ -45,6 +45,36 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(scans == 1, "row-level checks must share a single scan")
   }
 
+  test("N uniqueness checks fuse into ONE grouping-sets shuffle, and " +
+      "a null key value is data (counts as a duplicate key), not " +
+      "grouping-set membership") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (1L, "b", "x"),             // dup id
+      (2L, null: String, "y"), (3L, null, "y"),   // dup NULL text
+      (4L, "c", "z")
+    ).toDF("id", "text", "bucket").repartition(3)
+    val rep = Expectations.run(df, Seq(
+      Unique(Seq("id")), Unique(Seq("text")), Unique(Seq("id", "bucket"))))
+    val got = rep.orderBy("detail")
+      .select("detail", "violations")
+      .as[(String, Long)].collect().toSeq
+    // id: key 1 twice -> 1; text: NULL twice -> 1 (null is a key
+    // value); (id,bucket): (1,x) twice -> 1
+    assert(got == Seq(("id", 1L), ("id,bucket", 1L), ("text", 1L)))
+    // one DATA-SIZED shuffle total: the grouping-sets hash exchange.
+    // (The SinglePartition exchange folds one partial row per task and
+    // the RoundRobin one is this test's own repartition(3) input.)
+    val plan = rep.queryExecution.executedPlan.toString
+    val hashShuffles = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"3 uniqueness checks must share one keyed shuffle, got " +
+        s"$hashShuffles:\n$plan")
+    assert(plan.contains("Expand"),
+      "fusion must ride the grouping-sets Expand:\n" + plan)
+  }
+
   test("check names and details containing quotes are data, not SQL — " +
       "the unpivot is typed literals, not an interpolated stack()") {
     import spark.implicits._
