@@ -29,6 +29,48 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** One PageRank round's contribution frame — the hot join of the
+    * whole family, shared by [[pageRank]] and [[pageRankConverged]]
+    * and exercised directly by GraphSpec's skew test. The per-source
+    * outflow c = rank div deg is computed FIRST on the two node-sized
+    * frames (out-degrees ⋈ ranks — every key once, no skew possible),
+    * and edges join that state exactly once on the SOURCE key, then a
+    * destination-keyed sum.
+    *
+    * The single edges⋈state join is deliberate, and not only because
+    * it is one src shuffle instead of two: under hub skew (one source
+    * emitting a large share of all edges — the regime
+    * `graph_degree_dist` documents) the straggler mitigation is AQE's
+    * runtime skew split (`spark.sql.adaptive.skewJoin.*`, on by
+    * default in [[graft.Sessions]]), and OptimizeSkewedJoin refuses
+    * to split a sort-merge join whose output partitioning ANOTHER
+    * same-key join still depends on — the naive
+    * edges⋈deg⋈ranks chain is exactly that shape, so a static
+    * three-frame plan is un-splittable. With the state pre-joined,
+    * the oversized edge partition is split into threshold-sized
+    * slices, each merged against a replicated copy of the hot key's
+    * state row — GraphSpec pins `skew=true` in the executed plan on
+    * a 97%-hub edge set with bit-identical ranks. For the same
+    * reason the state is MATERIALIZED (localCheckpoint — the
+    * node-sized frame, one extra tiny job per round): skew split
+    * also requires both join children to be planner-inserted
+    * (ENSURE_REQUIREMENTS) shuffle stages, and an inline
+    * outdeg⋈ranks subplan on the state side would disqualify the
+    * join just as the chain does. The destination-keyed sum is
+    * already safe under in-degree skew: hash aggregation combines
+    * map-side, so the hot destination receives one partial row per
+    * task, not one row per edge.
+    */
+  private[graft] def pageRankContrib(edges: DataFrame, outdeg: DataFrame,
+      r: DataFrame): DataFrame = {
+    val state = outdeg
+      .join(r.withColumnRenamed("node", "src"), "src")
+      .select(col("src"), expr("rank_micro div deg").as("c"))
+      .localCheckpoint()
+    edges.join(state, "src")
+      .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
+  }
+
   /** `edges`: (src: long, dst: long), pre-deduplicated by the caller
     * if multi-edges should not weigh double. Returns (node,
     * rank_micro) for every node appearing as a source or target.
@@ -47,12 +89,7 @@ object Graph {
     val base = (init * (100 - dampingPct)) / 100
     var r = nodes.withColumn("rank_micro", lit(init))
     for (i <- 0 until iters) {
-      val contrib = edges
-        .join(outdeg, "src")
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank_micro div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      val contrib = pageRankContrib(edges, outdeg, r)
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -93,12 +130,7 @@ object Graph {
     var iters = 0
     var moved = Long.MaxValue
     while (iters < maxIters && moved > tolMicro) {
-      val contrib = edges
-        .join(outdeg, "src")
-        .join(r.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank_micro div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("sc"))
+      val contrib = pageRankContrib(edges, outdeg, r)
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -427,5 +459,48 @@ object Graph {
       labels = next.localCheckpoint()
     }
     labels
+  }
+
+  /** Common-neighbor link prediction over a bipartite incidence list
+    * (Liben-Nowell & Kleinberg 2003's CN/Jaccard predictors): for
+    * every pair of left-nodes sharing at least one right-node
+    * ("via"), score the unobserved link by shared-neighbor count and
+    * neighborhood Jaccard. The candidate pairs are generated by a
+    * WEDGE equi-join on the via key — never an all-pairs product —
+    * so work is Σ_via deg(via)², which stays O(edges) whenever
+    * per-via degree is bounded. `maxHubDeg` enforces that bound:
+    * right-nodes incident to more than `maxHubDeg` left-nodes are
+    * dropped BEFORE the wedge join (the stopword-removal move of
+    * co-occurrence mining — a hub shared by everyone predicts
+    * nothing and costs deg² wedges; same skew-guard role as the
+    * prefix filter in [[Dedup]]'s AllPairs). Degrees and Jaccard are
+    * computed in the capped universe so the score's numerator and
+    * denominator see the same edges.
+    *
+    * Scale shape: distinct + two hash aggregations + one via-keyed
+    * self-join + one pair-keyed aggregation, all shuffles on natural
+    * keys; top-k via TakeOrderedAndProject. Output: k rows
+    * (a, b, cn, da, db, jaccard_bp) ordered by (cn desc,
+    * jaccard_bp desc, a, b).
+    */
+  def linkPrediction(incidence: DataFrame, maxHubDeg: Long = 40,
+      k: Int = 50): DataFrame = {
+    val p = incidence.select(col("node"), col("via")).distinct()
+    val keptVia = p.groupBy(col("via")).agg(count(lit(1)).as("vd"))
+      .filter(col("vd") <= maxHubDeg).select(col("via"))
+    val kept = p.join(keptVia, "via")
+    val deg = kept.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = kept.as("x").join(kept.as("y"),
+        col("x.via") === col("y.via") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    wedges
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(10000 * cn) div (da + db - cn)").as("jaccard_bp"))
+      .orderBy(col("cn").desc, col("jaccard_bp").desc, col("a"),
+        col("b"))
+      .limit(k)
   }
 }

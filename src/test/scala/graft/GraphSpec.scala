@@ -198,4 +198,56 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("pageRank contribution join under hub skew: AQE splits the hot " +
+      "source partition at runtime, ranks bit-identical across configs") {
+    // the straggler regime graph_degree_dist documents, amplified: one
+    // hub emits ~97% of all edges, so the source-keyed contribution
+    // join parks nearly every edge in one static shuffle partition.
+    // Child session scales the AQE skew thresholds to fixture size
+    // (production differs only in the numbers: 256 MB / factor 5) and
+    // forces SMJ, the at-scale shape where the rank frame is
+    // node-count-sized and not broadcastable.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def mkEdges(s: org.apache.spark.sql.SparkSession) = {
+      val hub = s.range(1, 60001)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val tail = s.range(1, 2001)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      hub.unionByName(tail)
+    }
+    val edges = mkEdges(ss).localCheckpoint()
+    // execute the EXACT frame pageRank iterates (shared builder), with
+    // the round-0 inputs pageRank would hand it
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val r0 = nodes.withColumn("rank_micro",
+      lit(1000000000000L / nodes.count()))
+    val contrib = Graph.pageRankContrib(edges, outdeg, r0)
+    assert(contrib.collect().nonEmpty)
+    val p = contrib.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(400))
+    assert(p.contains("skew=true"),
+      s"AQE did not split the hub partition:\n${p.take(2000)}")
+    // output invariance: the full operator under the skew-splitting
+    // config equals the default session's run on the same edge set
+    val skewRanks = Graph.pageRank(edges, iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val defRanks = Graph.pageRank(mkEdges(spark), iters = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(skewRanks == defRanks)
+  }
 }
