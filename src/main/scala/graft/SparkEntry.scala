@@ -3908,6 +3908,63 @@ object SparkEntry {
           expr("(1000000 * n_novel) div n_grams"))
         .orderBy(col("doc_id"))
     }),
+    "events_mann_whitney" -> ((s, dir) =>
+      // nonparametric click-vs-purchase value shift: exact doubled
+      // U statistics from value-domain-grain counts (no global rank
+      // window) — see Events.mannWhitneyU
+      Events.mannWhitneyU(t(s, dir, "events"))),
+    "events_life_table" -> ((s, dir) =>
+      // Kaplan–Meier churn curve over per-user activity lifetimes;
+      // survival recurrence as exact truncating-integer fold, the
+      // oracle unrolls it with a recursive CTE
+      Events.lifeTable(t(s, dir, "events"))),
+    "events_kendall" -> ((s, dir) =>
+      // concordant/discordant day-pair census between click and
+      // purchase daily volumes — the τ-b sufficient statistics
+      Events.kendallDaily(t(s, dir, "events"))),
+    "events_theil_sen" -> ((s, dir) =>
+      // robust daily-volume trend: median pairwise slope in exact
+      // floor-division micro-units, doubled to dodge .5 fractions
+      Events.theilSenDaily(t(s, dir, "events"))),
+    "graph_link_pred" -> ((s, dir) =>
+      // who-trades-alike link prediction: common-part counts +
+      // neighborhood Jaccard for customer pairs, hub parts capped
+      // before the wedge join (Graph.linkPrediction)
+      Graph.linkPrediction(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("node"),
+            col("l_partkey").as("via")),
+        maxHubDeg = 40, k = 50)),
+    "text_textrank" -> ((s, dir) => {
+      // TextRank keywords (Mihalcea & Tarau 2004): unweighted
+      // co-occurrence graph of adjacent content tokens (length ≥ 4,
+      // pair seen ≥ 2 times, both directions), ranked with the
+      // exact-integer pageRank machinery; the oracle unrolls the
+      // identical 3 iterations over the same derived edge set. The
+      // graph is vocabulary-bounded however large the corpus; the
+      // bigram pass is one exploded projection + hash aggregation.
+      val bg = t(s, dir, "documents")
+        .select(explode(graft.functions.word_shingles(
+          Dedup.tokens(col("text")), 2)).as("pair"))
+        .select(substring_index(col("pair"), " ", 1).as("w1"),
+          substring_index(col("pair"), " ", -1).as("w2"))
+        .filter(length(col("w1")) >= 4 && length(col("w2")) >= 4 &&
+          col("w1") =!= col("w2"))
+      val e0 = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select(col("w1"), col("w2"))
+      val e = e0.select(col("w1").as("src"), col("w2").as("dst"))
+        .union(e0.select(col("w2").as("src"), col("w1").as("dst")))
+        .distinct()
+      Graph.pageRank(e, iters = 3)
+        .orderBy(col("rank_micro").desc, col("node"))
+        .limit(30)
+        .select(col("node").as("token"), col("rank_micro"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -7855,5 +7912,149 @@ object SparkEntry {
       SELECT doc_id, n_grams, n_novel,
              (1000000 * n_novel) // n_grams AS novelty_micro
       FROM agg ORDER BY doc_id""",
+    "events_mann_whitney" -> """
+      WITH b AS (SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS q
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')),
+      d AS (SELECT q,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS nb
+            FROM b GROUP BY 1),
+      c AS (SELECT na, nb,
+              CAST(coalesce(sum(na) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS na_less,
+              CAST(coalesce(sum(nb) OVER (ORDER BY q
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS nb_less
+            FROM d)
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * nb_less + nb)) AS BIGINT) AS u2_a,
+             CAST(sum(nb * (2 * na_less + na)) AS BIGINT) AS u2_b
+      FROM c""",
+    "events_life_table" -> """
+      WITH RECURSIVE days AS (SELECT user_id,
+                   epoch_us(ts) // 86400000000 AS day FROM events),
+      life AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+               FROM days GROUP BY 1),
+      mx AS (SELECT max(day) AS dmax FROM days),
+      obs AS (SELECT d1 - d0 AS t,
+                CASE WHEN d1 < dmax - 7 THEN 1 ELSE 0 END AS dead
+              FROM life, mx),
+      tab AS (SELECT t, count(*) AS ended,
+                CAST(sum(dead) AS BIGINT) AS deaths
+              FROM obs GROUP BY 1),
+      risk AS (SELECT t, ended, deaths,
+                 CAST(sum(ended) OVER (ORDER BY t ROWS BETWEEN
+                   CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS at_risk,
+                 row_number() OVER (ORDER BY t) AS rn
+               FROM tab),
+      rec AS (SELECT rn, t, ended, deaths, at_risk,
+                (1000000 * (at_risk - deaths)) // at_risk AS surv
+              FROM risk WHERE rn = 1
+              UNION ALL
+              SELECT r.rn, r.t, r.ended, r.deaths, r.at_risk,
+                (rec.surv * (r.at_risk - r.deaths)) // r.at_risk
+              FROM risk r JOIN rec ON r.rn = rec.rn + 1)
+      SELECT t, ended, deaths, at_risk, CAST(surv AS BIGINT)
+               AS surv_micro
+      FROM rec ORDER BY t""",
+    "events_kendall" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                     ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS BIGINT) AS y
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                 GROUP BY 1),
+      p AS (SELECT a.x - b.x AS dx, a.y - b.y AS dy
+            FROM d a JOIN d b ON a.day < b.day),
+      s AS (SELECT count(*) AS n_pairs,
+              CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS concordant,
+              CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS discordant,
+              CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS ties_x,
+              CAST(sum(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS ties_y,
+              CAST(sum(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS ties_xy
+            FROM p)
+      SELECT (SELECT count(*) FROM d) AS n_days, n_pairs, concordant,
+             discordant, ties_x, ties_y, ties_xy,
+             concordant - discordant AS tau_num
+      FROM s""",
+    "events_theil_sen" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y
+                 FROM events GROUP BY 1),
+      p AS (SELECT (b.y - a.y) * 1000000 AS dy, b.day - a.day AS dx
+            FROM d a JOIN d b ON a.day < b.day),
+      sl AS (SELECT (dy - ((dy % dx) + dx) % dx) // dx AS slope
+             FROM p),
+      r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+              count(*) OVER () AS m
+            FROM sl)
+      SELECT (SELECT count(*) FROM d) AS n_days,
+             CAST(max(m) AS BIGINT) AS n_pairs,
+             CAST((sum(slope) * 2) // count(*) AS BIGINT)
+               AS median2_slope_micro
+      FROM r WHERE rk = (m + 1) // 2 OR rk = (m + 2) // 2""",
+    "graph_link_pred" -> """
+      WITH p AS (SELECT DISTINCT o_custkey AS node, l_partkey AS via
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      kv AS (SELECT via FROM p GROUP BY via HAVING count(*) <= 40),
+      kept AS (SELECT p.node, p.via FROM p JOIN kv USING (via)),
+      deg AS (SELECT node, count(*) AS deg FROM kept GROUP BY 1),
+      w AS (SELECT x.node AS a, y.node AS b, count(*) AS cn
+            FROM kept x JOIN kept y
+              ON x.via = y.via AND x.node < y.node
+            GROUP BY 1, 2)
+      SELECT a, b, cn, da.deg AS da, db.deg AS db,
+             (10000 * cn) // (da.deg + db.deg - cn) AS jaccard_bp
+      FROM w JOIN deg da ON da.node = w.a
+             JOIN deg db ON db.node = w.b
+      ORDER BY cn DESC, jaccard_bp DESC, a, b LIMIT 50""",
+    "text_textrank" -> s"""
+      WITH t AS (SELECT list_filter(
+              string_split_regex(lower(text), '\\s+'), x -> x <> '')
+              AS ws
+            FROM documents),
+      bg AS (SELECT ws[CAST(i AS INT)] AS w1,
+               ws[CAST(i AS INT) + 1] AS w2
+             FROM t, unnest(range(1, len(ws))) AS r(i)),
+      fb AS (SELECT w1, w2 FROM bg
+             WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+      e0 AS (SELECT w1, w2 FROM fb GROUP BY 1, 2
+             HAVING count(*) >= 2),
+      e2 AS (SELECT w1 AS src, w2 AS dst FROM e0
+             UNION SELECT w2, w1 FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      base AS (SELECT ((1000000000000 // n) * 15) // 100 AS b,
+                      1000000000000 // n AS init FROM cnt),
+      deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+      r0 AS (SELECT node, init AS rank_micro
+             FROM nodes CROSS JOIN base),
+      ${Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT nodes.node,
+          b + (coalesce(s.sc, 0) * 85) // 100 AS rank_micro
+        FROM nodes CROSS JOIN base
+        LEFT JOIN (SELECT e2.dst AS node,
+                     sum(r.rank_micro // deg.deg) AS sc
+                   FROM e2 JOIN deg USING (src)
+                        JOIN $prev r ON r.node = e2.src
+                   GROUP BY e2.dst) s USING (node))"""
+      }.mkString(",")}
+      SELECT node AS token, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r3 ORDER BY rank_micro DESC, token LIMIT 30""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

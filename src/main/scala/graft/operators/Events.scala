@@ -765,4 +765,192 @@ object Events {
           .otherwise(col("q")).as("q_clip"),
         (col("q") < col("lo") || col("q") > col("hi")).as("clipped"))
   }
+
+  /** Mann–Whitney U between two event types' value distributions —
+    * the nonparametric two-sample location test (Mann & Whitney
+    * 1947), exact and rank-window-free. Instead of ranking N rows in
+    * one global window (the textbook plan — a single-partition sort
+    * that dies at scale), the samples are first collapsed to the
+    * VALUE-DOMAIN grain: one hash aggregation to (q, n_a, n_b)
+    * counts, then one cumulative window over the distinct-value
+    * frame, which is bounded by the value domain (two-decimal values
+    * quantized to 1e-4 units → ≤ ~50k rows however many events).
+    * U is derived from the counts with the tie-aware identity
+    * 2·U_a = Σ_q n_a(q)·(2·N_b(<q) + n_b(q)) — all integer, so the
+    * doubled statistics are exact (no .5 midranks). Invariant:
+    * u2_a + u2_b = 2·n_a·n_b (pinned in EventsSpec).
+    *
+    * Output: 1 row (n_a, n_b, u2_a, u2_b).
+    */
+  def mannWhitneyU(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    val b = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("q"))
+    val d = b.groupBy(col("q")).agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.select(col("na"), col("nb"),
+        coalesce(sum(col("na")).over(w), lit(0L)).as("na_less"),
+        coalesce(sum(col("nb")).over(w), lit(0L)).as("nb_less"))
+      .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("na") * (lit(2L) * col("nb_less") + col("nb")))
+          .as("u2_a"),
+        sum(col("nb") * (lit(2L) * col("na_less") + col("na")))
+          .as("u2_b"))
+  }
+
+  /** Kaplan–Meier life table over per-user activity lifetimes
+    * (Kaplan & Meier 1958) — the survival/churn curve of the user
+    * base. A user's observed time t is last-day − first-day; users
+    * still active within `censorDays` of the corpus end are
+    * right-censored (their churn is not yet observed). For each
+    * distinct lifetime t the table reports how many observations end
+    * there (`ended`), how many of those are churns (`deaths`), the
+    * at-risk count n_t = #users with lifetime ≥ t, and the product-
+    * limit survival estimate in exact integer micro-units with
+    * per-step truncating division: S_t = (S_prev·(n_t−d_t)) div n_t,
+    * S_start = 1e6 — a pure integer recurrence any engine re-derives
+    * (the DuckDB twin unrolls it with a recursive CTE).
+    *
+    * Scale shape: one user-keyed aggregation (lifetimes), one
+    * lifetime-keyed aggregation (the table), a reverse-cumulative
+    * window plus the sequential fold — BOTH on the distinct-lifetime
+    * frame, which is calendar-bounded (≤ observation-window days),
+    * never user-bounded. The fold runs via the `aggregate` HOF on
+    * one collected array of that bounded frame; the only scalar
+    * crossed in is the 1-row corpus max-day (adjudicated pattern).
+    *
+    * Output: (t, ended, deaths, at_risk, surv_micro) ordered by t.
+    */
+  def lifeTable(events: DataFrame, censorDays: Long = 7): DataFrame = {
+    val days = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val life = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val mx = days.agg(max(col("day")).as("dmax"))
+    val obs = life.crossJoin(mx)
+      .select((col("d1") - col("d0")).as("t"),
+        (col("d1") < col("dmax") - censorDays).cast("long").as("dead"))
+    val tab = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("ended"), sum(col("dead")).as("deaths"))
+    val wge = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = tab.withColumn("at_risk", sum(col("ended")).over(wge))
+    risk
+      .agg(sort_array(collect_list(struct(col("t"), col("ended"),
+        col("deaths"), col("at_risk")))).as("a"))
+      .select(col("a"), expr(
+        """aggregate(a,
+             named_struct('s', CAST(1000000 AS BIGINT),
+                          'o', CAST(array() AS ARRAY<BIGINT>)),
+             (acc, x) -> named_struct(
+               's', (acc.s * (x.at_risk - x.deaths)) div x.at_risk,
+               'o', array_append(acc.o,
+                 (acc.s * (x.at_risk - x.deaths)) div x.at_risk)),
+             acc -> acc.o)""").as("survs"))
+      .select(posexplode(arrays_zip(col("a"), col("survs"))))
+      .select(col("col.a.t").as("t"), col("col.a.ended").as("ended"),
+        col("col.a.deaths").as("deaths"),
+        col("col.a.at_risk").as("at_risk"),
+        col("col.survs").as("surv_micro"))
+      .orderBy(col("t"))
+  }
+
+  /** Kendall concordance census between two event types' daily
+    * volumes — the rank-correlation complement to the Pearson-style
+    * q_stats_agg: counts of concordant, discordant, and tied day
+    * pairs (the τ-b sufficient statistics, left un-normalized so
+    * every output is an exact integer; τ-b's denominator needs a
+    * square root, which is presentation, not statistic). Days with
+    * neither type present contribute nothing; a day with one type
+    * present counts the other as 0 (full-outer day alignment).
+    *
+    * Scale shape: one hash aggregation to the (day, x, y) grain,
+    * then an all-pairs self-join RESTRICTED to the daily frame —
+    * calendar-bounded (d days → d·(d−1)/2 pairs; ~500k pairs for a
+    * 3-year window), independent of event volume, the same
+    * domain-bounded-quadratic adjudication as the ACF/seasonal
+    * family. Nothing about this plan changes at 100× data: only the
+    * calendar grows it.
+    *
+    * Output: 1 row (n_days, n_pairs, concordant, discordant,
+    * ties_x, ties_y, ties_xy, tau_num = concordant − discordant).
+    */
+  def kendallDaily(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    val d = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("y"))
+    val pairs = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select((col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("dx") =!= 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_y"),
+        sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_xy"))
+      .withColumn("tau_num", col("concordant") - col("discordant"))
+      .crossJoin(d.agg(count(lit(1)).as("n_days")))
+      .select(col("n_days"), col("n_pairs"), col("concordant"),
+        col("discordant"), col("ties_x"), col("ties_y"),
+        col("ties_xy"), col("tau_num"))
+  }
+
+  /** Theil–Sen slope of the daily total-volume trend (Theil 1950,
+    * Sen 1968) — the median of all pairwise day-slopes, the robust
+    * alternative to the least-squares trend that one outage day
+    * cannot drag. Slopes are exact integers in micro-events/day via
+    * FLOOR division — spelled as (a − pmod(a, b)) div b because dy
+    * can be negative and Spark's `div` truncates toward zero while
+    * the DuckDB twin's `//` floors; pmod makes both engines floor
+    * (b = day gap > 0 always). The median is reported DOUBLED
+    * (sum of the two middle order statistics; 2× the middle one for
+    * odd counts) so it stays an exact integer with no .5 fraction.
+    *
+    * Scale shape: identical to [[kendallDaily]] — one daily
+    * aggregation, then the all-pairs join and one rank window, both
+    * on the calendar-bounded daily frame. Volume changes the daily
+    * counts, not the plan.
+    *
+    * Output: 1 row (n_days, n_pairs, median2_slope_micro).
+    */
+  def theilSenDaily(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = d.as("a").join(d.as("b"), col("a.day") < col("b.day"))
+      .select(((col("b.y") - col("a.y")) * 1000000L).as("dy"),
+        (col("b.day") - col("a.day")).as("dx"))
+      .select(expr("(dy - pmod(dy, dx)) div dx").as("slope"))
+    val w = Window.orderBy(col("slope"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked
+      .filter(col("rk") === expr("(m + 1) div 2") ||
+        col("rk") === expr("(m + 2) div 2"))
+      // c = 1 (odd m: median2 = 2·middle) or 2 (even: s1 + s2); the
+      // division is exact (2·sum always divisible by c), so trunc
+      // vs floor is moot even for negative slopes
+      .agg(max(col("m")).as("n_pairs"),
+        expr("(sum(slope) * 2) div count(1)")
+          .as("median2_slope_micro"))
+      .crossJoin(d.agg(count(lit(1)).as("n_days")))
+      .select(col("n_days"), col("n_pairs"),
+        col("median2_slope_micro"))
+  }
 }

@@ -852,4 +852,82 @@ class EventsSpec extends AnyFunSuite {
     assert(got.last == (390000L, true), "40 clips down to rank 39")
     assert(got.count(_._2) == 2)
   }
+
+  test("mannWhitneyU: hand-computed doubled U with ties, plus the " +
+      "u2_a + u2_b = 2·n_a·n_b identity; other types ignored") {
+    import spark.implicits._
+    // clicks [1,3,3], purchases [2,3]: U_a = 2 + 2·(half-tie) = 3,
+    // U_b = 2 + 1 = 3 → doubled 6/6; the view row must not count
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 1L, "click", 3.0),
+      (3L, ts("2024-01-01 00:00:00"), 1L, "click", 3.0),
+      (4L, ts("2024-01-01 00:00:00"), 1L, "purchase", 2.0),
+      (5L, ts("2024-01-01 00:00:00"), 1L, "purchase", 3.0),
+      (6L, ts("2024-01-01 00:00:00"), 1L, "view", 9.9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.mannWhitneyU(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 6L, 6L)))
+    assert(got.head._3 + got.head._4 == 2 * got.head._1 * got.head._2)
+  }
+
+  test("lifeTable: censored vs churned users, at-risk reverse " +
+      "cumulative, truncating product-limit survival") {
+    import spark.implicits._
+    // dmax = day 20, censor horizon 7 → churned iff last day < 13.
+    // u1: t=20 censored; u2: t=10 churned; u3: t=2 censored.
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L),
+      (2L, ts("2024-01-21 08:00:00"), 1L),
+      (3L, ts("2024-01-01 08:00:00"), 2L),
+      (4L, ts("2024-01-11 08:00:00"), 2L),
+      (5L, ts("2024-01-19 08:00:00"), 3L),
+      (6L, ts("2024-01-21 08:00:00"), 3L))
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.lifeTable(ev, censorDays = 7)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // (t, ended, deaths, at_risk, surv_micro): survival only drops
+    // at the churn time t=10 → (1e6·(2−1)) div 2 = 500000, and the
+    // censored exit at t=20 leaves it flat
+    assert(got == Seq((2L, 1L, 0L, 3L, 1000000L),
+      (10L, 1L, 1L, 2L, 500000L), (20L, 1L, 0L, 1L, 500000L)))
+  }
+
+  test("kendallDaily: concordant/discordant/tie census on a " +
+      "hand-checkable three-day series") {
+    import spark.implicits._
+    // (x, y) per day: d1 (1,1), d2 (2,3), d3 (2,0) → pairs:
+    // (d1,d2) concordant, (d1,d3) discordant, (d2,d3) x-tie
+    def rows(day: String, typ: String, n: Int, base: Long) =
+      (0 until n).map(i =>
+        (base + i, ts(s"$day 10:00:00"), 1L, typ, 1.0))
+    val ev = (rows("2024-01-01", "click", 1, 10) ++
+      rows("2024-01-01", "purchase", 1, 20) ++
+      rows("2024-01-02", "click", 2, 30) ++
+      rows("2024-01-02", "purchase", 3, 40) ++
+      rows("2024-01-03", "click", 2, 50) ++
+      rows("2024-01-03", "view", 1, 60))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.kendallDaily(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got ==
+      Seq((3L, 3L, 1L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("theilSenDaily: median pairwise slope floors negative " +
+      "non-exact quotients (engine-agnostic floor division)") {
+    import spark.implicits._
+    // daily totals day0=4, day1=1, day3=3 → slopes −3000000,
+    // floor(−1e6/3) = −333334 (NOT −333333), +1000000 → median
+    // −333334, doubled −666668
+    def rows(day: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, ts(s"$day 10:00:00")))
+    val ev = (rows("2024-01-01", 4, 10) ++ rows("2024-01-02", 1, 20) ++
+      rows("2024-01-04", 3, 30)).toDF("event_id", "ts")
+    val got = Events.theilSenDaily(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 3L, -666668L)))
+  }
 }

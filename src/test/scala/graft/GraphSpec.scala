@@ -250,4 +250,23 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(skewRanks == defRanks)
   }
+
+  test("linkPrediction: hand-computed common-neighbor/Jaccard scores; " +
+      "the hub via is dropped before wedging and its exclusive node " +
+      "vanishes with it") {
+    import spark.implicits._
+    // vias 10:{1,2}, 11:{1,2,3}, 12:{3}; hub 99:{1,2,3,4} exceeds
+    // maxHubDeg=3 → dropped, so node 4 (hub-only) never appears and
+    // degrees are computed in the capped universe (all = 2)
+    val inc = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 11L), (3L, 12L), (1L, 99L), (2L, 99L), (3L, 99L),
+      (4L, 99L), (1L, 10L)) // dup incidence must collapse
+      .toDF("node", "via")
+    val got = Graph.linkPrediction(inc, maxHubDeg = 3, k = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, 2L, 2L, 10000L),
+      (1L, 3L, 1L, 2L, 2L, 3333L),
+      (2L, 3L, 1L, 2L, 2L, 3333L)))
+  }
 }
