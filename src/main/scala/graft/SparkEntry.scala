@@ -3965,6 +3965,27 @@ object SparkEntry {
         .limit(30)
         .select(col("node").as("token"), col("rank_micro"))
     }),
+    "events_ks" -> ((s, dir) =>
+      // Kolmogorov–Smirnov click-vs-purchase CDF gap at the
+      // value-domain grain, DECIMAL cross-products (Events.ksTest)
+      Events.ksTest(t(s, dir, "events"))),
+    "events_gini" -> ((s, dir) =>
+      // activity-inequality monitor: exact Gini over per-user volume
+      // via the count-of-counts grain (Events.giniUserActivity)
+      Events.giniUserActivity(t(s, dir, "events"))),
+    "events_chi2_dow" -> ((s, dir) =>
+      // type × weekday independence: per-cell χ² terms in exact
+      // micro-units, arithmetic weekday (Events.chiSquareDow)
+      Events.chiSquareDow(t(s, dir, "events"))),
+    "events_holt" -> ((s, dir) =>
+      // level+trend double exponential smoothing over the gapfilled
+      // daily series, exact floor-division integer recurrence
+      // (Events.holtDaily; oracle = recursive CTE)
+      Events.holtDaily(t(s, dir, "events"))),
+    "text_bpe_merges" -> ((s, dir) =>
+      // BPE merge training on the word-frequency table — 3 learned
+      // merges, vocabulary-bounded per round (TextStats.bpeMerges)
+      TextStats.bpeMerges(t(s, dir, "documents"), rounds = 3)),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4297,6 +4318,66 @@ object SparkEntry {
                FROM anc a JOIN g2 b ON b.doc_id = a.doc_id
                                    AND b.pos BETWEEN a.j AND a.j + 3),
       fp AS (SELECT DISTINCT doc_id, pos, g AS gram FROM cand WHERE rn = 1)"""
+
+  /** events_holt's DuckDB twin: the identical floor-division Holt
+    * recurrence unrolled as a recursive CTE. The level/trend update
+    * strings are composed here exactly as Events.holtDaily composes
+    * its lambda (neither SQL dialect has let-bindings, so the level
+    * expression is inlined into the trend update on both sides).
+    */
+  private def holtOracleSql: String = {
+    val lRaw = "2 * f.y * 1000000 + 8 * (rec.l + rec.b)"
+    val lNew = s"(($lRaw) - ((($lRaw) % 10) + 10) % 10) // 10"
+    val bRaw = s"($lNew) - rec.l + 9 * rec.b"
+    val bNew = s"(($bRaw) - ((($bRaw) % 10) + 10) % 10) // 10"
+    s"""
+      WITH RECURSIVE d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y FROM events GROUP BY 1),
+      spine AS (SELECT unnest(range((SELECT min(day) FROM d),
+                  (SELECT max(day) FROM d) + 1)) AS day),
+      f AS (SELECT spine.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y,
+              row_number() OVER (ORDER BY spine.day) AS rn
+            FROM spine LEFT JOIN d USING (day)),
+      rec AS (SELECT rn, day, y, y * 1000000 AS l,
+                CAST(0 AS BIGINT) AS b
+              FROM f WHERE rn = 1
+              UNION ALL
+              SELECT f.rn, f.day, f.y, $lNew, $bNew
+              FROM f JOIN rec ON f.rn = rec.rn + 1)
+      SELECT day, y, l AS level_micro, b AS trend_micro
+      FROM rec ORDER BY day"""
+  }
+
+  /** text_bpe_merges' DuckDB twin: three merge rounds unrolled as
+    * CTE pairs (pair-count → argmax → rewrite), each mirroring one
+    * iteration of TextStats.bpeMerges' loop.
+    */
+  private def bpeOracleSql: String = s"""
+      WITH wf AS (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS w
+             FROM documents) GROUP BY w),
+      s0 AS (SELECT concat(' ',
+               regexp_replace(w, '(.)', '\\1 ', 'g'), '_ ') AS seq,
+               cnt FROM wf),
+      ${(1 to 3).map { r => s"""
+      p$r AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          SELECT sym[CAST(i AS INT)] || ' ' ||
+                 sym[CAST(i AS INT) + 1] AS pr, cnt
+          FROM (SELECT list_filter(string_split_regex(seq, '\\s+'),
+                  x -> x <> '') AS sym, cnt FROM s${r - 1}),
+               unnest(range(1, len(sym))) AS t(i)) GROUP BY pr),
+      b$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
+      s$r AS (SELECT replace(seq, ' ' || pr || ' ',
+                ' ' || replace(pr, ' ', '') || ' ') AS seq, cnt
+              FROM s${r - 1}, b$r)"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS round, pr AS pair, n AS pair_cnt
+      FROM b1
+      UNION ALL SELECT CAST(2 AS BIGINT), pr, n FROM b2
+      UNION ALL SELECT CAST(3 AS BIGINT), pr, n FROM b3
+      ORDER BY round"""
 
   def oracleSql: Map[String, String] = Map(
     "xml_documents" -> s"""
@@ -8056,5 +8137,61 @@ object SparkEntry {
       }.mkString(",")}
       SELECT node AS token, CAST(rank_micro AS BIGINT) AS rank_micro
       FROM r3 ORDER BY rank_micro DESC, token LIMIT 30""",
+    "events_ks" -> """
+      WITH b AS (SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS q
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')),
+      d AS (SELECT q,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                END) AS BIGINT) AS na,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                END) AS BIGINT) AS nb
+            FROM b GROUP BY 1),
+      c AS (SELECT sum(na) OVER (ORDER BY q) AS cum_a,
+              sum(nb) OVER (ORDER BY q) AS cum_b,
+              sum(na) OVER () AS n_a, sum(nb) OVER () AS n_b
+            FROM d)
+      SELECT CAST(max(n_a) AS BIGINT) AS n_a,
+             CAST(max(n_b) AS BIGINT) AS n_b,
+             CAST((1000000 * max(abs(cum_a * n_b - cum_b * n_a)))
+               // (max(n_a) * max(n_b)) AS BIGINT) AS ks_micro
+      FROM c""",
+    "events_gini" -> """
+      WITH u AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+      cc AS (SELECT c, count(*) AS m FROM u GROUP BY 1),
+      r AS (SELECT c, m, sum(m) OVER (ORDER BY c) AS b FROM cc),
+      s AS (SELECT CAST(sum(m) AS BIGINT) AS n_users,
+              CAST(sum(c * m) AS BIGINT) AS total_events,
+              sum(CAST(c AS HUGEINT) * (2 * b - m + 1) * m) AS s2
+            FROM r)
+      SELECT n_users, total_events,
+             CAST(((s2 - (CAST(n_users AS HUGEINT) + 1) * total_events)
+                   * 1000000)
+               // (CAST(n_users AS HUGEINT) * total_events) AS BIGINT)
+               AS gini_micro
+      FROM s""",
+    "events_chi2_dow" -> """
+      WITH cell AS (SELECT event_type,
+                      (epoch_us(ts) // 86400000000) % 7 AS dw,
+                      count(*) AS o
+                    FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+            FROM cell GROUP BY 1),
+      c AS (SELECT dw, CAST(sum(o) AS BIGINT) AS ct
+            FROM cell GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cell)
+      SELECT cell.event_type, cell.dw, cell.o,
+             CAST((1000 * CAST(rt AS HUGEINT) * ct) // nt AS BIGINT)
+               AS exp_milli,
+             CAST((1000000 *
+                   (CAST(cell.o AS HUGEINT) * nt - rt * ct) *
+                   (CAST(cell.o AS HUGEINT) * nt - rt * ct))
+               // (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT)
+               AS chi2_micro
+      FROM cell JOIN r USING (event_type) JOIN c USING (dw), n
+      ORDER BY event_type, dw""",
+    "events_holt" -> holtOracleSql,
+    "text_bpe_merges" -> bpeOracleSql,
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -953,4 +953,165 @@ object Events {
       .select(col("n_days"), col("n_pairs"),
         col("median2_slope_micro"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between two event types'
+    * value distributions — the shape-sensitive complement to
+    * [[mannWhitneyU]]'s location test, computed on the same
+    * value-domain grain (one hash aggregation + one cumulative window
+    * over the distinct-value frame; no global row ranking). The
+    * statistic is the max CDF gap cleared of fractions:
+    * D = max_q |F_a(q) − F_b(q)| = max |cum_a·n_b − cum_b·n_a| /
+    * (n_a·n_b), reported in truncating micro-units. Cross-products
+    * ride DECIMAL(38,0) — cum·n overflows int64 past ~3e9 rows per
+    * side, well inside the 100 TB envelope — and only the ≤1e6 micro
+    * result is cast back to long.
+    *
+    * Output: 1 row (n_a, n_b, ks_micro).
+    */
+  def ksTest(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    val b = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        round(col("value") * 10000).cast("long").as("q"))
+    val d = b.groupBy(col("q")).agg(
+      sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("na"),
+      sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("nb"))
+    val wc = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    d.select(
+        sum(col("na")).over(wc).as("cum_a"),
+        sum(col("nb")).over(wc).as("cum_b"),
+        sum(col("na")).over(wall).as("n_a"),
+        sum(col("nb")).over(wall).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        abs(dec(col("cum_a")) * col("n_b") -
+          dec(col("cum_b")) * col("n_a")).as("dev"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("dev")).as("ks_num"))
+      .select(col("n_a"), col("n_b"),
+        expr("(1000000 * ks_num) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
+          .cast("long").as("ks_micro"))
+  }
+
+  /** Gini concentration of per-user event volume — "how unequal is
+    * activity across users", the inequality monitor for bot/power-user
+    * detection. Exact integers throughout via the COUNT-OF-COUNTS
+    * grain: per-user totals collapse to (c, m_c) = (activity level,
+    * #users at that level), so the sort the textbook formula needs
+    * runs over the activity-level domain, not the user base. For a
+    * run of m equal values c at ranks a..b, 2·Σ i·x_i contributes
+    * c·(a+b)·m exactly, so G = (2Σi·xᵢ − (n+1)T) / (nT) needs one
+    * cumulative window over the level frame and one aggregate.
+    * Products ride DECIMAL(38,0) (n²·c̄ passes int64 around 1e9
+    * users); the ≤1e6 micro result casts back to long.
+    *
+    * Output: 1 row (n_users, total_events, gini_micro).
+    */
+  def giniUserActivity(events: DataFrame): DataFrame = {
+    val u = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val cc = u.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    cc.select(col("c"), col("m"), sum(col("m")).over(w).as("b"))
+      .agg(sum(col("m")).as("n_users"),
+        sum(col("c") * col("m")).as("total_events"),
+        // 2·Σ i·xᵢ = Σ_levels c·(a+b)·m with a = b−m+1
+        sum(dec(col("c")) * (lit(2) * col("b") - col("m") + 1) *
+          col("m")).as("s2"))
+      .select(col("n_users"), col("total_events"),
+        expr("""((s2 - (CAST(n_users AS DECIMAL(38,0)) + 1) *
+                 total_events) * 1000000)
+                div (CAST(n_users AS DECIMAL(38,0)) * total_events)""")
+          .cast("long").as("gini_micro"))
+  }
+
+  /** Chi-square independence census for event type × day-of-week —
+    * "does the type mix depend on the weekday", the seasonality
+    * screen before shipping a day-partitioned sampler. Day-of-week is
+    * epoch-day mod 7 (a pure arithmetic weekday — no calendar API to
+    * diverge between engines). Each cell reports its observed count,
+    * the expected count in milli-units (r·c/N), and its χ² term in
+    * micro-units via the fraction-cleared identity
+    * (o·N − r·c)²/(N·r·c); squares ride DECIMAL(38,0) (o·N passes
+    * int64 near 3e9 events). Three hash aggregations on bounded
+    * grains (cells = types × 7) + two tiny joins.
+    *
+    * Output: (event_type, dw, o, exp_milli, chi2_micro) per cell.
+    */
+  def chiSquareDow(events: DataFrame): DataFrame = {
+    val cell = events.select(col("event_type"),
+        expr("pmod(unix_micros(ts) div 86400000000, 7)").as("dw"))
+      .groupBy(col("event_type"), col("dw"))
+      .agg(count(lit(1)).as("o"))
+    val r = cell.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val c = cell.groupBy(col("dw")).agg(sum(col("o")).as("ct"))
+    val n = cell.agg(sum(col("o")).as("nt"))
+    cell.join(r, "event_type").join(c, "dw").crossJoin(n)
+      .select(col("event_type"), col("dw"), col("o"),
+        expr("(1000 * CAST(rt AS DECIMAL(38,0)) * ct) div nt")
+          .as("exp_milli"),
+        expr("""(1000000 * (CAST(o AS DECIMAL(38,0)) * nt - rt * ct) *
+                (CAST(o AS DECIMAL(38,0)) * nt - rt * ct))
+                div (CAST(nt AS DECIMAL(38,0)) * rt * ct)""")
+          .cast("long").as("chi2_micro"))
+      .orderBy(col("event_type"), col("dw"))
+  }
+
+  /** Holt double-exponential smoothing (level + trend) of the daily
+    * event volume — [[ewmaHourly]]'s trend-aware sibling, the
+    * short-horizon forecaster's state. The day spine is gapfilled
+    * (missing days count 0 — a forecast state that skips quiet days
+    * would overshoot), and the recurrence runs in exact integer
+    * micro-units with FLOOR division (trend goes negative, so
+    * truncation would diverge between engines; pmod spells floor both
+    * sides): l_t = ⌊(2·y_t·1e6 + 8·(l+b))/10⌋ (α = 0.2),
+    * b_t = ⌊((l_t − l) + 9·b)/10⌋ (β = 0.1), seeded l_0 = y_0·1e6,
+    * b_0 = 0. Like [[lifeTable]], the sequential fold runs via the
+    * `aggregate` HOF over ONE collected array of the calendar-bounded
+    * day frame; the DuckDB twin unrolls the identical recurrence with
+    * a recursive CTE.
+    *
+    * Output: (day, y, level_micro, trend_micro) ordered by day.
+    */
+  def holtDaily(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val filled = spine.join(d, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    // no let-bindings in SQL lambdas: the level update is composed
+    // Scala-side and inlined wherever the trend update references it
+    val lRaw = "2 * x.y * 1000000 + 8 * (acc.l + acc.b)"
+    val lNew = s"(($lRaw) - pmod($lRaw, 10)) div 10"
+    val bRaw = s"($lNew) - acc.l + 9 * acc.b"
+    val bNew = s"(($bRaw) - pmod($bRaw, 10)) div 10"
+    filled
+      .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+        .as("a"))
+      .select(col("a"), expr(
+        s"""aggregate(a,
+             named_struct('l', CAST(0 AS BIGINT),
+                          'b', CAST(0 AS BIGINT),
+                          'o', CAST(array() AS
+                            ARRAY<STRUCT<l: BIGINT, b: BIGINT>>)),
+             (acc, x) -> IF(size(acc.o) = 0,
+               named_struct('l', x.y * 1000000, 'b', CAST(0 AS BIGINT),
+                 'o', array(named_struct('l', x.y * 1000000,
+                   'b', CAST(0 AS BIGINT)))),
+               named_struct('l', $lNew, 'b', $bNew,
+                 'o', array_append(acc.o,
+                   named_struct('l', $lNew, 'b', $bNew)))),
+             acc -> acc.o)""").as("st"))
+      .select(posexplode(arrays_zip(col("a"), col("st"))))
+      .select(col("col.a.day").as("day"), col("col.a.y").as("y"),
+        col("col.st.l").as("level_micro"),
+        col("col.st.b").as("trend_micro"))
+      .orderBy(col("day"))
+  }
 }

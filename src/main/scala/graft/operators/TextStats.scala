@@ -737,4 +737,54 @@ object TextStats {
       .select(col("cls"), col("rank"), col("term"), col("df"),
         col("a").as("in_class_df"), col("chi2_micro"), col("direction"))
   }
+
+  /** Byte-pair-encoding merge TRAINING (Sennrich, Haddow & Birch
+    * 2016) — learn the first `rounds` merges from the corpus, the
+    * step [[graft.SparkEntry]]'s text_bpe_tokens (a tokenizer with a
+    * fixed rule) presupposes. Classic BPE trains on the WORD-
+    * FREQUENCY table, and that is the whole scale story: the corpus
+    * collapses to (word, count) once — vocabulary-bounded however
+    * many documents — and every merge round then costs one pair
+    * explosion + hash aggregation over that bounded table, a 1-row
+    * argmax (ties to the lexicographically smallest pair, so the
+    * learned merges are a pure function of the corpus), and one
+    * broadcast-scalar string rewrite. Words are spelled as space-
+    * separated symbols with an `_` end-of-word sentinel; a merge
+    * replaces ` p1 p2 ` with ` p1p2 ` left-to-right without
+    * rescanning, identical in Spark's and DuckDB's `replace`.
+    * Documented divergence from the canonical pairing: on a RUN of a
+    * repeated symbol the occurrences share separator spaces, so one
+    * round merges `a a a a` to `aa a a` (the canonical scan gives
+    * `aa aa`); later rounds re-merge the tail, and off-run pairs —
+    * the overwhelming case on natural text — are identical.
+    *
+    * Output: (round, pair, pair_cnt) — the merge table, ordered.
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1)
+    var cur = docs
+      .select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1 "), lit("_ ")).as("seq"),
+        col("cnt"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = cur
+        .select(explode(graft.functions.word_shingles(
+          Dedup.tokens(col("seq")), 2)).as("pr"), col("cnt"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pr")).limit(1)
+        .localCheckpoint()
+      merges += best.select(lit(r.toLong).as("round"),
+        col("pr").as("pair"), col("n").as("pair_cnt"))
+      cur = cur.crossJoin(broadcast(best.select(col("pr"))))
+        .select(expr("""replace(seq, ' ' || pr || ' ',
+            ' ' || replace(pr, ' ', '') || ' ')""").as("seq"),
+          col("cnt"))
+        .localCheckpoint()
+    }
+    merges.result().reduce(_ unionByName _).orderBy(col("round"))
+  }
 }

@@ -930,4 +930,64 @@ class EventsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((3L, 3L, -666668L)))
   }
+
+  test("ksTest: hand-computed max CDF gap — clicks [1,2] vs " +
+      "purchases [2,3] gives D = 1/2") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 1L, "click", 2.0),
+      (3L, ts("2024-01-01 00:00:00"), 1L, "purchase", 2.0),
+      (4L, ts("2024-01-01 00:00:00"), 1L, "purchase", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.ksTest(ev).as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 500000L)))
+  }
+
+  test("giniUserActivity: counts [1,1,2] give Gini 1/6 via the " +
+      "count-of-counts grain") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 3L))
+      .map { case (e, u) => (e, ts("2024-01-01 00:00:00"), u) }
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.giniUserActivity(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 4L, 166666L)))
+  }
+
+  test("chiSquareDow: 2×2 contingency with every cell term 1/2 — " +
+      "exact micro chi-square, arithmetic weekday") {
+    import spark.implicits._
+    // 2024-01-01 = epoch day 19723 → dw 4; 01-02 → dw 5. t1: 3 on
+    // dw4 + 1 on dw5; t2 mirrored → every χ² cell (o·N−r·c)²/(N·r·c)
+    // = 64/128 = 0.5, expected count 2 (milli 2000)
+    def rows(day: String, typ: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, ts(s"$day 10:00:00"), 1L, typ, 1.0))
+    val ev = (rows("2024-01-01", "t1", 3, 10) ++
+      rows("2024-01-02", "t1", 1, 20) ++
+      rows("2024-01-01", "t2", 1, 30) ++
+      rows("2024-01-02", "t2", 3, 40))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.chiSquareDow(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("t1", 4L, 3L, 2000L, 500000L), ("t1", 5L, 1L, 2000L, 500000L),
+      ("t2", 4L, 1L, 2000L, 500000L), ("t2", 5L, 3L, 2000L, 500000L)))
+  }
+
+  test("holtDaily: hand-unrolled level/trend recurrence over a " +
+      "gapfilled series (the gap day counts 0 and pulls trend " +
+      "negative)") {
+    import spark.implicits._
+    // daily y = [1, 2, 0(gap), 3] from 2024-01-01 (epoch day 19723)
+    def rows(day: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, ts(s"$day 10:00:00")))
+    val ev = (rows("2024-01-01", 1, 10) ++ rows("2024-01-02", 2, 20) ++
+      rows("2024-01-04", 3, 30)).toDF("event_id", "ts")
+    val got = Events.holtDaily(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (19723L, 1L, 1000000L, 0L), (19724L, 2L, 1200000L, 20000L),
+      (19725L, 0L, 976000L, -4400L), (19726L, 3L, 1377280L, 36168L)))
+  }
 }

@@ -470,4 +470,17 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 5L, 2L, 6L, 102777500L)))
   }
+
+  test("bpeMerges: hand-traced merge table — frequency argmax, " +
+      "lexicographic tie-break, end-of-word sentinel participates") {
+    import spark.implicits._
+    // wf: aba×2 (' a b a _ '), ab×1 (' a b _ ').
+    // r1: 'a b'=3 wins. r2: 'ab a'=2 ties 'a _'=2 → 'a _' (lex, the
+    //     space sorts below 'b'). r3: 'ab a_'=2 wins.
+    val docs = Seq((1L, "aba aba"), (2L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bpeMerges(docs, rounds = 3)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a b", 3L), (2L, "a _", 2L),
+      (3L, "ab a_", 2L)))
+  }
 }
