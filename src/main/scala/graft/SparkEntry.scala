@@ -3986,6 +3986,30 @@ object SparkEntry {
       // BPE merge training on the word-frequency table — 3 learned
       // merges, vocabulary-bounded per round (TextStats.bpeMerges)
       TextStats.bpeMerges(t(s, dir, "documents"), rounds = 3)),
+    "events_decompose" -> ((s, dir) =>
+      // trend / weekday-seasonal / residual split of the daily
+      // volume in exact milli-units (Events.decomposeDaily)
+      Events.decomposeDaily(t(s, dir, "events"))),
+    "events_changepoint" -> ((s, dir) =>
+      // exact integer contrast argmax over prefix/suffix splits of
+      // the gapfilled day sequence (Events.changepointDaily)
+      Events.changepointDaily(t(s, dir, "events"))),
+    "events_rfm" -> ((s, dir) =>
+      // recency/frequency/monetary quintile census; boundaries from
+      // count-of-counts distributions, no per-user global ranking
+      // (Events.rfmSegments)
+      Events.rfmSegments(t(s, dir, "events"))),
+    "sample_kfold" -> ((s, dir) =>
+      // deterministic 5-fold assignment (scrambled-hash bucket) with
+      // the fold × source balance audit — cross-validation hygiene:
+      // each fold should mirror the corpus mix
+      t(s, dir, "documents")
+        .select(Sampling.bucket(col("doc_id"), 5).as("fold"),
+          col("source"), col("n_chars"))
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("fold"), col("source"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4027,11 +4051,11 @@ object SparkEntry {
             FROM ${name}_rec WHERE i = n + 1))"""
 
   /** SQL twin of [[Sampling.bucket]]: MINSTD-scrambled sdbm hash mod
-    * 100 (see the scramble rationale in Sampling's scaladoc).
+    * `n` (see the scramble rationale in Sampling's scaladoc).
     */
-  private def bucketSql(h: String): String =
+  private def bucketSql(h: String, n: Int = 100): String =
     s"((((($h % 2147483647) + 2147483647) % 2147483647) * 48271)" +
-      " % 2147483647) % 100"
+      s" % 2147483647) % $n"
 
   /** Shared CTE chain for the duplicated-span oracles — the SQL twin
     * of [[Dedup.duplicatedSpans]] (grams by STRING here; Spark keys
@@ -4378,6 +4402,47 @@ object SparkEntry {
       UNION ALL SELECT CAST(2 AS BIGINT), pr, n FROM b2
       UNION ALL SELECT CAST(3 AS BIGINT), pr, n FROM b3
       ORDER BY round"""
+
+  /** One RFM quintile-boundary CTE (SQL twin of the count-of-counts
+    * `bounds` frame inside Events.rfmSegments).
+    */
+  private def rfmBounds(name: String, dim: String): String = s"""
+      $name AS (SELECT ${(1 to 4).map(k =>
+        s"min(CASE WHEN cum * 5 >= n * $k THEN v END) AS ${dim}_b$k")
+        .mkString(", ")}
+        FROM (SELECT v, sum(m) OVER (ORDER BY v) AS cum,
+                sum(m) OVER () AS n
+              FROM (SELECT $dim AS v, count(*) AS m FROM ur
+                    GROUP BY 1)))"""
+
+  /** events_rfm's DuckDB twin — per-dimension boundary CTEs + the
+    * 1 + #boundaries-below score, mirroring Events.rfmSegments.
+    */
+  private def rfmOracleSql: String = {
+    def score(dim: String) = s"CAST(1 ${(1 to 4).map(k =>
+      s"+ (CASE WHEN $dim > ${dim}_b$k THEN 1 ELSE 0 END)")
+      .mkString(" ")} AS BIGINT)"
+    s"""
+      WITH u AS (SELECT user_id,
+                   max(epoch_us(ts) // 86400000000) AS last_day,
+                   count(*) AS f,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                     AS BIGINT) AS mq
+                 FROM events GROUP BY 1),
+      mx AS (SELECT max(epoch_us(ts) // 86400000000) AS dmax
+             FROM events),
+      ur AS (SELECT user_id, dmax - last_day AS r,
+               CAST(f AS BIGINT) AS f, mq
+             FROM u, mx),
+      ${rfmBounds("rb", "r")},
+      ${rfmBounds("fb", "f")},
+      ${rfmBounds("mb", "mq")},
+      scored AS (SELECT ${score("r")} AS r_q, ${score("f")} AS f_q,
+               ${score("mq")} AS m_q
+             FROM ur, rb, fb, mb)
+      SELECT r_q, f_q, m_q, count(*) AS n_users
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "xml_documents" -> s"""
@@ -8193,5 +8258,54 @@ object SparkEntry {
       ORDER BY event_type, dw""",
     "events_holt" -> holtOracleSql,
     "text_bpe_merges" -> bpeOracleSql,
+    "events_decompose" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y FROM events GROUP BY 1),
+      spine AS (SELECT unnest(range((SELECT min(day) FROM d),
+                  (SELECT max(day) FROM d) + 1)) AS day),
+      f AS (SELECT spine.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y
+            FROM spine LEFT JOIN d USING (day)),
+      t0 AS (SELECT day, y, CAST(sum(y) OVER w7 AS BIGINT) AS s7,
+               count(*) OVER w7 AS nw
+             FROM f WINDOW w7 AS (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tt AS (SELECT day, y, (1000 * s7) // 7 AS trend_milli,
+               1000 * y - (1000 * s7) // 7 AS detr_milli
+             FROM t0 WHERE nw = 7),
+      seas AS (SELECT day % 7 AS dw,
+                 CAST(sum(detr_milli) AS BIGINT) AS sd,
+                 CAST(count(*) AS BIGINT) AS m
+               FROM tt GROUP BY 1),
+      ss AS (SELECT dw, (sd - ((sd % m) + m) % m) // m
+               AS seasonal_milli FROM seas)
+      SELECT day, y, trend_milli, detr_milli, seasonal_milli,
+             detr_milli - seasonal_milli AS resid_milli
+      FROM tt JOIN ss ON ss.dw = tt.day % 7 ORDER BY day""",
+    "events_changepoint" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y FROM events GROUP BY 1),
+      spine AS (SELECT unnest(range((SELECT min(day) FROM d),
+                  (SELECT max(day) FROM d) + 1)) AS day),
+      f AS (SELECT spine.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y
+            FROM spine LEFT JOIN d USING (day)),
+      c AS (SELECT day,
+              CAST(sum(y) OVER (ORDER BY day) AS BIGINT) AS sl,
+              CAST(count(*) OVER (ORDER BY day) AS BIGINT) AS nl,
+              CAST(sum(y) OVER () AS BIGINT) AS s,
+              CAST(count(*) OVER () AS BIGINT) AS n
+            FROM f)
+      SELECT day AS split_day, nl AS n_left, n - nl AS n_right,
+             sl AS sum_left, s - sl AS sum_right,
+             abs(sl * (n - nl) - (s - sl) * nl) AS contrast
+      FROM c WHERE nl < n ORDER BY contrast DESC, split_day LIMIT 1""",
+    "events_rfm" -> rfmOracleSql,
+    "sample_kfold" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT ${bucketSql("s.hash", 5)} AS fold, d.source,
+             count(*) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1078,13 +1078,7 @@ object Events {
     * Output: (day, y, level_micro, trend_micro) ordered by day.
     */
   def holtDaily(events: DataFrame): DataFrame = {
-    val d = events
-      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("y"))
-    val spine = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
-    val filled = spine.join(d, Seq("day"), "left")
-      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+    val filled = dailyFilled(events)
     // no let-bindings in SQL lambdas: the level update is composed
     // Scala-side and inlined wherever the trend update references it
     val lRaw = "2 * x.y * 1000000 + 8 * (acc.l + acc.b)"
@@ -1113,5 +1107,143 @@ object Events {
         col("col.st.l").as("level_micro"),
         col("col.st.b").as("trend_micro"))
       .orderBy(col("day"))
+  }
+
+  /** Gapfilled daily spine + counts, shared by [[holtDaily]] /
+    * [[decomposeDaily]] / [[changepointDaily]]: a day with no events
+    * is y = 0, not absent — trend and split statistics over a frame
+    * with holes would silently skip quiet days.
+    */
+  private def dailyFilled(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val spine = d.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(d, Seq("day"), "left")
+      .select(col("day"), coalesce(col("y"), lit(0L)).as("y"))
+  }
+
+  /** Classical seasonal decomposition of the daily volume (the
+    * moving-average STL ancestor): trend = centered 7-day moving
+    * average (full windows only), detrended = series − trend,
+    * seasonal = per-weekday mean of the detrended values, residual =
+    * detrended − seasonal. Everything in exact milli-units: the MA
+    * divides non-negative sums (truncation safe), the weekday mean
+    * divides a possibly-NEGATIVE detrended sum, so it is spelled as
+    * FLOOR division via pmod on both engines — the ewma-class
+    * division hazard, handled the [[theilSenDaily]] way. Weekday is
+    * epoch-day mod 7 (arithmetic, calendar-API-free). Windows and
+    * aggregations all live on the calendar-bounded day frame.
+    *
+    * Output: (day, y, trend_milli, detr_milli, seasonal_milli,
+    * resid_milli) for days with a full MA window, ordered by day.
+    */
+  def decomposeDaily(events: DataFrame): DataFrame = {
+    val w7 = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t = dailyFilled(events)
+      .withColumn("nw", count(lit(1)).over(w7))
+      .withColumn("s7", sum(col("y")).over(w7))
+      .filter(col("nw") === 7)
+      .select(col("day"), col("y"),
+        expr("(1000 * s7) div 7").as("trend_milli"))
+      .withColumn("detr_milli", lit(1000L) * col("y") - col("trend_milli"))
+    val seas = t.groupBy(expr("pmod(day, 7)").as("dw"))
+      .agg(sum(col("detr_milli")).as("sd"), count(lit(1)).as("m"))
+      .select(col("dw"),
+        expr("(sd - pmod(sd, m)) div m").as("seasonal_milli"))
+    t.join(seas, expr("pmod(day, 7)") === seas("dw"))
+      .select(col("day"), col("y"), col("trend_milli"),
+        col("detr_milli"), col("seasonal_milli"),
+        (col("detr_milli") - col("seasonal_milli")).as("resid_milli"))
+      .orderBy(col("day"))
+  }
+
+  /** Single-changepoint detection on the daily volume by exact
+    * integer contrast maximization (the binary-segmentation step of
+    * Scott & Knott / CUSUM-style mean-shift detection): for every
+    * prefix/suffix split of the gapfilled day sequence, score
+    * |S_l·n_r − S_r·n_l| — the cross-multiplied weighted mean gap
+    * |m_l − m_r|·n_l·n_r, fraction-free so the argmax is engine-exact
+    * — and return the boundary with the largest contrast (ties →
+    * earliest day). One cumulative window over the calendar-bounded
+    * day frame + a top-1; recursing on the halves gives full binary
+    * segmentation.
+    *
+    * Output: 1 row (split_day = last day of the left segment, n_left,
+    * n_right, sum_left, sum_right, contrast).
+    */
+  def changepointDaily(events: DataFrame): DataFrame = {
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    dailyFilled(events)
+      .select(col("day"),
+        sum(col("y")).over(wc).as("sl"),
+        count(lit(1)).over(wc).as("nl"),
+        sum(col("y")).over(wall).as("s"),
+        count(lit(1)).over(wall).as("n"))
+      .filter(col("nl") < col("n"))
+      .select(col("day").as("split_day"), col("nl").as("n_left"),
+        (col("n") - col("nl")).as("n_right"),
+        col("sl").as("sum_left"), (col("s") - col("sl")).as("sum_right"),
+        abs(col("sl") * (col("n") - col("nl")) -
+          (col("s") - col("sl")) * col("nl")).as("contrast"))
+      .orderBy(col("contrast").desc, col("split_day"))
+      .limit(1)
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * behavioral user segmentation, made engine-exact: each dimension
+    * scores 1–5 by quintile of its own distribution, with boundaries
+    * derived at the VALUE-DOMAIN grain (count-of-counts cumulative
+    * distribution, the [[giniUserActivity]] trick) so no per-user
+    * global ranking exists anywhere. Boundary k is the smallest value
+    * v with 5·cum(v) ≥ k·n (the ≥ k·n/5 quantile, fraction-free);
+    * a user's score is 1 + #boundaries strictly below their value
+    * (ascending — R scores 1 = most recent, 5 = longest gone; invert
+    * downstream if the marketing convention is wanted). Monetary is
+    * exact integer 1e-4 value units. The three 1-row boundary frames
+    * cross in as broadcast scalars; output is the segment census.
+    *
+    * Output: (r_q, f_q, m_q, n_users) ordered by the triple.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val u = events.groupBy(col("user_id")).agg(
+      max(day).as("last_day"),
+      count(lit(1)).as("f"),
+      sum(round(col("value") * 10000).cast("long")).as("mq"))
+    val mx = events.agg(max(day).as("dmax"))
+    val ur = u.crossJoin(broadcast(mx)).select(col("user_id"),
+      (col("dmax") - col("last_day")).as("r"), col("f"), col("mq"))
+      .localCheckpoint()
+    def bounds(dim: String): DataFrame = {
+      val cc = ur.groupBy(col(dim).as("v")).agg(count(lit(1)).as("m"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val bs = (1 to 4).map(k =>
+        min(when(col("cum") * 5 >= col("n") * k, col("v")))
+          .as(s"${dim}_b$k"))
+      cc.select(col("v"), sum(col("m")).over(w).as("cum"),
+          sum(col("m")).over(wall).as("n"))
+        .agg(bs.head, bs.tail: _*)
+    }
+    val withB = ur.crossJoin(broadcast(bounds("r")))
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("mq")))
+    def score(dim: String): Column =
+      (1 to 4).map(k =>
+        (col(dim) > col(s"${dim}_b$k")).cast("long"))
+        .foldLeft(lit(1L))(_ + _)
+    withB
+      .select(score("r").as("r_q"), score("f").as("f_q"),
+        score("mq").as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
 }

@@ -990,4 +990,49 @@ class EventsSpec extends AnyFunSuite {
       (19723L, 1L, 1000000L, 0L), (19724L, 2L, 1200000L, 20000L),
       (19725L, 0L, 976000L, -4400L), (19726L, 3L, 1377280L, 36168L)))
   }
+
+  test("decomposeDaily: a linear daily series is pure trend — " +
+      "centered MA reproduces it, seasonal and residual vanish") {
+    import spark.implicits._
+    // y_i = i over 14 days: Σ_{i−3..i+3} = 7i → trend_milli = 1000i,
+    // detrended 0 everywhere → all weekday means and residuals 0
+    val ev = (1 to 14).flatMap { i =>
+      (0 until i).map(j =>
+        ((i * 100 + j).toLong, ts(f"2024-01-$i%02d 10:00:00")))
+    }.toDF("event_id", "ts")
+    val got = Events.decomposeDaily(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.size == 8, "full 7-day windows only: days 4..11")
+    assert(got == (4 to 11).map(i =>
+      (19722L + i, i.toLong, 1000L * i, 0L, 0L, 0L)))
+  }
+
+  test("changepointDaily: the level shift [1,1,1,5,5] is found at " +
+      "the exact boundary with the hand-computed contrast") {
+    import spark.implicits._
+    def rows(day: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, ts(s"$day 10:00:00")))
+    val ev = (rows("2024-01-01", 1, 100) ++ rows("2024-01-02", 1, 200) ++
+      rows("2024-01-03", 1, 300) ++ rows("2024-01-04", 5, 400) ++
+      rows("2024-01-05", 5, 500)).toDF("event_id", "ts")
+    val got = Events.changepointDaily(ev)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // split after day 3: |3·2 − 10·3| = 24 beats 8/16/12
+    assert(got == Seq((19725L, 3L, 2L, 3L, 10L, 24L)))
+  }
+
+  test("rfmSegments: four users on a clean staircase land in the " +
+      "four diagonal segments (recency ascending, f/m ascending)") {
+    import spark.implicits._
+    val ev = (1 to 4).flatMap { u =>
+      (0 until u).map(j => ((u * 10 + j).toLong,
+        ts(f"2024-01-0$u 10:00:00"), u.toLong, "t", u.toDouble))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.rfmSegments(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // user 4 is most recent AND most active AND highest spend:
+    // (r_q 1, f_q 4, m_q 4); user 1 the mirror (4, 1, 1)
+    assert(got == Seq((1L, 4L, 4L, 1L), (2L, 3L, 3L, 1L),
+      (3L, 2L, 2L, 1L), (4L, 1L, 1L, 1L)))
+  }
 }
