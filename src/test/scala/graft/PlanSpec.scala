@@ -539,4 +539,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!br.contains("CartesianProduct") &&
       !br.contains("BroadcastNestedLoopJoin"), br)
   }
+
+  test("round-12 wave plan shapes: value-grain stats never sort raw " +
+      "rows, wedge link-prediction is equi-join + TakeOrdered, RFM's " +
+      "only nested loops are the three 1-row boundary scalars") {
+    // MW/KS/Gini: the raw table meets only a hash aggregation; the
+    // single-partition window runs on the aggregated value-domain
+    // frame (one Sort AFTER the partial+final agg pair, none before)
+    for (q <- Seq("events_mann_whitney", "events_ks", "events_gini")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q:\n$p")
+      val sortIdx = p.indexOf("Sort ")
+      val aggIdx = p.indexOf("HashAggregate")
+      assert(sortIdx == -1 || sortIdx > aggIdx,
+        s"$q sorts before aggregating:\n$p")
+    }
+    // link prediction: hub-capped wedge equi-join, pair hash agg,
+    // top-k as TakeOrderedAndProject — no all-pairs anywhere
+    val lp = plan("graph_link_pred")
+    assert(!lp.contains("CartesianProduct"), lp)
+    assert(!lp.contains("BroadcastNestedLoopJoin"), lp)
+    assert(lp.contains("TakeOrderedAndProject"), lp)
+    // calendar-bounded day-pair censuses may nested-loop ONLY the
+    // day frame against itself (domain-bounded by adjudication)
+    for (q <- Seq("events_decompose", "events_changepoint",
+        "events_holt", "events_life_table")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // RFM: exactly three cross joins, each broadcasting a 1-row
+    // 4-column boundary frame (the adjudicated scalar pattern)
+    val rfm = plan("events_rfm")
+    assert(!rfm.contains("CartesianProduct"), rfm)
+    assert(
+      "BroadcastNestedLoopJoin".r.findAllIn(rfm).size == 3, rfm)
+    assert("IdentityBroadcastMode".r.findAllIn(rfm).size >= 3, rfm)
+  }
 }
