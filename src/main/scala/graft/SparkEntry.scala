@@ -4010,6 +4010,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("fold"), col("source"))),
+    "events_funnel_latency" -> ((s, dir) =>
+      // signup→purchase delay quartiles at the minute-domain grain —
+      // exact order statistics, no user-ranked window
+      // (Events.funnelLatency)
+      Events.funnelLatency(t(s, dir, "events"))),
+    "events_srm" -> ((s, dir) =>
+      // 50/50 sample-ratio-mismatch gate: exact micro-χ² on user-id
+      // parity arms + the 3.84-critical flag (Events.srmCheck)
+      Events.srmCheck(t(s, dir, "events"))),
+    "events_coverage" -> ((s, dir) =>
+      // true engaged time per user: 5-minute presence windows merged
+      // by gaps-and-islands interval union (Events.activityCoverage)
+      Events.activityCoverage(t(s, dir, "events"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8307,5 +8320,56 @@ object SparkEntry {
              CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
       FROM documents d JOIN sdbm s ON s.sid = d.doc_id
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_funnel_latency" -> """
+      WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, epoch_us(ts) AS p_us
+             FROM events WHERE event_type = 'purchase'),
+      d AS (SELECT su.user_id, min(p_us - s_us) AS d_us
+            FROM su JOIN pu ON pu.user_id = su.user_id
+              AND p_us >= s_us
+            GROUP BY 1),
+      dm AS (SELECT d_us // 60000000 AS d_min FROM d),
+      cc AS (SELECT d_min, count(*) AS m FROM dm GROUP BY 1),
+      cw AS (SELECT d_min, sum(m) OVER (ORDER BY d_min) AS cum,
+               sum(m) OVER () AS n
+             FROM cc)
+      SELECT CAST(max(n) AS BIGINT) AS n_converted,
+             min(CASE WHEN cum * 4 >= n THEN d_min END) AS p25_min,
+             min(CASE WHEN cum * 4 >= n * 2 THEN d_min END) AS p50_min,
+             min(CASE WHEN cum * 4 >= n * 3 THEN d_min END) AS p75_min
+      FROM cw""",
+    "events_srm" -> """
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
+                END) AS BIGINT) AS n0,
+              CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
+                END) AS BIGINT) AS n1
+            FROM u)
+      SELECT n0 AS n_users_0, n1 AS n_users_1,
+             (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1)
+               AS chi2_micro,
+             (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > 3841459
+               AS srm_flag
+      FROM a""",
+    "events_coverage" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      m AS (SELECT user_id, us,
+              CASE WHEN lag(us) OVER w IS NULL
+                     OR us > lag(us) OVER w + 300000000
+                   THEN 1 ELSE 0 END AS ni
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      i AS (SELECT user_id, us,
+              sum(ni) OVER (PARTITION BY user_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+            FROM m),
+      g AS (SELECT user_id, island, count(*) AS ne,
+              max(us) + 300000000 - min(us) AS len_us
+            FROM i GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(ne) AS BIGINT) AS n_events,
+             count(*) AS n_islands,
+             CAST(sum(len_us) AS BIGINT) // 1000000 AS covered_sec
+      FROM g GROUP BY 1 ORDER BY 1""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1246,4 +1246,95 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
   }
+
+  /** Funnel latency quartiles: minutes from each user's FIRST signup
+    * to their first purchase AFTER it, with the quartile boundaries
+    * extracted at the MINUTE-DOMAIN grain (count-of-counts cumulative
+    * distribution — the [[rfmSegments]] boundary trick), so the only
+    * window runs over the calendar-bounded distinct-delay frame,
+    * never over users. Boundary q_k is the smallest delay d with
+    * 4·cum(d) ≥ k·n (exact order statistics — no interpolation
+    * formula to diverge between engines).
+    *
+    * Output: 1 row (n_converted, p25_min, p50_min, p75_min).
+    */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val su = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_micros(ts)")).as("s_us"))
+    val pu = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts)").as("p_us"))
+    val delays = su.join(pu, "user_id")
+      .filter(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("p_us") - col("s_us")).as("d_us"))
+      .select(expr("d_us div 60000000").as("d_min"))
+    val cc = delays.groupBy(col("d_min")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("d_min"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    cc.select(col("d_min"), sum(col("m")).over(w).as("cum"),
+        sum(col("m")).over(wall).as("n"))
+      .agg(max(col("n")).as("n_converted"),
+        min(when(col("cum") * 4 >= col("n"), col("d_min")))
+          .as("p25_min"),
+        min(when(col("cum") * 4 >= col("n") * 2, col("d_min")))
+          .as("p50_min"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("d_min")))
+          .as("p75_min"))
+  }
+
+  /** Sample-ratio mismatch (SRM) check for a 50/50 experiment split —
+    * the A/B-test hygiene gate: with arms assigned by user-id parity
+    * (deterministic, engine-free), a healthy assignment has
+    * χ² = (n₀−n₁)²/n below the 3.84 critical value (α = 0.05, 1 df).
+    * Exact integer micro-χ²; the flag fires when the allocation is
+    * broken (the single most common cause of invalid experiment
+    * reads). Two hash aggregations, nothing else.
+    *
+    * Output: 1 row (n_users_0, n_users_1, chi2_micro, srm_flag).
+    */
+  def srmCheck(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(pmod(col("user_id"), lit(2L)).as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0").as("n_users_0"), col("n1").as("n_users_1"),
+        expr("(1000000 * (n0 - n1) * (n0 - n1)) div (n0 + n1)")
+          .as("chi2_micro"))
+      .withColumn("srm_flag", col("chi2_micro") > 3841459L)
+
+  /** Per-user activity coverage by interval union: each event opens a
+    * 5-minute presence window, overlapping windows merge
+    * (gaps-and-islands — the [[streaks]] move on the micro-timestamp
+    * axis), and the user's covered time is the summed island lengths.
+    * The standard "true engaged time" metric that naive
+    * count·5min double-counts. One user-partitioned window pass
+    * (lag + running max island id) and one aggregation — shuffles key
+    * on the user, never global.
+    *
+    * Output: (user_id, n_events, n_islands, covered_sec) ordered.
+    */
+  def activityCoverage(events: DataFrame,
+      windowUs: Long = 300000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val marked = events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_island",
+        when(col("prev_us").isNull ||
+          col("us") > col("prev_us") + windowUs, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("ne"),
+        (max(col("us")) + windowUs - min(col("us"))).as("len_us"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("ne")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        expr("sum(len_us) div 1000000").as("covered_sec"))
+      .orderBy(col("user_id"))
+  }
 }

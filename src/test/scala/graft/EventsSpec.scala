@@ -1035,4 +1035,51 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 4L, 4L, 1L), (2L, 3L, 3L, 1L),
       (3L, 2L, 2L, 1L), (4L, 1L, 1L, 1L)))
   }
+
+  test("funnelLatency: first-purchase-after-first-signup delays, " +
+      "pre-signup purchases excluded, exact quartile order stats") {
+    import spark.implicits._
+    // u1 converts in 30 s (0 min), u2's 09:00 purchase is BEFORE the
+    // signup (excluded) and the 11:00 one counts (60 min), u3 150 min,
+    // u4 has no signup → delays [0, 60, 150]
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0),
+      (2L, ts("2024-01-01 10:00:30"), 1L, "purchase", 1.0),
+      (3L, ts("2024-01-01 10:00:00"), 2L, "signup", 1.0),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "purchase", 1.0),
+      (5L, ts("2024-01-01 11:00:00"), 2L, "purchase", 1.0),
+      (6L, ts("2024-01-01 10:00:00"), 3L, "signup", 1.0),
+      (7L, ts("2024-01-01 12:30:00"), 3L, "purchase", 1.0),
+      (8L, ts("2024-01-01 10:00:00"), 4L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.funnelLatency(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 0L, 60L, 150L)))
+  }
+
+  test("srmCheck: 3-vs-2 parity arms give chi-square 1/5, under the " +
+      "critical value") {
+    import spark.implicits._
+    val ev = Seq(1L, 2L, 3L, 4L, 6L).zipWithIndex
+      .map { case (u, i) => (i.toLong, ts("2024-01-01 10:00:00"), u) }
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.srmCheck(ev)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((3L, 2L, 200000L, false)))
+  }
+
+  test("activityCoverage: overlapping 5-minute windows merge into " +
+      "islands; covered time is the union, not count·5min") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:02:00"), 1L), // overlaps → same island
+      (3L, ts("2024-01-01 10:20:00"), 1L), // gap > 5m → new island
+      (4L, ts("2024-01-01 09:00:00"), 2L))
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.activityCoverage(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // u1: [10:00,10:07] = 420 s + [10:20,10:25] = 300 s → 720 s
+    assert(got == Seq((1L, 3L, 2L, 720L), (2L, 1L, 1L, 300L)))
+  }
 }
