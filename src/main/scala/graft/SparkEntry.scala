@@ -4023,6 +4023,18 @@ object SparkEntry {
       // true engaged time per user: 5-minute presence windows merged
       // by gaps-and-islands interval union (Events.activityCoverage)
       Events.activityCoverage(t(s, dir, "events"))),
+    "profile_corr_matrix" -> ((s, dir) =>
+      // all-pairs Pearson over lineitem's numeric columns in ONE
+      // aggregation pass — exact decimal sufficient statistics,
+      // doubles only at the end (Profile.corrMatrix)
+      Profile.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+          "l_discount" -> "disc", "l_tax" -> "tax"))),
+    "sim_centroid_drift" -> ((s, dir) =>
+      // per-label centroid cosine between vec-id-parity halves —
+      // embedding stability monitor, sums-as-centroids exactness
+      // (Similarity.centroidDrift)
+      Similarity.centroidDrift(t(s, dir, "embeddings"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4455,6 +4467,39 @@ object SparkEntry {
              FROM ur, rb, fb, mb)
       SELECT r_q, f_q, m_q, count(*) AS n_users
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+  }
+
+  /** profile_corr_matrix's DuckDB twin: the same single sufficient-
+    * statistics pass (HUGEINT exact) + one UNION ALL row per pair.
+    */
+  private def corrMatrixOracleSql: String = {
+    val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+      "l_discount" -> "disc", "l_tax" -> "tax")
+    val names = cols.map(_._2)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val quant = cols.map { case (c, a) =>
+      s"CAST(round($c * 100) AS BIGINT) AS $a" }.mkString(", ")
+    val sums = (Seq("count(*) AS n") ++
+      names.map(a => s"sum(CAST($a AS HUGEINT)) AS s_$a") ++
+      names.map(a => s"sum(CAST($a AS HUGEINT) * $a) AS ss_$a") ++
+      pairs.map { case (a, b) =>
+        s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" }).mkString(", ")
+    val rows = pairs.map { case (a, b) =>
+      val num = s"(n * sp_${a}_$b - s_$a * s_$b)"
+      val den = s"(n * ss_$a - s_$a * s_$a)"
+      val deny = s"(n * ss_$b - s_$b * s_$b)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+        CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS slope,
+        CAST($num AS DOUBLE) * CAST($num AS DOUBLE) /
+          (CAST($den AS DOUBLE) * CAST($deny AS DOUBLE)) AS r2
+      FROM w"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH b AS (SELECT $quant FROM lineitem),
+      w AS (SELECT $sums FROM b)
+      $rows ORDER BY col_a, col_b"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -8371,5 +8416,31 @@ object SparkEntry {
              count(*) AS n_islands,
              CAST(sum(len_us) AS BIGINT) // 1000000 AS covered_sec
       FROM g GROUP BY 1 ORDER BY 1""",
+    "profile_corr_matrix" -> corrMatrixOracleSql,
+    "sim_centroid_drift" -> s"""
+      WITH $qEmbSql,
+      h AS (SELECT vec_id % 2 AS half, label, i, x
+            FROM e JOIN embeddings USING (vec_id)),
+      s AS (SELECT label, i,
+              CAST(sum(CASE WHEN half = 0 THEN x ELSE 0 END)
+                AS BIGINT) AS sa,
+              CAST(sum(CASE WHEN half = 1 THEN x ELSE 0 END)
+                AS BIGINT) AS sb
+            FROM h GROUP BY 1, 2),
+      c AS (SELECT label, sum(CAST(sa AS HUGEINT) * sb) AS dot,
+              sum(CAST(sa AS HUGEINT) * sa) AS na,
+              sum(CAST(sb AS HUGEINT) * sb) AS nb
+            FROM s GROUP BY 1),
+      cnt AS (SELECT label,
+                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+              FROM embeddings GROUP BY 1)
+      SELECT label, n_a, n_b,
+             CAST(dot AS DOUBLE) /
+               sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               AS drift_cos
+      FROM c JOIN cnt USING (label) ORDER BY label""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -325,4 +325,53 @@ object Profile {
           expr("(10000 * top1_n) div n_rows").as("top1_share_bp"))
     }.reduce(_ unionByName _)
   }
+
+  /** Pairwise Pearson correlation matrix over a fixed set of numeric
+    * columns — the multi-column generalization of the q_stats_agg /
+    * assortativity discipline: values quantize to integer centi-units,
+    * ALL sufficient statistics (per-column sums and squares, per-pair
+    * cross sums) accumulate exactly in one single aggregation pass
+    * over the table (DECIMAL(38,0) — merge-order-independent at any
+    * parallelism), and only the final slope / r² are IEEE doubles of
+    * exact rationals. One scan, one scalar aggregate, zero joins —
+    * the profile step that normally costs k² passes costs one.
+    *
+    * Output: one row per unordered column pair (col_a, col_b, n,
+    * slope, r2), pairs in the given column order.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val b = df.select(cols.map { case (c, a) =>
+      round(col(c) * 100).cast("long").as(a) }: _*)
+    val names = cols.map(_._2)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      names.map(a => sum(dec(col(a))).as(s"s_$a")) ++
+      names.map(a => sum(dec(col(a)) * col(a)).as(s"ss_$a")) ++
+      pairs.map { case (a, bb) =>
+        sum(dec(col(a)) * col(bb)).as(s"sp_${a}_$bb") }
+    val wide = b.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, bb) =>
+      struct(lit(a).as("col_a"), lit(bb).as("col_b"), col("n").as("n"),
+        (dec(col("n")) * col(s"sp_${a}_$bb") -
+          col(s"s_$a") * col(s"s_$bb")).as("num"),
+        (dec(col("n")) * col(s"ss_$a") -
+          col(s"s_$a") * col(s"s_$a")).as("den"),
+        (dec(col("n")) * col(s"ss_$bb") -
+          col(s"s_$bb") * col(s"s_$bb")).as("deny"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+        col("p.n").as("n"),
+        (col("p.num").cast("double") / col("p.den").cast("double"))
+          .as("slope"),
+        (col("p.num").cast("double") * col("p.num").cast("double") /
+          (col("p.den").cast("double") * col("p.deny").cast("double")))
+          .as("r2"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
 }

@@ -907,4 +907,44 @@ object Similarity {
     v.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("dim", "component")
   }
+
+  /** Per-label centroid drift between two deterministic halves of the
+    * embedding set (vec-id parity — the split an ingest-batch
+    * comparison would use): the cosine between each label's half-A
+    * and half-B centroids, the embedding-space stability monitor
+    * (re-embedding, encoder upgrade, distribution shift). Exactness:
+    * cosine is scale-invariant, so the MEANS never need computing —
+    * the per-dimension integer SUMS of quantized vectors stand in for
+    * the centroids, every product rides DECIMAL(38,0), and the only
+    * float op is the final dot/√(na·nb) double (the [[qcosine]]
+    * discipline). Shape: one posexplode + (label, dim)-keyed hash
+    * aggregation — dimension-bounded, never pairwise; no arrays are
+    * ever rebuilt.
+    *
+    * Output: (label, n_a, n_b, drift_cos) ordered by label.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = emb.select(pmod(col("vec_id"), lit(2L)).as("half"),
+        col("label"), posexplode(quantize(col("embedding"))))
+      .withColumnRenamed("pos", "dim").withColumnRenamed("col", "qx")
+    val s = q.groupBy(col("label"), col("dim")).agg(
+      sum(when(col("half") === 0, col("qx")).otherwise(0L)).as("sa"),
+      sum(when(col("half") === 1, col("qx")).otherwise(0L)).as("sb"))
+    val c = s.groupBy(col("label")).agg(
+      sum(dec(col("sa")) * col("sb")).as("dot"),
+      sum(dec(col("sa")) * col("sa")).as("na"),
+      sum(dec(col("sb")) * col("sb")).as("nb"))
+    val n = emb.groupBy(col("label")).agg(
+      sum(when(pmod(col("vec_id"), lit(2L)) === 0, 1L).otherwise(0L))
+        .as("n_a"),
+      sum(when(pmod(col("vec_id"), lit(2L)) === 1, 1L).otherwise(0L))
+        .as("n_b"))
+    c.join(n, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dot").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("drift_cos"))
+      .orderBy(col("label"))
+  }
 }

@@ -354,4 +354,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perDoc._1 >= 1L && perDoc._2 <= 7L)
     assert(frames.count() > docs.count()) // it actually fans out
   }
+
+  test("corrMatrix: perfectly linear columns give exact slope and " +
+      "r² = 1 in one pass — sign carried by the slope") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("a", "b", "c")
+    val got = graft.operators.Profile.corrMatrix(df,
+        Seq("a" -> "a", "b" -> "b", "c" -> "c"))
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", "b", 3L, 2.0, 1.0),
+      ("a", "c", 3L, -1.0, 1.0), ("b", "c", 3L, -0.5, 1.0)))
+  }
 }

@@ -457,4 +457,16 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("dim").as[(Long, Long)].collect().toSeq
     assert(r1 == r3, "rank-1 input converges in one round")
   }
+
+  test("centroidDrift: orthogonal halves read 0, parallel halves " +
+      "read exactly 1 — sums stand in for centroids") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1), (1L, Array(0.0f, 1.0f), 1),
+      (2L, Array(1.0f, 1.0f), 2), (3L, Array(2.0f, 2.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(emb)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 1L, 0.0), (2, 1L, 1L, 1.0)))
+  }
 }
