@@ -4035,6 +4035,16 @@ object SparkEntry {
       // embedding stability monitor, sums-as-centroids exactness
       // (Similarity.centroidDrift)
       Similarity.centroidDrift(t(s, dir, "embeddings"))),
+    "events_pattern_match" -> ((s, dir) =>
+      // browse-to-buy sequence detection: regex v+cp over per-user
+      // type-initial strings, MATCH_RECOGNIZE semantics without the
+      // SQL surface (Events.patternMatch)
+      Events.patternMatch(t(s, dir, "events"))),
+    "events_forecast_eval" -> ((s, dir) =>
+      // one-step Holt forecast vs naive persistence, exact summed
+      // absolute errors — the smoother earns its keep or not
+      // (Events.holtForecastEval)
+      Events.holtForecastEval(t(s, dir, "events"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4374,7 +4384,7 @@ object SparkEntry {
     * its lambda (neither SQL dialect has let-bindings, so the level
     * expression is inlined into the trend update on both sides).
     */
-  private def holtOracleSql: String = {
+  private def holtRecCteSql: String = {
     val lRaw = "2 * f.y * 1000000 + 8 * (rec.l + rec.b)"
     val lNew = s"(($lRaw) - ((($lRaw) % 10) + 10) % 10) // 10"
     val bRaw = s"($lNew) - rec.l + 9 * rec.b"
@@ -4392,10 +4402,13 @@ object SparkEntry {
               FROM f WHERE rn = 1
               UNION ALL
               SELECT f.rn, f.day, f.y, $lNew, $bNew
-              FROM f JOIN rec ON f.rn = rec.rn + 1)
+              FROM f JOIN rec ON f.rn = rec.rn + 1)"""
+  }
+
+  private def holtOracleSql: String = s"""
+      $holtRecCteSql
       SELECT day, y, l AS level_micro, b AS trend_micro
       FROM rec ORDER BY day"""
-  }
 
   /** text_bpe_merges' DuckDB twin: three merge rounds unrolled as
     * CTE pairs (pair-count → argmax → rewrite), each mirroring one
@@ -8442,5 +8455,24 @@ object SparkEntry {
                sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                AS drift_cos
       FROM c JOIN cnt USING (label) ORDER BY label""",
+    "events_pattern_match" -> """
+      WITH s AS (SELECT user_id,
+               string_agg(lower(substr(event_type, 1, 1)), ''
+                 ORDER BY epoch_us(ts), event_id) AS s
+             FROM events GROUP BY 1)
+      SELECT user_id, CAST(length(s) AS BIGINT) AS seq_len,
+             CAST(len(regexp_extract_all(s, 'v+cp')) AS BIGINT)
+               AS n_matches
+      FROM s ORDER BY user_id""",
+    "events_forecast_eval" -> s"""
+      $holtRecCteSql,
+      fc AS (SELECT day, y * 1000000 AS ym,
+               lag(l + b) OVER (ORDER BY day) AS fc_holt,
+               lag(y * 1000000) OVER (ORDER BY day) AS fc_naive
+             FROM rec)
+      SELECT count(*) AS n_scored,
+             CAST(sum(abs(ym - fc_holt)) AS BIGINT) AS abs_err_holt,
+             CAST(sum(abs(ym - fc_naive)) AS BIGINT) AS abs_err_naive
+      FROM fc WHERE fc_holt IS NOT NULL""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

@@ -1305,6 +1305,60 @@ object Events {
           .as("chi2_micro"))
       .withColumn("srm_flag", col("chi2_micro") > 3841459L)
 
+  /** Sequence-pattern detection per user — the MATCH_RECOGNIZE shape
+    * without the unsupported SQL surface: each user's event history
+    * (ordered by (ts, event_id) — total order, engine-exact) encodes
+    * as a string of type initials (c/e/p/s/v), and a regular
+    * expression counts non-overlapping matches. The default
+    * `v+cp` is "one or more views, then a click, then a purchase" —
+    * browse-to-buy. Greedy left-to-right scan is identical in Java
+    * regex and RE2 for this pattern class (no backreferences, no
+    * lookaround — keep patterns in that subset). One user-keyed
+    * aggregation; the per-user string is bounded by that user's
+    * activity, the corpus never concatenates.
+    *
+    * Output: (user_id, seq_len, n_matches) ordered by user.
+    */
+  def patternMatch(events: DataFrame,
+      pattern: String = "v+cp"): DataFrame =
+    events
+      .select(col("user_id"), struct(expr("unix_micros(ts)").as("us"),
+        col("event_id"),
+        lower(substring(col("event_type"), 1, 1)).as("ini")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(expr("transform(array_sort(collect_list(e)), " +
+        "x -> x.ini)"), "").as("s"))
+      .select(col("user_id"), length(col("s")).cast("long")
+        .as("seq_len"),
+        regexp_count(col("s"), lit(pattern)).cast("long")
+          .as("n_matches"))
+      .orderBy(col("user_id"))
+
+  /** Forecast backtest for [[holtDaily]]: one-step-ahead Holt
+    * forecast (level + trend of day t−1) against the naive
+    * persistence forecast (yesterday's value) on the same gapfilled
+    * series — "is the smoother actually better than doing nothing",
+    * the question every forecasting deployment must answer. Scored
+    * days are t ≥ 1; errors are exact integer micro-unit absolute
+    * deviations, SUMMED (not averaged — no division, no rounding
+    * choice to diverge). One lag window over the calendar-bounded
+    * day frame on top of the Holt fold.
+    *
+    * Output: 1 row (n_scored, abs_err_holt, abs_err_naive).
+    */
+  def holtForecastEval(events: DataFrame): DataFrame = {
+    val h = holtDaily(events)
+    val w = Window.orderBy(col("day"))
+    h.select(col("day"), (col("y") * 1000000L).as("ym"),
+        lag(col("level_micro") + col("trend_micro"), 1).over(w)
+          .as("fc_holt"),
+        lag(col("y") * 1000000L, 1).over(w).as("fc_naive"))
+      .filter(col("fc_holt").isNotNull)
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("ym") - col("fc_holt"))).as("abs_err_holt"),
+        sum(abs(col("ym") - col("fc_naive"))).as("abs_err_naive"))
+  }
+
   /** Per-user activity coverage by interval union: each event opens a
     * 5-minute presence window, overlapping windows merge
     * (gaps-and-islands — the [[streaks]] move on the micro-timestamp

@@ -1082,4 +1082,35 @@ class EventsSpec extends AnyFunSuite {
     // u1: [10:00,10:07] = 420 s + [10:20,10:25] = 300 s → 720 s
     assert(got == Seq((1L, 3L, 2L, 720L), (2L, 1L, 1L, 300L)))
   }
+
+  test("patternMatch: v+cp counts non-overlapping greedy matches in " +
+      "the time-ordered initial string; a click with no view is none") {
+    import spark.implicits._
+    val seq1 = Seq("view", "view", "click", "purchase", "view",
+      "click", "purchase")
+    val ev = (seq1.zipWithIndex.map { case (t, i) =>
+      ((10 + i).toLong, ts(s"2024-01-01 10:0$i:00"), 1L, t, 1.0) } ++
+      Seq((20L, ts("2024-01-01 10:00:00"), 2L, "click", 1.0),
+        (21L, ts("2024-01-01 10:01:00"), 2L, "purchase", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.patternMatch(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    // u1 = "vvcpvcp" → 2 matches; u2 = "cp" → 0
+    assert(got == Seq((1L, 7L, 2L), (2L, 2L, 0L)))
+  }
+
+  test("holtForecastEval: hand-summed one-step errors on the holt " +
+      "fixture — the smoother beats naive persistence here") {
+    import spark.implicits._
+    def rows(day: String, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, ts(s"$day 10:00:00")))
+    val ev = (rows("2024-01-01", 1, 10) ++ rows("2024-01-02", 2, 20) ++
+      rows("2024-01-04", 3, 30)).toDF("event_id", "ts")
+    val got = Events.holtForecastEval(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    // holt: |2e6−1e6| + |0−1.22e6| + |3e6−971600| = 4248400
+    // naive: 1e6 + 2e6 + 3e6 = 6e6
+    assert(got == Seq((3L, 4248400L, 6000000L)))
+    assert(got.head._2 < got.head._3)
+  }
 }
