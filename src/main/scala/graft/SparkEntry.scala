@@ -4045,6 +4045,45 @@ object SparkEntry {
       // absolute errors — the smoother earns its keep or not
       // (Events.holtForecastEval)
       Events.holtForecastEval(t(s, dir, "events"))),
+    "graph_modularity" -> ((s, dir) => {
+      // are the LPA communities real: per-community Newman modularity
+      // terms in exact floor-division micro-units over the same
+      // bipartite graph graph_communities labels (Graph.modularity)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.modularity(edges, Graph.labelPropagation(edges, iters = 2))
+    }),
+    "text_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: 8-gram-set Jaccard between
+      // every source pair — gram-keyed equi-join, never all-pairs of
+      // documents; the source×source output is mix-bounded
+      val g = t(s, dir, "documents")
+        .select(col("source"), explode(graft.functions.word_shingles(
+          Dedup.tokens(col("text")), 8)).as("g"))
+        .distinct()
+      val sz = g.groupBy(col("source")).agg(count(lit(1)).as("ng"))
+      g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sz.select(col("source").as("source_a"),
+          col("ng").as("na")), "source_a")
+        .join(sz.select(col("source").as("source_b"),
+          col("ng").as("nb")), "source_b")
+        .select(col("source_a"), col("source_b"), col("inter"),
+          col("na"), col("nb"),
+          expr("(10000 * inter) div (na + nb - inter)").as("jaccard_bp"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4481,6 +4520,32 @@ object SparkEntry {
       SELECT r_q, f_q, m_q, count(*) AS n_users
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
   }
+
+  /** Shared CTE chain for the LPA-family oracles: the customer↔
+    * supplier bipartite graph (e0/e2/nodes) + two synchronous
+    * min-label-tie label-propagation rounds ending in `l2(node,
+    * label)` — the twin of graph_communities' Spark side, reused by
+    * graph_modularity.
+    */
+  private def lpaCteSql: String = s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      ${Seq(("l0", "l1"), ("l1", "l2")).map { case (prev, nxt) => s"""
+      $nxt AS (SELECT n.node, coalesce(w.new_label, p.label) AS label
+        FROM nodes n JOIN $prev p ON p.node = n.node
+        LEFT JOIN (SELECT node, label AS new_label FROM (
+            SELECT v.node, v.label,
+                   row_number() OVER (PARTITION BY v.node
+                     ORDER BY v.n DESC, v.label) AS rk
+            FROM (SELECT e2.dst AS node, r.label, count(*) AS n
+                  FROM e2 JOIN $prev r ON r.node = e2.src
+                  GROUP BY e2.dst, r.label) v) rkq
+          WHERE rk = 1) w ON w.node = n.node)"""
+      }.mkString(",")}"""
 
   /** profile_corr_matrix's DuckDB twin: the same single sufficient-
     * statistics pass (HUGEINT exact) + one UNION ALL row per pair.
@@ -6689,24 +6754,7 @@ object SparkEntry {
     // 2 synchronous LPA rounds unrolled; argmax(count) with min-label
     // ties via row_number — must mirror Graph.labelPropagation exactly
     "graph_communities" -> s"""
-      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
-                    100000 + l_suppkey AS dst
-                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-      nodes AS (SELECT DISTINCT src AS node FROM e2),
-      l0 AS (SELECT node, node AS label FROM nodes),
-      ${Seq(("l0", "l1"), ("l1", "l2")).map { case (prev, nxt) => s"""
-      $nxt AS (SELECT n.node, coalesce(w.new_label, p.label) AS label
-        FROM nodes n JOIN $prev p ON p.node = n.node
-        LEFT JOIN (SELECT node, label AS new_label FROM (
-            SELECT v.node, v.label,
-                   row_number() OVER (PARTITION BY v.node
-                     ORDER BY v.n DESC, v.label) AS rk
-            FROM (SELECT e2.dst AS node, r.label, count(*) AS n
-                  FROM e2 JOIN $prev r ON r.node = e2.src
-                  GROUP BY e2.dst, r.label) v) rkq
-          WHERE rk = 1) w ON w.node = n.node)"""
-      }.mkString(",")}
+      $lpaCteSql
       SELECT node, label FROM l2 ORDER BY node""",
     "text_pmi" -> """
       WITH t AS (SELECT doc_id,
@@ -8474,5 +8522,48 @@ object SparkEntry {
              CAST(sum(abs(ym - fc_holt)) AS BIGINT) AS abs_err_holt,
              CAST(sum(abs(ym - fc_naive)) AS BIGINT) AS abs_err_naive
       FROM fc WHERE fc_holt IS NOT NULL""",
+    "graph_modularity" -> s"""
+      $lpaCteSql,
+      m2f AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e2),
+      deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+      dc AS (SELECT label, count(*) AS n_nodes,
+               CAST(sum(coalesce(deg, 0)) AS BIGINT) AS deg_sum
+             FROM l2 LEFT JOIN deg USING (node) GROUP BY 1),
+      intra AS (SELECT la.label, count(*) AS intra2
+                FROM e2 JOIN l2 la ON la.node = e2.src
+                     JOIN l2 lb ON lb.node = e2.dst
+                WHERE la.label = lb.label GROUP BY 1),
+      j AS (SELECT dc.label, n_nodes,
+              CAST(coalesce(intra2, 0) AS BIGINT) AS intra2,
+              deg_sum, m2
+            FROM dc LEFT JOIN intra USING (label), m2f),
+      q AS (SELECT label, n_nodes, intra2, deg_sum,
+              1000000 * (CAST(m2 AS HUGEINT) * intra2 -
+                CAST(deg_sum AS HUGEINT) * deg_sum) AS qn,
+              CAST(m2 AS HUGEINT) * m2 AS qd
+            FROM j)
+      SELECT label, n_nodes, intra2, deg_sum,
+             CAST((qn - ((qn % qd) + qd) % qd) // qd AS BIGINT)
+               AS q_term_micro
+      FROM q ORDER BY label""",
+    "text_source_overlap" -> s"""
+      WITH t AS (SELECT source, list_filter(
+              string_split_regex(lower(text), '\\s+'), x -> x <> '')
+              AS ws
+            FROM documents),
+      g AS (SELECT DISTINCT source,
+              ${(0 to 7).map(o => s"ws[CAST(i AS INT) + $o]")
+                .mkString("concat_ws(' ', ", ", ", ")")} AS g
+            FROM t, unnest(range(1, len(ws) - 6)) AS r(i)),
+      sz AS (SELECT source, count(*) AS ng FROM g GROUP BY 1),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS inter
+            FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+            GROUP BY 1, 2)
+      SELECT source_a, source_b, inter, na.ng AS na, nb.ng AS nb,
+             (10000 * inter) // (na.ng + nb.ng - inter) AS jaccard_bp
+      FROM p JOIN sz na ON na.source = source_a
+             JOIN sz nb ON nb.source = source_b
+      ORDER BY source_a, source_b""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

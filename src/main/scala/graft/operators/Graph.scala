@@ -461,6 +461,55 @@ object Graph {
     labels
   }
 
+  /** Newman modularity per community — "are these communities real",
+    * the quality score for [[labelPropagation]]'s output (Newman &
+    * Girvan 2004). Over the symmetrized edge list E₂ (|E₂| = 2m),
+    * each community contributes Q_c = e_c/|E₂| − (d_c/|E₂|)², with
+    * e_c the directed intra-community edge count and d_c the degree
+    * mass; reported fraction-free as exact micro-units
+    * (1e6·(|E₂|·e_c − d_c²)) over |E₂|² with FLOOR division (the
+    * term goes negative for worse-than-random communities, so
+    * truncation would diverge between engines — pmod spelling both
+    * sides). Σ q_term_micro ≈ 1e6·Q. Degrees and intra counts ride
+    * DECIMAL(38,0) (d_c² passes int64 near 2e9 edges). Shape: two
+    * label-decorating equi-joins + two hash aggregations; the 1-row
+    * edge-count frame crosses in broadcast.
+    *
+    * Output: (label, n_nodes, intra2, deg_sum, q_term_micro)
+    * ordered by label.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m2f = edges.agg(count(lit(1)).as("m2"))
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dc = labels.join(deg, Seq("node"), "left")
+      .select(col("label"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val intra = edges
+      .join(labels.select(col("node").as("src"), col("label").as("ls")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("ld")),
+        "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra2"))
+    dc.join(intra, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("intra2"), lit(0L)).as("intra2"), col("deg_sum"))
+      .crossJoin(broadcast(m2f))
+      .select(col("label"), col("n_nodes"), col("intra2"),
+        col("deg_sum"),
+        (dec(col("m2")) * col("intra2") -
+          dec(col("deg_sum")) * col("deg_sum")).as("qn"),
+        (dec(col("m2")) * col("m2")).as("qd"))
+      .select(col("label"), col("n_nodes"), col("intra2"),
+        col("deg_sum"),
+        expr("((1000000 * qn) - pmod(1000000 * qn, qd)) div qd")
+          .cast("long").as("q_term_micro"))
+      .orderBy(col("label"))
+  }
+
   /** Common-neighbor link prediction over a bipartite incidence list
     * (Liben-Nowell & Kleinberg 2003's CN/Jaccard predictors): for
     * every pair of left-nodes sharing at least one right-node

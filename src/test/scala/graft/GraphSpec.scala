@@ -269,4 +269,21 @@ class GraphSpec extends AnyFunSuite {
       (1L, 3L, 1L, 2L, 2L, 3333L),
       (2L, 3L, 1L, 2L, 2L, 3333L)))
   }
+
+  test("modularity: hand-computed terms on two triangles — an " +
+      "edgeless community floors its NEGATIVE term (not truncates)") {
+    import spark.implicits._
+    // triangles 1-2-3 and 4-5-6, symmetrized → |E₂| = 12; labels put
+    // the unconnected pair {1,4} in community 9: its term is
+    // floor(−16e6/144) = −111112 (truncation would give −111111)
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val labels = Seq((1L, 9L), (4L, 9L), (2L, 2L), (3L, 2L),
+      (5L, 5L), (6L, 5L)).toDF("node", "label")
+    val got = Graph.modularity(edges, labels)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 2L, 2L, 4L, 55555L),
+      (5L, 2L, 2L, 4L, 55555L), (9L, 2L, 0L, 4L, -111112L)))
+  }
 }
