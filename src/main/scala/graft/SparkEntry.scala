@@ -4084,6 +4084,16 @@ object SparkEntry {
           expr("(10000 * inter) div (na + nb - inter)").as("jaccard_bp"))
         .orderBy(col("source_a"), col("source_b"))
     }),
+    "events_burst_rate" -> ((s, dir) =>
+      // peak trailing-60s event rate per user — RANGE-frame window,
+      // tie-timestamp-safe (Events.burstRate)
+      Events.burstRate(t(s, dir, "events"))),
+    "profile_id_gaps" -> ((s, dir) =>
+      // per-day event-id density audit: distinct ids vs id span —
+      // in-range row loss a plain count never shows
+      // (Profile.sequenceGaps)
+      Profile.sequenceGaps(t(s, dir, "events"), "event_id",
+        expr("unix_micros(ts) div 86400000000"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8565,5 +8575,22 @@ object SparkEntry {
       FROM p JOIN sz na ON na.source = source_a
              JOIN sz nb ON nb.source = source_b
       ORDER BY source_a, source_b""",
+    "events_burst_rate" -> """
+      WITH b AS (SELECT user_id,
+               count(*) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                 AS burst
+             FROM events)
+      SELECT user_id, count(*) AS n_events,
+             CAST(max(burst) AS BIGINT) AS max_burst
+      FROM b GROUP BY 1 ORDER BY 1""",
+    "profile_id_gaps" -> """
+      SELECT epoch_us(ts) // 86400000000 AS grain,
+             count(DISTINCT event_id) AS n_ids,
+             min(event_id) AS id_min, max(event_id) AS id_max,
+             max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
+               AS missing_in_span
+      FROM events GROUP BY 1 ORDER BY 1""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

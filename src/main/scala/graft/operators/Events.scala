@@ -1359,6 +1359,28 @@ object Events {
         sum(abs(col("ym") - col("fc_naive"))).as("abs_err_naive"))
   }
 
+  /** Peak trailing-window event rate per user — the burst detector
+    * behind rate limiting and bot screening: for every event, count
+    * the user's events in the trailing `windowUs` microseconds (a
+    * RANGE window frame — tie-timestamps all see the same count, so
+    * the result is total-order-free), and report each user's maximum.
+    * User-partitioned window + one aggregation; at 100× the shuffle
+    * keys on the user and a hot user concentrates only their own
+    * rows.
+    *
+    * Output: (user_id, n_events, max_burst) ordered by user.
+    */
+  def burstRate(events: DataFrame,
+      windowUs: Long = 60000000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    events.select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user activity coverage by interval union: each event opens a
     * 5-minute presence window, overlapping windows merge
     * (gaps-and-islands — the [[streaks]] move on the micro-timestamp

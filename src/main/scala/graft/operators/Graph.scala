@@ -51,12 +51,12 @@ object Graph {
     * slices, each merged against a replicated copy of the hot key's
     * state row — GraphSpec pins `skew=true` in the executed plan on
     * a 97%-hub edge set with bit-identical ranks. For the same
-    * reason the state is MATERIALIZED (localCheckpoint — the
-    * node-sized frame, one extra tiny job per round): skew split
-    * also requires both join children to be planner-inserted
-    * (ENSURE_REQUIREMENTS) shuffle stages, and an inline
-    * outdeg⋈ranks subplan on the state side would disqualify the
-    * join just as the chain does. The destination-keyed sum is
+    * reason the state is MATERIALIZED (LAZY localCheckpoint — the
+    * node-sized frame persists during the round that consumes it,
+    * costing no extra job): skew split also requires both join
+    * children to be planner-inserted (ENSURE_REQUIREMENTS) shuffle
+    * stages, and an inline outdeg⋈ranks subplan on the state side
+    * would disqualify the join just as the chain does. The destination-keyed sum is
     * already safe under in-degree skew: hash aggregation combines
     * map-side, so the hot destination receives one partial row per
     * task, not one row per edge.
@@ -66,7 +66,7 @@ object Graph {
     val state = outdeg
       .join(r.withColumnRenamed("node", "src"), "src")
       .select(col("src"), expr("rank_micro div deg").as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     edges.join(state, "src")
       .groupBy(col("dst").as("node")).agg(sum(col("c")).as("sc"))
   }

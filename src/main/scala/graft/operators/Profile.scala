@@ -326,6 +326,28 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Sequence-gap audit: for an id column expected to be dense within
+    * each grain (ingest batch, day, shard), compare the distinct-id
+    * count against the id span — `missing_in_span` > 0 means rows
+    * were dropped (or the sequence has holes) INSIDE the observed
+    * range, the loss mode a plain row count never shows. One hash
+    * aggregation per grain; distinct-count is exact (the sketch
+    * variants in [[approxTable]] are the 100 TB alternative when the
+    * id domain per grain is huge).
+    *
+    * Output: (grain, n_ids, id_min, id_max, missing_in_span).
+    */
+  def sequenceGaps(df: DataFrame, idCol: String,
+      grain: org.apache.spark.sql.Column): DataFrame =
+    df.select(grain.as("grain"), col(idCol).as("id"))
+      .groupBy(col("grain"))
+      .agg(count_distinct(col("id")).as("n_ids"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .select(col("grain"), col("n_ids"), col("id_min"), col("id_max"),
+        (col("id_max") - col("id_min") + 1 - col("n_ids"))
+          .as("missing_in_span"))
+      .orderBy(col("grain"))
+
   /** Pairwise Pearson correlation matrix over a fixed set of numeric
     * columns — the multi-column generalization of the q_stats_agg /
     * assortativity discipline: values quantize to integer centi-units,

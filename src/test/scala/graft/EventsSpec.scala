@@ -1113,4 +1113,34 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((3L, 4248400L, 6000000L)))
     assert(got.head._2 < got.head._3)
   }
+
+  test("burstRate: trailing-60s RANGE frame counts the burst exactly; " +
+      "tied timestamps see each other") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (2L, ts("2024-01-01 10:00:30"), 1L),
+      (3L, ts("2024-01-01 10:00:50"), 1L),
+      (4L, ts("2024-01-01 10:02:00"), 1L),
+      (5L, ts("2024-01-01 09:00:00"), 2L),
+      (6L, ts("2024-01-01 09:00:00"), 2L)) // tie: both count 2
+      .toDF("event_id", "ts", "user_id")
+    val got = Events.burstRate(ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 3L), (2L, 2L, 2L)))
+  }
+
+  test("sequenceGaps: in-span missing ids surface; duplicates do not " +
+      "mask holes (distinct count, not row count)") {
+    import spark.implicits._
+    val ev = (Seq(1L, 2L, 3L, 7L).map(i =>
+        (i, ts("2024-01-01 10:00:00"))) ++
+      Seq(10L, 11L, 11L).map(i => (i, ts("2024-01-02 10:00:00"))))
+      .toDF("event_id", "ts")
+    val got = graft.operators.Profile.sequenceGaps(ev, "event_id",
+        expr("unix_micros(ts) div 86400000000"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((19723L, 4L, 1L, 7L, 3L),
+      (19724L, 2L, 10L, 11L, 0L)))
+  }
 }
