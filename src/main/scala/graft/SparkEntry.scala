@@ -4094,6 +4094,11 @@ object SparkEntry {
       // (Profile.sequenceGaps)
       Profile.sequenceGaps(t(s, dir, "events"), "event_id",
         expr("unix_micros(ts) div 86400000000"))),
+    "events_conversion_curve" -> ((s, dir) =>
+      // conversion CDF at 1h/6h/24h/72h horizons in exact basis
+      // points — one pass over the shared signup→purchase delay
+      // frame (Events.conversionCurve)
+      Events.conversionCurve(t(s, dir, "events"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8592,5 +8597,25 @@ object SparkEntry {
              max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
                AS missing_in_span
       FROM events GROUP BY 1 ORDER BY 1""",
+    "events_conversion_curve" -> s"""
+      WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+                  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      pu AS (SELECT user_id, epoch_us(ts) AS p_us
+             FROM events WHERE event_type = 'purchase'),
+      d AS (SELECT su.user_id, min(p_us - s_us) AS d_us
+            FROM su JOIN pu ON pu.user_id = su.user_id
+              AND p_us >= s_us
+            GROUP BY 1),
+      agg AS (SELECT count(*) AS n,
+              ${Seq(60L, 360L, 1440L, 4320L).map(h =>
+                s"CAST(sum(CASE WHEN d_us <= ${h * 60000000L} THEN 1" +
+                s" ELSE 0 END) AS BIGINT) AS h_$h").mkString(", ")}
+            FROM d)
+      ${Seq(60L, 360L, 1440L, 4320L).map(h => s"""
+      SELECT CAST($h AS BIGINT) AS horizon_min,
+             CAST(n AS BIGINT) AS n_converted, h_$h AS n_within,
+             (10000 * h_$h) // n AS share_bp
+      FROM agg""").mkString(" UNION ALL ")}
+      ORDER BY horizon_min""",
   ).map { case (k, v) => k -> v.stripMargin.trim.replaceAll("\\s+", " ") }
 }

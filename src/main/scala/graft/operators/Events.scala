@@ -1258,16 +1258,25 @@ object Events {
     *
     * Output: 1 row (n_converted, p25_min, p50_min, p75_min).
     */
-  def funnelLatency(events: DataFrame): DataFrame = {
+  /** Per-user first-signup → first-subsequent-purchase delay in
+    * microseconds — shared by [[funnelLatency]] and
+    * [[conversionCurve]]. Users with no signup or no purchase at or
+    * after it are absent (not converted).
+    */
+  private def conversionDelayUs(events: DataFrame): DataFrame = {
     val su = events.filter(col("event_type") === "signup")
       .groupBy(col("user_id"))
       .agg(min(expr("unix_micros(ts)")).as("s_us"))
     val pu = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), expr("unix_micros(ts)").as("p_us"))
-    val delays = su.join(pu, "user_id")
+    su.join(pu, "user_id")
       .filter(col("p_us") >= col("s_us"))
       .groupBy(col("user_id"))
       .agg(min(col("p_us") - col("s_us")).as("d_us"))
+  }
+
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val delays = conversionDelayUs(events)
       .select(expr("d_us div 60000000").as("d_min"))
     val cc = delays.groupBy(col("d_min")).agg(count(lit(1)).as("m"))
     val w = Window.orderBy(col("d_min"))
@@ -1283,6 +1292,35 @@ object Events {
           .as("p50_min"),
         min(when(col("cum") * 4 >= col("n") * 3, col("d_min")))
           .as("p75_min"))
+  }
+
+  /** Conversion CDF at fixed horizons — "what share of converters
+    * convert within 1h / 6h / 24h / 72h", the curve behind SLA-style
+    * funnel targets, over the same delay frame as [[funnelLatency]].
+    * One aggregate computes every horizon's count in a single pass;
+    * shares are exact basis points; the output is horizon-bounded.
+    *
+    * Output: (horizon_min, n_converted, n_within, share_bp) per
+    * horizon, ordered.
+    */
+  def conversionCurve(events: DataFrame,
+      horizonsMin: Seq[Long] = Seq(60L, 360L, 1440L, 4320L)): DataFrame = {
+    require(horizonsMin.nonEmpty)
+    val d = conversionDelayUs(events)
+    val aggs = count(lit(1)).as("n") +: horizonsMin.map(h =>
+      sum(when(col("d_us") <= h * 60000000L, 1L).otherwise(0L))
+        .as(s"h_$h"))
+    val wide = d.agg(aggs.head, aggs.tail: _*)
+    val rows = horizonsMin.map(h =>
+      struct(lit(h).as("horizon_min"), col("n").as("n_converted"),
+        col(s"h_$h").as("n_within")))
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.horizon_min").as("horizon_min"),
+        col("r.n_converted").as("n_converted"),
+        col("r.n_within").as("n_within"))
+      .withColumn("share_bp",
+        expr("(10000 * n_within) div n_converted"))
+      .orderBy(col("horizon_min"))
   }
 
   /** Sample-ratio mismatch (SRM) check for a 50/50 experiment split —

@@ -1055,6 +1055,12 @@ class EventsSpec extends AnyFunSuite {
     val got = Events.funnelLatency(ev)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((3L, 0L, 60L, 150L)))
+    // same delay frame, CDF view: delays [0, 60, 150] min → 2 of 3
+    // inside the 1h horizon, all inside 6h+
+    val curve = Events.conversionCurve(ev)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(curve == Seq((60L, 3L, 2L, 6666L), (360L, 3L, 3L, 10000L),
+      (1440L, 3L, 3L, 10000L), (4320L, 3L, 3L, 10000L)))
   }
 
   test("srmCheck: 3-vs-2 parity arms give chi-square 1/5, under the " +

@@ -577,4 +577,39 @@ class PlanSpec extends AnyFunSuite {
       "BroadcastNestedLoopJoin".r.findAllIn(rfm).size == 3, rfm)
     assert("IdentityBroadcastMode".r.findAllIn(rfm).size >= 3, rfm)
   }
+
+  test("runtime Bloom-filter injection prunes the fact side of a " +
+      "selective dim join before the shuffle") {
+    // the 100 TB lever beyond static pushdown: when a selective
+    // filter sits on the dimension side, InjectRuntimeFilter plants a
+    // bloom_filter_agg on it and a BloomFilterMightContain predicate
+    // on the FACT side, so shuffle input shrinks at runtime. Child
+    // session scales the size thresholds to fixture size; production
+    // differs only in the numbers (the rule is on by default).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "100MB")
+    // production default is 10GB of fact-side scan before the filter
+    // pays for itself — scaled to the fixture here
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold", "0")
+    ss.conf.set(
+      "spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.load(ss, dir, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+    val ords = Tables.load(ss, dir, "orders")
+      .filter("o_totalprice > 400000")
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+    val joined = li.join(ords,
+      li("l_orderkey") === ords("o_orderkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_filter_agg") ||
+      p.contains("BloomFilterMightContain"),
+      s"no runtime bloom filter injected:\n${p.take(3000)}")
+    assert(joined.count() > 0)
+  }
 }
