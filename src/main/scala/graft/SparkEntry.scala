@@ -4099,6 +4099,11 @@ object SparkEntry {
       // points — one pass over the shared signup→purchase delay
       // frame (Events.conversionCurve)
       Events.conversionCurve(t(s, dir, "events"))),
+    "events_decompose_strength" -> ((s, dir) =>
+      // how much detrended variation the weekday pattern explains —
+      // exact bp shares over the decomposition frame
+      // (Events.decomposeStrength)
+      Events.decomposeStrength(t(s, dir, "events"))),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -4494,6 +4499,32 @@ object SparkEntry {
       UNION ALL SELECT CAST(2 AS BIGINT), pr, n FROM b2
       UNION ALL SELECT CAST(3 AS BIGINT), pr, n FROM b3
       ORDER BY round"""
+
+  /** Shared CTE chain for the decomposition oracles: gapfilled day
+    * spine → centered 7-day MA trend (`tt`) → weekday seasonal means
+    * (`ss`) — the twin of Events.decomposeDaily, reused by
+    * events_decompose and events_decompose_strength.
+    */
+  private def decomposeCteSql: String = """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y FROM events GROUP BY 1),
+      spine AS (SELECT unnest(range((SELECT min(day) FROM d),
+                  (SELECT max(day) FROM d) + 1)) AS day),
+      f AS (SELECT spine.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y
+            FROM spine LEFT JOIN d USING (day)),
+      t0 AS (SELECT day, y, CAST(sum(y) OVER w7 AS BIGINT) AS s7,
+               count(*) OVER w7 AS nw
+             FROM f WINDOW w7 AS (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      tt AS (SELECT day, y, (1000 * s7) // 7 AS trend_milli,
+               1000 * y - (1000 * s7) // 7 AS detr_milli
+             FROM t0 WHERE nw = 7),
+      seas AS (SELECT day % 7 AS dw,
+                 CAST(sum(detr_milli) AS BIGINT) AS sd,
+                 CAST(count(*) AS BIGINT) AS m
+               FROM tt GROUP BY 1),
+      ss AS (SELECT dw, (sd - ((sd % m) + m) % m) // m
+               AS seasonal_milli FROM seas)"""
 
   /** One RFM quintile-boundary CTE (SQL twin of the count-of-counts
     * `bounds` frame inside Events.rfmSegments).
@@ -8392,29 +8423,28 @@ object SparkEntry {
       ORDER BY event_type, dw""",
     "events_holt" -> holtOracleSql,
     "text_bpe_merges" -> bpeOracleSql,
-    "events_decompose" -> """
-      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
-                   count(*) AS y FROM events GROUP BY 1),
-      spine AS (SELECT unnest(range((SELECT min(day) FROM d),
-                  (SELECT max(day) FROM d) + 1)) AS day),
-      f AS (SELECT spine.day, CAST(coalesce(d.y, 0) AS BIGINT) AS y
-            FROM spine LEFT JOIN d USING (day)),
-      t0 AS (SELECT day, y, CAST(sum(y) OVER w7 AS BIGINT) AS s7,
-               count(*) OVER w7 AS nw
-             FROM f WINDOW w7 AS (ORDER BY day
-               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-      tt AS (SELECT day, y, (1000 * s7) // 7 AS trend_milli,
-               1000 * y - (1000 * s7) // 7 AS detr_milli
-             FROM t0 WHERE nw = 7),
-      seas AS (SELECT day % 7 AS dw,
-                 CAST(sum(detr_milli) AS BIGINT) AS sd,
-                 CAST(count(*) AS BIGINT) AS m
-               FROM tt GROUP BY 1),
-      ss AS (SELECT dw, (sd - ((sd % m) + m) % m) // m
-               AS seasonal_milli FROM seas)
+    "events_decompose" -> s"""
+      $decomposeCteSql
       SELECT day, y, trend_milli, detr_milli, seasonal_milli,
              detr_milli - seasonal_milli AS resid_milli
       FROM tt JOIN ss ON ss.dw = tt.day % 7 ORDER BY day""",
+    "events_decompose_strength" -> s"""
+      $decomposeCteSql,
+      j AS (SELECT detr_milli, seasonal_milli,
+              detr_milli - seasonal_milli AS resid_milli
+            FROM tt JOIN ss ON ss.dw = tt.day % 7),
+      a AS (SELECT count(*) AS n_days,
+              sum(CAST(seasonal_milli AS HUGEINT) * seasonal_milli)
+                AS ss2,
+              sum(CAST(resid_milli AS HUGEINT) * resid_milli) AS sr2,
+              sum(CAST(detr_milli AS HUGEINT) * detr_milli) AS sd2
+            FROM j)
+      SELECT n_days,
+             CAST(CASE WHEN sd2 <> 0 THEN (10000 * ss2) // sd2 END
+               AS BIGINT) AS seasonal_share_bp,
+             CAST(CASE WHEN sd2 <> 0 THEN (10000 * sr2) // sd2 END
+               AS BIGINT) AS resid_share_bp
+      FROM a""",
     "events_changepoint" -> """
       WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
                    count(*) AS y FROM events GROUP BY 1),

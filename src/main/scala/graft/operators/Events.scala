@@ -1159,6 +1159,33 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** One-row strength summary of [[decomposeDaily]]: how much of the
+    * detrended variation the weekday pattern explains vs what remains
+    * as residual, in exact basis points — the "is there real weekly
+    * seasonality" gate before shipping a dow-aware sampler. Shares
+    * are Σ seasonal² / Σ detrended² and Σ residual² / Σ detrended²
+    * (squares ride DECIMAL(38,0)); they need not sum to exactly 10⁴
+    * — the cross term and truncation absorb the gap. NULL shares on
+    * a constant series (zero detrended variation is undefined, not
+    * zero-seasonal).
+    *
+    * Output: 1 row (n_days, seasonal_share_bp, resid_share_bp).
+    */
+  def decomposeStrength(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    decomposeDaily(events)
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("seasonal_milli")) * col("seasonal_milli"))
+          .as("ss2"),
+        sum(dec(col("resid_milli")) * col("resid_milli")).as("sr2"),
+        sum(dec(col("detr_milli")) * col("detr_milli")).as("sd2"))
+      .select(col("n_days"),
+        when(col("sd2") =!= 0, expr("(10000 * ss2) div sd2"))
+          .as("seasonal_share_bp"),
+        when(col("sd2") =!= 0, expr("(10000 * sr2) div sd2"))
+          .as("resid_share_bp"))
+  }
+
   /** Single-changepoint detection on the daily volume by exact
     * integer contrast maximization (the binary-segmentation step of
     * Scott & Knott / CUSUM-style mean-shift detection): for every

@@ -1005,6 +1005,11 @@ class EventsSpec extends AnyFunSuite {
     assert(got.size == 8, "full 7-day windows only: days 4..11")
     assert(got == (4 to 11).map(i =>
       (19722L + i, i.toLong, 1000L * i, 0L, 0L, 0L)))
+    // zero detrended variation → strength shares are NULL (undefined),
+    // not zero-seasonal — the divide-by-zero guard
+    val strength = Events.decomposeStrength(ev)
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(strength == Seq((8L, None, None)))
   }
 
   test("changepointDaily: the level shift [1,1,1,5,5] is found at " +

@@ -612,4 +612,40 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime bloom filter injected:\n${p.take(3000)}")
     assert(joined.count() > 0)
   }
+
+  test("CBO with ANALYZE'd statistics reorders a badly-written 3-way " +
+      "join so the selective dims meet first") {
+    // the optimizer surface beyond rule-based rewrites: with table +
+    // column stats, cost-based join reorder ignores the SQL's join
+    // order (orders first) and builds the tiny customer⋈nation
+    // subtree before the fact table joins in
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.cbo.enabled", "true")
+    ss.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    ss.conf.set("spark.sql.statistics.histogram.enabled", "true")
+    for (tn <- Seq("orders", "customer", "nation")) {
+      Tables.load(ss, dir, tn).write.mode("overwrite")
+        .saveAsTable(s"cbo_$tn")
+      ss.sql(s"ANALYZE TABLE cbo_$tn COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val q = ss.sql("""
+      SELECT o.o_orderkey, c.c_name, n.n_name
+      FROM cbo_orders o
+      JOIN cbo_customer c ON c.c_custkey = o.o_custkey
+      JOIN cbo_nation n ON n.n_nationkey = c.c_nationkey
+      WHERE n.n_name = 'NATION_7'""")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val reordered = q.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        val leaves = j.collectLeaves().map(_.toString).mkString
+        leaves.contains("cbo_customer") && leaves.contains("cbo_nation") &&
+          !leaves.contains("cbo_orders")
+    }.exists(identity)
+    assert(reordered,
+      "CBO did not build the customer x nation subtree first:\n" +
+        q.queryExecution.optimizedPlan.toString.take(3000))
+    assert(q.count() > 0)
+    for (tn <- Seq("orders", "customer", "nation"))
+      ss.sql(s"DROP TABLE cbo_$tn")
+  }
 }
