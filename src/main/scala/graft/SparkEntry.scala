@@ -4104,6 +4104,53 @@ object SparkEntry {
       // exact bp shares over the decomposition frame
       // (Events.decomposeStrength)
       Events.decomposeStrength(t(s, dir, "events"))),
+    "events_kpi_daily" -> ((s, dir) =>
+      // the dashboard mart in one pass: DAU, volume, error rate,
+      // buyers, buyer share, revenue — a single day-keyed hash
+      // aggregation (distincts expand in the same shuffle), exact
+      // integer rates and 1e-4-unit revenue
+      t(s, dir, "events")
+        .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count_distinct(col("user_id")).as("dau"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("errors"),
+          count_distinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("buyers"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * 10000).cast("long"))), lit(0L))
+            .as("revenue_q"))
+        .select(col("day"), col("dau"), col("n_events"),
+          expr("(10000 * errors) div n_events").as("error_bp"),
+          col("buyers"),
+          expr("(10000 * buyers) div dau").as("buyer_share_bp"),
+          col("revenue_q"))
+        .orderBy(col("day"))),
+    "events_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime value: purchase revenue per signup-week
+      // cohort by week offset, with the cumulative running sum —
+      // the money twin of events_retention's count matrix; shuffles
+      // key on user then (cohort, offset), the cumulative window is
+      // calendar-bounded per cohort
+      val wk = expr("unix_micros(ts) div 604800000000")
+      val cohort = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(wk).as("cohort_week"))
+      val rev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), wk.as("week"),
+          round(col("value") * 10000).cast("long").as("q"))
+      val grid = rev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(sum(col("q")).as("revenue_q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      grid.withColumn("cum_revenue_q", sum(col("revenue_q")).over(w))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8445,6 +8492,38 @@ object SparkEntry {
              CAST(CASE WHEN sd2 <> 0 THEN (10000 * sr2) // sd2 END
                AS BIGINT) AS resid_share_bp
       FROM a""",
+    "events_kpi_daily" -> """
+      WITH a AS (SELECT epoch_us(ts) // 86400000000 AS day,
+               count(DISTINCT user_id) AS dau,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                 END) AS BIGINT) AS errors,
+               count(DISTINCT CASE WHEN event_type = 'purchase'
+                 THEN user_id END) AS buyers,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value * 10000) AS BIGINT) END), 0)
+                 AS BIGINT) AS revenue_q
+             FROM events GROUP BY 1)
+      SELECT day, dau, n_events,
+             (10000 * errors) // n_events AS error_bp,
+             buyers, (10000 * buyers) // dau AS buyer_share_bp,
+             revenue_q
+      FROM a ORDER BY day""",
+    "events_cohort_ltv" -> """
+      WITH c AS (SELECT user_id,
+               min(epoch_us(ts) // 604800000000) AS cohort_week
+             FROM events GROUP BY 1),
+      r AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+              CAST(round(value * 10000) AS BIGINT) AS q
+            FROM events WHERE event_type = 'purchase'),
+      g AS (SELECT cohort_week, week - cohort_week AS week_offset,
+              CAST(sum(q) AS BIGINT) AS revenue_q
+            FROM r JOIN c USING (user_id) GROUP BY 1, 2)
+      SELECT cohort_week, week_offset, revenue_q,
+             CAST(sum(revenue_q) OVER (PARTITION BY cohort_week
+               ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS cum_revenue_q
+      FROM g ORDER BY cohort_week, week_offset""",
     "events_changepoint" -> """
       WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
                    count(*) AS y FROM events GROUP BY 1),
