@@ -8717,8 +8717,9 @@ object SparkEntry {
             GROUP BY 1),
       agg AS (SELECT count(*) AS n,
               ${Seq(60L, 360L, 1440L, 4320L).map(h =>
-                s"CAST(sum(CASE WHEN d_us <= ${h * 60000000L} THEN 1" +
-                s" ELSE 0 END) AS BIGINT) AS h_$h").mkString(", ")}
+                s"CAST(coalesce(sum(CASE WHEN d_us <= ${h * 60000000L}" +
+                s" THEN 1 ELSE 0 END), 0) AS BIGINT) AS h_$h")
+                .mkString(", ")}
             FROM d)
       ${Seq(60L, 360L, 1440L, 4320L).map(h => s"""
       SELECT CAST($h AS BIGINT) AS horizon_min,

@@ -1335,8 +1335,8 @@ object Events {
     require(horizonsMin.nonEmpty)
     val d = conversionDelayUs(events)
     val aggs = count(lit(1)).as("n") +: horizonsMin.map(h =>
-      sum(when(col("d_us") <= h * 60000000L, 1L).otherwise(0L))
-        .as(s"h_$h"))
+      coalesce(sum(when(col("d_us") <= h * 60000000L, 1L)
+        .otherwise(0L)), lit(0L)).as(s"h_$h"))
     val wide = d.agg(aggs.head, aggs.tail: _*)
     val rows = horizonsMin.map(h =>
       struct(lit(h).as("horizon_min"), col("n").as("n_converted"),
@@ -1345,8 +1345,11 @@ object Events {
       .select(col("r.horizon_min").as("horizon_min"),
         col("r.n_converted").as("n_converted"),
         col("r.n_within").as("n_within"))
+      // NULL share when nobody converted — a 0 would claim "0% within
+      // the horizon" about an empty population (and ANSI div throws)
       .withColumn("share_bp",
-        expr("(10000 * n_within) div n_converted"))
+        when(col("n_converted") > 0,
+          expr("(10000 * n_within) div n_converted")))
       .orderBy(col("horizon_min"))
   }
 

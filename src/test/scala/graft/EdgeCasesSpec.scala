@@ -232,4 +232,33 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(empty.select(Render.renderStrict(col("s"), StringType))
       .count() == 0)
   }
+
+  test("round-12 analytics are total on empty and converter-free " +
+      "input — no ANSI divide-by-zero, NULL where undefined") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(graft.operators.Events.lifeTable(ev).count() == 0)
+    assert(graft.operators.Events.holtDaily(ev).count() == 0)
+    assert(graft.operators.Events.decomposeDaily(ev).count() == 0)
+    assert(graft.operators.Events.changepointDaily(ev).count() == 0)
+    assert(graft.operators.Events.rfmSegments(ev).count() == 0)
+    assert(graft.operators.Events.activityCoverage(ev).count() == 0)
+    assert(graft.operators.Events.patternMatch(ev).count() == 0)
+    assert(graft.operators.Events.burstRate(ev).count() == 0)
+    assert(graft.operators.TextStats.bpeMerges(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(graft.operators.Graph.linkPrediction(
+      Seq.empty[(Long, Long)].toDF("node", "via")).count() == 0)
+    // events exist but nobody converts: the curve reports NULL
+    // shares, not 0% of an empty population (and must not throw)
+    val noConv = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+      1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val curve = graft.operators.Events.conversionCurve(noConv)
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(curve.size == 4 && curve.forall(r =>
+      r._2 == 0L && r._3 == 0L && r._4.isEmpty))
+  }
 }
