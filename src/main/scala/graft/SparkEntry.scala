@@ -4151,6 +4151,44 @@ object SparkEntry {
       grid.withColumn("cum_revenue_q", sum(col("revenue_q")).over(w))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
+    "sample_split_by_user" -> ((s, dir) => {
+      // entity-level split: every event follows its USER's scrambled
+      // bucket, so no user's history straddles train/val/test — the
+      // grouped-leakage guard sample_split applies at document grain,
+      // here at the behavioral-data grain. Output is the split census
+      // (events + distinct users per split)
+      val b = Sampling.bucket(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("split"))
+    }),
+    "events_new_returning" -> ((s, dir) => {
+      // daily acquisition mix: users (and their events) split by
+      // whether today is their first-seen day — the growth-health
+      // readout behind events_cumulative_users
+      val day = expr("unix_micros(ts) div 86400000000")
+      val first = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(day).as("fd"))
+      t(s, dir, "events")
+        .select(col("user_id"), day.as("day"))
+        .join(first, "user_id")
+        .groupBy(col("day"))
+        .agg(
+          count_distinct(when(col("fd") === col("day"),
+            col("user_id"))).as("new_users"),
+          count_distinct(when(col("fd") < col("day"),
+            col("user_id"))).as("returning_users"),
+          sum(when(col("fd") === col("day"), 1L).otherwise(0L))
+            .as("new_events"),
+          sum(when(col("fd") < col("day"), 1L).otherwise(0L))
+            .as("returning_events"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8524,6 +8562,33 @@ object SparkEntry {
                ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW) AS BIGINT) AS cum_revenue_q
       FROM g ORDER BY cohort_week, week_offset""",
+    "sample_split_by_user" -> s"""
+      WITH RECURSIVE ${sdbmCte("events", "user_id", "0",
+        "CAST(user_id AS VARCHAR)")},
+      b AS (SELECT e.user_id,
+              CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                   WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM events e JOIN sdbm s ON s.sid = e.user_id)
+      SELECT split, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM b GROUP BY 1 ORDER BY 1""",
+    "events_new_returning" -> """
+      WITH f AS (SELECT user_id,
+               min(epoch_us(ts) // 86400000000) AS fd
+             FROM events GROUP BY 1),
+      e AS (SELECT e.user_id, epoch_us(ts) // 86400000000 AS day, fd
+            FROM events e JOIN f USING (user_id))
+      SELECT day,
+             count(DISTINCT CASE WHEN fd = day THEN user_id END)
+               AS new_users,
+             count(DISTINCT CASE WHEN fd < day THEN user_id END)
+               AS returning_users,
+             CAST(sum(CASE WHEN fd = day THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_events,
+             CAST(sum(CASE WHEN fd < day THEN 1 ELSE 0 END)
+               AS BIGINT) AS returning_events
+      FROM e GROUP BY 1 ORDER BY 1""",
     "events_changepoint" -> """
       WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
                    count(*) AS y FROM events GROUP BY 1),
