@@ -4167,6 +4167,48 @@ object SparkEntry {
           count_distinct(col("user_id")).as("n_users"))
         .orderBy(col("split"))
     }),
+    "profile_basket_size" -> ((s, dir) => {
+      // order-size distribution at the count-of-counts grain: how
+      // many orders carry k line items, with exact bp shares — the
+      // fan-out profile behind join-cost estimates
+      val sz = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+      val wall = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      sz.withColumn("total", sum(col("n_orders")).over(wall))
+        .select(col("k").as("basket_size"), col("n_orders"),
+          expr("(10000 * n_orders) div total").as("share_bp"))
+        .orderBy(col("basket_size"))
+    }),
+    "text_length_quartiles" -> ((s, dir) => {
+      // per-source document-length quartiles as exact order
+      // statistics at the (source, length) grain — the corpus-mix
+      // profile; windows partition by source, never global
+      val cc = t(s, dir, "documents")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("m"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val wall = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      cc.withColumn("cum", sum(col("m")).over(w))
+        .withColumn("n", sum(col("m")).over(wall))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") * 4 >= col("n"), col("n_chars")))
+            .as("p25_chars"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("n_chars")))
+            .as("p50_chars"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("n_chars")))
+            .as("p75_chars"))
+        .orderBy(col("source"))
+    }),
     "events_new_returning" -> ((s, dir) => {
       // daily acquisition mix: users (and their events) split by
       // whether today is their first-seen day — the growth-health
@@ -8573,6 +8615,31 @@ object SparkEntry {
       SELECT split, count(*) AS n_events,
              count(DISTINCT user_id) AS n_users
       FROM b GROUP BY 1 ORDER BY 1""",
+    "profile_basket_size" -> """
+      WITH s AS (SELECT l_orderkey, count(*) AS k
+                 FROM lineitem GROUP BY 1),
+      cc AS (SELECT k, count(*) AS n_orders FROM s GROUP BY 1),
+      t AS (SELECT k, n_orders, sum(n_orders) OVER () AS total
+            FROM cc)
+      SELECT k AS basket_size, n_orders,
+             CAST((10000 * n_orders) // total AS BIGINT) AS share_bp
+      FROM t ORDER BY basket_size""",
+    "text_length_quartiles" -> """
+      WITH cc AS (SELECT source, n_chars, count(*) AS m
+                  FROM documents GROUP BY 1, 2),
+      cw AS (SELECT source, n_chars,
+               sum(m) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum,
+               sum(m) OVER (PARTITION BY source) AS n
+             FROM cc)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+             min(CASE WHEN cum * 4 >= n THEN n_chars END) AS p25_chars,
+             min(CASE WHEN cum * 4 >= n * 2 THEN n_chars END)
+               AS p50_chars,
+             min(CASE WHEN cum * 4 >= n * 3 THEN n_chars END)
+               AS p75_chars
+      FROM cw GROUP BY 1 ORDER BY 1""",
     "events_new_returning" -> """
       WITH f AS (SELECT user_id,
                min(epoch_us(ts) // 86400000000) AS fd
