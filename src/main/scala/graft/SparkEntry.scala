@@ -4231,6 +4231,84 @@ object SparkEntry {
             .as("returning_events"))
         .orderBy(col("day"))
     }),
+    "events_lorenz_deciles" -> ((s, dir) => {
+      // full Lorenz concentration table: users ranked by activity
+      // fold into ten equal-width rank deciles with exact bp event
+      // shares — events_pareto's single 80%-point readout
+      // generalized. Works at the count-of-counts grain (activity
+      // levels × 10 rows), so no per-user global sort exists
+      // anywhere in the plan: a level's nu users occupy the
+      // contiguous rank span (cum_us-nu, cum_us] and are
+      // interchangeable, so each decile takes its exact slice of the
+      // span arithmetically. The global window below orders the
+      // level histogram, not users — same bounded-grain shape as
+      // events_pareto.
+      val uc = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val hist = uc.groupBy(col("c")).agg(count(lit(1)).as("nu"))
+      val w = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = uc.agg(count(lit(1)).as("total_users"),
+        sum(col("c")).as("total_events"))
+      hist
+        .withColumn("cum_us", sum(col("nu")).over(w))
+        .crossJoin(tot) // 1-row broadcast
+        .withColumn("d", explode(sequence(lit(0L), lit(9L))))
+        // decile d owns rank positions (d*N) div 10 + 1 .. ((d+1)*N)
+        // div 10; operands non-negative, idiv == floor
+        .withColumn("lo_d",
+          idiv(col("d") * col("total_users"), lit(10L)) + lit(1L))
+        .withColumn("hi_d",
+          idiv((col("d") + lit(1L)) * col("total_users"), lit(10L)))
+        .withColumn("lo", col("cum_us") - col("nu") + lit(1L))
+        .withColumn("take",
+          least(col("hi_d"), col("cum_us")) -
+            greatest(col("lo_d"), col("lo")) + lit(1L))
+        .filter(col("take") > 0L)
+        .groupBy(col("d"))
+        .agg(sum(col("take")).as("n_users"),
+          sum(col("take") * col("c")).as("n_events"),
+          max(col("total_events")).as("te"))
+        .select(col("d").as("decile"), col("n_users"),
+          col("n_events"),
+          idiv(lit(10000L) * col("n_events"), col("te"))
+            .as("share_bp"))
+        .orderBy(col("decile"))
+    }),
+    "events_interarrival" -> ((s, dir) => {
+      // per-type inter-arrival quartiles: same-user gap to the
+      // previous event (any type), attributed to the later event's
+      // type — exact order statistics at the (type, gap_s) grain.
+      // user-partitioned lag, then type-partitioned cumulative
+      // windows; nothing global. Complements events_burst_rate's
+      // peak-rate readout with the full gap distribution.
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val g = t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(wu))
+        .filter(col("prev").isNotNull)
+        // gaps are non-negative by the window order: idiv == floor
+        .select(col("event_type"),
+          idiv(expr("unix_micros(ts) - unix_micros(prev)"),
+            lit(1000000L)).as("gap_s"))
+      val cc = g.groupBy(col("event_type"), col("gap_s"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("event_type"))
+      cc.withColumn("cum", sum(col("m")).over(w))
+        .withColumn("n", sum(col("m")).over(wall))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("cum") * 4 >= col("n"), col("gap_s")))
+            .as("p25_s"),
+          min(when(col("cum") * 4 >= col("n") * 2, col("gap_s")))
+            .as("p50_s"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("gap_s")))
+            .as("p75_s"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** DuckDB stopword-hit count via replace-length arithmetic — the
@@ -8656,6 +8734,54 @@ object SparkEntry {
              CAST(sum(CASE WHEN fd < day THEN 1 ELSE 0 END)
                AS BIGINT) AS returning_events
       FROM e GROUP BY 1 ORDER BY 1""",
+    "events_lorenz_deciles" -> """
+      WITH uc AS (SELECT user_id, count(*) AS c
+                  FROM events GROUP BY 1),
+      hist AS (SELECT c, count(*) AS nu FROM uc GROUP BY 1),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total_users,
+                CAST(sum(c) AS BIGINT) AS total_events FROM uc),
+      spans AS (SELECT c, nu,
+                  CAST(sum(nu) OVER (ORDER BY c DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_us,
+                  total_users, total_events
+                FROM hist CROSS JOIN tot),
+      sl AS (SELECT d, c, nu, cum_us, total_events,
+               (d * total_users) // 10 + 1 AS lo_d,
+               ((d + 1) * total_users) // 10 AS hi_d,
+               cum_us - nu + 1 AS lo
+             FROM spans
+             CROSS JOIN (SELECT unnest(range(10)) AS d) ds),
+      tk AS (SELECT d, c, total_events,
+               least(hi_d, cum_us) - greatest(lo_d, lo) + 1 AS take
+             FROM sl)
+      SELECT d AS decile, CAST(sum(take) AS BIGINT) AS n_users,
+             CAST(sum(take * c) AS BIGINT) AS n_events,
+             CAST((10000 * sum(take * c)) // max(total_events)
+               AS BIGINT) AS share_bp
+      FROM tk WHERE take > 0 GROUP BY 1 ORDER BY 1""",
+    "events_interarrival" -> """
+      WITH g AS (SELECT event_type,
+              (epoch_us(ts) - epoch_us(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)))
+                // 1000000 AS gap_s
+            FROM events),
+      cc AS (SELECT event_type, gap_s, count(*) AS m FROM g
+             WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+      cw AS (SELECT event_type, gap_s,
+               CAST(sum(m) OVER (PARTITION BY event_type
+                 ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(sum(m) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS n
+             FROM cc)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+             min(CASE WHEN cum * 4 >= n THEN gap_s END) AS p25_s,
+             min(CASE WHEN cum * 4 >= n * 2 THEN gap_s END)
+               AS p50_s,
+             min(CASE WHEN cum * 4 >= n * 3 THEN gap_s END)
+               AS p75_s
+      FROM cw GROUP BY 1 ORDER BY 1""",
     "events_changepoint" -> """
       WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
                    count(*) AS y FROM events GROUP BY 1),
