@@ -989,8 +989,8 @@ object Events {
       .select(col("n_a"), col("n_b"),
         abs(dec(col("cum_a")) * col("n_b") -
           dec(col("cum_b")) * col("n_a")).as("dev"))
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(max(col("dev")).as("ks_num"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("dev")).as("ks_num"))
       .select(col("n_a"), col("n_b"),
         expr("(1000000 * ks_num) div (CAST(n_a AS DECIMAL(38,0)) * n_b)")
           .cast("long").as("ks_micro"))

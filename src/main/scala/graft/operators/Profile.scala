@@ -389,10 +389,12 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p"))
       .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
         col("p.n").as("n"),
-        (col("p.num").cast("double") / col("p.den").cast("double"))
+        when(col("p.den") =!= 0,
+          col("p.num").cast("double") / col("p.den").cast("double"))
           .as("slope"),
-        (col("p.num").cast("double") * col("p.num").cast("double") /
-          (col("p.den").cast("double") * col("p.deny").cast("double")))
+        when(col("p.den") =!= 0 && col("p.deny") =!= 0,
+          col("p.num").cast("double") * col("p.num").cast("double") /
+            (col("p.den").cast("double") * col("p.deny").cast("double")))
           .as("r2"))
       .orderBy(col("col_a"), col("col_b"))
   }

@@ -942,8 +942,9 @@ object Similarity {
         .as("n_b"))
     c.join(n, "label")
       .select(col("label"), col("n_a"), col("n_b"),
-        (col("dot").cast("double") /
-          sqrt(col("na").cast("double") * col("nb").cast("double")))
+        when(col("na") =!= 0 && col("nb") =!= 0,
+          col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
           .as("drift_cos"))
       .orderBy(col("label"))
   }
