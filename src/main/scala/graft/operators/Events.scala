@@ -429,9 +429,20 @@ object Events {
     */
   def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1)
-    val d = events
+    acfFromDaily(events
       .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")), maxLag)
+  }
+
+  /** [[acfDaily]]'s arithmetic over an explicit (day, x) daily-count
+    * frame — split out so OverflowSpec can drive the exact
+    * expressions at the claimed magnitudes (x up to ~1e12/day keeps
+    * y = n·x − Σx inside int64 for calendar-bounded n, while
+    * Σy·y_lag and Σy² ride DECIMAL(38,0) at ~1e32 ≪ 10³⁸; the 1e6
+    * scale-up clears likewise). Counts x are int64-safe by
+    * construction, so the clearing claim lives in this arithmetic.
+    */
+  private[graft] def acfFromDaily(d: DataFrame, maxLag: Int): DataFrame = {
     val st = d.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val y = d.crossJoin(st) // 1-row broadcast
       .select(row_number().over(Window.orderBy(col("day"))).as("i"),

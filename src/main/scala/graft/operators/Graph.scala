@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on edge DataFrames — the category beyond
@@ -28,6 +29,22 @@ import org.apache.spark.sql.functions._
   * `((unit div n) · (100−d)) div 100`.
   */
 object Graph {
+
+  /** Pin a frame that an iteration re-reads every round: one LAZY
+    * localCheckpoint, materialized by the first round's job and cached
+    * MEMORY_AND_DISK — the GraphX edge-cache discipline. Without it,
+    * every round re-runs the caller's upstream joins that built the
+    * edge list (at 100 TB that upstream scan dominates the iteration
+    * itself). Skipped when the caller already checkpointed the frame
+    * (plan is a LogicalRDD) — re-pinning would only duplicate the
+    * cache, and composed queries like graph_modularity pin ONCE and
+    * share across LPA + the modularity joins.
+    */
+  private[graft] def pinned(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: LogicalRDD => df
+      case _ => df.localCheckpoint(eager = false)
+    }
 
   /** One PageRank round's contribution frame — the hot join of the
     * whole family, shared by [[pageRank]] and [[pageRankConverged]]
@@ -78,18 +95,19 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
       unit: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = pinned(edges)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank_micro", lit(0L))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val init = unit / n
     val base = (init * (100 - dampingPct)) / 100
     var r = nodes.withColumn("rank_micro", lit(init))
     for (i <- 0 until iters) {
-      val contrib = pageRankContrib(edges, outdeg, r)
+      val contrib = pageRankContrib(e, outdeg, r)
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -97,7 +115,13 @@ object Graph {
             .as("rank_micro"))
       if (i == 0)
         graft.PlanCapture.record("pageRank per-iteration plan", next)
-      r = next.localCheckpoint()
+      // checkpoint CADENCE: every 2nd round + the last. Lineage stays
+      // bounded (≤2 rounds deep), the join/agg shape per round is
+      // unchanged, but half the rounds stop paying an eager-checkpoint
+      // job + a node-sized cache write — the un-checkpointed round
+      // fuses into the next round's job as ordinary stages.
+      r = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint()
+          else next
     }
     r
   }
@@ -117,12 +141,13 @@ object Graph {
       unit: Long = 1000000000000L): (DataFrame, Int) = {
     require(maxIters >= 1 && tolMicro >= 0 &&
       dampingPct >= 0 && dampingPct <= 100)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = pinned(edges)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     if (n == 0) return (nodes.withColumn("rank_micro", lit(0L)), 0)
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val init = unit / n
     val base = (init * (100 - dampingPct)) / 100
@@ -130,7 +155,7 @@ object Graph {
     var iters = 0
     var moved = Long.MaxValue
     while (iters < maxIters && moved > tolMicro) {
-      val contrib = pageRankContrib(edges, outdeg, r)
+      val contrib = pageRankContrib(e, outdeg, r)
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
@@ -172,24 +197,28 @@ object Graph {
     */
   def bfsLevels(edges: DataFrame, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1, "bfsLevels needs at least one round")
-    val srcRow = edges.agg(min(col("src"))).head()
+    val e = pinned(edges)
+    val srcRow = e.agg(min(col("src"))).head()
     require(!srcRow.isNullAt(0), "bfsLevels needs a non-empty edge set")
     val src0 = srcRow.getLong(0)
-    val spark = edges.sparkSession
+    val spark = e.sparkSession
     var dist = spark.range(1)
       .select(lit(src0).as("node"), lit(0L).as("hop"))
       .localCheckpoint()
     var frontier = dist
     for (h <- 1 to maxHops) {
       val next = frontier.select(col("node").as("src"))
-        .join(edges, "src")
+        .join(e, "src")
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hop"))
       if (h == 1)
         graft.PlanCapture.record("bfsLevels per-round plan", next)
       frontier = next.localCheckpoint()
-      dist = dist.union(frontier).localCheckpoint()
+      // the settled set is a UNION OF CHECKPOINTED FRONTIERS — lineage
+      // depth 1 by construction, so checkpointing the union itself
+      // would only pay an extra job + cache write per hop.
+      dist = dist.union(frontier)
     }
     dist
   }
@@ -207,21 +236,22 @@ object Graph {
   def multiSourceBfsLevels(edges: DataFrame, nSources: Int = 3,
       maxHops: Int = 3): DataFrame = {
     require(nSources >= 1 && maxHops >= 1)
-    val spark = edges.sparkSession
+    val e = pinned(edges)
+    val spark = e.sparkSession
     import spark.implicits._
-    val srcs = edges.select(col("src")).distinct().orderBy(col("src"))
+    val srcs = e.select(col("src")).distinct().orderBy(col("src"))
       .limit(nSources).as[Long].collect().toSeq
     var dist = srcs.map(s => (s, s, 0L))
       .toDF("source", "node", "hop").localCheckpoint()
     var frontier = dist
     for (h <- 1 to maxHops) {
       val next = frontier.select(col("source"), col("node").as("src"))
-        .join(edges, "src")
+        .join(e, "src")
         .select(col("source"), col("dst").as("node")).distinct()
         .join(dist, Seq("source", "node"), "left_anti")
         .select(col("source"), col("node"), lit(h.toLong).as("hop"))
       frontier = next.localCheckpoint()
-      dist = dist.union(frontier).localCheckpoint()
+      dist = dist.union(frontier) // union of checkpointed frontiers
     }
     dist
   }
@@ -246,22 +276,25 @@ object Graph {
     */
   def sssp(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1)
-    val srcRow = edges.agg(min(col("src"))).head()
+    val e = pinned(edges)
+    val srcRow = e.agg(min(col("src"))).head()
     require(!srcRow.isNullAt(0), "sssp needs a non-empty edge set")
     val src0 = srcRow.getLong(0)
-    var dist = edges.sparkSession.range(1)
+    var dist = e.sparkSession.range(1)
       .select(lit(src0).as("node"), lit(0L).as("dist"))
       .localCheckpoint()
     for (r <- 0 until rounds) {
       val relaxed = dist.select(col("node").as("src"), col("dist"))
-        .join(edges, "src")
+        .join(e, "src")
         .select(col("dst").as("node"), (col("dist") + col("w")).as("d"))
       val next = dist.select(col("node"), col("dist").as("d"))
         .unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("d")).as("dist"))
       if (r == 0)
         graft.PlanCapture.record("sssp per-round plan", next)
-      dist = next.localCheckpoint()
+      // same cadence as pageRank: checkpoint every 2nd round + last
+      dist = if (r % 2 == 1 || r == rounds - 1) next.localCheckpoint()
+             else next
     }
     dist
   }
@@ -351,16 +384,21 @@ object Graph {
     */
   def kCore(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var alive = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e0 = pinned(edges)
+    var alive = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var deg: DataFrame = null
     for (r <- 0 until rounds) {
-      val e = edges
+      val e = e0
         .join(alive.withColumnRenamed("node", "src"), "src")
         .join(alive.withColumnRenamed("node", "dst"), "dst")
+      // LAZY checkpoint: alive's eager checkpoint job below
+      // materializes deg's cache in the same pass, so each round costs
+      // ONE job instead of two; the final round's deg is then read
+      // from cache by the closing join.
       deg = e.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg")).localCheckpoint()
+        .agg(count(lit(1)).as("deg")).localCheckpoint(eager = false)
       if (r == 0)
         graft.PlanCapture.record("kCore per-round plan", deg)
       alive = deg.filter(col("deg") >= k).select(col("node"))
@@ -437,12 +475,13 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, "labelPropagation needs at least one round")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = pinned(edges)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     for (i <- 0 until iters) {
-      val votes = edges
+      val votes = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
@@ -456,7 +495,10 @@ object Graph {
           coalesce(col("new_label"), col("label")).as("label"))
       if (i == 0)
         graft.PlanCapture.record("labelPropagation per-round plan", next)
-      labels = next.localCheckpoint()
+      // pageRank cadence: checkpoint every 2nd round + the last (the
+      // final frame is what callers like [[modularity]] re-read 3×)
+      labels = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint()
+               else next
     }
     labels
   }
@@ -480,24 +522,40 @@ object Graph {
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
-    val m2f = edges.agg(count(lit(1)).as("m2"))
-    val deg = edges.groupBy(col("src").as("node"))
+    val e = pinned(edges) // read 3× below (m2f, deg, intra)
+    val m2f = e.agg(count(lit(1)).as("m2"))
+    val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
     val dc = labels.join(deg, Seq("node"), "left")
       .select(col("label"), coalesce(col("deg"), lit(0L)).as("deg"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
-    val intra = edges
+    val intra = e
       .join(labels.select(col("node").as("src"), col("label").as("ls")),
         "src")
       .join(labels.select(col("node").as("dst"), col("label").as("ld")),
         "dst")
       .filter(col("ls") === col("ld"))
       .groupBy(col("ls").as("label")).agg(count(lit(1)).as("intra2"))
-    dc.join(intra, Seq("label"), "left")
-      .select(col("label"), col("n_nodes"),
-        coalesce(col("intra2"), lit(0L)).as("intra2"), col("deg_sum"))
-      .crossJoin(broadcast(m2f))
+    modularityTerms(
+      dc.join(intra, Seq("label"), "left")
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("intra2"), lit(0L)).as("intra2"), col("deg_sum"))
+        .crossJoin(broadcast(m2f)))
+  }
+
+  /** [[modularity]]'s post-aggregation arithmetic over the
+    * (label, n_nodes, intra2, deg_sum, m2) frame — split out so
+    * OverflowSpec can drive the exact expressions at the claimed
+    * magnitudes (m2 ≈ 4e9 for a 2e9-edge symmetrized graph, where
+    * d_c² ≈ 1.6e19 overflows int64 and must ride DECIMAL(38,0);
+    * 1e6·qn ≈ 1.6e25 and qd = m2² ≈ 1.6e19 both clear 10³⁸). The
+    * inputs are COUNTS (int64-safe by construction), so the clearing
+    * claim lives entirely in this arithmetic.
+    */
+  private[graft] def modularityTerms(joined: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    joined
       .select(col("label"), col("n_nodes"), col("intra2"),
         col("deg_sum"),
         (dec(col("m2")) * col("intra2") -

@@ -1,0 +1,399 @@
+package graft
+package registry
+
+import graft.functions._
+import graft.operators._
+import graft.SparkEntry._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph query registrations + raw DuckDB oracle twins, split
+  * verbatim out of the SparkEntry monolith (round 13). Composition —
+  * and the oracle whitespace normalization — happens in
+  * [[graft.SparkEntry.queries]] / [[graft.SparkEntry.oracleSql]];
+  * shared helpers stay on [[graft.SparkEntry]] (private[graft]).
+  */
+private[graft] object RegGraph {
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s, dir) => {
+      // 3-iteration damped PageRank over the customer↔supplier
+      // bipartite graph (an edge per distinct trading pair, both
+      // directions; suppliers offset +100000 into a disjoint id
+      // space). Exact integer micro-unit ranks — the DuckDB twin
+      // unrolls the identical iterations relationally.
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      // customer and supplier id spaces are disjoint, so the reverse
+      // union introduces no duplicate edges (matches the oracle's
+      // deduplicating UNION)
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRank(edges).orderBy(col("node"))
+    }),
+    "graph_triangles" -> ((s, dir) => {
+      // exact triangle census + local clustering coefficient over the
+      // parts co-purchase graph (parts linked when one order contains
+      // both — the market-basket projection; the within-order pair
+      // expansion is bounded by basket size, not corpus size). The
+      // degree-oriented wedge join keeps the census O(m^1.5) under hub
+      // skew — see Graph.triangles.
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = items.as("i").join(items.as("j"),
+          col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+        .select(col("i.p").as("src"), col("j.p").as("dst")).distinct()
+      Graph.triangles(edges).orderBy(col("node"))
+    }),
+    "graph_communities" -> ((s, dir) => {
+      // deterministic synchronous label propagation (2 rounds, min-
+      // label ties) over the same customer↔supplier bipartite graph
+      // as graph_pagerank; the oracle unrolls identical rounds
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, iters = 2).orderBy(col("node"))
+    }),
+    "graph_bfs_levels" -> ((s, dir) => {
+      // bounded single-source BFS over the same customer↔supplier
+      // bipartite graph as graph_pagerank, source = smallest node key
+      // (derived, so both engines agree); the oracle's recursive CTE
+      // caps depth identically and takes min(d) per node.
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.bfsLevels(edges, maxHops = 3).orderBy(col("node"))
+    }),
+    "graph_kcore" -> ((s, dir) => {
+      // 3-round k=3 core peel over the customer↔supplier graph; the
+      // oracle unrolls identical rounds (each a two-sided alive
+      // restriction + degree count)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.kCore(edges, k = 3, rounds = 3).orderBy(col("node"))
+    }),
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity of the same graph — exact sufficient
+      // statistics, doubles of exact rationals (q_stats_agg pattern)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.assortativity(edges)
+    }),
+    "graph_sssp" -> ((s, dir) => {
+      // bounded Bellman–Ford over the customer↔supplier graph with
+      // inverse-strength weights (w = 10⁶ div pair link count): the
+      // cheapest path routes through the strongest trading relations.
+      // The oracle unrolls the identical three relaxation rounds.
+      val p = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .agg(count(lit(1)).as("n"))
+      val e1 = p.select(col("src"), col("dst"),
+        expr("1000000 div n").as("w"))
+      val edges = e1.unionByName(e1.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      Graph.sssp(edges, rounds = 3).orderBy(col("node"))
+    }),
+    "graph_landmarks" -> ((s, dir) => {
+      // 3-landmark simultaneous BFS over the customer↔supplier graph
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.multiSourceBfsLevels(edges, nSources = 3, maxHops = 3)
+        .orderBy(col("source"), col("node"))
+    }),
+    "graph_degree_dist" -> ((s, dir) => {
+      // degree distribution (count-of-counts over nodes) of the
+      // customer↔supplier graph — the first thing anyone plots about
+      // a graph, and the skew input the triangle orientation relies on
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
+    "graph_link_pred" -> ((s, dir) =>
+      // who-trades-alike link prediction: common-part counts +
+      // neighborhood Jaccard for customer pairs, hub parts capped
+      // before the wedge join (Graph.linkPrediction)
+      Graph.linkPrediction(
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("node"),
+            col("l_partkey").as("via")),
+        maxHubDeg = 40, k = 50)),
+    "graph_modularity" -> ((s, dir) => {
+      // are the LPA communities real: per-community Newman modularity
+      // terms in exact floor-division micro-units over the same
+      // bipartite graph graph_communities labels (Graph.modularity)
+      val e1 = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 100000L).as("dst"))
+        .distinct()
+      // pin the edge frame ONCE and share it across LPA's rounds and
+      // modularity's three reads — the operators detect the
+      // already-checkpointed plan and skip re-pinning
+      val edges = e1.unionByName(
+        e1.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(eager = false)
+      Graph.modularity(edges, Graph.labelPropagation(edges, iters = 2))
+    }),
+  )
+
+  lazy val oracleSqlRaw: Map[String, String] = Map(
+    "graph_pagerank" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      cnt AS (SELECT count(*) AS n FROM nodes),
+      base AS (SELECT ((1000000000000 // n) * 15) // 100 AS b,
+                      1000000000000 // n AS init FROM cnt),
+      deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+      r0 AS (SELECT node, init AS rank_micro FROM nodes CROSS JOIN base),
+      ${Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT nodes.node,
+          b + (coalesce(s.sc, 0) * 85) // 100 AS rank_micro
+        FROM nodes CROSS JOIN base
+        LEFT JOIN (SELECT e2.dst AS node,
+                     sum(r.rank_micro // deg.deg) AS sc
+                   FROM e2 JOIN deg USING (src)
+                        JOIN $prev r ON r.node = e2.src
+                   GROUP BY e2.dst) s USING (node))"""
+      }.mkString(",")}
+      SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r3 ORDER BY node""",
+    "graph_triangles" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                  FROM lineitem),
+      e AS (SELECT DISTINCT i.p AS a, j.p AS b
+            FROM it i JOIN it j ON i.o = j.o AND i.p < j.p),
+      d AS (SELECT node, count(*) AS deg
+            FROM (SELECT a AS node FROM e
+                  UNION ALL SELECT b FROM e) n GROUP BY node),
+      tr AS (SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pn AS (SELECT node, count(*) AS triangles
+             FROM (SELECT n1 AS node FROM tr
+                   UNION ALL SELECT n2 FROM tr
+                   UNION ALL SELECT n3 FROM tr) x GROUP BY node)
+      SELECT d.node, d.deg,
+             COALESCE(pn.triangles, 0) AS triangles,
+             CASE WHEN d.deg > 1
+                  THEN (2000000 * COALESCE(pn.triangles, 0))
+                         // (d.deg * (d.deg - 1))
+                  ELSE 0 END AS cc_micro
+      FROM d LEFT JOIN pn ON d.node = pn.node
+      ORDER BY d.node""",
+    // 2 synchronous LPA rounds unrolled; argmax(count) with min-label
+    // ties via row_number — must mirror Graph.labelPropagation exactly
+    "graph_communities" -> s"""
+      $lpaCteSql
+      SELECT node, label FROM l2 ORDER BY node""",
+    "graph_bfs_levels" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      s AS (SELECT min(src) AS s0 FROM e2),
+      bfs(node, d) AS (
+        SELECT s0, 0 FROM s
+        UNION
+        SELECT e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
+      SELECT node, CAST(min(d) AS BIGINT) AS hop
+      FROM bfs GROUP BY node ORDER BY node""",
+    "graph_kcore" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      a0 AS (SELECT DISTINCT src AS node FROM e2),
+      ${Seq(("a0", "d1", "a1"), ("a1", "d2", "a2"), ("a2", "d3", "a3"))
+        .map { case (prev, dg, nxt) => s"""
+      $dg AS (SELECT e2.src AS node, count(*) AS deg FROM e2
+              JOIN $prev s ON s.node = e2.src
+              JOIN $prev t ON t.node = e2.dst GROUP BY 1),
+      $nxt AS (SELECT node FROM $dg WHERE deg >= 3)"""
+        }.mkString(",")}
+      SELECT node, CAST(deg AS BIGINT) AS deg
+      FROM d3 WHERE deg >= 3 ORDER BY node""",
+    "graph_assortativity" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+      xy AS (SELECT dx.deg AS x, dy.deg AS y
+             FROM e2 JOIN deg dx ON dx.node = e2.src
+                     JOIN deg dy ON dy.node = e2.dst),
+      s AS (SELECT count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              sum(CAST(x AS HUGEINT) * y) AS sxy,
+              sum(CAST(x AS HUGEINT) * x) AS sxx,
+              sum(CAST(y AS HUGEINT) * y) AS syy FROM xy),
+      r AS (SELECT n, sx, sy,
+              CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+              CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+              CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
+            FROM s)
+      SELECT n AS n_edges, sx, sy,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(den AS VARCHAR) AS DOUBLE) AS slope,
+             CAST(CAST(num AS VARCHAR) AS DOUBLE) *
+               CAST(CAST(num AS VARCHAR) AS DOUBLE) /
+               (CAST(CAST(den AS VARCHAR) AS DOUBLE) *
+                CAST(CAST(deny AS VARCHAR) AS DOUBLE)) AS r2
+      FROM r""",
+    "graph_landmarks" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      seeds AS (SELECT src FROM (
+        SELECT DISTINCT src FROM e2 ORDER BY src LIMIT 3)),
+      bfs(source, node, d) AS (
+        SELECT src, src, 0 FROM seeds
+        UNION
+        SELECT bfs.source, e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3)
+      SELECT source, node, CAST(min(d) AS BIGINT) AS hop
+      FROM bfs GROUP BY 1, 2 ORDER BY source, node""",
+    "graph_degree_dist" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      dg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1)
+      SELECT deg, count(*) AS n_nodes FROM dg
+      GROUP BY deg ORDER BY deg""",
+    "graph_sssp" -> s"""
+      WITH p AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+                   count(*) AS n
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2),
+      e AS (SELECT src, dst, 1000000 // n AS w FROM p
+            UNION ALL SELECT dst, src, 1000000 // n FROM p),
+      s AS (SELECT min(src) AS s0 FROM e),
+      d0 AS (SELECT s0 AS node, CAST(0 AS BIGINT) AS dist FROM s),
+      ${Seq(("d0", "d1"), ("d1", "d2"), ("d2", "d3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT node, min(d) AS dist FROM (
+          SELECT node, dist AS d FROM $prev
+          UNION ALL
+          SELECT e.dst, $prev.dist + e.w FROM $prev
+          JOIN e ON e.src = $prev.node) u GROUP BY 1)"""
+      }.mkString(",")}
+      SELECT node, CAST(dist AS BIGINT) AS dist
+      FROM d3 ORDER BY node""",
+    "graph_link_pred" -> """
+      WITH p AS (SELECT DISTINCT o_custkey AS node, l_partkey AS via
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      kv AS (SELECT via FROM p GROUP BY via HAVING count(*) <= 40),
+      kept AS (SELECT p.node, p.via FROM p JOIN kv USING (via)),
+      deg AS (SELECT node, count(*) AS deg FROM kept GROUP BY 1),
+      w AS (SELECT x.node AS a, y.node AS b, count(*) AS cn
+            FROM kept x JOIN kept y
+              ON x.via = y.via AND x.node < y.node
+            GROUP BY 1, 2)
+      SELECT a, b, cn, da.deg AS da, db.deg AS db,
+             (10000 * cn) // (da.deg + db.deg - cn) AS jaccard_bp
+      FROM w JOIN deg da ON da.node = w.a
+             JOIN deg db ON db.node = w.b
+      ORDER BY cn DESC, jaccard_bp DESC, a, b LIMIT 50""",
+    "graph_modularity" -> s"""
+      $lpaCteSql,
+      m2f AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e2),
+      deg AS (SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1),
+      dc AS (SELECT label, count(*) AS n_nodes,
+               CAST(sum(coalesce(deg, 0)) AS BIGINT) AS deg_sum
+             FROM l2 LEFT JOIN deg USING (node) GROUP BY 1),
+      intra AS (SELECT la.label, count(*) AS intra2
+                FROM e2 JOIN l2 la ON la.node = e2.src
+                     JOIN l2 lb ON lb.node = e2.dst
+                WHERE la.label = lb.label GROUP BY 1),
+      j AS (SELECT dc.label, n_nodes,
+              CAST(coalesce(intra2, 0) AS BIGINT) AS intra2,
+              deg_sum, m2
+            FROM dc LEFT JOIN intra USING (label), m2f),
+      q AS (SELECT label, n_nodes, intra2, deg_sum,
+              1000000 * (CAST(m2 AS HUGEINT) * intra2 -
+                CAST(deg_sum AS HUGEINT) * deg_sum) AS qn,
+              CAST(m2 AS HUGEINT) * m2 AS qd
+            FROM j)
+      SELECT label, n_nodes, intra2, deg_sum,
+             CAST((qn - ((qn % qd) + qd) % qd) // qd AS BIGINT)
+               AS q_term_micro
+      FROM q ORDER BY label""",
+  )
+}

@@ -1,0 +1,286 @@
+package graft
+package registry
+
+import graft.functions._
+import graft.operators._
+import graft.SparkEntry._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hygiene query registrations + raw DuckDB oracle twins, split
+  * verbatim out of the SparkEntry monolith (round 13). Composition —
+  * and the oracle whitespace normalization — happens in
+  * [[graft.SparkEntry.queries]] / [[graft.SparkEntry.oracleSql]];
+  * shared helpers stay on [[graft.SparkEntry]] (private[graft]).
+  */
+private[graft] object RegHygiene {
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: corpus = vec_id >= 50, eval
+      // set = vec_id < 50; survivors have no eval neighbor at 0.45
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+        minCosine = 0.45)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "quality_filtered" -> ((s, dir) => {
+      // default thresholds chosen so every reason fires on the
+      // fixture: token bounds cut ~10% each side, lang drops the
+      // no-stopword (pred 'unknown') docs, repetition ~15%, quality
+      // ~20% of the surviving en docs
+      TextStats.qualityFilter(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: PII scrubbing ----
+    // The synthetic fixture text is digit-free, so a scrub over it
+    // would never exercise the redaction branch; both sides (Spark and
+    // the oracle SQL) first inject deterministic doc_id-derived PII —
+    // emails on doc_id%3, IPs on %4, phones on %5, long numeric ids on
+    // %7 — then scrub it. The injection is part of the QUERY, not the
+    // operator: Scrub itself takes any frame.
+    "scrub_redacted" -> ((s, dir) => {
+      Scrub.redact(piiDocs(t(s, dir, "documents"))).orderBy(col("doc_id"))
+    }),
+    "url_canonical" -> ((s, dir) => {
+      // canonical URL key over a staged crawl URL exercising every
+      // rule: uppercase scheme/host, default port, doubled slashes,
+      // utm params (first + last positions), fragment
+      val staged = concat(lit("HTTP://WWW."), col("source"),
+        lit(".Example.com:80//a//"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=x#sec"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Urls.canonicalizeUrl(staged).as("url_canonical"))
+        .orderBy(col("doc_id"))
+    }),
+    "url_domains" -> ((s, dir) => {
+      // per-domain corpus stats over the staged URLs
+      val staged = concat(lit("HTTP://user@WWW."), col("source"),
+        lit(".Example.com:80/p"))
+      t(s, dir, "documents")
+        .groupBy(Urls.domainOf(staged).as("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+    "scrub_counts" -> ((s, dir) => {
+      Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
+    }),
+    "scrub_pseudonymize" -> ((s, dir) => {
+      // user_id → salted stable token; event_id kept as the row key.
+      // Same-user rows share a token (referential integrity), which
+      // the oracle checks end-to-end via the sdbm CTE twin.
+      Scrub.pseudonymize(
+        t(s, dir, "events").select(col("event_id"), col("user_id")),
+        Seq("user_id"), salt = "s1", prefix = "u")
+        .withColumnRenamed("user_id", "user_token")
+        .orderBy(col("event_id"))
+    }),
+    "quality_filtered_stream" -> ((s, dir) => {
+      // the stateless-streaming twin of quality_filtered: same
+      // operator, same oracle, run through readStream → append sink
+      graft.streaming.StatelessPipe.toCompletion(s, dir, "documents",
+        TextStats.qualityFilter(_)).orderBy(col("doc_id"))
+    }),
+
+    "decontam_flagged" -> ((s, dir) => {
+      // "benchmark" = the fixed doc_id < 400 slice (stays eval-suite
+      // sized at every SF and is the broadcast side); corpus = the
+      // rest (grows with SF, the realistic big input). A corpus doc is
+      // contaminated when it shares any 30-char span with the eval set.
+      val all = t(s, dir, "documents")
+      Decontaminate.flagged(all.filter(col("doc_id") >= 400),
+        all.filter(col("doc_id") < 400))
+        .orderBy(col("doc_id"))
+    }),
+    "decontam_clean" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Decontaminate.clean(all.filter(col("doc_id") >= 400),
+        all.filter(col("doc_id") < 400))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: sampling / corpus construction ----
+    "basket_pairs" -> ((s, dir) => {
+      // Apriori-prefiltered co-purchase pairs over order baskets with
+      // exact integer lift and cosine²; the full tiebreak (support,
+      // p1, p2) makes the top-100 deterministic.
+      Basket.frequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minItemSup = 5L, minPairSup = 2L)
+        .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+        .limit(100)
+    }),
+    "basket_item_sim" -> ((s, dir) => {
+      // each item's 3 strongest associates by binarized cosine — the
+      // per-key-top-k (WindowGroupLimit) shape over the symmetrized
+      // pair frame.
+      Basket.itemNeighbors(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        k = 3, minItemSup = 5L, minPairSup = 2L)
+        .orderBy(col("item"), col("rk"))
+    }),
+  )
+
+  lazy val oracleSqlRaw: Map[String, String] = Map(
+    "decontam_flagged" -> """
+      WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
+                 FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
+      hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS shared_ngrams
+               FROM (SELECT * FROM g WHERE doc_id >= 400) c
+               JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 400) b
+                 ON c.g = b.g
+               GROUP BY c.doc_id)
+      SELECT doc_id, shared_ngrams FROM hits
+      WHERE shared_ngrams >= 1 ORDER BY doc_id""",
+    "decontam_clean" -> """
+      WITH g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
+                 FROM documents, UNNEST(range(1, length(text) - 28)) AS t(i)),
+      bad AS (SELECT DISTINCT c.doc_id
+              FROM (SELECT * FROM g WHERE doc_id >= 400) c
+              JOIN (SELECT DISTINCT g FROM g WHERE doc_id < 400) b
+                ON c.g = b.g)
+      SELECT doc_id FROM documents
+      WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM bad)
+      ORDER BY doc_id""",
+    "decontam_semantic" -> s"""
+      WITH $qEmbSql,
+      d AS (SELECT a.vec_id AS cid, b.vec_id AS eid, sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i
+                 AND a.vec_id >= 50 AND b.vec_id < 50
+            GROUP BY 1, 2),
+      bad AS (SELECT DISTINCT cid FROM d
+              JOIN n na ON na.vec_id = cid JOIN n nb ON nb.vec_id = eid
+              WHERE CAST(dot AS DOUBLE) /
+                    sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                    >= 0.45)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id >= 50 AND vec_id NOT IN (SELECT cid FROM bad)
+      ORDER BY vec_id""",
+    "quality_filtered" -> qualityFilterSql,
+    // identical rows by construction: the stream is the same operator
+    // over the same table through a stateless append pipe
+    "quality_filtered_stream" -> qualityFilterSql,
+    "scrub_pseudonymize" -> s"""
+      WITH RECURSIVE ${sdbmCte("events", "user_id", "0",
+        "'s1' || CAST(user_id AS VARCHAR)")}
+      SELECT event_id, 'u_' || CAST(s.hash AS VARCHAR) AS user_token
+      FROM events JOIN sdbm s ON s.sid = user_id
+      ORDER BY event_id""",
+    "scrub_redacted" -> s"""
+      WITH pii AS (SELECT doc_id, text AS t FROM $piiSql p),
+      ${scrubChainSql("doc_id")}
+      SELECT doc_id,
+             ${Scrub.DefaultRules.map(r => s"n_${r.name}").mkString(", ")},
+             t AS redacted
+      FROM s${Scrub.DefaultRules.size} ORDER BY doc_id""",
+    // mirrors Urls.canonicalizeUrl rule for rule (DuckDB backrefs are
+    // \1-style where Spark's are $1; the oracle gate catches drift)
+    "url_canonical" -> """
+      WITH u AS (SELECT doc_id,
+        'HTTP://WWW.' || source || '.Example.com:80//a//' || (doc_id % 7) ||
+        '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#sec' AS url
+        FROM documents),
+      c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u),
+      c2 AS (SELECT doc_id,
+               regexp_replace(u, '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g') AS u
+             FROM c1),
+      c3 AS (SELECT doc_id,
+               regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*&', '?') AS u
+             FROM c2),
+      c4 AS (SELECT doc_id,
+               regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*$', '') AS u
+             FROM c3),
+      c5 AS (SELECT doc_id,
+               regexp_replace(u, '(?i)^(http://[^/:?#]+):80([/?]|$)',
+                 '\1\2') AS u FROM c4),
+      c6 AS (SELECT doc_id,
+               regexp_replace(u, '(?i)^(https://[^/:?#]+):443([/?]|$)',
+                 '\1\2') AS u FROM c5),
+      sp AS (SELECT doc_id,
+               lower(regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) AS head,
+               regexp_replace(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS tail
+             FROM c6),
+      p AS (SELECT doc_id, head,
+              regexp_extract(tail, '^[^?]*') AS path,
+              regexp_extract(tail, '\?.*$') AS query FROM sp)
+      SELECT doc_id,
+             head ||
+             regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'),
+               '/+$', '') || query AS url_canonical
+      FROM p ORDER BY doc_id""",
+    "url_domains" -> """
+      SELECT lower(regexp_extract(
+               'HTTP://user@WWW.' || source || '.Example.com:80/p',
+               '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/:?#@]*@)?([^/:?#]*)', 1))
+               AS domain,
+             count(*) AS n_docs
+      FROM documents GROUP BY 1 ORDER BY domain""",
+    "scrub_counts" -> s"""
+      WITH pii AS (SELECT source, text AS t FROM $piiSql p),
+      ${scrubChainSql("source")}
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN ${Scrub.DefaultRules.map(r => s"n_${r.name}")
+               .mkString(" + ")} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+             ${Scrub.DefaultRules.map(r =>
+                s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
+               .mkString(", ")}
+      FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
+    "basket_pairs" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+                    l_partkey AS item FROM lineitem),
+      nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+      sup AS (SELECT item, count(*) AS n_i FROM it
+              GROUP BY 1 HAVING count(*) >= 5),
+      pr AS (SELECT it.basket, it.item, sup.n_i
+             FROM it JOIN sup USING (item)),
+      pairs AS (SELECT i.item AS p1, j.item AS p2,
+                  i.n_i AS n_a, j.n_i AS n_b, count(*) AS n_ab
+                FROM pr i JOIN pr j
+                  ON i.basket = j.basket AND i.item < j.item
+                GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+      SELECT p1, p2, n_ab, n_a, n_b,
+             CAST((1000000 * CAST(n_ab AS HUGEINT) * n_baskets)
+               // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS lift_micro,
+             CAST((1000000 * CAST(n_ab AS HUGEINT) * n_ab)
+               // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS cos2_micro
+      FROM pairs, nb
+      ORDER BY n_ab DESC, p1, p2 LIMIT 100""",
+    "basket_item_sim" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+                    l_partkey AS item FROM lineitem),
+      sup AS (SELECT item, count(*) AS n_i FROM it
+              GROUP BY 1 HAVING count(*) >= 5),
+      pr AS (SELECT it.basket, it.item, sup.n_i
+             FROM it JOIN sup USING (item)),
+      pairs AS (SELECT i.item AS p1, j.item AS p2,
+                  i.n_i AS n_a, j.n_i AS n_b, count(*) AS n_ab
+                FROM pr i JOIN pr j
+                  ON i.basket = j.basket AND i.item < j.item
+                GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      scored AS (SELECT p1, p2, n_a, n_b, n_ab,
+                   CAST((1000000 * CAST(n_ab AS HUGEINT) * n_ab)
+                     // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS cos2_micro
+                 FROM pairs),
+      sym AS (SELECT p1 AS item, p2 AS neighbor, n_ab, cos2_micro
+                FROM scored
+              UNION ALL
+              SELECT p2, p1, n_ab, cos2_micro FROM scored),
+      rk AS (SELECT item, neighbor, n_ab, cos2_micro,
+               CAST(row_number() OVER (PARTITION BY item
+                 ORDER BY cos2_micro DESC, neighbor) AS INT) AS rk
+             FROM sym)
+      SELECT item, rk, neighbor, n_ab, cos2_micro
+      FROM rk WHERE rk <= 3 ORDER BY item, rk""",
+    // n-scaled centering (y = n·x − Σx) keeps the ACF ratio exact
+    // integer arithmetic; HUGEINT mirrors the DECIMAL(38,0) sums
+  )
+}

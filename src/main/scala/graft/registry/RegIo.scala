@@ -1,0 +1,391 @@
+package graft
+package registry
+
+import graft.functions._
+import graft.operators._
+import graft.SparkEntry._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Io query registrations + raw DuckDB oracle twins, split
+  * verbatim out of the SparkEntry monolith (round 13). Composition —
+  * and the oracle whitespace normalization — happens in
+  * [[graft.SparkEntry.queries]] / [[graft.SparkEntry.oracleSql]];
+  * shared helpers stay on [[graft.SparkEntry]] (private[graft]).
+  */
+private[graft] object RegIo {
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_skipping" -> ((s, dir) => {
+      // file-level min/max data skipping: clustered write → one-pass
+      // (file, min, max) manifest via _metadata → range query planned
+      // from the manifest, opening ONLY intersecting files. Result
+      // rows are exactly the full-scan filter's (residual filter
+      // inside survivors); LayoutSpec proves files actually got
+      // skipped. At 100 TB this is listing-level pruning — the
+      // manifest stays one row per file.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-skip").toFile
+      try {
+        t(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val man = Layout.minMaxManifest(s, tmp.toString, "l_orderkey")
+        Layout.skipScan(s, tmp.toString, man, "l_orderkey", 1000L, 2000L)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+    "io_compaction" -> ((s, dir) => {
+      // small-file compaction: 64 round-robin shards rewritten to
+      // ceil(rows/2000) range-partitioned sorted files; the audit row
+      // (file counts driven by ROW COUNT, so they're exact on both
+      // sides) rides with content proof re-aggregated from the
+      // compacted directory.
+      val tmpIn = java.nio.file.Files
+        .createTempDirectory("graft-cmp-in").toFile
+      val tmpOut = java.nio.file.Files
+        .createTempDirectory("graft-cmp-out").toFile
+      try {
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(64).write.mode("overwrite").parquet(tmpIn.toString)
+        val stats = Layout.compact(s, tmpIn.toString, tmpOut.toString,
+          "event_id", 2000L)
+        val back = s.read.parquet(tmpOut.toString)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("event_id")).as("nd_ids"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("double").as("sum_value"))
+        stats.crossJoin(back)
+          .select(col("files_before"), col("files_after"),
+            col("n_rows"), col("nd_ids"), col("sum_value"))
+          .localCheckpoint()
+      } finally { deleteRecursively(tmpIn); deleteRecursively(tmpOut) }
+    }),
+    "io_schema_evolution" -> ((s, dir) => {
+      // schema evolution on the lake path: generation 1 lacks a
+      // column generation 2 added; mergeSchema unions the file
+      // schemas (missing column null-filled) and the directory name
+      // becomes the discovered partition column `g`.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-evo").toFile
+      try {
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/g=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/g=2")
+        s.read.option("mergeSchema", "true").parquet(tmp.toString)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("g").cast("long").as("g"))
+          .orderBy(col("o_orderkey"))
+          .localCheckpoint()
+      } finally deleteRecursively(tmp)
+    }),
+    "ivm_stream" -> ((s, dir) => {
+      // q_ivm_agg's delta replayed as a 3-micro-batch STREAM, state
+      // folded forward per batch via foreachBatch — same oracle: the
+      // abelian merge makes the final state batching-invariant
+      graft.streaming.EventsStream.ivmToCompletion(s, dir)
+        .orderBy(col("o_custkey"))
+    }),
+    "multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodeMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_phash" -> ((s, dir) => {
+      // perceptual average-hash over the real decoded rasters; the
+      // oracle re-derives every bit from the generator's closed form
+      Multimodal.aHash(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_phash_groups" -> ((s, dir) => {
+      // image near-dup collapse: groups sharing an identical aHash
+      // across different geometries/containers
+      Multimodal.aHashGroups(t(s, dir, "documents"))
+        .orderBy(col("ahash"))
+    }),
+    "multimodal_resize" -> ((s, dir) => {
+      Multimodal.resizePlan(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_frames" -> ((s, dir) => {
+      Multimodal.frameSample(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- additional relational coverage ----
+    "jsonl_documents" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+        JsonlExport.jsonLine(docs, Seq("doc_id", "source", "text"))
+          .as("line"))
+        // explicit NULLS FIRST on both sides: the line rendering is
+        // null-tolerant, so the sort must agree on null order too
+        // (DuckDB defaults to NULLS LAST on ASC; Spark to NULLS FIRST)
+        .orderBy(col("doc_id").asc_nulls_first)
+    }),
+
+    "jsonl_roundtrip" -> ((s, dir) => {
+      // sink→source roundtrip: write sharded JSONL, read it back with
+      // an explicit schema, and let the driver hash the result against
+      // the parquet ground truth — proves the JSONL I/O pair preserves
+      // values exactly (escapes, nulls, unicode) end-to-end
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "source", "text")
+      val schema = org.apache.spark.sql.types.StructType(
+        cols.map(n => docs.schema(n)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-rt").toFile
+      val back =
+        try {
+          JsonlExport.writeShards(docs.repartition(4), cols, tmp.toString)
+          // materialize before the shards are deleted
+          JsonlSource.read(s, tmp.toString, schema).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("doc_id"))
+    }),
+
+    "jsonl_corrupt_audit" -> ((s, dir) => {
+      // quarantine ingestion: a deterministic dirty corpus (every doc
+      // as a clean JSONL line, PLUS one truncated line per
+      // doc_id % 50 == 0) read back PERMISSIVE — clean rows parse,
+      // malformed lines land whole in _corrupt with null fields, and
+      // the job survives. The audit row (counts + clean-id checksum)
+      // is derivable from the documents table, which is the oracle.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val clean = docs.select(
+        to_json(struct(col("doc_id"), col("source"))).as("line"))
+      val bad = docs.filter(col("doc_id") % 50 === 0)
+        .select(concat(lit("""{"doc_id":"""), col("doc_id")).as("line"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-dirty").toFile
+      val r =
+        try {
+          clean.union(bad).coalesce(2).write.mode("overwrite")
+            .text(tmp.toString)
+          JsonlSource.readWithCorrupt(s, tmp.toString, schema)
+            .agg(
+              count(when(col("_corrupt").isNull, 1)).as("n_clean"),
+              sum(when(col("_corrupt").isNull, col("doc_id")))
+                .cast("long").as("clean_id_sum"),
+              count(col("_corrupt")).as("n_corrupt"))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      r
+    }),
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // same contract proof as jsonl_roundtrip for the CSV dialect:
+      // sink → explicit-schema source → driver hashes vs parquet truth
+      val docs = t(s, dir, "documents")
+      val cols = Seq("doc_id", "source", "text")
+      val schema = org.apache.spark.sql.types.StructType(
+        cols.map(n => docs.schema(n)))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-csv-rt").toFile
+      val back =
+        try {
+          CsvIO.writeShards(docs.repartition(4), cols, tmp.toString)
+          CsvIO.read(s, tmp.toString, schema).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("doc_id"))
+    }),
+
+    "orc_roundtrip" -> ((s, dir) => {
+      // ORC sink → source round-trip (the third columnar interchange
+      // format beside parquet; built-in distributed scan/sink, schema
+      // self-described so no dialect to pin). events is the richest
+      // fixture typewise: timestamp (µs), double, strings, longs.
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-orc-rt").toFile
+      val back =
+        try {
+          ev.repartition(4).write.mode("overwrite").orc(tmp.toString)
+          s.read.schema(ev.schema).orc(tmp.toString).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_id"))
+    }),
+
+    "avro_roundtrip" -> ((s, dir) => {
+      // Avro sink → source round-trip (the row-oriented lake staple;
+      // spark-avro isn't on the bundled classpath, so AvroIO drives
+      // the public AvroKeyOutput/InputFormat Hadoop path instead)
+      val ev = t(s, dir, "events")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-avro-rt").toFile
+      // the Hadoop committer requires a NONEXISTENT output dir: write
+      // to a subpath of the (pre-created) temp dir
+      val out = new java.io.File(tmp, "out").toString
+      val back =
+        try {
+          AvroIO.write(ev.repartition(4), out)
+          AvroIO.read(s, out, ev.schema).localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_id"))
+    }),
+
+    // ---- SQL text-query surface over registered graft functions ----
+    "io_provenance" -> ((s, dir) => {
+      // row-level lineage without lineage columns: the _metadata
+      // hidden column on file sources names the physical file and the
+      // row's position inside it — at 100 TB this is how a sample, a
+      // dedup survivor, or a flagged doc traces back to its shard
+      // (the fixture file is written in doc_id order, so row_index
+      // has a rank-based oracle)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          col("_metadata.file_name").as("file_name"),
+          col("_metadata.row_index").as("row_idx"))
+        .orderBy(col("doc_id"))
+    }),
+    "io_partitioned" -> ((s, dir) => {
+      // hive-partitioned lake layout: write events partitioned by day
+      // (Layout.writeDatePartitioned), read back a 5-day window — the
+      // date filter prunes whole partition DIRECTORIES at listing
+      // time (PartitionFilters in the scan; plan recorded via
+      // PlanCapture because the materialized result hides the read
+      // plan behind the checkpoint leaf). Oracle: the same window
+      // aggregated from the unpartitioned original.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toFile
+      val back =
+        try {
+          val out = new java.io.File(tmp, "events_by_day").toString
+          Layout.writeDatePartitioned(ev, "ts", out)
+          val read = s.read.parquet(out)
+            .filter(col("event_date") >= lit("2024-01-10").cast("date") &&
+              col("event_date") <= lit("2024-01-14").cast("date"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)"))
+                .cast("double").as("sum_value"))
+          graft.PlanCapture.record(
+            "partition-pruned read (pre-materialize)", read)
+          read.localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_type"))
+    }),
+
+    // ---- typed Aggregator (UDAF) surface ----
+  )
+
+  lazy val oracleSqlRaw: Map[String, String] = Map(
+    "multimodal_resize" -> """
+      SELECT doc_id, width, height,
+             CAST((width * 256) // greatest(width, height) AS INT) AS new_w,
+             CAST((height * 256) // greatest(width, height) AS INT) AS new_h
+      FROM (SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+                   CAST(16 + (doc_id * 7) % 24 AS INT) AS height
+            FROM documents)
+      ORDER BY doc_id""",
+    "multimodal_frames" -> """
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             CAST(i AS INT) * 40 AS pts_ms,
+             (doc_id * 1000003 + CAST(i AS INT) * 7919) % 2147483647 AS frame_hash
+      FROM (SELECT doc_id, octet_length(encode(coalesce(text, ''))) % 7 + 1 AS nf
+            FROM documents), UNNEST(range(nf)) t(i)
+      ORDER BY doc_id, frame_idx""",
+    "multimodal_meta" -> """
+      WITH m AS (SELECT doc_id, CAST(16 + doc_id % 32 AS INT) AS width,
+                        CAST(16 + (doc_id * 7) % 24 AS INT) AS height,
+                        CASE doc_id % 3 WHEN 0 THEN 'png'
+                             WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
+                 FROM documents),
+      px AS (SELECT doc_id,
+                    CAST(sum((doc_id + xs.i + ys.i) % 256) AS BIGINT)
+                      AS px_sum
+             FROM m, UNNEST(range(width)) xs(i), UNNEST(range(height)) ys(i)
+             GROUP BY doc_id)
+      SELECT m.doc_id, width, height, format, px_sum
+      FROM m JOIN px ON m.doc_id = px.doc_id
+      ORDER BY m.doc_id""",
+    "multimodal_phash" -> s"""
+      WITH RECURSIVE $phashCteSql
+      SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",
+    "multimodal_phash_groups" -> s"""
+      WITH RECURSIVE $phashCteSql
+      SELECT ahash, count(*) AS n_docs, min(doc_id) AS min_doc
+      FROM ph GROUP BY ahash HAVING count(*) >= 2
+      ORDER BY ahash""",
+    "jsonl_documents" -> s"""
+      SELECT doc_id,
+             '{"doc_id":' || coalesce(CAST(doc_id AS VARCHAR), 'null') ||
+             ',"source":' || CASE WHEN source IS NULL THEN 'null'
+               ELSE '"' || ${jsonEscSql("source")} || '"' END ||
+             ',"text":' || CASE WHEN text IS NULL THEN 'null'
+               ELSE '"' || ${jsonEscSql("text")} || '"' END || '}' AS line
+      FROM documents ORDER BY doc_id NULLS FIRST""",
+    "jsonl_roundtrip" -> """
+      SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+    // the dirty corpus is composed FROM documents, so the audit row
+    // (clean count, clean-id checksum, corrupt count) derives from it
+    "jsonl_corrupt_audit" -> """
+      SELECT count(*) AS n_clean,
+             CAST(sum(doc_id) AS BIGINT) AS clean_id_sum,
+             CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_corrupt
+      FROM documents""",
+    "csv_roundtrip" -> """
+      SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+    "orc_roundtrip" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "avro_roundtrip" -> """
+      SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id""",
+    "io_skipping" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+      ORDER BY l_orderkey, l_linenumber""",
+    "io_compaction" -> """
+      SELECT 64 AS files_before,
+             (count(*) + 1999) // 2000 AS files_after,
+             count(*) AS n_rows,
+             count(DISTINCT event_id) AS nd_ids,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events""",
+    "io_schema_evolution" -> """
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+               AS o_orderpriority,
+             CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS g
+      FROM orders ORDER BY o_orderkey""",
+    "ivm_stream" -> """
+      WITH o AS (SELECT o_orderkey, o_custkey,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                AS cents
+            FROM orders),
+      survivors AS (
+        SELECT o_custkey, cents FROM o WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT o_custkey, cents + 1 FROM o WHERE o_orderkey % 7 = 0)
+      SELECT o_custkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+      FROM survivors GROUP BY o_custkey ORDER BY o_custkey""",
+    "io_provenance" -> """
+      SELECT doc_id, 'documents.parquet' AS file_name,
+             row_number() OVER (ORDER BY doc_id) - 1 AS row_idx
+      FROM documents ORDER BY doc_id""",
+    "io_partitioned" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type""",
+    // exact twin of the sketch-then-recount pipeline: the MG guarantee
+    // (every key with freq > n/201 survives any merge tree) makes the
+    // candidate superset lossless at the 0.5% threshold, so the
+    // recounted output equals the plain GROUP BY / HAVING
+  )
+}

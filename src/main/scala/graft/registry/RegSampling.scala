@@ -1,0 +1,384 @@
+package graft
+package registry
+
+import graft.functions._
+import graft.operators._
+import graft.SparkEntry._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling query registrations + raw DuckDB oracle twins, split
+  * verbatim out of the SparkEntry monolith (round 13). Composition —
+  * and the oracle whitespace normalization — happens in
+  * [[graft.SparkEntry.queries]] / [[graft.SparkEntry.oracleSql]];
+  * shared helpers stay on [[graft.SparkEntry]] (private[graft]).
+  */
+private[graft] object RegSampling {
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_packed" -> ((s, dir) => {
+      // budget 512 ≈ 9 docs/sequence on this fixture, so shards chop
+      // into several bins and offsets exercise the wrap-around
+      Sampling.packSequences(t(s, dir, "documents"),
+        TextStats.nTokens(col("text")), budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+    "sample_packed_text" -> ((s, dir) => {
+      Sampling.packedText(t(s, dir, "documents"),
+        TextStats.nTokens(col("text")), budget = 512)
+        .orderBy(col("shard"), col("bin"))
+    }),
+    "sample_fixed_k" -> ((s, dir) => {
+      // deterministic reservoir replacement: exactly k rows by
+      // scrambled-hash rank (TakeOrderedAndProject, rerun-stable)
+      Sampling.fixedK(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), k = 50)
+        .orderBy(col("doc_id"))
+    }),
+    "sample_weighted_priority" -> ((s, dir) => {
+      // weighted sample: k docs by Duffield–Lund–Thorup priority
+      // (w/u, deterministic u from the id hash) — long docs
+      // near-certain, short docs ∝ n_chars, variance-optimal subset
+      // estimation. Two-limb exact-division priorities keep both
+      // engines bit-identical without 64-bit overflow.
+      Sampling.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        k = 50, weightCol = "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+    "sample_fixed_k_stratified" -> ((s, dir) => {
+      // k docs PER SOURCE by the same scrambled rank; WindowGroupLimit
+      // pre-truncates map-side so the shuffle carries ~k rows/stratum
+      Sampling.fixedKStratified(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("text")), k = 10, strataCol = "source")
+        .orderBy(col("doc_id"))
+    }),
+    "sample_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents"))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+    "sample_split_leakage_free" -> ((s, dir) => {
+      // leakage-free split: each doc takes the split of its near-dup
+      // CLUSTER (connected-components root over the ground-truth pair
+      // graph), so paraphrase families never straddle train/test
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id"))
+      Sampling.splitByCluster(docs, groundTruthPairs(s, dir))
+        .select(col("doc_id"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "sample_mixture" -> ((s, dir) => {
+      // target mixture: src0 quartered, src1 halved, src2 dropped,
+      // everything else at 3/4 weight
+      Sampling.mixture(t(s, dir, "documents"), "source",
+        Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0), default = 0.75)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+    }),
+    "sample_mixture_upsampled" -> ((s, dir) => {
+      // src0 is upsampled 2.5× (two whole copies + a deterministic
+      // half), src1 halved, the rest passes through once; weights are
+      // exact binary fractions so the threshold math is FP-identical
+      // on both engines
+      Sampling.mixtureUpsampled(t(s, dir, "documents"), "source",
+        Map("src0" -> 2.5, "src1" -> 0.5), default = 1.0)
+        .select(col("doc_id"), col("source"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+    "sample_token_budget" -> ((s, dir) => {
+      // per-source token budget over the same whitespace token count
+      // text_token_stats pins; docs admitted in stable hash order
+      val txt = col("text")
+      val nTokens = when(length(trim(txt)) === 0, lit(0L))
+        .otherwise((length(txt) - length(replace(txt, lit(" "))) + 1)
+          .cast("long"))
+      Sampling.tokenBudget(
+        t(s, dir, "documents").withColumn("n_tokens", nTokens),
+        col("n_tokens"), budget = 1000L, strataCol = "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- north star: event windows (batch + streaming twin) ----
+    "sample_coverage" -> ((s, dir) =>
+      // greedy max-coverage selection; the oracle replays the same 5
+      // rounds over materialized gram CTEs
+      Sampling.greedyCoverage(t(s, dir, "documents"), k = 5)
+        .orderBy(col("rank"))),
+    "sample_coreset" -> ((s, dir) =>
+      // k-center greedy diverse subset over the capped slice; the
+      // Spark path is k·N scans, the oracle replays rounds over its
+      // (oracle-scale) all-pairs distance table
+      Similarity.farthestPointSample(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), k = 8)
+        .orderBy(col("rank"))),
+    "sample_kfold" -> ((s, dir) =>
+      // deterministic 5-fold assignment (scrambled-hash bucket) with
+      // the fold × source balance audit — cross-validation hygiene:
+      // each fold should mirror the corpus mix
+      t(s, dir, "documents")
+        .select(Sampling.bucket(col("doc_id"), 5).as("fold"),
+          col("source"), col("n_chars"))
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("fold"), col("source"))),
+    "sample_split_by_user" -> ((s, dir) => {
+      // entity-level split: every event follows its USER's scrambled
+      // bucket, so no user's history straddles train/val/test — the
+      // grouped-leakage guard sample_split applies at document grain,
+      // here at the behavioral-data grain. Output is the split census
+      // (events + distinct users per split)
+      val b = Sampling.bucket(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("split"))
+    }),
+  )
+
+  lazy val oracleSqlRaw: Map[String, String] = Map(
+    "sample_fixed_k" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.source, d.text,
+              ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS rk
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text FROM r
+        ORDER BY rk, doc_id LIMIT 50)
+      ORDER BY doc_id""",
+    "sample_weighted_priority" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.n_chars,
+              (((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647) + 1 AS u
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, n_chars, prio_unit, prio_frac FROM (
+        SELECT doc_id, n_chars,
+               (n_chars * 1000000) // u AS prio_unit,
+               (((n_chars * 1000000) % u) * 1000000) // u AS prio_frac
+        FROM r ORDER BY prio_unit DESC, prio_frac DESC, doc_id LIMIT 50)
+      ORDER BY doc_id""",
+    "sample_fixed_k_stratified" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      r AS (SELECT d.doc_id, d.source, d.text,
+              ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS rk
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY rk, doc_id) AS rn
+        FROM r) WHERE rn <= 10
+      ORDER BY doc_id""",
+    "sample_split" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT d.doc_id,
+             CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                  WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      ORDER BY d.doc_id""",
+    // the dedup_clusters CTE chain (identical text) + the sample_split
+    // hash CTE over the cluster root instead of the doc id
+    "sample_split_leakage_free" -> s"""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM p JOIN n na ON na.doc_id = id_a
+                       JOIN n nb ON nb.doc_id = id_b
+                WHERE CAST(shared AS DOUBLE) / (na.ng + nb.ng - shared) >= 0.8),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node),
+      cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node),
+      keyed AS (SELECT d.doc_id,
+                  coalesce(cl.cluster_id, d.doc_id) AS split_key
+                FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      ${sdbmCte("keyed", "split_key", "0", "CAST(split_key AS VARCHAR)")}
+      SELECT k.doc_id, k.split_key,
+             CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                  WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keyed k JOIN sdbm s ON s.sid = k.split_key
+      ORDER BY k.doc_id""",
+    "sample_mixture" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      WHERE CAST(${bucketSql("s.hash")} AS DOUBLE) <
+            CASE d.source WHEN 'src0' THEN 25.0 WHEN 'src1' THEN 50.0
+                 WHEN 'src2' THEN 0.0 ELSE 75.0 END
+      ORDER BY d.doc_id""",
+    "sample_mixture_upsampled" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      wd AS (SELECT d.doc_id, d.source,
+               CASE d.source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                    ELSE 1.0 END AS w,
+               ${bucketSql("s.hash")} AS bk
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, source,
+              CAST(floor(w) AS BIGINT) +
+                CASE WHEN CAST(bk AS DOUBLE) < (w - floor(w)) * 100
+                     THEN 1 ELSE 0 END AS copies
+            FROM wd)
+      SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+      FROM c, UNNEST(range(1, copies + 1)) AS t(i)
+      ORDER BY doc_id, copy""",
+    "sample_token_budget" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      tok AS (SELECT doc_id, source,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS n_tokens
+              FROM documents),
+      b AS (SELECT t.doc_id, t.source, t.n_tokens,
+              ${bucketSql("s.hash")} AS bk
+            FROM tok t JOIN sdbm s ON s.sid = t.doc_id),
+      c AS (SELECT doc_id, source, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY source
+                ORDER BY bk, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS cum_tokens
+            FROM b)
+      SELECT doc_id, source, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 1000 ORDER BY doc_id""",
+    "sample_packed" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      b AS (SELECT d.doc_id,
+              CAST((${bucketSql("s.hash")}) % 10 AS BIGINT) AS shard,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b)
+      SELECT doc_id, shard, n_tokens,
+             (cum - n_tokens) // 512 AS bin,
+             (cum - n_tokens) % 512 AS offset
+      FROM c ORDER BY doc_id""",
+    "sample_packed_text" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      b AS (SELECT d.doc_id, d.text,
+              CAST((${bucketSql("s.hash")}) % 10 AS BIGINT) AS shard,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END AS n_tokens
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      c AS (SELECT doc_id, text, shard, n_tokens,
+              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b)
+      SELECT shard, (cum - n_tokens) // 512 AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             string_agg(text, ' ' ORDER BY doc_id) AS text
+      FROM c GROUP BY 1, 2 ORDER BY shard, bin""",
+    "sample_coverage" -> s"""
+      WITH t AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> '')
+               AS ws FROM documents),
+      g0 AS MATERIALIZED (SELECT DISTINCT doc_id,
+             concat_ws(' ', ws[CAST(i AS INT)],
+               ws[CAST(i AS INT) + 1], ws[CAST(i AS INT) + 2]) AS g
+           FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+      p1 AS MATERIALIZED (SELECT doc_id, count(*) AS gain FROM g0
+           GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+      sel1 AS (SELECT doc_id FROM p1),
+      cov1 AS MATERIALIZED (SELECT DISTINCT g FROM g0
+           JOIN p1 USING (doc_id)),
+      ${(2 to 5).map { r => s"""
+      m$r AS (SELECT g0.doc_id, count(*) AS gain FROM g0
+              WHERE g0.doc_id NOT IN (SELECT doc_id FROM sel${r - 1})
+                AND g0.g NOT IN (SELECT g FROM cov${r - 1})
+              GROUP BY 1),
+      p$r AS MATERIALIZED (SELECT doc_id, gain FROM m$r
+           ORDER BY gain DESC, doc_id LIMIT 1),
+      sel$r AS (SELECT doc_id FROM sel${r - 1}
+                UNION ALL SELECT doc_id FROM p$r),
+      cov$r AS MATERIALIZED (SELECT g FROM cov${r - 1}
+           UNION SELECT g0.g FROM g0 JOIN p$r USING (doc_id))"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS rank, doc_id, gain FROM p1
+      ${(2 to 5).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), doc_id, gain FROM p$r")
+        .mkString(" ")}
+      ORDER BY rank""",
+    "sample_coreset" -> s"""
+      WITH $qEmbSql,
+      q5 AS (SELECT vec_id FROM q WHERE vec_id < 500),
+      dots AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 sum(a.x * b.x) AS dot
+               FROM e a JOIN e b ON a.i = b.i
+                 AND a.vec_id < 500 AND b.vec_id < 500
+                 AND a.vec_id <> b.vec_id
+               GROUP BY 1, 2),
+      d2t AS MATERIALIZED (SELECT d.ia, d.ib,
+                CAST(na.norm + nb.norm - 2 * d.dot AS BIGINT) AS d2
+              FROM dots d JOIN n na ON na.vec_id = d.ia
+                   JOIN n nb ON nb.vec_id = d.ib),
+      ch1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM q5),
+      ${(2 to 8).map { r => s"""
+      m$r AS (SELECT t.ia AS id, min(t.d2) AS mind
+              FROM d2t t JOIN ch${r - 1} c ON t.ib = c.id
+              WHERE t.ia NOT IN (SELECT id FROM ch${r - 1})
+              GROUP BY 1),
+      p$r AS MATERIALIZED (SELECT id, mind FROM m$r
+               ORDER BY mind DESC, id LIMIT 1),
+      ch$r AS MATERIALIZED (SELECT id FROM ch${r - 1}
+               UNION ALL SELECT id FROM p$r)"""
+      }.mkString(",")}
+      SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id,
+             CAST(0 AS BIGINT) AS d2 FROM ch1
+      ${(2 to 8).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), id, mind FROM p$r")
+        .mkString(" ")}
+      ORDER BY rank""",
+    "sample_split_by_user" -> s"""
+      WITH RECURSIVE ${sdbmCte("events", "user_id", "0",
+        "CAST(user_id AS VARCHAR)")},
+      b AS (SELECT e.user_id,
+              CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                   WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM events e JOIN sdbm s ON s.sid = e.user_id)
+      SELECT split, count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users
+      FROM b GROUP BY 1 ORDER BY 1""",
+    "sample_kfold" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")}
+      SELECT ${bucketSql("s.hash", 5)} AS fold, d.source,
+             count(*) AS n_docs,
+             CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+      FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+}

@@ -1,0 +1,458 @@
+package graft
+package registry
+
+import graft.functions._
+import graft.operators._
+import graft.SparkEntry._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sim query registrations + raw DuckDB oracle twins, split
+  * verbatim out of the SparkEntry monolith (round 13). Composition —
+  * and the oracle whitespace normalization — happens in
+  * [[graft.SparkEntry.queries]] / [[graft.SparkEntry.oracleSql]];
+  * shared helpers stay on [[graft.SparkEntry]] (private[graft]).
+  */
+private[graft] object RegSim {
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: top-3 nearest DIFFERENT-
+      // label vectors per anchor, exact quantized cosine (the anchor
+      // broadcast is batch-sized — 8 rows — same adjudicated shape
+      // as sim_topk)
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+        col("vec_id") < 8, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_triplets" -> ((s, dir) => {
+      // batch-hard triplet construction: per anchor the farthest
+      // same-label positive + nearest different-label negative, with
+      // the triplet-violation margin
+      Similarity.hardTriplets(t(s, dir, "embeddings"),
+        col("vec_id") < 16)
+        .orderBy(col("anchor_id"))
+    }),
+    "sim_ann_lsh" -> ((s, dir) => {
+      // fixture-suited table geometry: the synthetic embeddings are
+      // near-orthogonal, so a fixture top-5 neighbor sits near cosine
+      // ~0.3 (per-plane collision p ≈ 0.6) — coarse-but-many tables
+      // (3 planes × 12 tables, union hit 1-(1-p³)¹² ≈ 0.94+) beat the
+      // scale defaults (16 planes × 4 tables), which assume a corpus
+      // with real near-neighbor structure at cosine ≥ 0.9. Measured
+      // recall vs the exact twin: 0.96-1.00 across fixture scales
+      // (tools/RecallProbe), driver-gated by sim_ann_lsh_recall below.
+      Similarity.annTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5,
+        nPlanes = 3, nTables = 12)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_ivf" -> ((s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_pq" -> ((s, dir) => {
+      // IVF-PQ (FAISS IVFPQ shape): coarse cells prune, asymmetric
+      // distance tables rank candidates in m lookups each, exact
+      // rerank restores bit-true cosines; recall driver-gated by
+      // sim_ann_pq_recall. Fixture-suited geometry (same reasoning as
+      // sim_ann_lsh): the synthetic embeddings are near-orthogonal, so
+      // true top-5 neighbors sit in a near-tie band around cosine ~0.3
+      // where coarse ADC ordering is hardest — finer subspaces
+      // (m=16 × ksub=32) and a deeper exact rerank (12k) hold recall
+      // at 0.84–0.96 across fixture scales; a corpus with real
+      // near-dup structure is the easy case and runs the m=8 default.
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("id") < 10, k = 5,
+        nProbe = 8, m = 16, ksub = 32, rerankFactor = 12)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- approximate-operator recall gates ----
+    // The five sketch operators above are murmur-based and therefore
+    // SQL-inexpressible (no_oracle); these derived queries close that
+    // evidence gap by materializing each sketch output as parquet
+    // (recallDumpDir) and scoring it against its SQL-expressible exact
+    // twin — DuckDB re-reads the SAME sketch rows via read_parquet and
+    // recomputes n_exact/n_hit/recall independently, so the floors the
+    // specs pin become hash-checked driver gates.
+    "sim_ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(s, dir, "sim_ann_lsh_recall",
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        Similarity.annTopK(emb, col("id") < 10, k = 5, nPlanes = 3,
+          nTables = 12),
+        Seq("query_id", "neighbor_id"), floorBp = 9000)
+    }),
+    "sim_ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(s, dir, "sim_ann_ivf_recall",
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        Similarity.ivfTopK(emb, col("id") < 10, k = 5),
+        Seq("query_id", "neighbor_id"), floorBp = 8000)
+    }),
+    "sim_ann_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      recallGate(s, dir, "sim_ann_pq_recall",
+        Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5),
+        Similarity.ivfPqTopK(emb, col("id") < 10, k = 5, nProbe = 8,
+          m = 16, ksub = 32, rerankFactor = 12),
+        Seq("query_id", "neighbor_id"), floorBp = 8000)
+    }),
+    "hybrid_search" -> ((s, dir) => {
+      // hybrid retrieval: tf·idf lexical pool + exact-cosine vector
+      // pool fused by integer-quantized reciprocal-rank fusion — the
+      // two-tower search shape with a deterministic BIGINT score.
+      // (the vector pool's BNLJ carries a ONE-row build side — the
+      // single query vector — same adjudicated shape as the other
+      // single-row broadcasts)
+      Retrieval.hybridTopK(t(s, dir, "documents"),
+        t(s, dir, "embeddings"),
+        Seq("spark", "window", "merge"), queryVecId = 0L)
+    }),
+    "sim_label_separation" -> ((s, dir) => {
+      // embedding separation: mean signed cos² (exact integer bp) for
+      // same-label vs cross-label pairs over the scoped slice — the
+      // one-row margin readout behind sim_knn_accuracy
+      val q = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id").as("id"), col("label").as("lbl"),
+          Similarity.quantize(col("embedding")).as("qv"))
+        .withColumn("norm", Similarity.qdot(col("qv"), col("qv")))
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+        .select((col("a.lbl") === col("b.lbl")).as("intra"),
+          Similarity.qdot(col("a.qv"), col("b.qv")).as("dot"),
+          (col("a.norm") * d(col("b.norm"))).as("nn"))
+        .withColumn("cos2_bp",
+          expr("(10000 * CAST(dot AS DECIMAL(38,0)) * abs(dot)) " +
+            "div nn"))
+        .groupBy(col("intra"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(cos2_bp) div count(1)").as("mean_cos2_bp"))
+        .orderBy(col("intra"))
+    }),
+    "sim_knn_accuracy" -> ((s, dir) =>
+      // leave-one-out 1-NN label accuracy over the capped slice
+      Similarity.knnLabelAccuracy(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500))),
+    "sim_centroids" -> ((s, dir) => {
+      // label centroids (exact truncated integer means per dimension)
+      // and their pairwise cosines — the label-collision diagnostic
+      // before contrastive training. All frames after the one explode
+      // are (labels × dims)-sized.
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val e = t(s, dir, "embeddings").select(col("label"),
+        posexplode(Similarity.quantize(col("embedding")))
+          .as(Seq("j0", "x")))
+        .select(col("label"), (col("j0") + 1).as("j"), col("x"))
+      val cent = e.groupBy(col("label"), col("j"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .select(col("label"), col("j"), expr("sx div n").as("c"))
+      val dots = cent.as("a").join(cent.as("b"),
+          col("a.j") === col("b.j") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"),
+          col("b.label").as("label_b"))
+        .agg(sum(d(col("a.c")) * col("b.c")).as("dot"))
+      val nr = cent.groupBy(col("label"))
+        .agg(sum(d(col("c")) * col("c")).as("nn"))
+      dots
+        .join(nr.select(col("label").as("label_a"), col("nn").as("na")),
+          "label_a")
+        .join(nr.select(col("label").as("label_b"), col("nn").as("nb")),
+          "label_b")
+        .select(col("label_a"), col("label_b"),
+          (col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+    "sim_rbm" -> ((s, dir) =>
+      // mutual nearest neighbors over the capped slice — the scoped
+      // exact ground truth (ANN top-1 both ways is the scale path)
+      Similarity.mutualNearestNeighbors(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500))
+        .orderBy(col("id_a"), col("id_b"))),
+    "sim_gram" -> ((s, dir) =>
+      // exact integer Gram matrix upper triangle, dimension-bounded
+      // shuffle; string-rendered values stay exact at any scale
+      Similarity.gramUpper(t(s, dir, "embeddings"))
+        .orderBy(col("j"), col("k"))),
+    "sim_pca_pc1" -> ((s, dir) =>
+      // dominant principal direction by exact integer power iteration
+      // (3 rounds, L∞ normalization); oracle replays identical rounds
+      Similarity.powerIterationPC(t(s, dir, "embeddings"), rounds = 3)
+        .orderBy(col("dim"))),
+    "sim_centroid_drift" -> ((s, dir) =>
+      // per-label centroid cosine between vec-id-parity halves —
+      // embedding stability monitor, sums-as-centroids exactness
+      // (Similarity.centroidDrift)
+      Similarity.centroidDrift(t(s, dir, "embeddings"))),
+  )
+
+  lazy val oracleSqlRaw: Map[String, String] = Map(
+    "sim_topk" -> s"""
+      WITH $qEmbSql,
+      s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 10
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT query_id, neighbor_id,
+                   CAST(dot AS DOUBLE) / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE)) AS cosine
+            FROM s JOIN n na ON na.vec_id = query_id
+                   JOIN n nb ON nb.vec_id = neighbor_id)
+      SELECT query_id, rank, neighbor_id, cosine
+      FROM (SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM c) rk
+      WHERE rank <= 10 ORDER BY query_id, rank""",
+    // top-3 nearest different-label per anchor (vec_id < 8)
+    "sim_hard_negatives" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 8
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT query_id, la.label AS query_label, neighbor_id,
+                   lc.label AS neighbor_label,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                     AS cosine
+            FROM s JOIN n na ON na.vec_id = query_id
+                   JOIN n nb ON nb.vec_id = neighbor_id
+                   JOIN lb la ON la.vec_id = query_id
+                   JOIN lb lc ON lc.vec_id = neighbor_id
+            WHERE la.label <> lc.label)
+      SELECT query_id, query_label, rank, neighbor_id, neighbor_label,
+             cosine
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id) AS rank FROM c) rk
+      WHERE rank <= 3 ORDER BY query_id, rank""",
+    // batch-hard triplets for anchors vec_id < 16: farthest same-label
+    // (cosine ASC, id ties) + nearest different-label (cosine DESC)
+    "sim_triplets" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      s AS (SELECT a.vec_id AS anchor_id, b.vec_id AS cid,
+                   sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 16
+                 AND b.vec_id <> a.vec_id
+            GROUP BY 1, 2),
+      c AS (SELECT anchor_id, la.label AS anchor_label, cid,
+                   lc.label = la.label AS same,
+                   CAST(dot AS DOUBLE)
+                     / sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                     AS cosine
+            FROM s JOIN n na ON na.vec_id = anchor_id
+                   JOIN n nb ON nb.vec_id = cid
+                   JOIN lb la ON la.vec_id = anchor_id
+                   JOIN lb lc ON lc.vec_id = cid),
+      pos AS (SELECT anchor_id, anchor_label, cid AS pos_id,
+                     cosine AS pos_cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine ASC, cid) AS rk
+                    FROM c WHERE same) p WHERE rk = 1),
+      neg AS (SELECT anchor_id, cid AS neg_id, cosine AS neg_cosine
+              FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                      ORDER BY cosine DESC, cid) AS rk
+                    FROM c WHERE NOT same) q WHERE rk = 1)
+      SELECT p.anchor_id, p.anchor_label, pos_id, pos_cosine,
+             neg_id, neg_cosine, neg_cosine - pos_cosine AS viol_margin
+      FROM pos p JOIN neg USING (anchor_id) ORDER BY anchor_id""",
+    "sim_ann_lsh_recall" -> s"""
+      WITH $qEmbSql,
+      $exactTop5CteSql,
+      ${recallTailSql("sim_ann_lsh_recall", "query_id, neighbor_id", 9000)}""",
+    "sim_ann_ivf_recall" -> s"""
+      WITH $qEmbSql,
+      $exactTop5CteSql,
+      ${recallTailSql("sim_ann_ivf_recall", "query_id, neighbor_id", 8000)}""",
+    "sim_ann_pq_recall" -> s"""
+      WITH $qEmbSql,
+      $exactTop5CteSql,
+      ${recallTailSql("sim_ann_pq_recall", "query_id, neighbor_id", 8000)}""",
+    "hybrid_search" -> s"""
+      WITH $qEmbSql,
+      toks AS (SELECT doc_id, w AS term
+               FROM documents, UNNEST(string_split(lower(text), ' ')) AS u(w)
+               WHERE w IN ('spark', 'window', 'merge')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      nc AS (SELECT count(*) AS n_corpus FROM documents),
+      lexpool AS (SELECT f.doc_id,
+               CAST(sum(f.tf * ((1000000 * (nc.n_corpus + 1)) // (d.df + 1)))
+                 AS BIGINT) AS score
+             FROM tf f JOIN df d USING (term) CROSS JOIN nc
+             GROUP BY f.doc_id
+             ORDER BY score DESC, f.doc_id LIMIT 20),
+      lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+              FROM lexpool),
+      vs AS (SELECT b.vec_id AS neighbor_id, sum(a.x * b.x) AS dot
+             FROM e a JOIN e b ON a.i = b.i
+               AND a.vec_id = 0 AND b.vec_id <> 0
+             GROUP BY 1),
+      vc AS (SELECT neighbor_id,
+               CAST(dot AS DOUBLE) /
+                 sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                 AS cosine
+             FROM vs JOIN n na ON na.vec_id = 0
+                     JOIN n nb ON nb.vec_id = neighbor_id),
+      vrk AS (SELECT neighbor_id, vec_rank FROM
+               (SELECT neighbor_id, row_number() OVER
+                  (ORDER BY cosine DESC, neighbor_id) AS vec_rank
+                FROM vc) r
+              WHERE vec_rank <= 20)
+      SELECT coalesce(l.doc_id, v.neighbor_id) AS doc_id,
+             l.lex_rank, v.vec_rank,
+             coalesce(1000000 // (60 + l.lex_rank), 0) +
+               coalesce(1000000 // (60 + v.vec_rank), 0) AS rrf_micros
+      FROM lex l FULL JOIN vrk v ON l.doc_id = v.neighbor_id
+      ORDER BY rrf_micros DESC, doc_id LIMIT 10""",
+    "sim_label_separation" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+              sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+              AND b.vec_id < 500
+            GROUP BY 1, 2),
+      c AS (SELECT la.label = lbb.label AS intra,
+              (10000 * dot * abs(dot)) //
+                (CAST(na.norm AS HUGEINT) * nb.norm) AS cos2_bp
+            FROM p JOIN n na ON na.vec_id = ia
+                 JOIN n nb ON nb.vec_id = ib
+                 JOIN lb la ON la.vec_id = ia
+                 JOIN lb lbb ON lbb.vec_id = ib)
+      SELECT intra, count(*) AS n_pairs,
+             CAST(sum(cos2_bp) // count(*) AS BIGINT) AS mean_cos2_bp
+      FROM c GROUP BY 1 ORDER BY intra""",
+    "sim_knn_accuracy" -> s"""
+      WITH $qEmbSql,
+      lb AS (SELECT vec_id, label FROM embeddings),
+      sdot AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+                 sum(a.x * b.x) AS dot
+               FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+                 AND a.vec_id < 500 AND b.vec_id < 500
+               GROUP BY 1, 2),
+      c AS (SELECT id, nid,
+              CAST(dot AS DOUBLE) /
+                sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                AS cosine
+            FROM sdot JOIN n na ON na.vec_id = id
+                      JOIN n nb ON nb.vec_id = nid),
+      b AS (SELECT id, nid FROM (
+              SELECT id, nid, row_number() OVER (PARTITION BY id
+                ORDER BY cosine DESC, nid) AS rk FROM c) t
+            WHERE rk = 1),
+      j AS (SELECT la.label AS lbl, lnb.label AS plbl
+            FROM b JOIN lb la ON la.vec_id = b.id
+                   JOIN lb lnb ON lnb.vec_id = b.nid)
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END)
+               AS BIGINT) AS correct,
+             (10000 * CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END)
+               AS BIGINT)) // count(*) AS acc_bp
+      FROM j""",
+    "sim_centroids" -> """
+      WITH qe AS (SELECT label, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+               AS qv FROM embeddings),
+      ee AS (SELECT label, CAST(i AS BIGINT) AS j, qv[CAST(i AS INT)] AS x
+             FROM qe, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+      cent AS (SELECT label, j,
+                 CAST(CAST(sum(x) AS BIGINT) // count(*) AS BIGINT) AS c
+               FROM ee GROUP BY 1, 2),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                 CAST(sum(a.c * b.c) AS BIGINT) AS dot
+               FROM cent a JOIN cent b
+                 ON a.j = b.j AND a.label < b.label GROUP BY 1, 2),
+      nr AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS nn
+             FROM cent GROUP BY 1)
+      SELECT label_a, label_b,
+             CAST(dot AS DOUBLE) /
+               sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE))
+               AS cosine
+      FROM dots JOIN nr na ON na.label = label_a
+                JOIN nr nb ON nb.label = label_b
+      ORDER BY label_a, label_b""",
+    "sim_rbm" -> s"""
+      WITH $qEmbSql,
+      s AS (SELECT a.vec_id AS id, b.vec_id AS nid,
+              sum(a.x * b.x) AS dot
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+              AND a.vec_id < 500 AND b.vec_id < 500
+            GROUP BY 1, 2),
+      c AS (SELECT id, nid,
+              CAST(dot AS DOUBLE) /
+                sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                AS cosine
+            FROM s JOIN n na ON na.vec_id = id
+                   JOIN n nb ON nb.vec_id = nid),
+      best AS (SELECT id, nid AS best, cosine FROM (
+                 SELECT id, nid, cosine,
+                   row_number() OVER (PARTITION BY id
+                     ORDER BY cosine DESC, nid) AS rk FROM c) t
+               WHERE rk = 1)
+      SELECT x.id AS id_a, y.id AS id_b, x.cosine
+      FROM best x JOIN best y
+        ON x.best = y.id AND y.best = x.id AND x.id < y.id
+      ORDER BY id_a, id_b""",
+    "sim_gram" -> s"""
+      WITH $qEmbSql,
+      p AS (SELECT CAST(a.i AS BIGINT) AS j, CAST(b.i AS BIGINT) AS k,
+              sum(CAST(a.x AS HUGEINT) * b.x) AS g
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+            GROUP BY 1, 2)
+      SELECT j, k, CAST(g AS VARCHAR) AS gram FROM p ORDER BY j, k""",
+    // 3 power-iteration rounds unrolled: s = X·v (row dots), w = Xᵀs
+    // (dim aggregation), L∞ renormalize to 2^20 by truncating division
+    "sim_pca_pc1" -> s"""
+      WITH $qEmbSql,
+      v0 AS (SELECT DISTINCT i AS j, CAST(1048576 AS HUGEINT) AS v
+             FROM e),
+      ${Seq(("v0", "1"), ("v1", "2"), ("v2", "3")).map {
+        case (prev, r) => s"""
+      s$r AS (SELECT e.vec_id, sum(CAST(e.x AS HUGEINT) * v.v) AS s
+              FROM e JOIN $prev v ON v.j = e.i GROUP BY 1),
+      w$r AS (SELECT e.i AS j, sum(s$r.s * e.x) AS w
+              FROM e JOIN s$r ON s$r.vec_id = e.vec_id GROUP BY 1),
+      m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+      v$r AS (SELECT j, (w * 1048576) // m AS v FROM w$r, m$r)"""
+      }.mkString(",")}
+      SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS component
+      FROM v3 ORDER BY dim""",
+    "sim_centroid_drift" -> s"""
+      WITH $qEmbSql,
+      h AS (SELECT vec_id % 2 AS half, label, i, x
+            FROM e JOIN embeddings USING (vec_id)),
+      s AS (SELECT label, i,
+              CAST(sum(CASE WHEN half = 0 THEN x ELSE 0 END)
+                AS BIGINT) AS sa,
+              CAST(sum(CASE WHEN half = 1 THEN x ELSE 0 END)
+                AS BIGINT) AS sb
+            FROM h GROUP BY 1, 2),
+      c AS (SELECT label, sum(CAST(sa AS HUGEINT) * sb) AS dot,
+              sum(CAST(sa AS HUGEINT) * sa) AS na,
+              sum(CAST(sb AS HUGEINT) * sb) AS nb
+            FROM s GROUP BY 1),
+      cnt AS (SELECT label,
+                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_b
+              FROM embeddings GROUP BY 1)
+      SELECT label, n_a, n_b,
+             CAST(dot AS DOUBLE) /
+               sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+               AS drift_cos
+      FROM c JOIN cnt USING (label) ORDER BY label""",
+  )
+}

@@ -413,9 +413,25 @@ private[sources] class DocsetMicroBatchStream(required: StructType,
       end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[DocsetNameOffset].name
     val hi = end.asInstanceOf[DocsetNameOffset].name
-    DocsetSource.shardFiles(path)
+    val files = DocsetSource.shardFiles(path)
       .filter(f => fileName(f) > lo && fileName(f) <= hi)
-      .map(DocsetPartition.apply).toArray
+    // Recovery guard: an UNCOMMITTED batch replays through this exact
+    // (lo, hi] range after a crash between sink commit and checkpoint
+    // commit-log write. The offset is only the boundary NAME, so the
+    // one deletion this source can detect — the shard that DEFINED
+    // the end offset having vanished — must fail loud rather than
+    // silently replay a smaller batch (the fail-loud discipline of
+    // the batch reader's malformed-id path). Shards at or below `lo`
+    // are committed and safe to retire (retention/TTL); interior
+    // deletions inside an in-flight range are covered by the
+    // land-then-rename immutability contract in the class scaladoc.
+    if (hi.nonEmpty && hi > lo && !files.exists(f => fileName(f) == hi))
+      throw new IllegalStateException(
+        s"xmlpipe2 streaming recovery: offset shard '$hi' is missing " +
+          s"from $path — it was deleted before its micro-batch " +
+          "committed; shards may only be retired once their batch is " +
+          "in the commit log")
+    files.map(DocsetPartition.apply).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new DocsetReaderFactory(required)

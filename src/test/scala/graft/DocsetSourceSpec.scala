@@ -304,4 +304,140 @@ class DocsetSourceSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("requires a path")),
       messages(e).mkString(" | "))
   }
+
+  test("streaming recovery: a crash between sink commit and checkpoint " +
+      "commit-log write (commits/N deleted) replays the batch " +
+      "exactly-once through the file sink's batchId dedup") {
+    import spark.implicits._
+    val ss = spark.newSession()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-crash-src").toFile
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-crash-ckpt").toFile
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-crash-sink").toFile
+    def landShard(rows: Seq[(Long, String)], name: String): Unit = {
+      val docs = XmlPipe.formatDocs(rows.toDF("doc_id", "text"),
+        Seq("doc_id"))
+      val tmp = new java.io.File(srcDir, s".stage_$name")
+      val fos = new java.io.FileOutputStream(tmp)
+      try XmlPipe.writeDocset(docs, fos) finally fos.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(srcDir, name).toPath)
+    }
+    def start() = ss.readStream.format("xmlpipe2")
+      .option("fields", "text").load(srcDir.toString)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", sink.toString).start()
+    def sunk(): Seq[Long] = spark.read.parquet(sink.toString)
+      .select("id").as[Long].collect().toSeq.sorted
+    try {
+      landShard(Seq((1L, "one")), "s0001.xml")
+      val q = start()
+      try {
+        q.processAllAvailable()
+        landShard(Seq((2L, "two")), "s0002.xml")
+        q.processAllAvailable()
+        assert(sunk() == Seq(1L, 2L))
+      } finally q.stop()
+      // simulate the mid-batch crash: the sink committed the latest
+      // batch (rows are in the parquet + its _spark_metadata log) but
+      // the checkpoint's commit record never landed — delete it
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.nonEmpty)
+      // a real crash leaves neither the commit record nor its local-fs
+      // checksum twin; deleting only the record would leave a stale
+      // .N.crc that fails the atomic rename on replay
+      assert(commits.last.delete())
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      // restart: Spark replays the uncommitted batch from offsets/N;
+      // planInputPartitions re-reads the same (lo, hi] name range and
+      // the parquet sink recognizes the replayed batchId — no
+      // duplicates, and the stream then advances normally
+      landShard(Seq((3L, "three")), "s0003.xml")
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(sunk() == Seq(1L, 2L, 3L), s"got ${sunk()}")
+      } finally q2.stop()
+    } finally {
+      SparkTestSession.deleteRecursively(srcDir)
+      SparkTestSession.deleteRecursively(ckpt)
+      SparkTestSession.deleteRecursively(sink)
+    }
+  }
+
+  test("streaming recovery: retiring a COMMITTED shard is safe; " +
+      "deleting the shard that defined an UNCOMMITTED offset fails " +
+      "loud at replay instead of silently shrinking the batch") {
+    import spark.implicits._
+    val ss = spark.newSession()
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-del-src").toFile
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-del-ckpt").toFile
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft-dsv2-del-sink").toFile
+    def landShard(rows: Seq[(Long, String)], name: String): Unit = {
+      val docs = XmlPipe.formatDocs(rows.toDF("doc_id", "text"),
+        Seq("doc_id"))
+      val tmp = new java.io.File(srcDir, s".stage_$name")
+      val fos = new java.io.FileOutputStream(tmp)
+      try XmlPipe.writeDocset(docs, fos) finally fos.close()
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(srcDir, name).toPath)
+    }
+    def start() = ss.readStream.format("xmlpipe2")
+      .option("fields", "text").load(srcDir.toString)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", sink.toString).start()
+    def sunk(): Seq[Long] = spark.read.parquet(sink.toString)
+      .select("id").as[Long].collect().toSeq.sorted
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    try {
+      landShard(Seq((1L, "one")), "s0001.xml")
+      val q = start()
+      try { q.processAllAvailable(); assert(sunk() == Seq(1L)) }
+      finally q.stop()
+      // retention on a committed shard: its name is at/below the
+      // checkpointed watermark, so restarts never re-plan it
+      assert(new java.io.File(srcDir, "s0001.xml").delete())
+      landShard(Seq((2L, "two")), "s0002.xml")
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(sunk() == Seq(1L, 2L), s"got ${sunk()}")
+      } finally q2.stop()
+      // now the failure edge: s0003 lands, its batch's offset is
+      // written but the commit is not (mid-batch crash), and the
+      // shard is deleted before the restart — replay MUST fail loud
+      landShard(Seq((3L, "three")), "s0003.xml")
+      val q3 = start()
+      try { q3.processAllAvailable() } finally q3.stop()
+      val commits = new java.io.File(ckpt, "commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.last.delete())
+      new java.io.File(commits.last.getParentFile,
+        "." + commits.last.getName + ".crc").delete()
+      assert(new java.io.File(srcDir, "s0003.xml").delete())
+      val q4 = start()
+      val e = intercept[Exception] {
+        q4.processAllAvailable()
+        q4.stop()
+      }
+      try q4.stop() catch { case _: Throwable => () }
+      assert(messages(e).exists(_.contains("deleted before its " +
+        "micro-batch committed")), messages(e).mkString(" | "))
+    } finally {
+      SparkTestSession.deleteRecursively(srcDir)
+      SparkTestSession.deleteRecursively(ckpt)
+      SparkTestSession.deleteRecursively(sink)
+    }
+  }
 }

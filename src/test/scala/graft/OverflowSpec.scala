@@ -1,0 +1,213 @@
+package graft
+
+import graft.operators.{Events, Graph}
+import graft.registry.{RegSqlA, RegSqlB}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the DECIMAL(38,0)/int64 "clearing-level" claims at their
+  * CLAIMED magnitudes, not just at sf0.01 — round 12 proved one such
+  * comment wrong (q_welch_ttest's combine overflowed at sf5-10 before
+  * edb2661), so every remaining claim gets a synthetic max-magnitude
+  * run through the EXACT engine-side expressions (the extracted
+  * welchT2 / statsAgg / windowRatio / modularityTerms / acfFromDaily
+  * bodies — the same code the registered queries execute), checked
+  * against BigInt-exact replicas. Overflow cannot pass silently: the
+  * session runs ANSI mode, so a DECIMAL(38,0) blow-through throws
+  * (and would NULL in non-ANSI — the equality assertions catch that
+  * too).
+  *
+  * Where a claim is about a 100-TB row count (sf100's n≈2e8/group,
+  * 2e9 edges), the synthesis is MAGNITUDE-EQUIVALENT: fewer rows ×
+  * larger values chosen so every intermediate decimal product meets
+  * or exceeds the claimed worst-case magnitude — the overflow hazard
+  * lives in the product magnitudes, not the row count itself (counts
+  * are int64-safe by construction). Each test states the claimed
+  * bound and the synthesized magnitude next to the assertion.
+  */
+class OverflowSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def bigToDouble(b: BigInt): Double =
+    new java.math.BigDecimal(b.bigInteger).doubleValue
+
+  test("welchT2 combine at the claimed sf100 magnitude: n=2e7/type, " +
+      "x max 5.6e4 centi-units — aa/bb/cc exact decimals (~1e23), " +
+      "double combine bit-matches the BigInt replica") {
+    val N = 20000000L // 2e7 rows per type, the documented sf100 bound
+    // type a: x in {56000, 28000} (values 560.00 / 280.00 — exact
+    // doubles, so round(value*100) is deterministic); type b: {28000, 0}
+    val events = spark.range(0, 2 * N)
+      .select(
+        when(pmod(col("id"), lit(2)) === 0, "a").otherwise("b")
+          .as("event_type"),
+        (when(pmod(col("id"), lit(4)) === 0, 56000L)
+          .when(pmod(col("id"), lit(4)) === 2, 28000L)
+          .when(pmod(col("id"), lit(4)) === 1, 28000L)
+          .otherwise(0L).cast("double") / 100.0).as("value"))
+    val row = RegSqlB.welchT2(events).head()
+    // BigInt-exact sufficient statistics
+    val h = BigInt(N / 2) // rows per (type, level)
+    val sxA = h * 56000 + h * 28000
+    val qxA = h * BigInt(56000) * 56000 + h * BigInt(28000) * 28000
+    val sxB = h * 28000
+    val qxB = h * BigInt(28000) * 28000
+    val nA = BigInt(N); val nB = BigInt(N)
+    val aa = sxA * nB - sxB * nA
+    val bb = nA * qxA - sxA * sxA
+    val cc = nB * qxB - sxB * sxB
+    // the claim: aa/bb/cc stay inside DECIMAL(38,0) at this magnitude
+    val lim = BigInt(10).pow(38)
+    assert(aa.abs < lim && bb.abs < lim && cc.abs < lim)
+    assert(aa > BigInt(Long.MaxValue), "synthesis must exceed int64")
+    // engine vs replica: same left-assoc double combine
+    val aaD = bigToDouble(aa); val bbD = bigToDouble(bb)
+    val ccD = bigToDouble(cc)
+    val num = aaD * aaD * (N - 1).toDouble * (N - 1).toDouble
+    val den = bbD * (N - 1).toDouble * N.toDouble * N.toDouble +
+      ccD * (N - 1).toDouble * N.toDouble * N.toDouble
+    assert(row.getAs[Long]("n_a") == N && row.getAs[Long]("n_b") == N)
+    assert(!row.isNullAt(row.fieldIndex("t2")),
+      "NULL t2 = silent decimal overflow in the combine")
+    assert(row.getAs[Double]("t2") == num / den)
+    assert(row.getAs[Any]("mean_diff_centi").toString ==
+      (aa / (nA * nB)).toString) // 28000 centi-units exactly
+  }
+
+  test("statsAgg sufficient statistics at magnitude-equivalent sf100 " +
+      "worst case: decimal products to 2.1e37 (< 1e38), int64 sums " +
+      "clear, doubles-of-exact-rationals bit-match") {
+    val N = 20000000L // 2e7 rows, values ~10x fixture so products
+    // REACH sf100's n=2e8 worst case (numI terms ~2.1e37 vs 1.1e37)
+    // x in {5e6, 2.5e6} quantized units (qty 500.0000 / 250.0000);
+    // y in {5.5e9, 1.1e9} (price 550000.0000 / 110000.0000)
+    val li = spark.range(0, N).select(
+      lit("A").as("l_returnflag"),
+      when(pmod(col("id"), lit(2)) === 0, 500.0).otherwise(250.0)
+        .as("l_quantity"),
+      when(pmod(col("id"), lit(2)) === 0, 550000.0).otherwise(110000.0)
+        .as("l_extendedprice"))
+    val row = RegSqlA.statsAgg(li).head()
+    val h = BigInt(N / 2)
+    val x1 = BigInt(5000000); val x2 = BigInt(2500000)
+    val y1 = BigInt("5500000000"); val y2 = BigInt("1100000000")
+    val n = BigInt(N)
+    val sx = h * x1 + h * x2; val sy = h * y1 + h * y2
+    val sxy = h * x1 * y1 + h * x2 * y2
+    val sxx = h * x1 * x1 + h * x2 * x2
+    val syy = h * y1 * y1 + h * y2 * y2
+    // int64 claims
+    assert(sx <= BigInt(Long.MaxValue) && sy <= BigInt(Long.MaxValue))
+    // decimal claims: the largest intermediates are numI's two
+    // products — assert they exceed the sf100 bound AND clear 1e38
+    val lim = BigInt(10).pow(38)
+    val p1 = sy * sxx; val p2 = sx * sxy
+    assert(p1.max(p2) > BigInt(10).pow(37), "must reach sf100 scale")
+    assert(p1 < lim && p2 < lim)
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val numI = p1 - p2
+    assert((n * sxy).max(n * sxx).max(n * syy).max(sx * sy)
+      .max(sx * sx).max(sy * sy) < lim)
+    assert(row.getAs[Long]("n") == N)
+    assert(row.getAs[Long]("sx") == sx.toLong)
+    assert(row.getAs[Long]("sy") == sy.toLong)
+    assert(!row.isNullAt(row.fieldIndex("slope")) &&
+      !row.isNullAt(row.fieldIndex("intercept")) &&
+      !row.isNullAt(row.fieldIndex("r2")),
+      "NULL statistic = silent decimal overflow upstream")
+    assert(row.getAs[Double]("slope") ==
+      bigToDouble(num) / bigToDouble(den))
+    assert(row.getAs[Double]("intercept") ==
+      bigToDouble(numI) / bigToDouble(den))
+    assert(row.getAs[Double]("r2") ==
+      bigToDouble(num) * bigToDouble(num) /
+        (bigToDouble(den) * bigToDouble(deny)))
+  }
+
+  test("modularityTerms at the claimed 2e9-edge magnitude: m2=4e9, " +
+      "d_c^2=1.6e19 overflows int64 and must ride DECIMAL(38,0); " +
+      "floor division exact for negative terms") {
+    import spark.implicits._
+    // counts are int64-safe by construction; the clearing claim is
+    // entirely in this post-aggregation arithmetic, so a constructed
+    // aggregate frame at claimed magnitudes drives the exact exprs
+    val m2 = 4000000000L // 2e9 edges symmetrized
+    val rows = Seq(
+      (1L, 1000L, 3900000000L, 4000000000L, m2), // negative term
+      (2L, 1000L, 100000000L, 50000000L, m2)) // positive term
+      .toDF("label", "n_nodes", "intra2", "deg_sum", "m2")
+    val got = Graph.modularityTerms(rows)
+      .select(col("label"), col("q_term_micro"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Any](1)).toMap
+    def expected(intra2: Long, degSum: Long): BigInt = {
+      val qn = BigInt(m2) * intra2 - BigInt(degSum) * degSum
+      val qd = BigInt(m2) * m2
+      assert(BigInt(degSum) * degSum > BigInt(Long.MaxValue) ||
+        degSum < 1000000000L) // claim: d_c^2 exceeds int64 at 4e9
+      assert((BigInt(1000000) * qn).abs < BigInt(10).pow(38))
+      // floor division (the pmod spelling): toward -inf, not zero
+      val (q, r) = (BigInt(1000000) * qn) /% qd
+      if (r < 0) q - 1 else q
+    }
+    assert(got(1L).toString == expected(3900000000L, 4000000000L).toString)
+    assert(got(2L).toString == expected(100000000L, 50000000L).toString)
+    assert(expected(3900000000L, 4000000000L) < 0,
+      "negative-term floor path must actually be exercised")
+  }
+
+  test("windowRatio at fixture-max x100 prices: 10000*cents and the " +
+      "per-order int64 window sum clear with exact basis points") {
+    import spark.implicits._
+    // 7 lines (the fixture per-order max) at 1.1e7 dollars each:
+    // cents 1.1e9, order_cents 7.7e9, 10000*cents 1.1e13 — all int64
+    val li = (1 to 7).map(i => (1L, i.toLong, 11000000.0 + i))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val got = RegSqlA.windowRatio(li).collect()
+    val cents = (1 to 7).map(i => BigInt((11000000.0 + i).toLong) * 100)
+    val total = cents.sum
+    assert(BigInt(10000) * cents.max < BigInt(Long.MaxValue))
+    got.foreach { r =>
+      val i = r.getAs[Long]("l_linenumber").toInt
+      assert(r.getAs[Long]("cents") == cents(i - 1).toLong)
+      assert(r.getAs[Any]("share_bp").toString ==
+        ((BigInt(10000) * cents(i - 1)) / total).toString)
+    }
+  }
+
+  test("acfFromDaily at x~1e12/day: y = n*x - sx inside int64, " +
+      "sum(y*y) products ride DECIMAL(38,0) at ~1e29, truncating " +
+      "division exact for negative correlations") {
+    import spark.implicits._
+    val n = 30
+    // alternating high/low so lag-1 correlation is strongly negative
+    // (exercises the signed div path) and magnitudes hit the claim
+    val xs = (0 until n).map(i =>
+      if (i % 2 == 0) 1000000000000L + i * 1000000L
+      else 500000000000L + i * 1000000L)
+    val d = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      .toDF("day", "x")
+    val got = Events.acfFromDaily(d, maxLag = 7)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Any](1)).toMap
+    val sx = xs.map(BigInt(_)).sum
+    val ys = xs.map(x => BigInt(n) * x - sx)
+    // int64 claim for the centered series
+    assert(ys.forall(y => y.abs <= BigInt(Long.MaxValue)))
+    val dd = ys.map(y => y * y).sum
+    // sf100's worst case is dd ≈ 1e24 (x ≈ 8e7/day over ~730 days);
+    // this synthesis runs ~1000x above it and still clears 1e38
+    assert(dd > BigInt(10).pow(26) && dd < BigInt(10).pow(38))
+    for (lag <- 1 to 7) {
+      val num = (lag until n).map(i => ys(i) * ys(i - lag)).sum
+      assert((num * 1000000).abs < BigInt(10).pow(38))
+      val exp = (num * 1000000) / dd // BigInt / truncates toward zero,
+      // matching Spark's `div` on same-sign and mixed-sign operands
+      assert(got(lag).toString == exp.toString,
+        s"lag $lag: got ${got(lag)}, expected $exp")
+    }
+    assert((1 to 7).exists(l =>
+      ((l until n).map(i => ys(i) * ys(i - l)).sum) < 0),
+      "negative-numerator div path must actually be exercised")
+  }
+}
