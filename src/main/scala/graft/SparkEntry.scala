@@ -41,40 +41,62 @@ object SparkEntry {
     else df
   }
 
-  /** The scoped ground-truth near-dup pair set (exact n-gram Jaccard
-    * over the capped 500-doc slice) feeds three queries: the pairs
-    * themselves, connected-components clustering, and the corpus
-    * filter. A production pipeline materializes the pair set once and
-    * derives everything downstream from it — model that here with a
-    * per-(session, dir) memo of the localCheckpoint'd (tiny) pair set
-    * instead of re-running the deliberately-quadratic join per query.
+  /** Cross-query frame memo — intermediates that several registered
+    * queries derive from (the ground-truth pair set, the bipartite
+    * trading-graph edge list, its LPA labels). A production pipeline
+    * MATERIALIZES such shared frames once and runs every downstream
+    * analytic off the materialization (at 100 TB: write the edge list
+    * to storage once; never re-run the upstream joins per analytic) —
+    * model that here with a per-(session, dir, name) memo of the
+    * localCheckpoint'd frame.
     *
-    * Lifecycle: entries are bounded (one tiny checkpointed frame per
-    * (session, dir) actually queried) and live until [[evictPairs]] —
-    * NOT weakly keyed: a cached DataFrame strongly references its
-    * session, so weak keys would never collect anyway. The pair set is
-    * computed OUTSIDE any lock — a concurrent duplicate computation of
-    * the same deterministic input is identical values and merely
-    * wasted work, whereas a global lock held across a Spark job would
-    * serialize unrelated sessions.
+    * Lifecycle: entries are bounded (one checkpointed frame per memo
+    * name per (session, dir) actually queried) and live until
+    * [[evictMemos]] — NOT weakly keyed: a cached DataFrame strongly
+    * references its session, so weak keys would never collect anyway.
+    * Frames are computed OUTSIDE any lock — a concurrent duplicate
+    * computation of the same deterministic input is identical values
+    * and merely wasted work, whereas a global lock held across a
+    * Spark job would serialize unrelated sessions.
     */
-  private[graft] val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private[graft] def groundTruthPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = (s, dir)
-    val hit = pairsMemo.get(key)
+  private[graft] val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+
+  /** Memoize `build` under (s, dir, name), checkpointing the result
+    * unless it already is one (an operator may hand back an
+    * already-pinned frame — re-checkpointing would duplicate cache).
+    */
+  private[graft] def memoFrame(s: SparkSession, dir: String,
+      name: String)(build: => DataFrame): DataFrame = {
+    val key = (s, dir, name)
+    val hit = frameMemo.get(key)
     if (hit != null) return hit
-    val pairs = Dedup.ngramJaccardPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 500),
-      n = 3, minJaccard = 0.8).localCheckpoint()
-    val prev = pairsMemo.putIfAbsent(key, pairs)
+    val built = build
+    val frame = built.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => built
+      case _ => built.localCheckpoint()
+    }
+    val prev = frameMemo.putIfAbsent(key, frame)
     if (prev != null) {
       // lost the race: free the redundant checkpoint's blocks now —
       // otherwise they stay pinned for the session lifetime
-      unpersistCheckpoint(pairs)
+      unpersistCheckpoint(frame)
       prev
-    } else pairs
+    } else frame
   }
+
+  /** The scoped ground-truth near-dup pair set (exact n-gram Jaccard
+    * over the capped 500-doc slice) feeds three queries: the pairs
+    * themselves, connected-components clustering, and the corpus
+    * filter — the original [[frameMemo]] tenant.
+    */
+  private[graft] def groundTruthPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "gt_pairs") {
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        n = 3, minJaccard = 0.8)
+    }
 
   /** Unpersist the block-manager storage behind a `localCheckpoint`'d
     * frame. `df.rdd` would NOT do this — it derives a fresh RDD from
@@ -95,8 +117,8 @@ object SparkEntry {
     */
   def memoizedRddIds(s: SparkSession): Set[Int] = {
     import scala.jdk.CollectionConverters._
-    pairsMemo.asScala.iterator
-      .collect { case ((sess, _), df) if sess eq s => df }
+    frameMemo.asScala.iterator
+      .collect { case ((sess, _, _), df) if sess eq s => df }
       .flatMap(_.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       })
@@ -125,8 +147,8 @@ object SparkEntry {
     * Long-lived JVMs that cycle many sessions call this from their
     * session teardown.
     */
-  def evictPairs(s: SparkSession): Unit = {
-    val it = pairsMemo.entrySet().iterator()
+  def evictMemos(s: SparkSession): Unit = {
+    val it = frameMemo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) {
