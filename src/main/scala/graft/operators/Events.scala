@@ -1492,4 +1492,76 @@ object Events {
         expr("sum(len_us) div 1000000").as("covered_sec"))
       .orderBy(col("user_id"))
   }
+
+  /** Bot-likelihood triage — the per-user abuse fingerprint a
+    * training-data pipeline runs before trusting behavioral signals:
+    * peak 60-second burst ([[burstRate]]'s RANGE frame), event-type
+    * diversity, and the tightest inter-event gap, flagged when a user
+    * combines machine-like burst with machine-like monotony
+    * (`max_burst ≥ minBurst` AND `n_types ≤ maxTypes`). Heuristics,
+    * not verdicts — the flag names candidates for the expensive
+    * checks downstream.
+    *
+    * Scale shape: two user-partitioned window passes (RANGE count +
+    * lag) and one hash aggregate, all shuffle-keyed on user_id; the
+    * top-k readout is TakeOrderedAndProject, never a global sort.
+    * Output: (user_id, n_events, max_burst, n_types, min_gap_s,
+    * is_bot) — top `k` by (max_burst, n_events) desc.
+    */
+  def botScore(events: DataFrame, windowUs: Long = 60000000L,
+      minBurst: Long = 5L, maxTypes: Long = 2L, k: Int = 50): DataFrame = {
+    val wr = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0)
+    val wl = Window.partitionBy(col("user_id")).orderBy(col("us"))
+    val per = events
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("burst", count(lit(1)).over(wr))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(wl))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("burst")).as("max_burst"),
+        countDistinct(col("event_type")).as("n_types"),
+        expr("min(gap_us) div 1000000").as("min_gap_s"))
+    per.select(col("user_id"), col("n_events"), col("max_burst"),
+        col("n_types"), col("min_gap_s"),
+        (col("max_burst") >= minBurst && col("n_types") <= maxTypes)
+          .as("is_bot"))
+      .orderBy(col("max_burst").desc, col("n_events").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Daily-volume control bands per event type: quartiles of the
+    * per-day event count — the alerting envelope ops teams draw
+    * around a traffic series ("today's purchase volume is below the
+    * p25 of its history"). Order statistics run at the
+    * (type, daily-count, #days) grain via the min-when-cum idiom (the
+    * funnel-quartile discipline): the window frames are bounded by
+    * the calendar × type-count domain, never by event rows.
+    *
+    * Output: (event_type, n_days, min_day, p25_day, p50_day, p75_day,
+    * max_day) ordered by type.
+    */
+  def dailyVolumeBands(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val dist = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist
+      .select(col("event_type"), col("x"),
+        sum(col("m")).over(w).as("cum"), sum(col("m")).over(wall).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        min(col("x")).as("min_day"),
+        min(when(col("cum") * 4 >= col("n"), col("x"))).as("p25_day"),
+        min(when(col("cum") * 2 >= col("n"), col("x"))).as("p50_day"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("x"))).as("p75_day"),
+        max(col("x")).as("max_day"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -787,4 +787,132 @@ object TextStats {
     }
     merges.result().reduce(_ unionByName _).orderBy(col("round"))
   }
+
+  /** Gopher-style document hygiene rules (Rae et al. 2021 "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1), rolled up per source — the rule-based
+    * pre-filter every web-scale corpus runs before model-based
+    * scoring. Four of the paper's rules are expressible over this
+    * fixture's text shape (word-count bounds, mean-word-length
+    * window, minimum stopword evidence, alphabetic-word share);
+    * symbol-ratio/bullet/ellipsis rules degenerate on single-line
+    * space-separated text and are deliberately omitted rather than
+    * trivially passed.
+    *
+    * Exact integer arithmetic: mean word length rides centi-units
+    * ((100·Σ|w|) div n_words), the alpha-share rule compares
+    * 100·alpha_words < 80·n_words cleared of fractions, and the
+    * rollup is one map-side-combinable groupBy(source). 100 TB shape:
+    * a narrow projection (per-row HOFs over the token array, no
+    * explode) followed by a ~source-cardinality aggregate.
+    */
+  def gopherRules(docs: DataFrame, minWords: Long = 50,
+      maxWords: Long = 100000, minMwlCenti: Long = 300,
+      maxMwlCenti: Long = 1000, minStopHits: Long = 2,
+      minAlphaPct: Long = 80): DataFrame = {
+    // four backslashes: the SQL parser unescapes the string literal a
+    // second time, so the regex \s+ needs \\s+ at the SQL layer
+    val words = expr("filter(split(lower(text), '\\\\s+'), w -> w <> '')")
+    val d = docs.select(col("source"),
+      size(words).cast("long").as("n_words"),
+      length(replace(col("text"), lit(" "))).cast("long").as("sum_len"),
+      size(expr("""filter(filter(split(lower(text), '\\s+'),
+        w -> w <> ''), w -> w IN ('the','a','of','to','and','in','be',
+        'that'))""")).cast("long").as("stop_hits"),
+      size(expr("""filter(filter(split(lower(text), '\\s+'),
+        w -> w <> ''), w -> w rlike '^[a-z]+$')"""))
+        .cast("long").as("alpha_words"))
+    val mwl = when(col("n_words") === 0, lit(0L))
+      .otherwise(expr("(100 * sum_len) div n_words"))
+    val flagged = d.select(col("source"),
+      (col("n_words") < minWords || col("n_words") > maxWords)
+        .as("v_wc"),
+      (mwl < minMwlCenti || mwl > maxMwlCenti).as("v_mwl"),
+      (col("stop_hits") < minStopHits).as("v_stop"),
+      (lit(100) * col("alpha_words") < lit(minAlphaPct) * col("n_words"))
+        .as("v_alpha"))
+    val cnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    flagged.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("v_wc")).as("viol_word_count"),
+        cnt(col("v_mwl")).as("viol_mean_word_len"),
+        cnt(col("v_stop")).as("viol_stopwords"),
+        cnt(col("v_alpha")).as("viol_alpha_share"),
+        cnt(!col("v_wc") && !col("v_mwl") && !col("v_stop") &&
+          !col("v_alpha")).as("n_pass"))
+      .withColumn("pass_bp", expr("(10000 * n_pass) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** CCNet-style corpus bucketing (Wenzek et al. 2020 "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): score every document with the corpus-as-its-own-LM
+    * fluency proxy ([[lmScore]]) and cut the corpus into
+    * head/middle/tail TERCILES of that score — CCNet's actual
+    * pipeline step (it buckets by KenLM perplexity; the bucket
+    * boundaries here are value-domain tercile cuts, so ties share a
+    * bucket and the result is partitioning-invariant). Output is the
+    * per-(source, bucket) census a mixing policy consumes.
+    *
+    * Exact arithmetic: the two cut values come from the
+    * (mean_bp, count) distribution via the min-when-cum idiom (the
+    * funnel-quartile discipline — no row ranks), bucket assignment is
+    * two integer comparisons, and the census is one hash aggregate.
+    * 100 TB shape: [[lmScore]]'s three corpus passes + a
+    * value-domain-sized cut computation + one groupBy.
+    */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val scored = lmScore(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val dist = scored.groupBy(col("mean_bp")).agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("mean_bp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val cuts = dist
+      .select(col("mean_bp"), sum(col("m")).over(w).as("cum"),
+        sum(col("m")).over(wall).as("n"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("mean_bp")))
+          .as("c_tail"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("mean_bp")))
+          .as("c_mid"))
+    scored.crossJoin(cuts) // 1-row broadcast
+      .select(col("source"),
+        when(col("mean_bp") <= col("c_tail"), "tail")
+          .when(col("mean_bp") <= col("c_mid"), "middle")
+          .otherwise("head").as("bucket"),
+        col("mean_bp"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("mean_bp")).as("min_bp"),
+        max(col("mean_bp")).as("max_bp"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Corpus length profile per language: p10/p50/p90 of `n_chars` at
+    * the (value, count) grain — the length histogram summary a
+    * chunking/packing policy reads before choosing window sizes. Same
+    * min-when-cum order statistics as the funnel quartiles; the
+    * window frames run over the value domain (distinct lengths), not
+    * rows.
+    */
+  def lengthBands(docs: DataFrame): DataFrame = {
+    val dist = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("lang"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dist
+      .select(col("lang"), col("n_chars"),
+        sum(col("m")).over(w).as("cum"), sum(col("m")).over(wall).as("n"))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(col("cum") * 10 >= col("n"), col("n_chars")))
+          .as("p10_chars"),
+        min(when(col("cum") * 2 >= col("n"), col("n_chars")))
+          .as("p50_chars"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("n_chars")))
+          .as("p90_chars"))
+      .orderBy(col("lang"))
+  }
 }

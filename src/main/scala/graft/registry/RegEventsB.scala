@@ -321,6 +321,14 @@ private[graft] object RegEventsB {
             .as("p75_s"))
         .orderBy(col("event_type"))
     }),
+    "events_bot_score" -> ((s, dir) =>
+      // bot-likelihood triage: peak 60s burst + type monotony + min
+      // inter-arrival, flagged heuristically (Events.botScore)
+      Events.botScore(t(s, dir, "events"))),
+    "events_daily_bands" -> ((s, dir) =>
+      // daily-volume control bands per type: quartiles of per-day
+      // counts at the (value, count) grain (Events.dailyVolumeBands)
+      Events.dailyVolumeBands(t(s, dir, "events"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -823,5 +831,46 @@ private[graft] object RegEventsB {
              (10000 * h_$h) // n AS share_bp
       FROM agg""").mkString(" UNION ALL ")}
       ORDER BY horizon_min""",
+    "events_bot_score" -> """
+      WITH e AS (SELECT user_id, event_type,
+                   epoch_us(ts) AS us FROM events),
+      b AS (SELECT user_id, event_type, us,
+              count(*) OVER (PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)
+                AS burst,
+              us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                AS gap_us
+            FROM e),
+      p AS (SELECT user_id, count(*) AS n_events,
+              CAST(max(burst) AS BIGINT) AS max_burst,
+              CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+              min(gap_us) // 1000000 AS min_gap_s
+            FROM b GROUP BY user_id)
+      SELECT user_id, n_events, max_burst, n_types,
+             CAST(min_gap_s AS BIGINT) AS min_gap_s,
+             (max_burst >= 5 AND n_types <= 2) AS is_bot
+      FROM p ORDER BY max_burst DESC, n_events DESC, user_id
+      LIMIT 50""",
+    "events_daily_bands" -> """
+      WITH daily AS (SELECT event_type,
+                       epoch_us(ts) // 86400000000 AS day,
+                       count(*) AS x
+                     FROM events GROUP BY 1, 2),
+      dist AS (SELECT event_type, x, count(*) AS m
+               FROM daily GROUP BY 1, 2),
+      c AS (SELECT event_type, x,
+              sum(m) OVER (PARTITION BY event_type ORDER BY x) AS cum,
+              sum(m) OVER (PARTITION BY event_type) AS n
+            FROM dist)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+             CAST(min(x) AS BIGINT) AS min_day,
+             CAST(min(CASE WHEN cum * 4 >= n THEN x END) AS BIGINT)
+               AS p25_day,
+             CAST(min(CASE WHEN cum * 2 >= n THEN x END) AS BIGINT)
+               AS p50_day,
+             CAST(min(CASE WHEN cum * 4 >= n * 3 THEN x END) AS BIGINT)
+               AS p75_day,
+             CAST(max(x) AS BIGINT) AS max_day
+      FROM c GROUP BY event_type ORDER BY event_type""",
   )
 }

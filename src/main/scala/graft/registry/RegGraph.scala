@@ -54,6 +54,16 @@ private[graft] object RegGraph {
     }
 
 
+  /** The 3-landmark BFS distance frame over [[bipartiteEdges]] —
+    * consumed by graph_landmarks and reduced by graph_closeness, so
+    * memoized like the edges and labels.
+    */
+  private def bipartiteLandmarks(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bipartite_lm3") {
+      Graph.multiSourceBfsLevels(bipartiteEdges(s, dir),
+        nSources = 3, maxHops = 3)
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration damped PageRank over the memoized trading graph
@@ -117,9 +127,21 @@ private[graft] object RegGraph {
     }),
     "graph_landmarks" -> ((s, dir) =>
       // 3-landmark simultaneous BFS over the memoized trading graph
-      Graph.multiSourceBfsLevels(bipartiteEdges(s, dir),
-        nSources = 3, maxHops = 3)
-        .orderBy(col("source"), col("node"))),
+      bipartiteLandmarks(s, dir).orderBy(col("source"), col("node"))),
+    "graph_closeness" -> ((s, dir) =>
+      // landmark closeness (Potamias et al. 2009 landmark scheme,
+      // degenerate exact form): total hops to the 3 landmarks for
+      // nodes all landmarks reach within the cap — the top-30
+      // most-central candidates a full closeness pass would re-rank.
+      // Pure reduction of the memoized landmark frame: one hash
+      // aggregate + TakeOrderedAndProject.
+      bipartiteLandmarks(s, dir)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_landmarks"),
+          sum(col("hop")).as("total_hops"))
+        .filter(col("n_landmarks") === 3)
+        .select(col("node"), col("total_hops"))
+        .orderBy(col("total_hops"), col("node")).limit(30)),
     "graph_degree_dist" -> ((s, dir) =>
       // degree distribution (count-of-counts over nodes) of the
       // memoized trading graph — the first thing anyone plots about
@@ -341,5 +363,22 @@ private[graft] object RegGraph {
              CAST((qn - ((qn % qd) + qd) % qd) // qd AS BIGINT)
                AS q_term_micro
       FROM q ORDER BY label""",
+    "graph_closeness" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      seeds AS (SELECT src FROM (
+        SELECT DISTINCT src FROM e2 ORDER BY src LIMIT 3)),
+      bfs(source, node, d) AS (
+        SELECT src, src, 0 FROM seeds
+        UNION
+        SELECT bfs.source, e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3),
+      h AS (SELECT source, node, min(d) AS hop FROM bfs GROUP BY 1, 2)
+      SELECT node, CAST(sum(hop) AS BIGINT) AS total_hops
+      FROM h GROUP BY node HAVING count(*) = 3
+      ORDER BY total_hops, node LIMIT 30""",
   )
 }

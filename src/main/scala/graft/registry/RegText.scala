@@ -392,6 +392,28 @@ private[graft] object RegText {
             .as("p75_chars"))
         .orderBy(col("source"))
     }),
+    "text_gopher_rules" -> ((s, dir) =>
+      // Gopher rule-based hygiene census per source (Rae et al. 2021
+      // Table A1; TextStats.gopherRules): word-count bounds,
+      // mean-word-length window, stopword evidence, alphabetic share
+      // — exact centi/bp integers end to end
+      TextStats.gopherRules(
+        t(s, dir, "documents").select(col("source"), col("text")))),
+    "text_lm_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail terciles of the corpus-LM fluency
+      // score, censused per source (Wenzek et al. 2020;
+      // TextStats.lmBuckets) — value-domain cuts, no row ranks
+      val par = s.sparkContext.defaultParallelism
+      TextStats.lmBuckets(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .repartition(par, col("doc_id")))
+    }),
+    "text_length_bands" -> ((s, dir) =>
+      // per-language p10/p50/p90 length profile at the (value, count)
+      // grain (TextStats.lengthBands) — the input to chunking policy
+      TextStats.lengthBands(
+        t(s, dir, "documents").select(col("lang"), col("n_chars")))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -948,5 +970,93 @@ private[graft] object RegText {
       FROM p JOIN sz na ON na.source = source_a
              JOIN sz nb ON nb.source = source_b
       ORDER BY source_a, source_b""",
+    "text_gopher_rules" -> """
+      WITH d AS (SELECT source,
+          len(list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '')) AS n_words,
+          length(replace(text, ' ', '')) AS sum_len,
+          len(list_filter(list_filter(string_split_regex(lower(text),
+            '\s+'), w -> w <> ''), w -> w IN ('the','a','of','to',
+            'and','in','be','that'))) AS stop_hits,
+          len(list_filter(list_filter(string_split_regex(lower(text),
+            '\s+'), w -> w <> ''),
+            w -> regexp_full_match(w, '[a-z]+'))) AS alpha_words
+        FROM documents),
+      f AS (SELECT source,
+          (n_words < 50 OR n_words > 100000) AS v_wc,
+          (CASE WHEN n_words = 0 THEN 0
+                ELSE (100 * sum_len) // n_words END < 300 OR
+           CASE WHEN n_words = 0 THEN 0
+                ELSE (100 * sum_len) // n_words END > 1000) AS v_mwl,
+          (stop_hits < 2) AS v_stop,
+          (100 * alpha_words < 80 * n_words) AS v_alpha
+        FROM d),
+      g AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN v_wc THEN 1 ELSE 0 END) AS BIGINT)
+            AS viol_word_count,
+          CAST(sum(CASE WHEN v_mwl THEN 1 ELSE 0 END) AS BIGINT)
+            AS viol_mean_word_len,
+          CAST(sum(CASE WHEN v_stop THEN 1 ELSE 0 END) AS BIGINT)
+            AS viol_stopwords,
+          CAST(sum(CASE WHEN v_alpha THEN 1 ELSE 0 END) AS BIGINT)
+            AS viol_alpha_share,
+          CAST(sum(CASE WHEN NOT v_wc AND NOT v_mwl AND NOT v_stop
+            AND NOT v_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM f GROUP BY source)
+      SELECT *, (10000 * n_pass) // n_docs AS pass_bp
+      FROM g ORDER BY source""",
+    "text_lm_buckets" -> """
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+                 FROM documents),
+      bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS w1,
+                    ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1]
+                      AS pair
+             FROM t, unnest(range(1, len(ws))) AS r(i)),
+      pc AS (SELECT pair, count(*) AS n_pair FROM bg GROUP BY pair),
+      wc AS (SELECT w1, count(*) AS n_w1 FROM bg GROUP BY w1),
+      sc AS (SELECT bg.doc_id, (10000 * pc.n_pair) // wc.n_w1 AS pair_bp
+             FROM bg JOIN pc USING (pair) JOIN wc USING (w1)),
+      ag AS (SELECT doc_id, count(*) AS n_bigrams,
+                    CAST(sum(pair_bp) AS BIGINT) AS bp_sum
+             FROM sc GROUP BY doc_id),
+      scored AS (SELECT d.doc_id, d.source,
+               CASE WHEN coalesce(ag.n_bigrams, 0) = 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE ag.bp_sum // ag.n_bigrams END AS mean_bp
+             FROM documents d LEFT JOIN ag USING (doc_id)),
+      dist AS (SELECT mean_bp, count(*) AS m FROM scored GROUP BY 1),
+      cumd AS (SELECT mean_bp, sum(m) OVER (ORDER BY mean_bp) AS cum,
+                      sum(m) OVER () AS n
+               FROM dist),
+      cuts AS (SELECT
+          min(CASE WHEN cum * 3 >= n THEN mean_bp END) AS c_tail,
+          min(CASE WHEN cum * 3 >= n * 2 THEN mean_bp END) AS c_mid
+        FROM cumd)
+      SELECT source,
+             CASE WHEN mean_bp <= c_tail THEN 'tail'
+                  WHEN mean_bp <= c_mid THEN 'middle'
+                  ELSE 'head' END AS bucket,
+             count(*) AS n_docs,
+             CAST(min(mean_bp) AS BIGINT) AS min_bp,
+             CAST(max(mean_bp) AS BIGINT) AS max_bp
+      FROM scored CROSS JOIN cuts
+      GROUP BY 1, 2 ORDER BY source, bucket""",
+    "text_length_bands" -> """
+      WITH dist AS (SELECT lang, n_chars, count(*) AS m
+                    FROM documents GROUP BY 1, 2),
+      c AS (SELECT lang, n_chars,
+              sum(m) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+              sum(m) OVER (PARTITION BY lang) AS n
+            FROM dist)
+      SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+             CAST(min(CASE WHEN cum * 10 >= n THEN n_chars END)
+               AS BIGINT) AS p10_chars,
+             CAST(min(CASE WHEN cum * 2 >= n THEN n_chars END)
+               AS BIGINT) AS p50_chars,
+             CAST(min(CASE WHEN cum * 10 >= n * 9 THEN n_chars END)
+               AS BIGINT) AS p90_chars
+      FROM c GROUP BY lang ORDER BY lang""",
   )
 }

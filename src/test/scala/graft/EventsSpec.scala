@@ -1154,4 +1154,39 @@ class EventsSpec extends AnyFunSuite {
     assert(got == Seq((19723L, 4L, 1L, 7L, 3L),
       (19724L, 2L, 10L, 11L, 0L)))
   }
+
+  test("botScore: a hammering single-type user flags; a slow varied " +
+      "user does not") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = (
+      // user 1: 6 clicks inside 10 seconds -> burst 6, one type
+      (1 to 6).map(i => (1L, "click", ts(i.toLong))) ++
+      // user 2: 4 events spread over hours, 3 types
+      Seq((2L, "view", ts(0)), (2L, "click", ts(3600)),
+        (2L, "purchase", ts(7200)), (2L, "view", ts(10800)))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Events.botScore(events).collect()
+      .map(x => x.getAs[Long]("user_id") -> x).toMap
+    assert(r(1L).getAs[Boolean]("is_bot"))
+    assert(r(1L).getAs[Long]("max_burst") == 6)
+    assert(r(1L).getAs[Long]("min_gap_s") == 1)
+    assert(!r(2L).getAs[Boolean]("is_bot"))
+    assert(r(2L).getAs[Long]("n_types") == 3)
+  }
+
+  test("dailyVolumeBands: quartiles of a known daily series") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    // 4 days with 1, 2, 3, 4 events: p25=1 (cum4>=4 at 1), p50=2, p75=3
+    val events = (0 until 4).flatMap(d =>
+      (0 to d).map(i => ("click", ts(d, i)))).toDF("event_type", "ts")
+    val r = Events.dailyVolumeBands(events).head()
+    assert(r.getAs[Long]("n_days") == 4 && r.getAs[Long]("min_day") == 1 &&
+      r.getAs[Long]("p25_day") == 1 && r.getAs[Long]("p50_day") == 2 &&
+      r.getAs[Long]("p75_day") == 3 && r.getAs[Long]("max_day") == 4)
+  }
 }

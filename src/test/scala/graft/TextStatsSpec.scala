@@ -483,4 +483,62 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got == Seq((1L, "a b", 3L), (2L, "a _", 2L),
       (3L, "ab a_", 2L)))
   }
+
+  test("gopherRules: hand-built docs trip each rule independently") {
+    import spark.implicits._
+    val docs = Seq(
+      // 60 normal-length words with stopword evidence, mean word
+      // length 4.2 -> passes every rule
+      ("s1", (("the quick brown foxes jumped over the lazy dogs and " * 6)
+        .trim)),
+      // same shape but only 10 words -> word-count violation alone
+      ("s1", "the quick brown foxes jumped over the lazy dogs and"),
+      // long rare words, no stopwords -> mwl + stopword violations
+      ("s2", ("organizationally " * 60).trim),
+      // digits -> alpha-share violation (plus stopword shortfall)
+      ("s2", (("12345 67890 " * 30).trim))
+    ).toDF("source", "text")
+    val r = TextStats.gopherRules(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    val s1 = r("s1"); val s2 = r("s2")
+    assert(s1.getAs[Long]("n_docs") == 2 &&
+      s1.getAs[Long]("viol_word_count") == 1 &&
+      s1.getAs[Long]("viol_mean_word_len") == 0 &&
+      s1.getAs[Long]("viol_stopwords") == 0 &&
+      s1.getAs[Long]("viol_alpha_share") == 0 &&
+      s1.getAs[Long]("n_pass") == 1 &&
+      s1.getAs[Long]("pass_bp") == 5000)
+    assert(s2.getAs[Long]("viol_mean_word_len") == 1 && // 17-char words
+      s2.getAs[Long]("viol_stopwords") == 2 &&
+      s2.getAs[Long]("viol_alpha_share") == 1 &&
+      s2.getAs[Long]("n_pass") == 0)
+  }
+
+  test("lmBuckets: tercile cuts at the value domain; a uniform corpus " +
+      "lands entirely in one bucket per source") {
+    import spark.implicits._
+    // identical docs -> identical mean_bp -> cum*3 >= n at the single
+    // value -> everything is 'tail' by the <= c_tail rule
+    val docs = (1L to 6L).map(i => (i, "alpha beta alpha beta", "s" + (i % 2)))
+      .toDF("doc_id", "text", "source")
+    val r = TextStats.lmBuckets(docs).collect()
+    assert(r.length == 2 && r.forall(_.getAs[String]("bucket") == "tail"))
+    assert(r.map(_.getAs[Long]("n_docs")).sum == 6)
+  }
+
+  test("lengthBands: p10/p50/p90 from a known distribution") {
+    import spark.implicits._
+    val docs = ((1 to 10).map(i => ("en", i.toLong * 10)) ++
+      Seq(("fr", 7L))).toDF("lang", "n_chars")
+    val r = TextStats.lengthBands(docs).collect()
+      .map(x => x.getAs[String]("lang") -> x).toMap
+    val en = r("en")
+    // cum*10 >= n at the 1st value (10); cum*2 >= n at the 5th (50);
+    // cum*10 >= 9n at the 9th (90)
+    assert(en.getAs[Long]("n_docs") == 10 &&
+      en.getAs[Long]("p10_chars") == 10 &&
+      en.getAs[Long]("p50_chars") == 50 &&
+      en.getAs[Long]("p90_chars") == 90)
+    assert(r("fr").getAs[Long]("p50_chars") == 7)
+  }
 }
