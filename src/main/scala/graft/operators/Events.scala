@@ -1564,4 +1564,73 @@ object Events {
         max(col("x")).as("max_day"))
       .orderBy(col("event_type"))
   }
+
+  /** Multi-touch linear attribution — the marketing-credit ledger:
+    * every purchase distributes 1e6 micro-credits equally across the
+    * user's touch events (clicks/views) in the preceding `lookbackUs`
+    * window, and the ledger rolls up per touch type. The truncating
+    * per-touch share (1e6 div n_touches) is identical in both
+    * engines, so the ledger is engine-exact; conversions with no
+    * in-window touch simply assign no credit (the unattributable
+    * remainder — reported via n_conversions vs the credited set).
+    *
+    * Scale shape: one user-keyed equi-join with a time-range
+    * predicate — work is per-user bounded (a user's purchases × their
+    * window touches), shuffled on user_id, never global; the rollup
+    * is a type-cardinality hash aggregate.
+    *
+    * Output: (event_type, n_conversions, n_touches, credit_micro)
+    * ordered by type.
+    */
+  def attributionCredit(events: DataFrame,
+      lookbackUs: Long = 7L * 86400000000L,
+      touchTypes: Seq[String] = Seq("click", "view")): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        expr("unix_micros(ts)").as("p_us"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"))
+    val pairs = p.join(touch,
+      p("user_id") === touch("user_id") &&
+        col("t_us") < col("p_us") &&
+        col("t_us") >= col("p_us") - lookbackUs)
+      .select(col("conv_id"), col("event_type"))
+    val perConv = pairs.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touch"))
+    pairs.join(perConv, "conv_id")
+      .select(col("conv_id"), col("event_type"),
+        expr("1000000 div n_touch").as("credit"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("conv_id")).as("n_conversions"),
+        count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("long").as("credit_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Same-day cart abandonment rate: of the users who clicked on a
+    * given day, how many did NOT purchase that day. The (user, day)
+    * grain makes it exact without sessionization; the funnel
+    * completes or abandons within the calendar day.
+    *
+    * Output: (day, n_engaged, n_converted, abandon_bp) ordered by
+    * day — abandon_bp = 10000·(engaged−converted) div engaged.
+    */
+  def abandonRate(events: DataFrame): DataFrame = {
+    val ud = events
+      .groupBy(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("purchased"))
+    ud.filter(col("clicked") === 1L)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_engaged"),
+        sum(col("purchased")).as("n_converted"))
+      .select(col("day"), col("n_engaged"), col("n_converted"),
+        expr("(10000 * (n_engaged - n_converted)) div n_engaged")
+          .as("abandon_bp"))
+      .orderBy(col("day"))
+  }
 }

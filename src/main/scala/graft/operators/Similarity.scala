@@ -948,4 +948,29 @@ object Similarity {
           .as("drift_cos"))
       .orderBy(col("label"))
   }
+
+  /** Embedding health audit per label: exact integer L2-norm-squared
+    * statistics over the quantized vectors — the first thing to check
+    * when an embedding table degrades (collapsed vectors, scale
+    * drift, dead labels). min/max/mean of Σq² per label; the mean is
+    * a truncating div of the DECIMAL(38,0) sum (N·d·1e8 overflows
+    * int64 at corpus scale), everything else rides int64.
+    *
+    * Scale shape: one narrow per-row HOF fold (no explode) + one
+    * label-cardinality hash aggregate.
+    */
+  def normAudit(emb: DataFrame): DataFrame = {
+    val q = quantize(col("embedding"))
+    val norm2 = expr(
+      "aggregate(qv, 0L, (acc, x) -> acc + x * x)")
+    emb.select(col("label"), q.as("qv"))
+      .select(col("label"), norm2.as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        expr("sum(CAST(norm2 AS DECIMAL(38,0))) div count(1)")
+          .cast("long").as("mean_norm2"))
+      .orderBy(col("label"))
+  }
 }

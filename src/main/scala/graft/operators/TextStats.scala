@@ -915,4 +915,54 @@ object TextStats {
           .as("p90_chars"))
       .orderBy(col("lang"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010 "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are
+    * maximal stopword-free token runs; each word scores
+    * deg(w)/freq(w) where freq counts the word's phrase occurrences
+    * and deg sums the lengths of the phrases containing it (the
+    * word's co-occurrence degree, self included); a phrase scores the
+    * sum of its word scores. Micro-unit integer arithmetic —
+    * score(w) = (1e6·deg) div freq — keeps both engines bit-equal.
+    * Complements TextRank: RAKE is one pass, no graph iteration.
+    *
+    * Scale shape: posexplode → a doc-partitioned running stopword
+    * count assigns run ids (the gaps-and-islands move on the token
+    * axis) → phrase assembly is a sorted-struct aggregation; word
+    * scores live on the vocabulary-sized frame. No quadratic stage.
+    *
+    * Output: (phrase, n_words, n_occ, score_micro) — top `k` by
+    * (score desc, phrase).
+    */
+  def rakePhrases(docs: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in",
+        "be", "that"),
+      k: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(expr("filter(split(lower(text), '\\\\s+'), w -> w <> '')"))
+          .as(Seq("pos", "w")))
+      .withColumn("stop", col("w").isin(stopwords: _*))
+    val wrun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = toks
+      .withColumn("run", sum(when(col("stop"), 1L).otherwise(0L)).over(wrun))
+      .filter(!col("stop"))
+    val wlen = Window.partitionBy(col("doc_id"), col("run"))
+    val inPhrase = runs.withColumn("plen", count(lit(1)).over(wlen))
+    val scores = inPhrase.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), expr("(1000000 * deg) div freq").as("w_score"))
+    val phrases = inPhrase.join(scores, "w")
+      .groupBy(col("doc_id"), col("run"))
+      .agg(
+        array_join(transform(array_sort(
+          collect_list(struct(col("pos"), col("w")))), s => s("w")), " ")
+          .as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("w_score")).as("score_micro"))
+    phrases.groupBy(col("phrase"))
+      .agg(max(col("n_words")).as("n_words"), count(lit(1)).as("n_occ"),
+        max(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase")).limit(k)
+  }
 }

@@ -329,6 +329,15 @@ private[graft] object RegEventsB {
       // daily-volume control bands per type: quartiles of per-day
       // counts at the (value, count) grain (Events.dailyVolumeBands)
       Events.dailyVolumeBands(t(s, dir, "events"))),
+    "events_attribution_credit" -> ((s, dir) =>
+      // multi-touch linear attribution ledger: each purchase splits
+      // 1e6 micro-credits across its 7-day touch window
+      // (Events.attributionCredit)
+      Events.attributionCredit(t(s, dir, "events"))),
+    "events_abandon_rate" -> ((s, dir) =>
+      // same-day cart abandonment at the (user, day) grain
+      // (Events.abandonRate)
+      Events.abandonRate(t(s, dir, "events"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -872,5 +881,37 @@ private[graft] object RegEventsB {
                AS p75_day,
              CAST(max(x) AS BIGINT) AS max_day
       FROM c GROUP BY event_type ORDER BY event_type""",
+    "events_attribution_credit" -> """
+      WITH p AS (SELECT user_id, event_id AS conv_id,
+                   epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      tc AS (SELECT user_id, event_type, epoch_us(ts) AS t_us
+             FROM events WHERE event_type IN ('click', 'view')),
+      pairs AS (SELECT p.conv_id, tc.event_type
+                FROM p JOIN tc ON p.user_id = tc.user_id
+                 AND tc.t_us < p.p_us
+                 AND tc.t_us >= p.p_us - 604800000000),
+      pc AS (SELECT conv_id, count(*) AS n_touch
+             FROM pairs GROUP BY conv_id)
+      SELECT event_type,
+             CAST(count(DISTINCT pairs.conv_id) AS BIGINT)
+               AS n_conversions,
+             count(*) AS n_touches,
+             CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_micro
+      FROM pairs JOIN pc USING (conv_id)
+      GROUP BY event_type ORDER BY event_type""",
+    "events_abandon_rate" -> """
+      WITH ud AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                      END) AS clicked,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS purchased
+                  FROM events GROUP BY 1, 2)
+      SELECT day, count(*) AS n_engaged,
+             CAST(sum(purchased) AS BIGINT) AS n_converted,
+             CAST((10000 * (count(*) - sum(purchased))) // count(*)
+               AS BIGINT) AS abandon_bp
+      FROM ud WHERE clicked = 1
+      GROUP BY day ORDER BY day""",
   )
 }

@@ -191,6 +191,10 @@ private[graft] object RegSim {
       // embedding stability monitor, sums-as-centroids exactness
       // (Similarity.centroidDrift)
       Similarity.centroidDrift(t(s, dir, "embeddings"))),
+    "sim_norm_audit" -> ((s, dir) =>
+      // embedding health audit: exact integer norm-squared stats per
+      // label over the quantized vectors (Similarity.normAudit)
+      Similarity.normAudit(t(s, dir, "embeddings"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -454,5 +458,16 @@ private[graft] object RegSim {
                sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
                AS drift_cos
       FROM c JOIN cnt USING (label) ORDER BY label""",
+    "sim_norm_audit" -> s"""
+      WITH $qEmbSql,
+      l AS (SELECT q.vec_id, e.label, n.norm
+            FROM q JOIN n USING (vec_id)
+            JOIN embeddings e ON e.vec_id = q.vec_id)
+      SELECT label, count(*) AS n_vecs,
+             CAST(min(norm) AS BIGINT) AS min_norm2,
+             CAST(max(norm) AS BIGINT) AS max_norm2,
+             CAST(sum(CAST(norm AS HUGEINT)) // count(*) AS BIGINT)
+               AS mean_norm2
+      FROM l GROUP BY label ORDER BY label""",
   )
 }

@@ -414,6 +414,14 @@ private[graft] object RegText {
       // grain (TextStats.lengthBands) — the input to chunking policy
       TextStats.lengthBands(
         t(s, dir, "documents").select(col("lang"), col("n_chars")))),
+    "text_rake" -> ((s, dir) => {
+      // RAKE keyphrases (Rose et al. 2010): stopword-delimited runs,
+      // deg/freq word scores in micro-units (TextStats.rakePhrases)
+      val par = s.sparkContext.defaultParallelism
+      TextStats.rakePhrases(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(par, col("doc_id")))
+    }),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -1058,5 +1066,39 @@ private[graft] object RegText {
              CAST(min(CASE WHEN cum * 10 >= n * 9 THEN n_chars END)
                AS BIGINT) AS p90_chars
       FROM c GROUP BY lang ORDER BY lang""",
+    "text_rake" -> """
+      WITH toks AS (SELECT doc_id, w, pos,
+               (w IN ('the','a','of','to','and','in','be','that'))
+                 AS stop
+             FROM (SELECT doc_id, ws, ws[CAST(i AS INT)] AS w,
+                     i AS pos
+                   FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text),
+                             '\s+'), x -> x <> '') AS ws
+                         FROM documents),
+                        unnest(range(1, len(ws) + 1)) AS r(i))),
+      runs AS (SELECT doc_id, w, pos,
+                 sum(CASE WHEN stop THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS run,
+                 stop
+               FROM toks),
+      inp AS (SELECT doc_id, w, pos, run,
+                count(*) OVER (PARTITION BY doc_id, run) AS plen
+              FROM runs WHERE NOT stop),
+      sc AS (SELECT w,
+               (1000000 * CAST(sum(plen) AS BIGINT)) // count(*)
+                 AS w_score
+             FROM inp GROUP BY w),
+      ph AS (SELECT doc_id, run,
+               string_agg(inp.w, ' ' ORDER BY pos) AS phrase,
+               count(*) AS n_words,
+               CAST(sum(w_score) AS BIGINT) AS score_micro
+             FROM inp JOIN sc USING (w)
+             GROUP BY doc_id, run)
+      SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+             count(*) AS n_occ,
+             CAST(max(score_micro) AS BIGINT) AS score_micro
+      FROM ph GROUP BY phrase
+      ORDER BY score_micro DESC, phrase LIMIT 20""",
   )
 }

@@ -1189,4 +1189,44 @@ class EventsSpec extends AnyFunSuite {
       r.getAs[Long]("p25_day") == 1 && r.getAs[Long]("p50_day") == 2 &&
       r.getAs[Long]("p75_day") == 3 && r.getAs[Long]("max_day") == 4)
   }
+
+  test("attributionCredit: two touches split a conversion's credit; " +
+      "out-of-window touches are excluded") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val events = Seq(
+      (1L, 10L, "click", ts(-100)), (1L, 11L, "view", ts(-50)),
+      (1L, 12L, "purchase", ts(0)),
+      // a touch 8 days before the purchase: outside the 7-day window
+      (2L, 20L, "click", ts(-8L * 86400)), (2L, 21L, "purchase", ts(0))
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val r = Events.attributionCredit(events).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    // user 1: 2 touches -> 500000 micro each; user 2: none credited
+    assert(r("click").getAs[Long]("credit_micro") == 500000L)
+    assert(r("view").getAs[Long]("credit_micro") == 500000L)
+    assert(r("click").getAs[Long]("n_conversions") == 1L)
+  }
+
+  test("abandonRate: clicked-without-purchase days count as abandons " +
+      "at the (user, day) grain") {
+    import spark.implicits._
+    val d0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) =
+      new java.sql.Timestamp(d0.getTime + day * 86400000L)
+    val events = Seq(
+      (1L, "click", ts(0)), (1L, "purchase", ts(0)), // converted
+      (2L, "click", ts(0)),                          // abandoned
+      (3L, "view", ts(0)),                           // never engaged
+      (2L, "click", ts(1)), (2L, "purchase", ts(1))  // converted next day
+    ).toDF("user_id", "event_type", "ts")
+    val r = Events.abandonRate(events).collect()
+      .map(x => x.getAs[Long]("day") -> x).toMap
+    val day0 = r.keys.min
+    assert(r(day0).getAs[Long]("n_engaged") == 2 &&
+      r(day0).getAs[Long]("n_converted") == 1 &&
+      r(day0).getAs[Long]("abandon_bp") == 5000)
+    assert(r(day0 + 1).getAs[Long]("abandon_bp") == 0)
+  }
 }

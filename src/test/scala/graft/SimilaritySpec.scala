@@ -469,4 +469,19 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1, 1L, 1L, 0.0), (2, 1L, 1L, 1.0)))
   }
+
+  test("normAudit: exact quantized norm stats per label, decimal mean") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.5f, 0.5f), 0),
+      (3L, Seq(0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.normAudit(emb).collect()
+      .map(x => x.getAs[Int]("label") -> x).toMap
+    // label 0: norms 1e8 and 2*(5000^2)=5e7 -> mean (1.5e8)/2=75e6
+    assert(r(0).getAs[Long]("min_norm2") == 50000000L)
+    assert(r(0).getAs[Long]("max_norm2") == 100000000L)
+    assert(r(0).getAs[Long]("mean_norm2") == 75000000L)
+    assert(r(1).getAs[Long]("max_norm2") == 0L)
+  }
 }

@@ -541,4 +541,19 @@ class TextStatsSpec extends AnyFunSuite {
       en.getAs[Long]("p90_chars") == 90)
     assert(r("fr").getAs[Long]("p50_chars") == 7)
   }
+
+  test("rakePhrases: hand-computed deg/freq scores on a two-phrase doc") {
+    import spark.implicits._
+    // phrases: [red green] [red] — freq(red)=2, deg(red)=2+1=3;
+    // freq(green)=1, deg(green)=2
+    val docs = Seq((1L, "red green the red")).toDF("doc_id", "text")
+    val r = TextStats.rakePhrases(docs).collect()
+      .map(x => x.getAs[String]("phrase") -> x).toMap
+    val sRed = (1000000L * 3) / 2   // 1500000
+    val sGreen = (1000000L * 2) / 1 // 2000000
+    assert(r("red green").getAs[Long]("score_micro") == sRed + sGreen)
+    assert(r("red").getAs[Long]("score_micro") == sRed)
+    assert(r("red green").getAs[Long]("n_words") == 2)
+    assert(r("red").getAs[Long]("n_occ") == 1)
+  }
 }
