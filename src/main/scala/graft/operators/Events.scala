@@ -1023,7 +1023,17 @@ object Events {
     */
   def giniUserActivity(events: DataFrame): DataFrame = {
     val u = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-    val cc = u.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    giniFromLevels(u.groupBy(col("c")).agg(count(lit(1)).as("m")))
+  }
+
+  /** [[giniUserActivity]]'s arithmetic over an explicit
+    * (c = activity level, m = #users at that level) frame — split out
+    * so OverflowSpec can drive the exact expressions at the claimed
+    * magnitudes (n ≈ 1e9 users: s2 ≈ c̄·n² rides DECIMAL(38,0) at
+    * ~1e2·1e18·1e6-scaled ≈ 1e26 ≪ 10³⁸; the counts themselves are
+    * int64-safe by construction).
+    */
+  private[graft] def giniFromLevels(cc: DataFrame): DataFrame = {
     val w = Window.orderBy(col("c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dec = (c: Column) => c.cast("decimal(38,0)")
@@ -1047,17 +1057,34 @@ object Events {
     * diverge between engines). Each cell reports its observed count,
     * the expected count in milli-units (r·c/N), and its χ² term in
     * micro-units via the fraction-cleared identity
-    * (o·N − r·c)²/(N·r·c); squares ride DECIMAL(38,0) (o·N passes
-    * int64 near 3e9 events). Three hash aggregations on bounded
+    * (o·N − r·c)²/(N·r·c); squares ride DECIMAL(38,0) through the
+    * two-limb division in [[chiSquareFromCells]] (exact while
+    * diff² < 10³⁸ — N up to ~6.3e9 events at the maximally dependent
+    * worst case). Three hash aggregations on bounded
     * grains (cells = types × 7) + two tiny joins.
     *
     * Output: (event_type, dw, o, exp_milli, chi2_micro) per cell.
     */
-  def chiSquareDow(events: DataFrame): DataFrame = {
-    val cell = events.select(col("event_type"),
+  def chiSquareDow(events: DataFrame): DataFrame =
+    chiSquareFromCells(events.select(col("event_type"),
         expr("pmod(unix_micros(ts) div 86400000000, 7)").as("dw"))
       .groupBy(col("event_type"), col("dw"))
-      .agg(count(lit(1)).as("o"))
+      .agg(count(lit(1)).as("o")))
+
+  /** [[chiSquareDow]]'s arithmetic over an explicit
+    * (event_type, dw, o) cell frame — split out so OverflowSpec can
+    * drive the exact expressions at claimed magnitudes. The χ² term
+    * is emitted through an exact TWO-LIMB long division
+    * (q·10⁶ + (10⁶·rem) div D, value-identical to (10⁶·diff²) div D
+    * for the non-negative operands here): the single-limb spelling
+    * 10⁶·diff² overflows DECIMAL(38,0) once N ≈ 6.3e8 with maximally
+    * dependent margins (diff → N²/4) — round 13's OverflowSpec
+    * caught exactly that, retiring the old "o·N passes int64 near
+    * 3e9" comment, which named the wrong ceiling. The two-limb form
+    * clears while diff² < 10³⁸, i.e. N < ~6.3e9 at the adversarial
+    * worst case and far beyond on real mixes (diff ≪ N²/4).
+    */
+  private[graft] def chiSquareFromCells(cell: DataFrame): DataFrame = {
     val r = cell.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
     val c = cell.groupBy(col("dw")).agg(sum(col("o")).as("ct"))
     val n = cell.agg(sum(col("o")).as("nt"))
@@ -1065,9 +1092,13 @@ object Events {
       .select(col("event_type"), col("dw"), col("o"),
         expr("(1000 * CAST(rt AS DECIMAL(38,0)) * ct) div nt")
           .as("exp_milli"),
-        expr("""(1000000 * (CAST(o AS DECIMAL(38,0)) * nt - rt * ct) *
-                (CAST(o AS DECIMAL(38,0)) * nt - rt * ct))
-                div (CAST(nt AS DECIMAL(38,0)) * rt * ct)""")
+        expr("""(CAST(o AS DECIMAL(38,0)) * nt - rt * ct) *
+                (CAST(o AS DECIMAL(38,0)) * nt - rt * ct)""")
+          .as("d2"),
+        expr("CAST(nt AS DECIMAL(38,0)) * rt * ct").as("dd"))
+      .select(col("event_type"), col("dw"), col("o"), col("exp_milli"),
+        (expr("(d2 div dd)") * 1000000L +
+          expr("(1000000 * pmod(d2, dd)) div dd"))
           .cast("long").as("chi2_micro"))
       .orderBy(col("event_type"), col("dw"))
   }

@@ -591,17 +591,18 @@ private[graft] object RegEventsB {
             FROM cell GROUP BY 1),
       c AS (SELECT dw, CAST(sum(o) AS BIGINT) AS ct
             FROM cell GROUP BY 1),
-      n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cell)
-      SELECT cell.event_type, cell.dw, cell.o,
-             CAST((1000 * CAST(rt AS HUGEINT) * ct) // nt AS BIGINT)
-               AS exp_milli,
-             CAST((1000000 *
-                   (CAST(cell.o AS HUGEINT) * nt - rt * ct) *
-                   (CAST(cell.o AS HUGEINT) * nt - rt * ct))
-               // (CAST(nt AS HUGEINT) * rt * ct) AS BIGINT)
-               AS chi2_micro
-      FROM cell JOIN r USING (event_type) JOIN c USING (dw), n
-      ORDER BY event_type, dw""",
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cell),
+      d AS (SELECT cell.event_type, cell.dw, cell.o,
+              CAST((1000 * CAST(rt AS HUGEINT) * ct) // nt AS BIGINT)
+                AS exp_milli,
+              (CAST(cell.o AS HUGEINT) * nt - rt * ct) *
+                (CAST(cell.o AS HUGEINT) * nt - rt * ct) AS d2,
+              CAST(nt AS HUGEINT) * rt * ct AS dd
+            FROM cell JOIN r USING (event_type) JOIN c USING (dw), n)
+      SELECT event_type, dw, o, exp_milli,
+             CAST((d2 // dd) * 1000000 + (1000000 * (d2 % dd)) // dd
+               AS BIGINT) AS chi2_micro
+      FROM d ORDER BY event_type, dw""",
     "events_holt" -> holtOracleSql,
     "events_decompose" -> s"""
       $decomposeCteSql

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Graph}
+import graft.operators.{Events, Graph, Sampling}
 import graft.registry.{RegSqlA, RegSqlB}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -209,5 +209,91 @@ class OverflowSpec extends AnyFunSuite {
     assert((1 to 7).exists(l =>
       ((l until n).map(i => ys(i) * ys(i - l)).sum) < 0),
       "negative-numerator div path must actually be exercised")
+  }
+
+  test("chiSquareFromCells at N=3e9 with maximally dependent margins: " +
+      "the two-limb division clears where the single-limb 1e6*diff^2 " +
+      "spelling provably overflowed DECIMAL(38,0)") {
+    import spark.implicits._
+    // 2x2 perfect dependence: diff = o*N - r*c reaches N^2/4 = 2.25e18
+    val h = 1500000000L // 1.5e9 per cell, N = 3e9 (the old claim's N)
+    val cells = Seq(("A", 0L, h), ("B", 1L, h))
+      .toDF("event_type", "dw", "o")
+    val rows = Events.chiSquareFromCells(cells).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dw")) -> r)
+      .toMap
+    val n = BigInt(2) * h
+    def expected(o: Long, rt: Long, ct: Long): (BigInt, BigInt) = {
+      val diff = BigInt(o) * n - BigInt(rt) * ct
+      val d2 = diff * diff
+      val dd = n * rt * ct
+      // the old spelling's numerator — prove it EXCEEDS the decimal
+      // ceiling, i.e. this input would have failed before the fix
+      assert(BigInt(1000000) * d2 > BigInt(10).pow(38))
+      // two-limb pieces each clear
+      assert(d2 < BigInt(10).pow(38))
+      assert(BigInt(1000000) * (d2 % dd) < BigInt(10).pow(38))
+      val exp = (d2 / dd) * 1000000 + (BigInt(1000000) * (d2 % dd)) / dd
+      // identity with the single floor division
+      assert(exp == (BigInt(1000000) * d2) / dd)
+      ((BigInt(1000) * rt * ct) / n, exp)
+    }
+    val (em, chi) = expected(h, h, h)
+    assert(rows(("A", 0L)).getAs[Any]("exp_milli").toString == em.toString)
+    assert(rows(("A", 0L)).getAs[Long]("chi2_micro") == chi.toLong)
+    assert(rows(("B", 1L)).getAs[Long]("chi2_micro") == chi.toLong)
+  }
+
+  test("giniFromLevels at n=1e9 users: DECIMAL products clear and the " +
+      "closed-form BigInt replica matches exactly") {
+    import spark.implicits._
+    val levels = Seq((10L, 500000000L), (1000L, 500000000L))
+      .toDF("c", "m")
+    val row = Events.giniFromLevels(levels).head()
+    val n = BigInt(1000000000L)
+    val t = BigInt(10) * 500000000L + BigInt(1000) * 500000000L
+    // s2 = sum c*(2b - m + 1)*m over levels in cum order
+    val s2 = BigInt(10) * (2 * BigInt(500000000L) - 500000000L + 1) *
+      500000000L +
+      BigInt(1000) * (2 * BigInt(1000000000L) - 500000000L + 1) *
+        500000000L
+    assert(s2 < BigInt(10).pow(38) &&
+      (s2 - (n + 1) * t).abs * 1000000 < BigInt(10).pow(38))
+    val gini = ((s2 - (n + 1) * t) * 1000000) / (n * t)
+    assert(row.getAs[Long]("n_users") == 1000000000L)
+    assert(row.getAs[Long]("total_events") == t.toLong)
+    assert(row.getAs[Long]("gini_micro") == gini.toLong)
+  }
+
+  test("prioritySample limbs at the documented weight bound 9e12: " +
+      "exact rational order, limbs match BigInt; past the bound ANSI " +
+      "fails loud instead of silently wrapping") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, 9000000000000L - i))
+      .toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, k = 5, weightCol = "w")
+      .select(col("doc_id"), col("prio_unit"), col("prio_frac"))
+      .collect()
+    // replicate u and the two limbs exactly
+    val us = df.select(col("doc_id"),
+        (Sampling.scrambledRank(col("doc_id")) + lit(1L)).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = (1L to 20L).map { i =>
+      val w6 = BigInt(9000000000000L - i) * 1000000
+      val u = BigInt(us(i))
+      (i, (w6 / u).toLong, ((w6 % u) * 1000000 / u).toLong)
+    }.sortBy { case (id, pu, pf) => (-pu, -pf, id) }.take(5)
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == ref)
+    // beyond the bound: w*1e6 exceeds int64 -> loud ANSI failure
+    val over = Seq((1L, 9300000000000L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      Sampling.prioritySample(over, k = 1, weightCol = "w").collect()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
+      m.contains("overflow")), messages(e).mkString(" | "))
   }
 }
