@@ -16,6 +16,36 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegDedup {
 
+  /** Cross-query memo tenants ([[graft.SparkEntry.memoFrame]]) — each
+    * of these frames is computed by BOTH a headline query and a
+    * recall gate with identical arguments; materialize once per
+    * (session, dir) like the ground-truth pair set. Values unchanged;
+    * every consumer is hash-checked independently by Verify.
+    */
+  private def mhPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_mh_pairs") {
+      Dedup.minhashPairs(t(s, dir, "documents"), k = 16, bands = 4,
+        minJaccard = 0.7)
+    }
+  private def shPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_sh_pairs") {
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+    }
+  private def cosPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_cos_pairs") {
+      Similarity.cosinePairs(t(s, dir, "embeddings"), minCosine = 0.45)
+    }
+  private def annPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_ann_pairs") {
+      Similarity.annCosinePairs(t(s, dir, "embeddings"), minCosine = 0.45,
+        nPlanes = 3, nTables = 12)
+    }
+  private def semPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_sem_pairs") {
+      Similarity.semanticPairs(t(s, dir, "embeddings"), minCosine = 0.45,
+        nCells = 4)
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_allpairs" -> ((s, dir) => {
       // prefix-filtered AllPairs similarity join — SAME oracle as
@@ -33,14 +63,10 @@ private[graft] object RegDedup {
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
     }),
-    "dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashPairs(t(s, dir, "documents"), k = 16, bands = 4,
-        minJaccard = 0.7).orderBy(col("id_a"), col("id_b"))
-    }),
-    "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    "dedup_minhash" -> ((s, dir) =>
+      mhPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
+    "dedup_simhash" -> ((s, dir) =>
+      shPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       groundTruthPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
@@ -80,8 +106,7 @@ private[graft] object RegDedup {
       // brute-force O(N²) pairs: the oracle-checkable GROUND TRUTH
       // (and the recall yardstick for dedup_embedding_ann below);
       // production corpora route through the linear ANN path instead
-      Similarity.cosinePairs(t(s, dir, "embeddings"), minCosine = 0.45)
-        .orderBy(col("id_a"), col("id_b"))
+      cosPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
     "dedup_embedding_ann" -> ((s, dir) => {
       // the 100 TB path: sign-LSH bucketed candidates + exact
@@ -91,9 +116,7 @@ private[graft] object RegDedup {
       // so recall needs coarse tables — 3 planes × 12 tables. A real
       // near-dup corpus (cosine ≥ 0.9, p ≥ 0.86) uses the scale
       // defaults (16 planes × 4 tables) with far smaller buckets.
-      Similarity.annCosinePairs(t(s, dir, "embeddings"), minCosine = 0.45,
-        nPlanes = 3, nTables = 12)
-        .orderBy(col("id_a"), col("id_b"))
+      annPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
     "dedup_edit_distance" -> ((s, dir) => {
       // typo-class near-dup: the fixture corpus is all-unique at small
@@ -113,8 +136,7 @@ private[graft] object RegDedup {
       // k-means is not ANSI-SQL-expressible -> no_oracle; pinned by
       // SimilaritySpec (exact-subset-of-brute-force + recall +
       // determinism + plan asserts)
-      Similarity.semanticPairs(t(s, dir, "embeddings"), minCosine = 0.45,
-        nCells = 4).orderBy(col("id_a"), col("id_b"))
+      semPairs(s, dir).orderBy(col("id_a"), col("id_b"))
     }),
     "dedup_spans" -> ((s, dir) => {
       // substring-level dedup (Lee et al. 2022 re-expressed
@@ -133,25 +155,16 @@ private[graft] object RegDedup {
     }),
 
     // ---- north star: similarity search ----
-    "dedup_minhash_recall" -> ((s, dir) => {
+    "dedup_minhash_recall" -> ((s, dir) =>
       recallGate(s, dir, "dedup_minhash_recall", groundTruthPairs(s, dir),
-        Dedup.minhashPairs(t(s, dir, "documents"), k = 16, bands = 4,
-          minJaccard = 0.7),
-        Seq("id_a", "id_b"), floorBp = 9500)
-    }),
-    "dedup_simhash_recall" -> ((s, dir) => {
+        mhPairs(s, dir), Seq("id_a", "id_b"), floorBp = 9500)),
+    "dedup_simhash_recall" -> ((s, dir) =>
       recallGate(s, dir, "dedup_simhash_recall", groundTruthPairs(s, dir),
-        Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6),
-        Seq("id_a", "id_b"), floorBp = 9500)
-    }),
-    "dedup_embedding_ann_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+        shPairs(s, dir), Seq("id_a", "id_b"), floorBp = 9500)),
+    "dedup_embedding_ann_recall" -> ((s, dir) =>
       recallGate(s, dir, "dedup_embedding_ann_recall",
-        Similarity.cosinePairs(emb, minCosine = 0.45),
-        Similarity.annCosinePairs(emb, minCosine = 0.45, nPlanes = 3,
-          nTables = 12),
-        Seq("id_a", "id_b"), floorBp = 9000)
-    }),
+        cosPairs(s, dir), annPairs(s, dir),
+        Seq("id_a", "id_b"), floorBp = 9000)),
     "dedup_incremental_near_recall" -> ((s, dir) => {
       // the staged recrawls (corpus docs < 50 re-ingested under
       // id+10000 with a short suffix) are near-dups BY CONSTRUCTION,
@@ -185,8 +198,7 @@ private[graft] object RegDedup {
       // a real clustered corpus concentrates near-dups in one cell
       val emb = t(s, dir, "embeddings")
       recallGate(s, dir, "dedup_semantic_recall",
-        Similarity.cosinePairs(emb, minCosine = 0.45),
-        Similarity.semanticPairs(emb, minCosine = 0.45, nCells = 4),
+        cosPairs(s, dir), semPairs(s, dir),
         Seq("id_a", "id_b"), floorBp = 4000)
     }),
     // ---- sketch error-bound gates ----
