@@ -235,6 +235,195 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
 
+  // ------------------------------------------------------------------
+  // Audio leg — real RIFF/WAV containers via the JDK's
+  // javax.sound.sampled (the audio analogue of the ImageIO leg above):
+  // payloads are genuine WAV files encoded by AudioSystem, and the
+  // decode kernel parses them back through AudioSystem — actual header
+  // fields (sample rate, bit depth, channels) and the actual PCM
+  // samples. Signal content derives deterministically from `doc_id`,
+  // so the DuckDB oracle can predict what a CORRECT decode must yield
+  // without being able to parse RIFF itself; PCM16 is lossless, so
+  // samples round-trip bit-exact.
+  // ------------------------------------------------------------------
+
+  /** Frame size for audio feature extraction: 160 samples = 20 ms at
+    * 8 kHz — the standard telephony/VAD hop.
+    */
+  val AudioFrame = 160
+
+  /** Deterministic PCM16 signal for a doc id, mirrored closed-form by
+    * the audio oracles. Per 160-sample frame f, an amplitude gate
+    * m = (id + f) % 5 silences two consecutive frames per cycle
+    * (m < 2 → 0 — real silence runs for the segmentation op);
+    * otherwise sample t is a ±64 pseudo-wave scaled by m·300, clamped
+    * to int16 full scale so loud frames genuinely clip.
+    */
+  private def pcmSample(id: Long, t: Int): Short = {
+    val m = (id + t / AudioFrame) % 5
+    val amp = if (m < 2) 0L else m
+    val raw = ((id * 7 + t.toLong * 31) % 128) - 64
+    val s = amp * raw * 300
+    math.max(-32768L, math.min(32767L, s)).toShort
+  }
+
+  /** Samples per doc: 4–8 whole frames. */
+  private def pcmLen(id: Long): Int = (640 + (id % 5) * AudioFrame).toInt
+
+  /** A doc's audio payload: real WAV bytes. */
+  case class AudioPayload(doc_id: Long, audio: Array[Byte])
+
+  /** Header + signal metadata from a real AudioSystem decode. */
+  case class AudioMeta(doc_id: Long, sample_rate: Int, bits: Int,
+      channels: Int, n_samples: Long, peak: Int, sumsq: Long)
+
+  /** Per-frame audio features from the decode kernel. */
+  case class AudioFrameRow(doc_id: Long, frame_idx: Int, sumsq: Long,
+      peak: Int, clipped_n: Int)
+
+  /** Real audio payloads: one mono 16-bit 8 kHz WAV per doc, encoded
+    * in the partition-batched path. Models the ingest edge where audio
+    * arrives as opaque bytes; everything downstream must work from the
+    * bytes alone.
+    */
+  def audioPayload(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = pcmLen(id)
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val s = pcmSample(id, t)
+          pcm(t * 2) = (s & 0xff).toByte        // little-endian PCM16
+          pcm(t * 2 + 1) = ((s >> 8) & 0xff).toByte
+          t += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+          true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioPayload(id, bos.toByteArray)
+      }
+    }.toDF()
+  }
+
+  /** Decode a WAV payload to its PCM16 samples via AudioSystem —
+    * container parsing included; fails loud with the doc named.
+    */
+  private def decodeWav(p: AudioPayload): (
+      javax.sound.sampled.AudioFormat, Array[Short]) = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(p.audio))
+    catch { case e: javax.sound.sampled.UnsupportedAudioFileException =>
+      throw new IllegalArgumentException(
+        s"doc ${p.doc_id}: payload is not a recognized audio container", e)
+    }
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${p.doc_id}: expected little-endian PCM16, got $fmt")
+      val bytes = ais.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = (((bytes(i * 2 + 1) & 0xff) << 8) |
+          (bytes(i * 2) & 0xff)).toShort
+        i += 1
+      }
+      (fmt, out)
+    } finally ais.close()
+  }
+
+  /** Audio metadata + whole-signal aggregates by real decode: header
+    * sample rate / bit depth / channels plus n_samples, peak |s|, and
+    * the int64 energy Σs² — a wrong byte anywhere in encode, shuffle,
+    * or decode shows up in the oracle-predicted sumsq.
+    */
+  def audioMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    audioPayload(docs).as[AudioPayload].mapPartitions { it =>
+      it.map { p =>
+        val (fmt, pcm) = decodeWav(p)
+        var sumsq = 0L; var peak = 0; var i = 0
+        while (i < pcm.length) {
+          val v = pcm(i).toInt
+          sumsq += v.toLong * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioMeta(p.doc_id, fmt.getSampleRate.toInt,
+          fmt.getSampleSizeInBits, fmt.getChannels, pcm.length.toLong,
+          peak, sumsq)
+      }
+    }.toDF()
+  }
+
+  /** Per-frame feature extraction in the decode kernel (energy, peak,
+    * full-scale-clipped sample count per 20 ms frame) — features come
+    * OUT of the kernel as narrow integer rows; all downstream
+    * analytics ([[audioSilence]]) run on the feature frame, never on
+    * raw samples. Output: (doc_id, frame_idx, sumsq, peak, clipped_n).
+    */
+  def audioFrames(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    audioPayload(docs).as[AudioPayload].mapPartitions { it =>
+      it.flatMap { p =>
+        val (_, pcm) = decodeWav(p)
+        (0 until pcm.length / AudioFrame).iterator.map { f =>
+          var sumsq = 0L; var peak = 0; var clipped = 0
+          var t = f * AudioFrame
+          val end = t + AudioFrame
+          while (t < end) {
+            val v = pcm(t).toInt
+            sumsq += v.toLong * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (v == 32767 || v == -32768) clipped += 1
+            t += 1
+          }
+          AudioFrameRow(p.doc_id, f, sumsq, peak, clipped)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Silence segmentation over the frame features: zero-energy frames
+    * collapsed into runs by the islands trick (frame_idx − rank among
+    * the doc's silent frames is constant within a run — no self-join),
+    * reduced to a per-doc audit row: total/silent frame counts,
+    * longest silent run, silence ratio in basis points, clipped
+    * samples. Output: (doc_id, n_frames, n_silent, longest_silence,
+    * silence_bp, clipped_n).
+    */
+  def audioSilence(docs: DataFrame): DataFrame = {
+    val frames = audioFrames(docs)
+    val silent = frames.filter(col("sumsq") === 0)
+      .withColumn("grp", col("frame_idx") - row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+    val runs = silent.groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("longest_silence"))
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("sumsq") === 0, 1L).otherwise(0L)).as("n_silent"),
+        sum(col("clipped_n").cast("long")).as("clipped_n"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"), col("n_silent"),
+        coalesce(col("longest_silence"), lit(0L)).as("longest_silence"),
+        expr("10000 * n_silent div n_frames").as("silence_bp"),
+        col("clipped_n"))
+  }
+
   /** Resize planning over decoded metadata: fit into a `target`-sized
     * box preserving aspect ratio. All integer arithmetic
     * (`w*target // max(w,h)`), so the plan is exact and oracle-

@@ -117,6 +117,24 @@ private[graft] object RegIo {
       Multimodal.frameSample(t(s, dir, "documents"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+    "multimodal_audio_meta" -> ((s, dir) => {
+      // real WAV round-trip: header fields + whole-signal integer
+      // aggregates from an AudioSystem decode; the oracle re-derives
+      // them from the generator's closed-form PCM
+      Multimodal.audioMeta(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "multimodal_audio_frames" -> ((s, dir) => {
+      // per-20ms-frame energy/peak/clipping features extracted in the
+      // decode kernel — narrow integer rows out, analytics downstream
+      Multimodal.audioFrames(t(s, dir, "documents"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+    "multimodal_audio_silence" -> ((s, dir) => {
+      // silence segmentation (islands over zero-energy frames) +
+      // clipping audit, reduced to one per-doc row
+      Multimodal.audioSilence(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- additional relational coverage ----
     "jsonl_documents" -> ((s, dir) => {
@@ -311,6 +329,68 @@ private[graft] object RegIo {
       SELECT m.doc_id, width, height, format, px_sum
       FROM m JOIN px ON m.doc_id = px.doc_id
       ORDER BY m.doc_id""",
+    // the audio oracles mirror Multimodal.pcmSample's closed form:
+    // n = 640 + (id%5)*160 samples; per frame f = t//160 an amplitude
+    // gate m = (id+f)%5 (m<2 → silent frame), sample = clamp(m · raw ·
+    // 300) with raw = ((id·7 + t·31) % 128) − 64
+    "multimodal_audio_meta" -> """
+      WITH s AS (
+        SELECT doc_id,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i))
+      SELECT doc_id, 8000 AS sample_rate, 16 AS bits, 1 AS channels,
+             count(*) AS n_samples, CAST(max(abs(v)) AS INT) AS peak,
+             CAST(sum(v * v) AS BIGINT) AS sumsq
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_audio_frames" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 160 AS INT) AS frame_idx,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i))
+      SELECT doc_id, frame_idx, CAST(sum(v * v) AS BIGINT) AS sumsq,
+             CAST(max(abs(v)) AS INT) AS peak,
+             CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+               AS INT) AS clipped_n
+      FROM s GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""",
+    "multimodal_audio_silence" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 160 AS INT) AS frame_idx,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i)),
+      fr AS (SELECT doc_id, frame_idx, CAST(sum(v * v) AS BIGINT) AS sumsq,
+                    CAST(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1
+                             ELSE 0 END) AS BIGINT) AS clip
+             FROM s GROUP BY doc_id, frame_idx),
+      runs AS (SELECT doc_id, max(cnt) AS longest FROM
+                 (SELECT doc_id, grp, count(*) AS cnt FROM
+                    (SELECT doc_id, frame_idx,
+                            frame_idx - row_number() OVER (
+                              PARTITION BY doc_id ORDER BY frame_idx) AS grp
+                     FROM fr WHERE sumsq = 0)
+                  GROUP BY doc_id, grp)
+               GROUP BY doc_id),
+      base AS (SELECT doc_id, count(*) AS n_frames,
+                      CAST(sum(CASE WHEN sumsq = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_silent,
+                      CAST(sum(clip) AS BIGINT) AS clipped_n
+               FROM fr GROUP BY doc_id)
+      SELECT b.doc_id, n_frames, n_silent,
+             CAST(coalesce(r.longest, 0) AS BIGINT) AS longest_silence,
+             (10000 * n_silent) // n_frames AS silence_bp, clipped_n
+      FROM base b LEFT JOIN runs r ON b.doc_id = r.doc_id
+      ORDER BY b.doc_id""",
     "multimodal_phash" -> s"""
       WITH RECURSIVE $phashCteSql
       SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",

@@ -93,4 +93,83 @@ class MultimodalSpec extends AnyFunSuite {
       .select("n_docs", "min_doc").as[(Long, Long)].collect().toSeq
     assert(got == Seq((2L, 1L)))
   }
+
+  test("audio payloads are genuine RIFF/WAVE containers") {
+    import spark.implicits._
+    val payloads = Multimodal.audioPayload(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") < 20))
+      .as[Multimodal.AudioPayload].collect()
+    assert(payloads.length == 20)
+    payloads.foreach { p =>
+      assert(new String(p.audio.take(4), "US-ASCII") == "RIFF" &&
+        new String(p.audio.slice(8, 12), "US-ASCII") == "WAVE",
+        s"doc ${p.doc_id} lacks a RIFF/WAVE signature")
+    }
+  }
+
+  test("audioMeta round-trips the deterministic PCM bit-exactly " +
+      "through the WAV container") {
+    import spark.implicits._
+    val metas = Multimodal.audioMeta(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") < 20))
+      .as[Multimodal.AudioMeta].collect().sortBy(_.doc_id)
+    assert(metas.length == 20)
+    metas.foreach { m =>
+      assert(m.sample_rate == 8000 && m.bits == 16 && m.channels == 1)
+      val n = (640 + (m.doc_id % 5) * 160).toInt
+      assert(m.n_samples == n)
+      var sumsq = 0L; var peak = 0
+      for (t <- 0 until n) {
+        val g = (m.doc_id + t / 160) % 5
+        val amp = if (g < 2) 0L else g
+        val raw = ((m.doc_id * 7 + t.toLong * 31) % 128) - 64
+        val v = math.max(-32768L, math.min(32767L, amp * raw * 300)).toInt
+        sumsq += v.toLong * v
+        peak = math.max(peak, math.abs(v))
+      }
+      assert(m.sumsq == sumsq && m.peak == peak,
+        s"doc ${m.doc_id}: decode does not return the written samples")
+    }
+  }
+
+  test("audioSilence finds the 2-frame silent runs the amplitude " +
+      "gate writes, and loud frames genuinely clip") {
+    import spark.implicits._
+    val rows = Multimodal.audioSilence(
+      Tables.load(spark, dir, "documents").filter(col("doc_id") < 50))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val nFrames = r.getAs[Long]("n_frames")
+      val silent = r.getAs[Long]("n_silent")
+      assert(nFrames >= 4 && nFrames <= 8)
+      assert(silent >= 1 && silent < nFrames)
+      assert(r.getAs[Long]("longest_silence") >= 1 &&
+        r.getAs[Long]("longest_silence") <= 2,
+        "the (id+f)%5<2 gate silences at most 2 consecutive frames")
+      assert(r.getAs[Long]("silence_bp") == 10000 * silent / nFrames)
+    }
+    // the m=3,4 frames exceed int16 full scale by construction
+    assert(rows.map(_.getAs[Long]("clipped_n")).sum > 0,
+      "loud frames must clip at full scale")
+  }
+
+  test("a corrupt audio payload fails loud with the doc named") {
+    val docs = Multimodal.audioPayload(
+      spark.range(1).toDF("doc_id").withColumn("text", lit("x")))
+    // sanity: real payload decodes; then corrupt it
+    val e = intercept[org.apache.spark.SparkException] {
+      import spark.implicits._
+      Seq(Multimodal.AudioPayload(7L, Array[Byte](1, 2, 3))).toDS()
+        .mapPartitions { it =>
+          it.map { p =>
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(p.audio))
+            p.doc_id
+          }
+        }.collect()
+    }
+    assert(docs.count() == 1)
+    assert(e.getMessage != null)
+  }
 }
