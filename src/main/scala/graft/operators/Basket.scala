@@ -67,6 +67,30 @@ object Basket {
         expr("cn div dn").as("cos2_micro"))
   }
 
+  /** Directional association rules A → B from the frequent 2-itemsets
+    * (the rule-generation step of Agrawal & Srikant 1994 restricted to
+    * pair rules): each surviving pair yields both directions, scored
+    * by exact integer confidence and lift, and the confidence floor
+    * prunes the output. All inputs to `idiv`-style truncation are
+    * non-negative counts, so both engines truncate identically.
+    * Returns (ante, cons, n_ante, n_cons, n_ab, conf_bp, lift_micro)
+    * with conf_bp = 10⁴·n_ab div n_ante.
+    */
+  def rules(baskets: DataFrame, minItemSup: Long = 5L,
+      minPairSup: Long = 2L, minConfBp: Long = 1000L): DataFrame = {
+    val p = frequentPairs(baskets, minItemSup, minPairSup)
+    val dirs = p.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("n_ab"),
+        col("lift_micro"))
+      .unionByName(p.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("n_b").as("n_ante"), col("n_a").as("n_cons"), col("n_ab"),
+        col("lift_micro")))
+    dirs.withColumn("conf_bp", expr("10000 * n_ab div n_ante"))
+      .filter(col("conf_bp") >= minConfBp)
+      .select(col("ante"), col("cons"), col("n_ante"), col("n_cons"),
+        col("n_ab"), col("conf_bp"), col("lift_micro"))
+  }
+
   /** Per-item nearest neighbors by binarized cosine: symmetrize
     * [[frequentPairs]] and keep each item's `k` strongest associates
     * (ties broken by neighbor id — deterministic). The per-item top-k

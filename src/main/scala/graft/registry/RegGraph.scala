@@ -128,6 +128,19 @@ private[graft] object RegGraph {
     "graph_landmarks" -> ((s, dir) =>
       // 3-landmark simultaneous BFS over the memoized trading graph
       bipartiteLandmarks(s, dir).orderBy(col("source"), col("node"))),
+    "graph_harmonic" -> ((s, dir) =>
+      // landmark harmonic centrality (Boldi & Vigna 2014's axiom-clean
+      // alternative to closeness): Σ 1/d over REACHED landmarks only,
+      // so partially-reachable nodes rank instead of vanishing — the
+      // disconnection-tolerance closeness lacks. Quantized 10⁴//d
+      // keeps it integer-exact; same memoized landmark frame, one
+      // hash aggregate + TakeOrderedAndProject.
+      bipartiteLandmarks(s, dir)
+        .filter(col("hop") >= 1)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_reached"),
+          sum(expr("10000 div hop")).as("harmonic_q"))
+        .orderBy(col("harmonic_q").desc, col("node")).limit(30)),
     "graph_closeness" -> ((s, dir) =>
       // landmark closeness (Potamias et al. 2009 landmark scheme,
       // degenerate exact form): total hops to the 3 landmarks for
@@ -363,6 +376,24 @@ private[graft] object RegGraph {
              CAST((qn - ((qn % qd) + qd) % qd) // qd AS BIGINT)
                AS q_term_micro
       FROM q ORDER BY label""",
+    "graph_harmonic" -> """
+      WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
+                              100000 + l_suppkey AS dst
+                            FROM orders
+                            JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      seeds AS (SELECT src FROM (
+        SELECT DISTINCT src FROM e2 ORDER BY src LIMIT 3)),
+      bfs(source, node, d) AS (
+        SELECT src, src, 0 FROM seeds
+        UNION
+        SELECT bfs.source, e2.dst, bfs.d + 1 FROM bfs
+        JOIN e2 ON e2.src = bfs.node WHERE bfs.d < 3),
+      h AS (SELECT source, node, min(d) AS hop FROM bfs GROUP BY 1, 2)
+      SELECT node, count(*) AS n_reached,
+             CAST(sum(10000 // hop) AS BIGINT) AS harmonic_q
+      FROM h WHERE hop >= 1 GROUP BY node
+      ORDER BY harmonic_q DESC, node LIMIT 30""",
     "graph_closeness" -> """
       WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey AS src,
                               100000 + l_suppkey AS dst

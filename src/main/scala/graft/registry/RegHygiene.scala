@@ -115,6 +115,15 @@ private[graft] object RegHygiene {
         .orderBy(col("n_ab").desc, col("p1"), col("p2"))
         .limit(100)
     }),
+    "basket_rules" -> ((s, dir) => {
+      // directional association rules from the frequent pairs —
+      // integer confidence (bp) + lift (micro), confidence-floored
+      Basket.rules(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minItemSup = 5L, minPairSup = 2L, minConfBp = 1000L)
+        .orderBy(col("conf_bp").desc, col("ante"), col("cons"))
+    }),
     "basket_item_sim" -> ((s, dir) => {
       // each item's 3 strongest associates by binarized cosine — the
       // per-key-top-k (WindowGroupLimit) shape over the symmetrized
@@ -233,6 +242,32 @@ private[graft] object RegHygiene {
                 s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
                .mkString(", ")}
       FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
+    "basket_rules" -> """
+      WITH it AS (SELECT DISTINCT l_orderkey AS basket,
+                    l_partkey AS item FROM lineitem),
+      nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM it),
+      sup AS (SELECT item, count(*) AS n_i FROM it
+              GROUP BY 1 HAVING count(*) >= 5),
+      pr AS (SELECT it.basket, it.item, sup.n_i
+             FROM it JOIN sup USING (item)),
+      pairs AS (SELECT i.item AS p1, j.item AS p2,
+                  i.n_i AS n_a, j.n_i AS n_b, count(*) AS n_ab
+                FROM pr i JOIN pr j
+                  ON i.basket = j.basket AND i.item < j.item
+                GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      lifted AS (SELECT p1, p2, n_a, n_b, n_ab,
+                   CAST((1000000 * CAST(n_ab AS HUGEINT) * n_baskets)
+                     // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+                     AS lift_micro
+                 FROM pairs, nb),
+      dirs AS (SELECT p1 AS ante, p2 AS cons, n_a AS n_ante,
+                 n_b AS n_cons, n_ab, lift_micro FROM lifted
+               UNION ALL
+               SELECT p2, p1, n_b, n_a, n_ab, lift_micro FROM lifted)
+      SELECT ante, cons, n_ante, n_cons, n_ab,
+             (10000 * n_ab) // n_ante AS conf_bp, lift_micro
+      FROM dirs WHERE (10000 * n_ab) // n_ante >= 1000
+      ORDER BY conf_bp DESC, ante, cons""",
     "basket_pairs" -> """
       WITH it AS (SELECT DISTINCT l_orderkey AS basket,
                     l_partkey AS item FROM lineitem),
