@@ -77,8 +77,15 @@ object Basket {
     * with conf_bp = 10⁴·n_ab div n_ante.
     */
   def rules(baskets: DataFrame, minItemSup: Long = 5L,
-      minPairSup: Long = 2L, minConfBp: Long = 1000L): DataFrame = {
-    val p = frequentPairs(baskets, minItemSup, minPairSup)
+      minPairSup: Long = 2L, minConfBp: Long = 1000L): DataFrame =
+    rulesFromPairs(frequentPairs(baskets, minItemSup, minPairSup),
+      minConfBp)
+
+  /** [[rules]] over an already-materialized [[frequentPairs]] frame —
+    * the memoized-pipeline entry point (pairs, neighbors, and rules
+    * all derive from one pair materialization).
+    */
+  def rulesFromPairs(p: DataFrame, minConfBp: Long = 1000L): DataFrame = {
     val dirs = p.select(col("p1").as("ante"), col("p2").as("cons"),
         col("n_a").as("n_ante"), col("n_b").as("n_cons"), col("n_ab"),
         col("lift_micro"))
@@ -99,9 +106,14 @@ object Basket {
     * per-key-top-k shape that survives skew at catalog scale.
     */
   def itemNeighbors(baskets: DataFrame, k: Int = 3,
-      minItemSup: Long = 5L, minPairSup: Long = 2L): DataFrame = {
+      minItemSup: Long = 5L, minPairSup: Long = 2L): DataFrame =
+    neighborsFromPairs(frequentPairs(baskets, minItemSup, minPairSup), k)
+
+  /** [[itemNeighbors]] over an already-materialized [[frequentPairs]]
+    * frame.
+    */
+  def neighborsFromPairs(p: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1)
-    val p = frequentPairs(baskets, minItemSup, minPairSup)
     val sym = p.select(col("p1").as("item"), col("p2").as("neighbor"),
         col("n_ab"), col("cos2_micro"))
       .unionByName(p.select(col("p2").as("item"), col("p1").as("neighbor"),

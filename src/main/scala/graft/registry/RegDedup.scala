@@ -45,6 +45,11 @@ private[graft] object RegDedup {
       Similarity.semanticPairs(t(s, dir, "embeddings"), minCosine = 0.45,
         nCells = 4)
     }
+  private def snmPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dedup_snm_pairs") {
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
+        window = 5, minJaccardBp = 8000L)
+    }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_allpairs" -> ((s, dir) => {
@@ -266,14 +271,10 @@ private[graft] object RegDedup {
       // the blocking families all feed the same cluster collapse:
       // sorted-neighborhood pairs → bounded-lineage connected
       // components, the composition a recrawl dedup actually runs
-      Dedup.clusters(Dedup.sortedNeighborhoodPairs(
-          t(s, dir, "documents"), window = 5, minJaccardBp = 8000L))
-        .orderBy(col("doc_id"))
+      Dedup.clusters(snmPairs(s, dir)).orderBy(col("doc_id"))
     }),
     "dedup_sorted_neighborhood" -> ((s, dir) =>
-      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"),
-        window = 5, minJaccardBp = 8000L)
-        .orderBy(col("id_a"), col("id_b"))),
+      snmPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegHygiene {
 
+  /** Cross-query memo tenant ([[graft.SparkEntry.memoFrame]]): the
+    * Apriori frequent-pair frame feeds three queries (pairs, per-item
+    * top-k, rules) with identical arguments — materialize once.
+    */
+  private def freqPairs(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "basket_freq_pairs") {
+      Basket.frequentPairs(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")),
+        minItemSup = 5L, minPairSup = 2L)
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontam_semantic" -> ((s, dir) => {
       // embedding-space decontamination: corpus = vec_id >= 50, eval
@@ -108,30 +120,21 @@ private[graft] object RegHygiene {
       // Apriori-prefiltered co-purchase pairs over order baskets with
       // exact integer lift and cosine²; the full tiebreak (support,
       // p1, p2) makes the top-100 deterministic.
-      Basket.frequentPairs(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")),
-        minItemSup = 5L, minPairSup = 2L)
+      freqPairs(s, dir)
         .orderBy(col("n_ab").desc, col("p1"), col("p2"))
         .limit(100)
     }),
     "basket_rules" -> ((s, dir) => {
       // directional association rules from the frequent pairs —
       // integer confidence (bp) + lift (micro), confidence-floored
-      Basket.rules(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")),
-        minItemSup = 5L, minPairSup = 2L, minConfBp = 1000L)
+      Basket.rulesFromPairs(freqPairs(s, dir), minConfBp = 1000L)
         .orderBy(col("conf_bp").desc, col("ante"), col("cons"))
     }),
     "basket_item_sim" -> ((s, dir) => {
       // each item's 3 strongest associates by binarized cosine — the
       // per-key-top-k (WindowGroupLimit) shape over the symmetrized
       // pair frame.
-      Basket.itemNeighbors(
-        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
-          col("l_partkey").as("item")),
-        k = 3, minItemSup = 5L, minPairSup = 2L)
+      Basket.neighborsFromPairs(freqPairs(s, dir), k = 3)
         .orderBy(col("item"), col("rk"))
     }),
   )
