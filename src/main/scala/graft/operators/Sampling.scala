@@ -100,6 +100,40 @@ object Sampling {
       .drop("_u", "_w6")
   }
 
+  /** Quality-tiered keep-rate sampling — the quality-aware selection
+    * step of a pretraining corpus build (keep most of the high-quality
+    * tail, thin the low-quality bulk) with NO shuffle at all: every
+    * decision is a per-row integer computation, so the op is a pure
+    * map at any corpus size, unlike rank-based budgets.
+    *
+    * `scored` must carry [[TextStats.qualityScore]]'s columns
+    * (n_chars_m, n_punct, stop_hits). The integer quality
+    * `iq = max(0, 10⁶·stop_hits − 10⁴·n_punct) div n_chars` mirrors
+    * the float `quality` at ×10⁴ scale but stays oracle-exact; tier
+    * `t = min(top, iq div tierWidth)` then keeps a doc iff its
+    * deterministic scrambled bucket < keepPct(t) — rerun- and
+    * partitioning-stable membership like every sampler here.
+    * Output: (idCol, tier, iq) for kept docs.
+    */
+  def qualityTieredKeep(scored: DataFrame,
+      keepPct: Seq[Int] = Seq(10, 25, 50, 100),
+      tierWidth: Long = 5000L, idCol: String = "doc_id"): DataFrame = {
+    require(keepPct.nonEmpty && keepPct.forall(p => p >= 0 && p <= 100),
+      "keep percentages must be in [0, 100]")
+    require(tierWidth > 0)
+    val iq = when(col("n_chars_m") === 0, 0L).otherwise(expr(
+      "greatest(0L, 1000000L * stop_hits - 10000L * n_punct)" +
+        " div n_chars_m"))
+    val top = keepPct.size - 1
+    val pcts = array(keepPct.map(p => lit(p.toLong)): _*)
+    scored.withColumn("iq", iq)
+      .withColumn("tier",
+        expr(s"least(CAST($top AS BIGINT), iq div $tierWidth)"))
+      .filter(bucket(col(idCol)) <
+        element_at(pcts, (col("tier") + 1).cast("int")))
+      .select(col(idCol), col("tier"), col("iq"))
+  }
+
   /** Per-stratum deterministic fixed-size sample: exactly `k` rows
     * from EACH stratum (fewer only where a stratum is smaller) — the
     * standard corpus-construction ask ("k docs per source"), chosen

@@ -959,6 +959,43 @@ object Similarity {
     * Scale shape: one narrow per-row HOF fold (no explode) + one
     * label-cardinality hash aggregate.
     */
+  /** Int8 symmetric-quantization audit — the compression feasibility
+    * check run before shipping an embedding corpus at int8 (the
+    * storage format ANN serving actually uses): per vector, quantize
+    * each dim to `q8 = ⌊127·(x+m)/m⌋ − 127` against the vector's own
+    * max-abs scale m, and report the worst reconstruction error in
+    * ppm of full scale plus a position-weighted code checksum that
+    * pins every emitted code. The numerator `127·(x+m)` is
+    * non-negative by construction, so truncating and flooring
+    * division agree and both engines produce identical codes —
+    * everything stays integer-exact over the ×10⁴-quantized dims.
+    * Zero vectors (m = 0) audit as all-zero codes with zero error.
+    *
+    * Scale shape: per-row HOF folds only (no explode, no shuffle) —
+    * a pure map over the corpus at any size. Output: (vec_id,
+    * maxabs, max_err_ppm, code_wsum).
+    */
+  def quantizeAudit(emb: DataFrame): DataFrame = {
+    val q = quantize(col("embedding"))
+    emb.select(col("vec_id"), q.as("qv"))
+      .withColumn("ma",
+        expr("aggregate(qv, 0L, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("max_err", expr(
+        "CASE WHEN ma = 0 THEN 0L ELSE aggregate(qv, 0L, (acc, x) -> " +
+          "greatest(acc, abs(127 * x - " +
+          "((127 * (x + ma)) div ma - 127) * ma))) END"))
+      .withColumn("code_wsum", expr(
+        "CASE WHEN ma = 0 THEN 0L ELSE aggregate(" +
+          "zip_with(qv, sequence(1, size(qv)), " +
+          "(x, i) -> ((127 * (x + ma)) div ma - 127) * CAST(i AS BIGINT))," +
+          " 0L, (acc, v) -> acc + v) END"))
+      .select(col("vec_id"), col("ma").as("maxabs"),
+        when(col("ma") === 0, 0L)
+          .otherwise(expr("1000000 * max_err div (127 * ma)"))
+          .as("max_err_ppm"),
+        col("code_wsum"))
+  }
+
   def normAudit(emb: DataFrame): DataFrame = {
     val q = quantize(col("embedding"))
     val norm2 = expr(

@@ -56,6 +56,12 @@ private[graft] object RegSampling {
           col("text")), k = 10, strataCol = "source")
         .orderBy(col("doc_id"))
     }),
+    "sample_quality_tiers" -> ((s, dir) =>
+      // quality-aware keep-rate sampling: integer quality → tier →
+      // per-tier deterministic keep percentage; pure map, no shuffle
+      Sampling.qualityTieredKeep(
+        TextStats.qualityScore(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
     "sample_split" -> ((s, dir) => {
       Sampling.hashSplit(t(s, dir, "documents"))
         .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
@@ -182,6 +188,28 @@ private[graft] object RegSampling {
                                   ORDER BY rk, doc_id) AS rn
         FROM r) WHERE rn <= 10
       ORDER BY doc_id""",
+    "sample_quality_tiers" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      sc AS (SELECT doc_id, length(text) AS n_chars,
+               length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                 AS n_punct,
+               ${Seq("the", "and", "of", "to").map(hitsSql)
+                 .mkString(" + ")} AS stop_hits
+             FROM (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p
+                   FROM documents)),
+      iqf AS (SELECT doc_id,
+                CASE WHEN n_chars = 0 THEN 0
+                     ELSE greatest(0, 1000000 * stop_hits
+                            - 10000 * n_punct) // n_chars END AS iq
+              FROM sc),
+      tf AS (SELECT doc_id, iq, least(3, iq // 5000) AS tier FROM iqf)
+      SELECT t.doc_id, t.tier, t.iq
+      FROM tf t JOIN sdbm s ON s.sid = t.doc_id
+      WHERE ${bucketSql("s.hash")} <
+            CASE t.tier WHEN 0 THEN 10 WHEN 1 THEN 25
+                 WHEN 2 THEN 50 ELSE 100 END
+      ORDER BY t.doc_id""",
     "sample_split" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")}

@@ -207,6 +207,12 @@ private[graft] object RegSim {
       // embedding health audit: exact integer norm-squared stats per
       // label over the quantized vectors (Similarity.normAudit)
       Similarity.normAudit(t(s, dir, "embeddings"))),
+    "sim_quantize_audit" -> ((s, dir) =>
+      // int8 compression feasibility: per-vector worst reconstruction
+      // error (ppm of full scale) + position-weighted code checksum —
+      // shuffle-free HOF folds (Similarity.quantizeAudit)
+      Similarity.quantizeAudit(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -481,5 +487,18 @@ private[graft] object RegSim {
              CAST(sum(CAST(norm AS HUGEINT)) // count(*) AS BIGINT)
                AS mean_norm2
       FROM l GROUP BY label ORDER BY label""",
+    "sim_quantize_audit" -> s"""
+      WITH $qEmbSql,
+      m AS (SELECT vec_id, max(abs(x)) AS ma FROM e GROUP BY vec_id),
+      c AS (SELECT e.vec_id, e.i, e.x, m.ma,
+              CASE WHEN m.ma = 0 THEN 0
+                   ELSE (127 * (e.x + m.ma)) // m.ma - 127 END AS q8
+            FROM e JOIN m USING (vec_id))
+      SELECT vec_id, CAST(max(ma) AS BIGINT) AS maxabs,
+             CAST(CASE WHEN max(ma) = 0 THEN 0
+                  ELSE (1000000 * max(abs(127 * x - q8 * ma)))
+                       // (127 * max(ma)) END AS BIGINT) AS max_err_ppm,
+             CAST(sum(q8 * i) AS BIGINT) AS code_wsum
+      FROM c GROUP BY vec_id ORDER BY vec_id""",
   )
 }

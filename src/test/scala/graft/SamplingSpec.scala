@@ -255,4 +255,41 @@ class SamplingSpec extends AnyFunSuite {
       .orderBy("rank").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
+
+  test("qualityTieredKeep: integer quality tiers get graded keep " +
+      "rates; a 100% tier keeps everything, a 0% tier nothing") {
+    import spark.implicits._
+    // scored rows built directly: (doc_id, n_chars_m, n_punct,
+    // stop_hits). iq = max(0, 1e6·stop − 1e4·punct) div chars.
+    val scored = Seq(
+      (1L, 100L, 0L, 0L),   // iq = 0      → tier 0
+      (2L, 100L, 0L, 1L),   // iq = 10000  → tier 2
+      (3L, 50L, 0L, 1L),    // iq = 20000  → tier 3
+      (4L, 100L, 2000L, 1L), // negative numerator clamps → iq 0, tier 0
+      (5L, 0L, 0L, 0L)      // empty doc: defined iq = 0
+    ).toDF("doc_id", "n_chars_m", "n_punct", "stop_hits")
+    val all = graft.operators.Sampling.qualityTieredKeep(scored,
+      keepPct = Seq(100, 100, 100, 100))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(all.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(all.map(r => r._1 -> r._2).toMap ==
+      Map(1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 0L, 5L -> 0L))
+    // zero the top tier: doc 3 must vanish, everything else stays
+    val zeroTop = graft.operators.Sampling.qualityTieredKeep(scored,
+      keepPct = Seq(100, 100, 100, 0))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(zeroTop == Set(1L, 2L, 4L, 5L))
+    // keep decisions are deterministic (same bucket machinery as
+    // hashSplit): two runs agree
+    val p10 = graft.operators.Sampling.qualityTieredKeep(scored,
+      keepPct = Seq(10, 10, 10, 10))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(graft.operators.Sampling.qualityTieredKeep(scored,
+      keepPct = Seq(10, 10, 10, 10))
+      .as[(Long, Long, Long)].collect().map(_._1).toSet == p10)
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.qualityTieredKeep(scored,
+        keepPct = Seq(101))
+    }
+  }
 }

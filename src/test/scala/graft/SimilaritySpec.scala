@@ -484,4 +484,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("mean_norm2") == 75000000L)
     assert(r(1).getAs[Long]("max_norm2") == 0L)
   }
+
+  test("quantizeAudit: hand-computed int8 codes, error bounded by " +
+      "one quantization step, zero vectors audit clean") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),  // qv = [10000, -10000, 5000]
+      (2L, Seq(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.quantizeAudit(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x).toMap
+    // ma = 10000; codes: 127, -127, 63 (x=5000 → ⌊127·15000/10⁴⌋−127)
+    // worst err = |127·5000 − 63·10⁴| = 5000 → 5000·10⁶ div 127·10⁴
+    assert(r(1L).getAs[Long]("maxabs") == 10000L)
+    assert(r(1L).getAs[Long]("max_err_ppm") == 3937L)
+    assert(r(1L).getAs[Long]("code_wsum") == 127L - 254L + 189L)
+    assert(r(2L).getAs[Long]("maxabs") == 0L &&
+      r(2L).getAs[Long]("max_err_ppm") == 0L &&
+      r(2L).getAs[Long]("code_wsum") == 0L)
+    // the symmetric scheme's error bound: one step = full-scale/127,
+    // i.e. < 10⁶/127 ≈ 7874 ppm, on every fixture vector
+    val worst = Similarity.quantizeAudit(
+      Tables.load(spark, "/root/testdata/sf0.001", "embeddings"))
+      .agg(max("max_err_ppm")).head().getLong(0)
+    assert(worst <= 7874L, s"quantization error $worst ppm exceeds a step")
+  }
 }
