@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.idiv
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the data-quality dashboard a pipeline runs
@@ -361,6 +361,34 @@ object Profile {
     * Output: one row per unordered column pair (col_a, col_b, n,
     * slope, r2), pairs in the given column order.
     */
+  /** Gini impurity per categorical column — the log-free concentration
+    * profile (CART's split criterion, Breiman et al. 1984): impurity
+    * = 1 − Σ(nᵢ/N)², reported exactly as `10⁶ − 10⁶·Σnᵢ² div N²` so
+    * both engines agree bit-for-bit where an entropy profile would
+    * drift through ln(). 0 ppm = one value dominates entirely;
+    * (1−1/k)·10⁶ = uniform over k values. NULL is profiled as its own
+    * category (a null-heavy column IS concentrated).
+    *
+    * One hash aggregate per column at value-cardinality grain, then a
+    * scalar fold — the Σnᵢ² products ride DECIMAL(38,0) so the ppm
+    * arithmetic cannot overflow at any N. Output: (col_name, n_rows,
+    * n_distinct, impurity_ppm), one row per profiled column.
+    */
+  def giniImpurity(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    cols.map { c =>
+      df.groupBy(col(c)).agg(count(lit(1)).as("n_i"))
+        .agg(sum(col("n_i")).as("n_rows"),
+          count(lit(1)).as("n_distinct"),
+          sum(d(col("n_i")) * d(col("n_i"))).as("ss"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_distinct"),
+          (lit(1000000L) -
+            expr("(1000000 * ss) div (CAST(n_rows AS DECIMAL(38,0)) " +
+              "* n_rows)")).as("impurity_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")

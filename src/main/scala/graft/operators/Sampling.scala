@@ -156,6 +156,53 @@ object Sampling {
       .drop("_rn")
   }
 
+  /** Purged temporal train/test split with an embargo gap (the
+    * time-series-CV discipline of López de Prado 2018, ch. 7: when
+    * examples are ordered in time, a random split leaks the future
+    * into training — split by TIME, and drop an embargo window after
+    * the boundary so label horizons spanning it can't leak either).
+    *
+    * The boundary is derived from the data's own day span
+    * (`t0 = dmin + span·trainPct div 100`, all integer), so the split
+    * is deterministic and rerun-stable without configuration dates.
+    * Returns one audit row per split — (split, n_events, n_users,
+    * min_day, max_day, leak_users) — where `leak_users` (constant
+    * across rows) counts users active in BOTH train and test: the
+    * identity-level overlap a user-grouped split would eliminate,
+    * reported so the pipeline owner chooses time-pure vs user-pure.
+    *
+    * Scale shape: the day-bounds frame is one scalar aggregate
+    * broadcast back (1 row); assignment is then a pure map, the audit
+    * one hash aggregate per split, and the leak count one
+    * distinct-user semi-join — no global sort anywhere.
+    */
+  def timeSplitAudit(events: DataFrame, trainPct: Int = 70,
+      embargoDays: Int = 2): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, "trainPct must be in (0,100)")
+    require(embargoDays >= 0)
+    val days = events.select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    val bounds = days.agg(min(col("day")).as("dmin"),
+      max(col("day")).as("dmax"))
+    val assigned = days.crossJoin(broadcast(bounds))
+      .withColumn("t0",
+        expr(s"dmin + ((dmax - dmin + 1) * $trainPct) div 100"))
+      .withColumn("split",
+        when(col("day") < col("t0"), "train")
+          .when(col("day") < col("t0") + embargoDays, "embargo")
+          .otherwise("test"))
+    val per = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    val leak = assigned.filter(col("split") === "train")
+      .select(col("user_id")).distinct()
+      .join(assigned.filter(col("split") === "test")
+        .select(col("user_id")).distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("leak_users"))
+    per.crossJoin(broadcast(leak))
+  }
+
   /** Add a deterministic `split` column: `train` / `val` / `test` by
     * bucket thresholds (trainPct / valPct / remainder, in percent).
     */

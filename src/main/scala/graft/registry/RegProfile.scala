@@ -242,6 +242,14 @@ private[graft] object RegProfile {
         Seq(("l_orderkey", "l_returnflag"), ("l_partkey", "l_suppkey")))
       o.unionByName(l).orderBy(col("fd"))
     }),
+    "profile_gini_impurity" -> ((s, dir) =>
+      // log-free concentration profile per categorical column (CART's
+      // Gini criterion): 0 ppm = single value, (1-1/k)·10⁶ = uniform
+      Profile.giniImpurity(t(s, dir, "events"),
+          Seq("event_type", "user_id"))
+        .unionByName(Profile.giniImpurity(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority")))
+        .orderBy(col("col_name"))),
     "profile_skew" -> ((s, dir) =>
       Profile.keySkew(t(s, dir, "events"),
         Seq("user_id", "event_type")).orderBy(col("column"))),
@@ -427,6 +435,26 @@ private[graft] object RegProfile {
               FROM lineitem GROUP BY 1))
       SELECT fd, n_keys, violations, violations = 0 AS holds
       FROM fds ORDER BY fd""",
+    "profile_gini_impurity" -> """
+      WITH g AS (
+        SELECT col_name, v, count(*) AS n_i FROM (
+          SELECT 'event_type' AS col_name,
+                 CAST(event_type AS VARCHAR) AS v FROM events
+          UNION ALL
+          SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+          UNION ALL
+          SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+          FROM orders)
+        GROUP BY col_name, v)
+      SELECT col_name, CAST(sum(n_i) AS BIGINT) AS n_rows,
+             count(*) AS n_distinct,
+             1000000 - CAST((1000000 * sum(CAST(n_i AS HUGEINT) * n_i))
+               // (CAST(sum(n_i) AS HUGEINT) * sum(n_i)) AS BIGINT)
+               AS impurity_ppm
+      FROM g GROUP BY col_name ORDER BY col_name""",
     "profile_skew" -> """
       WITH u AS (SELECT 'user_id' AS "column", count(*) AS ndv,
                CAST(sum(n) AS BIGINT) AS n_rows,

@@ -56,6 +56,12 @@ private[graft] object RegSampling {
           col("text")), k = 10, strataCol = "source")
         .orderBy(col("doc_id"))
     }),
+    "sample_time_split" -> ((s, dir) =>
+      // purged temporal split with embargo (time-series-CV): boundary
+      // from the data's own day span, per-split audit row + the
+      // train∩test user-overlap count
+      Sampling.timeSplitAudit(t(s, dir, "events"))
+        .orderBy(col("split"))),
     "sample_quality_tiers" -> ((s, dir) =>
       // quality-aware keep-rate sampling: integer quality → tier →
       // per-tier deterministic keep percentage; pure map, no shuffle
@@ -188,6 +194,27 @@ private[graft] object RegSampling {
                                   ORDER BY rk, doc_id) AS rn
         FROM r) WHERE rn <= 10
       ORDER BY doc_id""",
+    "sample_time_split" -> """
+      WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                 FROM events),
+      b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM d),
+      a AS (SELECT user_id, day,
+              CASE WHEN day < t0 THEN 'train'
+                   WHEN day < t0 + 2 THEN 'embargo'
+                   ELSE 'test' END AS split
+            FROM (SELECT d.user_id, d.day,
+                    b.dmin + ((b.dmax - b.dmin + 1) * 70) // 100 AS t0
+                  FROM d, b)),
+      leak AS (SELECT count(*) AS leak_users FROM (
+                 SELECT DISTINCT user_id FROM a WHERE split = 'train'
+                 INTERSECT
+                 SELECT DISTINCT user_id FROM a WHERE split = 'test')),
+      per AS (SELECT split, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users,
+                min(day) AS min_day, max(day) AS max_day
+              FROM a GROUP BY split)
+      SELECT split, n_events, n_users, min_day, max_day, leak_users
+      FROM per, leak ORDER BY split""",
     "sample_quality_tiers" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

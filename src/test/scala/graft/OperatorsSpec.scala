@@ -366,4 +366,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(("a", "b", 3L, 2.0, 1.0),
       ("a", "c", 3L, -1.0, 1.0), ("b", "c", 3L, -0.5, 1.0)))
   }
+
+  test("giniImpurity: constant column → 0 ppm, uniform over k → " +
+      "(1−1/k)·10⁶ floored, NULL counted as its own category") {
+    import spark.implicits._
+    val df = Seq(
+      ("x", "a", Some("u")), ("x", "b", Some("u")),
+      ("x", "c", None), ("x", "d", None)
+    ).toDF("const", "uni", "nully")
+    val got = graft.operators.Profile.giniImpurity(df,
+        Seq("const", "uni", "nully"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("const") == ("const", 4L, 1L, 0L))
+    // uniform over 4: 1e6 − 1e6·4 div 16 = 750000
+    assert(got("uni") == ("uni", 4L, 4L, 750000L))
+    // two groups of 2 (incl. the NULL group): 1e6 − 1e6·8 div 16
+    assert(got("nully") == ("nully", 4L, 2L, 500000L))
+  }
 }

@@ -256,6 +256,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("timeSplitAudit: boundary from the data's own day span, " +
+      "embargo rows quarantined, train∩test user overlap reported") {
+    import spark.implicits._
+    // 10 days (0..9), trainPct 70 → t0 = day 7; embargo days 7-8;
+    // test day 9. user 1 spans train+test (leaks), user 2 train-only,
+    // user 3 test-only, user 4 embargo-only.
+    def ts(day: Int) = java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(java.time.Duration.ofDays(day)))
+    val ev = Seq((1L, ts(0)), (1L, ts(9)), (2L, ts(3)), (3L, ts(9)),
+      (4L, ts(7)), (4L, ts(8))).toDF("user_id", "ts")
+    val got = graft.operators.Sampling.timeSplitAudit(ev)
+      .orderBy("split")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("embargo", 2L, 1L, 7L, 8L, 1L),
+      ("test", 2L, 2L, 9L, 9L, 1L),
+      ("train", 2L, 2L, 0L, 3L, 1L)))
+  }
+
   test("qualityTieredKeep: integer quality tiers get graded keep " +
       "rates; a 100% tier keeps everything, a 0% tier nothing") {
     import spark.implicits._
