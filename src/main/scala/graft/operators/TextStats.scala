@@ -45,6 +45,33 @@ object TextStats {
         .as("avg_token_len"))
   }
 
+  /** Lexical richness per doc — the corpus-linguistics profile
+    * (Herdan 1960's type/token lens) a data-quality pass uses to
+    * catch template spam (low TTR, few hapaxes) and gibberish (TTR
+    * ≈ 1 at length): token count, distinct types, type-token ratio
+    * in basis points (integer-exact), and hapax legomena (tokens
+    * occurring exactly once in the doc). Whitespace tokens on the
+    * lowercased text, same discipline as the vocab/BPE family.
+    *
+    * Scale shape: one explode + two hash aggregations keyed by
+    * (doc, token) then doc — parallel over docs, never a global
+    * vocabulary structure. Docs with no tokens produce no row (the
+    * quality chain drops them earlier anyway).
+    */
+  def lexicalRichness(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        expr("10000 * n_types div n_tokens").as("ttr_bp"),
+        col("n_hapax"))
+
   /** Quality signals: punctuation count (regex class identical in
     * Spark/RE2/PCRE for this pattern), stopword hits, and a composite
     * score in deterministic double arithmetic.

@@ -91,6 +91,12 @@ private[graft] object RegText {
     "text_quality" -> ((s, dir) => {
       TextStats.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "text_lexical_richness" -> ((s, dir) => {
+      // type-token ratio + hapax profile: the template-spam /
+      // gibberish detector of the quality family
+      TextStats.lexicalRichness(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "text_langid" -> ((s, dir) => {
       TextStats.langId(t(s, dir, "documents")).orderBy(col("doc_id"))
     }),
@@ -461,6 +467,18 @@ private[graft] object RegText {
              TRUE AS all_within_worstcase,
              TRUE AS ratio_plausible
       FROM j""",
+    "text_lexical_richness" -> """
+      WITH tok AS (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             (10000 * count(*)) // CAST(sum(cnt) AS BIGINT) AS ttr_bp,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM tok GROUP BY doc_id ORDER BY doc_id""",
     "text_token_stats" -> """
       SELECT doc_id, length(text) AS n_chars_m,
              CASE WHEN length(trim(text)) = 0 THEN 0
