@@ -1664,4 +1664,96 @@ object Events {
           .as("abandon_bp"))
       .orderBy(col("day"))
   }
+
+  /** Spearman rank correlation between the daily volumes of two
+    * event types (Spearman 1904) — the monotone-association twin of
+    * [[kendallDaily]]: rank the daily click and purchase counts,
+    * then score Σd² over the rank difference. Ranks are DOUBLED
+    * midranks (for a value with m strictly-smaller days and c ties,
+    * 2·midrank = 2m + c + 1 — always an integer), so `sd2_4` is
+    * exactly 4·Σd² with no .5 fractions; `rho_micro` applies the
+    * classic 1 − 6Σd²/(n(n²−1)) formula in floor-division
+    * micro-units (the numerator 6·10⁶·sd2_4 is nonnegative, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree).
+    * With ties present this is the Σd²-formula Spearman over
+    * midranks — the deterministic, integer-exact convention; the
+    * tie census rides along so a reader can apply the correction.
+    *
+    * Scale shape: one day-grain hash aggregate (the only pass over
+    * the raw events), then rank windows over the tiny daily frame —
+    * identical posture to [[kendallDaily]] / [[theilSenDaily]].
+    * Magnitudes: sd2_4 ≤ 4·n(n²−1)/3; int64 clears past n = 10⁶
+    * days — unreachable for any calendar series.
+    */
+  def spearmanDaily(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase"): DataFrame = {
+    val d = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("y"))
+    val wx = Window.orderBy(col("x"))
+    val wy = Window.orderBy(col("y"))
+    val ranked = d
+      .withColumn("cx", count(lit(1)).over(Window.partitionBy(col("x"))))
+      .withColumn("cy", count(lit(1)).over(Window.partitionBy(col("y"))))
+      .withColumn("rx2",
+        lit(2L) * rank().over(wx) + col("cx") - lit(1L))
+      .withColumn("ry2",
+        lit(2L) * rank().over(wy) + col("cy") - lit(1L))
+    ranked
+      .agg(count(lit(1)).as("n_days"),
+        sum((col("rx2") - col("ry2")) * (col("rx2") - col("ry2")))
+          .as("sd2_4"),
+        sum(when(col("cx") > 1, 1L).otherwise(0L)).as("ties_x"),
+        sum(when(col("cy") > 1, 1L).otherwise(0L)).as("ties_y"))
+      .select(col("n_days"), col("sd2_4"), col("ties_x"), col("ties_y"),
+        when(col("n_days") > 1,
+          lit(1000000L) - expr(
+            "(6000000 * sd2_4) div (4 * n_days * (n_days * n_days - 1))"))
+          .as("rho_micro"))
+  }
+
+  /** Lagged cross-correlation between two event types' daily
+    * volumes — "do purchases follow clicks k days later?" For each
+    * lag 0..`maxLag` the leading series x(day) pairs with the lagged
+    * y(day+lag) on OBSERVED day pairs (a missing day contributes no
+    * pair — the convention that needs no gapfill and stays exact),
+    * and the output carries the exact integer sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²) plus the Pearson numerator
+    * n·Σxy − Σx·Σy, whose sign and relative magnitude across lags
+    * locate the transfer delay. The correlation itself is a derived
+    * quotient the reader (or a notebook) forms from the exact parts.
+    *
+    * Scale shape: one day-grain hash aggregate over the raw events,
+    * then an 8-way lag self-join of the tiny daily frame (days ×
+    * lags rows) — never touches raw-event grain again. Magnitudes:
+    * int64 clears while n_days·(daily count)² < 9.2·10¹⁸, i.e.
+    * daily volumes to ~10⁸ over a decade; past that the sums need
+    * the DECIMAL(38,0) ladder (document before enabling at 10⁹/day).
+    */
+  def crossCorrDaily(events: DataFrame, typeA: String = "click",
+      typeB: String = "purchase", maxLag: Int = 7): DataFrame = {
+    val d = events.filter(col("event_type").isin(typeA, typeB))
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L))
+          .as("y"))
+    val lags = events.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = d.as("a").crossJoin(broadcast(lags))
+      .join(d.as("b"), col("a.day") + col("lag") === col("b.day"))
+      .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov_num",
+        col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .orderBy(col("lag"))
+  }
 }

@@ -426,4 +426,69 @@ object Profile {
           .as("r2"))
       .orderBy(col("col_a"), col("col_b"))
   }
+
+  /** Kruskal–Wallis one-way rank test (Kruskal & Wallis 1952): does
+    * a numeric column's distribution differ across groups — the
+    * nonparametric ANOVA a profiler reaches for when "mean n_chars
+    * by source" isn't robust evidence. Computed rank-FREE at the
+    * (value, count) grain, the [[graft.operators.Events.mannWhitneyU]]
+    * discipline: the doubled midrank of value v is
+    * 2·|{x < v}| + |{x = v}| + 1 (always an integer), group rank
+    * sums come from the (group, value) count frame joined to the
+    * value frame — no row-grain rank window ever runs. Per-group
+    * output carries the exact sufficient statistics (n_g, doubled
+    * rank sum, mean doubled rank in floor micro-units) plus the
+    * global H in milli-units and the Σ(c³−c) tie-correction mass,
+    * with H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) evaluated as
+    * (3000·Σ(r2_sum² div n_g)) div (N(N+1)) − 3000(N+1) — every
+    * division floors a nonnegative quantity, so Spark's truncating
+    * `div` and DuckDB's `//` agree bit-for-bit.
+    *
+    * Scale shape: two hash aggregates over the raw rows (value
+    * grain and (group, value) grain), one cumulative window over
+    * the DISTINCT-VALUE frame (bounded by the value domain, not the
+    * row count), a value-keyed equi-join, and a 1-row totals
+    * broadcast. Magnitudes: r2_sum ≤ 2N² rides as DECIMAL(38,0)
+    * through its square (int64 would clear only to N ≈ 2·10⁹
+    * before r2_sum² overflows at N ≈ 6·10⁴ — hence the decimal
+    * ladder from the first multiply); the published h_milli and
+    * rbar2_micro are small longs.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val d = df.select(col(groupCol).as("grp"),
+        col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull && col("grp").isNotNull)
+    val vc = d.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranks = vc
+      .withColumn("before", coalesce(sum(col("cnt")).over(wv), lit(0L)))
+      .select(col("v"),
+        (lit(2L) * col("before") + col("cnt") + lit(1L)).as("midrank2"))
+    val gv = d.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("m"))
+    val perGroup = gv.join(ranks, "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("m")).as("n_g"),
+        sum(dec(col("m")) * col("midrank2")).as("r2_sum_d"))
+      .select(col("grp"), col("n_g"),
+        col("r2_sum_d").cast("long").as("r2_sum"),
+        expr("(1000000 * r2_sum_d) div n_g").as("rbar2_micro"),
+        expr("(r2_sum_d * r2_sum_d) div n_g").as("term"))
+    val ties = vc.agg(
+      (sum(dec(col("cnt")) * col("cnt") * col("cnt")) -
+        sum(dec(col("cnt")))).cast("long").as("tie_cube"))
+    val totals = perGroup
+      .agg(sum(col("n_g")).as("n_total"), sum(dec(col("term"))).as("st"))
+      .select(col("n_total"),
+        expr("(3000 * st) div (n_total * (n_total + 1)) " +
+          "- 3000 * (n_total + 1)").as("h_milli"))
+      .crossJoin(ties)
+    perGroup.crossJoin(broadcast(totals))
+      .select(col("grp"), col("n_g"), col("r2_sum"), col("rbar2_micro"),
+        col("n_total"), col("tie_cube"), col("h_milli"))
+      .orderBy(col("grp"))
+  }
 }

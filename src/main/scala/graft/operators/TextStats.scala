@@ -992,4 +992,57 @@ object TextStats {
         max(col("score_micro")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("phrase")).limit(k)
   }
+
+  /** Heaps'-law vocabulary growth curve (Heaps 1978): how fast the
+    * distinct-token vocabulary grows as the corpus accretes in
+    * doc_id order — the curve whose flattening tells a pipeline when
+    * more data stops buying new vocabulary (and whose K·nᵝ fit is a
+    * notebook exercise over these exact checkpoints). The corpus is
+    * split into `buckets` equal doc_id ranges; each checkpoint row
+    * reports the bucket's own doc/token mass plus the cumulative
+    * docs, tokens, and vocabulary through it. "New vocabulary" per
+    * bucket = tokens whose FIRST bucket (min over occurrences) is
+    * this one, so the cumulative sum is exactly |vocab(prefix)| —
+    * no prefix re-scans.
+    *
+    * Scale shape: one tokenize/explode pass feeding two hash
+    * aggregates (token-keyed first-seen — bounded by vocabulary, and
+    * bucket-keyed mass — `buckets` rows), then cumulative windows
+    * over the `buckets`-row frame only; the raw token grain is never
+    * sorted or windowed. The doc_id→bucket map is pure arithmetic
+    * off a 1-row min/max broadcast — no rank over docs. Exact
+    * integers end to end.
+    */
+  def heapsLaw(docs: DataFrame, buckets: Int = 20): DataFrame = {
+    val bounds = docs.agg(min(col("doc_id")).as("lo"),
+      max(col("doc_id")).as("hi"))
+    val bucketed = docs.select(col("doc_id"), col("text"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        least(lit(buckets - 1),
+          expr(s"(($buckets * (doc_id - lo)) div (hi - lo + 1))"))
+          .cast("long").as("bucket"),
+        col("text"))
+    val tok = bucketed.select(col("bucket"),
+      explode(Dedup.tokens(col("text"))).as("w"))
+    val docMass = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tokMass = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val newVocab = tok.groupBy(col("w"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val wCum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docMass
+      .join(tokMass, Seq("bucket"), "left")
+      .join(newVocab, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_vocab"), lit(0L)).as("new_vocab"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wCum))
+      .withColumn("cum_vocab", sum(col("new_vocab")).over(wCum))
+      .orderBy(col("bucket"))
+  }
 }

@@ -338,6 +338,16 @@ private[graft] object RegEventsB {
       // same-day cart abandonment at the (user, day) grain
       // (Events.abandonRate)
       Events.abandonRate(t(s, dir, "events"))),
+    "events_spearman" -> ((s, dir) =>
+      // Spearman rank correlation of daily click vs purchase volume:
+      // doubled midranks, exact 4·Σd², floor-division rho_micro
+      // (Events.spearmanDaily)
+      Events.spearmanDaily(t(s, dir, "events"))),
+    "events_cross_corr" -> ((s, dir) =>
+      // lagged click→purchase cross-correlation: exact per-lag
+      // sufficient statistics + Pearson numerator over observed day
+      // pairs (Events.crossCorrDaily)
+      Events.crossCorrDaily(t(s, dir, "events"))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -914,5 +924,55 @@ private[graft] object RegEventsB {
                AS BIGINT) AS abandon_bp
       FROM ud WHERE clicked = 1
       GROUP BY day ORDER BY day""",
+    "events_spearman" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                     ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS BIGINT) AS y
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                 GROUP BY 1),
+      r AS (SELECT
+              count(*) OVER (PARTITION BY x) AS cx,
+              count(*) OVER (PARTITION BY y) AS cy,
+              2 * rank() OVER (ORDER BY x)
+                + count(*) OVER (PARTITION BY x) - 1 AS rx2,
+              2 * rank() OVER (ORDER BY y)
+                + count(*) OVER (PARTITION BY y) - 1 AS ry2
+            FROM d)
+      SELECT count(*) AS n_days,
+             CAST(sum((rx2 - ry2) * (rx2 - ry2)) AS BIGINT) AS sd2_4,
+             CAST(sum(CASE WHEN cx > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_x,
+             CAST(sum(CASE WHEN cy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ties_y,
+             CAST(CASE WHEN count(*) > 1 THEN
+               1000000 - (6000000 * sum((rx2 - ry2) * (rx2 - ry2)))
+                 // (4 * count(*) * (count(*) * count(*) - 1))
+               END AS BIGINT) AS rho_micro
+      FROM r""",
+    "events_cross_corr" -> """
+      WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                     ELSE 0 END) AS BIGINT) AS x,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS BIGINT) AS y
+                 FROM events
+                 WHERE event_type IN ('click', 'purchase')
+                 GROUP BY 1),
+      lg AS (SELECT unnest(range(0, 8)) AS lag),
+      p AS (SELECT lg.lag, a.x, b.y
+            FROM lg CROSS JOIN d a
+            JOIN d b ON a.day + lg.lag = b.day)
+      SELECT lag, count(*) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+               AS cov_num
+      FROM p GROUP BY lag ORDER BY lag""",
   )
 }

@@ -282,6 +282,13 @@ private[graft] object RegProfile {
           expr("(10000 * n_orders) div total").as("share_bp"))
         .orderBy(col("basket_size"))
     }),
+    "profile_kruskal_wallis" -> ((s, dir) =>
+      // nonparametric ANOVA: does n_chars differ across sources —
+      // rank-free doubled midranks at the (value, count) grain,
+      // DECIMAL(38,0) rank-sum squares, exact milli-unit H
+      // (Profile.kruskalWallis)
+      Profile.kruskalWallis(t(s, dir, "documents"), "source", "n_chars")
+        .withColumnRenamed("grp", "source")),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -486,5 +493,31 @@ private[graft] object RegProfile {
              max(event_id) - min(event_id) + 1 - count(DISTINCT event_id)
                AS missing_in_span
       FROM events GROUP BY 1 ORDER BY 1""",
+    "profile_kruskal_wallis" -> """
+      WITH d AS (SELECT source AS grp, n_chars AS v FROM documents
+                 WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+      vc AS (SELECT v, count(*) AS cnt FROM d GROUP BY 1),
+      rk AS (SELECT v,
+               2 * coalesce(sum(cnt) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS midrank2
+             FROM vc),
+      gv AS (SELECT grp, v, count(*) AS m FROM d GROUP BY 1, 2),
+      pg AS (SELECT grp, CAST(sum(m) AS BIGINT) AS n_g,
+               sum(CAST(m AS HUGEINT) * midrank2) AS r2s
+             FROM gv JOIN rk USING (v) GROUP BY 1),
+      tc AS (SELECT CAST(sum(CAST(cnt AS HUGEINT) * cnt * cnt)
+                      - sum(cnt) AS BIGINT) AS tie_cube FROM vc),
+      tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total,
+                sum((r2s * r2s) // n_g) AS st
+              FROM pg),
+      h AS (SELECT n_total,
+              CAST((3000 * st) // (n_total * (n_total + 1))
+                - 3000 * (n_total + 1) AS BIGINT) AS h_milli
+            FROM tot)
+      SELECT grp AS source, n_g, CAST(r2s AS BIGINT) AS r2_sum,
+             CAST((1000000 * r2s) // n_g AS BIGINT) AS rbar2_micro,
+             n_total, tie_cube, h_milli
+      FROM pg, h, tc ORDER BY source""",
   )
 }

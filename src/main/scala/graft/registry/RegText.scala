@@ -428,6 +428,12 @@ private[graft] object RegText {
         t(s, dir, "documents").select(col("doc_id"), col("text"))
           .repartition(par, col("doc_id")))
     }),
+    "text_heaps_law" -> ((s, dir) =>
+      // Heaps'-law vocabulary growth: cumulative docs/tokens/vocab at
+      // 20 doc_id-range checkpoints, first-seen-bucket accounting —
+      // no prefix re-scans (TextStats.heapsLaw)
+      TextStats.heapsLaw(
+        t(s, dir, "documents").select(col("doc_id"), col("text")))),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
@@ -1118,5 +1124,36 @@ private[graft] object RegText {
              CAST(max(score_micro) AS BIGINT) AS score_micro
       FROM ph GROUP BY phrase
       ORDER BY score_micro DESC, phrase LIMIT 20""",
+    "text_heaps_law" -> """
+      WITH bounds AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                      FROM documents),
+      bk AS (SELECT least(19, (20 * (doc_id - lo)) // (hi - lo + 1))
+               AS bucket, text
+             FROM documents, bounds),
+      tok AS (SELECT bucket,
+                unnest(list_filter(
+                  string_split_regex(lower(text), '\s+'),
+                  x -> x <> '')) AS w
+              FROM bk),
+      dm AS (SELECT bucket, count(*) AS n_docs FROM bk GROUP BY 1),
+      tm AS (SELECT bucket, count(*) AS n_tokens FROM tok GROUP BY 1),
+      nv AS (SELECT bucket, count(*) AS new_vocab
+             FROM (SELECT w, min(bucket) AS bucket FROM tok GROUP BY 1)
+             GROUP BY 1),
+      j AS (SELECT d.bucket, d.n_docs,
+              coalesce(t.n_tokens, 0) AS n_tokens,
+              coalesce(v.new_vocab, 0) AS new_vocab
+            FROM dm d LEFT JOIN tm t USING (bucket)
+            LEFT JOIN nv v USING (bucket))
+      SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+             CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(new_vocab AS BIGINT) AS new_vocab,
+             CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_docs,
+             CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_tokens,
+             CAST(sum(new_vocab) OVER (ORDER BY bucket) AS BIGINT)
+               AS cum_vocab
+      FROM j ORDER BY bucket""",
   )
 }

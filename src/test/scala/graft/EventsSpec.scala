@@ -1229,4 +1229,54 @@ class EventsSpec extends AnyFunSuite {
       r(day0).getAs[Long]("abandon_bp") == 5000)
     assert(r(day0 + 1).getAs[Long]("abandon_bp") == 0)
   }
+
+  test("spearmanDaily: perfect monotone series → rho_micro = 1e6; " +
+      "perfectly reversed → −1e6, Σd² exact") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    def series(xs: Seq[Int], ys: Seq[Int]) =
+      xs.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => ("click", ts(d, i))) } ++
+      ys.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map(i => ("purchase", ts(d, 500 + i))) }
+    val up = series(Seq(1, 2, 3), Seq(1, 2, 3))
+      .toDF("event_type", "ts")
+    val ru = Events.spearmanDaily(up).head()
+    assert(ru.getAs[Long]("n_days") == 3 && ru.getAs[Long]("sd2_4") == 0 &&
+      ru.getAs[Long]("rho_micro") == 1000000L &&
+      ru.getAs[Long]("ties_x") == 0)
+    val down = series(Seq(1, 2, 3), Seq(3, 2, 1))
+      .toDF("event_type", "ts")
+    val rd = Events.spearmanDaily(down).head()
+    // rx2=(2,4,6) vs ry2=(6,4,2): 4·Σd² = 16+0+16 = 32 → rho = −1
+    assert(rd.getAs[Long]("sd2_4") == 32 &&
+      rd.getAs[Long]("rho_micro") == -1000000L)
+  }
+
+  test("crossCorrDaily: hand-computed lag-0/1 sufficient statistics; " +
+      "pairless lags emit no rows") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    // x = (1,2,3), y = (2,4,6) over three consecutive days
+    val events = ((0 until 1).map(i => ("click", ts(0, i))) ++
+      (0 until 2).map(i => ("click", ts(1, i))) ++
+      (0 until 3).map(i => ("click", ts(2, i))) ++
+      (0 until 2).map(i => ("purchase", ts(0, 500 + i))) ++
+      (0 until 4).map(i => ("purchase", ts(1, 500 + i))) ++
+      (0 until 6).map(i => ("purchase", ts(2, 500 + i))))
+      .toDF("event_type", "ts")
+    val r = Events.crossCorrDaily(events).collect()
+      .map(x => x.getAs[Long]("lag") -> x).toMap
+    assert(r(0L).getAs[Long]("n_pairs") == 3 &&
+      r(0L).getAs[Long]("sxy") == 28 &&
+      r(0L).getAs[Long]("cov_num") == 3 * 28 - 6 * 12)
+    assert(r(1L).getAs[Long]("n_pairs") == 2 &&
+      r(1L).getAs[Long]("cov_num") == 2 * 16 - 3 * 10)
+    // only 3 days → lags 3..7 have no observed pairs, hence no rows
+    assert(!r.contains(3L) && r.size == 3)
+  }
 }

@@ -384,4 +384,32 @@ class OperatorsSpec extends AnyFunSuite {
     // two groups of 2 (incl. the NULL group): 1e6 − 1e6·8 div 16
     assert(got("nully") == ("nully", 4L, 2L, 500000L))
   }
+
+  test("kruskalWallis: hand-computed midranks on a 2-group split; " +
+      "identical groups give H at its floor") {
+    import spark.implicits._
+    // group a: {1, 2}, group b: {2, 3}. Distinct values 1,2,3 with
+    // counts 1,2,1 → doubled midranks 2·0+1+1=2, 2·1+2+1=5, 2·3+1+1=8.
+    // R2(a) = 2+5 = 7, R2(b) = 5+8 = 13; N=4.
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L))
+      .toDF("g", "v")
+    val r = graft.operators.Profile.kruskalWallis(df, "g", "v")
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    assert(r("a").getAs[Long]("r2_sum") == 7L)
+    assert(r("b").getAs[Long]("r2_sum") == 13L)
+    assert(r("a").getAs[Long]("rbar2_micro") == 3500000L)
+    assert(r("a").getAs[Long]("n_total") == 4L)
+    // ties: value 2 has c=2 → Σ(c³−c) = 6
+    assert(r("a").getAs[Long]("tie_cube") == 6L)
+    // H·1000 = (3000·(49 div 2 + 169 div 2)) div 20 − 3000·5
+    //        = (3000·(24+84)) div 20 − 15000 = 16200 − 15000 = 1200
+    assert(r("a").getAs[Long]("h_milli") == 1200L)
+    // both groups identical → rank sums equal, H hugs its floor
+    val eq = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val re = graft.operators.Profile.kruskalWallis(eq, "g", "v")
+      .collect().map(x => x.getAs[String]("grp") -> x).toMap
+    assert(re("a").getAs[Long]("r2_sum") == re("b").getAs[Long]("r2_sum"))
+    assert(re("a").getAs[Long]("h_milli") <= 0L)
+  }
 }

@@ -556,4 +556,26 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r("red green").getAs[Long]("n_words") == 2)
     assert(r("red").getAs[Long]("n_occ") == 1)
   }
+
+  test("heapsLaw: first-seen-bucket accounting makes cum_vocab the " +
+      "exact prefix vocabulary; repeated tokens add mass, not vocab") {
+    import spark.implicits._
+    // doc_ids 0..19 land one per bucket (20 buckets over [0,19]).
+    // Doc 0: "a b", doc 10: "a c" (a repeats, c is new), doc 19: "a".
+    val docs = Seq((0L, "a b"), (10L, "a c"), (19L, "a"))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.TextStats.heapsLaw(docs).collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(rows(0L).getAs[Long]("n_docs") == 1 &&
+      rows(0L).getAs[Long]("n_tokens") == 2 &&
+      rows(0L).getAs[Long]("cum_vocab") == 2)
+    assert(rows(10L).getAs[Long]("new_vocab") == 1 &&
+      rows(10L).getAs[Long]("cum_vocab") == 3 &&
+      rows(10L).getAs[Long]("cum_tokens") == 4)
+    assert(rows(19L).getAs[Long]("new_vocab") == 0 &&
+      rows(19L).getAs[Long]("cum_vocab") == 3 &&
+      rows(19L).getAs[Long]("cum_docs") == 3)
+    // only buckets with docs emit rows; cumulative columns still span
+    assert(rows.size == 3)
+  }
 }
