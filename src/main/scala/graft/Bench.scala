@@ -25,6 +25,30 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Cumulative stop-the-world GC milliseconds for this JVM — local
+    * mode runs driver and executors in one JVM, so the delta across a
+    * query's timed runs IS the executor GC tax that query paid (the
+    * r13 driver artifact had a ~200 s load window the canary series
+    * could only localize post-hoc; a per-query GC column makes the
+    * artifact self-diagnosing at the point of damage).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** Block-manager storage memory in use (MB) across executors — in
+    * local mode one entry. Read AFTER each query's sweep: a rising
+    * series across the suite means pinned blocks are accumulating
+    * (the r13 mid-suite pressure hypothesis this column exists to
+    * confirm or refute from the artifact alone).
+    */
+  private def storageUsedMb(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.sparkContext.getExecutorMemoryStatus.values
+      .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -111,6 +135,7 @@ object Bench {
       // repeat then measures the same memory state as run 1.
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val startOffset = (System.nanoTime() - benchT0) / 1e9
+      val gcBefore = gcMillis()
       // one timed run: build + count. A failed query must be VISIBLE
       // (name + reason), not a silent ~0s entry — the run continues so
       // one bad query can't hide the rest of the numbers.
@@ -148,6 +173,16 @@ object Bench {
       // short abort time into the median/min and silently deflate the
       // artifact the repeats feature exists to protect
       val overCap = df.isDefined && repeats > 1 && first >= repeatCap
+      if (overCap) {
+        // a first run over the cap is exactly where load windows do
+        // their damage (r13: three capped entries inflated 16-53x) —
+        // stamp a canary RIGHT HERE so the artifact shows machine
+        // load at the point of the suspect measurement, then take the
+        // confirmation pass
+        canaries += canaryProbe(spark, sfDir)
+        System.err.println(
+          f"BENCH canary[cap:$name] ${canaries.last}%8.2f s")
+      }
       val times =
         if (df.isEmpty || repeats == 1) Seq(first)
         else if (overCap) {
@@ -163,11 +198,14 @@ object Bench {
           if (ok.isDefined) Some(t) else None
         }
       val published = if (overCap) times.min else median(times)
+      val gcMs = gcMillis() - gcBefore
+      val storMb = storageUsedMb(spark)
       System.err.println(
         f"BENCH $name%-28s $published%8.2f s" + (if (times.size > 1)
           f"  (${if (overCap) "capped-min" else "median"} of ${times.size}, min ${times.min}%.2f)"
         else ""))
-      BenchResult(name, published, times.min, startOffset, overCap)
+      BenchResult(name, published, times.min, startOffset, overCap,
+        gcMs, storMb)
     }
     canaries += canaryProbe(spark, sfDir)
     System.err.println(f"BENCH canary[end] ${canaries.last}%8.2f s")
@@ -184,7 +222,14 @@ object Bench {
     def isSuspect(r: BenchResult): Boolean =
       r.min > 0 && r.published / r.min > 2.0 && r.published - r.min > 0.5
     val fnByName = queries.toMap
-    val requeued = results.filter(isSuspect).map { r =>
+    // capped entries are requeued UNCONDITIONALLY: their published
+    // number is already min-of-2, so the published/min ratio can never
+    // mark them suspect — yet both samples were taken back-to-back and
+    // a load window covers both (r13: multimodal_audio_meta published
+    // 36.4 s capped-min with an isolated truth of 0.68 s). One
+    // end-of-suite re-run per capped entry closes that blind spot at
+    // bounded cost.
+    val requeued = results.filter(r => isSuspect(r) || r.overCap).map { r =>
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       PlanCapture.drain()
       val t0 = System.nanoTime()
@@ -236,7 +281,15 @@ object Bench {
     // precision — goes to a FILE in the repo (committed each round, so
     // the per-query history stays diffable and the judge reads it
     // directly). The stdout line carries only what fits.
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
+    // per-query GC-time and post-sweep storage columns (full artifact
+    // only): a load/GC window is then visible at the point of damage,
+    // and a rising storage series across the suite exposes pinned-
+    // block accumulation without a judge-side re-bench (r13 Next #3)
+    val qsGc = adjudicated.map(r => s"\"" + r.name + "\":" + r.gcMs)
+      .mkString("{", ",", "}")
+    val qsStor = adjudicated.map(r => s"\"" + r.name + "\":" + r.storageMb)
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
@@ -291,6 +344,12 @@ object Bench {
     val elided = adjudicated.size - kept.size
     println(fixedHead + kept.mkString(",") +
       s"""},"queries_elided":$elided""" + fixedTail)
+    // teardown hygiene: drop the cross-query memoized frames and their
+    // pinned localCheckpoint blocks — in THIS harness the JVM exits
+    // anyway, but the memo is JVM-lifetime by design (SparkEntry
+    // scaladoc) and a long-lived host cycling sessions would leak
+    // without this call at every teardown (r13 finding #4)
+    SparkEntry.evictMemos(spark)
     spark.stop()
   }
 
@@ -300,5 +359,6 @@ object Bench {
     * the first timed query began, for post-hoc load-window mapping.
     */
   private final case class BenchResult(name: String, published: Double,
-      min: Double, startOffset: Double, overCap: Boolean)
+      min: Double, startOffset: Double, overCap: Boolean,
+      gcMs: Long = 0L, storageMb: Long = 0L)
 }

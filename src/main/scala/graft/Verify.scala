@@ -48,6 +48,9 @@ object Verify {
         SparkEntry.RecallDirToken, SparkEntry.recallDumpDir(sfDir)))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // teardown hygiene: release the cross-query memoized frames'
+    // pinned checkpoint blocks (see Bench — same rationale)
+    SparkEntry.evictMemos(spark)
     spark.stop()
   }
 }

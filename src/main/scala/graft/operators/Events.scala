@@ -1682,8 +1682,12 @@ object Events {
     * Scale shape: one day-grain hash aggregate (the only pass over
     * the raw events), then rank windows over the tiny daily frame —
     * identical posture to [[kendallDaily]] / [[theilSenDaily]].
-    * Magnitudes: sd2_4 ≤ 4·n(n²−1)/3; int64 clears past n = 10⁶
-    * days — unreachable for any calendar series.
+    * Magnitudes: sd2_4 ≤ 4·n(n²−1)/3 itself clears int64 past
+    * n = 10⁶ days, but the 6·10⁶ numerator multiply would wrap at
+    * n ≈ 10⁴ — so BOTH rho_micro operands ride DECIMAL(38,0)
+    * (numerator ≤ 8·10²⁴ at n = 10⁶, well inside 38 digits) and the
+    * final `div` emits a small long. OverflowSpec proves the claim
+    * at n = 10⁶ with worst-case anticorrelated ranks.
     */
   def spearmanDaily(events: DataFrame, typeA: String = "click",
       typeB: String = "purchase"): DataFrame = {
@@ -1693,6 +1697,14 @@ object Events {
         .as("x"),
         sum(when(col("event_type") === typeB, 1L).otherwise(0L))
           .as("y"))
+    spearmanFromDaily(d)
+  }
+
+  /** Rank-and-score stage of [[spearmanDaily]] over an already-built
+    * (day, x, y) frame — split out so OverflowSpec can drive the
+    * clearing-level claim at n = 10⁶ days directly.
+    */
+  private[graft] def spearmanFromDaily(d: DataFrame): DataFrame = {
     val wx = Window.orderBy(col("x"))
     val wy = Window.orderBy(col("y"))
     val ranked = d
@@ -1711,7 +1723,9 @@ object Events {
       .select(col("n_days"), col("sd2_4"), col("ties_x"), col("ties_y"),
         when(col("n_days") > 1,
           lit(1000000L) - expr(
-            "(6000000 * sd2_4) div (4 * n_days * (n_days * n_days - 1))"))
+            "(6000000 * CAST(sd2_4 AS DECIMAL(38,0))) div " +
+              "(4 * CAST(n_days AS DECIMAL(38,0)) * " +
+              "(CAST(n_days AS DECIMAL(38,0)) * n_days - 1))"))
           .as("rho_micro"))
   }
 

@@ -348,19 +348,6 @@ object Profile {
           .as("missing_in_span"))
       .orderBy(col("grain"))
 
-  /** Pairwise Pearson correlation matrix over a fixed set of numeric
-    * columns — the multi-column generalization of the q_stats_agg /
-    * assortativity discipline: values quantize to integer centi-units,
-    * ALL sufficient statistics (per-column sums and squares, per-pair
-    * cross sums) accumulate exactly in one single aggregation pass
-    * over the table (DECIMAL(38,0) — merge-order-independent at any
-    * parallelism), and only the final slope / r² are IEEE doubles of
-    * exact rationals. One scan, one scalar aggregate, zero joins —
-    * the profile step that normally costs k² passes costs one.
-    *
-    * Output: one row per unordered column pair (col_a, col_b, n,
-    * slope, r2), pairs in the given column order.
-    */
   /** Gini impurity per categorical column — the log-free concentration
     * profile (CART's split criterion, Breiman et al. 1984): impurity
     * = 1 − Σ(nᵢ/N)², reported exactly as `10⁶ − 10⁶·Σnᵢ² div N²` so
@@ -389,6 +376,19 @@ object Profile {
     }.reduce(_.unionByName(_))
   }
 
+  /** Pairwise Pearson correlation matrix over a fixed set of numeric
+    * columns — the multi-column generalization of the q_stats_agg /
+    * assortativity discipline: values quantize to integer centi-units,
+    * ALL sufficient statistics (per-column sums and squares, per-pair
+    * cross sums) accumulate exactly in one single aggregation pass
+    * over the table (DECIMAL(38,0) — merge-order-independent at any
+    * parallelism), and only the final slope / r² are IEEE doubles of
+    * exact rationals. One scan, one scalar aggregate, zero joins —
+    * the profile step that normally costs k² passes costs one.
+    *
+    * Output: one row per unordered column pair (col_a, col_b, n,
+    * slope, r2), pairs in the given column order.
+    */
   def corrMatrix(df: DataFrame, cols: Seq[(String, String)]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")

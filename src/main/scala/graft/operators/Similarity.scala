@@ -949,16 +949,6 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  /** Embedding health audit per label: exact integer L2-norm-squared
-    * statistics over the quantized vectors — the first thing to check
-    * when an embedding table degrades (collapsed vectors, scale
-    * drift, dead labels). min/max/mean of Σq² per label; the mean is
-    * a truncating div of the DECIMAL(38,0) sum (N·d·1e8 overflows
-    * int64 at corpus scale), everything else rides int64.
-    *
-    * Scale shape: one narrow per-row HOF fold (no explode) + one
-    * label-cardinality hash aggregate.
-    */
   /** Int8 symmetric-quantization audit — the compression feasibility
     * check run before shipping an embedding corpus at int8 (the
     * storage format ANN serving actually uses): per vector, quantize
@@ -996,6 +986,16 @@ object Similarity {
         col("code_wsum"))
   }
 
+  /** Embedding health audit per label: exact integer L2-norm-squared
+    * statistics over the quantized vectors — the first thing to check
+    * when an embedding table degrades (collapsed vectors, scale
+    * drift, dead labels). min/max/mean of Σq² per label; the mean is
+    * a truncating div of the DECIMAL(38,0) sum (N·d·1e8 overflows
+    * int64 at corpus scale), everything else rides int64.
+    *
+    * Scale shape: one narrow per-row HOF fold (no explode) + one
+    * label-cardinality hash aggregate.
+    */
   def normAudit(emb: DataFrame): DataFrame = {
     val q = quantize(col("embedding"))
     val norm2 = expr(

@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegText {
 
+  /** The corpus-LM score frame (doc_id, n_bigrams, mean_bp), built
+    * once per (session, sfDir) and shared by text_lm_score and
+    * text_lm_buckets via the cross-query memo — the explode-heavy
+    * three-pass pipeline runs exactly once per suite. Repartitioned
+    * off the single fixture row group like text_bigrams so the
+    * explode parallelizes.
+    */
+  private def lmScored(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "lm_score") {
+      val par = s.sparkContext.defaultParallelism
+      TextStats.lmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(par, col("doc_id")))
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi" -> ((s, dir) => {
       // collocation mining: pointwise-mutual-information association
@@ -153,13 +168,9 @@ private[graft] object RegText {
     "text_lm_score" -> ((s, dir) => {
       // corpus-as-its-own-language-model fluency scoring
       // (TextStats.lmScore): mean bigram conditional probability in
-      // integer basis points. Repartitioned off the single fixture
-      // row group like text_bigrams so the explode parallelizes.
-      val par = s.sparkContext.defaultParallelism
-      TextStats.lmScore(
-        t(s, dir, "documents").select(col("doc_id"), col("text"))
-          .repartition(par, col("doc_id")))
-        .orderBy(col("doc_id"))
+      // integer basis points — built once per suite via the shared
+      // memoized frame (text_lm_buckets reads the same scores)
+      lmScored(s, dir).orderBy(col("doc_id"))
     }),
     "text_postings" -> ((s, dir) => {
       // inverted index (IR/retrieval prep): term -> df + sorted
@@ -405,16 +416,15 @@ private[graft] object RegText {
       // — exact centi/bp integers end to end
       TextStats.gopherRules(
         t(s, dir, "documents").select(col("source"), col("text")))),
-    "text_lm_buckets" -> ((s, dir) => {
+    "text_lm_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail terciles of the corpus-LM fluency
-      // score, censused per source (Wenzek et al. 2020;
-      // TextStats.lmBuckets) — value-domain cuts, no row ranks
-      val par = s.sparkContext.defaultParallelism
-      TextStats.lmBuckets(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("source"))
-          .repartition(par, col("doc_id")))
-    }),
+      // score, censused per source (Wenzek et al. 2020) — value-domain
+      // cuts, no row ranks. Scores come from the SAME memoized frame
+      // text_lm_score publishes: one lmScore execution per suite
+      // (r13 finding #3 — the old spelling ran the 3-pass pipeline
+      // twice inside this query alone)
+      TextStats.lmBucketsFromScored(lmScored(s, dir),
+        t(s, dir, "documents").select(col("doc_id"), col("source")))),
     "text_length_bands" -> ((s, dir) =>
       // per-language p10/p50/p90 length profile at the (value, count)
       // grain (TextStats.lengthBands) — the input to chunking policy
@@ -1006,7 +1016,7 @@ private[graft] object RegText {
       WITH d AS (SELECT source,
           len(list_filter(string_split_regex(lower(text), '\s+'),
             w -> w <> '')) AS n_words,
-          length(replace(text, ' ', '')) AS sum_len,
+          length(regexp_replace(text, '\s', '', 'g')) AS sum_len,
           len(list_filter(list_filter(string_split_regex(lower(text),
             '\s+'), w -> w <> ''), w -> w IN ('the','a','of','to',
             'and','in','be','that'))) AS stop_hits,

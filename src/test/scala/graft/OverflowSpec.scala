@@ -211,6 +211,32 @@ class OverflowSpec extends AnyFunSuite {
       "negative-numerator div path must actually be exercised")
   }
 
+  test("spearmanFromDaily at the claimed n=1e6 days with worst-case " +
+      "anticorrelation: sd2_4 ~1.3e18 clears int64, the 6e6 numerator " +
+      "(~8e24 — would wrap int64 at n~1e4) rides DECIMAL(38,0)") {
+    import spark.implicits._
+    val n = 1000000
+    // x strictly ascending, y strictly descending: all ranks distinct,
+    // rx2 = 2i, ry2 = 2(n+1-i) → the exact Σd² worst case 4·n(n²−1)/3
+    val d = spark.range(1, n + 1L)
+      .select(col("id").as("day"), col("id").as("x"),
+        (lit(n + 1L) - col("id")).as("y"))
+    val row = Events.spearmanFromDaily(d).head()
+    val nb = BigInt(n)
+    val sd24 = BigInt(4) * nb * (nb * nb - 1) / 3
+    // claimed clearing levels: sd2_4 int64 at n=1e6; numerator decimal
+    assert(sd24 < BigInt(Long.MaxValue))
+    assert(BigInt(6000000) * sd24 > BigInt(Long.MaxValue),
+      "int64 numerator would have wrapped — decimal path must be real")
+    assert(BigInt(6000000) * sd24 < BigInt(10).pow(38))
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(row.getAs[Long]("sd2_4") == sd24.toLong)
+    val rho = BigInt(1000000) -
+      (BigInt(6000000) * sd24) / (BigInt(4) * nb * (nb * nb - 1))
+    assert(rho == BigInt(-1000000), "perfect anticorrelation → -1e6")
+    assert(row.getAs[Any]("rho_micro").toString == rho.toString)
+  }
+
   test("chiSquareFromCells at N=3e9 with maximally dependent margins: " +
       "the two-limb division clears where the single-limb 1e6*diff^2 " +
       "spelling provably overflowed DECIMAL(38,0)") {
