@@ -235,6 +235,70 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** Hamming-threshold perceptual near-dup pairs — the banded-LSH
+    * join the [[aHash]] scaladoc promises: each 64-bit hash splits
+    * into 4×16-bit band keys (flat long key, band index in the high
+    * bits — the `Dedup.simhashPairs` discipline), docs sharing ANY
+    * band become candidates via a plain equi-join, and candidates
+    * verify with exact popcount(a XOR b) ≤ maxHamming. With 4 bands
+    * the pigeonhole principle makes the banding LOSSLESS for
+    * maxHamming ≤ 3 (a pair within distance 3 cannot touch all four
+    * bands), so the DuckDB oracle's exact all-pairs popcount twin
+    * must match row-for-row — a banded plan with an exact answer.
+    *
+    * Scale shape: never all-pairs — candidates generate per
+    * 16-bit-band bucket (one equi-join shuffle on the flat key +
+    * distinct), so cost tracks bucket occupancy, not n². The decode
+    * runs once: callers that also register the hash/group queries
+    * pass the shared memoized hash frame to [[aHashNearFromHashes]].
+    * Output: (id_a, id_b, hamming).
+    */
+  def aHashNearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    aHashNearFromHashes(
+      aHash(docs).select(col("doc_id"), col("ahash")), maxHamming)
+
+  /** Band-join stage of [[aHashNearPairs]] over an already-built
+    * (doc_id, ahash) frame (shared per suite via the cross-query
+    * memo so the ImageIO decode runs once, not once per side of the
+    * self-join).
+    */
+  private[graft] def aHashNearFromHashes(hashes: DataFrame,
+      maxHamming: Int): DataFrame =
+    bandedHammingPairs(hashes, "ahash", Nil, maxHamming)
+
+  /** The shared 4×16-bit banded Hamming join: explode each int64
+    * hash into four flat band keys (band index in the high bits —
+    * one equi-join shuffle, never all-pairs), self-join on
+    * (extraKeys, band key) with id_a < id_b, verify candidates with
+    * exact popcount, distinct. Lossless for maxHamming ≤ 3 by
+    * pigeonhole (4 bands — a pair within distance 3 cannot touch all
+    * four). `extraKeys` ride the join so structurally incomparable
+    * hashes (e.g. different-length audio signals) never become
+    * candidates. Output: (id_a, id_b, hamming).
+    */
+  private[graft] def bandedHammingPairs(hashes: DataFrame,
+      hashCol: String, extraKeys: Seq[String],
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is only lossless for hamming <= 3 (got $maxHamming)")
+    val banded = hashes.select(
+      (Seq(col("doc_id"), col(hashCol)) ++ extraKeys.map(col) :+
+        explode(array((0 until 4).map(b =>
+          shiftrightunsigned(col(hashCol), b * 16)
+            .bitwiseAND(lit(0xFFFFL)) + lit(b * 65536L)): _*)).as("bk")): _*)
+    val joinCond = (Seq(col("a.bk") === col("b.bk"),
+      col("a.doc_id") < col("b.doc_id")) ++
+      extraKeys.map(k => col(s"a.$k") === col(s"b.$k")))
+      .reduce(_ && _)
+    banded.as("a")
+      .join(banded.as("b"), joinCond)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------------------
   // Audio leg — real RIFF/WAV containers via the JDK's
   // javax.sound.sampled (the audio analogue of the ImageIO leg above):
@@ -423,6 +487,79 @@ object Multimodal {
         expr("10000 * n_silent div n_frames").as("silence_bp"),
         col("clipped_n"))
   }
+
+  /** Sub-block size for the audio fingerprint: 20 samples = 2.5 ms at
+    * 8 kHz, 8 sub-blocks per 20 ms frame — fine enough that the
+    * energy-delta sign pattern discriminates signals the frame-grain
+    * features collapse.
+    */
+  val AudioFpBlock = 20
+
+  /** A doc's audio fingerprint row. */
+  case class AudioFp(doc_id: Long, n_blocks: Int, fp: Long)
+
+  /** Audio fingerprint from the real decode — the audio twin of the
+    * image [[aHash]], Haitsma–Kalker style (ISMIR 2002): split the
+    * PCM into [[AudioFpBlock]]-sample energy sub-blocks, take the
+    * sign of each consecutive energy delta, and pack bit k =
+    * `energy(k+1) > energy(k)` into an int64. Fixture docs carry
+    * 32–64 sub-blocks → ≤ 63 delta bits, so the packed value stays in
+    * the non-negative long range (bit 62 max) — every step integer,
+    * the hash a pure function of the samples, so the oracle
+    * re-derives every bit from the generator's closed-form PCM and a
+    * wrong byte anywhere in encode → shuffle → decode flips a
+    * verifiable bit. Output: (doc_id, n_blocks, fp).
+    */
+  def audioFingerprint(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    audioPayload(docs).as[AudioPayload].mapPartitions { it =>
+      it.map { p =>
+        val (_, pcm) = decodeWav(p)
+        val nb = pcm.length / AudioFpBlock
+        val en = new Array[Long](nb)
+        var b = 0
+        while (b < nb) {
+          var e = 0L
+          var t = b * AudioFpBlock
+          val end = t + AudioFpBlock
+          while (t < end) { val v = pcm(t).toLong; e += v * v; t += 1 }
+          en(b) = e
+          b += 1
+        }
+        var fp = 0L
+        var k = 0
+        while (k < nb - 1) {
+          if (en(k + 1) > en(k)) fp |= (1L << k)
+          k += 1
+        }
+        AudioFp(p.doc_id, nb, fp)
+      }
+    }.toDF()
+  }
+
+  /** Audio near-dup collapse: docs whose energy-delta fingerprints are
+    * identical at the same block count — the audio twin of
+    * [[aHashGroups]] (n_blocks joins the key so fingerprints of
+    * different-length signals never merge on a numeric coincidence).
+    * One hash aggregate over the narrow fingerprint frame. Output:
+    * (n_blocks, fp, n_docs, min_doc) for groups of ≥ 2.
+    */
+  def audioFpGroups(docs: DataFrame): DataFrame =
+    audioFingerprint(docs).groupBy(col("n_blocks"), col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
+  /** Hamming-threshold audio near-dup pairs — the audio twin of
+    * [[aHashNearPairs]], same [[bandedHammingPairs]] discipline with
+    * n_blocks riding the band join so different-length signals never
+    * become candidates. Lossless at maxHamming ≤ 3, so the exact
+    * all-pairs oracle twin matches row-for-row. Output: (id_a, id_b,
+    * hamming).
+    */
+  def audioFpNearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(audioFingerprint(docs), "fp", Seq("n_blocks"),
+      maxHamming)
 
   /** Resize planning over decoded metadata: fit into a `target`-sized
     * box preserving aspect ratio. All integer arithmetic

@@ -16,6 +16,28 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegIo {
 
+  /** The perceptual-hash frame (doc_id, width, height, ahash), built
+    * once per (session, sfDir) and shared by multimodal_phash,
+    * multimodal_phash_groups, and multimodal_phash_near via the
+    * cross-query memo — the partition-batched ImageIO decode runs
+    * exactly once per suite (and once total for the near-pair
+    * self-join's two sides).
+    */
+  private def aHashed(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "ahash") {
+      Multimodal.aHash(t(s, dir, "documents"))
+    }
+
+  /** The audio fingerprint frame (doc_id, n_blocks, fp), built once
+    * per (session, sfDir) and shared by the fp / groups / near-pair
+    * queries — one AudioSystem decode per suite (and once total for
+    * the near-pair self-join's two sides).
+    */
+  private def audioFps(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "audio_fp") {
+      Multimodal.audioFingerprint(t(s, dir, "documents"))
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_skipping" -> ((s, dir) => {
       // file-level min/max data skipping: clustered write → one-pass
@@ -101,14 +123,28 @@ private[graft] object RegIo {
     }),
     "multimodal_phash" -> ((s, dir) => {
       // perceptual average-hash over the real decoded rasters; the
-      // oracle re-derives every bit from the generator's closed form
-      Multimodal.aHash(t(s, dir, "documents")).orderBy(col("doc_id"))
+      // oracle re-derives every bit from the generator's closed form.
+      // Shared memoized hash frame: one ImageIO decode per suite
+      aHashed(s, dir).orderBy(col("doc_id"))
     }),
     "multimodal_phash_groups" -> ((s, dir) => {
       // image near-dup collapse: groups sharing an identical aHash
       // across different geometries/containers
-      Multimodal.aHashGroups(t(s, dir, "documents"))
+      aHashed(s, dir).groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
         .orderBy(col("ahash"))
+    }),
+    "multimodal_phash_near" -> ((s, dir) => {
+      // Hamming-threshold perceptual near-dup pairs: 4x16-bit band
+      // candidates + exact popcount verify (Multimodal.aHashNearPairs)
+      // — lossless for the <=3 threshold by pigeonhole, so the exact
+      // all-pairs oracle twin must match row-for-row. Banded plan,
+      // never all-pairs on the Spark side.
+      Multimodal.aHashNearFromHashes(
+        aHashed(s, dir).select(col("doc_id"), col("ahash")),
+        maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
     "multimodal_resize" -> ((s, dir) => {
       Multimodal.resizePlan(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -134,6 +170,29 @@ private[graft] object RegIo {
       // clipping audit, reduced to one per-doc row
       Multimodal.audioSilence(t(s, dir, "documents"))
         .orderBy(col("doc_id"))
+    }),
+    "multimodal_audio_fp" -> ((s, dir) => {
+      // Haitsma-Kalker-style audio fingerprint from the real decode:
+      // 2.5ms sub-block energies -> delta sign bits packed to int64;
+      // the oracle re-derives every bit from the closed-form PCM.
+      // Shared memoized frame: one AudioSystem decode per suite
+      audioFps(s, dir).orderBy(col("doc_id"))
+    }),
+    "multimodal_audio_fp_groups" -> ((s, dir) => {
+      // audio near-dup collapse — the audio twin of
+      // multimodal_phash_groups: identical (n_blocks, fp) groups
+      audioFps(s, dir).groupBy(col("n_blocks"), col("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_blocks"), col("fp"))
+    }),
+    "multimodal_audio_fp_near" -> ((s, dir) => {
+      // Hamming-threshold audio near-dup pairs — same banded-LSH
+      // discipline as multimodal_phash_near, n_blocks riding the band
+      // key; lossless at <=3, exact all-pairs oracle twin
+      Multimodal.bandedHammingPairs(audioFps(s, dir), "fp",
+        Seq("n_blocks"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- additional relational coverage ----
@@ -399,6 +458,84 @@ private[graft] object RegIo {
       SELECT ahash, count(*) AS n_docs, min(doc_id) AS min_doc
       FROM ph GROUP BY ahash HAVING count(*) >= 2
       ORDER BY ahash""",
+    // exact all-pairs twin of the banded Spark plan — losslessness of
+    // the 4x16-bit banding at hamming<=3 (pigeonhole) is exactly what
+    // this hash-compare proves: the LSH candidates plus popcount
+    // verify recover EVERY pair the quadratic scan finds
+    "multimodal_phash_near" -> s"""
+      WITH RECURSIVE $phashCteSql
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      ORDER BY id_a, id_b""",
+    // the audio-fingerprint oracles re-derive every delta-sign bit
+    // from the generator's closed-form PCM (same signal CTE as
+    // multimodal_audio_meta), packed via BIGINT shifts — the `least`
+    // clamp only guards the never-contributing last block (nxt NULL)
+    "multimodal_audio_fp" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 20 AS INT) AS blk,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i)),
+      en AS (SELECT doc_id, blk, sum(v * v) AS e FROM s GROUP BY doc_id, blk),
+      d AS (SELECT doc_id, blk, e,
+                   lead(e) OVER (PARTITION BY doc_id ORDER BY blk) AS nxt
+            FROM en)
+      SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+             CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL AND nxt > e
+               THEN (CAST(1 AS BIGINT) << least(blk, 62)) ELSE 0 END), 0)
+               AS BIGINT) AS fp
+      FROM d GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_audio_fp_groups" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 20 AS INT) AS blk,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i)),
+      en AS (SELECT doc_id, blk, sum(v * v) AS e FROM s GROUP BY doc_id, blk),
+      d AS (SELECT doc_id, blk, e,
+                   lead(e) OVER (PARTITION BY doc_id ORDER BY blk) AS nxt
+            FROM en),
+      f AS (SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+                   CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL AND nxt > e
+                     THEN (CAST(1 AS BIGINT) << least(blk, 62)) ELSE 0 END),
+                     0) AS BIGINT) AS fp
+            FROM d GROUP BY doc_id)
+      SELECT n_blocks, fp, count(*) AS n_docs, min(doc_id) AS min_doc
+      FROM f GROUP BY n_blocks, fp HAVING count(*) >= 2
+      ORDER BY n_blocks, fp""",
+    "multimodal_audio_fp_near" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 20 AS INT) AS blk,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i)),
+      en AS (SELECT doc_id, blk, sum(v * v) AS e FROM s GROUP BY doc_id, blk),
+      d AS (SELECT doc_id, blk, e,
+                   lead(e) OVER (PARTITION BY doc_id ORDER BY blk) AS nxt
+            FROM en),
+      f AS (SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+                   CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL AND nxt > e
+                     THEN (CAST(1 AS BIGINT) << least(blk, 62)) ELSE 0 END),
+                     0) AS BIGINT) AS fp
+            FROM d GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM f a JOIN f b ON a.doc_id < b.doc_id
+           AND a.n_blocks = b.n_blocks
+      WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      ORDER BY id_a, id_b""",
     "jsonl_documents" -> s"""
       SELECT doc_id,
              '{"doc_id":' || coalesce(CAST(doc_id AS VARCHAR), 'null') ||

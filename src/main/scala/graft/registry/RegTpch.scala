@@ -16,7 +16,134 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegTpch {
 
+  /** Deterministic `partsupp` derived from the fixture's part ×
+    * supplier (the driver ships no partsupp parquet): dbgen's spread
+    * — 4 suppliers per part at offsets i·⌊S/4⌋ (mod S) — with
+    * availqty/supplycost as fixed integer congruences of
+    * (partkey, i), so BOTH engines rebuild the identical table from
+    * the same two dims and Q2/Q11/Q20 become oracle-checkable.
+    * Supplycost is integer CENTS (the suite's money discipline).
+    * Built once per (session, sfDir) via the cross-query memo; the
+    * supplier count is a dim-sized scalar job. Fact-sized output
+    * (4×|part|) — downstream joins against it shuffle on its keys,
+    * dims broadcast.
+    */
+  private def partsupp(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "partsupp") {
+      val nSupp = t(s, dir, "supplier").count()
+      t(s, dir, "part")
+        .select(col("p_partkey").as("ps_partkey"),
+          explode(sequence(lit(0L), lit(3L))).as("i"))
+        .select(col("ps_partkey"),
+          pmod(col("ps_partkey") + col("i") * lit(nSupp / 4),
+            lit(nSupp)).as("ps_suppkey"),
+          (pmod(col("ps_partkey") * 11 + col("i") * 13, lit(9999L)) + 1L)
+            .as("ps_availqty"),
+          (pmod(col("ps_partkey") * 7919 + col("i") * 104729,
+            lit(99901L)) + 100L).as("ps_supplycost_c"))
+    }
+
+  /** The SQL twin of [[partsupp]] — prefix for the Q2/Q11/Q20
+    * oracles (all operands non-negative, so `%` ≡ `pmod`).
+    */
+  private val psCteSql: String = """
+    ps AS (SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * ((SELECT count(*) FROM supplier) // 4))
+                % (SELECT count(*) FROM supplier) AS ps_suppkey,
+             CAST((p_partkey * 11 + i * 13) % 9999 + 1 AS BIGINT)
+               AS ps_availqty,
+             CAST((p_partkey * 7919 + i * 104729) % 99901 + 100 AS BIGINT)
+               AS ps_supplycost_c
+           FROM part, UNNEST(range(4)) t(i))"""
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q2" -> ((s, dir) => {
+      // Q2 minimum-cost supplier over the derived partsupp, adapted
+      // to the fixture's vocabulary (p_type = 'ECONOMY', p_size <= 10
+      // for the '%BRASS'/size=15 predicates; acctbal reported as
+      // exact cents). Min cost per part = one hash aggregate over the
+      // Europe-filtered partsupp, re-joined on (part, cost) — the
+      // correlated-subquery shape flattened into agg+join; every dim
+      // (supplier⋈nation⋈region, filtered part) broadcasts, the only
+      // shuffles are partsupp's own aggregate/join keys. s_name is
+      // unique per supplier, so the order-by chain is total.
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val pse = partsupp(s, dir)
+        .join(bcDim(eu), col("ps_suppkey") === col("s_suppkey"))
+      val mc = pse.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost_c")).as("min_c"))
+      pse.join(mc, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost_c") === col("min_c"))
+        .join(bcDim(t(s, dir, "part")
+            .filter(col("p_size") <= 10 && col("p_type") === "ECONOMY")
+            .select(col("p_partkey"), col("p_type"))),
+          col("ps_partkey") === col("p_partkey"))
+        .select(round(col("s_acctbal") * 100).cast("long").as("bal_c"),
+          col("s_name"), col("n_name"), col("p_partkey"), col("p_type"),
+          col("ps_supplycost_c"))
+        .orderBy(col("bal_c").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+    "tpch_q11" -> ((s, dir) => {
+      // Q11 important stock: per-part inventory value (cents ×
+      // availqty, exact int64 — ≤ 1e9/row, ≤ 8e12 total at any SF the
+      // congruences admit) among one nation's suppliers, kept when
+      // above 1/1000 of the total. The global total is a 1-row
+      // broadcast; the fraction test cross-multiplies (value·1000 >
+      // total) so no engine ever divides.
+      val nsup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = partsupp(s, dir)
+        .join(bcDim(nsup), col("ps_suppkey") === col("s_suppkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost_c") * col("ps_availqty"))
+          .as("value_c"))
+      val tot = v.agg(sum(col("value_c")).as("tot_c"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("value_c") * 1000 > col("tot_c"))
+        .select(col("ps_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("ps_partkey"))
+    }),
+    "tpch_q20" -> ((s, dir) => {
+      // Q20 potential part promotion: suppliers of 'small%' parts
+      // whose derived stock exceeds half of what they actually
+      // shipped in 1997 (availqty·2 > Σl_quantity, exact integers —
+      // the fixture's quantities are integral doubles). The 1997
+      // (part, supplier) shipment totals are a fact-side aggregate
+      // that shares partsupp's join keys; part and the final
+      // supplier⋈nation leg broadcast.
+      val q97 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      val cand = partsupp(s, dir)
+        .join(bcDim(t(s, dir, "part")
+            .filter(col("p_name").like("small%")).select(col("p_partkey"))),
+          col("ps_partkey") === col("p_partkey"))
+        .join(q97, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") * 2 > col("qty"))
+        .select(col("ps_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_9")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
     "tpch_q3" -> ((s, dir) => {
       // Q3 shipping priority (o_orderpriority stands in for the
       // fixture's missing o_shippriority). The selective segment
@@ -401,6 +528,53 @@ private[graft] object RegTpch {
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
+    "tpch_q2" -> s"""
+      WITH $psCteSql,
+      eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+             FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+      pse AS (SELECT ps.*, s_name, s_acctbal, n_name
+              FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+      mc AS (SELECT ps_partkey, min(ps_supplycost_c) AS min_c
+             FROM pse GROUP BY ps_partkey)
+      SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c, s_name,
+             n_name, p_partkey, p_type, ps_supplycost_c
+      FROM pse JOIN mc ON pse.ps_partkey = mc.ps_partkey
+           AND pse.ps_supplycost_c = mc.min_c
+           JOIN part ON p_partkey = pse.ps_partkey
+      WHERE p_size <= 10 AND p_type = 'ECONOMY'
+      ORDER BY bal_c DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "tpch_q11" -> s"""
+      WITH $psCteSql,
+      nsup AS (SELECT s_suppkey FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name = 'NATION_9'),
+      v AS (SELECT ps_partkey,
+                   sum(ps_supplycost_c * ps_availqty) AS value_c
+            FROM ps JOIN nsup ON ps_suppkey = s_suppkey
+            GROUP BY ps_partkey)
+      SELECT ps_partkey, CAST(value_c AS BIGINT) AS value_c
+      FROM v WHERE value_c * 1000 > (SELECT sum(value_c) FROM v)
+      ORDER BY value_c DESC, ps_partkey""",
+    "tpch_q20" -> s"""
+      WITH $psCteSql,
+      q97 AS (SELECT l_partkey, l_suppkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1, 2),
+      cand AS (SELECT DISTINCT ps_suppkey
+               FROM ps JOIN part ON p_partkey = ps_partkey
+                    JOIN q97 ON l_partkey = ps_partkey
+                            AND l_suppkey = ps_suppkey
+               WHERE p_name LIKE 'small%' AND ps_availqty * 2 > qty)
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN cand ON s_suppkey = ps_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_9'
+      ORDER BY s_suppkey""",
     "tpch_q4" -> """
       SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
       FROM orders

@@ -94,6 +94,94 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1L)))
   }
 
+  test("aHashNearPairs: the 4x16-bit banded join recovers EXACTLY the " +
+      "all-pairs hamming<=3 set (pigeonhole losslessness), never more") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 120)
+    val hashes = Multimodal.aHash(docs)
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toSeq
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).sortBy(p => (p._1, p._2))
+    val got = Multimodal.aHashNearPairs(docs, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq.map(p => (p._1, p._2, p._3))
+    assert(got == brute,
+      s"banded join diverged from brute force: got ${got.size} pairs, " +
+        s"expected ${brute.size}")
+    assert(brute.nonEmpty, "fixture slice must contain near pairs")
+    assert(brute.exists(_._3 > 0),
+      "slice must exercise non-identical near pairs, not just hash ties")
+  }
+
+  test("audioFingerprint packs the closed-form energy-delta sign bits; " +
+      "identical signals (ids congruent mod 640) fingerprint equal") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+      .union(Seq((641L, "x")).toDF("doc_id", "text"))
+    val got = Multimodal.audioFingerprint(docs)
+      .as[Multimodal.AudioFp].collect().sortBy(_.doc_id)
+    got.foreach { r =>
+      val n = (640 + (r.doc_id % 5) * 160).toInt
+      val nb = n / Multimodal.AudioFpBlock
+      assert(r.n_blocks == nb)
+      val en = (0 until nb).map { b =>
+        (b * 20 until (b + 1) * 20).map { t =>
+          val g = (r.doc_id + t / 160) % 5
+          val amp = if (g < 2) 0L else g
+          val raw = ((r.doc_id * 7 + t.toLong * 31) % 128) - 64
+          val v = math.max(-32768L, math.min(32767L, amp * raw * 300))
+          v * v
+        }.sum
+      }
+      var fp = 0L
+      for (k <- 0 until nb - 1) if (en(k + 1) > en(k)) fp |= (1L << k)
+      assert(r.fp == fp,
+        s"doc ${r.doc_id}: fingerprint ${r.fp} != closed-form $fp")
+      assert(r.fp >= 0L, "<=63 delta bits must stay in the positive range")
+    }
+    val byId = got.map(r => r.doc_id -> r.fp).toMap
+    assert(byId(1L) == byId(641L),
+      "mod-640-congruent ids write identical PCM, so fps must match")
+  }
+
+  test("audioFpNearPairs: banded join over (n_blocks, fp) recovers " +
+      "EXACTLY the all-pairs hamming<=3 set within equal-length " +
+      "signals, and never pairs different-length signals") {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") < 150)
+    val fps = Multimodal.audioFingerprint(docs)
+      .as[Multimodal.AudioFp].collect().toSeq
+    val brute = (for {
+      a <- fps; b <- fps
+      if a.doc_id < b.doc_id && a.n_blocks == b.n_blocks
+      d = java.lang.Long.bitCount(a.fp ^ b.fp) if d <= 3
+    } yield (a.doc_id, b.doc_id, d)).sortBy(p => (p._1, p._2))
+    val got = Multimodal.audioFpNearPairs(docs, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == brute,
+      s"banded join diverged: got ${got.size}, expected ${brute.size}")
+    assert(brute.nonEmpty && brute.exists(_._3 > 0),
+      "slice must exercise identical AND near fingerprints")
+  }
+
+  test("audioFpGroups collapses identical-signal docs and keys groups " +
+      "by (n_blocks, fp) so different-length signals never merge") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (641L, "b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioFpGroups(docs)
+      .select("n_docs", "min_doc").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)),
+      "exactly the mod-640 pair groups; the odd doc stays out")
+  }
+
   test("audio payloads are genuine RIFF/WAVE containers") {
     import spark.implicits._
     val payloads = Multimodal.audioPayload(

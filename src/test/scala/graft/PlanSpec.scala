@@ -317,9 +317,47 @@ class PlanSpec extends AnyFunSuite {
     assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("tpch_q2: min-cost-per-part is agg + equi-join over the " +
+      "derived partsupp — dims broadcast, no nested loop") {
+    val p = plan("tpch_q2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q11/q20: partsupp value and promotion plans are " +
+      "broadcast-dim + hash-agg shapes; the only nested loop is " +
+      "q11's 1-row total broadcast") {
+    val p11 = plan("tpch_q11")
+    assert(p11.contains("BroadcastHashJoin"), p11)
+    assert(!p11.contains("CartesianProduct"), p11)
+    val p20 = plan("tpch_q20")
+    assert(!p20.contains("BroadcastNestedLoopJoin"), p20)
+    assert(!p20.contains("CartesianProduct"), p20)
+  }
+
+  test("banded Hamming near-dup joins (image + audio) are hash " +
+      "equi-joins on the flat band key — no nested loop, no " +
+      "cartesian, never all-pairs") {
+    for (name <- Seq("multimodal_phash_near", "multimodal_audio_fp_near")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+        .findFirstIn(p).isDefined, s"$name must join on the band key:\n$p")
+    }
+  }
+
   test("text_lm_score: model joins are hash equi-joins — no nested " +
       "loop, no cartesian; the corpus stream aggregates map-side first") {
-    val p = plan("text_lm_score")
+    // audit the BUILDER plan, not the registry entry: the registry
+    // hands back the suite-shared memoized frame (one lmScore
+    // execution per suite), whose plan is just the checkpoint scan
+    import org.apache.spark.sql.functions.col
+    val p = graft.operators.TextStats.lmScore(
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text")))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)

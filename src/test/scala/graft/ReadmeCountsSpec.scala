@@ -58,6 +58,17 @@ class ReadmeCountsSpec extends AnyFunSuite {
       s"README says ${m.get.group(2)} tests; tree has $liveTests")
   }
 
+  test("the generated per-family query index matches a fresh render " +
+      "from the live registries (regenerate with tools.CoverageIndex)") {
+    val b = readme.indexOf(graft.tools.CoverageIndex.Begin)
+    val e = readme.indexOf(graft.tools.CoverageIndex.End)
+    assert(b >= 0 && e > b, "README lost the coverage-index markers")
+    val committed = readme.substring(b,
+      e + graft.tools.CoverageIndex.End.length)
+    assert(committed == graft.tools.CoverageIndex.render(),
+      "README's generated query index is stale — run tools.CoverageIndex")
+  }
+
   test("every oracle names a registered query, and the no_oracle set " +
       "is exactly the documented fourteen") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
