@@ -254,8 +254,11 @@ object Multimodal {
     * Output: (id_a, id_b, hamming).
     */
   def aHashNearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    // the pair pipeline reads the hash frame from several sides —
+    // pin the (narrow) hashes so the ImageIO decode runs once
     aHashNearFromHashes(
-      aHash(docs).select(col("doc_id"), col("ahash")), maxHamming)
+      aHash(docs).select(col("doc_id"), col("ahash")).localCheckpoint(),
+      maxHamming)
 
   /** Band-join stage of [[aHashNearPairs]] over an already-built
     * (doc_id, ahash) frame (shared per suite via the cross-query
@@ -266,37 +269,63 @@ object Multimodal {
       maxHamming: Int): DataFrame =
     bandedHammingPairs(hashes, "ahash", Nil, maxHamming)
 
-  /** The shared 4×16-bit banded Hamming join: explode each int64
-    * hash into four flat band keys (band index in the high bits —
-    * one equi-join shuffle, never all-pairs), self-join on
-    * (extraKeys, band key) with id_a < id_b, verify candidates with
-    * exact popcount, distinct. Lossless for maxHamming ≤ 3 by
-    * pigeonhole (4 bands — a pair within distance 3 cannot touch all
-    * four). `extraKeys` ride the join so structurally incomparable
-    * hashes (e.g. different-length audio signals) never become
-    * candidates. Output: (id_a, id_b, hamming).
+  /** The shared 4×16-bit banded Hamming join, tie-collapsed: band
+    * keys explode from the DISTINCT (extraKeys, hash) values — not
+    * from doc rows — so perceptual corpora with heavy hash ties
+    * (exactly what near-dup-rich image/audio sets look like) band D
+    * distinct hashes instead of N docs. Hash pairs within
+    * `maxHamming` then expand back to doc pairs through two
+    * hash-equality joins (same-hash pairs via one within-group
+    * self-join), i.e. the only quadratic work left is the OUTPUT
+    * itself. Banding: four flat 16-bit keys (band index in the high
+    * bits, one equi-join shuffle, never all-pairs), lossless for
+    * maxHamming ≤ 3 by pigeonhole (a pair within distance 3 cannot
+    * touch all four bands). `extraKeys` ride every join so
+    * structurally incomparable hashes (e.g. different-length audio
+    * signals) never pair. Output: (id_a, id_b, hamming), id_a < id_b.
     */
   private[graft] def bandedHammingPairs(hashes: DataFrame,
       hashCol: String, extraKeys: Seq[String],
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is only lossless for hamming <= 3 (got $maxHamming)")
-    val banded = hashes.select(
-      (Seq(col("doc_id"), col(hashCol)) ++ extraKeys.map(col) :+
+    val keyCols = extraKeys.map(col)
+    val distinctHashes = hashes
+      .groupBy((col(hashCol) +: keyCols): _*).agg(count(lit(1)).as("n"))
+      .drop("n")
+    val banded = distinctHashes.select(
+      (col(hashCol) +: keyCols :+
         explode(array((0 until 4).map(b =>
           shiftrightunsigned(col(hashCol), b * 16)
             .bitwiseAND(lit(0xFFFFL)) + lit(b * 65536L)): _*)).as("bk")): _*)
-    val joinCond = (Seq(col("a.bk") === col("b.bk"),
-      col("a.doc_id") < col("b.doc_id")) ++
-      extraKeys.map(k => col(s"a.$k") === col(s"b.$k")))
-      .reduce(_ && _)
-    banded.as("a")
-      .join(banded.as("b"), joinCond)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"b.$hashCol")))
-          .as("hamming"))
+    val bandCond = (Seq(col("a.bk") === col("b.bk"),
+      col(s"a.$hashCol") < col(s"b.$hashCol")) ++
+      extraKeys.map(k => col(s"a.$k") === col(s"b.$k"))).reduce(_ && _)
+    val hashPairs = banded.as("a")
+      .join(banded.as("b"), bandCond)
+      .select((Seq(col(s"a.$hashCol").as("ha"), col(s"b.$hashCol").as("hb"))
+        ++ extraKeys.map(k => col(s"a.$k"))): _*)
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming && col("hamming") > 0)
+    val sameCond = (Seq(col(s"a.$hashCol") === col(s"b.$hashCol"),
+      col("a.doc_id") < col("b.doc_id")) ++
+      extraKeys.map(k => col(s"a.$k") === col(s"b.$k"))).reduce(_ && _)
+    val samePairs = hashes.as("a")
+      .join(hashes.as("b"), sameCond)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(0).as("hamming"))
+    val crossCond = (cand: String, side: String, h: String) =>
+      (Seq(col(s"$cand.$h") === col(s"$side.$hashCol")) ++
+        extraKeys.map(k => col(s"$cand.$k") === col(s"$side.$k")))
+        .reduce(_ && _)
+    val crossPairs = hashPairs.as("p")
+      .join(hashes.as("x"), crossCond("p", "x", "ha"))
+      .join(hashes.as("y"), crossCond("p", "y", "hb"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id_b"),
+        col("p.hamming"))
+    samePairs.unionByName(crossPairs)
   }
 
   // ------------------------------------------------------------------
@@ -558,8 +587,8 @@ object Multimodal {
     * hamming).
     */
   def audioFpNearPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
-    bandedHammingPairs(audioFingerprint(docs), "fp", Seq("n_blocks"),
-      maxHamming)
+    bandedHammingPairs(audioFingerprint(docs).localCheckpoint(), "fp",
+      Seq("n_blocks"), maxHamming)
 
   /** Resize planning over decoded metadata: fit into a `target`-sized
     * box preserving aspect ratio. All integer arithmetic

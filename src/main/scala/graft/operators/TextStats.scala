@@ -1065,4 +1065,48 @@ object TextStats {
       .withColumn("cum_vocab", sum(col("new_vocab")).over(wCum))
       .orderBy(col("bucket"))
   }
+
+  /** Vocabulary-coverage (OOV) curve — the tokenizer-budget question
+    * asked before training a tokenizer on a corpus: if the vocabulary
+    * keeps only the top-k types (by frequency, ties broken
+    * lexicographically so the cut is engine-deterministic), what
+    * fraction of all token OCCURRENCES is covered? One row per
+    * requested k: (k, covered_tokens, total_tokens, coverage_bp),
+    * with k clamped to the realized vocabulary size (coverage is then
+    * 100%) so oversized budgets report honestly instead of dropping
+    * out.
+    *
+    * Scale shape: one token-grain hash aggregate (the only pass over
+    * the corpus) down to the VOCABULARY grain, then rank + running
+    * sum over that vocab-bounded frame — the [[zipf]]/[[heapsLaw]]
+    * posture; the k probe frame is |ks| rows and broadcasts into the
+    * final equi-join on the clamped rank.
+    */
+  def vocabCoverage(docs: DataFrame,
+      ks: Seq[Int] = Seq(5, 10, 20, 10000)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val freq = docs
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val byFreq = Window.orderBy(col("n").desc, col("w"))
+    val ranked = freq
+      .select(col("n"), row_number().over(byFreq).as("rk"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bounds = ranked.agg(max(col("rk")).as("vsize"),
+      max(col("cum")).as("total_tokens"))
+    ks.toDF("k")
+      .crossJoin(broadcast(bounds))
+      .select(col("k"), least(col("k").cast("long"), col("vsize"))
+        .as("eff_rk"), col("total_tokens"))
+      .join(ranked.select(col("rk"), col("cum")),
+        col("eff_rk") === col("rk"))
+      .select(col("k"), col("cum").as("covered_tokens"),
+        col("total_tokens"),
+        expr("10000 * cum div total_tokens").as("coverage_bp"))
+      .orderBy(col("k"))
+  }
 }

@@ -425,6 +425,34 @@ private[graft] object RegText {
       // twice inside this query alone)
       TextStats.lmBucketsFromScored(lmScored(s, dir),
         t(s, dir, "documents").select(col("doc_id"), col("source")))),
+    "text_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-budget OOV curve: share of token occurrences the
+      // top-k vocabulary covers (TextStats.vocabCoverage) — one
+      // token-grain agg, then rank/cumsum on the vocab-bounded frame;
+      // k=10000 exercises the clamp-to-vocab-size path
+      TextStats.vocabCoverage(
+        t(s, dir, "documents").select(col("text")))),
+    "text_fertility" -> ((s, dir) =>
+      // tokenizer fertility per language (subword tokens per
+      // whitespace word, chars per subword token — the multilingual
+      // tokenizer-health numbers from the BPE literature), exact
+      // integer bp/centi ratios over per-lang sums; one codegen'd
+      // projection + one lang-cardinality hash aggregate
+      t(s, dir, "documents").select(col("lang"),
+        size(expr("filter(split(lower(text), '\\\\s+'), w -> w <> '')"))
+          .cast("long").as("nw"),
+        size(regexp_extract_all(col("text"), lit("""\w+|[^\w\s]"""),
+          lit(0))).cast("long").as("ns"),
+        length(regexp_replace(col("text"), lit("\\s"), lit("")))
+          .cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_subtokens"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_subtokens"),
+          expr("10000 * n_subtokens div n_words").as("fertility_bp"),
+          expr("100 * n_chars div n_subtokens").as("chars_per_token_cp"))
+        .orderBy(col("lang"))),
     "text_length_bands" -> ((s, dir) =>
       // per-language p10/p50/p90 length profile at the (value, count)
       // grain (TextStats.lengthBands) — the input to chunking policy
@@ -766,6 +794,36 @@ private[graft] object RegText {
       SELECT doc_id,
              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
       FROM documents ORDER BY doc_id""",
+    "text_vocab_coverage" -> """
+      WITH f AS (SELECT w, count(*) AS n
+                 FROM (SELECT w FROM documents,
+                       UNNEST(string_split(lower(text), ' ')) AS u(w)
+                       WHERE w <> '')
+                 GROUP BY w),
+      r AS (SELECT row_number() OVER (ORDER BY n DESC, w) AS rk, n FROM f),
+      c AS (SELECT rk, CAST(sum(n) OVER (ORDER BY rk) AS BIGINT) AS cum
+            FROM r),
+      vs AS (SELECT CAST(max(rk) AS BIGINT) AS vsize,
+                    CAST(sum(n) AS BIGINT) AS total_tokens FROM r),
+      ks AS (SELECT * FROM (VALUES (5), (10), (20), (10000)) t(k))
+      SELECT k, cum AS covered_tokens, total_tokens,
+             (10000 * cum) // total_tokens AS coverage_bp
+      FROM ks CROSS JOIN vs JOIN c ON c.rk = least(k, vsize)
+      ORDER BY k""",
+    "text_fertility" -> """
+      WITH d AS (SELECT lang,
+          len(list_filter(string_split_regex(lower(text), '\s+'),
+            w -> w <> '')) AS nw,
+          len(regexp_extract_all(text, '\w+|[^\w\s]')) AS ns,
+          length(regexp_replace(text, '\s', '', 'g')) AS nc
+        FROM documents)
+      SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+             CAST(sum(ns) AS BIGINT) AS n_subtokens,
+             (10000 * CAST(sum(ns) AS BIGINT)) // CAST(sum(nw) AS BIGINT)
+               AS fertility_bp,
+             (100 * CAST(sum(nc) AS BIGINT)) // CAST(sum(ns) AS BIGINT)
+               AS chars_per_token_cp
+      FROM d GROUP BY lang ORDER BY lang""",
     "text_pmi" -> """
       WITH t AS (SELECT doc_id,
                    list_filter(string_split_regex(lower(text), '\s+'),

@@ -115,6 +115,42 @@ private[graft] object RegTpch {
         .select(col("ps_partkey"), col("value_c"))
         .orderBy(col("value_c").desc, col("ps_partkey"))
     }),
+    "tpch_q21" -> ((s, dir) => {
+      // Q21 suppliers-who-kept-orders-waiting, adapted with Q4's
+      // lateness stand-in (no commit/receipt dates in the fixture:
+      // "late" = shipped >60 days after the order date). The classic
+      // double correlated EXISTS/NOT EXISTS flattens into ONE
+      // per-order aggregate re-joined to the late rows: a late line
+      // qualifies iff its order has ≥2 distinct suppliers and exactly
+      // one distinct LATE supplier (necessarily this row's). Orders'
+      // date rides the fact join; supplier⋈nation broadcasts into the
+      // final count.
+      val l = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 60 DAYS")).as("late"))
+      val perOrder = l.groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supp"))
+      l.filter(col("late"))
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .join(bcDim(t(s, dir, "supplier")
+            .join(broadcast(t(s, dir, "nation")
+                .filter(col("n_name") === "NATION_9")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
     "tpch_q20" -> ((s, dir) => {
       // Q20 potential part promotion: suppliers of 'small%' parts
       // whose derived stock exceeds half of what they actually
@@ -557,6 +593,22 @@ private[graft] object RegTpch {
       SELECT ps_partkey, CAST(value_c AS BIGINT) AS value_c
       FROM v WHERE value_c * 1000 > (SELECT sum(value_c) FROM v)
       ORDER BY value_c DESC, ps_partkey""",
+    "tpch_q21" -> """
+      WITH l AS (SELECT l_orderkey, l_suppkey,
+                        l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE o_orderstatus = 'F')
+      SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE l1.late
+        AND n_name = 'NATION_9'
+        AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM l l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "tpch_q20" -> s"""
       WITH $psCteSql,
       q97 AS (SELECT l_partkey, l_suppkey,

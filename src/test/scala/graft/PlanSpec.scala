@@ -336,6 +336,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p20.contains("CartesianProduct"), p20)
   }
 
+  test("tpch_q21: the flattened EXISTS/NOT-EXISTS is one per-order " +
+      "aggregate re-joined on the order key — no nested loop, " +
+      "supplier dim broadcasts") {
+    val p = plan("tpch_q21")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("banded Hamming near-dup joins (image + audio) are hash " +
       "equi-joins on the flat band key — no nested loop, no " +
       "cartesian, never all-pairs") {
