@@ -56,6 +56,111 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"), col(textCol))
 
+  /** Paragraph-level corpus dedup, CCNet-style (Wenzek 2020: hash
+    * every paragraph, drop all but the FIRST occurrence corpus-wide —
+    * the pass that removes boilerplate headers/footers shared across
+    * pages without touching the rest of the doc). The fixture corpus
+    * is single-line space-separated text with no paragraph breaks, so
+    * "paragraph" here is its documented stand-in: consecutive
+    * NON-overlapping `blockTokens`-token blocks (distinct from
+    * [[duplicatedSpans]]'s overlapping character grams — blocks
+    * partition the doc, spans tile it). First occurrence = smallest
+    * (doc_id, block_idx) over the exact block text; keeping the text
+    * itself as the group key makes the op hash-free and oracle-exact
+    * (CCNet's SHA1 is a memory optimization, not semantics).
+    *
+    * Output: one row per doc — (doc_id, n_blocks, n_dup_blocks,
+    * keep_ppm) where keep_ppm = 10⁶·(n_blocks − n_dup_blocks) div
+    * n_blocks (docs with no tokens report 0 blocks, 10⁶ keep).
+    *
+    * 100 TB shape: exactly the [[exact]]-dedup discipline one grain
+    * down — explode to blocks (output ≈ corpus size in tokens), one
+    * shuffle keyed on block text for the min-occurrence aggregate,
+    * one broadcast-or-shuffle join back, one doc-grain rollup. No
+    * windows over the corpus, no quadratic stage; at scale the block
+    * text key would swap for its 128-bit hash (same plan shape).
+    */
+  def paragraphDedup(docs: DataFrame, blockTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blockTokens > 0)
+    val nBlocks = expr(
+      s"(size(tk) + ${blockTokens - 1}) div $blockTokens")
+    val blockIdx = when(nBlocks === 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nBlocks - 1))
+    val blocks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), col("tk"), explode(blockIdx).as("bi"))
+      .select(col("id"), col("bi"),
+        array_join(slice(col("tk"),
+          (col("bi") * blockTokens + 1).cast("int"), lit(blockTokens)),
+          " ").as("block"))
+    // first corpus-wide occurrence per block text: min (doc_id, idx)
+    val first = blocks.groupBy(col("block"))
+      .agg(min(struct(col("id"), col("bi"))).as("f"))
+      .select(col("block"), col("f.id").as("fid"), col("f.bi").as("fbi"))
+    val flagged = blocks.join(first, Seq("block"))
+      .select(col("id"),
+        when(col("id") === col("fid") && col("bi") === col("fbi"), 0L)
+          .otherwise(1L).as("is_dup"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("is_dup")).as("n_dup"))
+    docs.select(col(idCol).as("id"))
+      .join(flagged, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_blocks"),
+        when(coalesce(col("n_blocks"), lit(0L)) === 0, lit(1000000L))
+          .otherwise(expr(
+            "(1000000 * (n_blocks - n_dup)) div n_blocks"))
+          .as("keep_ppm"))
+  }
+
+  /** The transform half of [[paragraphDedup]]: rebuild every affected
+    * document with its duplicate blocks cut out (first corpus-wide
+    * occurrence survives in place; later copies vanish, CCNet's
+    * actual edit). Only docs that LOST at least one block are
+    * emitted — at corpus scale the unaffected majority passes through
+    * untouched upstream, and emitting only the edits keeps the output
+    * delta-sized. Output: (doc_id, clean_text, n_removed).
+    *
+    * Same plan as the audit — block explode, min-occurrence
+    * aggregate, join back — plus one doc-grain sort-free rebuild:
+    * kept blocks collect per doc and re-join in block order via
+    * array_sort over (idx, text) structs, so no window over the
+    * corpus is needed.
+    */
+  def paragraphScrub(docs: DataFrame, blockTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blockTokens > 0)
+    val nBlocks = expr(
+      s"(size(tk) + ${blockTokens - 1}) div $blockTokens")
+    val blockIdx = when(nBlocks === 0, array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), nBlocks - 1))
+    val blocks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), col("tk"), explode(blockIdx).as("bi"))
+      .select(col("id"), col("bi"),
+        array_join(slice(col("tk"),
+          (col("bi") * blockTokens + 1).cast("int"), lit(blockTokens)),
+          " ").as("block"))
+    val first = blocks.groupBy(col("block"))
+      .agg(min(struct(col("id"), col("bi"))).as("f"))
+      .select(col("block"), col("f.id").as("fid"), col("f.bi").as("fbi"))
+    val marked = blocks.join(first, Seq("block"))
+      .select(col("id"), col("bi"), col("block"),
+        (col("id") === col("fid") && col("bi") === col("fbi"))
+          .as("keep"))
+    marked.groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("bi"), col("block"))))),
+          s => s.getField("block")), " ").as("clean_text"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_removed"))
+      .filter(col("n_removed") > 0)
+      .select(col("id").as(idCol), col("clean_text"), col("n_removed"))
+  }
+
   /** Keep-latest snapshot dedup — the recrawl shape: of every row
     * sharing a key (canonical URL, entity id), keep only the one with
     * the highest `orderCol` (crawl time, version), ties broken by the

@@ -610,4 +610,54 @@ object Graph {
         col("b"))
       .limit(k)
   }
+
+  /** Deterministic random walks (the node2vec/DeepWalk sampling
+    * primitive, Perozzi 2014 — the corpus generator for graph
+    * embeddings): from every start node, `steps` hops where hop t out
+    * of node v picks neighbor rank `1 + (scramble(sdbm(v, seed=t))
+    * mod outdeg(v))` over the dst-sorted adjacency — no RNG, so the
+    * walk corpus is rerun-, partitioning- and engine-stable (the
+    * DuckDB twin replays the identical recurrence). On a symmetrized
+    * graph every reachable node has outdegree ≥ 1, so walks never
+    * strand; a genuinely dangling node would simply end its walk
+    * early on both engines.
+    *
+    * Output: (start, step, node) for step 0..steps — the flattened
+    * walk corpus.
+    *
+    * 100 TB shape: per hop, one equi-join of the walk frontier to the
+    * degree frame and one to the ranked adjacency (both shuffles on
+    * the node key, co-partitioned hop over hop) — never quadratic;
+    * the adjacency rank window is per-source, not global.
+    */
+  def randomWalks(edges: DataFrame, maxStartId: Long = 20L,
+      steps: Int = 3): DataFrame = {
+    require(steps >= 1)
+    val m = 2147483647L
+    val e = pinned(edges.select(col("src"), col("dst")))
+    val adj = e.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val starts = e.select(col("src").as("node")).distinct()
+      .filter(col("node") < maxStartId)
+    var walk = starts.select(col("node").as("start"),
+      col("node").as("cur"))
+    var out = walk.select(col("start"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val h = graft.functions.sdbm_hash(lit(t.toLong),
+        col("cur").cast("string"))
+      val pick = pmod(pmod(h, lit(m)) * lit(48271L), lit(m)) % col("deg")
+      walk = walk
+        .join(deg, walk("cur") === deg("src")).drop(deg("src"))
+        .withColumn("pick", pick)
+        .join(adj, walk("cur") === adj("src") &&
+          adj("rk") === col("pick") + 1)
+        .select(col("start"), col("dst").as("cur"))
+      out = out.unionByName(walk.select(col("start"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
 }

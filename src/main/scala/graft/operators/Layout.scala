@@ -67,6 +67,19 @@ object Layout {
     df.withColumn(partCol, to_date(col(tsCol)))
       .write.partitionBy(partCol).mode("overwrite").parquet(outDir)
 
+  /** Dynamic partition overwrite — the restatement primitive of a
+    * partitioned lake: rewrite ONLY the partitions present in `df`,
+    * leaving every other partition's files untouched (Spark's
+    * `partitionOverwriteMode=dynamic`; the default STATIC mode would
+    * delete the whole table root first — the classic
+    * restate-one-day-lose-three-years incident). At 100 TB the
+    * difference is rewriting one partition's files vs the table.
+    */
+  def overwritePartitionsDynamic(df: DataFrame, partCol: String,
+      outDir: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(outDir)
+
   /** File-level min/max data skipping — the manifest half of the
     * Iceberg/Delta idea, on plain parquet: after a clustered write,
     * build a (file, min, max) manifest for a column with one

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for the extended surface: media payloads
@@ -268,6 +269,45 @@ object Multimodal {
   private[graft] def aHashNearFromHashes(hashes: DataFrame,
       maxHamming: Int): DataFrame =
     bandedHammingPairs(hashes, "ahash", Nil, maxHamming)
+
+  /** Shot-boundary segmentation over per-source frame sequences —
+    * the video-pipeline scene-cut pass expressed on this fixture's
+    * image corpus: within each source, doc_id order is the frame
+    * order, and a new segment opens wherever the perceptual-hash
+    * distance to the previous frame exceeds `maxHamming`
+    * (popcount(aHash_t XOR aHash_{t−1}) — the standard cheap
+    * shot detector; the fixture's closed-form rasters drift smoothly
+    * with doc_id, median consecutive distance 8, so threshold 10
+    * yields a real mix of multi-frame shots and cuts). Consumes the
+    * already-decoded hash frame (one ImageIO pass per suite via the
+    * cross-query memo).
+    *
+    * Output: one row per segment — (source, seg_id, n_frames,
+    * first_doc, last_doc).
+    *
+    * 100 TB shape: one lag + one running-sum window, both partitioned
+    * by the sequence key (per video, here per source) — no global
+    * window, no joins beyond the hash↔meta equi-join; segments
+    * aggregate at shot grain.
+    */
+  def sceneCuts(hashes: DataFrame, meta: DataFrame,
+      maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hashes.select(col("doc_id"), col("ahash"))
+      .join(meta.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull, 1L)
+          .when(expr(s"bit_count(prev ^ ahash) > $maxHamming"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("cut")).over(cum))
+      .groupBy(col("source"), col("seg_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 
   /** The shared 4×16-bit banded Hamming join, tie-collapsed: band
     * keys explode from the DISTINCT (extraKeys, hash) values — not

@@ -491,4 +491,65 @@ object Profile {
         col("n_total"), col("tie_cube"), col("h_milli"))
       .orderBy(col("grp"))
   }
+
+  /** Cramér's V association strength between two categorical columns
+    * (Cramér 1946) — the normalized χ² the profiling pass reports so
+    * association is comparable ACROSS column pairs regardless of
+    * table size (raw χ² grows with N; V = √(χ²/(N·(min(r,c)−1))) is
+    * 0..1). Per-cell χ² terms use the fraction-cleared two-limb
+    * identity of [[graft.operators.Events.chiSquareFromCells]]
+    * (squares ride DECIMAL(38,0), exact while diff² < 10³⁸); the
+    * final root is [[graft.operators.Sampling.isqrt]] over
+    * `(10⁶·χ²_micro) div (N·df)` — a ≤10¹² operand, inside isqrt's
+    * exact range, giving V in exact ppm on both engines. Degenerate
+    * margins (a single-valued column, df = 0) report V = 0 rather
+    * than dividing by zero.
+    *
+    * Output: 1 row — (n_cells, n_rows, df_min, chi2_micro,
+    * cramers_v_ppm); n_cells is the FULL r×c grid (zero cells
+    * included — a zero cell with a large expected count is evidence
+    * OF dependence, so χ² sums over the whole grid).
+    *
+    * 100 TB shape: one hash aggregate to the contingency cells
+    * (bounded by the category-pair cardinality), margins and totals
+    * are cell-frame aggregates, everything after is broadcast-scalar
+    * arithmetic — the input is scanned exactly once.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val r = obs.groupBy(col("a")).agg(sum(col("o")).as("rt"))
+    val c = obs.groupBy(col("b")).agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("nt"))
+    // the FULL r×c grid, zero cells included — χ² over observed cells
+    // only underestimates association (a zero cell with a large
+    // expected count is evidence OF dependence, not absence of data)
+    val cell = r.select(col("a"), col("rt"))
+      .crossJoin(c.select(col("b"), col("ct")))
+      .join(obs, Seq("a", "b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val terms = cell.crossJoin(broadcast(n))
+      .select(col("nt"),
+        expr("""(CAST(o AS DECIMAL(38,0)) * nt - rt * ct) *
+                (CAST(o AS DECIMAL(38,0)) * nt - rt * ct)""").as("d2"),
+        expr("CAST(nt AS DECIMAL(38,0)) * rt * ct").as("dd"))
+      .select(col("nt"),
+        (expr("(d2 div dd)") * 1000000L +
+          expr("(1000000 * pmod(d2, dd)) div dd"))
+          .cast("long").as("term_micro"))
+    val k = cell.agg(count(lit(1)).as("n_cells"),
+      countDistinct(col("a")).as("ra"),
+      countDistinct(col("b")).as("cb"))
+    terms.groupBy(col("nt"))
+      .agg(sum(col("term_micro")).as("chi2_micro"))
+      .crossJoin(broadcast(k))
+      .withColumn("df_min", least(col("ra"), col("cb")) - 1L)
+      .withColumn("cramers_v_ppm",
+        when(col("df_min") <= 0 || col("nt") === 0, 0L)
+          .otherwise(Sampling.isqrt(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * chi2_micro)" +
+              " div (nt * df_min) AS BIGINT)"))))
+      .select(col("n_cells"), col("nt").as("n_rows"), col("df_min"),
+        col("chi2_micro"), col("cramers_v_ppm"))
+  }
 }

@@ -134,6 +134,236 @@ object Sampling {
       .select(col(idCol), col("tier"), col("iq"))
   }
 
+  /** Exact integer square root, both-engine identical: seed with the
+    * IEEE double sqrt (correctly rounded, so off by at most one ulp of
+    * the 53-bit mantissa from the true real root) and apply a ±1
+    * integer correction. Exact for x < 2⁵², which callers guarantee
+    * by construction (temperature ratios are ≤ 10¹²). The DuckDB twin
+    * spells the identical CASE.
+    */
+  private[graft] def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= x, s0 + 1)
+      .when(s0 * s0 > x, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-weighted mixture sampling at α = 1/2 — the
+    * multilingual rebalancing discipline of mT5 / XLM-R (sample
+    * stratum s with probability ∝ n_s^α so low-resource strata are
+    * up-weighted relative to their natural share): per-stratum
+    * keep-rate `keep_ppm_s = ⌊√(10¹²·n_min / n_s)⌋`, i.e.
+    * (n_min/n_s)^(1-α) scaled to parts-per-million and normalized so
+    * the SMALLEST stratum keeps everything — the standard way to
+    * realize α-sampling by thinning instead of replication. α is
+    * fixed at 1/2 because it is the one temperature whose power is
+    * integer-exact (isqrt); the ratio 10¹²·n_min/n_s rides
+    * DECIMAL(38,0) through the multiply (n_min can exceed 9·10⁶ at
+    * corpus scale) and is ≤ 10¹² after the divide, inside [[isqrt]]'s
+    * exact range. Membership is then the usual deterministic
+    * scrambled-hash draw: doc kept iff rank mod 10⁶ < keep_ppm.
+    *
+    * Output: one audit row per stratum — (stratum, n_docs, keep_ppm,
+    * n_kept) — the mixture designer's before/after table.
+    *
+    * 100 TB shape: stratum counts are one hash aggregate to a
+    * |strata|-row frame; n_min is a scalar broadcast back onto it;
+    * the keep decision joins docs to that broadcast frame and
+    * filters — a pure map over the corpus, no data-sized shuffle
+    * anywhere (the final audit aggregate is keyed on the stratum).
+    */
+  def mixtureTemperature(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("ratio", expr(
+        "CAST((CAST(1000000000000 AS DECIMAL(38,0)) * n_min)" +
+          " div n_docs AS BIGINT)"))
+      .withColumn("keep_ppm", isqrt(col("ratio")))
+      .select(col(strataCol), col("n_docs"), col("keep_ppm"))
+    df.select(col(idCol), col(strataCol))
+      .join(broadcast(rates), Seq(strataCol))
+      .filter(scrambledRank(col(idCol)) % lit(1000000L) < col("keep_ppm"))
+      .groupBy(col(strataCol), col("n_docs"), col("keep_ppm"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  /** Length-grouped batch assembly with padding-waste accounting —
+    * the fixed-shape-batch discipline (HF `LengthGroupedSampler`,
+    * Megatron sorted batching): group docs into token-length BANDS so
+    * batch-mates have similar lengths, shuffle WITHIN the band by the
+    * deterministic scrambled rank (the epoch shuffle, rerun-stable),
+    * and cut consecutive runs of `batchSize` docs into batches. Each
+    * batch pads every member to its own max length; the audit row
+    * reports the padding tax that banding is there to minimize:
+    * `waste_ppm = 10⁶·(padded − Σlen) div padded`.
+    *
+    * Output: one row per (band, batch) — (band, batch, n_docs,
+    * max_len, sum_len, waste_ppm).
+    *
+    * 100 TB shape: one shuffle on the band key (bounded cardinality),
+    * a within-band window for the running position, then a hash
+    * aggregate at batch grain — no global sort; the band width caps
+    * worst-case waste at `bandWidth/maxLen` regardless of corpus
+    * size, so the audit stays meaningful at any scale.
+    */
+  def lengthBatches(df: DataFrame, nTokensCol: Column,
+      batchSize: Int = 8, bandWidth: Long = 16L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(batchSize > 0 && bandWidth > 0)
+    val d = df.select(col(idCol), nTokensCol.cast("long").as("n_tokens"))
+      .withColumn("band", expr(s"n_tokens div $bandWidth"))
+    val w = Window.partitionBy(col("band"))
+      .orderBy(scrambledRank(col(idCol)), col(idCol))
+    d.withColumn("_rn", row_number().over(w))
+      .withColumn("batch", expr(s"(_rn - 1) div $batchSize"))
+      .groupBy(col("band"), col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("waste_ppm",
+        when(col("n_docs") * col("max_len") === 0, 0L)
+          .otherwise(expr("(1000000 * (n_docs * max_len - sum_len))" +
+            " div (n_docs * max_len)")))
+  }
+
+  /** One-pass Poisson bootstrap (Chamandy 2012; Efron 1979's
+    * resample weights ≈ Poisson(1) at corpus scale) — the
+    * uncertainty estimator that works on data too large to resample
+    * by copying: every row gets an integer weight per replicate drawn
+    * from Poisson(1), each replicate's weighted mean is computed in
+    * the same single pass, and the spread of the replicate means IS
+    * the bootstrap variance. Weights are deterministic: replicate r's
+    * draw for a row is the MINSTD-scrambled sdbm hash SEEDED with r,
+    * reduced mod 10⁴ and looked up against the Poisson(1) CDF in
+    * basis-points-of-10⁴ (3678/7357/9196/9809/9963/9993/9998/9999 →
+    * weights 0–8) — rerun- and partitioning-stable, identical in the
+    * SQL twin. Replicate means are milli-unit truncating divisions;
+    * the across-replicate variance uses the exact scaled identity
+    * (B·Σm² − (Σm)²) div B².
+    *
+    * Output: one row per stratum — (stratum, n_rows, est_milli
+    * [full-sample mean], boot_var_milli2 [variance of the B replicate
+    * means, milli²]).
+    *
+    * 100 TB shape: the replicate dimension is a constant-B explode
+    * (no shuffle), then ONE hash aggregate at (stratum, replicate)
+    * grain and one at stratum grain — the corpus is scanned once, and
+    * no replicate ever materializes as copied rows.
+    */
+  def poissonBootstrap(df: DataFrame, strataCol: String,
+      valueCol: String, b: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(b >= 2, "variance needs at least two replicates")
+    val cdf = Seq(3678L, 7357L, 9196L, 9809L, 9963L, 9993L, 9998L, 9999L)
+    val u = {
+      val h = sdbm_hash(col("r"), col(idCol).cast("string"))
+      pmod(pmod(h, lit(2147483647L)) * lit(48271L), lit(2147483647L)) %
+        lit(10000L)
+    }
+    val weight = cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val rep = df
+      .select(col(strataCol), col(idCol), col(valueCol).as("v"),
+        explode(sequence(lit(0L), lit(b - 1L))).as("r"))
+      .select(col(strataCol), col("v"), col("r"), weight.as("w"))
+      .groupBy(col(strataCol), col("r"))
+      .agg(sum(d(col("w")) * d(col("v"))).as("wv"),
+        sum(col("w")).as("sw"))
+      .select(col(strataCol),
+        expr("CAST(CASE WHEN sw = 0 THEN 0" +
+          " ELSE (1000 * wv) div sw END AS BIGINT)").as("m"))
+    val boot = rep.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("nb"), sum(d(col("m"))).as("sm"),
+        sum(d(col("m")) * d(col("m"))).as("sm2"))
+      .select(col(strataCol), expr(
+        "CAST((nb * sm2 - sm * sm) div (nb * nb) AS BIGINT)")
+        .as("boot_var_milli2"))
+    val full = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"CAST((1000 * sum(CAST($valueCol AS DECIMAL(38,0))))" +
+          " div count(1) AS BIGINT)").as("est_milli"))
+    full.join(boot, Seq(strataCol))
+  }
+
+  /** Neyman-optimal stratified allocation (Neyman 1934) — given a
+    * total budget of `k` samples, how many to draw from each stratum
+    * to minimize the variance of the estimated mean: n_h ∝ N_h·S_h
+    * (stratum size × stratum standard deviation; big AND noisy strata
+    * get more). The weight is computed EXACTLY without ever forming
+    * S_h: N_h·S_h = √(N_h·Σv² − (Σv)²) — the radicand is the scaled
+    * population variance identity, integer-exact in DECIMAL(38,0),
+    * and the root is [[isqrt]] (exact while the radicand < 2⁵², i.e.
+    * N_h·Σv² < 4.5·10¹⁵ — e.g. 10⁶ rows of values up to ~6·10⁴;
+    * beyond that, pre-scale v). Allocations are the truncating
+    * proportional split `(k·w_h) div Σw` — ≤ k total, remainder
+    * unassigned by design (the caller tops up deterministically).
+    *
+    * Output: (stratum, n_rows, w, alloc), one row per stratum.
+    *
+    * 100 TB shape: one hash aggregate to |strata| rows (sums and
+    * sum-of-squares are the only corpus-grain work, map-side
+    * combined), then scalar arithmetic on the broadcast total.
+    */
+  def neymanAllocation(df: DataFrame, strataCol: String,
+      valueCol: String, k: Long): DataFrame = {
+    require(k > 0)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val per = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(d(col(valueCol))).as("sv"),
+        sum(d(col(valueCol)) * d(col(valueCol))).as("sv2"))
+      .select(col(strataCol), col("n_rows"),
+        isqrt(expr("CAST(n_rows * sv2 - sv * sv AS BIGINT)")).as("w"))
+    val tot = per.agg(sum(col("w")).as("wt"))
+    per.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_rows"), col("w"),
+        when(col("wt") === 0, 0L)
+          .otherwise(expr(s"($k * w) div wt")).as("alloc"))
+  }
+
+  /** Deterministic round-robin interleave of strata into one training
+    * order — the data-ordering op that keeps every mini-batch
+    * source-mixed instead of feeding long single-source runs (order
+    * sensitivity is a known pretraining failure mode). Within each
+    * stratum, docs take their scrambled-hash epoch order; stratum
+    * s's i-th doc lands at global position (i−1)·S + idx(s), where
+    * idx is the stratum's rank in lexicographic order — exact
+    * round-robin while strata remain populated, with arithmetic-only
+    * positions (no global coordination).
+    *
+    * Output: the head of the interleaved order — (pos, stratum,
+    * doc_id), first `limit` positions.
+    *
+    * 100 TB shape: one window per stratum for the within-stratum
+    * rank (keyed shuffle), one |strata|-row broadcast for idx, and a
+    * TakeOrderedAndProject for the head — no global sort of the
+    * corpus.
+    */
+  def interleave(df: DataFrame, strataCol: String,
+      idCol: String = "doc_id", limit: Int = 60): DataFrame = {
+    require(limit > 0)
+    val sidx = df.select(col(strataCol)).distinct()
+      .withColumn("_sidx", row_number().over(
+        Window.orderBy(col(strataCol))))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(scrambledRank(col(idCol)), col(idCol))
+    val ranked = df.select(col(strataCol), col(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .join(broadcast(sidx), Seq(strataCol))
+    // |strata|-sized frame -> scalar (the documented collect grain)
+    val s = sidx.count()
+    ranked
+      .select(
+        ((col("_rk") - 1) * lit(s) + col("_sidx") - 1).as("pos"),
+        col(strataCol), col(idCol))
+      .orderBy(col("pos"))
+      .limit(limit)
+  }
+
   /** Per-stratum deterministic fixed-size sample: exactly `k` rows
     * from EACH stratum (fewer only where a stratum is smaller) — the
     * standard corpus-construction ask ("k docs per source"), chosen

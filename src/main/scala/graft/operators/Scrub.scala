@@ -143,4 +143,33 @@ object Scrub {
       d.withColumn(c, concat(lit(s"${prefix}_"),
         sdbm_hash(lit(0L), concat(lit(salt), col(c).cast("string")))))
     }
+
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * 2007) — the release-hygiene check run before publishing a
+    * dataset keyed on quasi-identifiers: every equivalence class over
+    * the `quasiCols` combination must contain at least `k` rows
+    * (re-identification resistance) AND at least `l` distinct values
+    * of the sensitive column (attribute-disclosure resistance —
+    * k-anonymity alone fails when a class is homogeneous in the
+    * sensitive attribute). Emits one row per equivalence class with
+    * both flags, so the caller both counts violations and sees WHICH
+    * classes to generalize or suppress.
+    *
+    * Output: (quasiCols…, n_rows, n_sensitive, k_ok, l_ok).
+    *
+    * 100 TB shape: one hash aggregate keyed on the quasi-identifier
+    * tuple with a distinct-count inside — the partial-aggregate path
+    * Spark already map-side-combines; output is |classes| rows, which
+    * a sane quasi-identifier choice keeps far below the input. No
+    * joins, no windows.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long = 5L, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1 && l >= 1)
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_ok", col("n_rows") >= k)
+      .withColumn("l_ok", col("n_sensitive") >= l)
+  }
 }

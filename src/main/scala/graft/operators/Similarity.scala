@@ -1010,4 +1010,54 @@ object Similarity {
           .cast("long").as("mean_norm2"))
       .orderBy(col("label"))
   }
+
+  /** Deterministic k-means (Lloyd 1982), `iters` assignment rounds
+    * over the ×10⁴-quantized embeddings — the clustering pass a
+    * corpus-curation pipeline runs for topic balancing / cluster-
+    * aware sampling. Everything is engine-exact: init centroids are
+    * the vectors of the k SMALLEST vec_ids (no RNG), assignment is
+    * argmin of the exact integer squared L2 distance with ties to the
+    * lowest cluster id, and centroid updates are per-dimension
+    * TRUNCATING division of the coordinate sums — Spark's `div` and
+    * DuckDB's `//` both round toward zero (verified on negative
+    * operands), so the spelling is shared verbatim. A cluster that
+    * loses every member simply drops out of the next round on both
+    * engines.
+    *
+    * Output: the post-iteration census — (cluster, n_vecs, inertia),
+    * inertia = Σ of each member's squared distance to its centroid.
+    *
+    * 100 TB shape: per round, one explode to (vec, dim) grain, one
+    * hash join against the (k·d)-row centroid frame, and two bounded
+    * aggregates — cost is k scans of the corpus per round with no
+    * quadratic stage; k and d bound every auxiliary frame, and the
+    * distance sums ride longs (≤ 4·10⁸ per dim, d·4·10⁸ per vector —
+    * int64-safe to d ≈ 2·10¹⁰).
+    */
+  def kmeans(emb: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    require(k > 0 && iters > 0)
+    val e = emb
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("d2"), col("cl"))
+    def assign(cent: DataFrame): DataFrame =
+      e.join(cent, Seq("i"))
+        .groupBy(col("vec_id"), col("cl"))
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cl"), col("d2"))
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cl"), col("i"), col("x").as("c"))
+    val last = (1 until iters).foldLeft(assign(init)) { (a, _) =>
+      val cent = e.join(a.select(col("vec_id"), col("cl")), Seq("vec_id"))
+        .groupBy(col("cl"), col("i"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("m"))
+        .select(col("cl"), col("i"), expr("s div m").as("c"))
+      assign(cent)
+    }
+    last.groupBy(col("cl").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+  }
 }

@@ -1109,4 +1109,102 @@ object TextStats {
         expr("10000 * cum div total_tokens").as("coverage_bp"))
       .orderBy(col("k"))
   }
+
+  /** Vocabulary drift between two deterministic corpus halves — the
+    * distribution-shift monitor run between crawl snapshots before a
+    * retrain (token-level total-variation distance is the standard
+    * drift alarm; a TV spike says the new data speaks differently).
+    * Halves are the scrambled-bucket split (bucket < 50 vs rest) so
+    * the measurement is rerun-stable; each side's token distribution
+    * quantizes to ppm by truncating division, and
+    * TV = Σ|ppm_a − ppm_b| div 2 — integer-exact on both engines.
+    *
+    * Output: 1 row — (n_tokens_a, n_tokens_b, vocab_a, vocab_b,
+    * vocab_shared, tv_ppm).
+    *
+    * 100 TB shape: one explode + one (side, token) hash aggregate,
+    * then a vocab-bounded full-outer self-merge — no corpus-grain
+    * join; the final fold is one pass over the vocabulary.
+    */
+  def vocabDrift(docs: DataFrame): DataFrame = {
+    val side = when(Sampling.bucket(col("doc_id")) < 50, "a")
+      .otherwise("b")
+    val tok = docs.select(side.as("side"),
+      explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("side"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = tok.groupBy(col("side")).agg(sum(col("c")).as("n"))
+    val ppm = tok.join(tot, Seq("side"))
+      .select(col("side"), col("tok"), col("c"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * c) div n AS BIGINT)")
+        .as("ppm"))
+    val a = ppm.filter(col("side") === "a")
+      .select(col("tok"), col("c").as("ca"), col("ppm").as("pa"))
+    val b = ppm.filter(col("side") === "b")
+      .select(col("tok"), col("c").as("cb"), col("ppm").as("pb"))
+    a.join(b, Seq("tok"), "full_outer")
+      .agg(
+        sum(coalesce(col("ca"), lit(0L))).as("n_tokens_a"),
+        sum(coalesce(col("cb"), lit(0L))).as("n_tokens_b"),
+        count(col("ca")).as("vocab_a"),
+        count(col("cb")).as("vocab_b"),
+        count(when(col("ca").isNotNull && col("cb").isNotNull, 1))
+          .as("vocab_shared"),
+        expr("""sum(abs(coalesce(pa, 0L) - coalesce(pb, 0L))) div 2""")
+          .as("tv_ppm"))
+  }
+
+  /** Nearest-centroid source classifier with its confusion matrix —
+    * the integer-exact skeleton of the quality/provenance classifier
+    * every pretraining pipeline trains (GPT-3's WebText-vs-crawl
+    * logistic filter, CCNet's fastText langid): learn per-source
+    * token profiles on the deterministic TRAIN split (scrambled
+    * bucket < trainPct, the [[Sampling.hashSplit]] discipline), score
+    * every held-out doc against every profile, and report the
+    * (actual source × predicted source) census. A doc's score for
+    * source s is Σ over its token OCCURRENCES of that token's
+    * training frequency in s, in parts-per-million — a multinomial
+    * likelihood with the logs dropped (monotone surrogate; exact
+    * integers beat float log-sums for the oracle hash, and the
+    * classifier's ORDER is what the confusion matrix measures).
+    * Prediction = max score, ties to the lexicographically first
+    * source. Test docs none of whose tokens occur in ANY profile
+    * drop out (no score row) — on this fixture the vocabulary is
+    * shared, so every test doc is scored.
+    *
+    * Output: (source, predicted, n_docs), ordered.
+    *
+    * 100 TB shape: the profile table is (vocab × sources) ppm ints —
+    * broadcastable even at web-corpus vocabularies (10⁷ rows); the
+    * token multiply rides DECIMAL(38,0) because a source's training
+    * token total passes 9·10¹² at corpus scale. Scoring is the
+    * exploded-token join against that broadcast followed by one
+    * (doc, source)-grain aggregate and one doc-grain window —
+    * shuffles keyed on the doc id only, nothing quadratic.
+    */
+  def sourceClassifier(docs: DataFrame, trainPct: Int = 80,
+      srcCol: String = "source"): DataFrame = {
+    require(trainPct > 0 && trainPct < 100)
+    val toks = docs.select(col("doc_id"), col(srcCol).as("src"),
+      explode(Dedup.tokens(col("text"))).as("tok"),
+      (Sampling.bucket(col("doc_id")) < trainPct).as("is_train"))
+    val profile = toks.filter(col("is_train"))
+      .groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = profile.groupBy(col("src"))
+      .agg(sum(col("c")).as("n_src"))
+    val weights = profile.join(totals, Seq("src"))
+      .select(col("src").as("src_w"), col("tok"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * c) div n_src AS BIGINT)")
+        .as("ppm"))
+    val scores = toks.filter(!col("is_train"))
+      .join(broadcast(weights), Seq("tok"))
+      .groupBy(col("doc_id"), col("src"), col("src_w"))
+      .agg(sum(col("ppm")).as("score"))
+    val byScore = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("src_w"))
+    scores.withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .groupBy(col("src").as(srcCol), col("src_w").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

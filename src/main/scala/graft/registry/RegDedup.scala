@@ -68,6 +68,17 @@ private[graft] object RegDedup {
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
     }),
+    "dedup_paragraphs" -> ((s, dir) =>
+      // CCNet-style paragraph dedup (20-token non-overlapping blocks
+      // as the fixture's paragraph stand-in): first corpus-wide
+      // occurrence survives, per-doc survival audit
+      Dedup.paragraphDedup(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
+    "dedup_paragraph_scrubbed" -> ((s, dir) =>
+      // the transform half: affected docs rebuilt with duplicate
+      // blocks cut out (delta-sized output, order-preserving rebuild)
+      Dedup.paragraphScrub(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "dedup_minhash" -> ((s, dir) =>
       mhPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -281,6 +292,58 @@ private[graft] object RegDedup {
     "dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, count(*) AS dup_count, text
       FROM documents GROUP BY text ORDER BY keep_id""",
+    "dedup_paragraphs" -> """
+      WITH t AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS ws FROM documents),
+      nb AS (SELECT doc_id, ws, (len(ws) + 19) // 20 AS n_blocks FROM t),
+      bl AS (SELECT doc_id, CAST(i AS BIGINT) AS bi,
+               array_to_string(ws[CAST(i * 20 + 1 AS INT)
+                 : CAST(i * 20 + 20 AS INT)], ' ') AS block
+             FROM nb, unnest(range(0, n_blocks)) AS r(i)),
+      f AS (SELECT block, doc_id AS fid, bi AS fbi FROM (
+              SELECT block, doc_id, bi, row_number() OVER (
+                PARTITION BY block ORDER BY doc_id, bi) AS rn
+              FROM bl) WHERE rn = 1),
+      fl AS (SELECT b.doc_id,
+               CASE WHEN b.doc_id = f.fid AND b.bi = f.fbi
+                    THEN 0 ELSE 1 END AS is_dup
+             FROM bl b JOIN f ON f.block = b.block),
+      agg AS (SELECT doc_id, count(*) AS n_blocks,
+                CAST(sum(is_dup) AS BIGINT) AS n_dup
+              FROM fl GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+             CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup_blocks,
+             CASE WHEN coalesce(a.n_blocks, 0) = 0 THEN 1000000
+                  ELSE (1000000 * (a.n_blocks - a.n_dup)) // a.n_blocks
+             END AS keep_ppm
+      FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
+    "dedup_paragraph_scrubbed" -> """
+      WITH t AS (SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')
+               AS ws FROM documents),
+      nb AS (SELECT doc_id, ws, (len(ws) + 19) // 20 AS n_blocks FROM t),
+      bl AS (SELECT doc_id, CAST(i AS BIGINT) AS bi,
+               array_to_string(ws[CAST(i * 20 + 1 AS INT)
+                 : CAST(i * 20 + 20 AS INT)], ' ') AS block
+             FROM nb, unnest(range(0, n_blocks)) AS r(i)),
+      f AS (SELECT block, doc_id AS fid, bi AS fbi FROM (
+              SELECT block, doc_id, bi, row_number() OVER (
+                PARTITION BY block ORDER BY doc_id, bi) AS rn
+              FROM bl) WHERE rn = 1),
+      mk AS (SELECT b.doc_id, b.bi, b.block,
+               (b.doc_id = f.fid AND b.bi = f.fbi) AS keep
+             FROM bl b JOIN f ON f.block = b.block)
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN keep THEN block END,
+               ' ' ORDER BY bi), '') AS clean_text,
+             CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed
+      FROM mk GROUP BY doc_id
+      HAVING CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) > 0
+      ORDER BY doc_id""",
     "dedup_edit_distance" -> """
       WITH aug AS (SELECT doc_id, text FROM documents
                    UNION ALL

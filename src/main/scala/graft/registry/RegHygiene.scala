@@ -81,6 +81,17 @@ private[graft] object RegHygiene {
     "scrub_counts" -> ((s, dir) => {
       Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
     }),
+    "scrub_k_anon" -> ((s, dir) =>
+      // release-hygiene audit: every (event_type, day) equivalence
+      // class needs ≥50 rows (k-anonymity) and ≥20 distinct users
+      // (l-diversity) before the table ships
+      Scrub.kAnonymity(
+        t(s, dir, "events").select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          col("user_id")),
+        quasiCols = Seq("event_type", "day"), sensitiveCol = "user_id",
+        k = 50L, l = 20L)
+        .orderBy(col("event_type"), col("day"))),
     "scrub_pseudonymize" -> ((s, dir) => {
       // user_id → salted stable token; event_id kept as the row key.
       // Same-user rows share a token (referential integrity), which
@@ -245,6 +256,15 @@ private[graft] object RegHygiene {
                 s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
                .mkString(", ")}
       FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
+    "scrub_k_anon" -> """
+      WITH d AS (SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day, user_id
+                 FROM events)
+      SELECT event_type, day, count(*) AS n_rows,
+             count(DISTINCT user_id) AS n_sensitive,
+             count(*) >= 50 AS k_ok,
+             count(DISTINCT user_id) >= 20 AS l_ok
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "basket_rules" -> """
       WITH it AS (SELECT DISTINCT l_orderkey AS basket,
                     l_partkey AS item FROM lineitem),

@@ -127,6 +127,12 @@ private[graft] object RegIo {
       // Shared memoized hash frame: one ImageIO decode per suite
       aHashed(s, dir).orderBy(col("doc_id"))
     }),
+    "multimodal_scene_cuts" -> ((s, dir) =>
+      // shot segmentation: per-source doc sequences cut where the
+      // consecutive aHash hamming exceeds 10 (shared memoized hash
+      // frame — no extra decode)
+      Multimodal.sceneCuts(aHashed(s, dir), t(s, dir, "documents"))
+        .orderBy(col("source"), col("seg_id"))),
     "multimodal_phash_groups" -> ((s, dir) => {
       // image near-dup collapse: groups sharing an identical aHash
       // across different geometries/containers
@@ -354,6 +360,34 @@ private[graft] object RegIo {
         } finally deleteRecursively(tmp)
       back.orderBy(col("event_type"))
     }),
+    "io_dynamic_overwrite" -> ((s, dir) => {
+      // partition restatement: write events partitioned by type, then
+      // DYNAMIC-overwrite only the lexicographically-first type's
+      // partition with doubled values (Layout.overwritePartitions-
+      // Dynamic) — every other partition's files must survive
+      // untouched. Oracle: the same restatement computed relationally.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dyn").toFile
+      val back =
+        try {
+          val out = new java.io.File(tmp, "events_by_type").toString
+          Layout.overwritePartitionsDynamic(ev, "event_type", out)
+          // 1-row scalar: the partition being restated
+          val first = ev.agg(min(col("event_type"))).head().getString(0)
+          Layout.overwritePartitionsDynamic(
+            ev.filter(col("event_type") === first)
+              .withColumn("value", col("value") * 2),
+            "event_type", out)
+          s.read.parquet(out)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)"))
+                .cast("double").as("sum_value"))
+            .localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_type"))
+    }),
 
     // ---- typed Aggregator (UDAF) surface ----
   )
@@ -453,6 +487,23 @@ private[graft] object RegIo {
     "multimodal_phash" -> s"""
       WITH RECURSIVE $phashCteSql
       SELECT doc_id, width, height, ahash FROM ph ORDER BY doc_id""",
+    "multimodal_scene_cuts" -> s"""
+      WITH RECURSIVE $phashCteSql,
+      sq AS (SELECT d.source, p.doc_id, p.ahash
+             FROM ph p JOIN documents d USING (doc_id)),
+      c AS (SELECT source, doc_id,
+              CASE WHEN lag(ahash) OVER w IS NULL THEN 1
+                   WHEN bit_count(xor(lag(ahash) OVER w, ahash)) > 10
+                     THEN 1
+                   ELSE 0 END AS cut
+            FROM sq WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      sg AS (SELECT source, doc_id,
+               CAST(sum(cut) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+             FROM c)
+      SELECT source, seg_id, count(*) AS n_frames,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM sg GROUP BY 1, 2 ORDER BY 1, 2""",
     "multimodal_phash_groups" -> s"""
       WITH RECURSIVE $phashCteSql
       SELECT ahash, count(*) AS n_docs, min(doc_id) AS min_doc
@@ -599,6 +650,14 @@ private[graft] object RegIo {
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type""",
+    "io_dynamic_overwrite" -> """
+      WITH f AS (SELECT min(event_type) AS ft FROM events)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(CASE WHEN event_type = f.ft THEN value * 2
+                           ELSE value END AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_value
+      FROM events, f
       GROUP BY event_type ORDER BY event_type""",
     // exact twin of the sketch-then-recount pipeline: the MG guarantee
     // (every key with freq > n/201 survives any merge tree) makes the

@@ -289,9 +289,50 @@ private[graft] object RegProfile {
       // (Profile.kruskalWallis)
       Profile.kruskalWallis(t(s, dir, "documents"), "source", "n_chars")
         .withColumnRenamed("grp", "source")),
+    "profile_cramers_v" -> ((s, dir) =>
+      // normalized χ² association between order status and priority —
+      // exact ppm Cramér's V via the two-limb χ² terms + isqrt
+      Profile.cramersV(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
+    "profile_cramers_v" -> """
+      WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
+                     count(*) AS o
+                   FROM orders GROUP BY 1, 2),
+      r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+      c AS (SELECT b, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+      n AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM obs),
+      cell AS (SELECT r.a, r.rt, c.b, c.ct,
+                 CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+               FROM r CROSS JOIN c
+               LEFT JOIN obs ON obs.a = r.a AND obs.b = c.b),
+      tm AS (SELECT nt,
+               (CAST(cell.o AS HUGEINT) * nt - rt * ct) *
+                 (CAST(cell.o AS HUGEINT) * nt - rt * ct) AS d2,
+               CAST(nt AS HUGEINT) * rt * ct AS dd
+             FROM cell, n),
+      tt AS (SELECT nt, CAST(sum((d2 // dd) * 1000000
+                 + (1000000 * (d2 % dd)) // dd) AS BIGINT) AS chi2_micro
+             FROM tm GROUP BY nt),
+      k AS (SELECT count(*) AS n_cells, count(DISTINCT a) AS ra,
+              count(DISTINCT b) AS cb FROM cell),
+      v AS (SELECT k.n_cells, tt.nt, least(k.ra, k.cb) - 1 AS df_min,
+              tt.chi2_micro,
+              CASE WHEN least(k.ra, k.cb) - 1 <= 0 OR tt.nt = 0 THEN 0
+                   ELSE CAST((CAST(1000000 AS HUGEINT) * tt.chi2_micro)
+                        // (tt.nt * (least(k.ra, k.cb) - 1)) AS BIGINT)
+              END AS ratio
+            FROM tt, k)
+      SELECT n_cells, nt AS n_rows, CAST(df_min AS BIGINT) AS df_min,
+             chi2_micro,
+             CASE WHEN ratio = 0 THEN 0
+                  WHEN (s0 + 1) * (s0 + 1) <= ratio THEN s0 + 1
+                  WHEN s0 * s0 > ratio THEN s0 - 1
+                  ELSE s0 END AS cramers_v_ppm
+      FROM (SELECT *, CAST(floor(sqrt(CAST(ratio AS DOUBLE)))
+              AS BIGINT) AS s0 FROM v)""",
     "profile_sketch_lake_bounds" -> s"""
       WITH apx AS (SELECT event_type, est_users
                    FROM read_parquet('$RecallDirToken/profile_sketch_lake_bounds/*.parquet')),

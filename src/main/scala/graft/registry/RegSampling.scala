@@ -99,6 +99,37 @@ private[graft] object RegSampling {
         .select(col("doc_id"), col("source"), col("copy"))
         .orderBy(col("doc_id"), col("copy"))
     }),
+    "sample_mixture_temperature" -> ((s, dir) =>
+      // α=1/2 temperature rebalancing (mT5/XLM-R): per-LANGUAGE keep
+      // rate (n_min/n_l)^½ in ppm via exact isqrt — the language
+      // column is the fixture's one skewed stratum (en ≈ 3× fr), so
+      // the thinning branch actually fires; smallest language keeps
+      // everything, audit row per language
+      Sampling.mixtureTemperature(t(s, dir, "documents"), "lang")
+        .orderBy(col("lang"))),
+    "sample_poisson_bootstrap" -> ((s, dir) =>
+      // one-pass bootstrap: 8 deterministic Poisson(1) replicates of
+      // the per-source mean n_chars, variance of replicate means out
+      Sampling.poissonBootstrap(t(s, dir, "documents"), "source",
+        "n_chars", b = 8)
+        .orderBy(col("source"))),
+    "sample_neyman_alloc" -> ((s, dir) =>
+      // Neyman-optimal allocation of a 100-doc budget across sources
+      // by n_chars variability: w = isqrt(N·Σv² − (Σv)²) = N·S exact
+      Sampling.neymanAllocation(t(s, dir, "documents"), "source",
+        "n_chars", k = 100L)
+        .orderBy(col("source"))),
+    "sample_interleave" -> ((s, dir) =>
+      // deterministic round-robin source interleave (epoch order
+      // within source): head of the training order
+      Sampling.interleave(t(s, dir, "documents"), "source")
+        .orderBy(col("pos"))),
+    "sample_length_batches" -> ((s, dir) =>
+      // length-grouped batch assembly: 16-token bands, deterministic
+      // within-band epoch shuffle, batches of 8, padding-waste audit
+      Sampling.lengthBatches(t(s, dir, "documents"),
+        TextStats.nTokens(col("text")), batchSize = 8, bandWidth = 16L)
+        .orderBy(col("band"), col("batch"))),
     "sample_token_budget" -> ((s, dir) => {
       // per-source token budget over the same whitespace token count
       // text_token_stats pins; docs admitted in stable hash order
@@ -304,6 +335,125 @@ private[graft] object RegSampling {
       SELECT doc_id, source, CAST(i AS BIGINT) AS copy
       FROM c, UNNEST(range(1, copies + 1)) AS t(i)
       ORDER BY doc_id, copy""",
+    "sample_mixture_temperature" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      m AS (SELECT min(n_docs) AS n_min FROM c),
+      r AS (SELECT c.lang, c.n_docs,
+              CAST((CAST(1000000000000 AS HUGEINT) * m.n_min)
+                // c.n_docs AS BIGINT) AS ratio
+            FROM c, m),
+      q AS (SELECT lang, n_docs,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= ratio THEN s0 + 1
+                   WHEN s0 * s0 > ratio THEN s0 - 1
+                   ELSE s0 END AS keep_ppm
+            FROM (SELECT lang, n_docs, ratio,
+                    CAST(floor(sqrt(CAST(ratio AS DOUBLE))) AS BIGINT)
+                      AS s0 FROM r)),
+      kept AS (SELECT d.lang, count(*) AS n_kept
+               FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+                    JOIN q ON q.lang = d.lang
+               WHERE (((((s.hash % 2147483647) + 2147483647)
+                       % 2147483647) * 48271) % 2147483647) % 1000000
+                     < q.keep_ppm
+               GROUP BY 1)
+      SELECT q.lang, q.n_docs, q.keep_ppm, k.n_kept
+      FROM q JOIN kept k ON k.lang = q.lang
+      ORDER BY q.lang""",
+    "sample_poisson_bootstrap" -> s"""
+      WITH RECURSIVE ${sdbmCte(
+        "(SELECT doc_id, r FROM documents, UNNEST(range(0, 8)) AS t(r))",
+        "doc_id * 8 + r", "r", "CAST(doc_id AS VARCHAR)")},
+      pairs AS (SELECT d.doc_id, d.source, d.n_chars, t.r
+                FROM documents d, UNNEST(range(0, 8)) AS t(r)),
+      hs AS (SELECT p.source, p.n_chars, p.r,
+               (((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                 * 48271) % 2147483647) % 10000 AS u
+             FROM pairs p JOIN sdbm s ON s.sid = p.doc_id * 8 + p.r),
+      wts AS (SELECT source, n_chars, r,
+               CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
+                    WHEN u < 9196 THEN 2 WHEN u < 9809 THEN 3
+                    WHEN u < 9963 THEN 4 WHEN u < 9993 THEN 5
+                    WHEN u < 9998 THEN 6 WHEN u < 9999 THEN 7
+                    ELSE 8 END AS w
+             FROM hs),
+      rep AS (SELECT source, r,
+                CAST(CASE WHEN sum(w) = 0 THEN 0
+                     ELSE (1000 * sum(CAST(w AS HUGEINT) * n_chars))
+                          // sum(w) END AS BIGINT) AS m
+              FROM wts GROUP BY 1, 2),
+      boot AS (SELECT source,
+                 CAST((count(*) * sum(CAST(m AS HUGEINT) * m)
+                       - sum(CAST(m AS HUGEINT))
+                         * sum(CAST(m AS HUGEINT)))
+                      // (count(*) * count(*)) AS BIGINT)
+                   AS boot_var_milli2
+               FROM rep GROUP BY 1),
+      fl AS (SELECT source, count(*) AS n_rows,
+               CAST((1000 * sum(CAST(n_chars AS HUGEINT)))
+                 // count(*) AS BIGINT) AS est_milli
+             FROM documents GROUP BY 1)
+      SELECT f.source, f.n_rows, f.est_milli, b.boot_var_milli2
+      FROM fl f JOIN boot b USING (source) ORDER BY f.source""",
+    "sample_neyman_alloc" -> """
+      WITH per AS (SELECT source, count(*) AS n_rows,
+              sum(CAST(n_chars AS HUGEINT)) AS sv,
+              sum(CAST(n_chars AS HUGEINT) * n_chars) AS sv2
+            FROM documents GROUP BY 1),
+      rad AS (SELECT source, n_rows,
+                CAST(n_rows * sv2 - sv * sv AS BIGINT) AS rd
+              FROM per),
+      r AS (SELECT source, n_rows,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= rd THEN s0 + 1
+                   WHEN s0 * s0 > rd THEN s0 - 1
+                   ELSE s0 END AS w
+            FROM (SELECT source, n_rows, rd,
+                    CAST(floor(sqrt(CAST(rd AS DOUBLE))) AS BIGINT)
+                      AS s0 FROM rad)),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM r)
+      SELECT source, n_rows, w,
+             CASE WHEN wt = 0 THEN 0 ELSE (100 * w) // wt END AS alloc
+      FROM r, t ORDER BY source""",
+    "sample_interleave" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      si AS (SELECT source, row_number() OVER (ORDER BY source) AS sidx
+             FROM (SELECT DISTINCT source FROM documents)),
+      ns AS (SELECT count(*) AS s FROM si),
+      r AS (SELECT d.source, d.doc_id,
+              row_number() OVER (PARTITION BY d.source ORDER BY
+                ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                  * 48271) % 2147483647, d.doc_id) AS rk
+            FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT (r.rk - 1) * ns.s + si.sidx - 1 AS pos, r.source, r.doc_id
+      FROM r JOIN si USING (source), ns
+      ORDER BY pos LIMIT 60""",
+    "sample_length_batches" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      tok AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(text) - length(replace(text, ' ', '')) + 1
+                END AS n_tokens
+              FROM documents),
+      b AS (SELECT t.doc_id, t.n_tokens, t.n_tokens // 16 AS band,
+              ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                * 48271) % 2147483647 AS rk
+            FROM tok t JOIN sdbm s ON s.sid = t.doc_id),
+      w AS (SELECT band, n_tokens,
+              (row_number() OVER (PARTITION BY band
+                 ORDER BY rk, doc_id) - 1) // 8 AS batch
+            FROM b),
+      g AS (SELECT band, batch, count(*) AS n_docs,
+              max(n_tokens) AS max_len,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_len
+            FROM w GROUP BY 1, 2)
+      SELECT band, batch, n_docs, max_len, sum_len,
+             CASE WHEN n_docs * max_len = 0 THEN 0
+                  ELSE (1000000 * (n_docs * max_len - sum_len))
+                       // (n_docs * max_len) END AS waste_ppm
+      FROM g ORDER BY band, batch""",
     "sample_token_budget" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

@@ -151,6 +151,13 @@ private[graft] object RegSim {
       // leave-one-out 1-NN label accuracy over the capped slice
       Similarity.knnLabelAccuracy(
         t(s, dir, "embeddings").filter(col("vec_id") < 500))),
+    "sim_kmeans" -> ((s, dir) =>
+      // deterministic Lloyd k-means (k=4, 2 assignment rounds) over
+      // the quantized embeddings: init = lowest-k vec_ids, exact
+      // integer distances, floor-div centroid updates; per-cluster
+      // census + inertia out
+      Similarity.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2)
+        .orderBy(col("cluster"))),
     "sim_centroids" -> ((s, dir) => {
       // label centroids (exact truncated integer means per dimension)
       // and their pairwise cosines — the label-collision diagnostic
@@ -383,6 +390,30 @@ private[graft] object RegSim {
              (10000 * CAST(sum(CASE WHEN lbl = plbl THEN 1 ELSE 0 END)
                AS BIGINT)) // count(*) AS acc_bp
       FROM j""",
+    "sim_kmeans" -> s"""
+      WITH $qEmbSql,
+      c0 AS (SELECT vec_id AS cl, i, x AS c FROM e WHERE vec_id < 4),
+      d1 AS (SELECT e.vec_id, c0.cl,
+               sum((e.x - c0.c) * (e.x - c0.c)) AS d2
+             FROM e JOIN c0 USING (i) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM d1)
+             WHERE rn = 1),
+      m1 AS (SELECT a1.cl, e.i, CAST(sum(e.x) AS BIGINT) AS s,
+               count(*) AS m
+             FROM e JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      c1 AS (SELECT cl, i, s // m AS c FROM m1),
+      dt AS (SELECT e.vec_id, c1.cl,
+               sum((e.x - c1.c) * (e.x - c1.c)) AS d2
+             FROM e JOIN c1 USING (i) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cl, d2 FROM (
+               SELECT vec_id, cl, d2, row_number() OVER (
+                 PARTITION BY vec_id ORDER BY d2, cl) AS rn FROM dt)
+             WHERE rn = 1)
+      SELECT cl AS cluster, count(*) AS n_vecs,
+             CAST(sum(d2) AS BIGINT) AS inertia
+      FROM a2 GROUP BY 1 ORDER BY 1""",
     "sim_centroids" -> """
       WITH qe AS (SELECT label, list_transform(embedding,
                x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))

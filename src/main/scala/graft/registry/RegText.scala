@@ -305,6 +305,20 @@ private[graft] object RegText {
         .groupBy(col("lang_label"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_label"), col("pred_lang"))),
+    "text_vocab_drift" -> ((s, dir) =>
+      // snapshot drift monitor: token TV-distance between the two
+      // scrambled-bucket corpus halves, ppm-exact
+      TextStats.vocabDrift(t(s, dir, "documents"))),
+    "text_source_classifier" -> ((s, dir) =>
+      // nearest-centroid provenance classifier as a label-leakage
+      // probe: per-source token-ppm profiles learned on the bucket<80
+      // train split, held-out docs scored integer-exactly. On this
+      // fixture text carries no source signal, so the confusion
+      // census reads ≈ chance — the desired NEGATIVE result (source
+      // labels not recoverable from content); TextStatsSpec pins the
+      // positive case on separable vocabularies
+      TextStats.sourceClassifier(t(s, dir, "documents"))
+        .orderBy(col("source"), col("predicted"))),
     "text_readability" -> ((s, dir) =>
       TextStats.readability(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
@@ -966,6 +980,63 @@ private[graft] object RegText {
               FROM (SELECT lang, ' ' || lower(text) || ' ' AS p
                     FROM documents)))
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_vocab_drift" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      tk AS (SELECT CASE WHEN ${bucketSql("s.hash")} < 50
+                    THEN 'a' ELSE 'b' END AS side, u.tok
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id,
+                  unnest(list_filter(string_split_regex(lower(d.text),
+                    '\\s+'), x -> x <> '')) AS u(tok)),
+      c AS (SELECT side, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      t AS (SELECT side, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      p AS (SELECT c.side, c.tok, c.c,
+              CAST((CAST(1000000 AS HUGEINT) * c.c) // t.n AS BIGINT)
+                AS ppm
+            FROM c JOIN t USING (side)),
+      a AS (SELECT tok, c AS ca, ppm AS pa FROM p WHERE side = 'a'),
+      b AS (SELECT tok, c AS cb, ppm AS pb FROM p WHERE side = 'b'),
+      j AS (SELECT coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb,
+              a.ca IS NOT NULL AS ia, b.cb IS NOT NULL AS ib,
+              coalesce(a.pa, 0) AS pa, coalesce(b.pb, 0) AS pb
+            FROM a FULL OUTER JOIN b USING (tok))
+      SELECT CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+             CAST(sum(cb) AS BIGINT) AS n_tokens_b,
+             CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_a,
+             CAST(sum(CASE WHEN ib THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_b,
+             CAST(sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_shared,
+             CAST(sum(abs(pa - pb)) // 2 AS BIGINT) AS tv_ppm
+      FROM j""",
+    "text_source_classifier" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      tk AS (SELECT d.doc_id, d.source, u.tok,
+               (${bucketSql("s.hash")} < 80) AS is_train
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id,
+                  unnest(list_filter(string_split_regex(lower(d.text),
+                    '\\s+'), x -> x <> '')) AS u(tok)),
+      pr AS (SELECT source AS src, tok, count(*) AS c
+             FROM tk WHERE is_train GROUP BY 1, 2),
+      tt AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_src
+             FROM pr GROUP BY 1),
+      wt AS (SELECT pr.src AS src_w, pr.tok,
+               CAST((CAST(1000000 AS HUGEINT) * pr.c) // t.n_src
+                 AS BIGINT) AS ppm
+             FROM pr JOIN tt t ON t.src = pr.src),
+      sc AS (SELECT k.doc_id, k.source, w.src_w,
+               CAST(sum(w.ppm) AS BIGINT) AS score
+             FROM tk k JOIN wt w ON w.tok = k.tok
+             WHERE NOT k.is_train GROUP BY 1, 2, 3),
+      pred AS (SELECT doc_id, source, src_w FROM (
+                 SELECT doc_id, source, src_w, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score DESC, src_w) AS rn
+                 FROM sc) WHERE rn = 1)
+      SELECT source, src_w AS predicted, count(*) AS n_docs
+      FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
     "text_readability" -> """
       WITH b AS (SELECT doc_id,
                len(list_filter(string_split_regex(lower(text), '\s+'),

@@ -392,4 +392,40 @@ class DedupSpec extends AnyFunSuite {
     assert(all.count() == 11L)
     assert(all.filter(col("shared") > 0).count() == 0L)
   }
+
+  test("paragraphDedup: first corpus occurrence survives, later " +
+      "copies count as dup blocks, empty docs keep 10^6 ppm") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val shared = words("a", 20)                 // one full block
+    val docs = Seq(
+      (0L, shared + " " + words("b", 20)),      // 2 blocks, both first
+      (1L, shared + " " + words("c", 20)),      // block 0 dups doc 0
+      (2L, words("d", 10)),                     // 1 short block, unique
+      (3L, ""),                                 // no tokens
+      (4L, shared)                              // whole doc dups doc 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(docs, blockTokens = 20)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 1000000L),
+      (1L, 2L, 1L, 500000L),
+      (2L, 1L, 0L, 1000000L),
+      (3L, 0L, 0L, 1000000L),
+      (4L, 1L, 1L, 0L)))
+    // partitioning-stable: the min-(doc,idx) winner is a total order
+    val again = Dedup.paragraphDedup(docs.repartition(7), 20)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // the transform half: only affected docs emitted, duplicate
+    // blocks cut in place, block order preserved
+    val scrub = Dedup.paragraphScrub(docs, blockTokens = 20)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(scrub == Seq(
+      (1L, words("c", 20), 1L),  // lost its leading shared block
+      (4L, "", 1L)))             // entirely duplicate -> empty text
+  }
 }

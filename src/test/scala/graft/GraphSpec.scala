@@ -286,4 +286,31 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((2L, 2L, 2L, 4L, 55555L),
       (5L, 2L, 2L, 4L, 55555L), (9L, 2L, 0L, 4L, -111112L)))
   }
+
+  test("randomWalks: every hop follows an edge, no walk strands on a " +
+      "symmetrized graph, corpus is partitioning-stable") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.randomWalks(edges, maxStartId = 20L, steps = 3)
+      .orderBy("start", "step")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 4 starts x steps 0..3, none strand
+    assert(got.size == 16, got.mkString(","))
+    assert(got.count(_._2 == 0L) == 4 && got.count(_._2 == 3L) == 4)
+    // step 0 is the start itself; every later hop is a real edge
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    val byStart = got.groupBy(_._1).values
+    byStart.foreach { w =>
+      val path = w.sortBy(_._2).map(_._3)
+      assert(path.head == w.head._1)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a, b)), s"hop $a->$b is not an edge")
+      }
+    }
+    val again = Graph.randomWalks(edges.repartition(7), 20L, 3)
+      .orderBy("start", "step")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

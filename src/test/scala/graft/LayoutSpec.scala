@@ -156,4 +156,30 @@ class LayoutSpec extends AnyFunSuite {
       SparkTestSession.deleteRecursively(out)
     }
   }
+
+  test("overwritePartitionsDynamic rewrites only the partitions " +
+      "present in the frame; untouched partition files survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dyn-spec")
+      .toFile
+    try {
+      val out = new java.io.File(dir, "t").toString
+      Layout.overwritePartitionsDynamic(
+        Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "p", "v"),
+        "p", out)
+      val bFilesBefore = new java.io.File(out, "p=b")
+        .listFiles().map(f => f.getName -> f.lastModified()).toMap
+      // restate ONLY p=a; static mode would wipe p=b's directory
+      Layout.overwritePartitionsDynamic(
+        Seq((1L, "a", 99L)).toDF("id", "p", "v"), "p", out)
+      val back = spark.read.parquet(out)
+        .select("id", "p", "v").orderBy("id")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(back == Seq((1L, "a", 99L), (2L, "b", 20L)))
+      val bFilesAfter = new java.io.File(out, "p=b")
+        .listFiles().map(f => f.getName -> f.lastModified()).toMap
+      assert(bFilesAfter == bFilesBefore,
+        "untouched partition's files were rewritten")
+    } finally SparkTestSession.deleteRecursively(dir)
+  }
 }

@@ -260,4 +260,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(docs.count() == 1)
     assert(e.getMessage != null)
   }
+
+  test("sceneCuts: segments open on the first frame and wherever the " +
+      "consecutive hash hamming exceeds the threshold") {
+    import spark.implicits._
+    val far = -1L // hamming(0, -1) = 64: always a cut
+    val hashes = Seq(
+      (1L, 0L), (2L, 1L),       // s1: ham(0,1)=1 -> same shot
+      (3L, far), (4L, far),     // s1: cut at 3, then identical
+      (10L, 0L), (11L, far)     // s2: cut at 11
+    ).toDF("doc_id", "ahash")
+    val meta = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
+      (10L, "s2"), (11L, "s2")).toDF("doc_id", "source")
+    val got = graft.operators.Multimodal.sceneCuts(hashes, meta,
+        maxHamming = 10)
+      .orderBy("source", "seg_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, 2L, 1L, 2L), ("s1", 2L, 2L, 3L, 4L),
+      ("s2", 1L, 1L, 10L, 10L), ("s2", 2L, 1L, 11L, 11L)))
+    // at threshold 64 nothing cuts after the opener: one shot per source
+    val loose = graft.operators.Multimodal.sceneCuts(hashes, meta,
+        maxHamming = 64)
+      .orderBy("source", "seg_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(loose == Seq(("s1", 1L, 4L, 1L, 4L), ("s2", 1L, 2L, 10L, 11L)))
+  }
 }

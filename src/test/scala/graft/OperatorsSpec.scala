@@ -412,4 +412,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re("a").getAs[Long]("r2_sum") == re("b").getAs[Long]("r2_sum"))
     assert(re("a").getAs[Long]("h_milli") <= 0L)
   }
+
+  test("cramersV: perfect association reads exactly 10^6 ppm, " +
+      "independence reads 0, zero cells counted in the grid") {
+    import spark.implicits._
+    // a == b on a balanced 2x2 -> chi2 = N·(k-1) exactly -> V = 1
+    val perfect = Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y"))
+    val p = graft.operators.Profile.cramersV(
+      perfect.toDF("a", "b"), "a", "b").head()
+    assert(p.getAs[Long]("n_cells") == 4L, "zero cells must be in the grid")
+    assert(p.getAs[Long]("df_min") == 1L)
+    assert(p.getAs[Long]("chi2_micro") == 10000000L)
+    assert(p.getAs[Long]("cramers_v_ppm") == 1000000L)
+    // perfectly balanced independent margins -> chi2 = 0 -> V = 0
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("u", "v", "w"))
+      yield Seq.fill(3)((a, b))).flatten
+    val i = graft.operators.Profile.cramersV(
+      indep.toDF("a", "b"), "a", "b").head()
+    assert(i.getAs[Long]("n_cells") == 6L &&
+      i.getAs[Long]("chi2_micro") == 0L &&
+      i.getAs[Long]("cramers_v_ppm") == 0L)
+    // degenerate margin (single-valued column) -> df 0, V reported 0
+    val d = graft.operators.Profile.cramersV(
+      Seq(("x", "u"), ("x", "v")).toDF("a", "b"), "a", "b").head()
+    assert(d.getAs[Long]("df_min") == 0L &&
+      d.getAs[Long]("cramers_v_ppm") == 0L)
+  }
 }

@@ -322,4 +322,30 @@ class OverflowSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("ARITHMETIC_OVERFLOW") ||
       m.contains("overflow")), messages(e).mkString(" | "))
   }
+
+  test("isqrt at the claimed 2^52 ceiling: exact on every probe up to " +
+      "2^52-1, including perfect squares and their neighbors") {
+    import spark.implicits._
+    // claim (Sampling.isqrt): the double-sqrt seed plus a +/-1
+    // correction is exact for x < 2^52. Probe the ceiling itself,
+    // the largest perfect square below it, off-by-ones, and the
+    // callers' stated operating points (10^12 temperature ratios,
+    // ~4.5e15 Neyman radicands).
+    val top = (1L << 26) - 1 // largest s with s^2 < 2^52
+    val xs = Seq(0L, 1L, 2L,
+      top * top - 1, top * top, top * top + 1,
+      (1L << 52) - 1, 1000000000000L, 4499999999999999L)
+    val got = xs.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      val s = got(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x,
+        s"isqrt($x) = $s violates s^2 <= x < (s+1)^2")
+      assert(s == math.sqrt(BigDecimal(x).toDouble).toLong ||
+        s * s <= x, s"seed drifted at $x")
+    }
+    assert(got((1L << 52) - 1) == top)
+    assert(got(top * top) == top && got(top * top - 1) == top - 1)
+  }
 }

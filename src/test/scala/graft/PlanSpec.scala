@@ -696,4 +696,29 @@ class PlanSpec extends AnyFunSuite {
     for (tn <- Seq("orders", "customer", "nation"))
       ss.sql(s"DROP TABLE cbo_$tn")
   }
+
+  test("round-14 wave plan shapes: paragraph and k-means joins are " +
+      "hash equi-joins, scene-cut windows are source-partitioned, " +
+      "interleave heads via TakeOrderedAndProject") {
+    for (n <- Seq("dedup_paragraphs", "dedup_paragraph_scrubbed",
+        "sim_kmeans", "text_vocab_drift", "text_source_classifier",
+        "graph_walks", "sample_poisson_bootstrap")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$n:\n${p.take(2000)}")
+    }
+    // scene cuts: both windows run per source, never single-partition
+    val sc = plan("multimodal_scene_cuts")
+    assert(!sc.contains("Window [") ||
+      !sc.contains("Exchange SinglePartition"),
+      s"global window in scene cuts:\n${sc.take(2000)}")
+    // interleave: the head is a TakeOrderedAndProject, not a global sort
+    val il = plan("sample_interleave")
+    assert(il.contains("TakeOrderedAndProject"), il.take(2000))
+    // temperature mixture: the per-stratum rate frame joins broadcast
+    val mt = plan("sample_mixture_temperature")
+    assert(mt.contains("BroadcastHashJoin"), mt.take(2000))
+    assert(!mt.contains("CartesianProduct"), mt.take(2000))
+  }
 }

@@ -311,4 +311,123 @@ class SamplingSpec extends AnyFunSuite {
         keepPct = Seq(101))
     }
   }
+
+  test("isqrt: exact at squares and off-by-one neighbors up to 10^12") {
+    import spark.implicits._
+    val xs = Seq(0L, 1L, 2L, 3L, 4L, 99L, 100L, 101L,
+      999999999999L, 1000000000000L, 1000000000001L,
+      999998000001L - 1, 999998000001L) // (10^6-1)^2 ± 1
+    val got = xs.toDF("x")
+      .select(col("x"), Sampling.isqrt(col("x")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    xs.foreach { x =>
+      val s = got(x)
+      assert(s * s <= x && (s + 1) * (s + 1) > x, s"isqrt($x) = $s")
+    }
+  }
+
+  test("mixtureTemperature: alpha=1/2 keep rates exact, smallest " +
+      "stratum kept whole, membership partitioning-stable") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "small")) ++
+      (101L to 500L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val rows = Sampling.mixtureTemperature(df, "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // small: n_min/n = 1 -> keep everything at 10^6 ppm
+    assert(rows("small") == ((100L, 1000000L, 100L)))
+    // big: sqrt(100/400) = 1/2 -> exactly 500000 ppm; realized count
+    // is the deterministic draw, strictly thinned but non-empty
+    val (nBig, ppmBig, keptBig) = rows("big")
+    assert(nBig == 400L && ppmBig == 500000L)
+    assert(keptBig > 0L && keptBig < 400L)
+    val again = Sampling.mixtureTemperature(df.repartition(13), "source")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(again == rows, "not partitioning-stable")
+  }
+
+  test("poissonBootstrap: constant values collapse every replicate " +
+      "mean to the estimate (zero variance), deterministic across " +
+      "partitionings") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, "s", 10L))
+      .toDF("doc_id", "source", "v")
+    val got = Sampling.poissonBootstrap(df, "source", "v", b = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // (1000·10·sw) div sw = 10000 for every replicate -> variance 0
+    assert(got == Seq(("s", 50L, 10000L, 0L)))
+    val spread = (0L until 50L).map(i => (i, "s", i)).toDF(
+      "doc_id", "source", "v")
+    val a = Sampling.poissonBootstrap(spread, "source", "v", b = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val b2 = Sampling.poissonBootstrap(spread.repartition(9),
+      "source", "v", b = 8)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(a == b2, "bootstrap weights depend on partitioning")
+    // non-constant values: replicate means scatter -> variance > 0
+    assert(a.head._4 > 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrap(df, "source", "v", b = 1)
+    }
+  }
+
+  test("neymanAllocation: w = N·S exactly, constant strata get zero, " +
+      "allocations split the budget proportionally") {
+    import spark.implicits._
+    // "hi": N=4, values 0/20/0/20 -> rad = 4·800 − 40² = 1600, w = 40
+    // (= N·S with S = 10); "lo": constant -> S = 0 -> w = 0
+    val df = (Seq.fill(4)(("lo", 10L)) ++
+      Seq(("hi", 0L), ("hi", 20L), ("hi", 0L), ("hi", 20L)))
+      .toDF("source", "n_chars")
+    val got = Sampling.neymanAllocation(df, "source", "n_chars", k = 10L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("hi", 4L, 40L, 10L), ("lo", 4L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(df, "source", "n_chars", k = 0L)
+    }
+  }
+
+  test("interleave: strict round-robin while strata last, epoch order " +
+      "within stratum, partitioning-stable") {
+    import spark.implicits._
+    val df = (Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b")))
+      .toDF("doc_id", "source")
+    val got = Sampling.interleave(df, "source", limit = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.map(_._2) == Seq("a", "b", "a", "b", "a"))
+    assert(got.filter(_._2 == "a").map(_._3).toSet == Set(1L, 2L, 3L))
+    assert(got.filter(_._2 == "b").map(_._3).toSet == Set(10L, 11L))
+    val again = Sampling.interleave(df.repartition(7), "source",
+      limit = 10).as[(Long, String, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("lengthBatches: full batches pad to zero waste, remainder and " +
+      "mixed-length bands account waste exactly") {
+    import spark.implicits._
+    // band 0: 20 docs of 10 tokens -> batches of 8/8/4, waste 0
+    // band 1: 3 docs of 17/18/31 tokens -> one batch, max 31
+    val docs = ((1L to 20L).map(i => (i, 10L)) ++
+      Seq((21L, 17L), (22L, 18L), (23L, 31L))).toDF("doc_id", "n")
+    val got = Sampling.lengthBatches(docs, col("n"),
+      batchSize = 8, bandWidth = 16L)
+      .orderBy("band", "batch")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val band0 = got.filter(_._1 == 0L)
+    assert(band0.map(_._3) == Seq(8L, 8L, 4L), got.mkString(","))
+    assert(band0.forall(r => r._4 == 10L && r._6 == 0L))
+    val Seq(b1) = got.filter(_._1 == 1L)
+    assert(b1._3 == 3L && b1._4 == 31L && b1._5 == 66L)
+    // waste = (3*31 - 66) / 93 = 27/93 in ppm, truncated
+    assert(b1._6 == 1000000L * 27 / 93)
+    // epoch shuffle is deterministic: repartition changes nothing
+    val again = Sampling.lengthBatches(docs.repartition(7), col("n"),
+      batchSize = 8, bandWidth = 16L)
+      .orderBy("band", "batch")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

@@ -99,4 +99,30 @@ class ScrubSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("a", 2L, 1L, 2L, 0L), ("b", 1L, 1L, 0L, 1L)))
   }
+
+  test("kAnonymity: per-class row and sensitive-distinct flags at " +
+      "the k and l thresholds, boundary inclusive") {
+    import spark.implicits._
+    val df = Seq(
+      // class (t1, 1): 5 rows, 2 users -> k_ok (boundary), l_ok
+      ("t1", 1L, 10L), ("t1", 1L, 10L), ("t1", 1L, 10L),
+      ("t1", 1L, 11L), ("t1", 1L, 11L),
+      // class (t1, 2): 2 rows, 1 user -> neither
+      ("t1", 2L, 10L), ("t1", 2L, 10L),
+      // class (t2, 1): 6 rows, 1 user -> k only
+      ("t2", 1L, 12L), ("t2", 1L, 12L), ("t2", 1L, 12L),
+      ("t2", 1L, 12L), ("t2", 1L, 12L), ("t2", 1L, 12L)
+    ).toDF("event_type", "day", "user_id")
+    val got = Scrub.kAnonymity(df, Seq("event_type", "day"), "user_id",
+        k = 5L, l = 2L)
+      .orderBy("event_type", "day")
+      .as[(String, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("t1", 1L, 5L, 2L, true, true),
+      ("t1", 2L, 2L, 1L, false, false),
+      ("t2", 1L, 6L, 1L, true, false)))
+    intercept[IllegalArgumentException] {
+      Scrub.kAnonymity(df, Seq.empty, "user_id")
+    }
+  }
 }

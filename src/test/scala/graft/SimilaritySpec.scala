@@ -509,4 +509,29 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(max("max_err_ppm")).head().getLong(0)
     assert(worst <= 7874L, s"quantization error $worst ppm exceeds a step")
   }
+
+  test("kmeans: trivially separated clusters converge to zero inertia " +
+      "with deterministic, partitioning-stable assignments") {
+    import spark.implicits._
+    // init = lowest-k vec_ids: 0 seeds cluster 0 at (1,0), 1 seeds
+    // cluster 1 at (-1,0); the copies must land on their seed exactly
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(1.0f, 0.0f)),
+      (4L, Seq(-1.0f, 0.0f)), (5L, Seq(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(emb, k = 2, iters = 2)
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 0L), (1L, 3L, 0L)))
+    val again = Similarity.kmeans(emb.repartition(5), k = 2, iters = 2)
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    // single cluster absorbs everything; inertia is the exact integer
+    // sum of squared distances to the truncated-mean centroid
+    val one = Similarity.kmeans(emb, k = 1, iters = 2).head()
+    assert(one.getAs[Long]("n_vecs") == 6L)
+    // centroid of quantized dims: mean(3*10^4, 3*(-10^4)) = 0 on dim 1,
+    // 0 on dim 2 -> each vec contributes 10^8
+    assert(one.getAs[Long]("inertia") == 6L * 100000000L)
+  }
 }

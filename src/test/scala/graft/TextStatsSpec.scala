@@ -578,4 +578,51 @@ class TextStatsSpec extends AnyFunSuite {
     // only buckets with docs emit rows; cumulative columns still span
     assert(rows.size == 3)
   }
+
+  test("vocabDrift: identical per-doc text reads zero TV distance; " +
+      "token totals and shared vocab add up") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "x x")).toDF("doc_id", "text")
+    val r = TextStats.vocabDrift(docs).head()
+    assert(r.getAs[Long]("n_tokens_a") > 0 &&
+      r.getAs[Long]("n_tokens_b") > 0,
+      "both scrambled halves must be populated")
+    assert(r.getAs[Long]("n_tokens_a") + r.getAs[Long]("n_tokens_b") == 80L)
+    assert(r.getAs[Long]("vocab_a") == 1L &&
+      r.getAs[Long]("vocab_b") == 1L &&
+      r.getAs[Long]("vocab_shared") == 1L)
+    assert(r.getAs[Long]("tv_ppm") == 0L,
+      "identical distributions must read zero drift")
+  }
+
+  test("sourceClassifier: separable vocabularies classify perfectly, " +
+      "every held-out doc lands on the diagonal") {
+    import spark.implicits._
+    // disjoint vocabularies -> a held-out doc scores > 0 only for its
+    // own source, so the confusion matrix must be purely diagonal
+    val docs = ((0L until 50L).map(i => (i, "alpha", "xx yy xx zz")) ++
+      (50L until 100L).map(i => (i, "beta", "qq rr qq ss")))
+      .toDF("doc_id", "source", "text")
+    val got = TextStats.sourceClassifier(docs)
+      .orderBy("source", "predicted")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.forall(r => r._1 == r._2), got.mkString(","))
+    // every held-out (bucket >= 80) doc is scored exactly once
+    val nTest = docs.filter(
+      graft.operators.Sampling.bucket(col("doc_id")) >= 80).count()
+    assert(got.map(_._3).sum == nTest && nTest > 0)
+  }
+
+  test("sourceClassifier: ties break to the lexicographically first " +
+      "source and scores are train-frequency ppm sums") {
+    import spark.implicits._
+    // identical vocabulary and frequencies in both sources -> every
+    // test doc ties -> everything predicted as the first source name
+    val docs = ((0L until 40L).map(i => (i, "s_b", "tok tok")) ++
+      (40L until 80L).map(i => (i, "s_a", "tok tok")))
+      .toDF("doc_id", "source", "text")
+    val got = TextStats.sourceClassifier(docs)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._2 == "s_a"), got.mkString(","))
+  }
 }
