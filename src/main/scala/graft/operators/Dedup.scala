@@ -115,6 +115,33 @@ object Dedup {
           .as("keep_ppm"))
   }
 
+  /** Soft dedup by cluster reweighting — the keep-everything
+    * alternative to dropping near-duplicates (down-weight instead of
+    * delete, so no information is destroyed but duplicated content
+    * stops dominating the loss): every doc in a near-dup cluster of
+    * size k trains at weight 1/k (ppm, truncating — identical in the
+    * SQL twin); docs in no pair are singletons at full weight. The
+    * cluster map is [[clusters]]' bounded label propagation over the
+    * candidate pair graph, so the whole op inherits the banded
+    * near-dup pipeline's scale shape plus one size aggregate and one
+    * join.
+    *
+    * Output: (idCol, cluster_id, cluster_size, weight_ppm).
+    */
+  def softDedupWeights(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val cl = clusters(pairs).select(col("doc_id").as(idCol),
+      col("cluster_id"))
+    val sized = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.select(col(idCol)).join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .join(broadcast(sized), Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"))
+  }
+
   /** The transform half of [[paragraphDedup]]: rebuild every affected
     * document with its duplicate blocks cut out (first corpus-wide
     * occurrence survives in place; later copies vanish, CCNet's

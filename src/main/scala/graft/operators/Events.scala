@@ -1415,6 +1415,41 @@ object Events {
           .as("chi2_micro"))
       .withColumn("srm_flag", col("chi2_micro") > 3841459L)
 
+  /** Minimal detectable effect per conversion metric — the power
+    * analysis run BEFORE an experiment ships (how small a lift could
+    * this traffic even detect?): for each event type, the per-user
+    * conversion baseline p and the two-proportion MDE at α = 0.05 /
+    * 80% power under the [[srmCheck]] 50/50 split,
+    * `MDE = (z_{0.975} + z_{0.8})·√(2·p(1−p)/n)` with the z
+    * constants in milli (1960 + 842 = 2802). Everything is exact
+    * integer: p in ppm, the radicand `2·p_ppm·(10⁶−p_ppm) div n`
+    * ≤ 5·10¹¹ (inside [[Sampling.isqrt]]'s 2⁵² range at any n), and
+    * the final scale-down a truncating div — the DuckDB twin replays
+    * the identical arithmetic.
+    *
+    * Output: (event_type, n_users, n_conv, p_ppm, mde_ppm), one row
+    * per type; mde_ppm is the detectable absolute lift in ppm of the
+    * conversion rate.
+    *
+    * 100 TB shape: one distinct-user frame, one (type, user) distinct
+    * aggregate, one |types|-row join against the broadcast user
+    * count — no windows, nothing quadratic.
+    */
+  def mdeByType(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val conv = events.select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_conv"))
+    conv.crossJoin(broadcast(users))
+      .withColumn("p_ppm", expr("(1000000 * n_conv) div n_users"))
+      .withColumn("arm_n", expr("n_users div 2"))
+      .withColumn("s_ppm", graft.operators.Sampling.isqrt(
+        expr("(2 * p_ppm * (1000000 - p_ppm)) div arm_n")))
+      .select(col("event_type"), col("n_users"), col("n_conv"),
+        col("p_ppm"), expr("(2802 * s_ppm) div 1000").as("mde_ppm"))
+  }
+
   /** Sequence-pattern detection per user — the MATCH_RECOGNIZE shape
     * without the unsupported SQL surface: each user's event history
     * (ordered by (ts, event_id) — total order, engine-exact) encodes

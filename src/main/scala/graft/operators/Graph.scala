@@ -630,6 +630,34 @@ object Graph {
     * the node key, co-partitioned hop over hop) — never quadratic;
     * the adjacency rank window is per-source, not global.
     */
+  /** Skip-gram pair corpus from the walk set — DeepWalk's actual
+    * training output: for every walk, all (center, context) node
+    * pairs within `window` steps of each other (both directions,
+    * self-pairs excluded), counted corpus-wide. This is the frame a
+    * graph-embedding trainer consumes; emitting it closes the
+    * walk → pairs → embedding pipeline at the data layer.
+    *
+    * Output: (center, context, n_pairs), counted over all walks.
+    *
+    * 100 TB shape: the walk frame self-joins on its walk key (start)
+    * — a keyed equi-join whose per-key fan-out is bounded by
+    * (steps+1)², a constant — then one hash aggregate at pair grain.
+    */
+  def walkSkipGrams(edges: DataFrame, maxStartId: Long = 20L,
+      steps: Int = 3, window: Int = 2): DataFrame = {
+    require(window >= 1)
+    val w = randomWalks(edges, maxStartId, steps).localCheckpoint()
+    val a = w.select(col("start"), col("step").as("sa"),
+      col("node").as("center"))
+    val b = w.select(col("start"), col("step").as("sb"),
+      col("node").as("context"))
+    a.join(b, Seq("start"))
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def randomWalks(edges: DataFrame, maxStartId: Long = 20L,
       steps: Int = 3): DataFrame = {
     require(steps >= 1)

@@ -144,6 +144,32 @@ object Scrub {
         sdbm_hash(lit(0L), concat(lit(salt), col(c).cast("string")))))
     }
 
+  /** Encoding-hygiene audit — the byte-sanity pass a crawl corpus
+    * gets before tokenization (mojibake and stray control bytes
+    * poison BPE merges and leak into generations): per doc, counts of
+    * non-ASCII codepoints, forbidden control characters (C0 minus
+    * tab/newline/CR), and the classic UTF-8-read-as-Latin-1 mojibake
+    * marker 'Ã' (U+00C3 — the first byte every 2-byte UTF-8 sequence
+    * becomes under that mis-decode), plus the pass flag. Pure narrow
+    * regex/replace projections — identical spellings in the SQL twin,
+    * no shuffle until the caller aggregates.
+    */
+  def encodingAudit(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nonAscii =
+      (length(t) - length(regexp_replace(t, "[^\\x00-\\x7F]", "")))
+        .cast("long")
+    val control = (length(t) - length(regexp_replace(t,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    val mojibake = (length(t) - length(replace(t, lit("Ã"))))
+      .cast("long")
+    docs.select(col("doc_id"), length(t).cast("long").as("n_chars"),
+      nonAscii.as("n_non_ascii"), control.as("n_control"),
+      mojibake.as("n_mojibake"))
+      .withColumn("encoding_ok",
+        col("n_control") === 0 && col("n_mojibake") === 0)
+  }
+
   /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
     * 2007) — the release-hygiene check run before publishing a
     * dataset keyed on quasi-identifiers: every equivalence class over

@@ -79,6 +79,14 @@ private[graft] object RegDedup {
       // blocks cut out (delta-sized output, order-preserving rebuild)
       Dedup.paragraphScrub(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    "dedup_soft_weights" -> ((s, dir) =>
+      // keep-everything dedup: near-dup cluster members train at
+      // weight 1/k ppm instead of being dropped (same ground-truth
+      // pair graph and doc scope as the leakage-free split)
+      Dedup.softDedupWeights(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        groundTruthPairs(s, dir))
+        .orderBy(col("doc_id"))),
     "dedup_minhash" -> ((s, dir) =>
       mhPairs(s, dir).orderBy(col("id_a"), col("id_b"))),
     "dedup_simhash" -> ((s, dir) =>
@@ -320,6 +328,38 @@ private[graft] object RegDedup {
              END AS keep_ppm
       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
       ORDER BY d.doc_id""",
+    "dedup_soft_weights" -> """
+      WITH RECURSIVE
+      d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+      g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gr
+            FROM d, UNNEST(range(1, length(text) - 1)) AS t(i)),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+            FROM g a JOIN g b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+      n AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+      pairs AS (SELECT id_a, id_b
+                FROM p JOIN n na ON na.doc_id = id_a
+                       JOIN n nb ON nb.doc_id = id_b
+                WHERE CAST(shared AS DOUBLE)
+                      / (na.ng + nb.ng - shared) >= 0.8),
+      e AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS node, a AS r FROM e
+        UNION
+        SELECT e.b AS node, reach.r FROM reach JOIN e ON e.a = reach.node),
+      cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node),
+      keyed AS (SELECT d.doc_id,
+                  coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+                FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size
+             FROM keyed GROUP BY 1)
+      SELECT k.doc_id, k.cluster_id,
+             CAST(s.cluster_size AS BIGINT) AS cluster_size,
+             1000000 // s.cluster_size AS weight_ppm
+      FROM keyed k JOIN sz s ON s.cluster_id = k.cluster_id
+      ORDER BY k.doc_id""",
     "dedup_paragraph_scrubbed" -> """
       WITH t AS (SELECT doc_id, list_filter(
                string_split_regex(lower(text), '\s+'), x -> x <> '')

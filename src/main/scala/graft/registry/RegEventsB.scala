@@ -146,6 +146,19 @@ private[graft] object RegEventsB {
       // 50/50 sample-ratio-mismatch gate: exact micro-χ² on user-id
       // parity arms + the 3.84-critical flag (Events.srmCheck)
       Events.srmCheck(t(s, dir, "events"))),
+    "events_mde" -> ((s, dir) =>
+      // pre-experiment power analysis: per-type conversion baseline
+      // and the two-proportion MDE at alpha=0.05/80% power under the
+      // 50/50 split — exact ppm via isqrt (Events.mdeByType). The
+      // experiment unit is the USER-DAY (user_id composite-keyed with
+      // the epoch day): at per-user grain this fixture converts
+      // everyone on every type (p = 1, MDE 0 — degenerate), while
+      // daily conversion sits near 40%, which is what a
+      // daily-randomized experiment would power against
+      Events.mdeByType(t(s, dir, "events").select(col("event_type"),
+        expr("user_id * 100000 + unix_micros(ts) div 86400000000")
+          .as("user_id")))
+        .orderBy(col("event_type"))),
     "events_coverage" -> ((s, dir) =>
       // true engaged time per user: 5-minute presence windows merged
       // by gaps-and-islands interval union (Events.activityCoverage)
@@ -782,6 +795,32 @@ private[graft] object RegEventsB {
              (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > 3841459
                AS srm_flag
       FROM a""",
+    "events_mde" -> """
+      WITH ud AS (SELECT event_type,
+                    user_id * 100000 + epoch_us(ts) // 86400000000
+                      AS uid
+                  FROM events),
+      nu AS (SELECT count(*) AS n_users FROM (
+               SELECT DISTINCT uid FROM ud)),
+      cv AS (SELECT event_type, count(*) AS n_conv FROM (
+               SELECT DISTINCT event_type, uid FROM ud)
+             GROUP BY 1),
+      b AS (SELECT cv.event_type, nu.n_users, cv.n_conv,
+              (1000000 * cv.n_conv) // nu.n_users AS p_ppm,
+              nu.n_users // 2 AS arm_n
+            FROM cv, nu),
+      r AS (SELECT event_type, n_users, n_conv, p_ppm,
+              (2 * p_ppm * (1000000 - p_ppm)) // arm_n AS rad
+            FROM b),
+      q AS (SELECT event_type, n_users, n_conv, p_ppm,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= rad THEN s0 + 1
+                   WHEN s0 * s0 > rad THEN s0 - 1
+                   ELSE s0 END AS s_ppm
+            FROM (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE)))
+                    AS BIGINT) AS s0 FROM r))
+      SELECT event_type, n_users, n_conv, p_ppm,
+             (2802 * s_ppm) // 1000 AS mde_ppm
+      FROM q ORDER BY event_type""",
     "events_coverage" -> """
       WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
       m AS (SELECT user_id, us,

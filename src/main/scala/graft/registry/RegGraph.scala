@@ -72,6 +72,11 @@ private[graft] object RegGraph {
       // identical corpus
       Graph.randomWalks(bipartiteEdges(s, dir))
         .orderBy(col("start"), col("step"), col("node"))),
+    "graph_walk_pairs" -> ((s, dir) =>
+      // DeepWalk's training output: skip-gram (center, context) pair
+      // counts within window 2 over the deterministic walk corpus
+      Graph.walkSkipGrams(bipartiteEdges(s, dir))
+        .orderBy(col("center"), col("context"))),
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration damped PageRank over the memoized trading graph
       // ([[bipartiteEdges]]). Exact integer micro-unit ranks — the
@@ -219,6 +224,36 @@ private[graft] object RegGraph {
         s"UNION ALL SELECT start, CAST($t AS BIGINT), cur FROM w$t")
         .mkString(" ")}
       ORDER BY start, step, node""",
+    "graph_walk_pairs" -> s"""
+      WITH RECURSIVE
+      e0 AS (SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nd AS (SELECT DISTINCT src FROM e2),
+      ${sdbmCte("nd", "src", "1", "CAST(src AS VARCHAR)", "h1")},
+      ${sdbmCte("nd", "src", "2", "CAST(src AS VARCHAR)", "h2")},
+      ${sdbmCte("nd", "src", "3", "CAST(src AS VARCHAR)", "h3")},
+      adj AS (SELECT src, dst, row_number() OVER (
+                PARTITION BY src ORDER BY dst) AS rk FROM e2),
+      dg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY 1),
+      w0 AS (SELECT src AS start, src AS cur FROM nd WHERE src < 20),
+      ${Seq(1, 2, 3).map { t => s"""
+      w$t AS (SELECT w.start, a.dst AS cur
+              FROM w${t - 1} w JOIN dg d ON d.src = w.cur
+                   JOIN h$t ON h$t.sid = w.cur
+                   JOIN adj a ON a.src = w.cur AND a.rk = 1 +
+                     (((((h$t.hash % 2147483647) + 2147483647)
+                        % 2147483647) * 48271) % 2147483647) % d.deg)"""
+      }.mkString(",")},
+      walk AS (SELECT start, CAST(0 AS BIGINT) AS step, cur AS node
+               FROM w0
+               ${Seq(1, 2, 3).map(t =>
+                 s"UNION ALL SELECT start, CAST($t AS BIGINT), cur" +
+                   s" FROM w$t").mkString(" ")})
+      SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+      FROM walk a JOIN walk b ON a.start = b.start
+        AND a.step <> b.step AND abs(a.step - b.step) <= 2
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "graph_pagerank" -> s"""
       WITH e0 AS (SELECT DISTINCT o_custkey AS src,
                     100000 + l_suppkey AS dst

@@ -81,6 +81,20 @@ private[graft] object RegHygiene {
     "scrub_counts" -> ((s, dir) => {
       Scrub.summary(piiDocs(t(s, dir, "documents"))).orderBy(col("source"))
     }),
+    "scrub_encoding" -> ((s, dir) => {
+      // the fixture corpus is pure ASCII, so (piiDocs discipline) the
+      // QUERY stages deterministic defects first: accented text on
+      // doc_id%3, Latin-1 mojibake on %5, a BEL control byte on %7 —
+      // then audits. Injection is part of the query, not the operator.
+      val staged = t(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" café"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" Ã©"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\u0007")).otherwise(lit(""))))
+      Scrub.encodingAudit(staged).orderBy(col("doc_id"))
+    }),
     "scrub_k_anon" -> ((s, dir) =>
       // release-hygiene audit: every (event_type, day) equivalence
       // class needs ≥50 rows (k-anonymity) and ≥20 distinct users
@@ -256,6 +270,24 @@ private[graft] object RegHygiene {
                 s"CAST(sum(n_${r.name}) AS BIGINT) AS sum_${r.name}")
                .mkString(", ")}
       FROM s${Scrub.DefaultRules.size} GROUP BY source ORDER BY source""",
+    "scrub_encoding" -> """
+      WITH staged AS (SELECT doc_id,
+             text ||
+               CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END ||
+               CASE WHEN doc_id % 5 = 0 THEN ' Ã©' ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END AS text
+           FROM documents),
+      a AS (SELECT doc_id, length(text) AS n_chars,
+              length(text) - length(regexp_replace(text,
+                '[^\x00-\x7F]', '', 'g')) AS n_non_ascii,
+              length(text) - length(regexp_replace(text,
+                '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_control,
+              length(text) - length(replace(text, 'Ã', ''))
+                AS n_mojibake
+            FROM staged)
+      SELECT doc_id, n_chars, n_non_ascii, n_control, n_mojibake,
+             n_control = 0 AND n_mojibake = 0 AS encoding_ok
+      FROM a ORDER BY doc_id""",
     "scrub_k_anon" -> """
       WITH d AS (SELECT event_type,
                    epoch_us(ts) // 86400000000 AS day, user_id

@@ -428,4 +428,18 @@ class DedupSpec extends AnyFunSuite {
       (1L, words("c", 20), 1L),  // lost its leading shared block
       (4L, "", 1L)))             // entirely duplicate -> empty text
   }
+
+  test("softDedupWeights: cluster members share weight 1/k, " +
+      "singletons keep full weight") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.softDedupWeights(docs, pairs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 333333L), (2L, 1L, 3L, 333333L),
+      (3L, 1L, 3L, 333333L),
+      (4L, 4L, 1L, 1000000L), (5L, 5L, 1L, 1000000L)))
+  }
 }

@@ -1279,4 +1279,28 @@ class EventsSpec extends AnyFunSuite {
     // only 3 days → lags 3..7 have no observed pairs, hence no rows
     assert(!r.contains(3L) && r.size == 3)
   }
+
+  test("mdeByType: p=1/2 at four users gives the closed-form MDE; " +
+      "a universal event detects nothing (MDE 0 at p=1)") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val ev = Seq(
+      (1L, "buy"), (2L, "buy"), (2L, "buy"), // dup event: users distinct
+      (1L, "view"), (2L, "view"), (3L, "view"), (4L, "view"))
+      .map { case (u, t) => (u, t, ts) }
+      .toDF("user_id", "event_type", "ts")
+    val r = Events.mdeByType(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    // buy: p = 2/4 = 500000 ppm, arm n = 2,
+    // rad = 2*5e5*5e5/2 = 2.5e11, isqrt = 500000,
+    // mde = 2802*500000/1000 = 1401000 ppm (underpowered — as it
+    // should read at 4 users)
+    assert(r("buy").getAs[Long]("n_users") == 4L &&
+      r("buy").getAs[Long]("n_conv") == 2L &&
+      r("buy").getAs[Long]("p_ppm") == 500000L &&
+      r("buy").getAs[Long]("mde_ppm") == 1401000L)
+    // view: everyone converts -> p(1-p) = 0 -> nothing detectable
+    assert(r("view").getAs[Long]("p_ppm") == 1000000L &&
+      r("view").getAs[Long]("mde_ppm") == 0L)
+  }
 }

@@ -313,4 +313,20 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("walkSkipGrams: pair counts are symmetric and total exactly " +
+      "the per-walk window combinatorics") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.walkSkipGrams(edges, maxStartId = 20L,
+        steps = 3, window = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 4 walks of 4 positions; ordered in-window pairs per walk:
+    // |i-j| in {1,2} -> 2*(3+2) = 10; total = 40
+    assert(got.map(_._3).sum == 40L, got.mkString(","))
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m.forall { case ((a, b), n) => m.get((b, a)).contains(n) },
+      "skip-gram matrix must be symmetric")
+  }
 }

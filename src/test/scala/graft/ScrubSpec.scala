@@ -100,6 +100,24 @@ class ScrubSpec extends AnyFunSuite {
     assert(got == Seq(("a", 2L, 1L, 2L, 0L), ("b", 1L, 1L, 0L, 1L)))
   }
 
+  test("encodingAudit: clean ASCII passes, control bytes and mojibake " +
+      "markers fail, plain non-ASCII is counted but allowed") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain ascii"),
+      (2L, "café ok"),          // accented: counted, still ok
+      (3L, "bad\u0007byte"),         // C0 control -> fail
+      (4L, "mojibake Ã©")  // 'Ã©' marker -> fail
+    ).toDF("doc_id", "text")
+    val got = Scrub.encodingAudit(df).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got(0) == ((1L, 11L, 0L, 0L, 0L, true)))
+    assert(got(1)._3 == 1L && got(1)._6, "accented char must pass")
+    assert(got(2)._4 == 1L && !got(2)._6, "control byte must fail")
+    assert(got(3)._5 == 1L && got(3)._3 == 2L && !got(3)._6,
+      "mojibake marker must fail")
+  }
+
   test("kAnonymity: per-class row and sensitive-distinct flags at " +
       "the k and l thresholds, boundary inclusive") {
     import spark.implicits._
