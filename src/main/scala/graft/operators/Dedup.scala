@@ -115,6 +115,35 @@ object Dedup {
           .as("keep_ppm"))
   }
 
+  /** The banded-LSH design curve — the S-curve that justifies this
+    * module's MinHash parameters (k = 16 as b = 4 bands × r = 4
+    * rows): a pair with Jaccard similarity s becomes a candidate with
+    * probability 1 − (1 − sʳ)ᵇ. Emitted as an exact integer table in
+    * ppm (powers via truncating ppm-multiplication, replayed
+    * identically by the SQL twin) so the threshold behavior — which
+    * similarities the band join catches and which it skips — is
+    * pinned in data, not prose. No input table: the curve is pure
+    * configuration.
+    *
+    * Output: (s_ppm, p_band_ppm, p_candidate_ppm) for
+    * s = 0.1 … 0.9.
+    */
+  def lshDesignCurve(spark: org.apache.spark.sql.SparkSession,
+      rRows: Int = 4, bands: Int = 4): DataFrame = {
+    require(rRows >= 1 && bands >= 1)
+    import graft.functions.idiv
+    def powPpm(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((acc, _) =>
+        idiv(acc * base, lit(1000000L)))
+    val s = spark.range(1, 10)
+      .select((col("id") * 100000L).as("s_ppm"))
+    val sR = powPpm(col("s_ppm"), rRows)
+    s.withColumn("p_band_ppm", sR)
+      .withColumn("p_candidate_ppm",
+        lit(1000000L) - powPpm(lit(1000000L) - col("p_band_ppm"), bands))
+      .select(col("s_ppm"), col("p_band_ppm"), col("p_candidate_ppm"))
+  }
+
   /** Soft dedup by cluster reweighting — the keep-everything
     * alternative to dropping near-duplicates (down-weight instead of
     * delete, so no information is destroyed but duplicated content

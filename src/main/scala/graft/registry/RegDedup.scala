@@ -79,6 +79,9 @@ private[graft] object RegDedup {
       // blocks cut out (delta-sized output, order-preserving rebuild)
       Dedup.paragraphScrub(t(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    "dedup_lsh_design" -> ((s, dir) =>
+      // the S-curve behind the 4x4 MinHash banding, as exact ppm data
+      Dedup.lshDesignCurve(s).orderBy(col("s_ppm"))),
     "dedup_soft_weights" -> ((s, dir) =>
       // keep-everything dedup: near-dup cluster members train at
       // weight 1/k ppm instead of being dropped (same ground-truth
@@ -328,6 +331,21 @@ private[graft] object RegDedup {
              END AS keep_ppm
       FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
       ORDER BY d.doc_id""",
+    "dedup_lsh_design" -> """
+      WITH s AS (SELECT CAST(i AS BIGINT) * 100000 AS s_ppm
+                 FROM UNNEST(range(1, 10)) AS t(i)),
+      a AS (SELECT s_ppm,
+              (((((s_ppm * s_ppm) // 1000000) * s_ppm) // 1000000)
+                * s_ppm) // 1000000 AS s4
+            FROM s),
+      b AS (SELECT s_ppm, s4, 1000000 - s4 AS q FROM a),
+      c AS (SELECT s_ppm, s4,
+              (((((q * q) // 1000000) * q) // 1000000) * q) // 1000000
+                AS q4
+            FROM b)
+      SELECT s_ppm, s4 AS p_band_ppm,
+             1000000 - q4 AS p_candidate_ppm
+      FROM c ORDER BY s_ppm""",
     "dedup_soft_weights" -> """
       WITH RECURSIVE
       d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),

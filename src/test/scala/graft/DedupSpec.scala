@@ -429,6 +429,25 @@ class DedupSpec extends AnyFunSuite {
       (4L, "", 1L)))             // entirely duplicate -> empty text
   }
 
+  test("lshDesignCurve matches the BigInt replica of the truncating " +
+      "ppm recurrence and is a monotone S-curve") {
+    import spark.implicits._
+    val got = Dedup.lshDesignCurve(spark, rRows = 4, bands = 4)
+      .orderBy("s_ppm").as[(Long, Long, Long)].collect().toSeq
+    def pow(x: BigInt, n: Int): BigInt =
+      (2 to n).foldLeft(x)((a, _) => a * x / 1000000)
+    val ref = (1 to 9).map { i =>
+      val s = BigInt(i) * 100000
+      val s4 = pow(s, 4)
+      (s.toLong, s4.toLong, (1000000 - pow(1000000 - s4, 4)).toLong)
+    }
+    assert(got == ref, got.mkString(","))
+    // S-curve: candidate probability strictly increases with s and
+    // crosses the high-probability regime by s = 0.8 for 4x4 banding
+    assert(got.map(_._3) == got.map(_._3).sorted)
+    assert(got.last._3 > 900000L && got.head._3 < 1000L)
+  }
+
   test("softDedupWeights: cluster members share weight 1/k, " +
       "singletons keep full weight") {
     import spark.implicits._
