@@ -285,6 +285,51 @@ object Events {
           .cast("double").as("filled"))
   }
 
+  /** Daily lag/rolling feature frame per event type — the feature-
+    * store shape an ML training pipeline materializes (yesterday's
+    * count, same-day-last-week, trailing 7-day mean): built over the
+    * GAPFILLED day spine so lag-7 means seven calendar days, not
+    * seven observed rows (the classic feature bug on sparse series).
+    * Counts and their lags are exact longs; the 7-day mean is an
+    * integer milli-unit truncating division over the rows actually in
+    * the trailing frame (warm-up days average over fewer); the value
+    * sum rides DECIMAL internally and surfaces as DOUBLE per the
+    * oracle-hash convention. Leading lags are NULL — a feature row
+    * that does not exist must read as missing, not zero.
+    *
+    * Output: (event_type, day, n, v_sum, n_lag1, n_lag7, n_sum_7d,
+    * n_ma7_milli), one row per (type, spine day).
+    *
+    * Shape: daily pre-aggregation (shuffle carries one row per
+    * (type, day)), a generated spine, and ONE type-partitioned window
+    * pass for every feature column — bounded state per partition.
+    */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val daily = events.groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("vs"))
+    val spine = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val last7 = w.rowsBetween(-6, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("vs"), lit(0).cast("decimal(18,4)"))
+          .cast("double").as("v_sum"))
+      .select(col("event_type"), col("day"), col("n"), col("v_sum"),
+        lag(col("n"), 1).over(w).as("n_lag1"),
+        lag(col("n"), 7).over(w).as("n_lag7"),
+        sum(col("n")).over(last7).as("n_sum_7d"),
+        expr("1000 * sum(n) OVER (PARTITION BY event_type ORDER BY day" +
+          " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) div count(1)" +
+          " OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6" +
+          " PRECEDING AND CURRENT ROW)").as("n_ma7_milli"))
+  }
+
   /** Truncated exponentially-weighted moving average per event type
     * over hourly buckets, EXACT: values quantize to 1e-4 units
     * (`round(value·10000)`, the [[anomalies]] convention), α = 1/2,

@@ -644,12 +644,20 @@ object Graph {
     * (steps+1)², a constant — then one hash aggregate at pair grain.
     */
   def walkSkipGrams(edges: DataFrame, maxStartId: Long = 20L,
-      steps: Int = 3, window: Int = 2): DataFrame = {
+      steps: Int = 3, window: Int = 2): DataFrame =
+    skipGramsFromWalks(
+      randomWalks(edges, maxStartId, steps).localCheckpoint(), window)
+
+  /** [[walkSkipGrams]] over an already-built walk frame — split out
+    * so the registry shares ONE memoized walk corpus between the
+    * walks query and the pairs query (the walk build costs three
+    * adjacency joins; the memo pays it once per suite).
+    */
+  def skipGramsFromWalks(walks: DataFrame, window: Int = 2): DataFrame = {
     require(window >= 1)
-    val w = randomWalks(edges, maxStartId, steps).localCheckpoint()
-    val a = w.select(col("start"), col("step").as("sa"),
+    val a = walks.select(col("start"), col("step").as("sa"),
       col("node").as("center"))
-    val b = w.select(col("start"), col("step").as("sb"),
+    val b = walks.select(col("start"), col("step").as("sb"),
       col("node").as("context"))
     a.join(b, Seq("start"))
       .filter(col("sa") =!= col("sb") &&

@@ -146,6 +146,12 @@ private[graft] object RegEventsB {
       // 50/50 sample-ratio-mismatch gate: exact micro-χ² on user-id
       // parity arms + the 3.84-critical flag (Events.srmCheck)
       Events.srmCheck(t(s, dir, "events"))),
+    "events_lag_features" -> ((s, dir) =>
+      // feature-store frame: calendar-true lag-1/lag-7 and trailing
+      // 7-day mean per type over the gapfilled day spine
+      // (Events.lagFeatures)
+      Events.lagFeatures(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))),
     "events_mde" -> ((s, dir) =>
       // pre-experiment power analysis: per-type conversion baseline
       // and the two-proportion MDE at alpha=0.05/80% power under the
@@ -795,6 +801,31 @@ private[graft] object RegEventsB {
              (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > 3841459
                AS srm_flag
       FROM a""",
+    "events_lag_features" -> """
+      WITH daily AS (SELECT event_type,
+              epoch_us(ts) // 86400000000 AS day,
+              count(*) AS n, sum(CAST(value AS DECIMAL(18,4))) AS vs
+            FROM events GROUP BY 1, 2),
+      sp AS (SELECT event_type, CAST(d AS BIGINT) AS day
+             FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+                   FROM daily GROUP BY 1),
+                  UNNEST(range(d0, d1 + 1)) AS t(d)),
+      g AS (SELECT s.event_type, s.day,
+              CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+              CAST(coalesce(d.vs, 0) AS DOUBLE) AS v_sum
+            FROM sp s LEFT JOIN daily d
+              ON d.event_type = s.event_type AND d.day = s.day)
+      SELECT event_type, day, n, v_sum,
+             CAST(lag(n, 1) OVER w AS BIGINT) AS n_lag1,
+             CAST(lag(n, 7) OVER w AS BIGINT) AS n_lag7,
+             CAST(sum(n) OVER w7 AS BIGINT) AS n_sum_7d,
+             (1000 * CAST(sum(n) OVER w7 AS BIGINT))
+               // count(*) OVER w7 AS n_ma7_milli
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY day),
+             w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY event_type, day""",
     "events_mde" -> """
       WITH ud AS (SELECT event_type,
                     user_id * 100000 + epoch_us(ts) // 86400000000

@@ -64,18 +64,28 @@ private[graft] object RegGraph {
         nSources = 3, maxHops = 3)
     }
 
+  /** The deterministic walk corpus over [[bipartiteEdges]] — consumed
+    * by graph_walks and re-joined twice by graph_walk_pairs, so
+    * memoized like the edge/label/landmark frames (the build is three
+    * adjacency joins; one per suite, not per query).
+    */
+  private def bipartiteWalks(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bipartite_walks") {
+      Graph.randomWalks(bipartiteEdges(s, dir))
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_walks" -> ((s, dir) =>
       // deterministic 3-hop random walks from the low-id customers
       // over the memoized trading graph — the node2vec/DeepWalk
       // sampling primitive, hash-driven so both engines replay the
       // identical corpus
-      Graph.randomWalks(bipartiteEdges(s, dir))
+      bipartiteWalks(s, dir)
         .orderBy(col("start"), col("step"), col("node"))),
     "graph_walk_pairs" -> ((s, dir) =>
       // DeepWalk's training output: skip-gram (center, context) pair
-      // counts within window 2 over the deterministic walk corpus
-      Graph.walkSkipGrams(bipartiteEdges(s, dir))
+      // counts within window 2 over the shared memoized walk corpus
+      Graph.skipGramsFromWalks(bipartiteWalks(s, dir))
         .orderBy(col("center"), col("context"))),
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration damped PageRank over the memoized trading graph

@@ -1280,6 +1280,32 @@ class EventsSpec extends AnyFunSuite {
     assert(!r.contains(3L) && r.size == 3)
   }
 
+  test("lagFeatures: calendar-true lags over the gapfilled spine, " +
+      "warm-up means average over the rows present, leading lags NULL") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // type a: days 1,2,4 (day 3 is a gap) — spine must emit day 3
+    val ev = Seq(
+      (1L, "a", ts(1), 10.0), (2L, "a", ts(1), 10.0),
+      (3L, "a", ts(2), 5.0), (4L, "a", ts(4), 1.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val got = Events.lagFeatures(ev).orderBy("day").collect()
+    assert(got.length == 4, "gap day missing from the spine")
+    val byDay = got.map(r => r.getAs[Long]("day") -> r).toMap
+    val days = got.map(_.getAs[Long]("day")).sorted
+    val (d1, d2, d3, d4) = (days(0), days(1), days(2), days(3))
+    assert(byDay(d1).getAs[Long]("n") == 2 &&
+      byDay(d1).isNullAt(byDay(d1).fieldIndex("n_lag1")))
+    assert(byDay(d2).getAs[Long]("n_lag1") == 2)
+    assert(byDay(d3).getAs[Long]("n") == 0 &&
+      byDay(d3).getAs[Long]("n_lag1") == 1, "gap day must read lag from day 2")
+    assert(byDay(d4).getAs[Long]("n_lag1") == 0, "lag over the gap is 0")
+    // trailing mean over the rows PRESENT: day 2 = (2+1)*1000/2 = 1500
+    assert(byDay(d2).getAs[Long]("n_ma7_milli") == 1500L)
+    assert(byDay(d4).getAs[Long]("n_sum_7d") == 4L)
+    assert(byDay(d1).getAs[Double]("v_sum") == 20.0)
+  }
+
   test("mdeByType: p=1/2 at four users gives the closed-form MDE; " +
       "a universal event detects nothing (MDE 0 at p=1)") {
     import spark.implicits._
