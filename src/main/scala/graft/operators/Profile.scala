@@ -492,6 +492,29 @@ object Profile {
       .orderBy(col("grp"))
   }
 
+  /** Data-freshness audit — the staleness check a scheduled pipeline
+    * runs before consuming a multi-source table (one upstream silently
+    * stopping is the most common way a daily corpus goes quietly
+    * wrong): per source, the last observed epoch-day and its lag
+    * behind the freshest source, flagged when the lag exceeds
+    * `maxLagDays`. One hash aggregate to |sources| rows plus a scalar
+    * broadcast — the input is scanned once.
+    *
+    * Output: (srcCol, n_rows, max_day, lag_days, stale).
+    */
+  def freshness(df: DataFrame, srcCol: String, tsCol: String,
+      maxLagDays: Long = 2L): DataFrame = {
+    require(maxLagDays >= 0)
+    val day = expr(s"unix_micros($tsCol) div 86400000000")
+    val per = df.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_rows"), max(day).as("max_day"))
+    val g = per.agg(max(col("max_day")).as("gm"))
+    per.crossJoin(broadcast(g))
+      .select(col(srcCol), col("n_rows"), col("max_day"),
+        (col("gm") - col("max_day")).as("lag_days"))
+      .withColumn("stale", col("lag_days") > maxLagDays)
+  }
+
   /** Cramér's V association strength between two categorical columns
     * (Cramér 1946) — the normalized χ² the profiling pass reports so
     * association is comparable ACROSS column pairs regardless of

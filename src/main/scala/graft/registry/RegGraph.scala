@@ -87,6 +87,12 @@ private[graft] object RegGraph {
       // counts within window 2 over the shared memoized walk corpus
       Graph.skipGramsFromWalks(bipartiteWalks(s, dir))
         .orderBy(col("center"), col("context"))),
+    "graph_ppr" -> ((s, dir) =>
+      // personalized PageRank: teleport restricted to the low-id
+      // customer seeds — proximity-to-seeds ranking over the same
+      // memoized trading graph (Graph.personalizedPageRank)
+      Graph.personalizedPageRank(bipartiteEdges(s, dir), seedMax = 10L)
+        .orderBy(col("node"))),
     "graph_pagerank" -> ((s, dir) =>
       // 3-iteration damped PageRank over the memoized trading graph
       // ([[bipartiteEdges]]). Exact integer micro-unit ranks — the
@@ -264,6 +270,33 @@ private[graft] object RegGraph {
       FROM walk a JOIN walk b ON a.start = b.start
         AND a.step <> b.step AND abs(a.step - b.step) <= 2
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "graph_ppr" -> s"""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e2 AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      nodes AS (SELECT DISTINCT src AS node FROM e2),
+      cnt AS (SELECT count(*) AS ns FROM nodes WHERE node < 10),
+      base AS (SELECT ((1000000000000 // ns) * 15) // 100 AS b,
+                      1000000000000 // ns AS init FROM cnt),
+      deg AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+      r0 AS (SELECT node,
+               CASE WHEN node < 10 THEN init ELSE 0 END AS rank_micro
+             FROM nodes CROSS JOIN base),
+      ${Seq(("r0", "r1"), ("r1", "r2"), ("r2", "r3")).map {
+        case (prev, nxt) => s"""
+      $nxt AS (SELECT nodes.node,
+          CASE WHEN nodes.node < 10 THEN b ELSE 0 END
+            + (coalesce(s.sc, 0) * 85) // 100 AS rank_micro
+        FROM nodes CROSS JOIN base
+        LEFT JOIN (SELECT e2.dst AS node,
+                     sum(r.rank_micro // deg.deg) AS sc
+                   FROM e2 JOIN deg USING (src)
+                        JOIN $prev r ON r.node = e2.src
+                   GROUP BY e2.dst) s USING (node))"""
+      }.mkString(",")}
+      SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+      FROM r3 ORDER BY node""",
     "graph_pagerank" -> s"""
       WITH e0 AS (SELECT DISTINCT o_custkey AS src,
                     100000 + l_suppkey AS dst

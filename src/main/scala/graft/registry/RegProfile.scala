@@ -289,6 +289,16 @@ private[graft] object RegProfile {
       // (Profile.kruskalWallis)
       Profile.kruskalWallis(t(s, dir, "documents"), "source", "n_chars")
         .withColumnRenamed("grp", "source")),
+    "profile_freshness" -> ((s, dir) => {
+      // staleness audit: the fixture's types all end on the same day,
+      // so the QUERY stages a dead upstream first (piiDocs
+      // discipline) — 'error' stops emitting on Jan 25 — then audits
+      val staged = t(s, dir, "events").filter(
+        !(col("event_type") === "error" &&
+          col("ts") >= lit("2024-01-25").cast("timestamp")))
+      Profile.freshness(staged, "event_type", "ts", maxLagDays = 2L)
+        .orderBy(col("event_type"))
+    }),
     "profile_cramers_v" -> ((s, dir) =>
       // normalized χ² association between order status and priority —
       // exact ppm Cramér's V via the two-limb χ² terms + isqrt
@@ -297,6 +307,17 @@ private[graft] object RegProfile {
   )
 
   lazy val oracleSqlRaw: Map[String, String] = Map(
+    "profile_freshness" -> """
+      WITH st AS (SELECT * FROM events
+                  WHERE NOT (event_type = 'error'
+                             AND ts >= TIMESTAMP '2024-01-25')),
+      per AS (SELECT event_type, count(*) AS n_rows,
+                max(epoch_us(ts) // 86400000000) AS max_day
+              FROM st GROUP BY 1),
+      g AS (SELECT max(max_day) AS gm FROM per)
+      SELECT event_type, n_rows, max_day, gm - max_day AS lag_days,
+             (gm - max_day) > 2 AS stale
+      FROM per, g ORDER BY event_type""",
     "profile_cramers_v" -> """
       WITH obs AS (SELECT o_orderstatus AS a, o_orderpriority AS b,
                      count(*) AS o

@@ -107,6 +107,17 @@ private[graft] object RegSampling {
       // everything, audit row per language
       Sampling.mixtureTemperature(t(s, dir, "documents"), "lang")
         .orderBy(col("lang"))),
+    "sample_split_contamination" -> ((s, dir) => {
+      // eval-integrity report (the GPT-2/3 train-test overlap study,
+      // run at the SPAN level): test-split docs sharing any 30-char
+      // n-gram with the train split, with their overlap evidence —
+      // the residual leakage sample_split_leakage_free exists to
+      // prevent, measured on the plain hash split
+      val sp = Sampling.hashSplit(t(s, dir, "documents"))
+      Decontaminate.flagged(sp.filter(col("split") === "test"),
+        sp.filter(col("split") === "train"))
+        .orderBy(col("doc_id"))
+    }),
     "sample_poisson_bootstrap" -> ((s, dir) =>
       // one-pass bootstrap: 8 deterministic Poisson(1) replicates of
       // the per-source mean n_chars, variance of replicate means out
@@ -361,6 +372,24 @@ private[graft] object RegSampling {
       SELECT q.lang, q.n_docs, q.keep_ppm, k.n_kept
       FROM q JOIN kept k ON k.lang = q.lang
       ORDER BY q.lang""",
+    "sample_split_contamination" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      sp AS (SELECT d.doc_id, d.text,
+               CASE WHEN ${bucketSql("s.hash")} < 80 THEN 'train'
+                    WHEN ${bucketSql("s.hash")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
+      g AS (SELECT DISTINCT doc_id, split,
+              substr(text, CAST(i AS INT), 30) AS g
+            FROM sp, UNNEST(range(1, length(text) - 28)) AS t(i)),
+      hits AS (SELECT c.doc_id, count(DISTINCT c.g) AS shared_ngrams
+               FROM (SELECT * FROM g WHERE split = 'test') c
+               JOIN (SELECT DISTINCT g FROM g WHERE split = 'train') b
+                 ON c.g = b.g
+               GROUP BY 1)
+      SELECT doc_id, shared_ngrams FROM hits
+      WHERE shared_ngrams >= 1 ORDER BY doc_id""",
     "sample_poisson_bootstrap" -> s"""
       WITH RECURSIVE ${sdbmCte(
         "(SELECT doc_id, r FROM documents, UNNEST(range(0, 8)) AS t(r))",

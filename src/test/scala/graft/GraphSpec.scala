@@ -314,6 +314,27 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("personalizedPageRank: teleport mass stays with the seeds — " +
+      "unreachable components read exactly zero, seed symmetry holds") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (50L, 51L)) // two components; seeds = {1,2}
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, seedMax = 10L)
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got(50L) == 0L && got(51L) == 0L,
+      "non-seed component must carry zero personalized mass")
+    assert(got(1L) > 0L && got(1L) == got(2L),
+      "symmetric seeds must tie exactly")
+    // global variant gives the far component mass — the distinction
+    // personalized ranking exists for
+    val global = Graph.pageRank(edges).orderBy("node")
+      .as[(Long, Long)].collect().toMap
+    assert(global(50L) > 0L)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, seedMax = 0L)
+    }
+  }
+
   test("walkSkipGrams: pair counts are symmetric and total exactly " +
       "the per-walk window combinatorics") {
     import spark.implicits._

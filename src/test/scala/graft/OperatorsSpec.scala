@@ -413,6 +413,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re("a").getAs[Long]("h_milli") <= 0L)
   }
 
+  test("freshness: per-source lag behind the freshest upstream, " +
+      "stale flag at the threshold boundary") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val df = Seq(
+      ("a", ts(10)), ("a", ts(12)),  // freshest
+      ("b", ts(10)),                 // lag 2 -> boundary, NOT stale
+      ("c", ts(9))                   // lag 3 -> stale
+    ).toDF("source", "ts")
+    val got = graft.operators.Profile.freshness(df, "source", "ts",
+        maxLagDays = 2L)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._4, r._5)) == Seq(
+      ("a", 0L, false), ("b", 2L, false), ("c", 3L, true)))
+    assert(got.head._2 == 2L, "row counts per source")
+  }
+
   test("cramersV: perfect association reads exactly 10^6 ppm, " +
       "independence reads 0, zero cells counted in the grid") {
     import spark.implicits._
