@@ -1495,6 +1495,78 @@ object Events {
         col("p_ppm"), expr("(2802 * s_ppm) div 1000").as("mde_ppm"))
   }
 
+  /** A/B uplift readout with a one-pass bootstrap confidence interval
+    * — the experiment decision row, built from this module's own
+    * primitives: arms are the [[srmCheck]] user-parity split, the
+    * per-user outcome is the exact ×10⁴-quantized value total, each
+    * arm's estimate uncertainty is the Poisson(1)-bootstrap variance
+    * of B deterministic replicate means ([[Sampling.poissonBootstrap]]'s
+    * weight scheme, replayed at UNIT scale so the variance stays
+    * inside [[Sampling.isqrt]]'s 2⁵² exact range — exact while an
+    * arm's replicate-mean spread is < 6.7·10⁷, far above any real
+    * per-user value total), and the interval is the normal
+    * approximation `±z₀.₉₇₅·√(var₀ + var₁)` with z in milli. All
+    * integer, both engines identical.
+    *
+    * Output: 1 row — (n_users_0, n_users_1, est0_u4, est1_u4,
+    * diff_u4, ci_half_u4, significant); `_u4` columns are in ×10⁻⁴
+    * value units.
+    *
+    * 100 TB shape: one user-grain aggregate, the constant-B replicate
+    * explode, two bounded (arm, replicate) aggregates, then scalar
+    * arithmetic — the corpus is scanned once.
+    */
+  def upliftCI(events: DataFrame, b: Int = 8): DataFrame = {
+    require(b >= 2)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(expr("CAST(sum(CAST(round(value * 10000) AS DECIMAL(38,0)))" +
+        " AS BIGINT)").as("u4"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val cdf = Seq(3678L, 7357L, 9196L, 9809L, 9963L, 9993L, 9998L, 9999L)
+    val u = {
+      val h = graft.functions.sdbm_hash(col("r"),
+        col("user_id").cast("string"))
+      pmod(pmod(h, lit(2147483647L)) * lit(48271L), lit(2147483647L)) %
+        lit(10000L)
+    }
+    val weight = cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val rep = perUser
+      .select(col("arm"), col("user_id"), col("u4"),
+        explode(sequence(lit(0L), lit(b - 1L))).as("r"))
+      .select(col("arm"), col("u4"), col("r"), weight.as("w"))
+      .groupBy(col("arm"), col("r"))
+      .agg(sum(d(col("w")) * d(col("u4"))).as("wv"), sum(col("w")).as("sw"))
+      .select(col("arm"), expr("CAST(CASE WHEN sw = 0 THEN 0" +
+        " ELSE wv div sw END AS BIGINT)").as("m"))
+    val boot = rep.groupBy(col("arm"))
+      .agg(count(lit(1)).as("nb"), sum(d(col("m"))).as("sm"),
+        sum(d(col("m")) * d(col("m"))).as("sm2"))
+      .select(col("arm"), expr(
+        "CAST((nb * sm2 - sm * sm) div (nb * nb) AS BIGINT)").as("bv"))
+    val full = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(u4 AS DECIMAL(38,0))) div count(1)" +
+          " AS BIGINT)").as("est"))
+    val j = full.join(boot, Seq("arm"))
+      .agg(
+        max(when(col("arm") === 0, col("n"))).as("n_users_0"),
+        max(when(col("arm") === 1, col("n"))).as("n_users_1"),
+        max(when(col("arm") === 0, col("est"))).as("est0_u4"),
+        max(when(col("arm") === 1, col("est"))).as("est1_u4"),
+        (max(when(col("arm") === 0, col("bv"))) +
+          max(when(col("arm") === 1, col("bv")))).as("var_sum"))
+    j.withColumn("sv", graft.operators.Sampling.isqrt(col("var_sum")))
+      .select(col("n_users_0"), col("n_users_1"),
+        col("est0_u4"), col("est1_u4"),
+        (col("est1_u4") - col("est0_u4")).as("diff_u4"),
+        expr("(1960 * sv) div 1000").as("ci_half_u4"),
+        (abs(col("est1_u4") - col("est0_u4")) >
+          expr("(1960 * sv) div 1000")).as("significant"))
+  }
+
   /** Sequence-pattern detection per user — the MATCH_RECOGNIZE shape
     * without the unsupported SQL surface: each user's event history
     * (ordered by (ts, event_id) — total order, engine-exact) encodes

@@ -228,6 +228,43 @@ object Sampling {
             " div (n_docs * max_len)")))
   }
 
+  /** Uniformity self-test of the scrambled-bucket machinery — the QA
+    * row proving the hash every sampler in this module rides is fit
+    * for purpose ON THIS CORPUS (the scramble exists because raw sdbm
+    * mod 100 measurably was NOT — see [[bucket]]'s scaladoc): χ²
+    * goodness-of-fit of the 100-bucket histogram against uniform,
+    * exact micro-units via the fraction-cleared identity
+    * `Σ(100·oᵢ − n)² div (100·n·10⁻⁶)` — squares ride DECIMAL(38,0).
+    * The flag compares against the α = 0.05 critical value for
+    * 99 df (123.225).
+    *
+    * Output: 1 row — (n_rows, n_buckets, chi2_micro, uniform_ok).
+    *
+    * 100 TB shape: one 100-ary hash aggregate + scalar arithmetic.
+    */
+  def bucketUniformity(df: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // FULL 0..99 spine: an empty bucket is (0−e)²/e of evidence
+    // AGAINST uniformity, not absence of data (the cramersV zero-cell
+    // rule) — observed-only grouping would understate χ²
+    val h = df.sparkSession.range(100).select(col("id").as("b"))
+      .join(df.select(bucket(col(idCol)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("o0")), Seq("b"), "left")
+      .select(col("b"), coalesce(col("o0"), lit(0L)).as("o"))
+    val n = h.agg(sum(col("o")).as("n"))
+    h.crossJoin(broadcast(n))
+      .select(col("n"),
+        (d(lit(100L) * col("o") - col("n")) *
+          d(lit(100L) * col("o") - col("n"))).as("d2"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        expr("CAST((1000000 * sum(d2)) div (100 * n) AS BIGINT)")
+          .as("chi2_micro"))
+      .select(col("n").as("n_rows"), col("n_buckets"), col("chi2_micro"),
+        (col("chi2_micro") < 123225000L).as("uniform_ok"))
+  }
+
   /** One-pass Poisson bootstrap (Chamandy 2012; Efron 1979's
     * resample weights ≈ Poisson(1) at corpus scale) — the
     * uncertainty estimator that works on data too large to resample

@@ -1110,6 +1110,40 @@ object TextStats {
       .orderBy(col("k"))
   }
 
+  /** Hashing-trick featurization audit (Weinberger 2009) — the
+    * fixed-width bag-of-words featurizer linear probes/quality
+    * classifiers train on at corpus scale (no vocabulary to build or
+    * ship: feature j = Σ counts of tokens hashing to j mod d). Emits
+    * the per-doc feature-vector profile — token count, occupied
+    * buckets (nnz), exact integer ‖v‖² (collisions INCREASE norm² vs
+    * distinct-token counts, which is the quantity this audit watches:
+    * rising norm²/token at fixed d means the table is saturating).
+    * Buckets come from the house sdbm hash of the token, MINSTD-
+    * scrambled — the SQL twin replays hashes over the DISTINCT token
+    * set, which is vocabulary-sized, not corpus-sized.
+    *
+    * Output: (doc_id, n_tokens, nnz, norm2), one row per doc with
+    * tokens.
+    *
+    * 100 TB shape: explode + one (doc, bucket) hash aggregate + one
+    * doc rollup; the hash is a narrow codegen'd projection, no
+    * vocabulary structure anywhere.
+    */
+  def featureHashing(docs: DataFrame, d: Int = 64): DataFrame = {
+    require(d >= 2)
+    val bucket = pmod(
+      pmod(sdbm_hash(lit(0L), col("tok")), lit(2147483647L)) *
+        lit(48271L) % lit(2147483647L), lit(d.toLong))
+    docs.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("nnz"),
+        sum(col("c") * col("c")).as("norm2"))
+  }
+
   /** Vocabulary drift between two deterministic corpus halves — the
     * distribution-shift monitor run between crawl snapshots before a
     * retrain (token-level total-variation distance is the standard

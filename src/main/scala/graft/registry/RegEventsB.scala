@@ -146,6 +146,11 @@ private[graft] object RegEventsB {
       // 50/50 sample-ratio-mismatch gate: exact micro-χ² on user-id
       // parity arms + the 3.84-critical flag (Events.srmCheck)
       Events.srmCheck(t(s, dir, "events"))),
+    "events_uplift_ci" -> ((s, dir) =>
+      // the experiment decision row: parity-arm uplift with a
+      // Poisson-bootstrap normal-approx CI, all integer
+      // (Events.upliftCI)
+      Events.upliftCI(t(s, dir, "events"))),
     "events_lag_features" -> ((s, dir) =>
       // feature-store frame: calendar-true lag-1/lag-7 and trailing
       // 7-day mean per type over the gapfilled day spine
@@ -801,6 +806,63 @@ private[graft] object RegEventsB {
              (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1) > 3841459
                AS srm_flag
       FROM a""",
+    "events_uplift_ci" -> s"""
+      WITH RECURSIVE
+      pu AS (SELECT user_id,
+               CAST(sum(CAST(round(value * 10000) AS HUGEINT))
+                 AS BIGINT) AS u4,
+               user_id % 2 AS arm
+             FROM events GROUP BY 1),
+      ${sdbmCte(
+        "(SELECT user_id, r FROM pu, UNNEST(range(0, 8)) AS t(r))",
+        "user_id * 8 + r", "r", "CAST(user_id AS VARCHAR)")},
+      pairs AS (SELECT p.user_id, p.arm, p.u4, t.r
+                FROM pu p, UNNEST(range(0, 8)) AS t(r)),
+      hs AS (SELECT p.arm, p.u4, p.r,
+               (((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                 * 48271) % 2147483647) % 10000 AS u
+             FROM pairs p JOIN sdbm s ON s.sid = p.user_id * 8 + p.r),
+      wts AS (SELECT arm, u4, r,
+               CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
+                    WHEN u < 9196 THEN 2 WHEN u < 9809 THEN 3
+                    WHEN u < 9963 THEN 4 WHEN u < 9993 THEN 5
+                    WHEN u < 9998 THEN 6 WHEN u < 9999 THEN 7
+                    ELSE 8 END AS w
+             FROM hs),
+      rep AS (SELECT arm, r,
+                CAST(CASE WHEN sum(w) = 0 THEN 0
+                     ELSE sum(CAST(w AS HUGEINT) * u4) // sum(w)
+                END AS BIGINT) AS m
+              FROM wts GROUP BY 1, 2),
+      boot AS (SELECT arm,
+                 CAST((count(*) * sum(CAST(m AS HUGEINT) * m)
+                       - sum(CAST(m AS HUGEINT))
+                         * sum(CAST(m AS HUGEINT)))
+                      // (count(*) * count(*)) AS BIGINT) AS bv
+               FROM rep GROUP BY 1),
+      fl AS (SELECT arm, count(*) AS n,
+               CAST(sum(CAST(u4 AS HUGEINT)) // count(*) AS BIGINT)
+                 AS est
+             FROM pu GROUP BY 1),
+      jj AS (SELECT
+               max(CASE WHEN f.arm = 0 THEN f.n END) AS n_users_0,
+               max(CASE WHEN f.arm = 1 THEN f.n END) AS n_users_1,
+               max(CASE WHEN f.arm = 0 THEN f.est END) AS est0_u4,
+               max(CASE WHEN f.arm = 1 THEN f.est END) AS est1_u4,
+               max(CASE WHEN f.arm = 0 THEN b.bv END)
+                 + max(CASE WHEN f.arm = 1 THEN b.bv END) AS var_sum
+             FROM fl f JOIN boot b ON b.arm = f.arm),
+      q AS (SELECT *,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= var_sum THEN s0 + 1
+                   WHEN s0 * s0 > var_sum THEN s0 - 1
+                   ELSE s0 END AS sv
+            FROM (SELECT *, CAST(floor(sqrt(CAST(var_sum AS DOUBLE)))
+                    AS BIGINT) AS s0 FROM jj))
+      SELECT n_users_0, n_users_1, est0_u4, est1_u4,
+             est1_u4 - est0_u4 AS diff_u4,
+             (1960 * sv) // 1000 AS ci_half_u4,
+             abs(est1_u4 - est0_u4) > (1960 * sv) // 1000 AS significant
+      FROM q""",
     "events_lag_features" -> """
       WITH daily AS (SELECT event_type,
               epoch_us(ts) // 86400000000 AS day,

@@ -1280,6 +1280,32 @@ class EventsSpec extends AnyFunSuite {
     assert(!r.contains(3L) && r.size == 3)
   }
 
+  test("upliftCI: constant within-arm outcomes give a zero-width " +
+      "interval and an exact diff; identical arms are not significant") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    // even users (arm 0) at 10.0, odd (arm 1) at 30.0 — constant
+    // outcomes make every bootstrap replicate mean equal the
+    // estimate, so var = 0 and the CI collapses
+    val ev = (0L until 100L).map(u =>
+      (u, ts, if (u % 2 == 0) 10.0 else 30.0))
+      .toDF("user_id", "ts", "value")
+    val r = Events.upliftCI(ev).head()
+    assert(r.getAs[Long]("n_users_0") == 50L &&
+      r.getAs[Long]("n_users_1") == 50L)
+    assert(r.getAs[Long]("est0_u4") == 100000L &&
+      r.getAs[Long]("est1_u4") == 300000L)
+    assert(r.getAs[Long]("diff_u4") == 200000L &&
+      r.getAs[Long]("ci_half_u4") == 0L &&
+      r.getAs[Boolean]("significant"))
+    // identical arms: zero diff can never clear the interval
+    val flat = (0L until 100L).map(u => (u, ts, 10.0))
+      .toDF("user_id", "ts", "value")
+    val f = Events.upliftCI(flat).head()
+    assert(f.getAs[Long]("diff_u4") == 0L &&
+      !f.getAs[Boolean]("significant"))
+  }
+
   test("lagFeatures: calendar-true lags over the gapfilled spine, " +
       "warm-up means average over the rows present, leading lags NULL") {
     import spark.implicits._
