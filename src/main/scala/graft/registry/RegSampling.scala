@@ -107,6 +107,11 @@ private[graft] object RegSampling {
       // everything, audit row per language
       Sampling.mixtureTemperature(t(s, dir, "documents"), "lang")
         .orderBy(col("lang"))),
+    "sample_bucket_uniformity" -> ((s, dir) =>
+      // QA of the sampler substrate itself: chi^2 of the 100-bucket
+      // histogram vs uniform (full spine, empty buckets count), with
+      // the 99-df critical-value flag (Sampling.bucketUniformity)
+      Sampling.bucketUniformity(t(s, dir, "documents"))),
     "sample_split_contamination" -> ((s, dir) => {
       // eval-integrity report (the GPT-2/3 train-test overlap study,
       // run at the SPAN level): test-split docs sharing any 30-char
@@ -372,6 +377,27 @@ private[graft] object RegSampling {
       SELECT q.lang, q.n_docs, q.keep_ppm, k.n_kept
       FROM q JOIN kept k ON k.lang = q.lang
       ORDER BY q.lang""",
+    "sample_bucket_uniformity" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      ob AS (SELECT ${bucketSql("s.hash")} AS b, count(*) AS o
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id
+             GROUP BY 1),
+      sp AS (SELECT CAST(i AS BIGINT) AS b
+             FROM UNNEST(range(0, 100)) AS t(i)),
+      h AS (SELECT sp.b, CAST(coalesce(ob.o, 0) AS BIGINT) AS o
+            FROM sp LEFT JOIN ob ON ob.b = sp.b),
+      nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM h),
+      dd AS (SELECT nn.n,
+               CAST(100 * h.o - nn.n AS HUGEINT)
+                 * (100 * h.o - nn.n) AS d2
+             FROM h, nn)
+      SELECT n AS n_rows, count(*) AS n_buckets,
+             CAST((1000000 * sum(d2)) // (100 * n) AS BIGINT)
+               AS chi2_micro,
+             CAST((1000000 * sum(d2)) // (100 * n) AS BIGINT)
+               < 123225000 AS uniform_ok
+      FROM dd GROUP BY n""",
     "sample_split_contamination" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

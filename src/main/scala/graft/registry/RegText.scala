@@ -305,6 +305,11 @@ private[graft] object RegText {
         .groupBy(col("lang_label"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_label"), col("pred_lang"))),
+    "text_feature_hashing" -> ((s, dir) =>
+      // hashing-trick featurizer audit: 64-bucket bag-of-words,
+      // per-doc nnz + exact ||v||^2 (collision saturation signal)
+      TextStats.featureHashing(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "text_vocab_drift" -> ((s, dir) =>
       // snapshot drift monitor: token TV-distance between the two
       // scrambled-bucket corpus halves, ppm-exact
@@ -980,6 +985,23 @@ private[graft] object RegText {
               FROM (SELECT lang, ' ' || lower(text) || ' ' AS p
                     FROM documents)))
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_feature_hashing" -> s"""
+      WITH RECURSIVE
+      tk AS (SELECT doc_id, u.tok
+             FROM documents,
+                  unnest(list_filter(string_split_regex(lower(text),
+                    '\\s+'), x -> x <> '')) AS u(tok)),
+      vocab AS (SELECT DISTINCT tok FROM tk),
+      ${sdbmCte("vocab", "tok", "0", "tok", "th")},
+      bkt AS (SELECT sid AS tok,
+                (((((hash % 2147483647) + 2147483647) % 2147483647)
+                  * 48271) % 2147483647) % 64 AS b
+              FROM th),
+      db AS (SELECT t.doc_id, k.b, count(*) AS c
+             FROM tk t JOIN bkt k ON k.tok = t.tok GROUP BY 1, 2)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS nnz, CAST(sum(c * c) AS BIGINT) AS norm2
+      FROM db GROUP BY doc_id ORDER BY doc_id""",
     "text_vocab_drift" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")},

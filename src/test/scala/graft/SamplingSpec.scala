@@ -347,6 +347,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == rows, "not partitioning-stable")
   }
 
+  test("bucketUniformity: scrambled ids pass the 99-df gate, a " +
+      "single-bucket pile fails it, empty buckets count as evidence") {
+    import spark.implicits._
+    val ok = Sampling.bucketUniformity(
+      (0L until 10000L).toDF("doc_id")).head()
+    assert(ok.getAs[Long]("n_rows") == 10000L &&
+      ok.getAs[Long]("n_buckets") == 100L &&
+      ok.getAs[Boolean]("uniform_ok"),
+      s"chi2=${ok.getAs[Long]("chi2_micro")}")
+    // every row the same id -> one bucket holds all mass; the 99
+    // empty buckets must drive chi2 to 99n micro-exactly
+    val bad = Sampling.bucketUniformity(
+      Seq.fill(500)(7L).toDF("doc_id")).head()
+    assert(!bad.getAs[Boolean]("uniform_ok"))
+    assert(bad.getAs[Long]("chi2_micro") == 99L * 500L * 1000000L,
+      "degenerate chi2 must be exactly 99n")
+  }
+
   test("poissonBootstrap: constant values collapse every replicate " +
       "mean to the estimate (zero variance), deterministic across " +
       "partitionings") {

@@ -579,6 +579,27 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.size == 3)
   }
 
+  test("featureHashing: repeated tokens pile into one bucket, token " +
+      "totals conserve, norm2 bounds hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x"),            // one token type -> one bucket, c=3
+      (2L, "a b c d e"),        // five types across <=5 buckets
+      (3L, "")                  // no tokens -> no row
+    ).toDF("doc_id", "text")
+    val got = TextStats.featureHashing(docs, d = 64)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "empty doc must not emit")
+    assert(got(0) == ((1L, 3L, 1L, 9L)))
+    val (_, n2, nnz2, norm2) = got(1)
+    assert(n2 == 5L && nnz2 >= 1L && nnz2 <= 5L)
+    assert(norm2 >= n2 && norm2 <= n2 * n2,
+      "norm2 must sit between the no-collision and all-collision bounds")
+    val again = TextStats.featureHashing(docs.repartition(5), d = 64)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
   test("vocabDrift: identical per-doc text reads zero TV distance; " +
       "token totals and shared vocab add up") {
     import spark.implicits._
