@@ -111,6 +111,33 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Prior round's committed per-query map: the full-artifact file on
+    // disk at startup IS last round's committed BENCH_FULL.json (this
+    // run overwrites it only at exit). Used by the requeue pass below:
+    // within-run `isSuspect` keys on published/min and cannot see a
+    // query that was slow in ALL repeats of THIS run but fast in every
+    // prior run (r14's corpus_pipeline published 6.76 s with a ~3 s
+    // cross-run truth); comparing against the committed predecessor
+    // closes that blind spot at one extra run per >2.5x mover.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
+    val priorQueries: Map[String, Double] = try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(fullPath))
+      val m = java.util.regex.Pattern
+        .compile("\"queries\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
+      if (!m.find()) Map.empty
+      else m.group(1).split(",").iterator.flatMap { kv =>
+        val i = kv.lastIndexOf(':')
+        if (i < 0) None
+        else try Some(kv.substring(0, i).trim
+          .stripPrefix("\"").stripSuffix("\"") ->
+          kv.substring(i + 1).trim.toDouble)
+        catch { case _: Throwable => None }
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+    // discard whatever state metrics the streaming warm-up recorded
+    graft.streaming.EventsStream.drainStateMetrics()
     val midpoint = queries.size / 2
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canaryProbe(spark, sfDir)
@@ -200,12 +227,18 @@ object Bench {
       val published = if (overCap) times.min else median(times)
       val gcMs = gcMillis() - gcBefore
       val storMb = storageUsedMb(spark)
+      // streaming entries: final state-store footprint across the
+      // entry's streaming queries (max per query name over the
+      // repeats, summed across queries) — -1 marks a batch entry
+      val sm = graft.streaming.EventsStream.drainStateMetrics()
+      val stRows = if (sm.isEmpty) -1L else sm.values.map(_._1).sum
+      val stBytes = if (sm.isEmpty) -1L else sm.values.map(_._2).sum
       System.err.println(
         f"BENCH $name%-28s $published%8.2f s" + (if (times.size > 1)
           f"  (${if (overCap) "capped-min" else "median"} of ${times.size}, min ${times.min}%.2f)"
         else ""))
       BenchResult(name, published, times.min, startOffset, overCap,
-        gcMs, storMb)
+        gcMs, storMb, stRows, stBytes)
     }
     canaries += canaryProbe(spark, sfDir)
     System.err.println(f"BENCH canary[end] ${canaries.last}%8.2f s")
@@ -221,6 +254,13 @@ object Bench {
     // disproved; this pass is that re-run, automated and in-artifact).
     def isSuspect(r: BenchResult): Boolean =
       r.min > 0 && r.published / r.min > 2.0 && r.published - r.min > 0.5
+    // cross-ROUND regression: published >2.5x the prior committed
+    // run's number for the same query (absolute floor so sub-second
+    // entries don't churn) — the one drift class neither isSuspect
+    // nor the cap can see (all repeats slow in this run only)
+    def isRegression(r: BenchResult): Boolean =
+      priorQueries.get(r.name).exists(p =>
+        p > 0 && r.published / p > 2.5 && r.published - p > 0.5)
     val fnByName = queries.toMap
     // capped entries are requeued UNCONDITIONALLY: their published
     // number is already min-of-2, so the published/min ratio can never
@@ -229,7 +269,13 @@ object Bench {
     // 36.4 s capped-min with an isolated truth of 0.68 s). One
     // end-of-suite re-run per capped entry closes that blind spot at
     // bounded cost.
-    val requeued = results.filter(r => isSuspect(r) || r.overCap).map { r =>
+    val regressionNames = results
+      .filter(r => isRegression(r) && !isSuspect(r) && !r.overCap)
+      .map(_.name)
+    if (regressionNames.nonEmpty) System.err.println(
+      s"BENCH regression-vs-prior requeue: ${regressionNames.mkString(",")}")
+    val requeued = results
+      .filter(r => isSuspect(r) || r.overCap || isRegression(r)).map { r =>
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       PlanCapture.drain()
       val t0 = System.nanoTime()
@@ -289,8 +335,17 @@ object Bench {
       .mkString("{", ",", "}")
     val qsStor = adjudicated.map(r => s"\"" + r.name + "\":" + r.storageMb)
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    // streaming-only columns: final state-store rows/bytes per entry
+    // (absent for batch entries) — flat across rounds = state bounded
+    val qsStateRows = adjudicated.filter(_.stateRows >= 0)
+      .map(r => s"\"" + r.name + "\":" + r.stateRows)
+      .mkString("{", ",", "}")
+    val qsStateBytes = adjudicated.filter(_.stateRows >= 0)
+      .map(r => s"\"" + r.name + "\":" + r.stateBytes)
+      .mkString("{", ",", "}")
+    val regressionJson = regressionNames.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
@@ -342,14 +397,20 @@ object Bench {
       if (entry.length + 1 <= room) { kept += entry; room -= entry.length + 1 }
     }
     val elided = adjudicated.size - kept.size
+    // teardown hygiene BEFORE the metric line prints: evicting the
+    // cross-query memoized frames unpersists dozens of
+    // localCheckpointed RDDs, and Spark WARNs once per truncated
+    // lineage — in r14 that flood landed AFTER the metric line and
+    // pushed it out of the driver's 2000-char tail capture
+    // (BENCH_r14.json parsed:null). Quieting the logger AND printing
+    // last makes the metric line the final stdout regardless of what
+    // teardown emits. The memo is JVM-lifetime by design (SparkEntry
+    // scaladoc); a long-lived host cycling sessions still needs this
+    // call at every teardown (r13 finding #4).
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.evictMemos(spark)
     println(fixedHead + kept.mkString(",") +
       s"""},"queries_elided":$elided""" + fixedTail)
-    // teardown hygiene: drop the cross-query memoized frames and their
-    // pinned localCheckpoint blocks — in THIS harness the JVM exits
-    // anyway, but the memo is JVM-lifetime by design (SparkEntry
-    // scaladoc) and a long-lived host cycling sessions would leak
-    // without this call at every teardown (r13 finding #4)
-    SparkEntry.evictMemos(spark)
     spark.stop()
   }
 
@@ -360,5 +421,6 @@ object Bench {
     */
   private final case class BenchResult(name: String, published: Double,
       min: Double, startOffset: Double, overCap: Boolean,
-      gcMs: Long = 0L, storageMb: Long = 0L)
+      gcMs: Long = 0L, storageMb: Long = 0L,
+      stateRows: Long = -1L, stateBytes: Long = -1L)
 }

@@ -49,7 +49,11 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // teardown hygiene: release the cross-query memoized frames'
-    // pinned checkpoint blocks (see Bench — same rationale)
+    // pinned checkpoint blocks (see Bench — same rationale; the
+    // logger is quieted first because each unpersisted
+    // localCheckpoint RDD WARNs, and that flood drowned the r14
+    // bench artifact's tail capture)
+    spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.evictMemos(spark)
     spark.stop()
   }

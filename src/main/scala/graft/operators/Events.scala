@@ -1522,16 +1522,15 @@ object Events {
       .agg(expr("CAST(sum(CAST(round(value * 10000) AS DECIMAL(38,0)))" +
         " AS BIGINT)").as("u4"))
       .withColumn("arm", pmod(col("user_id"), lit(2L)))
-    val cdf = Seq(3678L, 7357L, 9196L, 9809L, 9963L, 9993L, 9998L, 9999L)
+    // weight table shared with the sampler (one correction site):
+    // Sampling.poisson1Cdf1e4, the correctly-truncated Poisson(1) CDF
     val u = {
       val h = graft.functions.sdbm_hash(col("r"),
         col("user_id").cast("string"))
       pmod(pmod(h, lit(2147483647L)) * lit(48271L), lit(2147483647L)) %
         lit(10000L)
     }
-    val weight = cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) {
-      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
-    }
+    val weight = graft.operators.Sampling.poisson1Weight(u)
     val d = (c: Column) => c.cast("decimal(38,0)")
     val rep = perUser
       .select(col("arm"), col("user_id"), col("u4"),

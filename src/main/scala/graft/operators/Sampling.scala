@@ -49,6 +49,28 @@ object Sampling {
     pmod(h, lit(2147483647L)) * lit(48271L) % lit(2147483647L)
   }
 
+  /** Poisson(1) CDF, correctly truncated to units of 10⁻⁴:
+    * P(X≤k) for k = 0..6 is 0.36788 / 0.73576 / 0.91970 / 0.98101 /
+    * 0.99634 / 0.99941 / 0.99992, truncating to
+    * 3678/7357/9196/9810/9963/9994/9999. P(X≤7) ALSO truncates to
+    * 9999, so at this granularity the maximum representable weight is
+    * 7 (drawn with probability 10⁻⁴ ≈ the true P(X≥7) = 8.3·10⁻⁵) —
+    * the table stops at seven thresholds rather than carrying an
+    * unreachable eighth. Shared by [[poissonBootstrap]] and
+    * [[graft.operators.Events.upliftCI]] so a future correction
+    * touches one site; the SQL twins spell the same constants inline
+    * per house style (they cannot reference Scala values).
+    */
+  private[graft] val poisson1Cdf1e4 =
+    Seq(3678L, 7357L, 9196L, 9810L, 9963L, 9994L, 9999L)
+
+  /** Map a uniform draw `u` ∈ [0, 10⁴) to its Poisson(1) weight
+    * (0–7) via [[poisson1Cdf1e4]]. */
+  private[graft] def poisson1Weight(u: Column): Column =
+    poisson1Cdf1e4.zipWithIndex.foldRight(lit(poisson1Cdf1e4.size.toLong)) {
+      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
+    }
+
   /** Deterministic fixed-size uniform sample: exactly `k` rows (fewer
     * only if the input is smaller), chosen as the top-k by scrambled
     * hash rank — the distributed, rerun-stable replacement for
@@ -183,11 +205,19 @@ object Sampling {
           " div n_docs AS BIGINT)"))
       .withColumn("keep_ppm", isqrt(col("ratio")))
       .select(col(strataCol), col("n_docs"), col("keep_ppm"))
-    df.select(col(idCol), col(strataCol))
+    // kept counts LEFT-joined back onto the rates frame: a stratum
+    // whose deterministic draw keeps zero docs still emits its audit
+    // row with n_kept = 0 — "one row per stratum" is the contract,
+    // and a silently vanished stratum is exactly what the audit
+    // exists to catch
+    val kept = df.select(col(idCol), col(strataCol))
       .join(broadcast(rates), Seq(strataCol))
       .filter(scrambledRank(col(idCol)) % lit(1000000L) < col("keep_ppm"))
-      .groupBy(col(strataCol), col("n_docs"), col("keep_ppm"))
-      .agg(count(lit(1)).as("n_kept"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("_n_kept"))
+    rates.join(kept, Seq(strataCol), "left")
+      .select(col(strataCol), col("n_docs"), col("keep_ppm"),
+        coalesce(col("_n_kept"), lit(0L)).as("n_kept"))
   }
 
   /** Length-grouped batch assembly with padding-waste accounting —
@@ -259,7 +289,12 @@ object Sampling {
           d(lit(100L) * col("o") - col("n"))).as("d2"))
       .groupBy(col("n"))
       .agg(count(lit(1)).as("n_buckets"),
-        expr("CAST((1000000 * sum(d2)) div (100 * n) AS BIGINT)")
+        // empty corpus: n = 0 makes the divisor zero — Spark's
+        // non-ANSI div would return NULL while DuckDB's // errors, so
+        // the guard makes "no data → no verdict" explicit and
+        // engine-identical (chi2 and the flag both NULL)
+        expr("CAST(CASE WHEN n = 0 THEN NULL" +
+          " ELSE (1000000 * sum(d2)) div (100 * n) END AS BIGINT)")
           .as("chi2_micro"))
       .select(col("n").as("n_rows"), col("n_buckets"), col("chi2_micro"),
         (col("chi2_micro") < 123225000L).as("uniform_ok"))
@@ -273,10 +308,11 @@ object Sampling {
     * the same single pass, and the spread of the replicate means IS
     * the bootstrap variance. Weights are deterministic: replicate r's
     * draw for a row is the MINSTD-scrambled sdbm hash SEEDED with r,
-    * reduced mod 10⁴ and looked up against the Poisson(1) CDF in
-    * basis-points-of-10⁴ (3678/7357/9196/9809/9963/9993/9998/9999 →
-    * weights 0–8) — rerun- and partitioning-stable, identical in the
-    * SQL twin. Replicate means are milli-unit truncating divisions;
+    * reduced mod 10⁴ and looked up against the correctly-truncated
+    * Poisson(1) CDF [[poisson1Cdf1e4]]
+    * (3678/7357/9196/9810/9963/9994/9999 → weights 0–7) — rerun- and
+    * partitioning-stable, identical in the SQL twin. Replicate means
+    * are milli-unit truncating divisions;
     * the across-replicate variance uses the exact scaled identity
     * (B·Σm² − (Σm)²) div B².
     *
@@ -293,15 +329,12 @@ object Sampling {
       valueCol: String, b: Int = 8,
       idCol: String = "doc_id"): DataFrame = {
     require(b >= 2, "variance needs at least two replicates")
-    val cdf = Seq(3678L, 7357L, 9196L, 9809L, 9963L, 9993L, 9998L, 9999L)
     val u = {
       val h = sdbm_hash(col("r"), col(idCol).cast("string"))
       pmod(pmod(h, lit(2147483647L)) * lit(48271L), lit(2147483647L)) %
         lit(10000L)
     }
-    val weight = cdf.zipWithIndex.foldRight(lit(cdf.size.toLong)) {
-      case ((t, k), rest) => when(u < t, k.toLong).otherwise(rest)
-    }
+    val weight = poisson1Weight(u)
     val d = (c: Column) => c.cast("decimal(38,0)")
     val rep = df
       .select(col(strataCol), col(idCol), col(valueCol).as("v"),

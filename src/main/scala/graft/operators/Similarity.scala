@@ -1015,7 +1015,10 @@ object Similarity {
     * over the ×10⁴-quantized embeddings — the clustering pass a
     * corpus-curation pipeline runs for topic balancing / cluster-
     * aware sampling. Everything is engine-exact: init centroids are
-    * the vectors of the k SMALLEST vec_ids (no RNG), assignment is
+    * the vectors of the k smallest vec_ids ACTUALLY PRESENT (a
+    * k-row ordered-limit, not a `vec_id < k` filter — ids need not
+    * be 0-based or contiguous; each seed's cluster label is its
+    * vec_id), assignment is
     * argmin of the exact integer squared L2 distance with ties to the
     * lowest cluster id, and centroid updates are per-dimension
     * TRUNCATING division of the coordinate sums — Spark's `div` and
@@ -1048,7 +1051,12 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cl"), col("d2"))
-    val init = e.filter(col("vec_id") < k)
+    // seeds = the k smallest vec_ids present (k-row broadcast), NOT
+    // `vec_id < k`: on a frame whose ids aren't 0-based contiguous
+    // that filter can be empty and the census silently degenerates
+    val seeds = e.select(col("vec_id")).distinct()
+      .orderBy(col("vec_id")).limit(k)
+    val init = e.join(broadcast(seeds), Seq("vec_id"))
       .select(col("vec_id").as("cl"), col("i"), col("x").as("c"))
     val last = (1 until iters).foldLeft(assign(init)) { (a, _) =>
       val cent = e.join(a.select(col("vec_id"), col("cl")), Seq("vec_id"))

@@ -811,7 +811,7 @@ private[graft] object RegEventsB {
       pu AS (SELECT user_id,
                CAST(sum(CAST(round(value * 10000) AS HUGEINT))
                  AS BIGINT) AS u4,
-               user_id % 2 AS arm
+               ((user_id % 2) + 2) % 2 AS arm
              FROM events GROUP BY 1),
       ${sdbmCte(
         "(SELECT user_id, r FROM pu, UNNEST(range(0, 8)) AS t(r))",
@@ -824,10 +824,9 @@ private[graft] object RegEventsB {
              FROM pairs p JOIN sdbm s ON s.sid = p.user_id * 8 + p.r),
       wts AS (SELECT arm, u4, r,
                CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
-                    WHEN u < 9196 THEN 2 WHEN u < 9809 THEN 3
-                    WHEN u < 9963 THEN 4 WHEN u < 9993 THEN 5
-                    WHEN u < 9998 THEN 6 WHEN u < 9999 THEN 7
-                    ELSE 8 END AS w
+                    WHEN u < 9196 THEN 2 WHEN u < 9810 THEN 3
+                    WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                    WHEN u < 9999 THEN 6 ELSE 7 END AS w
              FROM hs),
       rep AS (SELECT arm, r,
                 CAST(CASE WHEN sum(w) = 0 THEN 0

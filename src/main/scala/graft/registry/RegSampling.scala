@@ -374,8 +374,9 @@ private[graft] object RegSampling {
                        % 2147483647) * 48271) % 2147483647) % 1000000
                      < q.keep_ppm
                GROUP BY 1)
-      SELECT q.lang, q.n_docs, q.keep_ppm, k.n_kept
-      FROM q JOIN kept k ON k.lang = q.lang
+      SELECT q.lang, q.n_docs, q.keep_ppm,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+      FROM q LEFT JOIN kept k ON k.lang = q.lang
       ORDER BY q.lang""",
     "sample_bucket_uniformity" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
@@ -393,9 +394,11 @@ private[graft] object RegSampling {
                  * (100 * h.o - nn.n) AS d2
              FROM h, nn)
       SELECT n AS n_rows, count(*) AS n_buckets,
-             CAST((1000000 * sum(d2)) // (100 * n) AS BIGINT)
+             CAST(CASE WHEN n = 0 THEN NULL
+               ELSE (1000000 * sum(d2)) // (100 * n) END AS BIGINT)
                AS chi2_micro,
-             CAST((1000000 * sum(d2)) // (100 * n) AS BIGINT)
+             CAST(CASE WHEN n = 0 THEN NULL
+               ELSE (1000000 * sum(d2)) // (100 * n) END AS BIGINT)
                < 123225000 AS uniform_ok
       FROM dd GROUP BY n""",
     "sample_split_contamination" -> s"""
@@ -428,10 +431,9 @@ private[graft] object RegSampling {
              FROM pairs p JOIN sdbm s ON s.sid = p.doc_id * 8 + p.r),
       wts AS (SELECT source, n_chars, r,
                CASE WHEN u < 3678 THEN 0 WHEN u < 7357 THEN 1
-                    WHEN u < 9196 THEN 2 WHEN u < 9809 THEN 3
-                    WHEN u < 9963 THEN 4 WHEN u < 9993 THEN 5
-                    WHEN u < 9998 THEN 6 WHEN u < 9999 THEN 7
-                    ELSE 8 END AS w
+                    WHEN u < 9196 THEN 2 WHEN u < 9810 THEN 3
+                    WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+                    WHEN u < 9999 THEN 6 ELSE 7 END AS w
              FROM hs),
       rep AS (SELECT source, r,
                 CAST(CASE WHEN sum(w) = 0 THEN 0

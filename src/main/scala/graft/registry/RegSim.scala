@@ -153,7 +153,8 @@ private[graft] object RegSim {
         t(s, dir, "embeddings").filter(col("vec_id") < 500))),
     "sim_kmeans" -> ((s, dir) =>
       // deterministic Lloyd k-means (k=4, 2 assignment rounds) over
-      // the quantized embeddings: init = lowest-k vec_ids, exact
+      // the quantized embeddings: init = k smallest present vec_ids,
+      // exact
       // integer distances, floor-div centroid updates; per-cluster
       // census + inertia out
       Similarity.kmeans(t(s, dir, "embeddings"), k = 4, iters = 2)
@@ -392,7 +393,9 @@ private[graft] object RegSim {
       FROM j""",
     "sim_kmeans" -> s"""
       WITH $qEmbSql,
-      c0 AS (SELECT vec_id AS cl, i, x AS c FROM e WHERE vec_id < 4),
+      c0 AS (SELECT vec_id AS cl, i, x AS c FROM e
+             WHERE vec_id IN (SELECT DISTINCT vec_id FROM e
+                              ORDER BY vec_id LIMIT 4)),
       d1 AS (SELECT e.vec_id, c0.cl,
                sum((e.x - c0.c) * (e.x - c0.c)) AS d2
              FROM e JOIN c0 USING (i) GROUP BY 1, 2),

@@ -72,6 +72,49 @@ object EventsStream {
   private[graft] def rocksdbState: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_STATE", "1") != "0"
 
+  /** Final state-store footprint per streaming query, recorded at
+    * stop time from `lastProgress.stateOperators` (numRowsTotal and
+    * memoryUsedBytes summed across the query's stateful operators).
+    * Bench drains this after each timed entry into
+    * `queries_state_rows` / `queries_state_bytes` artifact columns,
+    * so streaming state size is observable across the suite the same
+    * way batch queries surface GC and storage — a growing series here
+    * would mean watermark-unbounded state, the #1 streaming
+    * scale-killer at 100 TB.
+    */
+  private val stateMetrics =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Snapshot and clear the recorded (rows, bytes) per query name. */
+  private[graft] def drainStateMetrics(): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val snap = stateMetrics.asScala.toMap
+    stateMetrics.clear()
+    snap
+  }
+
+  /** Uniform teardown for every completion harness in this module:
+    * record the query's final state-operator totals, then stop it.
+    * Per-name max across restarts within one drain window (the
+    * exactly-once twin stops the same name twice; the final footprint
+    * is what the artifact should show).
+    */
+  private def stopRecorded(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    try {
+      val p = q.lastProgress
+      if (p != null && p.stateOperators != null &&
+          p.stateOperators.nonEmpty) {
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        val bytes = p.stateOperators.map(_.memoryUsedBytes).sum
+        val key = Option(p.name).getOrElse(q.id.toString)
+        stateMetrics.merge(key, (rows, bytes),
+          (a, b) => (math.max(a._1, b._1), math.max(a._2, b._2)))
+      }
+    } catch { case _: Throwable => () } // metrics must never fail a stop
+    q.stop()
+  }
+
   /** Shared replay-harness plumbing: atomically land a chunk as ONE
     * parquet file in the replay dir (staged write + rename, so the
     * file stream never sees a partial file), and recursive cleanup.
@@ -142,7 +185,7 @@ object EventsStream {
       .format("memory")
       .queryName(qname)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -176,7 +219,7 @@ object EventsStream {
       .option("checkpointLocation", ckptDir.toString)
       .start()
     try {
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally stopRecorded(q)
       val st = spark.read.format("statestore")
         .option("path", ckptDir.toString).load()
       val keyFields = st.schema("key").dataType
@@ -250,7 +293,7 @@ object EventsStream {
         "sentinel")
       q.processAllAvailable() // watermark clears every real window: flush
     } finally {
-      q.stop()
+      stopRecorded(q)
       deleteRec(replayDir)
     }
     spark.table(qname).filter(col("event_type") =!= sentinelType)
@@ -277,7 +320,7 @@ object EventsStream {
     val qname = "graft_events_stream_sliding"
     val q = agg.writeStream
       .outputMode("complete").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -333,7 +376,7 @@ object EventsStream {
         .toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // watermark clears every real session
     } finally {
-      q.stop()
+      stopRecorded(q)
       deleteRec(replayDir)
     }
     spark.table(qname).filter(col("user_id") =!= sentinelUid)
@@ -361,7 +404,7 @@ object EventsStream {
     val qname = "graft_events_stream_enrich"
     val q = enriched.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -384,7 +427,7 @@ object EventsStream {
     val qname = "graft_events_stream_enrich_outer"
     val q = enriched.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -407,7 +450,7 @@ object EventsStream {
     val qname = "graft_events_dedup"
     val q = agg.writeStream
       .outputMode("complete").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -447,7 +490,7 @@ object EventsStream {
     val qname = "graft_events_stream_attribution"
     val q = joined.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -565,7 +608,7 @@ object EventsStream {
         .toDF("user_id", "ts", "event_id", "event_type", "value"), "sentinel")
       q.processAllAvailable() // watermark advance + no-data batch: nulls flush
     } finally {
-      q.stop()
+      stopRecorded(q)
       deleteRec(replayDir)
     }
     spark.table(qname)
@@ -590,7 +633,7 @@ object EventsStream {
     val qname = "graft_events_stream_xml"
     val q = docs.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -650,7 +693,7 @@ object EventsStream {
             "o_custkey", "cents").localCheckpoint()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally stopRecorded(q)
       state
     } finally deleteRec(replayDir)
   }
@@ -663,7 +706,7 @@ object EventsStream {
         df.write.mode("append").parquet(outDir)
       }
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally stopRecorded(q)
     spark.read.parquet(outDir)
   }
 
@@ -709,7 +752,7 @@ object EventsStream {
         s"fingerprint-dedup oracle assumes ONE data micro-batch " +
           s"(watermark-horizon dedup == global DISTINCT only then); " +
           s"this run had $dataBatches")
-    } finally q.stop()
+    } finally stopRecorded(q)
     spark.table(qname)
   }
 
@@ -831,7 +874,7 @@ object EventsStream {
         -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // batch 3 + no-data batch: flush timeouts
     } finally {
-      q.stop()
+      stopRecorded(q)
       ev.unpersist()
       // the memory sink holds the results; the replay files are dead
       deleteRec(replayDir)
@@ -992,7 +1035,7 @@ object EventsStream {
       sf.setLastModified(c2f.lastModified() + 60000L)
       q.processAllAvailable()
     } finally {
-      q.stop()
+      stopRecorded(q)
       ev.unpersist()
       deleteRec(replayDir)
     }
@@ -1146,7 +1189,7 @@ object EventsStream {
         -1L)).toDF("user_id", "ts", "event_id"), "sentinel")
       q.processAllAvailable() // watermark flush of surviving state
     } finally {
-      q.stop()
+      stopRecorded(q)
       ranked.unpersist()
       ev.unpersist()
       deleteRec(replayDir)
