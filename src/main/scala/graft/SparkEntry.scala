@@ -687,11 +687,12 @@ object SparkEntry {
       SELECT day, y, l AS level_micro, b AS trend_micro
       FROM rec ORDER BY day"""
 
-  /** text_bpe_merges' DuckDB twin: three merge rounds unrolled as
-    * CTE pairs (pair-count → argmax → rewrite), each mirroring one
-    * iteration of TextStats.bpeMerges' loop.
+  /** Shared CTE chain for the BPE oracles: word-frequency collapse,
+    * initial symbol spelling, then `rounds` merge rounds unrolled as
+    * CTE triples (pair-count → argmax → rewrite), each mirroring one
+    * iteration of TextStats.bpeLoop.
     */
-  private[graft] def bpeOracleSql: String = s"""
+  private def bpeRoundsCte(rounds: Int): String = s"""
       WITH wf AS (SELECT w, count(*) AS cnt FROM (
              SELECT unnest(list_filter(
                string_split_regex(lower(text), '\\s+'), x -> x <> ''))
@@ -700,7 +701,7 @@ object SparkEntry {
       s0 AS (SELECT concat(' ',
                regexp_replace(w, '(.)', '\\1 ', 'g'), '_ ') AS seq,
                cnt FROM wf),
-      ${(1 to 3).map { r => s"""
+      ${(1 to rounds).map { r => s"""
       p$r AS (SELECT pr, CAST(sum(cnt) AS BIGINT) AS n FROM (
           SELECT sym[CAST(i AS INT)] || ' ' ||
                  sym[CAST(i AS INT) + 1] AS pr, cnt
@@ -711,12 +712,33 @@ object SparkEntry {
       s$r AS (SELECT replace(seq, ' ' || pr || ' ',
                 ' ' || replace(pr, ' ', '') || ' ') AS seq, cnt
               FROM s${r - 1}, b$r)"""
-      }.mkString(",")}
+      }.mkString(",")}"""
+
+  /** text_bpe_merges' DuckDB twin: the first three rounds' argmax
+    * rows.
+    */
+  private[graft] def bpeOracleSql: String = s"""
+      ${bpeRoundsCte(3)}
       SELECT CAST(1 AS BIGINT) AS round, pr AS pair, n AS pair_cnt
       FROM b1
       UNION ALL SELECT CAST(2 AS BIGINT), pr, n FROM b2
       UNION ALL SELECT CAST(3 AS BIGINT), pr, n FROM b3
       ORDER BY round"""
+
+  /** text_bpe_train's DuckDB twin: eight unrolled merge rounds, then
+    * the final-vocabulary census over the rewritten symbol sequences
+    * (TextStats.bpeTrain).
+    */
+  private[graft] def bpeTrainOracleSql: String = s"""
+      ${bpeRoundsCte(8)},
+      ex AS (SELECT seq, cnt,
+               unnest(list_filter(string_split_regex(seq, '\\s+'),
+                 x -> x <> '')) AS symbol
+             FROM s8)
+      SELECT symbol, CAST(count(DISTINCT seq) AS BIGINT) AS n_words,
+             CAST(sum(cnt) AS BIGINT) AS freq,
+             length(symbol) > 1 AS is_merged
+      FROM ex GROUP BY symbol ORDER BY freq DESC, symbol"""
 
   /** Shared CTE chain for the decomposition oracles: gapfilled day
     * spine → centered 7-day MA trend (`tt`) → weekday seasonal means

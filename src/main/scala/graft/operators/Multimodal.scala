@@ -630,6 +630,48 @@ object Multimodal {
     bandedHammingPairs(audioFingerprint(docs).localCheckpoint(), "fp",
       Seq("n_blocks"), maxHamming)
 
+  /** Audio segmentation by fingerprint delta — the audio twin of
+    * [[sceneCuts]], completing the modality matrix: order each
+    * source's signals by doc_id and cut the sequence wherever the
+    * consecutive [[audioFingerprint]] Hamming distance exceeds
+    * `maxHamming` (a program boundary in a broadcast stream, a
+    * speaker/content change in a recording archive) OR the block
+    * count changes (different-length signals have structurally
+    * incomparable fingerprints — a forced boundary, same rule that
+    * keeps [[audioFpNearPairs]]' band join honest). Consumes the
+    * already-decoded fingerprint frame, so no extra AudioSystem pass.
+    * The default threshold 16 sits above the fixture's median
+    * consecutive distance (~13), yielding a real mix of multi-signal
+    * segments and cuts.
+    *
+    * Output: one row per segment — (source, seg_id, n_signals,
+    * first_doc, last_doc).
+    *
+    * 100 TB shape: one lag + one running-sum window, both partitioned
+    * by the sequence key — no global window; segments aggregate at
+    * segment grain ([[sceneCuts]]' exact plan on the audio frame).
+    */
+  def audioCuts(fps: DataFrame, meta: DataFrame,
+      maxHamming: Int = 16): DataFrame = {
+    require(maxHamming >= 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fps.select(col("doc_id"), col("n_blocks"), col("fp"))
+      .join(meta.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("pfp", lag(col("fp"), 1).over(w))
+      .withColumn("pnb", lag(col("n_blocks"), 1).over(w))
+      .withColumn("cut",
+        when(col("pfp").isNull, 1L)
+          .when(col("pnb") =!= col("n_blocks"), 1L)
+          .when(expr(s"bit_count(pfp ^ fp) > $maxHamming"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id", sum(col("cut")).over(cum))
+      .groupBy(col("source"), col("seg_id"))
+      .agg(count(lit(1)).as("n_signals"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   /** Resize planning over decoded metadata: fit into a `target`-sized
     * box preserving aspect ratio. All integer arithmetic
     * (`w*target // max(w,h)`), so the plan is exact and oracle-

@@ -789,6 +789,24 @@ object TextStats {
     */
   def bpeMerges(docs: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1)
+    val (merges, _) = bpeLoop(docs, rounds)
+    merges.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
+  /** The shared BPE training loop behind [[bpeMerges]] and
+    * [[bpeTrain]]: collapse the corpus to the (word, count) table
+    * once, then per round (a) count symbol pairs over that
+    * vocabulary-bounded table, (b) take the 1-row argmax with the
+    * deterministic (count desc, pair asc) tie-break, (c) rewrite the
+    * symbol sequences with the winning merge via a broadcast-scalar
+    * cross join. Each round's rewrite is localCheckpointed so round
+    * r+1's plan doesn't replay rounds 1..r (the kmeans/pagerank
+    * bounded-iteration discipline); the pre-checkpoint plan is
+    * PlanCapture'd so the plan audit still sees the per-round shape.
+    * Returns (one 1-row frame per merge, the final rewritten table).
+    */
+  private def bpeLoop(docs: DataFrame,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
     var cur = docs
       .select(explode(Dedup.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -806,13 +824,50 @@ object TextStats {
         .localCheckpoint()
       merges += best.select(lit(r.toLong).as("round"),
         col("pr").as("pair"), col("n").as("pair_cnt"))
-      cur = cur.crossJoin(broadcast(best.select(col("pr"))))
+      val rewritten = cur.crossJoin(broadcast(best.select(col("pr"))))
         .select(expr("""replace(seq, ' ' || pr || ' ',
             ' ' || replace(pr, ' ', '') || ' ')""").as("seq"),
           col("cnt"))
-        .localCheckpoint()
+      graft.PlanCapture.record(s"bpe round $r rewrite (pre-checkpoint)",
+        rewritten)
+      cur = rewritten.localCheckpoint()
     }
-    merges.result().reduce(_ unionByName _).orderBy(col("round"))
+    (merges.result(), cur)
+  }
+
+  /** Full BPE VOCABULARY training — run `rounds` merge rounds
+    * ([[bpeLoop]]) and emit the learned vocabulary: the census of
+    * every symbol surviving in the post-merge word-frequency table.
+    * `freq` is the symbol's corpus-weighted occurrence count (a
+    * symbol twice in one word counts twice, scaled by the word's
+    * frequency), `n_words` the number of distinct words containing
+    * it, `is_merged` marks multi-character symbols the training
+    * created (base symbols are single characters plus the `_`
+    * end-of-word sentinel). This is the artifact a tokenizer ships:
+    * merges list ([[bpeMerges]]) + final vocab (this).
+    *
+    * 100 TB shape: the corpus is scanned ONCE (the word-frequency
+    * collapse); all `rounds` iterations then run over the
+    * vocabulary-bounded table — pair counting is a hash aggregate on
+    * a |vocab|-row frame, the argmax is 1 row, the rewrite is a
+    * broadcast-scalar projection. The final census is one more
+    * vocab-bounded aggregate. Nothing after the first collapse
+    * touches corpus-sized data.
+    *
+    * Output: (symbol, n_words, freq, is_merged) ordered by freq
+    * desc, symbol.
+    */
+  def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1)
+    val (_, fin) = bpeLoop(docs, rounds)
+    fin.select(col("seq"), col("cnt"),
+        explode(Dedup.tokens(col("seq"))).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(countDistinct(col("seq")).as("n_words"),
+        sum(col("cnt")).as("freq"))
+      .select(col("symbol"), col("n_words"), col("freq"),
+        (length(col("symbol")) > 1).as("is_merged"))
+      .orderBy(col("freq").desc, col("symbol"))
   }
 
   /** Gopher-style document hygiene rules (Rae et al. 2021 "Scaling

@@ -200,6 +200,12 @@ private[graft] object RegIo {
         Seq("n_blocks"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "multimodal_audio_cuts" -> ((s, dir) =>
+      // fingerprint-delta segmentation of per-source signal
+      // sequences — the audio twin of multimodal_scene_cuts (shared
+      // memoized fingerprint frame — no extra decode)
+      Multimodal.audioCuts(audioFps(s, dir), t(s, dir, "documents"))
+        .orderBy(col("source"), col("seg_id"))),
 
     // ---- additional relational coverage ----
     "jsonl_documents" -> ((s, dir) => {
@@ -587,6 +593,39 @@ private[graft] object RegIo {
            AND a.n_blocks = b.n_blocks
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
       ORDER BY id_a, id_b""",
+    "multimodal_audio_cuts" -> """
+      WITH s AS (
+        SELECT doc_id, CAST(i // 20 AS INT) AS blk,
+               greatest(-32768, least(32767,
+                 (CASE WHEN (doc_id + i // 160) % 5 < 2 THEN 0
+                       ELSE (doc_id + i // 160) % 5 END)
+                 * (((doc_id * 7 + i * 31) % 128) - 64) * 300)) AS v
+        FROM (SELECT doc_id, CAST(640 + (doc_id % 5) * 160 AS BIGINT) AS n
+              FROM documents), UNNEST(range(n)) t(i)),
+      en AS (SELECT doc_id, blk, sum(v * v) AS e FROM s GROUP BY doc_id, blk),
+      d AS (SELECT doc_id, blk, e,
+                   lead(e) OVER (PARTITION BY doc_id ORDER BY blk) AS nxt
+            FROM en),
+      f AS (SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+                   CAST(coalesce(sum(CASE WHEN nxt IS NOT NULL AND nxt > e
+                     THEN (CAST(1 AS BIGINT) << least(blk, 62)) ELSE 0 END),
+                     0) AS BIGINT) AS fp
+            FROM d GROUP BY doc_id),
+      sq AS (SELECT dd.source, f.doc_id, f.n_blocks, f.fp
+             FROM f JOIN documents dd USING (doc_id)),
+      c AS (SELECT source, doc_id,
+              CASE WHEN lag(fp) OVER w IS NULL THEN 1
+                   WHEN lag(n_blocks) OVER w <> n_blocks THEN 1
+                   WHEN bit_count(xor(lag(fp) OVER w, fp)) > 16 THEN 1
+                   ELSE 0 END AS cut
+            FROM sq WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+      sg AS (SELECT source, doc_id,
+               CAST(sum(cut) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg_id
+             FROM c)
+      SELECT source, seg_id, count(*) AS n_signals,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM sg GROUP BY 1, 2 ORDER BY 1, 2""",
     "jsonl_documents" -> s"""
       SELECT doc_id,
              '{"doc_id":' || coalesce(CAST(doc_id AS VARCHAR), 'null') ||

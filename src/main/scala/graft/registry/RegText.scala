@@ -379,6 +379,11 @@ private[graft] object RegText {
       // BPE merge training on the word-frequency table — 3 learned
       // merges, vocabulary-bounded per round (TextStats.bpeMerges)
       TextStats.bpeMerges(t(s, dir, "documents"), rounds = 3)),
+    "text_bpe_train" -> ((s, dir) =>
+      // full BPE vocabulary training: 8 merge rounds, then the final
+      // symbol census — the learned vocab a tokenizer ships alongside
+      // the merges list (TextStats.bpeTrain)
+      TextStats.bpeTrain(t(s, dir, "documents"), rounds = 8)),
     "text_source_overlap" -> ((s, dir) => {
       // cross-source contamination matrix: 8-gram-set Jaccard between
       // every source pair — gram-keyed equi-join, never all-pairs of
@@ -1128,6 +1133,7 @@ private[graft] object RegText {
       SELECT node AS token, CAST(rank_micro AS BIGINT) AS rank_micro
       FROM r3 ORDER BY rank_micro DESC, token LIMIT 30""",
     "text_bpe_merges" -> bpeOracleSql,
+    "text_bpe_train" -> bpeTrainOracleSql,
     "text_length_quartiles" -> """
       WITH cc AS (SELECT source, n_chars, count(*) AS m
                   FROM documents GROUP BY 1, 2),

@@ -286,4 +286,24 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long)].collect().toSeq
     assert(loose == Seq(("s1", 1L, 4L, 1L, 4L), ("s2", 1L, 2L, 10L, 11L)))
   }
+
+  test("audioCuts: segments open on the first signal, on a hamming " +
+      "breach, and on ANY block-count change (incomparable fps)") {
+    import spark.implicits._
+    val fps = Seq(
+      (1L, 32, 0L), (2L, 32, 3L),   // ham(0,3)=2 -> same segment
+      (3L, 32, -1L),                // ham(3,-1)=62 -> cut
+      (4L, 40, -1L),                // same fp but 32->40 blocks -> cut
+      (10L, 32, 0L)                 // other source: its own opener
+    ).toDF("doc_id", "n_blocks", "fp")
+    val meta = Seq((1L, "s1"), (2L, "s1"), (3L, "s1"), (4L, "s1"),
+      (10L, "s2")).toDF("doc_id", "source")
+    val got = graft.operators.Multimodal.audioCuts(fps, meta,
+        maxHamming = 2)
+      .orderBy("source", "seg_id")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 1L, 2L, 1L, 2L), ("s1", 2L, 1L, 3L, 3L),
+      ("s1", 3L, 1L, 4L, 4L), ("s2", 1L, 1L, 10L, 10L)))
+  }
 }

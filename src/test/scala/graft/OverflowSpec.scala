@@ -323,6 +323,133 @@ class OverflowSpec extends AnyFunSuite {
       m.contains("overflow")), messages(e).mkString(" | "))
   }
 
+  test("neymanAllocation radicand at the documented ceiling: 1e6 rows " +
+      "of ~6e4 values drive n*sum(v^2)-(sum v)^2 to ~4.489e15 < 2^52") {
+    import spark.implicits._
+    // claim (Sampling.neymanAllocation): the radicand N_h*Σv²−(Σv)²
+    // is isqrt-exact while < 2^52 ≈ 4.5e15, "e.g. 10^6 rows of values
+    // up to ~6e4". Synthesize exactly that operating point: one
+    // stratum of 10^6 rows alternating 59933/60067 (population
+    // variance 67² = 4489 → radicand 10^12·4489 = 4.489e15, 99.7% of
+    // the ceiling) plus a tiny control stratum.
+    val big = spark.range(1000000L).selectExpr("id AS doc_id",
+      "'A' AS s", "CAST(59933 + (id % 2) * 134 AS BIGINT) AS v")
+    val small = Seq((2000001L, "B", 1L), (2000002L, "B", 3L))
+      .toDF("doc_id", "s", "v")
+    val got = Sampling.neymanAllocation(big.unionByName(small), "s", "v",
+        k = 1000L)
+      .orderBy(col("s"))
+      .select(col("s"), col("n_rows"), col("w"), col("alloc"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // BigInt replica of both strata and the truncating split
+    def wOf(vs: Iterator[BigInt], n: BigInt): BigInt = {
+      var sv = BigInt(0); var sv2 = BigInt(0)
+      vs.foreach { v => sv += v; sv2 += v * v }
+      val rad = n * sv2 - sv * sv
+      assert(rad < (BigInt(1) << 52), s"radicand $rad outside isqrt range")
+      var s = BigInt(math.sqrt(bigToDouble(rad)).toLong)
+      while (s * s > rad) s -= 1
+      while ((s + 1) * (s + 1) <= rad) s += 1
+      s
+    }
+    val wA = wOf((0L until 1000000L).iterator
+      .map(i => BigInt(59933 + (i % 2) * 134)), BigInt(1000000))
+    val wB = wOf(Iterator(BigInt(1), BigInt(3)), BigInt(2))
+    assert(BigInt(4489000000000000L) ==
+      BigInt(1000000) * BigInt(1000000) * 4489) // the claimed magnitude
+    val wt = wA + wB
+    assert(got == Seq(
+      ("A", 1000000L, wA.toLong, (BigInt(1000) * wA / wt).toLong),
+      ("B", 2L, wB.toLong, (BigInt(1000) * wB / wt).toLong)))
+  }
+
+  test("upliftCI variance terms at the documented per-user magnitude: " +
+      "u4 up to 6.7e7 keeps every replicate-mean limb DECIMAL-exact " +
+      "and var_sum inside isqrt's 2^52 range") {
+    import spark.implicits._
+    // claim (Events.upliftCI): the Poisson-bootstrap variance is
+    // exact "while an arm's replicate-mean spread is < 6.7e7, far
+    // above any real per-user value total". Drive per-user totals TO
+    // that bound (values 3350·(uid%3) → u4 ∈ {0, 3.35e7, 6.7e7}) and
+    // check the whole decision row against a BigInt replica of the
+    // weight scheme + both variance limbs + the exact root.
+    val M = 2147483647L
+    val ev = (0L until 40L).map(u =>
+      (u, 3350.0 * (u % 3))).toDF("user_id", "value")
+    val got = Events.upliftCI(ev, b = 8).collect()(0)
+    // BigInt replica
+    val cdf = Seq(3678L, 7357L, 9196L, 9810L, 9963L, 9994L, 9999L)
+    def weight(r: Long, uid: Long): Long = {
+      val h = graft.functions.SdbmHash.hash(r, uid.toString)
+      val u = (((h % M) + M) % M) * 48271L % M % 10000L
+      cdf.indexWhere(u < _) match { case -1 => 7L; case k => k.toLong }
+    }
+    val u4 = (0L until 40L).map(u => u -> BigInt(33500000L * (u % 3))).toMap
+    def armStats(arm: Long): (Long, BigInt, BigInt) = {
+      val users = (0L until 40L).filter(_ % 2 == arm)
+      val ms = (0L until 8L).map { r =>
+        val ws = users.map(u => BigInt(weight(r, u)))
+        val wv = users.zip(ws).map { case (u, w) => w * u4(u) }.sum
+        val sw = ws.sum
+        if (sw == 0) BigInt(0) else wv / sw
+      }
+      val nb = BigInt(8)
+      val bv = (nb * ms.map(m => m * m).sum - ms.sum * ms.sum) / (nb * nb)
+      val est = users.map(u4).sum / BigInt(users.size)
+      (users.size.toLong, est, bv)
+    }
+    val (n0, est0, bv0) = armStats(0)
+    val (n1, est1, bv1) = armStats(1)
+    val varSum = bv0 + bv1
+    assert(varSum >= 0 && varSum < (BigInt(1) << 52))
+    var sv = BigInt(math.sqrt(bigToDouble(varSum)).toLong)
+    while (sv * sv > varSum) sv -= 1
+    while ((sv + 1) * (sv + 1) <= varSum) sv += 1
+    val ci = BigInt(1960) * sv / 1000
+    assert(got.getAs[Long]("n_users_0") == n0 &&
+      got.getAs[Long]("n_users_1") == n1)
+    assert(got.getAs[Long]("est0_u4") == est0.toLong &&
+      got.getAs[Long]("est1_u4") == est1.toLong)
+    assert(got.getAs[Long]("diff_u4") == (est1 - est0).toLong)
+    assert(got.getAs[Long]("ci_half_u4") == ci.toLong)
+    assert(got.getAs[Boolean]("significant") ==
+      ((est1 - est0).abs > ci))
+  }
+
+  test("cramersV at the documented isqrt operand ceiling: 3e7 " +
+      "perfectly dependent rows drive (1e6*chi2_micro) div (nt*df) " +
+      "to exactly 1e12") {
+    import spark.implicits._
+    // claim (Profile.cramersV): the final root's operand
+    // (10^6·χ²_micro) div (nt·df) is "a ≤10^12 operand, inside
+    // isqrt's exact range". The operand maxes at V = 1 — perfect
+    // dependence — where χ²_micro = 10^6·nt·df. Synthesize it: 3e7
+    // rows with b = a (2×2, df 1) → operand exactly 10^12, V exactly
+    // 1000000 ppm, and the cell diff o·nt−rt·ct = 2.25e14 squares to
+    // 5.06e28, well inside DECIMAL(38,0) as documented.
+    val n = 30000000L
+    val df = spark.range(n).selectExpr("id % 2 AS a", "id % 2 AS b")
+    val got = graft.operators.Profile.cramersV(df, "a", "b").collect()(0)
+    // BigInt replica over the full 2x2 grid (two zero cells included)
+    val half = BigInt(n / 2)
+    val nt = BigInt(n)
+    def term(o: BigInt): BigInt = {
+      val d = o * nt - half * half
+      val d2 = d * d
+      val dd = nt * half * half
+      (d2 / dd) * 1000000 + (d2 % dd) * 1000000 / dd
+    }
+    val chi2 = 2 * term(half) + 2 * term(BigInt(0))
+    assert(chi2 == BigInt(1000000) * nt) // V = 1: chi2 = nt exactly
+    val operand = BigInt(1000000) * chi2 / nt // df_min = 1
+    assert(operand == BigInt("1000000000000")) // the documented 1e12
+    assert(got.getAs[Long]("n_cells") == 4L &&
+      got.getAs[Long]("n_rows") == n &&
+      got.getAs[Long]("df_min") == 1L &&
+      got.getAs[Long]("chi2_micro") == chi2.toLong &&
+      got.getAs[Long]("cramers_v_ppm") == 1000000L)
+  }
+
   test("isqrt at the claimed 2^52 ceiling: exact on every probe up to " +
       "2^52-1, including perfect squares and their neighbors") {
     import spark.implicits._

@@ -69,6 +69,18 @@ class ReadmeCountsSpec extends AnyFunSuite {
       "README's generated query index is stale — run tools.CoverageIndex")
   }
 
+  test("Known-limitations paragraph states the live no_oracle count " +
+      "(r14 verdict: the old '6 murmur-based' count went stale)") {
+    val m = """The (\d+) queries without DuckDB twins""".r
+      .findFirstMatchIn(readme)
+    assert(m.isDefined,
+      "README lost the 'N queries without DuckDB twins' line")
+    val live =
+      SparkEntry.queries.size - SparkEntry.oracleSql.size
+    assert(m.get.group(1).toInt == live,
+      s"README says ${m.get.group(1)} no_oracle queries; live is $live")
+  }
+
   test("every oracle names a registered query, and the no_oracle set " +
       "is exactly the documented fourteen") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)

@@ -484,6 +484,21 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, "ab a_", 2L)))
   }
 
+  test("bpeTrain: hand-traced final vocab after the same 3 merges — " +
+      "weighted freqs, distinct-word spread, merged-symbol flag") {
+    import spark.implicits._
+    // continuing the bpeMerges trace: after merges (a b), (a _),
+    // (ab a_) the word table is aba (cnt 2) → ' aba_ ' (r1 'ab a _',
+    // r2 'ab a_', r3 'aba_') and ab (cnt 1) → ' ab _ ' (only r1
+    // applies). Final vocab by (freq desc, symbol asc; '_' sorts
+    // before 'a'): aba_ freq 2, then _ and ab at freq 1 each.
+    val docs = Seq((1L, "aba aba"), (2L, "ab")).toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bpeTrain(docs, rounds = 3)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(("aba_", 1L, 2L, true), ("_", 1L, 1L, false),
+      ("ab", 1L, 1L, true)))
+  }
+
   test("gopherRules: hand-built docs trip each rule independently") {
     import spark.implicits._
     val docs = Seq(
