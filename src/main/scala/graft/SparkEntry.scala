@@ -698,7 +698,7 @@ object SparkEntry {
                string_split_regex(lower(text), '\\s+'), x -> x <> ''))
                AS w
              FROM documents) GROUP BY w),
-      s0 AS (SELECT concat(' ',
+      s0 AS (SELECT w, concat(' ',
                regexp_replace(w, '(.)', '\\1 ', 'g'), '_ ') AS seq,
                cnt FROM wf),
       ${(1 to rounds).map { r => s"""
@@ -709,7 +709,7 @@ object SparkEntry {
                   x -> x <> '') AS sym, cnt FROM s${r - 1}),
                unnest(range(1, len(sym))) AS t(i)) GROUP BY pr),
       b$r AS (SELECT pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1),
-      s$r AS (SELECT replace(seq, ' ' || pr || ' ',
+      s$r AS (SELECT w, replace(seq, ' ' || pr || ' ',
                 ' ' || replace(pr, ' ', '') || ' ') AS seq, cnt
               FROM s${r - 1}, b$r)"""
       }.mkString(",")}"""
@@ -731,14 +731,35 @@ object SparkEntry {
     */
   private[graft] def bpeTrainOracleSql: String = s"""
       ${bpeRoundsCte(8)},
-      ex AS (SELECT seq, cnt,
+      ex AS (SELECT w, cnt,
                unnest(list_filter(string_split_regex(seq, '\\s+'),
                  x -> x <> '')) AS symbol
              FROM s8)
-      SELECT symbol, CAST(count(DISTINCT seq) AS BIGINT) AS n_words,
+      SELECT symbol, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
              CAST(sum(cnt) AS BIGINT) AS freq,
              length(symbol) > 1 AS is_merged
       FROM ex GROUP BY symbol ORDER BY freq DESC, symbol"""
+
+  /** text_bpe_encode's DuckDB twin: the same eight unrolled rounds,
+    * then every document's words join the trained word table for
+    * their symbol counts (TextStats.bpeEncodeFromFinal).
+    */
+  private[graft] def bpeEncodeOracleSql: String = s"""
+      ${bpeRoundsCte(8)},
+      wl AS (SELECT w, CAST(len(list_filter(
+               string_split_regex(seq, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_sym
+             FROM s8),
+      dw AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+               AS w
+             FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens,
+             (10000 * CAST(sum(n_sym) AS BIGINT)) // count(*)
+               AS fertility_bp
+      FROM dw JOIN wl USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
 
   /** Shared CTE chain for the decomposition oracles: gapfilled day
     * spine → centered 7-day MA trend (`tt`) → weekday seasonal means

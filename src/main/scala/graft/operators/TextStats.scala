@@ -810,7 +810,7 @@ object TextStats {
     var cur = docs
       .select(explode(Dedup.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "),
+      .select(col("w"), concat(lit(" "),
         regexp_replace(col("w"), "(.)", "$1 "), lit("_ ")).as("seq"),
         col("cnt"))
       .localCheckpoint()
@@ -825,7 +825,7 @@ object TextStats {
       merges += best.select(lit(r.toLong).as("round"),
         col("pr").as("pair"), col("n").as("pair_cnt"))
       val rewritten = cur.crossJoin(broadcast(best.select(col("pr"))))
-        .select(expr("""replace(seq, ' ' || pr || ' ',
+        .select(col("w"), expr("""replace(seq, ' ' || pr || ' ',
             ' ' || replace(pr, ' ', '') || ' ')""").as("seq"),
           col("cnt"))
       graft.PlanCapture.record(s"bpe round $r rewrite (pre-checkpoint)",
@@ -834,6 +834,61 @@ object TextStats {
     }
     (merges.result(), cur)
   }
+
+  /** The post-training word table — (w, seq, cnt) after `rounds`
+    * merges, each word's `seq` its final space-separated symbol
+    * spelling. Exposed so the registry can memoize ONE training run
+    * and feed both [[bpeTrainFromFinal]] (the vocab census) and
+    * [[bpeEncodeFromFinal]] (the corpus encode) from it.
+    */
+  def bpeFinal(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    require(rounds >= 1)
+    bpeLoop(docs, rounds)._2
+  }
+
+  /** [[bpeTrain]]'s census over an already-trained word table. */
+  def bpeTrainFromFinal(fin: DataFrame): DataFrame =
+    fin.select(col("w"), col("cnt"),
+        explode(Dedup.tokens(col("seq"))).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(countDistinct(col("w")).as("n_words"),
+        sum(col("cnt")).as("freq"))
+      .select(col("symbol"), col("n_words"), col("freq"),
+        (length(col("symbol")) > 1).as("is_merged"))
+      .orderBy(col("freq").desc, col("symbol"))
+
+  /** Apply the learned merges back to the corpus — the ENCODE step
+    * that completes train → apply: a word's token count is the
+    * length of its symbol sequence in the trained table, and a
+    * document's BPE length is the sum over its words. Fertility
+    * (BPE tokens per word, basis points; Rust et al. 2021 "How Good
+    * is Your Tokenizer?") is the per-doc tokenizer-quality readout —
+    * 10⁴ means every word became a single token, higher means the
+    * vocabulary fragments this document.
+    *
+    * Output: (doc_id, n_words, n_bpe_tokens, fertility_bp) per doc.
+    *
+    * 100 TB shape: the corpus explodes to word grain once and
+    * equi-joins the vocabulary-bounded word table on the word key —
+    * AQE broadcasts it when it is small; at web-scale vocabularies
+    * it stays a keyed shuffle, never quadratic. The per-doc rollup
+    * is one hash aggregate.
+    */
+  def bpeEncodeFromFinal(docs: DataFrame, fin: DataFrame): DataFrame = {
+    val wordLen = fin.select(col("w"),
+      size(Dedup.tokens(col("seq"))).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .join(wordLen, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("fertility_bp",
+        expr("(10000 * n_bpe_tokens) div n_words"))
+  }
+
+  /** One-shot train + encode (see [[bpeEncodeFromFinal]]). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame =
+    bpeEncodeFromFinal(docs, bpeFinal(docs, rounds))
 
   /** Full BPE VOCABULARY training — run `rounds` merge rounds
     * ([[bpeLoop]]) and emit the learned vocabulary: the census of
@@ -857,18 +912,8 @@ object TextStats {
     * Output: (symbol, n_words, freq, is_merged) ordered by freq
     * desc, symbol.
     */
-  def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame = {
-    require(rounds >= 1)
-    val (_, fin) = bpeLoop(docs, rounds)
-    fin.select(col("seq"), col("cnt"),
-        explode(Dedup.tokens(col("seq"))).as("symbol"))
-      .groupBy(col("symbol"))
-      .agg(countDistinct(col("seq")).as("n_words"),
-        sum(col("cnt")).as("freq"))
-      .select(col("symbol"), col("n_words"), col("freq"),
-        (length(col("symbol")) > 1).as("is_merged"))
-      .orderBy(col("freq").desc, col("symbol"))
-  }
+  def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame =
+    bpeTrainFromFinal(bpeFinal(docs, rounds))
 
   /** Gopher-style document hygiene rules (Rae et al. 2021 "Scaling
     * Language Models: Methods, Analysis & Insights from Training

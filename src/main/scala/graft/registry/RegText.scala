@@ -31,6 +31,16 @@ private[graft] object RegText {
           .repartition(par, col("doc_id")))
     }
 
+  /** The 8-round BPE-trained word table (w, seq, cnt), built once per
+    * (session, sfDir) and shared by text_bpe_train and
+    * text_bpe_encode via the cross-query memo — the iterative train
+    * runs exactly once per suite.
+    */
+  private def bpeFinal8(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bpe_final8") {
+      TextStats.bpeFinal(t(s, dir, "documents"), rounds = 8)
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi" -> ((s, dir) => {
       // collocation mining: pointwise-mutual-information association
@@ -382,8 +392,14 @@ private[graft] object RegText {
     "text_bpe_train" -> ((s, dir) =>
       // full BPE vocabulary training: 8 merge rounds, then the final
       // symbol census — the learned vocab a tokenizer ships alongside
-      // the merges list (TextStats.bpeTrain)
-      TextStats.bpeTrain(t(s, dir, "documents"), rounds = 8)),
+      // the merges list. Shared memoized word table: the 8-round
+      // train runs once per suite for train + encode.
+      TextStats.bpeTrainFromFinal(bpeFinal8(s, dir))),
+    "text_bpe_encode" -> ((s, dir) =>
+      // the ENCODE step over the same trained table: per-doc BPE
+      // token counts + fertility (TextStats.bpeEncodeFromFinal)
+      TextStats.bpeEncodeFromFinal(t(s, dir, "documents"),
+        bpeFinal8(s, dir)).orderBy(col("doc_id"))),
     "text_source_overlap" -> ((s, dir) => {
       // cross-source contamination matrix: 8-gram-set Jaccard between
       // every source pair — gram-keyed equi-join, never all-pairs of
@@ -1134,6 +1150,7 @@ private[graft] object RegText {
       FROM r3 ORDER BY rank_micro DESC, token LIMIT 30""",
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
+    "text_bpe_encode" -> bpeEncodeOracleSql,
     "text_length_quartiles" -> """
       WITH cc AS (SELECT source, n_chars, count(*) AS m
                   FROM documents GROUP BY 1, 2),

@@ -499,6 +499,19 @@ class TextStatsSpec extends AnyFunSuite {
       ("ab", 1L, 1L, true)))
   }
 
+  test("bpeEncode: per-doc token counts from the trained table — " +
+      "aba packs to one symbol, ab stays at two") {
+    import spark.implicits._
+    // same trace: aba → ' aba_ ' (1 symbol), ab → ' ab _ ' (2)
+    val docs = Seq((1L, "aba aba"), (2L, "ab"), (3L, "ab aba"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bpeEncode(docs, rounds = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 2L, 10000L), (2L, 1L, 2L, 20000L),
+      (3L, 2L, 3L, 15000L)))
+  }
+
   test("gopherRules: hand-built docs trip each rule independently") {
     import spark.implicits._
     val docs = Seq(
