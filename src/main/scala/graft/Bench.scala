@@ -124,17 +124,25 @@ object Bench {
     val priorQueries: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(
         java.nio.file.Paths.get(fullPath))
-      val m = java.util.regex.Pattern
-        .compile("\"queries\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
-      if (!m.find()) Map.empty
-      else m.group(1).split(",").iterator.flatMap { kv =>
-        val i = kv.lastIndexOf(':')
-        if (i < 0) None
-        else try Some(kv.substring(0, i).trim
-          .stripPrefix("\"").stripSuffix("\"") ->
-          kv.substring(i + 1).trim.toDouble)
-        catch { case _: Throwable => None }
-      }.toMap
+      // only a SAME-SF predecessor is comparable: a committed sf0.1
+      // artifact must not mark every query of an sf0.001 run (or vice
+      // versa) as a "regression"
+      val sfm = java.util.regex.Pattern
+        .compile("\"sf\"\\s*:\\s*\"([^\"]*)\"").matcher(txt)
+      if (!sfm.find() || sfm.group(1) != sfDir) Map.empty
+      else {
+        val m = java.util.regex.Pattern
+          .compile("\"queries\"\\s*:\\s*\\{([^}]*)\\}").matcher(txt)
+        if (!m.find()) Map.empty
+        else m.group(1).split(",").iterator.flatMap { kv =>
+          val i = kv.lastIndexOf(':')
+          if (i < 0) None
+          else try Some(kv.substring(0, i).trim
+            .stripPrefix("\"").stripSuffix("\"") ->
+            kv.substring(i + 1).trim.toDouble)
+          catch { case _: Throwable => None }
+        }.toMap
+      }
     } catch { case _: Throwable => Map.empty }
     // discard whatever state metrics the streaming warm-up recorded
     graft.streaming.EventsStream.drainStateMetrics()
