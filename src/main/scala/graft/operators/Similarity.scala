@@ -810,6 +810,47 @@ object Similarity {
     * [[mutualNearestNeighbors]] (O(N²) scoring pass on capped slices;
     * ANN top-1 is the scale path). Output: 1 row (n, correct, acc_bp).
     */
+  /** Matryoshka prefix-dimension retrieval audit (Kusupati et al.
+    * 2022 "Matryoshka Representation Learning") — the question a
+    * storage-tiering decision needs answered: if we truncate every
+    * embedding to its FIRST HALF of dimensions (half the bytes, half
+    * the dot-product work), does 1-NN retrieval still pick the same
+    * neighbor? Per vector, the exact-cosine 1-NN under full
+    * dimensions and under the prefix half are compared; the audit row
+    * is the agreement census. Ties break to the lowest neighbor id
+    * (the knnLabelAccuracy min-struct idiom). Zero-norm vectors (full
+    * or prefix) are excluded on both sides — a degenerate vector has
+    * no defined cosine ([[qcosine]]'s precondition).
+    *
+    * Output: 1 row — (n_vecs, agree, agree_bp).
+    *
+    * CAPPED ground-truth slice by design (`vec_id < cap`), like every
+    * exact all-pairs twin in this family: the production path for
+    * this decision at corpus scale is the same comparison over the
+    * bucketed ANN candidates; the audit's job is exactness.
+    */
+  def matryoshkaAgreement(emb: DataFrame, cap: Long = 500L): DataFrame = {
+    val q = emb.filter(col("vec_id") < cap)
+      .select(col("vec_id").as("id"), quantize(col("embedding")).as("qv"))
+      .withColumn("hv", expr("slice(qv, 1, size(qv) div 2)"))
+      .withColumn("norm", qdot(col("qv"), col("qv")))
+      .withColumn("hnorm", qdot(col("hv"), col("hv")))
+      .filter(col("norm") > 0 && col("hnorm") > 0)
+    val pairs = q.as("a").join(q.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("nid"),
+        qcosine(qdot(col("a.qv"), col("b.qv")),
+          col("a.norm"), col("b.norm")).as("cf"),
+        qcosine(qdot(col("a.hv"), col("b.hv")),
+          col("a.hnorm"), col("b.hnorm")).as("ch"))
+    pairs.groupBy(col("id"))
+      .agg(min(struct((-col("cf")).as("nc"), col("nid"))).as("bf"),
+        min(struct((-col("ch")).as("nc"), col("nid"))).as("bh"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("bf.nid") === col("bh.nid"), 1L).otherwise(0L))
+          .as("agree"))
+      .withColumn("agree_bp", expr("(10000 * agree) div n_vecs"))
+  }
+
   def knnLabelAccuracy(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label")
       : DataFrame = {

@@ -98,6 +98,13 @@ private[graft] object RegGraph {
       // ([[bipartiteEdges]]). Exact integer micro-unit ranks — the
       // DuckDB twin unrolls the identical iterations relationally.
       Graph.pageRank(bipartiteEdges(s, dir)).orderBy(col("node"))),
+    "graph_hits" -> ((s, dir) =>
+      // HITS hubs/authorities over the DIRECTED customer→supplier leg
+      // of the memoized trading graph (src < 100000 selects the
+      // forward edges; supplier ids ride +100000). Two max-normalized
+      // integer rounds; the oracle unrolls the identical alternation.
+      Graph.hits(bipartiteEdges(s, dir).filter(col("src") < 100000L))
+        .orderBy(col("kind"), col("node"))),
     "graph_triangles" -> ((s, dir) => {
       // exact triangle census + local clustering coefficient over the
       // parts co-purchase graph (parts linked when one order contains
@@ -321,6 +328,34 @@ private[graft] object RegGraph {
       }.mkString(",")}
       SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
       FROM r3 ORDER BY node""",
+    "graph_hits" -> """
+      WITH e0 AS (SELECT DISTINCT o_custkey AS src,
+                    100000 + l_suppkey AS dst
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT src AS node, CAST(1000 AS BIGINT) AS s
+             FROM e0),
+      a1r AS (SELECT e0.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+              FROM e0 JOIN h0 h ON h.node = e0.src GROUP BY 1),
+      a1 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM a1r)
+               AS s FROM a1r),
+      h1r AS (SELECT e0.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+              FROM e0 JOIN a1 a ON a.node = e0.dst GROUP BY 1),
+      h1 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM h1r)
+               AS s FROM h1r),
+      a2r AS (SELECT e0.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
+              FROM e0 JOIN h1 h ON h.node = e0.src GROUP BY 1),
+      a2 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM a2r)
+               AS s FROM a2r),
+      h2r AS (SELECT e0.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
+              FROM e0 JOIN a2 a ON a.node = e0.dst GROUP BY 1),
+      h2 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM h2r)
+               AS s FROM h2r)
+      SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_milli
+      FROM h2
+      UNION ALL
+      SELECT node, 'auth' AS kind, CAST(s AS BIGINT) AS score_milli
+      FROM a2
+      ORDER BY kind, node""",
     "graph_triangles" -> """
       WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                   FROM lineitem),

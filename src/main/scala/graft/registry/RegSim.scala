@@ -151,6 +151,11 @@ private[graft] object RegSim {
       // leave-one-out 1-NN label accuracy over the capped slice
       Similarity.knnLabelAccuracy(
         t(s, dir, "embeddings").filter(col("vec_id") < 500))),
+    "sim_matryoshka" -> ((s, dir) =>
+      // prefix-dimension retrieval audit: does 1-NN under the FIRST
+      // HALF of dims agree with full-dim 1-NN? The storage-tiering
+      // decision row (Similarity.matryoshkaAgreement, capped slice)
+      Similarity.matryoshkaAgreement(t(s, dir, "embeddings"))),
     "sim_kmeans" -> ((s, dir) =>
       // deterministic Lloyd k-means (k=4, 2 assignment rounds) over
       // the quantized embeddings: init = k smallest present vec_ids,
@@ -364,6 +369,54 @@ private[graft] object RegSim {
       SELECT intra, count(*) AS n_pairs,
              CAST(sum(cos2_bp) // count(*) AS BIGINT) AS mean_cos2_bp
       FROM c GROUP BY 1 ORDER BY intra""",
+    "sim_matryoshka" -> """
+      WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+            FROM embeddings WHERE vec_id < 500),
+      e AS (SELECT id, CAST(i AS BIGINT) AS i, qv[CAST(i AS INT)] AS x
+            FROM q, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+      dm AS (SELECT id, CAST(len(qv) AS BIGINT) AS d FROM q),
+      n AS (SELECT id, sum(x * x) AS norm FROM e GROUP BY id),
+      hn AS (SELECT e.id, sum(x * x) AS hnorm
+             FROM e JOIN dm USING (id) WHERE e.i <= d // 2
+             GROUP BY e.id),
+      ok AS (SELECT n.id FROM n JOIN hn USING (id)
+             WHERE norm > 0 AND hnorm > 0),
+      fd AS (SELECT a.id AS id, b.id AS nid, sum(a.x * b.x) AS dot
+             FROM e a JOIN e b ON a.i = b.i AND a.id <> b.id
+             WHERE a.id IN (SELECT id FROM ok)
+               AND b.id IN (SELECT id FROM ok)
+             GROUP BY 1, 2),
+      hd AS (SELECT a.id AS id, b.id AS nid, sum(a.x * b.x) AS dot
+             FROM e a JOIN dm da ON da.id = a.id
+                  JOIN e b ON a.i = b.i AND a.id <> b.id
+                  JOIN dm db ON db.id = b.id
+             WHERE a.i <= da.d // 2 AND b.i <= db.d // 2
+               AND a.id IN (SELECT id FROM ok)
+               AND b.id IN (SELECT id FROM ok)
+             GROUP BY 1, 2),
+      cf AS (SELECT fd.id, fd.nid, CAST(fd.dot AS DOUBLE) /
+               sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+               AS c
+             FROM fd JOIN n na ON na.id = fd.id
+                  JOIN n nb ON nb.id = fd.nid),
+      ch AS (SELECT hd.id, hd.nid, CAST(hd.dot AS DOUBLE) /
+               sqrt(CAST(na.hnorm AS DOUBLE) * CAST(nb.hnorm AS DOUBLE))
+               AS c
+             FROM hd JOIN hn na ON na.id = hd.id
+                  JOIN hn nb ON nb.id = hd.nid),
+      bf AS (SELECT id, nid FROM (SELECT id, nid, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, nid) AS rk FROM cf)
+             WHERE rk = 1),
+      bh AS (SELECT id, nid FROM (SELECT id, nid, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, nid) AS rk FROM ch)
+             WHERE rk = 1)
+      SELECT count(*) AS n_vecs,
+             CAST(sum(CASE WHEN bf.nid = bh.nid THEN 1 ELSE 0 END)
+               AS BIGINT) AS agree,
+             (10000 * CAST(sum(CASE WHEN bf.nid = bh.nid THEN 1 ELSE 0
+               END) AS BIGINT)) // count(*) AS agree_bp
+      FROM bf JOIN bh USING (id)""",
     "sim_knn_accuracy" -> s"""
       WITH $qEmbSql,
       lb AS (SELECT vec_id, label FROM embeddings),

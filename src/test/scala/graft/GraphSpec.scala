@@ -350,4 +350,20 @@ class GraphSpec extends AnyFunSuite {
     assert(m.forall { case ((a, b), n) => m.get((b, a)).contains(n) },
       "skip-gram matrix must be symmetric")
   }
+
+  test("hits: hand-traced two-round alternation with max " +
+      "renormalization and truncating division") {
+    import spark.implicits._
+    // edges 1->10, 1->11, 2->10.
+    // r1: auth raw 10:2000, 11:1000 -> 1000/500.
+    //     hub raw 1:1500, 2:1000 -> 1000/666.
+    // r2: auth raw 10:1666, 11:1000 -> 1000/600.
+    //     hub raw 1:1600, 2:1000 -> 1000/625.
+    val e = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val got = graft.operators.Graph.hits(e, iters = 2)
+      .orderBy(col("kind"), col("node"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((10L, "auth", 1000L), (11L, "auth", 600L),
+      (1L, "hub", 1000L), (2L, "hub", 625L)))
+  }
 }

@@ -534,4 +534,20 @@ class SimilaritySpec extends AnyFunSuite {
     // 0 on dim 2 -> each vec contributes 10^8
     assert(one.getAs[Long]("inertia") == 6L * 100000000L)
   }
+
+  test("matryoshkaAgreement: hand-built disagreement — a prefix-half " +
+      "twin wins under truncation, the true neighbor under full dims") {
+    import spark.implicits._
+    // v1=[1,0,0,0]: full-NN is v3 (cos .707 vs .196) but the HALF of
+    // v2 is identical to v1's half (cos 1.0) -> half-NN v2: disagree.
+    // v2: full- and half-NN both v1: agree. v3: full-NN v1; halves of
+    // v1 and v2 tie at cos .707 -> lowest nid (1) = full choice: agree.
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(1f, 0f, 5f, 0f)),
+      (3L, Array(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.matryoshkaAgreement(emb)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 2L, 6666L)))
+  }
 }
