@@ -249,8 +249,17 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.operators.Events.burstRate(ev).count() == 0)
     assert(graft.operators.TextStats.bpeMerges(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(graft.operators.TextStats.bpeTrain(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(graft.operators.TextStats.bpeEncode(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
     assert(graft.operators.Graph.linkPrediction(
       Seq.empty[(Long, Long)].toDF("node", "via")).count() == 0)
+    assert(graft.operators.Graph.hits(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
+    assert(graft.operators.Multimodal.audioCuts(
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "n_blocks", "fp"),
+      Seq.empty[(Long, String)].toDF("doc_id", "source")).count() == 0)
     // events exist but nobody converts: the curve reports NULL
     // shares, not 0% of an empty population (and must not throw)
     val noConv = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"),
