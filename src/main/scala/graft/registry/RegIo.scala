@@ -200,6 +200,14 @@ private[graft] object RegIo {
         Seq("n_blocks"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "io_balanced_shards" -> ((s, dir) =>
+      // size-balanced writer sharding + skew audit: exact driver-side
+      // LPT for the top-64 heaviest docs (m-row TakeOrdered collect)
+      // + log2-band round-robin for the rest (Layout.balancedShards
+      // — no global sort; the oracle replays the LPT recurrence as a
+      // recursive CTE)
+      Layout.balancedShards(t(s, dir, "documents"), k = 8,
+        sizeCol = "n_chars").orderBy(col("shard"))),
     "multimodal_audio_cuts" -> ((s, dir) =>
       // fingerprint-delta segmentation of per-source signal
       // sequences — the audio twin of multimodal_scene_cuts (shared
@@ -593,6 +601,44 @@ private[graft] object RegIo {
            AND a.n_blocks = b.n_blocks
       WHERE bit_count(xor(a.fp, b.fp)) <= 3
       ORDER BY id_a, id_b""",
+    "io_balanced_shards" -> """
+      WITH RECURSIVE
+      d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+              CAST(n_chars AS BIGINT) AS sz FROM documents),
+      g AS (SELECT id, sz, row_number() OVER (ORDER BY sz DESC, id)
+              AS rn
+            FROM d ORDER BY sz DESC, id LIMIT 64),
+      lpt AS (
+        SELECT 0 AS rn, CAST(NULL AS BIGINT) AS id,
+               CAST(NULL AS BIGINT) AS shard,
+               [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0, 0] AS totals
+        UNION ALL
+        SELECT g.rn, g.id,
+               CAST(list_position(l.totals,
+                 list_aggregate(l.totals, 'min')) - 1 AS BIGINT),
+               list_transform(range(1, 9), i -> CASE
+                 WHEN i = list_position(l.totals,
+                   list_aggregate(l.totals, 'min'))
+                 THEN l.totals[CAST(i AS INT)] + g.sz
+                 ELSE l.totals[CAST(i AS INT)] END)
+        FROM lpt l JOIN g ON g.rn = l.rn + 1),
+      ga AS (SELECT id, shard FROM lpt WHERE rn > 0),
+      rest AS (SELECT id, sz FROM d
+               WHERE id NOT IN (SELECT id FROM g)),
+      rb AS (SELECT id, sz, CAST(length(bin(sz)) - 1 AS BIGINT) AS band
+             FROM rest),
+      ra AS (SELECT id, sz, (band + row_number() OVER (
+               PARTITION BY band ORDER BY sz DESC, id) - 1) % 8
+               AS shard
+             FROM rb),
+      allx AS (SELECT d.id, d.sz, ga.shard FROM ga JOIN d USING (id)
+               UNION ALL SELECT id, sz, shard FROM ra),
+      t AS (SELECT CAST(sum(sz) AS BIGINT) AS t FROM allx)
+      SELECT shard, count(*) AS n_docs,
+             CAST(sum(sz) AS BIGINT) AS total_size,
+             CAST((10000 * (8 * CAST(sum(sz) AS HUGEINT) - t.t)) // t.t
+               AS BIGINT) AS skew_bp
+      FROM allx, t GROUP BY shard, t.t ORDER BY shard""",
     "multimodal_audio_cuts" -> """
       WITH s AS (
         SELECT doc_id, CAST(i // 20 AS INT) AS blk,

@@ -182,4 +182,43 @@ class LayoutSpec extends AnyFunSuite {
         "untouched partition's files were rewritten")
     } finally SparkTestSession.deleteRecursively(dir)
   }
+
+  test("balancedShards: hand-traced band round-robin with rotation, " +
+      "and a seeded heavy-tail corpus balances far better than " +
+      "hash sharding") {
+    import spark.implicits._
+    // band = sz div 64; within band rank by (sz desc, id); shard =
+    // (band + rk - 1) % k. Docs: sizes 10,20,70,80 with k=2 ->
+    // band 0: ranks 20(1),10(2) -> shards 0,1; band 1: 80(1),70(2)
+    // -> shards (1+0)%2=1,(1+1)%2=0. Totals: shard0 20+70=90,
+    // shard1 10+80=90 -> perfectly balanced, skew 0/0.
+    val small = Seq((1L, 10L), (2L, 20L), (3L, 70L), (4L, 80L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.operators.Layout
+      .balancedShards(small, k = 2, sizeCol = "n_chars")
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 90L, 0L), (1L, 2L, 90L, 0L)))
+    // heavy tail: 500 docs, sizes ~ id^2 scaled — a few giants.
+    // Balanced sharding must beat id-hash sharding by a wide margin.
+    val rnd = new scala.util.Random(7L)
+    val docs = (1L to 500L).map(i =>
+      (i, 10L + (rnd.nextInt(40) match {
+        case x if x < 36 => rnd.nextInt(100).toLong
+        case _ => 2000L + rnd.nextInt(3000) // the 10% giant tail
+      }))).toDF("doc_id", "n_chars")
+    val bal = graft.operators.Layout
+      .balancedShards(docs, k = 8, sizeCol = "n_chars")
+      .select("skew_bp").as[Long].collect()
+    val hash = docs.groupBy(expr("doc_id % 8").as("shard"))
+      .agg(sum(col("n_chars")).as("ts"))
+      .select("ts").as[Long].collect()
+    val t = hash.sum
+    val hashSkew = hash.map(s => math.abs(10000 * (8 * s - t) / t)).max
+    assert(bal.map(math.abs).max < 600,
+      s"balanced skew ${bal.toSeq} must stay tight")
+    assert(bal.map(math.abs).max * 3 < hashSkew,
+      s"balanced ${bal.map(math.abs).max} bp should be far under " +
+        s"hash sharding's $hashSkew bp on a heavy-tail corpus")
+  }
 }

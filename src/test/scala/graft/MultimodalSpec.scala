@@ -116,6 +116,40 @@ class MultimodalSpec extends AnyFunSuite {
       "slice must exercise non-identical near pairs, not just hash ties")
   }
 
+  test("bandedHammingPairs: seeded adversarial random hashes — " +
+      "clustered bit-flips, cross-key decoys, thresholds 0..3 all " +
+      "match brute force exactly") {
+    import spark.implicits._
+    // beyond the fixture's hash distribution: random base hashes with
+    // 0-5 flipped bits (so distances straddle every threshold), and
+    // the SAME hash under a different extra key as a must-not-pair
+    // decoy. Seeded -> deterministic.
+    val rnd = new scala.util.Random(20260815L)
+    val rows = (0 until 40).flatMap { g =>
+      val base = rnd.nextLong()
+      (0 until 4).map { v =>
+        var h = base
+        (0 until rnd.nextInt(6)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+        (g * 10L + v, if (g % 7 == 0) 1 else 0, h)
+      }
+    }
+    val df = rows.toDF("doc_id", "n_blocks", "fp")
+    for (mh <- 0 to 3) {
+      val brute = (for {
+        (a, ka, ha) <- rows; (b, kb, hb) <- rows
+        if a < b && ka == kb
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= mh
+      } yield (a, b, d)).sortBy(p => (p._1, p._2))
+      val got = Multimodal.bandedHammingPairs(df, "fp",
+          Seq("n_blocks"), maxHamming = mh)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got == brute, s"maxHamming=$mh: got ${got.size} pairs, " +
+        s"brute ${brute.size}")
+      assert(brute.nonEmpty, s"seeded case must produce pairs at $mh")
+    }
+  }
+
   test("audioFingerprint packs the closed-form energy-delta sign bits; " +
       "identical signals (ids congruent mod 640) fingerprint equal") {
     import spark.implicits._
