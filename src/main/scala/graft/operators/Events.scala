@@ -1747,6 +1747,66 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Robust daily-volume outlier census via MAD (median absolute
+    * deviation; Hampel 1974) — the robust twin of
+    * [[dailyVolumeBands]]: mean±kσ control bands break exactly when
+    * they're needed (the outlier inflates σ and hides itself), while
+    * the median and MAD have a 50% breakdown point. Per event type,
+    * the daily-count median and the median of |x − median| both come
+    * from the count-of-counts min-when-cum idiom (no row ranks,
+    * partitioning-invariant), and a day flags when
+    * |x − med| > 3·MAD — all integer, both engines identical. A
+    * degenerate type (MAD = 0: over half its days identical) flags
+    * every deviating day, the correct robust-statistics reading.
+    *
+    * Output: one census row per type — (event_type, n_days, med_x,
+    * mad_x, n_outliers, worst_day, worst_dev); worst = the maximum
+    * deviation, ties to the earliest day.
+    *
+    * 100 TB shape: one day-grain aggregate (the only corpus-grain
+    * work), then two count-of-counts windows over (type, value)
+    * distributions — value-domain bounded, never row-ranked — and
+    * type-cardinality joins.
+    */
+  def madOutlierDays(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    def medianOf(df: DataFrame, valCol: String): DataFrame = {
+      val dist = df.groupBy(col("event_type"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("m"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      dist
+        .select(col("event_type"), col("v"),
+          sum(col("m")).over(w).as("cum"),
+          sum(col("m")).over(wall).as("n"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("v"))).as("med"))
+    }
+    val med = medianOf(daily, "x")
+    val dev = daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("d", abs(col("x") - col("med")))
+    val mad = medianOf(dev.select(col("event_type"), col("d")), "d")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(col("med")).as("med_x"),
+        max(col("mad")).as("mad_x"),
+        sum(when(col("d") > lit(3L) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        min(struct((-col("d")).as("nd"), col("day"))).as("w"))
+      .select(col("event_type"), col("n_days"), col("med_x"),
+        col("mad_x"), col("n_outliers"),
+        col("w.day").as("worst_day"), (-col("w.nd")).as("worst_dev"))
+      .orderBy(col("event_type"))
+  }
+
   /** Multi-touch linear attribution — the marketing-credit ledger:
     * every purchase distributes 1e6 micro-credits equally across the
     * user's touch events (clicks/views) in the preceding `lookbackUs`

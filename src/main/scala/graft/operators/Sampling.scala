@@ -395,6 +395,35 @@ object Sampling {
           .otherwise(expr(s"($k * w) div wt")).as("alloc"))
   }
 
+  /** APPLY the Neyman plan — draw exactly `alloc_h` docs from each
+    * stratum ([[neymanAllocation]]'s truncating split of budget `k`),
+    * membership chosen by the same deterministic scrambled-hash rank
+    * as [[fixedKStratified]] (rerun- and partitioning-stable). This
+    * completes the design→draw story: the allocation row says how
+    * many, this emits WHICH.
+    *
+    * Output: (stratum, doc_id) of the drawn sample.
+    *
+    * 100 TB shape: the allocation is a |strata|-row broadcast; the
+    * rank is one window shuffle on the stratum key. Unlike
+    * [[fixedKStratified]]'s constant k, a data-dependent quota can't
+    * compile to WindowGroupLimit pre-truncation (the limit isn't a
+    * literal), so the stratum shuffle carries the corpus once — the
+    * unavoidable cost of variance-optimal quotas.
+    */
+  def neymanApply(df: DataFrame, strataCol: String, valueCol: String,
+      k: Long, idCol: String = "doc_id"): DataFrame = {
+    val alloc = neymanAllocation(df, strataCol, valueCol, k)
+      .select(col(strataCol), col("alloc"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(scrambledRank(col(idCol)), col(idCol))
+    df.select(col(strataCol), col(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .join(broadcast(alloc), Seq(strataCol))
+      .filter(col("_rk") <= col("alloc"))
+      .select(col(strataCol), col(idCol))
+  }
+
   /** Deterministic round-robin interleave of strata into one training
     * order — the data-ordering op that keeps every mini-batch
     * source-mixed instead of feeding long single-source runs (order

@@ -353,6 +353,11 @@ private[graft] object RegEventsB {
       // daily-volume control bands per type: quartiles of per-day
       // counts at the (value, count) grain (Events.dailyVolumeBands)
       Events.dailyVolumeBands(t(s, dir, "events"))),
+    "events_mad_outliers" -> ((s, dir) =>
+      // robust outlier-day census: median + MAD per type (both via
+      // the count-of-counts idiom), days beyond 3 MAD flagged — the
+      // breakdown-resistant twin of the bands (Events.madOutlierDays)
+      Events.madOutlierDays(t(s, dir, "events"))),
     "events_attribution_credit" -> ((s, dir) =>
       // multi-touch linear attribution ledger: each purchase splits
       // 1e6 micro-credits across its 7-day touch window
@@ -1002,6 +1007,53 @@ private[graft] object RegEventsB {
              (max_burst >= 5 AND n_types <= 2) AS is_bot
       FROM p ORDER BY max_burst DESC, n_events DESC, user_id
       LIMIT 50""",
+    "events_mad_outliers" -> """
+      WITH daily AS (SELECT event_type,
+              epoch_us(ts) // 86400000000 AS day, count(*) AS x
+            FROM events GROUP BY 1, 2),
+      d1 AS (SELECT event_type, x AS v, count(*) AS m
+             FROM daily GROUP BY 1, 2),
+      c1 AS (SELECT event_type, v,
+               sum(m) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(m) OVER (PARTITION BY event_type) AS n
+             FROM d1),
+      med AS (SELECT event_type,
+                CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+                  AS med
+              FROM c1 GROUP BY 1),
+      dev AS (SELECT daily.event_type, daily.day, daily.x,
+                abs(daily.x - med.med) AS d, med.med
+              FROM daily JOIN med USING (event_type)),
+      d2 AS (SELECT event_type, d AS v, count(*) AS m
+             FROM dev GROUP BY 1, 2),
+      c2 AS (SELECT event_type, v,
+               sum(m) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(m) OVER (PARTITION BY event_type) AS n
+             FROM d2),
+      mad AS (SELECT event_type,
+                CAST(min(CASE WHEN cum * 2 >= n THEN v END) AS BIGINT)
+                  AS mad
+              FROM c2 GROUP BY 1),
+      j AS (SELECT dev.event_type, dev.day, dev.x, dev.d, dev.med,
+              mad.mad
+            FROM dev JOIN mad USING (event_type)),
+      base AS (SELECT event_type, count(*) AS n_days,
+                 CAST(max(med) AS BIGINT) AS med_x,
+                 CAST(max(mad) AS BIGINT) AS mad_x,
+                 CAST(sum(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+               FROM j GROUP BY 1),
+      wst AS (SELECT event_type, CAST(day AS BIGINT) AS worst_day,
+                CAST(d AS BIGINT) AS worst_dev
+              FROM (SELECT event_type, day, d, row_number() OVER (
+                      PARTITION BY event_type ORDER BY d DESC, day)
+                      AS rk FROM j)
+              WHERE rk = 1)
+      SELECT b.event_type, n_days, med_x, mad_x, n_outliers,
+             worst_day, worst_dev
+      FROM base b JOIN wst USING (event_type) ORDER BY event_type""",
     "events_daily_bands" -> """
       WITH daily AS (SELECT event_type,
                        epoch_us(ts) // 86400000000 AS day,

@@ -129,6 +129,12 @@ private[graft] object RegSampling {
       Sampling.poissonBootstrap(t(s, dir, "documents"), "source",
         "n_chars", b = 8)
         .orderBy(col("source"))),
+    "sample_neyman_apply" -> ((s, dir) =>
+      // the draw the allocation row plans: exactly alloc_h docs per
+      // source by scrambled-hash rank (Sampling.neymanApply)
+      Sampling.neymanApply(t(s, dir, "documents"), "source",
+        "n_chars", k = 100L)
+        .orderBy(col("source"), col("doc_id"))),
     "sample_neyman_alloc" -> ((s, dir) =>
       // Neyman-optimal allocation of a 100-doc budget across sources
       // by n_chars variability: w = isqrt(N·Σv² − (Σv)²) = N·S exact
@@ -453,6 +459,35 @@ private[graft] object RegSampling {
              FROM documents GROUP BY 1)
       SELECT f.source, f.n_rows, f.est_milli, b.boot_var_milli2
       FROM fl f JOIN boot b USING (source) ORDER BY f.source""",
+    "sample_neyman_apply" -> s"""
+      WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
+        "CAST(doc_id AS VARCHAR)")},
+      per AS (SELECT source, count(*) AS n_rows,
+              sum(CAST(n_chars AS HUGEINT)) AS sv,
+              sum(CAST(n_chars AS HUGEINT) * n_chars) AS sv2
+            FROM documents GROUP BY 1),
+      rad AS (SELECT source, n_rows,
+                CAST(n_rows * sv2 - sv * sv AS BIGINT) AS rd
+              FROM per),
+      r AS (SELECT source,
+              CASE WHEN (s0 + 1) * (s0 + 1) <= rd THEN s0 + 1
+                   WHEN s0 * s0 > rd THEN s0 - 1
+                   ELSE s0 END AS w
+            FROM (SELECT source, rd,
+                    CAST(floor(sqrt(CAST(rd AS DOUBLE))) AS BIGINT)
+                      AS s0 FROM rad)),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM r),
+      al AS (SELECT source, CASE WHEN wt = 0 THEN 0
+               ELSE (100 * w) // wt END AS alloc
+             FROM r, t),
+      rk AS (SELECT d.source, d.doc_id, row_number() OVER (
+               PARTITION BY d.source ORDER BY
+                 ((((s.hash % 2147483647) + 2147483647) % 2147483647)
+                   * 48271) % 2147483647, d.doc_id) AS rn
+             FROM documents d JOIN sdbm s ON s.sid = d.doc_id)
+      SELECT rk.source, rk.doc_id
+      FROM rk JOIN al USING (source) WHERE rk.rn <= al.alloc
+      ORDER BY source, doc_id""",
     "sample_neyman_alloc" -> """
       WITH per AS (SELECT source, count(*) AS n_rows,
               sum(CAST(n_chars AS HUGEINT)) AS sv,

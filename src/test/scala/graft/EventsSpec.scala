@@ -1190,6 +1190,39 @@ class EventsSpec extends AnyFunSuite {
       r.getAs[Long]("p75_day") == 3 && r.getAs[Long]("max_day") == 4)
   }
 
+  test("madOutlierDays: a spike day flags against the robust bands " +
+      "even when it would drag a mean-based band past itself") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(day: Int, i: Int) =
+      new java.sql.Timestamp(base.getTime + day * 86400000L + i * 1000L)
+    // type a: 5 days with counts 5,5,5,5,100 -> med 5, devs
+    // {0,0,0,0,95}, MAD 0 -> the spike (d=95 > 0) is the 1 outlier,
+    // worst_day = day 4. (mean would be 24, sd ~42: a 2-sigma band
+    // would NOT flag 100 -> exactly the masking MAD resists.)
+    // type b: counts 1,2,3,4,5 -> med 3, devs {2,1,0,1,2}, MAD 1 ->
+    // nothing exceeds 3*1, worst dev 2 at the EARLIEST tying day 0.
+    val events = (
+      (0 until 4).flatMap(d => (1 to 5).map(i => ("a", ts(d, i)))) ++
+      (1 to 100).map(i => ("a", ts(4, i))) ++
+      (0 until 5).flatMap(d => (0 to d).map(i => ("b", ts(d, i))))
+    ).toDF("event_type", "ts")
+    val r = Events.madOutlierDays(events).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    val day0 = r("a").getAs[Long]("worst_day") - 4 // epoch day of day 4
+    assert(r("a").getAs[Long]("n_days") == 5 &&
+      r("a").getAs[Long]("med_x") == 5 &&
+      r("a").getAs[Long]("mad_x") == 0 &&
+      r("a").getAs[Long]("n_outliers") == 1 &&
+      r("a").getAs[Long]("worst_dev") == 95)
+    assert(r("b").getAs[Long]("n_days") == 5 &&
+      r("b").getAs[Long]("med_x") == 3 &&
+      r("b").getAs[Long]("mad_x") == 1 &&
+      r("b").getAs[Long]("n_outliers") == 0 &&
+      r("b").getAs[Long]("worst_day") == day0 &&
+      r("b").getAs[Long]("worst_dev") == 2)
+  }
+
   test("attributionCredit: two touches split a conversion's credit; " +
       "out-of-window touches are excluded") {
     import spark.implicits._

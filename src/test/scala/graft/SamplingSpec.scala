@@ -407,6 +407,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("neymanApply: draws exactly alloc_h per stratum, the fixedK " +
+      "rank order decides WHICH, and the draw is partitioning-stable") {
+    import spark.implicits._
+    // same fixture as the allocation test but with ids: hi gets the
+    // whole budget (alloc 10 > its 4 docs -> all 4), lo gets 0
+    val df = ((1L to 4L).map(i => (i, "lo", 10L)) ++
+      Seq((11L, "hi", 0L), (12L, "hi", 20L), (13L, "hi", 0L),
+        (14L, "hi", 20L))).toDF("doc_id", "source", "n_chars")
+    val got = Sampling.neymanApply(df, "source", "n_chars", k = 10L)
+      .orderBy("source", "doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hi", 11L), ("hi", 12L), ("hi", 13L),
+      ("hi", 14L)))
+    val rep = Sampling.neymanApply(df.repartition(7), "source",
+        "n_chars", k = 10L)
+      .orderBy("source", "doc_id")
+      .as[(String, Long)].collect().toSeq
+    assert(rep == got, "draw must be partitioning-stable")
+  }
+
   test("interleave: strict round-robin while strata last, epoch order " +
       "within stratum, partitioning-stable") {
     import spark.implicits._
