@@ -915,6 +915,57 @@ object TextStats {
   def bpeTrain(docs: DataFrame, rounds: Int = 8): DataFrame =
     bpeTrainFromFinal(bpeFinal(docs, rounds))
 
+  /** Zipf slope fit — the one-number distribution-shape readout
+    * papers quote (natural language reads ≈ −1; template spam and
+    * synthetic text drift off it): least-squares slope of log₂
+    * frequency against log₂ rank, fitted over POWER-OF-TWO BUCKETS
+    * so every step is integer-exact. The unit is character 3-grams
+    * (the dedup family's shingle grain), whose frequency spectrum is
+    * large and graded on any real corpus — the fixture's WORD vocab
+    * is 31 synthetic tokens, which collapses every rank bucket to one
+    * x and degenerates the fit; a degenerate spectrum (zero x-spread)
+    * reports NULL slope on both engines rather than dividing by zero.
+    * Frequencies bucket by the `length(bin(f))−1` idiom; the rank at
+    * each bucket boundary (#grams in that bucket or above) comes from
+    * a constant-bounded `sequence(0, y)` explode + re-aggregation —
+    * the cumulative sum WITHOUT a global window (a ≤64-way fan-out of
+    * a ≤64-row frame, never an `Exchange SinglePartition`). The
+    * regression limbs are the exact fraction-cleared forms; slope and
+    * intercept come out in truncating milli units.
+    *
+    * Output: 1 row — (n_points, slope_milli, intercept_milli).
+    *
+    * 100 TB shape: one exploded hash aggregate to the gram vocabulary
+    * (the only corpus-grain work), then every frame is ≤64 rows.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    val vc = docs
+      .select(explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0))," +
+          " i -> substring(lower(text), i, 3))")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val by = vc.select((length(bin(col("f"))) - 1).cast("long").as("y"))
+      .groupBy(col("y")).agg(count(lit(1)).as("m"))
+    val ranks = by
+      .select(explode(expr("sequence(0L, y)")).as("y2"), col("m"))
+      .groupBy(col("y2")).agg(sum(col("m")).as("rge"))
+    val pts = ranks.select(
+      (length(bin(col("rge"))) - 1).cast("long").as("x"), col("y2").as("y"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sx2"))
+      .select(col("n").as("n_points"),
+        expr("CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL" +
+          " ELSE (1000 * (n * sxy - sx * sy))" +
+          " div (n * sx2 - sx * sx) END AS BIGINT)").as("slope_milli"),
+        expr("CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL" +
+          " ELSE (1000 * (sy * sx2 - sx * sxy))" +
+          " div (n * sx2 - sx * sx) END AS BIGINT)")
+          .as("intercept_milli"))
+  }
+
   /** Gopher-style document hygiene rules (Rae et al. 2021 "Scaling
     * Language Models: Methods, Analysis & Insights from Training
     * Gopher", Table A1), rolled up per source — the rule-based

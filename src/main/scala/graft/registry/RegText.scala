@@ -271,6 +271,11 @@ private[graft] object RegText {
         .withColumn("hapax_vocab_micro",
           expr("(1000000 * hapax) div vocab"))
     }),
+    "text_zipf_slope" -> ((s, dir) =>
+      // the fitted Zipf exponent in exact milli units: integer least
+      // squares over (log2 rank, log2 freq) bucket points, cumulative
+      // ranks via a bounded sequence-explode (TextStats.zipfSlope)
+      TextStats.zipfSlope(t(s, dir, "documents"))),
     "text_zipf_by_source" -> ((s, dir) => {
       // per-source vocabulary shape — the text_zipf rollup grouped by
       // source, the side-by-side source-quality comparison (a source
@@ -908,6 +913,34 @@ private[graft] object RegText {
              (1000000 * CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
                AS BIGINT)) // count(*) AS hapax_vocab_micro
       FROM vc""",
+    "text_zipf_slope" -> """
+      WITH tk AS (SELECT substr(lower(text), CAST(i AS INT), 3) AS w
+             FROM documents,
+                  UNNEST(range(1, greatest(length(text) - 2, 0) + 1))
+                    AS t(i)),
+      vc AS (SELECT w, count(*) AS f FROM tk GROUP BY 1),
+      by_ AS (SELECT CAST(length(bin(f)) - 1 AS BIGINT) AS y,
+                count(*) AS m
+              FROM vc GROUP BY 1),
+      rk AS (SELECT CAST(y2 AS BIGINT) AS y2, CAST(sum(m) AS BIGINT)
+               AS rge
+             FROM by_, UNNEST(range(0, y + 1)) AS t(y2) GROUP BY 1),
+      pts AS (SELECT CAST(length(bin(rge)) - 1 AS BIGINT) AS x,
+                y2 AS y
+              FROM rk),
+      ag AS (SELECT count(*) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+               CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(x * y) AS HUGEINT) AS sxy,
+               CAST(sum(x * x) AS HUGEINT) AS sx2
+             FROM pts)
+      SELECT n AS n_points,
+             CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+               ELSE (1000 * (n * sxy - sx * sy))
+               // (n * sx2 - sx * sx) END AS BIGINT) AS slope_milli,
+             CAST(CASE WHEN n * sx2 - sx * sx = 0 THEN NULL
+               ELSE (1000 * (sy * sx2 - sx * sxy))
+               // (n * sx2 - sx * sx) END AS BIGINT) AS intercept_milli
+      FROM ag""",
     // 3 peel rounds unrolled; output = last round's degrees over the
     // surviving alive set
     "text_zipf_by_source" -> """

@@ -512,6 +512,42 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 2L, 3L, 15000L)))
   }
 
+  test("zipfSlope: bucketed least squares matches a BigInt replica " +
+      "of the 3-gram spectrum; a zero-spread spectrum reports NULL") {
+    import spark.implicits._
+    val texts = Seq("the cat sat on the mat the cat", "the theme thesis",
+      "aaa bbb aaa ccc aaa", "zq")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.zipfSlope(docs).collect()(0)
+    // replica: same 3-gram definition, same buckets, same formula
+    val f = texts.flatMap(t => if (t.length < 3) Nil
+      else (0 to t.length - 3).map(i => t.toLowerCase.substring(i, i + 3)))
+      .groupBy(identity).map(_._2.size.toLong)
+    val m = f.groupBy(x => 63 - java.lang.Long.numberOfLeadingZeros(x))
+      .map { case (y, g) => y.toLong -> g.size.toLong }
+    val maxY = m.keys.max
+    val pts = (0L to maxY).map { y2 =>
+      val rge = m.filter(_._1 >= y2).values.sum
+      (63L - java.lang.Long.numberOfLeadingZeros(rge), y2)
+    }
+    val n = BigInt(pts.size)
+    val sx = BigInt(pts.map(_._1).sum); val sy = BigInt(pts.map(_._2).sum)
+    val sxy = pts.map { case (x, y) => BigInt(x) * y }.sum
+    val sx2 = pts.map { case (x, _) => BigInt(x) * x }.sum
+    val den = n * sx2 - sx * sx
+    assert(den != 0, "fixture must have x-spread")
+    assert(got.getAs[Long]("n_points") == pts.size &&
+      got.getAs[Long]("slope_milli") ==
+        ((BigInt(1000) * (n * sxy - sx * sy)) / den).toLong &&
+      got.getAs[Long]("intercept_milli") ==
+        ((BigInt(1000) * (sy * sx2 - sx * sxy)) / den).toLong)
+    // degenerate: one gram repeated -> every rank bucket has x = 0
+    val degen = graft.operators.TextStats.zipfSlope(
+      Seq((1L, "aaaa")).toDF("doc_id", "text")).collect()(0)
+    assert(degen.isNullAt(degen.fieldIndex("slope_milli")))
+  }
+
   test("gopherRules: hand-built docs trip each rule independently") {
     import spark.implicits._
     val docs = Seq(
