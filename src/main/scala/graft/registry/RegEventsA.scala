@@ -209,6 +209,13 @@ private[graft] object RegEventsA {
       graft.streaming.EventsStream.typeProfileToCompletion(s, dir)
         .orderBy(col("user_id"))
     }),
+    "events_stream_heavy_hitters" -> ((s, dir) =>
+      // Misra-Gries sketch LIVE in streaming MapState: per-shard
+      // capacity-bounded counters with the decrement rule, timer-
+      // flushed; capacity 8 > the fixture's 5 types makes every
+      // counter exact, so the batch GROUP BY is the oracle (the
+      // decrement regime is spec-asserted at capacity 2)
+      graft.streaming.EventsStream.heavyHittersToCompletion(s, dir)),
 
     "events_stream_dedup" -> ((s, dir) => {
       graft.streaming.EventsStream.dedupToCompletion(s, dir)
@@ -548,6 +555,9 @@ private[graft] object RegEventsA {
       SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
              count(*) AS n_events
       FROM t GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "events_stream_heavy_hitters" -> """
+      SELECT event_type, count(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1""",
     "events_stream_type_profile" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types,
              count(*) AS n_events,

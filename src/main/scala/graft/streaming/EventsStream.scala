@@ -1095,6 +1095,158 @@ object EventsStream {
     }
   }
 
+  /** Streaming Misra–Gries heavy hitters (Misra & Gries 1982) —
+    * the bounded-state frequent-items sketch LIVE IN STREAMING STATE:
+    * each shard (user_id mod `shards`) keeps at most `capacity`
+    * (type → counter) entries in a MapState; a new type beyond
+    * capacity triggers the MG decrement (every counter −1, zeros
+    * evicted), and a fixed-horizon timer flushes each shard's
+    * surviving counters exactly once. At 100 TB event-type
+    * cardinality this is THE reason the operator exists: state is
+    * O(shards·capacity) regardless of how many distinct types flow
+    * by, with the classic guarantee err ≤ N/(capacity+1) per shard.
+    * On the fixture, capacity (8) exceeds the distinct-type count
+    * (5), so the decrement never fires, every counter is EXACT, and
+    * shard-merging by plain sum equals the batch GROUP BY — which is
+    * the driver oracle. The decrement path is exercised (and its
+    * guarantee asserted against batch truth) by the capacity-2 run
+    * in EventsStreamHHSpec; the batch Misra–Gries
+    * TypedImperativeAggregate (profile_heavy_sketch) gate-checks the
+    * approximate regime independently.
+    *
+    * Output: (event_type, n_events) summed over shards, ordered.
+    */
+  def heavyHittersToCompletion(spark0: SparkSession, dir: String,
+      capacity: Int = 8, shards: Int = 4): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val spark = streamSession(spark0)
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(shards.toLong)).as("shard"),
+        col("ts"), col("event_type"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = ev.agg(max(unix_micros(col("ts"))).as("hi"),
+      min(unix_micros(col("ts"))).as("lo")).head()
+    if (stats.isNullAt(0)) {
+      ev.unpersist()
+      return spark.emptyDataFrame
+        .withColumn("event_type", lit("").cast("string"))
+        .withColumn("n_events", lit(0L)).limit(0)
+    }
+    val hiUs = stats.getLong(0)
+    val delayUs = 3600L * 1000000L
+    val flushAtMs = (hiUs + delayUs) / 1000L
+    val replayDir = java.nio.file.Files
+      .createTempDirectory("graft-hh-replay").toFile
+    val src = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.toString)
+      .withWatermark("ts", "1 hour")
+      .select(col("shard"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    val hh = src.groupByKey(_._1)
+      .transformWithState(
+        new HeavyHitterProcessor(flushAtMs, capacity),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+    val qname = s"graft_events_heavy_hitters_c$capacity"
+    val q = hh.toDF("shard", "event_type", "cnt")
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .start()
+    try {
+      // two chunks so the MapState counters must MERGE across
+      // micro-batches, then the sentinel (its own shard key, filtered
+      // below) pushes the watermark past the flush horizon
+      val midUs = (stats.getLong(0) + stats.getLong(1)) / 2
+      writeChunk(replayDir, ev.filter(unix_micros(col("ts")) < midUs), "c1")
+      q.processAllAvailable()
+      val c2f =
+        writeChunk(replayDir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
+      val sf = writeChunk(replayDir, Seq((-1L,
+        new java.sql.Timestamp((hiUs + 3L * delayUs) / 1000L), "sentinel"))
+        .toDF("shard", "ts", "event_type"), "sentinel")
+      sf.setLastModified(c2f.lastModified() + 60000L)
+      q.processAllAvailable()
+    } finally {
+      stopRecorded(q)
+      ev.unpersist()
+      deleteRec(replayDir)
+    }
+    spark.table(qname).filter(col("shard") >= 0)
+      .groupBy(col("event_type")).agg(sum(col("cnt")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Processor for [[heavyHittersToCompletion]]: a `capacity`-bounded
+    * MapState of (type → counter) per shard with the Misra–Gries
+    * admit/decrement rule, an entry-count ValueState (MapState has no
+    * O(1) size), and one fixed-horizon timer flushing the surviving
+    * counters exactly once.
+    */
+  private[streaming] class HeavyHitterProcessor(flushAtMs: Long,
+      capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, TimeMode, TimerValues, TTLConfig}
+
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var nKeys: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var flushed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      nKeys = getHandle.getValueState[Long]("nKeys",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      flushed = getHandle.getValueState[Boolean]("flushed",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(shard: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      if (flushed.exists()) return Iterator.empty
+      if (!nKeys.exists()) {
+        getHandle.registerTimer(flushAtMs)
+        nKeys.update(0L)
+      }
+      rows.foreach { r =>
+        val t = r._3
+        if (counts.containsKey(t)) {
+          counts.updateValue(t, counts.getValue(t) + 1L)
+        } else if (nKeys.get() < capacity) {
+          counts.updateValue(t, 1L)
+          nKeys.update(nKeys.get() + 1L)
+        } else {
+          // MG decrement: the unseen type and every counter give up
+          // one occurrence; zeroed counters leave the map
+          val entries = counts.iterator().toVector
+          var n = 0L
+          entries.foreach { case (k, v) =>
+            if (v <= 1L) counts.removeKey(k)
+            else { counts.updateValue(k, v - 1L); n += 1L }
+          }
+          nKeys.update(n)
+        }
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(shard: Long,
+        timerValues: TimerValues, expired: ExpiredTimerInfo)
+        : Iterator[(Long, String, Long)] = {
+      val out = counts.iterator().toVector
+        .map { case (t, c) => (shard, t, c) }
+      counts.clear()
+      nKeys.clear()
+      flushed.update(true)
+      out.iterator
+    }
+  }
+
   /** Batch→streaming migration cutover: sessionize everything BEFORE
     * the cutover instant in batch, hand the still-open session per
     * user to the streaming sessionizer as transformWithState INITIAL

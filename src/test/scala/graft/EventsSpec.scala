@@ -353,6 +353,36 @@ class EventsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming Misra-Gries state: exact at capacity > cardinality " +
+      "(equals batch GROUP BY); at capacity 2 the decrement regime " +
+      "honors the classic per-shard error guarantee") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // exact regime (the registered query's configuration)
+    val exact = graft.streaming.EventsStream
+      .heavyHittersToCompletion(spark, dir, capacity = 8, shards = 4)
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(exact == batch)
+    // decrement regime: capacity 2 < 5 types, ONE shard so the
+    // guarantee is checkable against the global batch truth. MG
+    // invariants: a surviving counter never exceeds its true count,
+    // undercounts by at most N/(capacity+1), and at most `capacity`
+    // counters survive.
+    val n = batch.values.sum
+    val approx = graft.streaming.EventsStream
+      .heavyHittersToCompletion(spark, dir, capacity = 2, shards = 1)
+      .as[(String, Long)].collect().toMap
+    assert(approx.size <= 2, s"capacity bound violated: $approx")
+    approx.foreach { case (t, c) =>
+      assert(c <= batch(t), s"$t overcounted: $c > ${batch(t)}")
+      assert(batch(t) - c <= n / 3,
+        s"$t undercounted past the N/(k+1) guarantee: $c vs ${batch(t)}")
+    }
+  }
+
   test("Trigger.AvailableNow runs as an incremental job: first run " +
       "drains the backlog and stops, second run processes only the " +
       "delta from the checkpoint") {
