@@ -274,8 +274,13 @@ private[graft] object RegText {
     "text_zipf_slope" -> ((s, dir) =>
       // the fitted Zipf exponent in exact milli units: integer least
       // squares over (log2 rank, log2 freq) bucket points, cumulative
-      // ranks via a bounded sequence-explode (TextStats.zipfSlope)
-      TextStats.zipfSlope(t(s, dir, "documents"))),
+      // ranks via a bounded sequence-explode (TextStats.zipfSlope).
+      // Repartitioned off the single fixture row group like
+      // text_bigrams so the 3-gram explode parallelizes.
+      TextStats.zipfSlope(t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism,
+          col("doc_id")))),
     "text_zipf_by_source" -> ((s, dir) => {
       // per-source vocabulary shape — the text_zipf rollup grouped by
       // source, the side-by-side source-quality comparison (a source
