@@ -450,6 +450,29 @@ class OverflowSpec extends AnyFunSuite {
       got.getAs[Long]("cramers_v_ppm") == 1000000L)
   }
 
+  test("balancedShards skew limb at 100TB magnitude: 10^4*k*total " +
+      "passes 9.6e18 (over int64) and rides DECIMAL exactly") {
+    import spark.implicits._
+    // claim (Layout.balancedShards): "10^4*k*T overflows int64 once
+    // T*k > 9e14 (a 100 TB corpus easily) — the skew limb rides
+    // DECIMAL(38,0)". Synthesize it: 8 docs of 1.2e14 bytes, k = 8 ->
+    // one giant per shard (LPT), total_shard = 1.2e14, and the limb
+    // 10^4*8*1.2e14 = 9.6e18 > 2^63-1. ANSI would throw on an int64
+    // path; the assertion proves the exact DECIMAL result.
+    val docs = (1L to 8L).map(i => (i, 120000000000000L))
+      .toDF("doc_id", "n_chars")
+    val got = graft.operators.Layout
+      .balancedShards(docs, k = 8, sizeCol = "n_chars")
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val t = BigInt(8) * 120000000000000L
+    val skew = ((BigInt(10000) * (BigInt(8) * 120000000000000L - t)) / t)
+      .toLong // 0: perfectly balanced
+    assert(BigInt(10000) * 8 * 120000000000000L > BigInt(Long.MaxValue),
+      "magnitude must actually exceed int64")
+    assert(got == (0L to 7L).map(s => (s, 1L, 120000000000000L, skew)))
+  }
+
   test("isqrt at the claimed 2^52 ceiling: exact on every probe up to " +
       "2^52-1, including perfect squares and their neighbors") {
     import spark.implicits._
