@@ -767,8 +767,13 @@ object Graph {
     val e = pinned(edges)
     def renorm(raw: DataFrame): DataFrame = {
       val mx = raw.agg(max(col("raw")).as("mx"))
+      // unit·raw overflows int64 once a node's summed in-score passes
+      // ~9.2e15 (in-degree ~9e12 at unit 10³ — a 100 TB hub is
+      // allowed to be that big), so the limb rides DECIMAL(38,0)
       raw.crossJoin(broadcast(mx))
-        .select(col("node"), expr(s"($unit * raw) div mx").as("s"))
+        .select(col("node"),
+          expr(s"CAST(($unit * CAST(raw AS DECIMAL(38,0))) div mx" +
+            " AS BIGINT)").as("s"))
     }
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("s", lit(unit)).localCheckpoint()

@@ -202,12 +202,14 @@ object Layout {
       .limit(topFactor * k)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val totals = Array.fill(k)(0L)
+    // the driver already holds (id, sz) — carry sz into the frame so
+    // the giant limb needs NO corpus re-join to recover sizes
     val giantShard = giants.map { case (id, sz) =>
       val s = totals.zipWithIndex.minBy { case (t, i) => (t, i) }._2
       totals(s) += sz
-      (id, s.toLong)
+      (id, sz, s.toLong)
     }.toSeq
-    val gdf = giantShard.toDF("id", "shard")
+    val gdf = giantShard.toDF("id", "sz", "shard")
     // remainder: log2-band round-robin with rotation-by-band
     val w = Window.partitionBy(col("band"))
       .orderBy(col("sz").desc, col("id"))
@@ -217,8 +219,7 @@ object Layout {
       .withColumn("rk", row_number().over(w))
       .select(col("id"), col("sz"),
         ((col("band") + col("rk") - 1) % lit(k.toLong)).as("shard"))
-    val assigned = d.join(broadcast(gdf), Seq("id"))
-      .select(col("id"), col("sz"), col("shard"))
+    val assigned = gdf.select(col("id"), col("sz"), col("shard"))
       .unionByName(rest)
     val tot = assigned.agg(sum(col("sz")).as("t"))
     assigned.groupBy(col("shard"))

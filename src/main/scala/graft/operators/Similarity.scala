@@ -810,6 +810,26 @@ object Similarity {
     * [[mutualNearestNeighbors]] (O(N²) scoring pass on capped slices;
     * ANN top-1 is the scale path). Output: 1 row (n, correct, acc_bp).
     */
+  def knnLabelAccuracy(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label")
+      : DataFrame = {
+    val q = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        quantize(col(vecCol)).as("qv"))
+      .withColumn("norm", qdot(col("qv"), col("qv")))
+    val best = q.as("a").join(q.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("a.lbl").as("lbl"),
+        col("b.id").as("nid"), col("b.lbl").as("plbl"),
+        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.norm"),
+          col("b.norm")).as("cosine"))
+      .groupBy(col("id"), col("lbl"))
+      .agg(min(struct((-col("cosine")).as("nc"), col("nid"),
+        col("plbl"))).as("w"))
+    best.agg(count(lit(1)).as("n"),
+        sum(when(col("lbl") === col("w.plbl"), 1L).otherwise(0L))
+          .as("correct"))
+      .withColumn("acc_bp", expr("(10000 * correct) div n"))
+  }
+
   /** Matryoshka prefix-dimension retrieval audit (Kusupati et al.
     * 2022 "Matryoshka Representation Learning") — the question a
     * storage-tiering decision needs answered: if we truncate every
@@ -849,26 +869,6 @@ object Similarity {
         sum(when(col("bf.nid") === col("bh.nid"), 1L).otherwise(0L))
           .as("agree"))
       .withColumn("agree_bp", expr("(10000 * agree) div n_vecs"))
-  }
-
-  def knnLabelAccuracy(emb: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", labelCol: String = "label")
-      : DataFrame = {
-    val q = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-        quantize(col(vecCol)).as("qv"))
-      .withColumn("norm", qdot(col("qv"), col("qv")))
-    val best = q.as("a").join(q.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("id"), col("a.lbl").as("lbl"),
-        col("b.id").as("nid"), col("b.lbl").as("plbl"),
-        qcosine(qdot(col("a.qv"), col("b.qv")), col("a.norm"),
-          col("b.norm")).as("cosine"))
-      .groupBy(col("id"), col("lbl"))
-      .agg(min(struct((-col("cosine")).as("nc"), col("nid"),
-        col("plbl"))).as("w"))
-    best.agg(count(lit(1)).as("n"),
-        sum(when(col("lbl") === col("w.plbl"), 1L).otherwise(0L))
-          .as("correct"))
-      .withColumn("acc_bp", expr("(10000 * correct) div n"))
   }
 
   /** Upper triangle of the exact integer Gram matrix XᵀX over the

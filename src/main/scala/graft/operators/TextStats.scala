@@ -939,9 +939,14 @@ object TextStats {
     * (the only corpus-grain work), then every frame is ≤64 rows.
     */
   def zipfSlope(docs: DataFrame): DataFrame = {
+    // docs shorter than one gram are dropped BEFORE the sequence is
+    // built: sequence(1, greatest(len-2, 0)) on a 2-char doc is the
+    // DESCENDING [1, 0] (Spark sequences count down when end < start)
+    // and would fabricate grams the DuckDB twin's range() never emits
     val vc = docs
+      .filter(length(col("text")) >= 3)
       .select(explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0))," +
+        "transform(sequence(1, length(text) - 2)," +
           " i -> substring(lower(text), i, 3))")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
     val by = vc.select((length(bin(col("f"))) - 1).cast("long").as("y"))

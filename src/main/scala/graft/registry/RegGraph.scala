@@ -30,7 +30,23 @@ private[graft] object RegGraph {
     */
   private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
     memoFrame(s, dir, "bipartite_edges") {
-      val e1 = t(s, dir, "orders")
+      val e1 = bipartiteEdgesFwd(s, dir)
+      // customer and supplier id spaces are disjoint, so the reverse
+      // union introduces no duplicate edges (matches the oracle's
+      // deduplicating UNION)
+      e1.unionByName(e1.select(col("dst").as("src"), col("src").as("dst")))
+    }
+
+  /** The DIRECTED customer→supplier leg of the trading graph,
+    * memoized separately — graph_hits consumes it as-is, and
+    * [[bipartiteEdges]] symmetrizes from it (one derivation, not a
+    * `src < 100000` filter of the symmetric frame, which would
+    * silently drop forward edges once o_custkey reaches the +100000
+    * supplier-id offset at SF ≥ ~0.67).
+    */
+  private def bipartiteEdgesFwd(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "bipartite_edges_fwd") {
+      t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey")),
@@ -38,10 +54,6 @@ private[graft] object RegGraph {
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 100000L).as("dst"))
         .distinct()
-      // customer and supplier id spaces are disjoint, so the reverse
-      // union introduces no duplicate edges (matches the oracle's
-      // deduplicating UNION)
-      e1.unionByName(e1.select(col("dst").as("src"), col("src").as("dst")))
     }
 
   /** The 2-round LPA labels over [[bipartiteEdges]] — consumed by
@@ -100,10 +112,10 @@ private[graft] object RegGraph {
       Graph.pageRank(bipartiteEdges(s, dir)).orderBy(col("node"))),
     "graph_hits" -> ((s, dir) =>
       // HITS hubs/authorities over the DIRECTED customer→supplier leg
-      // of the memoized trading graph (src < 100000 selects the
-      // forward edges; supplier ids ride +100000). Two max-normalized
-      // integer rounds; the oracle unrolls the identical alternation.
-      Graph.hits(bipartiteEdges(s, dir).filter(col("src") < 100000L))
+      // of the trading graph (its own memo — not an id-range filter
+      // of the symmetric frame). Two max-normalized integer rounds;
+      // the oracle unrolls the identical alternation.
+      Graph.hits(bipartiteEdgesFwd(s, dir))
         .orderBy(col("kind"), col("node"))),
     "graph_triangles" -> ((s, dir) => {
       // exact triangle census + local clustering coefficient over the
@@ -336,19 +348,19 @@ private[graft] object RegGraph {
              FROM e0),
       a1r AS (SELECT e0.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
               FROM e0 JOIN h0 h ON h.node = e0.src GROUP BY 1),
-      a1 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM a1r)
+      a1 AS (SELECT node, (1000 * CAST(raw AS HUGEINT)) // (SELECT max(raw) FROM a1r)
                AS s FROM a1r),
       h1r AS (SELECT e0.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
               FROM e0 JOIN a1 a ON a.node = e0.dst GROUP BY 1),
-      h1 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM h1r)
+      h1 AS (SELECT node, (1000 * CAST(raw AS HUGEINT)) // (SELECT max(raw) FROM h1r)
                AS s FROM h1r),
       a2r AS (SELECT e0.dst AS node, CAST(sum(h.s) AS BIGINT) AS raw
               FROM e0 JOIN h1 h ON h.node = e0.src GROUP BY 1),
-      a2 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM a2r)
+      a2 AS (SELECT node, (1000 * CAST(raw AS HUGEINT)) // (SELECT max(raw) FROM a2r)
                AS s FROM a2r),
       h2r AS (SELECT e0.src AS node, CAST(sum(a.s) AS BIGINT) AS raw
               FROM e0 JOIN a2 a ON a.node = e0.dst GROUP BY 1),
-      h2 AS (SELECT node, (1000 * raw) // (SELECT max(raw) FROM h2r)
+      h2 AS (SELECT node, (1000 * CAST(raw AS HUGEINT)) // (SELECT max(raw) FROM h2r)
                AS s FROM h2r)
       SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_milli
       FROM h2

@@ -94,10 +94,13 @@ object EventsStream {
   }
 
   /** Uniform teardown for every completion harness in this module:
-    * record the query's final state-operator totals, then stop it.
-    * Per-name max across restarts within one drain window (the
-    * exactly-once twin stops the same name twice; the final footprint
-    * is what the artifact should show).
+    * record the query's state-operator totals at stop time. Per-name
+    * MAX across stops within one drain window — the exactly-once twin
+    * stops the same name twice, and the PEAK footprint is the right
+    * statistic for the column's purpose (detecting unbounded state:
+    * a cleanup that shrinks state between restarts still shows a flat
+    * peak series round-over-round, while genuinely growing state
+    * grows the peak).
     */
   private def stopRecorded(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
