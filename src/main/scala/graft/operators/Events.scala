@@ -969,9 +969,11 @@ object Events {
     * alternative to the least-squares trend that one outage day
     * cannot drag. Slopes are exact integers in micro-events/day via
     * FLOOR division — spelled as (a − pmod(a, b)) div b because dy
-    * can be negative and Spark's `div` truncates toward zero while
-    * the DuckDB twin's `//` floors; pmod makes both engines floor
-    * (b = day gap > 0 always). The median is reported DOUBLED
+    * can be negative and both Spark's `div` and DuckDB's integer
+    * `//` truncate toward zero (verified: -7 // 2 = -3 in DuckDB
+    * 1.0); the explicit pmod adjustment, mirrored verbatim in the
+    * twin, is what makes both engines floor (b = day gap > 0
+    * always). The median is reported DOUBLED
     * (sum of the two middle order statistics; 2× the middle one for
     * odd counts) so it stays an exact integer with no .5 fraction.
     *

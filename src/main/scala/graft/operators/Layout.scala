@@ -226,7 +226,10 @@ object Layout {
       .agg(count(lit(1)).as("n_docs"), sum(col("sz")).as("total_size"))
       .crossJoin(broadcast(tot))
       // 10⁴·k·T overflows int64 once T·k > 9·10¹⁴ (a 100 TB corpus
-      // easily) — the skew limb rides DECIMAL(38,0)
+      // easily) — the skew limb rides DECIMAL(38,0). skew_bp is
+      // signed (below-average shards are negative); bare `div` stays
+      // engine-identical because Spark `div` and the twin's HUGEINT
+      // `//` both truncate toward zero (verified in DuckDB 1.0).
       .select(col("shard"), col("n_docs"), col("total_size"),
         expr(s"CAST((10000 * ($k * CAST(total_size AS DECIMAL(38,0))" +
           " - t)) div t AS BIGINT)").as("skew_bp"))

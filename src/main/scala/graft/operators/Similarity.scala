@@ -868,7 +868,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("bf.nid") === col("bh.nid"), 1L).otherwise(0L))
           .as("agree"))
-      .withColumn("agree_bp", expr("(10000 * agree) div n_vecs"))
+      // < 2 eligible vectors ⇒ the pair join is empty, the global agg
+      // still emits one row with n_vecs = 0, and ANSI div would throw:
+      // NULL verdict instead (the bucketUniformity n=0 convention)
+      .withColumn("agree_bp", expr(
+        "CASE WHEN n_vecs = 0 THEN NULL" +
+          " ELSE (10000 * agree) div n_vecs END"))
   }
 
   /** Upper triangle of the exact integer Gram matrix XᵀX over the

@@ -868,6 +868,15 @@ object TextStats {
     *
     * Output: (doc_id, n_words, n_bpe_tokens, fertility_bp) per doc.
     *
+    * PRECONDITION: `docs`' word set must be a subset of the corpus
+    * `fin` was trained on — the word join is INNER, so an
+    * out-of-vocabulary word silently drops out of BOTH n_words and
+    * n_bpe_tokens, skewing fertility_bp downward. That is the right
+    * contract for the train-then-encode-same-corpus flow this
+    * operator serves (and the registry exercises); encoding unseen
+    * text needs a per-character fallback segmentation first — a
+    * different operator, not a flag here.
+    *
     * 100 TB shape: the corpus explodes to word grain once and
     * equi-joins the vocabulary-bounded word table on the word key —
     * AQE broadcasts it when it is small; at web-scale vocabularies
@@ -957,6 +966,13 @@ object TextStats {
     val pts = ranks.select(
       (length(bin(col("rge"))) - 1).cast("long").as("x"), col("y2").as("y"))
     val d = (c: Column) => c.cast("decimal(38,0)")
+    // Signed-division parity: the slope numerator n·sxy − sx·sy is
+    // NEGATIVE for any real Zipf spectrum (y falls as x grows).
+    // Bare `div` is still engine-identical here because Spark `div`
+    // on DECIMAL and the twin's `//` on HUGEINT BOTH truncate toward
+    // zero (verified: -7 // 2 = -3 in DuckDB 1.0) — satisfying the
+    // idiv contract's signed-case clause (functions/package.scala)
+    // by proof of matching truncation rather than non-negativity.
     pts.agg(count(lit(1)).as("n"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(d(col("x")) * d(col("y"))).as("sxy"),

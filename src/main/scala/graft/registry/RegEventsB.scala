@@ -800,10 +800,10 @@ private[graft] object RegEventsB {
       FROM cw""",
     "events_srm" -> """
       WITH u AS (SELECT DISTINCT user_id FROM events),
-      a AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0
-                END) AS BIGINT) AS n0,
-              CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0
-                END) AS BIGINT) AS n1
+      a AS (SELECT CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              CAST(sum(CASE WHEN ((user_id % 2) + 2) % 2 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n1
             FROM u)
       SELECT n0 AS n_users_0, n1 AS n_users_1,
              (1000000 * (n0 - n1) * (n0 - n1)) // (n0 + n1)

@@ -374,6 +374,46 @@ private[graft] object RegIo {
         } finally deleteRecursively(tmp)
       back.orderBy(col("event_type"))
     }),
+    "io_dpp" -> ((s, dir) => {
+      // dynamic partition pruning: the fact side is the same
+      // date-partitioned lake with NO static date predicate — the
+      // only filter lives on a separate date-dimension relation (on
+      // the dim's OWN attribute, not the partition column), so
+      // listing-time pruning is impossible and pruning the fact scan
+      // requires Catalyst's runtime DynamicPruningExpression: the
+      // broadcast dim keys are re-used as a partition filter before
+      // a single fact file is opened. At 100 TB this is the
+      // fact-side scan shrinking from 3 years to the dim's surviving
+      // days at RUNTIME. PlanCapture records the pre-materialize
+      // plan; PlanSpec pins dynamicpruning# in PartitionFilters.
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toFile
+      val back =
+        try {
+          val outF = new java.io.File(tmp, "events_by_day").toString
+          val outD = new java.io.File(tmp, "dates_dim").toString
+          Layout.writeDatePartitioned(ev, "ts", outF)
+          // one row per calendar day, attribute g = day-of-epoch mod 7
+          ev.select(to_date(col("ts")).as("d")).distinct()
+            .withColumn("g", pmod(datediff(col("d"),
+              lit("2024-01-01").cast("date")), lit(7)))
+            .write.mode("overwrite").parquet(outD)
+          val fact = s.read.parquet(outF)
+          val dim = s.read.parquet(outD).filter(col("g") === 2)
+          val read = fact.join(broadcast(dim),
+              fact("event_date") === dim("d"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,4)"))
+                .cast("double").as("sum_value"))
+          graft.PlanCapture.record(
+            "dpp-pruned read (pre-materialize)", read)
+          read.localCheckpoint()
+        } finally deleteRecursively(tmp)
+      back.orderBy(col("event_type"))
+    }),
     "io_dynamic_overwrite" -> ((s, dir) => {
       // partition restatement: write events partitioned by type, then
       // DYNAMIC-overwrite only the lexicographically-first type's
@@ -735,6 +775,16 @@ private[graft] object RegIo {
              CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
+      GROUP BY event_type ORDER BY event_type""",
+    "io_dpp" -> """
+      WITH dim AS (SELECT CAST(ts AS DATE) AS d FROM events GROUP BY 1),
+      sel AS (SELECT d FROM dim
+              WHERE ((CAST(d - DATE '2024-01-01' AS BIGINT) % 7) + 7)
+                    % 7 = 2)
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_value
+      FROM events JOIN sel ON CAST(ts AS DATE) = sel.d
       GROUP BY event_type ORDER BY event_type""",
     "io_dynamic_overwrite" -> """
       WITH f AS (SELECT min(event_type) AS ft FROM events)

@@ -414,8 +414,9 @@ private[graft] object RegSim {
       SELECT count(*) AS n_vecs,
              CAST(sum(CASE WHEN bf.nid = bh.nid THEN 1 ELSE 0 END)
                AS BIGINT) AS agree,
-             (10000 * CAST(sum(CASE WHEN bf.nid = bh.nid THEN 1 ELSE 0
-               END) AS BIGINT)) // count(*) AS agree_bp
+             CASE WHEN count(*) = 0 THEN NULL ELSE
+               (10000 * CAST(sum(CASE WHEN bf.nid = bh.nid THEN 1 ELSE
+                 0 END) AS BIGINT)) // count(*) END AS agree_bp
       FROM bf JOIN bh USING (id)""",
     "sim_knn_accuracy" -> s"""
       WITH $qEmbSql,
@@ -540,7 +541,7 @@ private[graft] object RegSim {
       FROM v3 ORDER BY dim""",
     "sim_centroid_drift" -> s"""
       WITH $qEmbSql,
-      h AS (SELECT vec_id % 2 AS half, label, i, x
+      h AS (SELECT ((vec_id % 2) + 2) % 2 AS half, label, i, x
             FROM e JOIN embeddings USING (vec_id)),
       s AS (SELECT label, i,
               CAST(sum(CASE WHEN half = 0 THEN x ELSE 0 END)
@@ -553,10 +554,10 @@ private[graft] object RegSim {
               sum(CAST(sb AS HUGEINT) * sb) AS nb
             FROM s GROUP BY 1),
       cnt AS (SELECT label,
-                CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_a,
-                CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_b
+                CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN ((vec_id % 2) + 2) % 2 = 1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_b
               FROM embeddings GROUP BY 1)
       SELECT label, n_a, n_b,
              CAST(dot AS DOUBLE) /

@@ -49,6 +49,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.annCosinePairs(one, 0.5).count() == 0)
   }
 
+  test("matryoshkaAgreement yields a NULL verdict below two eligible " +
+      "vectors instead of an ANSI divide-by-zero") {
+    import spark.implicits._
+    // empty corpus and a singleton (pair join empty in both): the
+    // global agg still emits ONE row with n_vecs = 0; agree_bp must
+    // be NULL, not a throw (the bucketUniformity n=0 convention)
+    for (emb <- Seq(
+        Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"),
+        Seq((1L, Seq(1.0f, 0.5f))).toDF("vec_id", "embedding"))) {
+      val rows = Similarity.matryoshkaAgreement(emb).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n_vecs") == 0L)
+      assert(rows(0).isNullAt(rows(0).fieldIndex("agree_bp")))
+    }
+  }
+
   test("sampling operators are total on empty input and degenerate " +
       "parameters") {
     import spark.implicits._

@@ -373,6 +373,57 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("dynamic partition pruning reaches the fact scan's partition " +
+      "filters when the only date predicate lives on a joined dim") {
+    // The io_dpp shape distilled: a date-partitioned fact with NO
+    // static partition predicate joined to a dim filtered on its own
+    // attribute. The ONLY way the fact scan can prune partitions is
+    // the runtime DynamicPruningExpression (broadcast keys re-used
+    // as a partition filter) — assert it is IN the scan node, not
+    // just somewhere in the plan.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"), col("ts"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toFile
+    try {
+      val outF = new java.io.File(tmp, "fact").toString
+      val outD = new java.io.File(tmp, "dim").toString
+      graft.operators.Layout.writeDatePartitioned(ev, "ts", outF)
+      ev.select(to_date(col("ts")).as("d")).distinct()
+        .withColumn("g", pmod(datediff(col("d"),
+          lit("2024-01-01").cast("date")), lit(7)))
+        .write.mode("overwrite").parquet(outD)
+      val fact = s.read.parquet(outF)
+      val dim = s.read.parquet(outD).filter(col("g") === 2)
+      val j = fact.join(broadcast(dim), fact("event_date") === dim("d"))
+        .groupBy(fact("event_date")).count()
+      val p = j.queryExecution.executedPlan.toString
+      val scanLine = p.linesIterator
+        .find(l => l.contains("FileScan") && l.contains("fact"))
+        .getOrElse(fail(s"no fact FileScan in plan:\n$p"))
+      assert(scanLine.contains("dynamicpruning"),
+        s"no DynamicPruningExpression in the fact scan's partition " +
+          s"filters:\n$scanLine\n\nfull plan:\n$p")
+      // and the pruning actually executed: result matches the
+      // relational answer over the unpartitioned original
+      val expected = ev
+        .filter(pmod(datediff(to_date(col("ts")),
+          lit("2024-01-01").cast("date")), lit(7)) === 2)
+        .groupBy(to_date(col("ts")).as("event_date")).count()
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      val got = j.collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty, s"got=$got expected=$expected")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(tmp)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim " +
       "join when the fact scan clears the size threshold") {
     // At 100 TB the fact side dwarfs the 10 GB default threshold and
