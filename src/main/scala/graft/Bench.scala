@@ -383,17 +383,16 @@ object Bench {
     }
     val cappedLine = capList(adjudicated.filter(_.overCap).map(_.name))
     val suspectLine = capList(stillSuspect.map(_.name))
-    // requeued on the line: name:[orig,rerun] with 3-decimal samples,
-    // capped at 8 entries like capped/suspect (full map in the file)
-    val requeuedLine = {
-      val es = requeued.toSeq.sortBy(_._1).take(8).map { case (n, t) =>
-        "\"" + n + "\":[" + j3(origPublished(n)) + "," +
-          t.map(j3).getOrElse("null") + "]"
-      }
-      val extra = if (requeued.size > 8)
-        Seq("\"+" + (requeued.size - 8) + "\":[]") else Nil
-      (es ++ extra).mkString("{", ",", "}")
-    }
+    // requeued on the line: name:[orig,rerun] with 3-decimal samples —
+    // the FULL list, never elided (an r15 "+3":[] bucket hid a 2.72x
+    // mover from the artifact; every >2.5x adjudication must be
+    // readable from the line alone). The greedy queries map below
+    // absorbs the length: a large requeue list shrinks the per-query
+    // section, never the adjudications.
+    val requeuedLine = requeued.toSeq.sortBy(_._1).map { case (n, t) =>
+      "\"" + n + "\":[" + j3(origPublished(n)) + "," +
+        t.map(j3).getOrElse("null") + "]"
+    }.mkString("{", ",", "}")
     val fixedTail = s""","repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","full":"$fullPath","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"capped":$cappedLine,"suspect":$suspectLine,"requeued":$requeuedLine,"n_queries":${adjudicated.size},"total_s":${j3(total)}}"""
     val fixedHead = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":{"""
     var room = lineBudget - fixedHead.length - fixedTail.length -

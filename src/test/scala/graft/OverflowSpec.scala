@@ -473,6 +473,86 @@ class OverflowSpec extends AnyFunSuite {
     assert(got == (0L to 7L).map(s => (s, 1L, 120000000000000L, skew)))
   }
 
+  test("hits renorm limb at 100TB magnitude: unit*raw passes int64 " +
+      "(raw 1e16 summed in-score) and rides DECIMAL exactly") {
+    import spark.implicits._
+    // claim (Graph.hits): "unit*raw overflows int64 once a node's
+    // summed in-score passes ~9.2e15 (in-degree ~9e12 at unit 10^3 —
+    // a 100 TB hub is allowed to be that big)". Magnitude-equivalent
+    // synthesis (header note): unit = 10^15 with in-degree 10 puts
+    // raw at 1e16 > 9.2e15 and the product unit*raw at 1e31 — three
+    // orders past any int64 path (ANSI would throw); the assertion
+    // proves the exact DECIMAL result of one full round.
+    val unit = 1000000000000000L // 10^15
+    val edges = ((1L to 10L).map(s => (s, 100L)) :+ ((1L, 101L)))
+      .toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 1, unit = unit)
+      .orderBy(col("kind"), col("node"))
+      .as[(Long, String, Long)].collect().toSeq
+    // BigInt replica of the round: araw = indeg * unit, renorm =
+    // unit*raw / max (BigInt / truncates toward zero like div; all
+    // operands non-negative here)
+    val u = BigInt(unit)
+    val araw = Map(100L -> u * 10, 101L -> u)
+    assert(u * araw(100L) > BigInt(Long.MaxValue),
+      "magnitude must actually exceed int64")
+    val amx = araw.values.max
+    val auth = araw.map { case (n, r) => n -> (u * r / amx) }
+    val hraw = (1L to 10L).map { s =>
+      s -> (auth(100L) + (if (s == 1L) auth(101L) else BigInt(0)))
+    }.toMap
+    val hmx = hraw.values.max
+    val hub = hraw.map { case (n, r) => n -> (u * r / hmx) }
+    val expected =
+      (auth.toSeq.map { case (n, s) => (n, "auth", s.toLong) } ++
+        hub.toSeq.map { case (n, s) => (n, "hub", s.toLong) })
+        .sortBy(r => (r._2, r._1))
+    assert(got == expected)
+  }
+
+  test("zipfSlope regression limbs: log-bounded coordinates keep the " +
+      "fraction-cleared forms int64-safe at ANY corpus scale, and the " +
+      "signed truncating division matches the BigInt replica") {
+    import spark.implicits._
+    // claim (TextStats.zipfSlope): both coordinates are bit-length
+    // buckets (x, y <= 63) and there is at most one point per y
+    // bucket (n <= 64), so the fraction-cleared limbs are bounded by
+    // 1000 * 2 * 64^2 * 63^2 ~ 3.3e10 — no corpus size can overflow
+    // them. Prove the ceiling, then run the operator on a synthetic
+    // multi-decade spectrum against a full BigInt replica (the slope
+    // numerator is NEGATIVE — this also exercises the documented
+    // truncate-toward-zero parity on the signed path).
+    val ceiling = BigInt(1000) * 2 * 64 * 64 * 63 * 63
+    assert(ceiling < BigInt(Long.MaxValue) / 100000,
+      s"claimed ceiling $ceiling not comfortably inside int64")
+    // one doc per gram: char c repeated (f+2) times yields gram ccc
+    // exactly f times — frequencies span 6 power-of-two decades
+    val freqs = Seq(3L, 5L, 9L, 17L, 33L, 129L, 513L, 2049L, 4097L,
+      70001L)
+    val docs = freqs.zipWithIndex.map { case (f, i) =>
+      (i.toLong, ("" + ('a' + i).toChar) * (f + 2).toInt)
+    }.toDF("doc_id", "text")
+    val got = graft.operators.TextStats.zipfSlope(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    def bits(v: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(v)
+    val by = freqs.groupBy(bits).map { case (y, fs) => y -> fs.size.toLong }
+    val maxY = by.keys.max
+    val pts = (0L to maxY).map { y2 =>
+      val rge = by.filter(_._1 >= y2).values.sum
+      (BigInt(bits(rge)), BigInt(y2))
+    }
+    val n = BigInt(pts.size)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sx2 = pts.map(p => p._1 * p._1).sum
+    val den = n * sx2 - sx * sx
+    assert(BigInt(1000) * (n * sxy - sx * sy) < 0,
+      "spectrum must exercise the negative-numerator path")
+    val slope = (BigInt(1000) * (n * sxy - sx * sy)) / den
+    val intercept = (BigInt(1000) * (sy * sx2 - sx * sxy)) / den
+    assert(got == Seq((n.toLong, slope.toLong, intercept.toLong)))
+  }
+
   test("isqrt at the claimed 2^52 ceiling: exact on every probe up to " +
       "2^52-1, including perfect squares and their neighbors") {
     import spark.implicits._
