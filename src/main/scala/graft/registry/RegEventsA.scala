@@ -217,6 +217,35 @@ private[graft] object RegEventsA {
       // decrement regime is spec-asserted at capacity 2)
       graft.streaming.EventsStream.heavyHittersToCompletion(s, dir)),
 
+    "events_stream_heavy_hitters_bounds" -> ((s, dir) => {
+      // the MG DECREMENT regime under the driver gate: capacity 2 <
+      // the fixture's 5 types forces the decrement rule, so the
+      // sketch is genuinely approximate; the classic telescoped
+      // guarantee 0 <= true - est <= N/(capacity+1) must hold per
+      // type (est never overestimates; an evicted type counts 0).
+      // The oracle recomputes every numeric column from the dumped
+      // sketch + batch truth and asserts the outcome booleans as
+      // literal TRUE (GatesSpec convention).
+      val est = graft.streaming.EventsStream
+        .heavyHittersToCompletion(s, dir, capacity = 2)
+      val dumped = dumpForOracle(s, dir,
+        "events_stream_heavy_hitters_bounds", est)
+      val truth = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      truth.join(dumped.select(col("event_type"),
+          col("n_events").as("n_est")), Seq("event_type"), "left")
+        .select(col("n_true"), coalesce(col("n_est"), lit(0L)).as("n_est"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("n_true")).as("true_total"),
+          sum(col("n_est")).as("est_total"),
+          max(col("n_true") - col("n_est")).as("max_deficit"),
+          sum(when(col("n_est") <= col("n_true"), 0L).otherwise(1L))
+            .as("n_over"))
+        .selectExpr("n_types", "true_total", "est_total",
+          "true_total div 3 AS err_bound", "max_deficit", "n_over",
+          "n_over = 0 AS none_over",
+          "max_deficit BETWEEN 0 AND true_total div 3 AS deficit_ok")
+    }),
     "events_stream_dedup" -> ((s, dir) => {
       graft.streaming.EventsStream.dedupToCompletion(s, dir)
         .orderBy(col("event_type"))
@@ -558,6 +587,24 @@ private[graft] object RegEventsA {
     "events_stream_heavy_hitters" -> """
       SELECT event_type, count(*) AS n_events
       FROM events GROUP BY 1 ORDER BY 1""",
+    "events_stream_heavy_hitters_bounds" -> s"""
+      WITH est AS (SELECT event_type, n_events AS n_est
+        FROM read_parquet(
+          '$RecallDirToken/events_stream_heavy_hitters_bounds/*.parquet')),
+      tr AS (SELECT event_type, count(*) AS n_true
+             FROM events GROUP BY 1),
+      j AS (SELECT t.event_type, t.n_true, coalesce(e.n_est, 0) AS n_est
+            FROM tr t LEFT JOIN est e USING (event_type))
+      SELECT count(*) AS n_types,
+             CAST(sum(n_true) AS BIGINT) AS true_total,
+             CAST(sum(n_est) AS BIGINT) AS est_total,
+             CAST(sum(n_true) AS BIGINT) // 3 AS err_bound,
+             CAST(max(n_true - n_est) AS BIGINT) AS max_deficit,
+             CAST(sum(CASE WHEN n_est <= n_true THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_over,
+             TRUE AS none_over,
+             TRUE AS deficit_ok
+      FROM j""",
     "events_stream_type_profile" -> """
       SELECT user_id, count(DISTINCT event_type) AS n_types,
              count(*) AS n_events,

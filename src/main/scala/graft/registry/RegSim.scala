@@ -115,6 +115,47 @@ private[graft] object RegSim {
       recallGate(s, dir, "sim_ann_pq_recall", exactTop5(s, dir),
         pqTop5(s, dir),
         Seq("query_id", "neighbor_id"), floorBp = 8000)),
+    "sim_matryoshka_ann_recall" -> ((s, dir) => {
+      // the matryoshkaAgreement scaladoc's PRODUCTION path under a
+      // driver gate: 1-NN retrieval over the LSH-bucketed candidates
+      // using only the FIRST HALF of dimensions. Two readouts:
+      // (1) recall of the banded path against the exact prefix-dim
+      // 1-NN — does the scale path work on truncated vectors
+      // (fixture-suited 3x12 geometry, measured 0.96-0.97; floor
+      // 0.90); (2) agreement of that prefix-dim retrieval with the
+      // FULL-dim exact 1-NN — the storage-tiering readout (the
+      // fixture's near-orthogonal embeddings agree at ~10-15%; the
+      // band catches a collapse to 0 and an accidental full-dim path
+      // at 10000). Oracle recomputes both exact sides brute-force
+      // and asserts the outcome booleans as literal TRUE.
+      val emb = t(s, dir, "embeddings")
+      val half = emb.select(col("vec_id"),
+        expr("slice(embedding, 1, size(embedding) div 2)")
+          .as("embedding"))
+      val nq = 200L
+      val dumped = dumpForOracle(s, dir, "sim_matryoshka_ann_recall",
+        Similarity.annTopK(half, col("id") < nq, k = 1,
+          nPlanes = 3, nTables = 12)
+          .select(col("query_id"), col("neighbor_id")))
+      val halfExact = Similarity
+        .topK(half.filter(col("vec_id") < nq), half, 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val fullExact = Similarity
+        .topK(emb.filter(col("vec_id") < nq), emb, 1)
+        .select(col("query_id"), col("neighbor_id"))
+      halfExact.agg(count(lit(1)).as("n_queries")).crossJoin(
+          halfExact.join(dumped, Seq("query_id", "neighbor_id"),
+            "left_semi").agg(count(lit(1)).as("n_hit_half")))
+        .crossJoin(
+          fullExact.join(dumped, Seq("query_id", "neighbor_id"),
+            "left_semi").agg(count(lit(1)).as("n_hit_full")))
+        .selectExpr("n_queries", "n_hit_half", "n_hit_full",
+          "(10000 * n_hit_half) div n_queries AS recall_bp",
+          "(10000 * n_hit_full) div n_queries AS full_agree_bp",
+          "(10000 * n_hit_half) div n_queries >= 9000 AS meets_floor",
+          "(10000 * n_hit_full) div n_queries BETWEEN 300 AND 3500" +
+            " AS full_agree_plausible")
+    }),
     "hybrid_search" -> ((s, dir) => {
       // hybrid retrieval: tf·idf lexical pool + exact-cosine vector
       // pool fused by integer-quantized reciprocal-rank fusion — the
@@ -313,6 +354,55 @@ private[graft] object RegSim {
       WITH $qEmbSql,
       $exactTop5CteSql,
       ${recallTailSql("sim_ann_pq_recall", "query_id, neighbor_id", 8000)}""",
+    "sim_matryoshka_ann_recall" -> s"""
+      WITH $qEmbSql,
+      dm AS (SELECT vec_id, CAST(len(qv) AS BIGINT) AS d FROM q),
+      eh AS (SELECT e.vec_id, e.i, e.x FROM e JOIN dm USING (vec_id)
+             WHERE e.i <= d // 2),
+      nh AS (SELECT vec_id, sum(x * x) AS norm FROM eh GROUP BY vec_id),
+      sf_ AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                sum(a.x * b.x) AS dot
+              FROM e a JOIN e b ON a.i = b.i AND a.vec_id < 200
+                AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+      cf AS (SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) /
+               sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                 AS cosine
+             FROM sf_ JOIN n na ON na.vec_id = query_id
+                  JOIN n nb ON nb.vec_id = neighbor_id),
+      fullx AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS rk
+              FROM cf) t WHERE rk = 1),
+      sh AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(a.x * b.x) AS dot
+             FROM eh a JOIN eh b ON a.i = b.i AND a.vec_id < 200
+               AND b.vec_id <> a.vec_id
+             GROUP BY 1, 2),
+      ch AS (SELECT query_id, neighbor_id, CAST(dot AS DOUBLE) /
+               sqrt(CAST(na.norm AS DOUBLE) * CAST(nb.norm AS DOUBLE))
+                 AS cosine
+             FROM sh JOIN nh na ON na.vec_id = query_id
+                  JOIN nh nb ON nb.vec_id = neighbor_id),
+      halfx AS (SELECT query_id, neighbor_id FROM (
+              SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+                AS rk
+              FROM ch) t WHERE rk = 1),
+      ap AS (SELECT DISTINCT query_id, neighbor_id FROM read_parquet(
+               '$RecallDirToken/sim_matryoshka_ann_recall/*.parquet')),
+      cnt AS (SELECT count(*) AS n_queries FROM halfx),
+      hh AS (SELECT count(*) AS n_hit_half
+             FROM halfx JOIN ap USING (query_id, neighbor_id)),
+      hf AS (SELECT count(*) AS n_hit_full
+             FROM fullx JOIN ap USING (query_id, neighbor_id))
+      SELECT n_queries, n_hit_half, n_hit_full,
+             (10000 * n_hit_half) // n_queries AS recall_bp,
+             (10000 * n_hit_full) // n_queries AS full_agree_bp,
+             TRUE AS meets_floor,
+             TRUE AS full_agree_plausible
+      FROM cnt, hh, hf""",
     "hybrid_search" -> s"""
       WITH $qEmbSql,
       toks AS (SELECT doc_id, w AS term

@@ -27,7 +27,8 @@ class GatesSpec extends AnyFunSuite {
       "sim_ann_ivf_recall", "sim_ann_pq_recall", "dedup_semantic_recall",
       "dedup_incremental_near_recall", "profile_sketch_lake_bounds",
       "profile_sketch_overlap_bounds", "profile_kll_lake_bounds",
-      "profile_approx_bounds", "text_compression_bounds")
+      "profile_approx_bounds", "text_compression_bounds",
+      "sim_matryoshka_ann_recall", "events_stream_heavy_hitters_bounds")
     assert(gateNames == expected,
       s"gate roster drift: +${gateNames.diff(expected)} " +
         s"-${expected.diff(gateNames)}")
