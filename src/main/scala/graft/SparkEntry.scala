@@ -692,12 +692,12 @@ object SparkEntry {
     * CTE triples (pair-count → argmax → rewrite), each mirroring one
     * iteration of TextStats.bpeLoop.
     */
-  private def bpeRoundsCte(rounds: Int): String = s"""
+  private def bpeRoundsCte(rounds: Int, where: String = ""): String = s"""
       WITH wf AS (SELECT w, count(*) AS cnt FROM (
              SELECT unnest(list_filter(
                string_split_regex(lower(text), '\\s+'), x -> x <> ''))
                AS w
-             FROM documents) GROUP BY w),
+             FROM documents $where) GROUP BY w),
       s0 AS (SELECT w, concat(' ',
                regexp_replace(w, '(.)', '\\1 ', 'g'), '_ ') AS seq,
                cnt FROM wf),
@@ -759,6 +759,33 @@ object SparkEntry {
              (10000 * CAST(sum(n_sym) AS BIGINT)) // count(*)
                AS fertility_bp
       FROM dw JOIN wl USING (w)
+      GROUP BY doc_id ORDER BY doc_id"""
+
+  /** text_bpe_encode_oov's DuckDB twin: the same eight rounds trained
+    * on the EVEN-doc_id half only, then the full corpus — each doc
+    * with its injected doc_id-derived token — encodes through a LEFT
+    * join; OOV words take the per-character fallback length(w)+1
+    * (TextStats.bpeEncodeOovSafe).
+    */
+  private[graft] def bpeEncodeOovOracleSql: String = s"""
+      ${bpeRoundsCte(8, "WHERE ((doc_id % 2) + 2) % 2 = 0")},
+      wl AS (SELECT w, CAST(len(list_filter(
+               string_split_regex(seq, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_sym
+             FROM s8),
+      dw AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(lower(text || ' tok' ||
+                 CAST(doc_id AS VARCHAR)), '\\s+'), x -> x <> ''))
+               AS w
+             FROM documents)
+      SELECT doc_id, count(*) AS n_words,
+             CAST(sum(CASE WHEN n_sym IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_oov,
+             CAST(sum(coalesce(n_sym, length(w) + 1)) AS BIGINT)
+               AS n_bpe_tokens,
+             (10000 * CAST(sum(coalesce(n_sym, length(w) + 1))
+               AS BIGINT)) // count(*) AS fertility_bp
+      FROM dw LEFT JOIN wl USING (w)
       GROUP BY doc_id ORDER BY doc_id"""
 
   /** Shared CTE chain for the decomposition oracles: gapfilled day

@@ -899,6 +899,38 @@ object TextStats {
   def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame =
     bpeEncodeFromFinal(docs, bpeFinal(docs, rounds))
 
+  /** [[bpeEncodeFromFinal]] for corpora the vocabulary was NOT
+    * trained on — the OOV-safe encode: in-vocabulary words take
+    * their trained symbol count through the same left-keyed join; an
+    * out-of-vocabulary word falls back to its per-character base
+    * segmentation (its characters plus the `_` end-of-word sentinel
+    * = length+1 symbols — exactly the spelling every word starts
+    * from before the first merge, so the fallback is the zero-merge
+    * encode of that word, not an `<unk>` information loss). `n_oov`
+    * is emitted per doc so vocabulary drift is visible in the
+    * readout, the number every train-once-encode-forever pipeline
+    * watches.
+    *
+    * Output: (doc_id, n_words, n_oov, n_bpe_tokens, fertility_bp).
+    *
+    * 100 TB shape: identical to [[bpeEncodeFromFinal]] — the corpus
+    * explodes to word grain once, one keyed LEFT join against the
+    * vocabulary-bounded word table, one per-doc hash aggregate.
+    */
+  def bpeEncodeOovSafe(docs: DataFrame, fin: DataFrame): DataFrame = {
+    val wordLen = fin.select(col("w"),
+      size(Dedup.tokens(col("seq"))).cast("long").as("n_sym"))
+    docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("w"))
+      .join(wordLen, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_sym").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_sym"),
+          (length(col("w")) + 1).cast("long"))).as("n_bpe_tokens"))
+      .withColumn("fertility_bp",
+        expr("(10000 * n_bpe_tokens) div n_words"))
+  }
+
   /** Full BPE VOCABULARY training — run `rounds` merge rounds
     * ([[bpeLoop]]) and emit the learned vocabulary: the census of
     * every symbol surviving in the post-merge word-frequency table.

@@ -410,6 +410,23 @@ private[graft] object RegText {
       // token counts + fertility (TextStats.bpeEncodeFromFinal)
       TextStats.bpeEncodeFromFinal(t(s, dir, "documents"),
         bpeFinal8(s, dir)).orderBy(col("doc_id"))),
+    "text_bpe_encode_oov" -> ((s, dir) =>
+      // OOV-safe encode across a train/serve corpus split: the vocab
+      // is trained on the EVEN-doc_id half of the UNMODIFIED corpus;
+      // the serve side then encodes every doc with a doc_id-derived
+      // token appended (deterministic fixture injection, the scrub-
+      // query idiom — the fixture's 31-token vocabulary alone appears
+      // in both halves, so without injection no word is ever OOV) and
+      // flows through the left join with the per-character fallback
+      // (TextStats.bpeEncodeOovSafe) — the train-once-encode-forever
+      // shape with vocabulary drift visible as n_oov
+      TextStats.bpeEncodeOovSafe(
+        t(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" tok"), col("doc_id"))),
+        memoFrame(s, dir, "bpe_final8_even") {
+          TextStats.bpeFinal(t(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(2L)) === 0), rounds = 8)
+        }).orderBy(col("doc_id"))),
     "text_source_overlap" -> ((s, dir) => {
       // cross-source contamination matrix: 8-gram-set Jaccard between
       // every source pair — gram-keyed equi-join, never all-pairs of
@@ -1189,6 +1206,7 @@ private[graft] object RegText {
     "text_bpe_merges" -> bpeOracleSql,
     "text_bpe_train" -> bpeTrainOracleSql,
     "text_bpe_encode" -> bpeEncodeOracleSql,
+    "text_bpe_encode_oov" -> bpeEncodeOovOracleSql,
     "text_length_quartiles" -> """
       WITH cc AS (SELECT source, n_chars, count(*) AS m
                   FROM documents GROUP BY 1, 2),

@@ -512,6 +512,27 @@ class TextStatsSpec extends AnyFunSuite {
       (3L, 2L, 3L, 15000L)))
   }
 
+  test("bpeEncodeOovSafe: unseen words fall back to the per-character " +
+      "base spelling (length+1 symbols) and are counted in n_oov") {
+    import spark.implicits._
+    // train on the aba/ab corpus (same trace as bpeEncode above),
+    // encode a doc containing the unseen word 'xyz': 3 chars + the
+    // '_' sentinel = 4 fallback symbols
+    val train = Seq((1L, "aba aba"), (2L, "ab"), (3L, "ab aba"))
+      .toDF("doc_id", "text")
+    val fin = graft.operators.TextStats.bpeFinal(train, rounds = 3)
+    val docs = Seq((10L, "aba xyz"), (11L, "ab"), (12L, "xyz q"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextStats.bpeEncodeOovSafe(docs, fin)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // doc 10: aba (in-vocab, 1 sym) + xyz (OOV, 4) = 5 over 2 words
+    // doc 11: ab in-vocab at 2 syms, no OOV
+    // doc 12: xyz (4) + q (OOV, 2) = 6 over 2 words
+    assert(got == Seq((10L, 2L, 1L, 5L, 25000L),
+      (11L, 1L, 0L, 2L, 20000L), (12L, 2L, 2L, 6L, 30000L)))
+  }
+
   test("zipfSlope: bucketed least squares matches a BigInt replica " +
       "of the 3-gram spectrum; a zero-spread spectrum reports NULL") {
     import spark.implicits._
