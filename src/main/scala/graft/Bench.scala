@@ -353,7 +353,31 @@ object Bench {
       .mkString("{", ",", "}")
     val regressionJson = regressionNames.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
+    // anti-pattern census over THIS run's plan dumps — the sweep the
+    // plan audit runs by hand (CartesianProduct / single-partition
+    // exchange = red; BNLJ files need inspection, the adjudicated
+    // shapes being 1-row scalar broadcasts and capped-truth topK).
+    // Scoped to this run's query names so stale dumps from filtered
+    // local runs can't inflate the counts.
+    val planFlags = {
+      var cart = 0; var sp = 0; var bnlj = 0; var nFiles = 0
+      adjudicated.foreach { r =>
+        val f = new java.io.File(plansDir, s"${r.name}.txt")
+        if (f.isFile) {
+          nFiles += 1
+          val txt = try new String(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: Throwable => "" }
+          if (txt.contains("CartesianProduct")) cart += 1
+          if (txt.contains("Exchange SinglePartition")) sp += 1
+          if (txt.contains("BroadcastNestedLoopJoin")) bnlj += 1
+        }
+      }
+      s"""{"plan_files":$nFiles,"cartesian_files":$cart,""" +
+        s""""single_partition_exchange_files":$sp,"bnlj_files":$bnlj}"""
+    }
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"plan_flags":$planFlags,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
@@ -393,7 +417,7 @@ object Bench {
       "\"" + n + "\":[" + j3(origPublished(n)) + "," +
         t.map(j3).getOrElse("null") + "]"
     }.mkString("{", ",", "}")
-    val fixedTail = s""","repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","full":"$fullPath","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"capped":$cappedLine,"suspect":$suspectLine,"requeued":$requeuedLine,"n_queries":${adjudicated.size},"total_s":${j3(total)}}"""
+    val fixedTail = s""","repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","full":"$fullPath","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"capped":$cappedLine,"suspect":$suspectLine,"requeued":$requeuedLine,"plan_flags":$planFlags,"n_queries":${adjudicated.size},"total_s":${j3(total)}}"""
     val fixedHead = s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":{"""
     var room = lineBudget - fixedHead.length - fixedTail.length -
       """},"queries_elided":000""".length
