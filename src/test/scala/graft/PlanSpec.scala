@@ -373,6 +373,59 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("the ANN band self-join shuffles the banded frame ONCE — AQE " +
+      "stage reuse serves both join sides from one corpus shuffle") {
+    // The 100 TB property explain strings HIDE: annCosinePairs joins
+    // banded.as(a) to banded.as(b) — two references to the identical
+    // corpus-sized subplan. If each side shuffled independently, the
+    // candidate stage would write the banded frame TWICE; AQE's
+    // shuffle-stage cache must serve both sides from one exchange.
+    // Explain shows no ReusedExchange marker for runtime stage reuse,
+    // so pin it at the metrics level: exactly ONE stage writes
+    // bandedRows records, and total shuffle volume stays ~1x. The
+    // fixture-scale plan broadcasts the small side (also shuffle-free)
+    // — force the shuffle join, the shape the 100 TB corpus takes.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val stages = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Int, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+        if (w > 0) {
+          stages.add((sc.stageInfo.stageId, w)); recs.addAndGet(w); ()
+        }
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val emb = Tables.load(s, dir, "embeddings")
+      val n = emb.count()
+      val bandedRows = n * 4 // nTables=4 buckets per vector
+      val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try graft.operators.Similarity.annCosinePairs(emb, 0.5).count()
+      finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+      Thread.sleep(2000) // listener bus drain (no public waitUntilEmpty)
+      import scala.jdk.CollectionConverters._
+      val writes = stages.asScala.toSeq.sortBy(_._1)
+      val bandedStages = writes.count(_._2 == bandedRows)
+      assert(bandedStages == 1,
+        s"banded frame shuffled $bandedStages times (want 1 — stage " +
+          s"reuse lost); per-stage: ${writes.mkString(", ")}")
+      assert(recs.get() <= bandedRows + n + 200,
+        s"total shuffle records ${recs.get()} exceed ~1x banded+vecs " +
+          s"(${bandedRows + n}); per-stage: ${writes.mkString(", ")}")
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   test("dynamic partition pruning reaches the fact scan's partition " +
       "filters when the only date predicate lives on a joined dim") {
     // The io_dpp shape distilled: a date-partitioned fact with NO
