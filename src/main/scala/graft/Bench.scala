@@ -359,8 +359,9 @@ object Bench {
     // shapes being 1-row scalar broadcasts and capped-truth topK).
     // Scoped to this run's query names so stale dumps from filtered
     // local runs can't inflate the counts.
-    val planFlags = {
-      var cart = 0; var sp = 0; var bnlj = 0; var nFiles = 0
+    val (planFlags, bnljNames) = {
+      var cart = 0; var sp = 0; var nFiles = 0
+      val bnlj = Seq.newBuilder[String]
       adjudicated.foreach { r =>
         val f = new java.io.File(plansDir, s"${r.name}.txt")
         if (f.isFile) {
@@ -371,13 +372,18 @@ object Bench {
           catch { case _: Throwable => "" }
           if (txt.contains("CartesianProduct")) cart += 1
           if (txt.contains("Exchange SinglePartition")) sp += 1
-          if (txt.contains("BroadcastNestedLoopJoin")) bnlj += 1
+          if (txt.contains("BroadcastNestedLoopJoin")) bnlj += r.name
         }
       }
-      s"""{"plan_files":$nFiles,"cartesian_files":$cart,""" +
-        s""""single_partition_exchange_files":$sp,"bnlj_files":$bnlj}"""
+      val names = bnlj.result()
+      (s"""{"plan_files":$nFiles,"cartesian_files":$cart,""" +
+        s""""single_partition_exchange_files":$sp,""" +
+        s""""bnlj_files":${names.size}}""",
+        // full artifact only: the named roster, so a round-over-round
+        // diff shows exactly which queries ADDED a nested-loop join
+        names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"plan_flags":$planFlags,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"plan_flags":$planFlags,"bnlj_names":$bnljNames,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
