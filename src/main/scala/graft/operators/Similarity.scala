@@ -847,7 +847,10 @@ object Similarity {
     * CAPPED ground-truth slice by design (`vec_id < cap`), like every
     * exact all-pairs twin in this family: the production path for
     * this decision at corpus scale is the same comparison over the
-    * bucketed ANN candidates; the audit's job is exactness.
+    * bucketed ANN candidates — registered and recall-gated since
+    * round 16 as sim_matryoshka_ann_recall ([[annTopK]] on the
+    * prefix half, floor 0.90 against the exact prefix 1-NN); the
+    * audit's job here is exactness.
     */
   def matryoshkaAgreement(emb: DataFrame, cap: Long = 500L): DataFrame = {
     val q = emb.filter(col("vec_id") < cap)

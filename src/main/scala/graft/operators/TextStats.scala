@@ -874,8 +874,8 @@ object TextStats {
     * n_bpe_tokens, skewing fertility_bp downward. That is the right
     * contract for the train-then-encode-same-corpus flow this
     * operator serves (and the registry exercises); encoding unseen
-    * text needs a per-character fallback segmentation first — a
-    * different operator, not a flag here.
+    * text is [[bpeEncodeOovSafe]]'s job — the per-character-fallback
+    * variant, a different operator rather than a flag here.
     *
     * 100 TB shape: the corpus explodes to word grain once and
     * equi-joins the vocabulary-bounded word table on the word key —

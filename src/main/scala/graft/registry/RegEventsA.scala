@@ -214,7 +214,8 @@ private[graft] object RegEventsA {
       // capacity-bounded counters with the decrement rule, timer-
       // flushed; capacity 8 > the fixture's 5 types makes every
       // counter exact, so the batch GROUP BY is the oracle (the
-      // decrement regime is spec-asserted at capacity 2)
+      // decrement regime is driver-gated at capacity 2 by
+      // events_stream_heavy_hitters_bounds below, and spec-asserted)
       graft.streaming.EventsStream.heavyHittersToCompletion(s, dir)),
 
     "events_stream_heavy_hitters_bounds" -> ((s, dir) => {

@@ -1113,7 +1113,10 @@ object EventsStream {
     * shard-merging by plain sum equals the batch GROUP BY — which is
     * the driver oracle. The decrement path is exercised (and its
     * guarantee asserted against batch truth) by the capacity-2 run
-    * in EventsStreamHHSpec; the batch Misra–Gries
+    * in EventsStreamHHSpec AND, since round 16, by the
+    * events_stream_heavy_hitters_bounds driver gate (capacity 2,
+    * max per-type deficit checked against the telescoped
+    * N/(capacity+1) bound); the batch Misra–Gries
     * TypedImperativeAggregate (profile_heavy_sketch) gate-checks the
     * approximate regime independently.
     *
