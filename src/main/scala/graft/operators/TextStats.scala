@@ -1445,4 +1445,241 @@ object TextStats {
       .groupBy(col("src").as(srcCol), col("src_w").as("predicted"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  // ------------------------------------------------------------------
+  // Integer logistic-regression quality distillation
+  // ------------------------------------------------------------------
+
+  /** Feature stopword list for the LR distillation — wider than
+    * [[quality]]'s 4-word label list on purpose: the student sees
+    * correlated-but-not-identical signals, so the learned boundary is
+    * a real fit rather than a reconstruction of its own input.
+    */
+  val LrStopwords: Seq[String] =
+    Seq("the", "of", "and", "to", "a", "in", "is", "it", "that", "for")
+
+  /** Distillation label threshold: [[qualityCbp]] at the fixture
+    * corpus median, chosen once so the two classes are balanced (the
+    * CCNet setup — heuristic labels, roughly even split).
+    */
+  val LrLabelThresholdCbp: Long = 4600L
+
+  /** [[quality]] ×10⁴ in EXACT integer arithmetic (centibasis points
+    * per 100 chars): `(10⁶·stop_hits − 10⁴·n_punct) div chars`. The
+    * double-valued quality() stays the user-facing score; this twin
+    * exists so the distillation label is oracle-hashable. Both
+    * operands of the div are derived from non-negative counts but the
+    * NUMERATOR can be negative (punct-heavy text); Spark `div` and
+    * DuckDB `//` both truncate toward zero on integers (verified —
+    * the Layout.scala:232 precedent), so the engines agree.
+    */
+  def qualityCbp(txt: Column): Column =
+    idiv(lit(1000000L) * stopHits(txt, Seq("the", "and", "of", "to")) -
+      lit(10000L) * nPunct(txt),
+      greatest(length(txt).cast("long"), lit(1L)))
+
+  /** Per-doc raw LR features + distillation label, all exact integer:
+    *   y  = 1 iff [[qualityCbp]] ≥ [[LrLabelThresholdCbp]]
+    *   x1 = stopword TOKEN ratio bp over [[LrStopwords]] (token
+    *        equality, not the label's padded-occurrence count)
+    *   x2 = type/token ratio bp (lexical richness)
+    *   x3 = mean word length in centichars, capped at 2000 (so
+    *        space-free scripts don't blow the scale)
+    * Zero-token docs are dropped (the quality chain drops them
+    * earlier anyway). One codegen'd projection, no shuffle.
+    */
+  def lrQualityRaw(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val nw = size(ws).cast("long")
+    docs.select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("ws"))
+      .filter(size(ws) > 0)
+      .select(col("doc_id"),
+        when(qualityCbp(col("text")) >= LrLabelThresholdCbp, lit(1L))
+          .otherwise(lit(0L)).as("y"),
+        idiv(lit(10000L) * size(filter(ws,
+          w => array_contains(typedlit(LrStopwords), w))).cast("long"), nw)
+          .as("x1"),
+        idiv(lit(10000L) * size(array_distinct(ws)).cast("long"), nw)
+          .as("x2"),
+        least(idiv(lit(100L) *
+          length(regexp_replace(col("text"), "\\s", "")).cast("long"), nw),
+          lit(2000L)).as("x3"))
+  }
+
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Exact integer feature standardization: x_s = 10⁴·(x − μ) div σ
+    * with μ = Σx div n and σ = max(isqrt(Σ(x−μ)² div n), 1) — the
+    * floor(sqrt(double)) spelling is exact below 2⁵² (OverflowSpec's
+    * isqrt claim) and Var ≤ max|dev|² = 10⁸ keeps it far under.
+    * Uncentered features made the GD zigzag between the class priors;
+    * standardization is what lets one lr serve every corpus.
+    *
+    * The deviation sums ride DECIMAL(38,0): Σ(x−μ)² ≤ n·10⁸, past
+    * int64 beyond n ≈ 9.2e10 docs — well inside 100 TB corpus counts.
+    * (x − μ) is signed; both engines truncate the div toward zero
+    * (verified — Layout.scala:232 precedent).
+    *
+    * Two bounded 1-row broadcasts (μ then σ) attach the moments; the
+    * raw projection is scanned three times, each a column-pruned
+    * codegen'd pass with map-side partial aggregation — nothing here
+    * shuffles more than one row.
+    */
+  def lrQualityStd(docs: DataFrame): DataFrame = {
+    val raw = lrQualityRaw(docs)
+    val mu = raw.agg(count(lit(1)).cast("long").as("n"),
+      idiv(sum(col("x1")), count(lit(1))).as("m1"),
+      idiv(sum(col("x2")), count(lit(1))).as("m2"),
+      idiv(sum(col("x3")), count(lit(1))).as("m3"))
+    def sigma(x: String, m: String, out: String): Column =
+      greatest(floor(sqrt(idiv(
+        sum(((col(x) - col(m)) * (col(x) - col(m))).cast(Dec38)),
+        max(col("n")).cast(Dec38)).cast("double"))).cast("long"), lit(1L))
+        .as(out)
+    val sg = raw.crossJoin(broadcast(mu)).agg(
+      max(col("n")).as("n"), max(col("m1")).as("m1"),
+      max(col("m2")).as("m2"), max(col("m3")).as("m3"),
+      sigma("x1", "m1", "s1"), sigma("x2", "m2", "s2"),
+      sigma("x3", "m3", "s3"))
+    raw.crossJoin(broadcast(sg)).select(col("doc_id"), col("y"),
+      lit(10000L).as("x0"),
+      idiv(lit(10000L) * (col("x1") - col("m1")), col("s1")).as("x1"),
+      idiv(lit(10000L) * (col("x2") - col("m2")), col("s2")).as("x2"),
+      idiv(lit(10000L) * (col("x3") - col("m3")), col("s3")).as("x3"))
+  }
+
+  /** Collapse the standardized per-doc features to the bucketized
+    * (x0..x3, y, cnt) training table — the BPE word-table move: the
+    * corpus is scanned ONCE here and every GD round after this runs
+    * on a cardinality-bounded frame (≤ (range/2500)³·2 combos; a few
+    * hundred rows on the fixtures, ~10⁶ worst-case at any scale —
+    * independent of corpus row count). Bucket midpoints keep the
+    * gradient unbiased within a bucket. The idiv operand is signed;
+    * both engines truncate toward zero (verified — Layout.scala:232
+    * precedent), so bucket edges agree.
+    */
+  def lrQualityFeatures(docs: DataFrame): DataFrame = {
+    def bucket(x: String): Column =
+      idiv(col(x), lit(2500L)) * 2500L + 1250L
+    lrQualityStd(docs).groupBy(
+      col("x0"), bucket("x1").as("x1"), bucket("x2").as("x2"),
+      bucket("x3").as("x3"), col("y"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** z in bp for a frame carrying weights w0..w3 and features x0..x3. */
+  private def lrZ: Column =
+    idiv(col("w0") * col("x0") + col("w1") * col("x1") +
+      col("w2") * col("x2") + col("w3") * col("x3"), lit(10000L))
+
+  /** The "fast sigmoid" σ̃(z) = ½ + z/(2(1+|z|)) in bp — every op is
+    * integer (+, ·, div, abs), so it is bit-identical across engines,
+    * unlike exp-based σ (exp is NOT exactly rounded in IEEE 754 and
+    * Java/DuckDB may differ in the last ulp). Same monotone S-shape,
+    * p ∈ (0, 10⁴), p(0) = 5000; the GD update below uses the
+    * canonical (p − y)·x direction, which remains a descent direction
+    * for any sigmoid-shaped link.
+    */
+  private def lrP(zBp: Column): Column =
+    lit(5000L) + idiv(lit(10000L) * zBp,
+      lit(2L) * (lit(10000L) + abs(zBp)))
+
+  /** Batch-gradient-descent fit over a collapsed feature table:
+    * per round ONE hash aggregate computes the exact integer gradient
+    * g_i = Σ cnt·(p − 10⁴y)·x_i in DECIMAL(38,0) (per-row magnitude
+    * ≤ cnt·10⁴·|x| — int64 dies near 9e9 docs at |x| = 10⁵, decimal
+    * holds to ~10²⁵ docs; OverflowSpec claims the 100 TB magnitude),
+    * then the 1-row weight frame steps
+    *   w ← w − (lrNum·g) div (r·n·10⁴)
+    * — the Robbins-Monro lrNum/r harmonic decay that killed the
+    * constant-lr oscillation observed on the fixtures. Each round's
+    * weights are localCheckpointed (the kmeans/pagerank/BPE
+    * bounded-iteration discipline). Gradient divisions are signed;
+    * both engines truncate toward zero (verified — Layout.scala:232
+    * precedent).
+    *
+    * Returns one 1-row frame per round, r = 0 (all-zero init) to
+    * `rounds`. Registered gates: text_quality_lr_train (trajectory),
+    * text_quality_lr_score (apply), text_quality_lr_calibration
+    * (reliability bins).
+    */
+  private[graft] def lrFit(feat: DataFrame, rounds: Int,
+      lrNum: Long): Seq[DataFrame] = {
+    require(rounds >= 1 && lrNum >= 1)
+    val spark = feat.sparkSession
+    var w: DataFrame = spark.range(1).select(lit(0L).as("r"),
+      lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"),
+      lit(0L).as("w3"))
+    val traj = Seq.newBuilder[DataFrame]
+    traj += w
+    for (r <- 1 to rounds) {
+      val scored = feat.crossJoin(broadcast(w))
+        .withColumn("z", lrZ)
+        .withColumn("e",
+          ((lrP(col("z")) - col("y") * 10000L) * col("cnt")).cast(Dec38))
+      val grad = scored.groupBy(col("w0"), col("w1"), col("w2"), col("w3"))
+        .agg(sum(col("e") * col("x0").cast(Dec38)).as("g0"),
+          sum(col("e") * col("x1").cast(Dec38)).as("g1"),
+          sum(col("e") * col("x2").cast(Dec38)).as("g2"),
+          sum(col("e") * col("x3").cast(Dec38)).as("g3"),
+          sum(col("cnt")).cast(Dec38).as("n"))
+      def step(wc: String, g: String): Column =
+        (col(wc).cast(Dec38) - idiv(lit(lrNum).cast(Dec38) * col(g),
+          lit(r.toLong).cast(Dec38) * col("n") * lit(10000L).cast(Dec38)))
+          .cast("long").as(wc)
+      val next = grad.select(lit(r.toLong).as("r"), step("w0", "g0"),
+        step("w1", "g1"), step("w2", "g2"), step("w3", "g3"))
+      if (r == 1)
+        graft.PlanCapture.record("lr GD round 1 step (pre-checkpoint)", next)
+      w = next.localCheckpoint()
+      traj += w
+    }
+    traj.result()
+  }
+
+  /** Train the distilled quality classifier; returns the full weight
+    * trajectory (r, w0..w3), rounds+1 rows. See [[lrFit]].
+    */
+  def lrQualityTrain(docs: DataFrame, rounds: Int = 12,
+      lrNum: Long = 20L): DataFrame =
+    lrFit(lrQualityFeatures(docs).localCheckpoint(), rounds, lrNum)
+      .reduce(_ unionByName _).orderBy(col("r"))
+
+  /** Apply a trained 1-row weight frame (w0..w3) to the standardized
+    * per-doc features: per doc the margin z (bp), the fast-sigmoid
+    * score p (bp), the hard prediction, and the distillation label —
+    * the frame both the accuracy readout and [[lrQualityCalibration]]
+    * consume. One broadcast of the weight row; no shuffle.
+    */
+  def lrQualityScoreFromWeights(std: DataFrame,
+      weights: DataFrame): DataFrame =
+    std.crossJoin(broadcast(weights.select(
+        col("w0"), col("w1"), col("w2"), col("w3"))))
+      .withColumn("z_bp", lrZ)
+      .select(col("doc_id"), col("y"), col("z_bp"),
+        lrP(col("z_bp")).as("p_bp"),
+        when(col("z_bp") >= 0, lit(1L)).otherwise(lit(0L)).as("pred"))
+
+  /** Convenience end-to-end score: train then apply the final round. */
+  def lrQualityScore(docs: DataFrame, rounds: Int = 12,
+      lrNum: Long = 20L): DataFrame = {
+    val fin = lrFit(lrQualityFeatures(docs).localCheckpoint(), rounds,
+      lrNum).last
+    lrQualityScoreFromWeights(lrQualityStd(docs), fin)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reliability bins over a scored frame: decile buckets of p_bp,
+    * per bin the exact mean predicted probability vs the empirical
+    * positive rate (both bp) and their absolute gap — the
+    * expected-calibration-error diagram as exact integers. All
+    * operands non-negative (p_bp ∈ (0, 10⁴)).
+    */
+  def lrQualityCalibration(scored: DataFrame): DataFrame =
+    scored.groupBy(idiv(col("p_bp"), lit(1000L)).as("bin"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        idiv(sum(col("p_bp")), count(lit(1))).as("mean_p_bp"),
+        idiv(lit(10000L) * sum(col("y")), count(lit(1))).as("emp_bp"))
+      .withColumn("gap_bp", abs(col("mean_p_bp") - col("emp_bp")))
+      .orderBy(col("bin"))
 }

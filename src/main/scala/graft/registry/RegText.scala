@@ -41,6 +41,122 @@ private[graft] object RegText {
       TextStats.bpeFinal(t(s, dir, "documents"), rounds = 8)
     }
 
+  /** The standardized per-doc LR feature frame, built once per
+    * (session, sfDir) and shared by text_quality_lr_score and
+    * text_quality_lr_calibration via the cross-query memo.
+    */
+  private def lrStdFrame(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "lr_std") {
+      TextStats.lrQualityStd(t(s, dir, "documents"))
+    }
+
+  /** The 12-round GD weight trajectory (lrNum = 20), built once per
+    * (session, sfDir) — the train query returns it whole; the score
+    * and calibration queries take the final round's row.
+    */
+  private def lrTraj(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "lr_traj") {
+      TextStats.lrQualityTrain(t(s, dir, "documents"))
+    }
+
+  /** Per-doc scores under the final-round weights (shared frame). */
+  private def lrScored(s: SparkSession, dir: String): DataFrame =
+    TextStats.lrQualityScoreFromWeights(lrStdFrame(s, dir),
+      lrTraj(s, dir).filter(col("r") === 12L))
+
+  /** Shared DuckDB CTE chain for the LR-distillation oracle twins:
+    * features → exact moments → standardize → bucketize-collapse →
+    * the 12-round GD recursion (aggregation over the recursive
+    * reference — DuckDB supports it; the sdbm/LPT recursions are the
+    * precedents). HUGEINT casts mirror the Spark side's
+    * DECIMAL(38,0) gradient limbs; every division is `//` on
+    * integers, which truncates toward zero exactly like Spark `div`
+    * (Layout.scala:232 precedent).
+    */
+  private lazy val lrCtes: String = {
+    val stop10 = TextStats.LrStopwords.map(w => s"'$w'").mkString(", ")
+    val qcbp = Seq("the", "and", "of", "to").map(hitsSql).mkString(" + ")
+    s"""
+      lr_tokd AS (
+        SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                 w -> w <> '') AS ws
+        FROM documents),
+      lr_rawf AS (
+        SELECT doc_id,
+               CAST(CASE WHEN (1000000 * ($qcbp)
+                   - 10000 * length(regexp_replace(text,
+                       '[a-zA-Z0-9\\s]', '', 'g')))
+                   // greatest(length(text), 1)
+                   >= ${TextStats.LrLabelThresholdCbp}
+                 THEN 1 ELSE 0 END AS BIGINT) AS y,
+               (10000 * CAST(len(list_filter(ws,
+                   w -> list_contains([$stop10], w))) AS BIGINT))
+                 // len(ws) AS x1,
+               (10000 * CAST(len(list_distinct(ws)) AS BIGINT))
+                 // len(ws) AS x2,
+               least((100 * CAST(length(regexp_replace(text, '\\s', '',
+                   'g')) AS BIGINT)) // len(ws), 2000) AS x3
+        FROM lr_tokd WHERE len(ws) > 0),
+      lr_mu AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) // count(*) AS m1,
+               CAST(sum(x2) AS BIGINT) // count(*) AS m2,
+               CAST(sum(x3) AS BIGINT) // count(*) AS m3
+        FROM lr_rawf),
+      lr_sg AS (
+        SELECT n, m1, m2, m3,
+               greatest(CAST(floor(sqrt(CAST(sum((x1 - m1) * (x1 - m1))
+                 // n AS DOUBLE))) AS BIGINT), 1) AS s1,
+               greatest(CAST(floor(sqrt(CAST(sum((x2 - m2) * (x2 - m2))
+                 // n AS DOUBLE))) AS BIGINT), 1) AS s2,
+               greatest(CAST(floor(sqrt(CAST(sum((x3 - m3) * (x3 - m3))
+                 // n AS DOUBLE))) AS BIGINT), 1) AS s3
+        FROM lr_rawf, lr_mu GROUP BY n, m1, m2, m3),
+      lr_std AS (
+        SELECT doc_id, y, CAST(10000 AS BIGINT) AS x0,
+               (10000 * (x1 - m1)) // s1 AS x1,
+               (10000 * (x2 - m2)) // s2 AS x2,
+               (10000 * (x3 - m3)) // s3 AS x3
+        FROM lr_rawf, lr_sg),
+      lr_feat AS (
+        SELECT x0, (x1 // 2500) * 2500 + 1250 AS x1,
+               (x2 // 2500) * 2500 + 1250 AS x2,
+               (x3 // 2500) * 2500 + 1250 AS x3,
+               y, CAST(count(*) AS BIGINT) AS cnt
+        FROM lr_std GROUP BY 1, 2, 3, 4, 5),
+      lr_w AS (
+        SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS w0,
+               CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+               CAST(0 AS BIGINT) AS w3
+        UNION ALL
+        SELECT CAST(r + 1 AS BIGINT),
+               CAST(w0 - (20 * g0) // ((r + 1) * n * 10000) AS BIGINT),
+               CAST(w1 - (20 * g1) // ((r + 1) * n * 10000) AS BIGINT),
+               CAST(w2 - (20 * g2) // ((r + 1) * n * 10000) AS BIGINT),
+               CAST(w3 - (20 * g3) // ((r + 1) * n * 10000) AS BIGINT)
+        FROM (
+          SELECT sc.r, sc.w0, sc.w1, sc.w2, sc.w3,
+                 sum(CAST(sc.cnt * (sc.pr - sc.y * 10000) AS HUGEINT)
+                   * sc.x0) AS g0,
+                 sum(CAST(sc.cnt * (sc.pr - sc.y * 10000) AS HUGEINT)
+                   * sc.x1) AS g1,
+                 sum(CAST(sc.cnt * (sc.pr - sc.y * 10000) AS HUGEINT)
+                   * sc.x2) AS g2,
+                 sum(CAST(sc.cnt * (sc.pr - sc.y * 10000) AS HUGEINT)
+                   * sc.x3) AS g3,
+                 CAST(sum(sc.cnt) AS HUGEINT) AS n
+          FROM (
+            SELECT w.r, w.w0, w.w1, w.w2, w.w3, f.*,
+                   5000 + (10000 * z) // (2 * (10000 + abs(z))) AS pr
+            FROM lr_w w, lr_feat f,
+              LATERAL (SELECT (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                + w.w3 * f.x3) // 10000 AS z) zz
+          ) sc
+          GROUP BY 1, 2, 3, 4, 5
+        ) WHERE r < 12)"""
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi" -> ((s, dir) => {
       // collocation mining: pointwise-mutual-information association
@@ -115,6 +231,31 @@ private[graft] object RegText {
     }),
     "text_quality" -> ((s, dir) => {
       TextStats.qualityScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "text_quality_lr_train" -> ((s, dir) => {
+      // CCNet-style quality-classifier distillation, trained
+      // IN-ENGINE: exact integer batch gradient descent (fast-sigmoid
+      // link, lrNum/r harmonic decay) against the heuristic
+      // qualityCbp label. The corpus collapses to the bucketized
+      // standardized feature table ONCE (the BPE word-table move);
+      // every round after that is one hash aggregate over a
+      // cardinality-bounded frame + a 1-row broadcast step. Output =
+      // the full weight trajectory, bit-identical to the DuckDB
+      // recursive-CTE twin.
+      lrTraj(s, dir).orderBy(col("r"))
+    }),
+    "text_quality_lr_score" -> ((s, dir) => {
+      // apply the trained final-round weights per doc: margin,
+      // fast-sigmoid score, hard prediction, label — the student
+      // filter a 100 TB pipeline would actually run (one broadcast
+      // of the weight row over a codegen'd projection)
+      lrScored(s, dir).orderBy(col("doc_id"))
+    }),
+    "text_quality_lr_calibration" -> ((s, dir) => {
+      // reliability diagram of the distilled classifier: decile bins
+      // of predicted p vs empirical positive rate, exact integer —
+      // the is-the-score-usable-as-a-probability audit
+      TextStats.lrQualityCalibration(lrScored(s, dir))
     }),
     "text_lexical_richness" -> ((s, dir) => {
       // type-token ratio + hapax profile: the template-spam /
@@ -598,6 +739,33 @@ private[graft] object RegText {
                nullif(CASE WHEN length(trim(text)) = 0 THEN 0
                            ELSE length(text) - length(replace(text, ' ', '')) + 1 END, 0) AS avg_token_len
       FROM documents ORDER BY doc_id""",
+    "text_quality_lr_train" -> s"""
+      WITH RECURSIVE $lrCtes
+      SELECT r, w0, w1, w2, w3 FROM lr_w ORDER BY r""",
+    "text_quality_lr_score" -> s"""
+      WITH RECURSIVE $lrCtes,
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12)
+      SELECT s.doc_id, s.y, z AS z_bp,
+             5000 + (10000 * z) // (2 * (10000 + abs(z))) AS p_bp,
+             CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM lr_std s, lr_fw w,
+        LATERAL (SELECT (w.w0 * s.x0 + w.w1 * s.x1 + w.w2 * s.x2
+          + w.w3 * s.x3) // 10000 AS z) zz
+      ORDER BY s.doc_id""",
+    "text_quality_lr_calibration" -> s"""
+      WITH RECURSIVE $lrCtes,
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12),
+      lr_scored AS (
+        SELECT s.y, 5000 + (10000 * z) // (2 * (10000 + abs(z))) AS p_bp
+        FROM lr_std s, lr_fw w,
+          LATERAL (SELECT (w.w0 * s.x0 + w.w1 * s.x1 + w.w2 * s.x2
+            + w.w3 * s.x3) // 10000 AS z) zz)
+      SELECT bin, n, mean_p_bp, emp_bp, abs(mean_p_bp - emp_bp) AS gap_bp
+      FROM (SELECT p_bp // 1000 AS bin, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(p_bp) AS BIGINT) // count(*) AS mean_p_bp,
+              (10000 * CAST(sum(y) AS BIGINT)) // count(*) AS emp_bp
+            FROM lr_scored GROUP BY 1)
+      ORDER BY bin""",
     "text_quality" -> s"""
       SELECT doc_id, n_chars_m, n_punct, stop_hits,
              (CAST(stop_hits AS DOUBLE) * 100.0 / CAST(nullif(n_chars_m, 0) AS DOUBLE) -

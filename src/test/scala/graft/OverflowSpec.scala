@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Events, Graph, Sampling}
+import graft.operators.{Events, Graph, Sampling, TextStats}
 import graft.registry.{RegSqlA, RegSqlB}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -577,5 +577,59 @@ class OverflowSpec extends AnyFunSuite {
     }
     assert(got((1L << 52) - 1) == top)
     assert(got(top * top) == top && got(top * top - 1) == top - 1)
+  }
+
+  test("lrFit gradient limb at the claimed 100 TB magnitude: cnt = " +
+      "3.3e11 docs at the pathological |x_std| = 1e8 bound drives " +
+      "cnt*(p-y*1e4)*x to ~3.3e23, DECIMAL-exact vs a BigInt replica") {
+    import spark.implicits._
+    // claim (TextStats.lrFit): the per-round gradient g_i =
+    // Σ cnt·(p−10⁴y)·x_i rides DECIMAL(38,0) because int64 dies near
+    // 9e9 docs at |x| = 10⁵ — and the σ ≥ 1 standardization floor
+    // admits |x_std| up to 10⁸. Drive BOTH extremes at once: a 100 TB
+    // corpus collapsed to two buckets of 3.3e11 docs each, features
+    // pinned at ±10⁸. Round-1 gradient = 1e12·cnt ≈ 3.3e23, five
+    // orders past int64.
+    val cnt = 330000000000L // ~100 TB / 300 B per doc, per bucket
+    val xb = 100000000L     // the sigma = 1 worst-case |x_std|
+    val feat = Seq(
+      (10000L, xb, 0L, 0L, 0L, cnt),
+      (10000L, -xb, 0L, 0L, 1L, cnt))
+      .toDF("x0", "x1", "x2", "x3", "y", "cnt")
+    val traj = TextStats.lrFit(feat, rounds = 2, lrNum = 20L)
+    val got = traj.map(_.select("r", "w0", "w1", "w2", "w3")
+      .as[(Long, Long, Long, Long, Long)].collect().head)
+    // BigInt replica of the exact integer recurrence (BigInt / and
+    // Spark `div` both truncate toward zero)
+    def p(z: BigInt): BigInt =
+      BigInt(5000) + (BigInt(10000) * z) / (BigInt(2) * (BigInt(10000) + z.abs))
+    val rows = Seq((BigInt(10000), BigInt(xb), BigInt(0), BigInt(0),
+      BigInt(0), BigInt(cnt)),
+      (BigInt(10000), BigInt(-xb), BigInt(0), BigInt(0), BigInt(1),
+        BigInt(cnt)))
+    var w = Vector(BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    val expect = Seq.newBuilder[Vector[BigInt]]
+    expect += w
+    for (r <- 1 to 2) {
+      val gs = (0 until 4).map { i =>
+        rows.map { case (x0, x1, x2, x3, y, c) =>
+          val xs = Vector(x0, x1, x2, x3)
+          val z = (w(0) * x0 + w(1) * x1 + w(2) * x2 + w(3) * x3) /
+            BigInt(10000)
+          c * (p(z) - y * 10000) * xs(i)
+        }.sum
+      }
+      val n = rows.map(_._6).sum
+      assert(gs.map(_.abs).max > BigInt(Long.MaxValue),
+        s"round $r gradient ${gs.map(_.abs).max} does not exceed int64 " +
+          "- the claim magnitude is wrong")
+      w = Vector.tabulate(4)(i =>
+        w(i) - (BigInt(20) * gs(i)) / (BigInt(r) * n * BigInt(10000)))
+      expect += w
+    }
+    val exp = expect.result().zipWithIndex.map { case (ws, r) =>
+      (r.toLong, ws(0).toLong, ws(1).toLong, ws(2).toLong, ws(3).toLong)
+    }
+    assert(got == exp, s"got $got expected $exp")
   }
 }

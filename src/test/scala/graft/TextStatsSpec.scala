@@ -731,4 +731,98 @@ class TextStatsSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSeq
     assert(got.nonEmpty && got.forall(_._2 == "s_a"), got.mkString(","))
   }
+
+  test("qualityCbp is quality() x 1e4 in exact integers, truncating " +
+      "toward zero on punct-heavy (negative) text") {
+    import spark.implicits._
+    val got = Seq((1L, "the x"), (2L, "ab!"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+      .select(TextStats.qualityCbp(col("text")).as("q")).orderBy("q")
+      .as[Long].collect().toSeq
+    // "the x": 1e6*1/5 = 200000; "ab!": -10000//3 = -3333 (toward
+    // zero, not -3334); "!!!": -30000//3 = -10000
+    assert(got == Seq(-10000L, -3333L, 200000L), got.mkString(","))
+  }
+
+  /** Stop-rich vs junk corpus: the distillation label is learnable
+    * from the stopword-token feature, so 12 GD rounds must separate
+    * it. Doc lengths vary so no feature is constant (sigma > 1).
+    */
+  private def lrCorpus = {
+    import spark.implicits._
+    val rich = (0L until 12L).map(i => (i,
+      ("the cat and a dog of it to " * (1 + (i % 3).toInt)).trim))
+    val junk = (12L until 24L).map(i => (i,
+      ("zap qux blorp!!! wug??? " * (1 + (i % 3).toInt)).trim))
+    (rich ++ junk).toDF("doc_id", "text")
+  }
+
+  test("lrQualityTrain: trajectory is rounds+1 rows from zero init, " +
+      "deterministic, and the fit separates a separable corpus") {
+    import spark.implicits._
+    val traj = TextStats.lrQualityTrain(lrCorpus, rounds = 12)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(traj.size == 13 && traj.head == ((0L, 0L, 0L, 0L, 0L)))
+    assert(traj.map(_._1) == (0L to 12L))
+    // stopword weight learned positive: x1 is the separating feature
+    assert(traj.last._3 > 0, traj.last.toString)
+    // bit-exact determinism: a fresh run reproduces every round
+    val again = TextStats.lrQualityTrain(lrCorpus, rounds = 12)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == traj)
+    // the learned boundary classifies the training corpus perfectly
+    // (it is linearly separable in x1 alone)
+    val fin = TextStats.lrQualityTrain(lrCorpus, rounds = 12)
+      .filter(col("r") === 12L)
+    val scored = TextStats.lrQualityScoreFromWeights(
+      TextStats.lrQualityStd(lrCorpus), fin)
+    val (n, correct) = scored.agg(count(lit(1)),
+      sum(when(col("pred") === col("y"), 1L).otherwise(0L)))
+      .as[(Long, Long)].collect().head
+    assert(n == 24L && correct == 24L, s"$correct/$n")
+  }
+
+  test("lrQualityScore: p_bp stays inside (0, 10000) and pred is the " +
+      "sign of the margin") {
+    import spark.implicits._
+    val fin = TextStats.lrQualityTrain(lrCorpus, rounds = 12)
+      .filter(col("r") === 12L)
+    val rows = TextStats.lrQualityScoreFromWeights(
+      TextStats.lrQualityStd(lrCorpus), fin)
+      .select(col("z_bp"), col("p_bp"), col("pred"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, p, _) => p > 0L && p < 10000L })
+    assert(rows.forall { case (z, _, pr) => pr == (if (z >= 0) 1L else 0L) })
+  }
+
+  test("lrQualityCalibration: bins partition the corpus and rates " +
+      "are exact bp") {
+    import spark.implicits._
+    val fin = TextStats.lrQualityTrain(lrCorpus, rounds = 12)
+      .filter(col("r") === 12L)
+    val scored = TextStats.lrQualityScoreFromWeights(
+      TextStats.lrQualityStd(lrCorpus), fin)
+    val bins = TextStats.lrQualityCalibration(scored)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bins.map(_._2).sum == 24L)
+    assert(bins.forall { case (b, _, mp, emp, gap) =>
+      b >= 0 && b <= 9 && mp >= b * 1000 && mp < (b + 1) * 1000 &&
+        emp >= 0 && emp <= 10000 && gap == math.abs(mp - emp)
+    }, bins.mkString(","))
+  }
+
+  test("lrQualityTrain on an empty / zero-token corpus returns just " +
+      "the zero init row and nothing throws") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val traj = TextStats.lrQualityTrain(empty, rounds = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(traj == Seq((0L, 0L, 0L, 0L, 0L)))
+    // all-whitespace docs are dropped by the zero-token filter -> same
+    val blank = Seq((1L, "   "), (2L, "\t")).toDF("doc_id", "text")
+    val traj2 = TextStats.lrQualityTrain(blank, rounds = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(traj2 == Seq((0L, 0L, 0L, 0L, 0L)))
+  }
 }
