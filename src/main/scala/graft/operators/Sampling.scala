@@ -770,4 +770,46 @@ object Sampling {
       .map { case ((id, gain), i) => ((i + 1).toLong, id, gain) }
       .toDF("rank", "doc_id", "gain")
   }
+
+  /** Curriculum-stage assignment at VALUE-BUCKET grain — the
+    * easy-to-hard schedule (Bengio et al. 2009) a pre-training
+    * pipeline orders its corpus by, made rank-free so it scales:
+    * a doc's stage is floor(stages·cum/N) where cum counts docs in
+    * strictly lower difficulty buckets ([[graft.operators.TextStats
+    * .qualityCbp]] div 250). No global sort, no single-partition
+    * window: the bucket census is cardinality-bounded (qualityCbp
+    * spans ≲10⁶ → ≤ ~4000 buckets at any corpus size), its running
+    * total is a broadcast inequality self-join over that bounded
+    * frame, and docs pick up their stage through one more broadcast
+    * hash join. Docs sharing a bucket share a stage, so stage masses
+    * are equal only up to bucket granularity — the price of not
+    * ranking 10¹¹ rows.
+    *
+    * Output: per stage (0..stages−1): n_docs, min/max difficulty,
+    * total chars. The bucket idiv operand is signed (punct-heavy
+    * docs have negative qualityCbp); both engines truncate toward
+    * zero (verified — Layout.scala:232 precedent).
+    */
+  def curriculumStages(docs: DataFrame, stages: Int = 4): DataFrame = {
+    require(stages >= 2)
+    val b = docs.select(col("doc_id"), col("n_chars"),
+        TextStats.qualityCbp(col("text")).as("q"))
+      .withColumn("bkt", idiv(col("q"), lit(250L)))
+    val bc = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
+    val cum = bc.as("a")
+      .join(broadcast(bc.select(col("bkt").as("lo_bkt"),
+        col("c").as("lo_c"))), col("lo_bkt") < col("bkt"), "left")
+      .groupBy(col("bkt"), col("c"))
+      .agg(coalesce(sum(col("lo_c")), lit(0L)).as("cum"))
+    val n = b.agg(count(lit(1)).as("n"))
+    b.join(broadcast(cum.select(col("bkt"), col("cum"))), Seq("bkt"))
+      .crossJoin(broadcast(n))
+      .withColumn("stage", least(idiv(lit(stages.toLong) * col("cum"),
+        greatest(col("n"), lit(1L))), lit((stages - 1).toLong)))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("stage"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{dot_long, sign_lsh}
+import graft.functions.{dot_long, idiv, sign_lsh}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1116,5 +1116,48 @@ object Similarity {
     }
     last.groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("d2")).as("inertia"))
+  }
+
+  /** Int8 affine-quantization audit over the embedding column — the
+    * storage-compression readout a 100 TB vector lake needs before
+    * committing to 4× smaller shards: per vector, quantize the
+    * 10⁴-fixed-point copy with the per-vector (min, range) affine map
+    *   code = ((v − mn)·255) div rng − 128 ∈ [−128, 127],
+    * dequantize, and report the EXACT reconstruction error against
+    * the theoretical ceiling ceil(rng/255) = (rng + 254) div 255 —
+    * `err_bounded` pins the proof into the oracle hash. mean_err_bp
+    * is relative to the vector's own range (10⁴ = the full range).
+    *
+    * All-integer per-element arithmetic ((v−mn)·255 ≤ ~5e6 for unit-
+    * scale embeddings — int64 headroom ~10¹²), so Spark and DuckDB
+    * agree bit-for-bit. Per-vector HOFs are interpreted, not
+    * codegen'd, but the op is a pure narrow projection — one pass,
+    * no shuffle, embarrassingly parallel at any scale; the d-element
+    * loop per row is the same work a codec kernel would do.
+    */
+  def quantizeInt8Audit(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"),
+      quantize(col(vecCol)).as("qv"))
+    q.select(col("vec_id"), col("qv"),
+        array_min(col("qv")).as("mn"), array_max(col("qv")).as("mx"),
+        size(col("qv")).cast("long").as("d"))
+      .withColumn("rng", greatest(col("mx") - col("mn"), lit(1L)))
+      .withColumn("errs", transform(col("qv"), v => {
+        val code = idiv((v - col("mn")) * 255L, col("rng")) - 128L
+        val dq = col("mn") + idiv((code + 128L) * col("rng"), lit(255L))
+        abs(v - dq)
+      }))
+      .select(col("vec_id"), col("mn"), col("mx"), col("d"),
+        col("rng"),
+        array_max(col("errs")).as("max_err"),
+        aggregate(col("errs"), lit(0L), (a, e) => a + e).as("sum_err"))
+      .select(col("vec_id"), col("mn"), col("mx"), col("d"),
+        col("max_err"),
+        idiv(lit(10000L) * col("sum_err"), col("d") * col("rng"))
+          .as("mean_err_bp"),
+        (col("max_err") <= idiv(col("rng") + 254L, lit(255L)))
+          .as("err_bounded"))
+      .orderBy(col("vec_id"))
   }
 }

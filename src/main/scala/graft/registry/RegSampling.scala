@@ -82,6 +82,12 @@ private[graft] object RegSampling {
         .select(col("doc_id"), col("split_key"), col("split"))
         .orderBy(col("doc_id"))
     }),
+    "sample_curriculum" -> ((s, dir) => {
+      // easy-to-hard curriculum stages at value-bucket grain: no
+      // global rank, just two bounded hash aggs + broadcast joins —
+      // the schedule survives 10^11 rows because nothing sorts them
+      Sampling.curriculumStages(t(s, dir, "documents"))
+    }),
     "sample_mixture" -> ((s, dir) => {
       // target mixture: src0 quartered, src1 halved, src2 dropped,
       // everything else at 3/4 weight
@@ -332,6 +338,30 @@ private[graft] object RegSampling {
                   ELSE 'test' END AS split
       FROM keyed k JOIN sdbm s ON s.sid = k.split_key
       ORDER BY k.doc_id""",
+    "sample_curriculum" -> s"""
+      WITH b AS (SELECT doc_id, n_chars,
+               (1000000 * (${Seq("the", "and", "of", "to").map(hitsSql)
+                 .mkString(" + ")})
+                - 10000 * length(regexp_replace(text,
+                    '[a-zA-Z0-9\\s]', '', 'g')))
+                 // greatest(length(text), 1) AS q
+             FROM (SELECT doc_id, n_chars, text,
+                     ' ' || lower(text) || ' ' AS p FROM documents)),
+      bb AS (SELECT doc_id, n_chars, q, q // 250 AS bkt FROM b),
+      bc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c
+             FROM bb GROUP BY 1),
+      cum AS (SELECT a.bkt, a.c,
+                CAST(coalesce(sum(lo.c), 0) AS BIGINT) AS cum
+              FROM bc a LEFT JOIN bc lo ON lo.bkt < a.bkt
+              GROUP BY 1, 2),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bb)
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+             min(q) AS min_q, max(q) AS max_q,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM (SELECT least((4 * cum) // greatest(n, 1), 3) AS stage,
+              q, n_chars
+            FROM bb JOIN cum USING (bkt), nn)
+      GROUP BY 1 ORDER BY 1""",
     "sample_mixture" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")}

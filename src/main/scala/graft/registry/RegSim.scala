@@ -197,6 +197,11 @@ private[graft] object RegSim {
       // HALF of dims agree with full-dim 1-NN? The storage-tiering
       // decision row (Similarity.matryoshkaAgreement, capped slice)
       Similarity.matryoshkaAgreement(t(s, dir, "embeddings"))),
+    "sim_quantize_int8" -> ((s, dir) =>
+      // int8 affine-quantization audit: per-vector reconstruction
+      // error vs the ceil(range/255) ceiling, pinned into the hash
+      // via err_bounded — the 4x-smaller-shards decision frame
+      Similarity.quantizeInt8Audit(t(s, dir, "embeddings"))),
     "sim_kmeans" -> ((s, dir) =>
       // deterministic Lloyd k-means (k=4, 2 assignment rounds) over
       // the quantized embeddings: init = k smallest present vec_ids,
@@ -459,6 +464,29 @@ private[graft] object RegSim {
       SELECT intra, count(*) AS n_pairs,
              CAST(sum(cos2_bp) // count(*) AS BIGINT) AS mean_cos2_bp
       FROM c GROUP BY 1 ORDER BY intra""",
+    "sim_quantize_int8" -> """
+      WITH q AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+            FROM embeddings),
+      m AS (SELECT vec_id, qv,
+              CAST(list_aggregate(qv, 'min') AS BIGINT) AS mn,
+              CAST(list_aggregate(qv, 'max') AS BIGINT) AS mx,
+              CAST(len(qv) AS BIGINT) AS d
+            FROM q),
+      r AS (SELECT vec_id, qv, mn, mx, d,
+              greatest(mx - mn, 1) AS rng FROM m),
+      e AS (SELECT vec_id, mn, mx, d, rng,
+              list_transform(qv, v -> abs(v - (mn +
+                (((((v - mn) * 255) // rng - 128) + 128) * rng) // 255)))
+                AS errs
+            FROM r)
+      SELECT vec_id, mn, mx, d,
+             CAST(list_aggregate(errs, 'max') AS BIGINT) AS max_err,
+             (10000 * CAST(list_aggregate(errs, 'sum') AS BIGINT))
+               // (d * rng) AS mean_err_bp,
+             CAST(list_aggregate(errs, 'max') AS BIGINT)
+               <= (rng + 254) // 255 AS err_bounded
+      FROM e ORDER BY vec_id""",
     "sim_matryoshka" -> """
       WITH q AS (SELECT vec_id AS id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv

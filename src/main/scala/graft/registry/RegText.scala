@@ -192,6 +192,38 @@ private[graft] object RegText {
         .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
         .limit(50)
     }),
+    "text_token_drift" -> ((s, dir) => {
+      // distribution drift between the two doc_id-parity halves of
+      // the corpus: per-token ppm rates under each half, the exact
+      // total-variation semi-distance, and the top-20 movers — the
+      // did-the-crawl-shift detector. One tokenize pass -> one token
+      // hash agg -> two bounded 1-row broadcasts -> TakeOrdered 20;
+      // at 100 TB the only wide op is the token-keyed aggregate.
+      val par = s.sparkContext.defaultParallelism
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(par, col("doc_id"))
+        .select(pmod(col("doc_id"), lit(2L)).as("h"),
+          explode(Dedup.tokens(col("text"))).as("w"))
+      val counts = tk.groupBy(col("w")).agg(
+        sum(when(col("h") === 0L, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1L, 1L).otherwise(0L)).as("c1"))
+      val tot = counts.agg(
+        greatest(sum(col("c0")), lit(1L)).as("n0"),
+        greatest(sum(col("c1")), lit(1L)).as("n1"))
+      val ppm = counts.crossJoin(broadcast(tot))
+        .select(col("w"), col("c0"), col("c1"),
+          graft.functions.idiv(lit(1000000L) * col("c0"), col("n0"))
+            .as("p0_ppm"),
+          graft.functions.idiv(lit(1000000L) * col("c1"), col("n1"))
+            .as("p1_ppm"))
+        .withColumn("dppm", abs(col("p0_ppm") - col("p1_ppm")))
+      val tv = ppm.agg(
+        graft.functions.idiv(sum(col("dppm")), lit(2L)).as("tv_semi_ppm"))
+      ppm.crossJoin(broadcast(tv))
+        .orderBy(col("dppm").desc, col("w"))
+        .limit(20)
+    }),
     "text_winnow_fp" -> ((s, dir) => {
       TextStats.winnowFingerprints(t(s, dir, "documents")
           .select(col("doc_id"), col("text")))
@@ -1076,6 +1108,28 @@ private[graft] object RegText {
       FROM pc JOIN fc USING (w1) JOIN sc USING (w2), tot
       WHERE n_ab >= 3
       ORDER BY lift_micro DESC, w1, w2 LIMIT 50""",
+    "text_token_drift" -> """
+      WITH tk AS (SELECT ((doc_id % 2) + 2) % 2 AS h,
+               unnest(list_filter(string_split_regex(lower(text),
+                 '\s+'), x -> x <> '')) AS w
+             FROM documents),
+      c AS (SELECT w,
+              CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS c0,
+              CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS c1
+            FROM tk GROUP BY 1),
+      tot AS (SELECT greatest(CAST(sum(c0) AS BIGINT), 1) AS n0,
+                greatest(CAST(sum(c1) AS BIGINT), 1) AS n1 FROM c),
+      p AS (SELECT w, c0, c1,
+              (1000000 * c0) // n0 AS p0_ppm,
+              (1000000 * c1) // n1 AS p1_ppm,
+              abs((1000000 * c0) // n0 - (1000000 * c1) // n1) AS dppm
+            FROM c, tot),
+      tv AS (SELECT CAST(sum(dppm) AS BIGINT) // 2 AS tv_semi_ppm
+             FROM p)
+      SELECT w, c0, c1, p0_ppm, p1_ppm, dppm, tv_semi_ppm
+      FROM p, tv ORDER BY dppm DESC, w LIMIT 20""",
     "text_winnow_fp" -> s"""
       WITH $winnowCteSql
       SELECT doc_id, pos, gram FROM fp

@@ -468,4 +468,29 @@ class SamplingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(again == got)
   }
+
+  test("curriculumStages: bucket-grain quartiles with exact hand-" +
+      "computed difficulty ranges, partition-invariant") {
+    import spark.implicits._
+    // qualityCbp per doc: "!!!!" -> -10000, "ab!" -> -3333,
+    // "abcd"/"x y z" -> 0, "the x"/"and x" -> 200000, "of x" ->
+    // 250000, "the of" -> 333333. Buckets (div 250) are all distinct
+    // except the two zero docs and the two 200000 docs -> cum counts
+    // 0,1,2,4,6,7 -> stages 0,0,1,1,2,2,3,3: perfect quartiles.
+    val docs = Seq(
+      (1L, "!!!!"), (2L, "ab!"), (3L, "abcd"), (4L, "x y z"),
+      (5L, "the x"), (6L, "and x"), (7L, "of x"), (8L, "the of"))
+      .map { case (id, t) => (id, t, t.length.toLong) }
+      .toDF("doc_id", "text", "n_chars")
+    val got = Sampling.curriculumStages(docs, stages = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, -10000L, -3333L, 7L),
+      (1L, 2L, 0L, 0L, 9L),
+      (2L, 2L, 200000L, 200000L, 10L),
+      (3L, 2L, 250000L, 333333L, 10L)), got.mkString(","))
+    val again = Sampling.curriculumStages(docs.repartition(5), stages = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

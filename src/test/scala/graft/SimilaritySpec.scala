@@ -550,4 +550,32 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((3L, 2L, 6666L)))
   }
+
+  test("quantizeInt8Audit: exact codes on a hand-made vector, the " +
+      "ceil(range/255) error ceiling holds, constant vectors are " +
+      "zero-error under the rng >= 1 guard") {
+    import spark.implicits._
+    // v1 quantizes to qv = [0, 2550, 10000]: mn=0, rng=10000;
+    //   v=2550 -> code floor(2550*255/10000)-128 = -63, dq =
+    //   floor(65*10000/255) = 2549 -> err 1; v=10000 -> err 0.
+    // v2 constant: rng clamps to 1, every code = -128, dq = mn -> 0.
+    val emb = Seq(
+      (1L, Array(0f, 0.255f, 1f)),
+      (2L, Array(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.quantizeInt8Audit(emb)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 10000L, 3L, 1L, 10000L * 1 / (3 * 10000), true),
+      (2L, 5000L, 5000L, 3L, 0L, 0L, true)), got.mkString(","))
+    // the bound is tight but never violated on adversarial ranges
+    // (rng = 256 makes every nonzero remainder round up to err 1)
+    val adv = Seq((3L, Array(0f, 0.0001f, 0.0255f, 0.0256f)))
+      .toDF("vec_id", "embedding")
+    val row = graft.operators.Similarity.quantizeInt8Audit(adv)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().head
+    assert(row._7 && row._5 <= (row._3 - row._2 + 254) / 255,
+      row.toString)
+  }
 }
