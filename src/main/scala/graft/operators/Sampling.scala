@@ -771,6 +771,52 @@ object Sampling {
       .toDF("rank", "doc_id", "gain")
   }
 
+  /** Domain-mixture epoch plan (the DoReMi/Pile recipe table): given
+    * target mixture weights per source and a token budget expressed
+    * as a rational multiple of the corpus total, how many tokens each
+    * domain contributes and how many EPOCHS of it that implies —
+    * epochs_bp > 10⁴ means the domain repeats (upsampling), < 10⁴
+    * means it is subsampled. tokens_target_d = B·w_d div Σw over the
+    * sources actually present; token counts use the space-count
+    * tokenizer ([[TextStats.nTokens]]).
+    *
+    * Scale shape: one source-keyed hash aggregate over a narrow
+    * projection, then two bounded 1-row broadcasts (Σw and B) onto
+    * the ≤|sources| frame. int64 headroom: B·w_d ≤ ~2.5e13 tokens ·
+    * 10⁴ = 2.5e17 at a 100 TB corpus — no decimal limb needed (bound
+    * stated, OverflowSpec-exempt). All operands non-negative.
+    */
+  def mixtureEpochs(docs: DataFrame, srcCol: String = "source",
+      weightsBp: Map[String, Long] = Map.empty,
+      defaultBp: Long = 10000L,
+      budgetNum: Long = 2L, budgetDen: Long = 1L): DataFrame = {
+    require(defaultBp >= 0 && budgetNum >= 1 && budgetDen >= 1 &&
+      weightsBp.values.forall(_ >= 0))
+    val w = weightsBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val perSrc = docs
+      .select(col(srcCol).as("source"),
+        TextStats.nTokens(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("tokens_avail"))
+      .withColumn("w_bp", w)
+    val tot = perSrc.agg(
+      greatest(sum(col("w_bp")), lit(1L)).as("wsum"),
+      idiv(sum(col("tokens_avail")) * budgetNum, lit(budgetDen))
+        .as("budget"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("tokens_target",
+        idiv(col("budget") * col("w_bp"), col("wsum")))
+      .withColumn("epochs_bp",
+        when(col("tokens_avail") === 0L, lit(null).cast("long"))
+          .otherwise(idiv(lit(10000L) * col("tokens_target"),
+            col("tokens_avail"))))
+      .select(col("source"), col("tokens_avail"), col("w_bp"),
+        col("tokens_target"), col("epochs_bp"))
+      .orderBy(col("source"))
+  }
+
   /** Curriculum-stage assignment at VALUE-BUCKET grain — the
     * easy-to-hard schedule (Bengio et al. 2009) a pre-training
     * pipeline orders its corpus by, made rank-free so it scales:

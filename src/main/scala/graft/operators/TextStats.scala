@@ -1669,6 +1669,55 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Teacher/student agreement for the distilled classifier: the
+    * 2×2 confusion matrix between the heuristic label y and the
+    * student's hard prediction, observed agreement, chance agreement,
+    * and Cohen's κ — all exact integer bp. κ is the
+    * did-the-distillation-actually-transfer readout (agreement alone
+    * flatters imbalanced labels; κ subtracts the chance floor).
+    *
+    * pe's marginal product (y-marginal × pred-marginal) is N² scale —
+    * 10²⁴ at 100 TB doc counts — so it rides DECIMAL(38,0) / HUGEINT
+    * on the two sides. The κ division is signed (a student worse
+    * than chance goes negative); both engines truncate toward zero
+    * (verified — Layout.scala:232 precedent). pe = 10⁴ (a constant
+    * labeler) would divide by zero: guarded to NULL, the
+    * bucketUniformity convention. One global aggregate, no shuffle
+    * beyond it.
+    */
+  def lrQualityAgreement(scored: DataFrame): DataFrame =
+    kappaFromConfusion(scored.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L))
+        .as("n00"),
+      sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L))
+        .as("n01"),
+      sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L))
+        .as("n10"),
+      sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+        .as("n11")))
+
+  /** κ from a 1-row confusion frame (n, n00, n01, n10, n11) — split
+    * out so OverflowSpec can drive the DECIMAL marginal products at
+    * the claimed 100 TB magnitude directly.
+    */
+  private[graft] def kappaFromConfusion(conf: DataFrame): DataFrame = {
+    conf.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        idiv(lit(10000L) * (col("n00") + col("n11")), col("n"))
+          .as("po_bp"),
+        idiv(lit(10000L) *
+          ((col("n10") + col("n11")).cast(Dec38) *
+            (col("n01") + col("n11")).cast(Dec38) +
+            (col("n00") + col("n01")).cast(Dec38) *
+              (col("n00") + col("n10")).cast(Dec38)),
+          col("n").cast(Dec38) * col("n").cast(Dec38))
+          .cast("long").as("pe_bp"))
+      .withColumn("kappa_bp",
+        when(col("pe_bp") === 10000L, lit(null).cast("long"))
+          .otherwise(idiv(lit(10000L) * (col("po_bp") - col("pe_bp")),
+            lit(10000L) - col("pe_bp"))))
+  }
+
   /** Reliability bins over a scored frame: decile buckets of p_bp,
     * per bin the exact mean predicted probability vs the empirical
     * positive rate (both bp) and their absolute gap — the

@@ -88,6 +88,14 @@ private[graft] object RegSampling {
       // the schedule survives 10^11 rows because nothing sorts them
       Sampling.curriculumStages(t(s, dir, "documents"))
     }),
+    "sample_mixture_epochs" -> ((s, dir) => {
+      // DoReMi-style recipe table at a 2x-corpus token budget, same
+      // target weights as sample_mixture: per source, tokens
+      // available, target tokens, and implied epochs (bp)
+      Sampling.mixtureEpochs(t(s, dir, "documents"), "source",
+        Map("src0" -> 2500L, "src1" -> 5000L, "src2" -> 0L),
+        defaultBp = 7500L, budgetNum = 2L, budgetDen = 1L)
+    }),
     "sample_mixture" -> ((s, dir) => {
       // target mixture: src0 quartered, src1 halved, src2 dropped,
       // everything else at 3/4 weight
@@ -362,6 +370,26 @@ private[graft] object RegSampling {
               q, n_chars
             FROM bb JOIN cum USING (bkt), nn)
       GROUP BY 1 ORDER BY 1""",
+    "sample_mixture_epochs" -> """
+      WITH ps AS (SELECT source,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+               END) AS BIGINT) AS tokens_avail
+             FROM documents GROUP BY 1),
+      w AS (SELECT source, tokens_avail,
+              CAST(CASE source WHEN 'src0' THEN 2500
+                   WHEN 'src1' THEN 5000 WHEN 'src2' THEN 0
+                   ELSE 7500 END AS BIGINT) AS w_bp
+            FROM ps),
+      tot AS (SELECT greatest(CAST(sum(w_bp) AS BIGINT), 1) AS wsum,
+                (CAST(sum(tokens_avail) AS BIGINT) * 2) // 1 AS budget
+              FROM w)
+      SELECT source, tokens_avail, w_bp,
+             (budget * w_bp) // wsum AS tokens_target,
+             CASE WHEN tokens_avail = 0 THEN NULL
+                  ELSE (10000 * ((budget * w_bp) // wsum))
+                    // tokens_avail END AS epochs_bp
+      FROM w, tot ORDER BY source""",
     "sample_mixture" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",
         "CAST(doc_id AS VARCHAR)")}

@@ -289,6 +289,11 @@ private[graft] object RegText {
       // the is-the-score-usable-as-a-probability audit
       TextStats.lrQualityCalibration(lrScored(s, dir))
     }),
+    "text_quality_lr_agreement" -> ((s, dir) => {
+      // teacher/student confusion matrix + Cohen's kappa in exact bp
+      // — did the distillation transfer beyond the chance floor?
+      TextStats.lrQualityAgreement(lrScored(s, dir))
+    }),
     "text_lexical_richness" -> ((s, dir) => {
       // type-token ratio + hapax profile: the template-spam /
       // gibberish detector of the quality family
@@ -784,6 +789,34 @@ private[graft] object RegText {
         LATERAL (SELECT (w.w0 * s.x0 + w.w1 * s.x1 + w.w2 * s.x2
           + w.w3 * s.x3) // 10000 AS z) zz
       ORDER BY s.doc_id""",
+    "text_quality_lr_agreement" -> s"""
+      WITH RECURSIVE $lrCtes,
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12),
+      lr_sc AS (
+        SELECT s.y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
+        FROM lr_std s, lr_fw w,
+          LATERAL (SELECT (w.w0 * s.x0 + w.w1 * s.x1 + w.w2 * s.x2
+            + w.w3 * s.x3) // 10000 AS z) zz),
+      conf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n00,
+          CAST(sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n01,
+          CAST(sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n10,
+          CAST(sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n11
+        FROM lr_sc)
+      SELECT n00, n01, n10, n11, po_bp, pe_bp,
+             CASE WHEN pe_bp = 10000 THEN NULL
+                  ELSE (10000 * (po_bp - pe_bp)) // (10000 - pe_bp)
+             END AS kappa_bp
+      FROM (SELECT n00, n01, n10, n11,
+              (10000 * (n00 + n11)) // n AS po_bp,
+              CAST((10000 * (CAST(n10 + n11 AS HUGEINT) * (n01 + n11)
+                  + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)))
+                // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_bp
+            FROM conf)""",
     "text_quality_lr_calibration" -> s"""
       WITH RECURSIVE $lrCtes,
       lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12),

@@ -579,6 +579,32 @@ class OverflowSpec extends AnyFunSuite {
     assert(got(top * top) == top && got(top * top - 1) == top - 1)
   }
 
+  test("kappaFromConfusion marginal products at the claimed 100 TB " +
+      "magnitude: n = 2e12 docs drives marginal x marginal to 1e24, " +
+      "DECIMAL-exact vs a BigInt replica") {
+    import spark.implicits._
+    // claim (TextStats.lrQualityAgreement): pe's marginal product is
+    // N^2 scale - 10^24 at 100 TB doc counts - so it rides
+    // DECIMAL(38,0)/HUGEINT. Drive it there directly.
+    val conf = Seq((2000000000000L, 800000000000L, 200000000000L,
+      200000000000L, 800000000000L))
+      .toDF("n", "n00", "n01", "n10", "n11")
+    val got = TextStats.kappaFromConfusion(conf)
+      .select("po_bp", "pe_bp", "kappa_bp")
+      .as[(Long, Long, Option[Long])].collect().head
+    val (n, n00, n01, n10, n11) = (BigInt(2000000000000L),
+      BigInt(800000000000L), BigInt(200000000000L),
+      BigInt(200000000000L), BigInt(800000000000L))
+    val marg = (n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)
+    assert(marg > BigInt(Long.MaxValue),
+      s"marginal product $marg does not exceed int64 - claim wrong")
+    val po = BigInt(10000) * (n00 + n11) / n
+    val pe = BigInt(10000) * marg / (n * n)
+    val kappa = BigInt(10000) * (po - pe) / (BigInt(10000) - pe)
+    assert(got == ((po.toLong, pe.toLong, Some(kappa.toLong))),
+      s"got $got expected ($po, $pe, $kappa)")
+  }
+
   test("lrFit gradient limb at the claimed 100 TB magnitude: cnt = " +
       "3.3e11 docs at the pathological |x_std| = 1e8 bound drives " +
       "cnt*(p-y*1e4)*x to ~3.3e23, DECIMAL-exact vs a BigInt replica") {

@@ -469,6 +469,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("mixtureEpochs: exact recipe table — zero-weight domain drops " +
+      "to 0 target tokens, upsampled domains exceed 10000 bp epochs") {
+    import spark.implicits._
+    // tokens: A = 4 (2 docs x "a b"), B = 3, C = 1; weights A=0,
+    // B=5000, default 7500 -> wsum 12500; budget = 8*3//2 = 12.
+    // targets: A 0, B 4, C 7; epochs: A 0, B 13333, C 70000.
+    val docs = Seq((1L, "A", "a b"), (2L, "A", "a b"),
+      (3L, "B", "x y z"), (4L, "C", "q"))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.mixtureEpochs(docs, "source",
+      Map("A" -> 0L, "B" -> 5000L), defaultBp = 7500L,
+      budgetNum = 3L, budgetDen = 2L)
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      ("A", 4L, 0L, 0L, Some(0L)),
+      ("B", 3L, 5000L, 4L, Some(13333L)),
+      ("C", 1L, 7500L, 7L, Some(70000L))), got.mkString(","))
+  }
+
   test("curriculumStages: bucket-grain quartiles with exact hand-" +
       "computed difficulty ranges, partition-invariant") {
     import spark.implicits._

@@ -812,6 +812,31 @@ class TextStatsSpec extends AnyFunSuite {
     }, bins.mkString(","))
   }
 
+  test("lrQualityAgreement: exact Cohen's kappa incl. the negative " +
+      "(worse-than-chance) branch and the pe=1 NULL guard") {
+    import spark.implicits._
+    // 2+1+1+2 confusion: po = 6666 bp, pe = 5000 bp, kappa = 3332 bp
+    val mixed = Seq((0L, 0L), (0L, 0L), (0L, 1L), (1L, 0L),
+      (1L, 1L), (1L, 1L)).toDF("y", "pred")
+    val got = TextStats.lrQualityAgreement(mixed)
+      .select("n00", "n01", "n10", "n11", "po_bp", "pe_bp", "kappa_bp")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    assert(got == ((2L, 1L, 1L, 2L, 6666L, 5000L, Some(3332L))),
+      got.toString)
+    // perfectly anti-correlated: kappa = -10000 (signed idiv path)
+    val anti = Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 0L))
+      .toDF("y", "pred")
+    val k2 = TextStats.lrQualityAgreement(anti)
+      .select("kappa_bp").as[Option[Long]].collect().head
+    assert(k2.contains(-10000L), k2.toString)
+    // constant labeler pair: pe = 10000 -> NULL, not a throw
+    val const = Seq((1L, 1L), (1L, 1L), (1L, 1L)).toDF("y", "pred")
+    val k3 = TextStats.lrQualityAgreement(const)
+      .select("kappa_bp").as[Option[Long]].collect().head
+    assert(k3.isEmpty, k3.toString)
+  }
+
   test("lrQualityTrain on an empty / zero-token corpus returns just " +
       "the zero init row and nothing throws") {
     import spark.implicits._
