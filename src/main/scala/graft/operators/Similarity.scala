@@ -1139,6 +1139,11 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val q = emb.select(col(idCol).as("vec_id"),
       quantize(col(vecCol)).as("qv"))
+      // zero-dim vectors are dropped like zero-token docs: an empty
+      // list has NULL min/max and engine-DIVERGENT empty-sum
+      // semantics (Spark aggregate init 0 vs DuckDB NULL), so no
+      // well-defined audit row exists for it (r16 self-review)
+      .filter(size(col("qv")) > 0)
     q.select(col("vec_id"), col("qv"),
         array_min(col("qv")).as("mn"), array_max(col("qv")).as("mx"),
         size(col("qv")).cast("long").as("d"))

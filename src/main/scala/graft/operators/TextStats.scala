@@ -1553,15 +1553,26 @@ object TextStats {
     * corpus is scanned ONCE here and every GD round after this runs
     * on a cardinality-bounded frame (≤ (range/2500)³·2 combos; a few
     * hundred rows on the fixtures, ~10⁶ worst-case at any scale —
-    * independent of corpus row count). Bucket midpoints keep the
-    * gradient unbiased within a bucket. The idiv operand is signed;
-    * both engines truncate toward zero (verified — Layout.scala:232
-    * precedent), so bucket edges agree.
+    * independent of corpus row count). Buckets are FLOOR-aligned via
+    * the (x − pmod(x, w)) div w spelling — standardized features are
+    * zero-mean so half the mass is negative, and truncate-toward-zero
+    * bucketing would double the width of the zero-straddling bucket
+    * and push its representative to the wrong sign (r16 self-review);
+    * floor alignment keeps every bucket width-2500 with its true
+    * midpoint.
     */
-  def lrQualityFeatures(docs: DataFrame): DataFrame = {
+  def lrQualityFeatures(docs: DataFrame): DataFrame =
+    lrQualityFeaturesFromStd(lrQualityStd(docs))
+
+  /** [[lrQualityFeatures]] over an already-standardized frame —
+    * exposed so the registry can feed the memoized std frame to both
+    * training and scoring without re-materializing the corpus-scale
+    * feature pipeline.
+    */
+  def lrQualityFeaturesFromStd(std: DataFrame): DataFrame = {
     def bucket(x: String): Column =
-      idiv(col(x), lit(2500L)) * 2500L + 1250L
-    lrQualityStd(docs).groupBy(
+      idiv(col(x) - pmod(col(x), lit(2500L)), lit(2500L)) * 2500L + 1250L
+    std.groupBy(
       col("x0"), bucket("x1").as("x1"), bucket("x2").as("x2"),
       bucket("x3").as("x3"), col("y"))
       .agg(count(lit(1)).cast("long").as("cnt"))
@@ -1642,7 +1653,15 @@ object TextStats {
     */
   def lrQualityTrain(docs: DataFrame, rounds: Int = 12,
       lrNum: Long = 20L): DataFrame =
-    lrFit(lrQualityFeatures(docs).localCheckpoint(), rounds, lrNum)
+    lrQualityTrainFromStd(lrQualityStd(docs), rounds, lrNum)
+
+  /** [[lrQualityTrain]] over an already-standardized frame (the
+    * registry's seam — one memoized std frame feeds train AND score,
+    * halving the corpus-scale scans).
+    */
+  def lrQualityTrainFromStd(std: DataFrame, rounds: Int = 12,
+      lrNum: Long = 20L): DataFrame =
+    lrFit(lrQualityFeaturesFromStd(std).localCheckpoint(), rounds, lrNum)
       .reduce(_ unionByName _).orderBy(col("r"))
 
   /** Apply a trained 1-row weight frame (w0..w3) to the standardized

@@ -472,7 +472,7 @@ private[graft] object RegSim {
               CAST(list_aggregate(qv, 'min') AS BIGINT) AS mn,
               CAST(list_aggregate(qv, 'max') AS BIGINT) AS mx,
               CAST(len(qv) AS BIGINT) AS d
-            FROM q),
+            FROM q WHERE len(qv) > 0),
       r AS (SELECT vec_id, qv, mn, mx, d,
               greatest(mx - mn, 1) AS rng FROM m),
       e AS (SELECT vec_id, mn, mx, d, rng,

@@ -50,19 +50,30 @@ private[graft] object RegText {
       TextStats.lrQualityStd(t(s, dir, "documents"))
     }
 
-  /** The 12-round GD weight trajectory (lrNum = 20), built once per
-    * (session, sfDir) — the train query returns it whole; the score
-    * and calibration queries take the final round's row.
+  /** THE round count for the registered LR queries — the Spark
+    * filter and every hardcoded 12 in the DuckDB twins derive from
+    * this one constant (r16 self-review: a drifting default would
+    * otherwise silently empty the score/calibration/agreement
+    * frames).
+    */
+  private val LrRounds = 12
+
+  /** The [[LrRounds]]-round GD weight trajectory (lrNum = 20), built
+    * once per (session, sfDir) FROM THE MEMOIZED STD FRAME — train
+    * and score share one corpus-scale feature materialization; the
+    * train query returns the trajectory whole, the score and
+    * calibration queries take the final round's row.
     */
   private def lrTraj(s: SparkSession, dir: String): DataFrame =
     memoFrame(s, dir, "lr_traj") {
-      TextStats.lrQualityTrain(t(s, dir, "documents"))
+      TextStats.lrQualityTrainFromStd(lrStdFrame(s, dir),
+        rounds = LrRounds)
     }
 
   /** Per-doc scores under the final-round weights (shared frame). */
   private def lrScored(s: SparkSession, dir: String): DataFrame =
     TextStats.lrQualityScoreFromWeights(lrStdFrame(s, dir),
-      lrTraj(s, dir).filter(col("r") === 12L))
+      lrTraj(s, dir).filter(col("r") === LrRounds.toLong))
 
   /** Shared DuckDB CTE chain for the LR-distillation oracle twins:
     * features → exact moments → standardize → bucketize-collapse →
@@ -120,9 +131,13 @@ private[graft] object RegText {
                (10000 * (x3 - m3)) // s3 AS x3
         FROM lr_rawf, lr_sg),
       lr_feat AS (
-        SELECT x0, (x1 // 2500) * 2500 + 1250 AS x1,
-               (x2 // 2500) * 2500 + 1250 AS x2,
-               (x3 // 2500) * 2500 + 1250 AS x3,
+        SELECT x0,
+               ((x1 - (((x1 % 2500) + 2500) % 2500)) // 2500) * 2500
+                 + 1250 AS x1,
+               ((x2 - (((x2 % 2500) + 2500) % 2500)) // 2500) * 2500
+                 + 1250 AS x2,
+               ((x3 - (((x3 % 2500) + 2500) % 2500)) // 2500) * 2500
+                 + 1250 AS x3,
                y, CAST(count(*) AS BIGINT) AS cnt
         FROM lr_std GROUP BY 1, 2, 3, 4, 5),
       lr_w AS (
@@ -154,7 +169,7 @@ private[graft] object RegText {
                 + w.w3 * f.x3) // 10000 AS z) zz
           ) sc
           GROUP BY 1, 2, 3, 4, 5
-        ) WHERE r < 12)"""
+        ) WHERE r < $LrRounds)"""
   }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -781,7 +796,7 @@ private[graft] object RegText {
       SELECT r, w0, w1, w2, w3 FROM lr_w ORDER BY r""",
     "text_quality_lr_score" -> s"""
       WITH RECURSIVE $lrCtes,
-      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12)
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = $LrRounds)
       SELECT s.doc_id, s.y, z AS z_bp,
              5000 + (10000 * z) // (2 * (10000 + abs(z))) AS p_bp,
              CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
@@ -791,7 +806,7 @@ private[graft] object RegText {
       ORDER BY s.doc_id""",
     "text_quality_lr_agreement" -> s"""
       WITH RECURSIVE $lrCtes,
-      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12),
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = $LrRounds),
       lr_sc AS (
         SELECT s.y, CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred
         FROM lr_std s, lr_fw w,
@@ -819,7 +834,7 @@ private[graft] object RegText {
             FROM conf)""",
     "text_quality_lr_calibration" -> s"""
       WITH RECURSIVE $lrCtes,
-      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = 12),
+      lr_fw AS (SELECT w0, w1, w2, w3 FROM lr_w WHERE r = $LrRounds),
       lr_scored AS (
         SELECT s.y, 5000 + (10000 * z) // (2 * (10000 + abs(z))) AS p_bp
         FROM lr_std s, lr_fw w,
