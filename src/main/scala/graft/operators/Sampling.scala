@@ -771,6 +771,90 @@ object Sampling {
       .toDF("rank", "doc_id", "gain")
   }
 
+  private val Dec38s = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  /** Histogram-matching rejection sampler — the CCNet
+    * keep-probability move generalized: reshape the SOURCE split's
+    * length distribution (even doc_ids) to the REFERENCE split's
+    * (odd doc_ids) by per-bucket deterministic rejection. Importance
+    * weight w_b = (ref share) / (src share) in bp, normalized so the
+    * largest bucket keeps everything; a doc survives iff its
+    * scrambled-hash bucket (10⁴ grain, the [[bucket]] machinery)
+    * falls under the bucket's keep probability — deterministic,
+    * shuffle-free rejection, same sdbm twin as sample_mixture.
+    *
+    * Output per length bucket: src/ref counts, raw weight, keep
+    * probability, and the kept count — the audit frame for the
+    * resample decision. The weight numerator ref_n·n_src·10⁴ is N²
+    * scale (10²⁸ past int64 at 100 TB doc counts), so it rides
+    * DECIMAL(38,0)/HUGEINT; the normalized p_bp ≤ 10⁴ comes back to
+    * int64. All operands non-negative. Buckets with zero source mass
+    * are dropped (nothing to keep) — the reference tail the source
+    * lacks cannot be conjured by rejection.
+    *
+    * Scale shape: one bucket-grain histogram (bounded cardinality),
+    * two 1-row broadcasts (totals, max weight), one broadcast join
+    * back to doc grain for the kept census.
+    */
+  def matchDistribution(docs: DataFrame,
+      bucketWidth: Long = 100L): DataFrame = {
+    require(bucketWidth >= 1)
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      pmod(col("doc_id"), lit(2L)).as("h"),
+      idiv(col("n_chars"), lit(bucketWidth)).as("b"))
+    val hist = base.groupBy(col("b")).agg(
+      sum(when(col("h") === 0L, 1L).otherwise(0L)).as("src_n"),
+      sum(when(col("h") === 1L, 1L).otherwise(0L)).as("ref_n"))
+      .filter(col("src_n") > 0)
+    val tot = hist.agg(
+      greatest(sum(col("src_n")), lit(1L)).as("n_src"),
+      greatest(sum(col("ref_n")), lit(1L)).as("n_ref"))
+    val w = hist.crossJoin(broadcast(tot))
+      .select(col("b"), col("src_n"), col("ref_n"),
+        idiv(col("ref_n").cast(Dec38s) * col("n_src").cast(Dec38s) *
+          lit(10000L).cast(Dec38s),
+          col("src_n").cast(Dec38s) * col("n_ref").cast(Dec38s))
+          .cast("long").as("w_bp"))
+    val mx = w.agg(greatest(max(col("w_bp")), lit(1L)).as("max_w"))
+    val p = w.crossJoin(broadcast(mx))
+      .withColumn("p_bp",
+        idiv(col("w_bp").cast(Dec38s) * lit(10000L).cast(Dec38s),
+          col("max_w").cast(Dec38s)).cast("long"))
+    val kept = base.filter(col("h") === 0L)
+      .join(broadcast(p.select(col("b"), col("p_bp"))), Seq("b"))
+      .filter(bucket(col("doc_id"), 10000) < col("p_bp"))
+      .groupBy(col("b")).agg(count(lit(1)).as("kept_n"))
+    p.join(kept, Seq("b"), "left")
+      .select(col("b"), col("src_n"), col("ref_n"), col("w_bp"),
+        col("p_bp"), coalesce(col("kept_n"), lit(0L)).as("kept_n"))
+      .orderBy(col("b"))
+  }
+
+  /** Truncation-loss audit for a fixed max sequence length — the
+    * truncate-vs-pack decision row: per source, how many tokens a
+    * hard cut at `maxLen` would discard and how many docs it touches.
+    * One source-keyed aggregate over the space-count tokenizer; all
+    * operands non-negative; a zero-token source yields NULL loss (the
+    * bucketUniformity convention).
+    */
+  def truncationLoss(docs: DataFrame, maxLen: Long = 128L,
+      srcCol: String = "source"): DataFrame = {
+    require(maxLen >= 1)
+    docs.select(col(srcCol).as("source"),
+        TextStats.nTokens(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        sum(least(col("nt"), lit(maxLen))).as("tokens_kept"),
+        sum(when(col("nt") > maxLen, 1L).otherwise(0L)).as("n_truncated"))
+      .withColumn("lost_bp",
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(idiv(
+            lit(10000L) * (col("n_tokens") - col("tokens_kept")),
+            col("n_tokens"))))
+      .orderBy(col("source"))
+  }
+
   /** Domain-mixture epoch plan (the DoReMi/Pile recipe table): given
     * target mixture weights per source and a token budget expressed
     * as a rational multiple of the corpus total, how many tokens each

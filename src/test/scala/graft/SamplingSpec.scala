@@ -469,6 +469,47 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("matchDistribution: exact per-bucket weights and keep " +
+      "probabilities; the heaviest bucket keeps everything") {
+    import spark.implicits._
+    // src (even ids): 16 docs in bucket 1, 4 in bucket 2; ref (odd
+    // ids): 5 in each. w_b1 = (5*20*1e4)//(16*10) = 6250, w_b2 =
+    // 25000 -> p_b1 = 2500, p_b2 = 10000 (keeps all 4).
+    val docs = (
+      (0 until 32 by 2).map(i => (i.toLong, 150L)) ++
+      (32 until 40 by 2).map(i => (i.toLong, 250L)) ++
+      (1 until 10 by 2).map(i => (i.toLong, 150L)) ++
+      (11 until 20 by 2).map(i => (i.toLong, 250L))
+    ).toDF("doc_id", "n_chars")
+    val got = Sampling.matchDistribution(docs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
+      (1L, 16L, 5L, 6250L, 2500L),
+      (2L, 4L, 5L, 25000L, 10000L)), got.mkString(","))
+    val Seq(b1, b2) = got
+    assert(b2._6 == 4L) // p = 10000 keeps every source doc
+    assert(b1._6 >= 0L && b1._6 <= 16L)
+    // deterministic rejection: a reshuffle changes nothing
+    val again = Sampling.matchDistribution(docs.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("truncationLoss: exact per-source token loss at the cut, NULL " +
+      "for a zero-token source") {
+    import spark.implicits._
+    val long130 = (1 to 130).map(_ => "w").mkString(" ")
+    val docs = Seq((1L, "A", "a b c"), (2L, "A", long130),
+      (3L, "B", "")).toDF("doc_id", "source", "text")
+    val got = Sampling.truncationLoss(docs, maxLen = 128L)
+      .as[(String, Long, Long, Long, Long, Option[Long])]
+      .collect().toSeq
+    // A: 133 tokens, 131 kept, 1 doc truncated, lost 2/133 -> 150 bp
+    assert(got == Seq(
+      ("A", 2L, 133L, 131L, 1L, Some(150L)),
+      ("B", 1L, 0L, 0L, 0L, None)), got.mkString(","))
+  }
+
   test("mixtureEpochs: exact recipe table — zero-weight domain drops " +
       "to 0 target tokens, upsampled domains exceed 10000 bp epochs") {
     import spark.implicits._
