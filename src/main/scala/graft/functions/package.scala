@@ -31,6 +31,14 @@ package object functions {
   def idiv(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("div", a, b)
 
+  /** THE exact-integer wide type for overflow limbs (gradients,
+    * marginal products, variance sums) — one definition next to
+    * [[idiv]], whose contract governs every call site that divides
+    * these back down to int64.
+    */
+  val Dec38: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Reference doc-id hash (Query.java:303-316) as a codegen'd
     * expression: `sdbm_hash(seed, str)`. Null string → 0.
     */

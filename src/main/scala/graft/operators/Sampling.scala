@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{idiv, sdbm_hash}
+import graft.functions.{idiv, sdbm_hash, Dec38}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -771,8 +771,6 @@ object Sampling {
       .toDF("rank", "doc_id", "gain")
   }
 
-  private val Dec38s = org.apache.spark.sql.types.DecimalType(38, 0)
-
   /** Histogram-matching rejection sampler — the CCNet
     * keep-probability move generalized: reshape the SOURCE split's
     * length distribution (even doc_ids) to the REFERENCE split's
@@ -805,21 +803,24 @@ object Sampling {
     val hist = base.groupBy(col("b")).agg(
       sum(when(col("h") === 0L, 1L).otherwise(0L)).as("src_n"),
       sum(when(col("h") === 1L, 1L).otherwise(0L)).as("ref_n"))
-      .filter(col("src_n") > 0)
+    // totals over the UNFILTERED histogram: reference mass in buckets
+    // the source lacks still belongs in n_ref, or the reported w_bp
+    // silently inflates (r16 self-review); the src-empty buckets
+    // themselves drop AFTER — rejection cannot conjure them
     val tot = hist.agg(
       greatest(sum(col("src_n")), lit(1L)).as("n_src"),
       greatest(sum(col("ref_n")), lit(1L)).as("n_ref"))
-    val w = hist.crossJoin(broadcast(tot))
+    val w = hist.filter(col("src_n") > 0).crossJoin(broadcast(tot))
       .select(col("b"), col("src_n"), col("ref_n"),
-        idiv(col("ref_n").cast(Dec38s) * col("n_src").cast(Dec38s) *
-          lit(10000L).cast(Dec38s),
-          col("src_n").cast(Dec38s) * col("n_ref").cast(Dec38s))
+        idiv(col("ref_n").cast(Dec38) * col("n_src").cast(Dec38) *
+          lit(10000L).cast(Dec38),
+          col("src_n").cast(Dec38) * col("n_ref").cast(Dec38))
           .cast("long").as("w_bp"))
     val mx = w.agg(greatest(max(col("w_bp")), lit(1L)).as("max_w"))
     val p = w.crossJoin(broadcast(mx))
       .withColumn("p_bp",
-        idiv(col("w_bp").cast(Dec38s) * lit(10000L).cast(Dec38s),
-          col("max_w").cast(Dec38s)).cast("long"))
+        idiv(col("w_bp").cast(Dec38) * lit(10000L).cast(Dec38),
+          col("max_w").cast(Dec38)).cast("long"))
     val kept = base.filter(col("h") === 0L)
       .join(broadcast(p.select(col("b"), col("p_bp"))), Seq("b"))
       .filter(bucket(col("doc_id"), 10000) < col("p_bp"))

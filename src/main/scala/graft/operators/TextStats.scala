@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{idiv, sdbm_hash}
+import graft.functions.{idiv, sdbm_hash, Dec38}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1506,8 +1506,6 @@ object TextStats {
           lit(2000L)).as("x3"))
   }
 
-  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-
   /** Exact integer feature standardization: x_s = 10⁴·(x − μ) div σ
     * with μ = Σx div n and σ = max(isqrt(Σ(x−μ)² div n), 1) — the
     * floor(sqrt(double)) spelling is exact below 2⁵² (OverflowSpec's
@@ -1679,13 +1677,15 @@ object TextStats {
         lrP(col("z_bp")).as("p_bp"),
         when(col("z_bp") >= 0, lit(1L)).otherwise(lit(0L)).as("pred"))
 
-  /** Convenience end-to-end score: train then apply the final round. */
+  /** Convenience end-to-end score: train then apply the final round
+    * — one std materialization feeds both (the FromStd seam).
+    */
   def lrQualityScore(docs: DataFrame, rounds: Int = 12,
       lrNum: Long = 20L): DataFrame = {
-    val fin = lrFit(lrQualityFeatures(docs).localCheckpoint(), rounds,
-      lrNum).last
-    lrQualityScoreFromWeights(lrQualityStd(docs), fin)
-      .orderBy(col("doc_id"))
+    val std = lrQualityStd(docs)
+    val fin = lrFit(lrQualityFeaturesFromStd(std).localCheckpoint(),
+      rounds, lrNum).last
+    lrQualityScoreFromWeights(std, fin).orderBy(col("doc_id"))
   }
 
   /** Teacher/student agreement for the distilled classifier: the

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object RegSampling {
 
+  /** Tunables shared by the Scala call AND its DuckDB twin — the
+    * LrRounds convention (r16 self-review: a literal inside the SQL
+    * string drifts silently when the registry call changes).
+    */
+  private val MatchBucketWidth = 100L
+  private val MatchKeepGrain = 10000
+  private val TruncMaxLen = 128L
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_packed" -> ((s, dir) => {
       // budget 512 ≈ 9 docs/sequence on this fixture, so shards chop
@@ -92,12 +100,14 @@ private[graft] object RegSampling {
       // histogram-matching rejection audit: reshape the even-id
       // split's length distribution to the odd-id split's via
       // per-bucket deterministic keep probabilities
-      Sampling.matchDistribution(t(s, dir, "documents"))
+      Sampling.matchDistribution(t(s, dir, "documents"),
+        bucketWidth = MatchBucketWidth)
     }),
     "sample_truncation_loss" -> ((s, dir) => {
       // truncate-vs-pack decision row at max_seq_len 128: per-source
       // token loss under a hard cut
-      Sampling.truncationLoss(t(s, dir, "documents"), maxLen = 128L)
+      Sampling.truncationLoss(t(s, dir, "documents"),
+        maxLen = TruncMaxLen)
     }),
     "sample_mixture_epochs" -> ((s, dir) => {
       // DoReMi-style recipe table at a 2x-corpus token budget, same
@@ -386,22 +396,21 @@ private[graft] object RegSampling {
         "CAST(doc_id AS VARCHAR)")},
       base AS (SELECT d.doc_id, d.n_chars,
                  ((d.doc_id % 2) + 2) % 2 AS h,
-                 d.n_chars // 100 AS b, s.hash AS hh
+                 d.n_chars // $MatchBucketWidth AS b, s.hash AS hh
                FROM documents d JOIN sdbm s ON s.sid = d.doc_id),
       hist AS (SELECT b,
                  CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)
                    AS BIGINT) AS src_n,
                  CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)
                    AS BIGINT) AS ref_n
-               FROM base GROUP BY 1
-               HAVING sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) > 0),
+               FROM base GROUP BY 1),
       tot AS (SELECT greatest(CAST(sum(src_n) AS BIGINT), 1) AS n_src,
                 greatest(CAST(sum(ref_n) AS BIGINT), 1) AS n_ref
               FROM hist),
       w AS (SELECT b, src_n, ref_n,
               CAST((CAST(ref_n AS HUGEINT) * n_src * 10000)
                 // (CAST(src_n AS HUGEINT) * n_ref) AS BIGINT) AS w_bp
-            FROM hist, tot),
+            FROM hist, tot WHERE src_n > 0),
       mx AS (SELECT greatest(CAST(max(w_bp) AS BIGINT), 1) AS max_w
              FROM w),
       pp AS (SELECT b, src_n, ref_n, w_bp,
@@ -410,12 +419,12 @@ private[graft] object RegSampling {
              FROM w, mx),
       kept AS (SELECT base.b, CAST(count(*) AS BIGINT) AS kept_n
                FROM base JOIN pp USING (b)
-               WHERE h = 0 AND ${bucketSql("hh", 10000)} < p_bp
+               WHERE h = 0 AND ${bucketSql("hh", MatchKeepGrain)} < p_bp
                GROUP BY 1)
       SELECT pp.b, pp.src_n, pp.ref_n, pp.w_bp, pp.p_bp,
              coalesce(k.kept_n, 0) AS kept_n
       FROM pp LEFT JOIN kept k USING (b) ORDER BY pp.b""",
-    "sample_truncation_loss" -> """
+    "sample_truncation_loss" -> s"""
       WITH f AS (SELECT source,
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                  ELSE length(text) - length(replace(text, ' ', '')) + 1
@@ -423,8 +432,8 @@ private[graft] object RegSampling {
              FROM documents),
       a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
               CAST(sum(nt) AS BIGINT) AS n_tokens,
-              CAST(sum(least(nt, 128)) AS BIGINT) AS tokens_kept,
-              CAST(sum(CASE WHEN nt > 128 THEN 1 ELSE 0 END) AS BIGINT)
+              CAST(sum(least(nt, $TruncMaxLen)) AS BIGINT) AS tokens_kept,
+              CAST(sum(CASE WHEN nt > $TruncMaxLen THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_truncated
             FROM f GROUP BY 1)
       SELECT source, n_docs, n_tokens, tokens_kept, n_truncated,

@@ -473,19 +473,22 @@ class SamplingSpec extends AnyFunSuite {
       "probabilities; the heaviest bucket keeps everything") {
     import spark.implicits._
     // src (even ids): 16 docs in bucket 1, 4 in bucket 2; ref (odd
-    // ids): 5 in each. w_b1 = (5*20*1e4)//(16*10) = 6250, w_b2 =
-    // 25000 -> p_b1 = 2500, p_b2 = 10000 (keeps all 4).
+    // ids): 5 in each plus 2 in REF-ONLY bucket 5 (n_ref = 12 — the
+    // ref-only mass counts in the total but emits no row: rejection
+    // cannot conjure it). w_b1 = (5*20*1e4)//(16*12) = 5208, w_b2 =
+    // (5*20*1e4)//(4*12) = 20833 -> p_b1 = 2499, p_b2 = 10000.
     val docs = (
       (0 until 32 by 2).map(i => (i.toLong, 150L)) ++
       (32 until 40 by 2).map(i => (i.toLong, 250L)) ++
       (1 until 10 by 2).map(i => (i.toLong, 150L)) ++
-      (11 until 20 by 2).map(i => (i.toLong, 250L))
+      (11 until 20 by 2).map(i => (i.toLong, 250L)) ++
+      Seq((21L, 550L), (23L, 550L))
     ).toDF("doc_id", "n_chars")
     val got = Sampling.matchDistribution(docs)
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got.map(r => (r._1, r._2, r._3, r._4, r._5)) == Seq(
-      (1L, 16L, 5L, 6250L, 2500L),
-      (2L, 4L, 5L, 25000L, 10000L)), got.mkString(","))
+      (1L, 16L, 5L, 5208L, 2499L),
+      (2L, 4L, 5L, 20833L, 10000L)), got.mkString(","))
     val Seq(b1, b2) = got
     assert(b2._6 == 4L) // p = 10000 keeps every source doc
     assert(b1._6 >= 0L && b1._6 <= 16L)
