@@ -825,4 +825,42 @@ class PlanSpec extends AnyFunSuite {
     assert(mt.contains("BroadcastHashJoin"), mt.take(2000))
     assert(!mt.contains("CartesianProduct"), mt.take(2000))
   }
+
+  test("round-16 continuation plan shapes: LR scoring attaches the " +
+      "1-row weight frame by broadcast, drift/curriculum never sort " +
+      "doc grain or fall to single-partition exchanges") {
+    // no new query may reintroduce the census anti-patterns: zero
+    // cartesians, and any single-partition exchange must be the
+    // 1-row GLOBAL-scalar-aggregate pattern (map-side partial_*
+    // buffers are what crosses the wire, never row data)
+    for (n <- Seq("text_quality_lr_score", "text_quality_lr_agreement",
+        "text_token_drift", "sim_quantize_int8", "sample_curriculum",
+        "sample_mixture_epochs", "sample_match_distribution",
+        "sample_truncation_loss")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(2000)}")
+      if (p.contains("Exchange SinglePartition"))
+        assert(p.contains("partial_"),
+          s"$n has a non-aggregate single-partition exchange:\n" +
+            p.take(2000))
+    }
+    // the int8 audit is a pure narrow projection: no join, no
+    // aggregate — the only exchange is the display sort's range
+    // partitioning
+    val qa = plan("sim_quantize_int8")
+    assert(!qa.contains("Join") && !qa.contains("HashAggregate"),
+      qa.take(2000))
+    // drift's movers head is a TakeOrderedAndProject, not a global sort
+    val dr = plan("text_token_drift")
+    assert(dr.contains("TakeOrderedAndProject"), dr.take(2000))
+    // curriculum re-attaches its bounded bucket frame by broadcast
+    // hash join (the rank-free schedule's whole point)
+    val cu = plan("sample_curriculum")
+    assert(cu.contains("BroadcastHashJoin"), cu.take(2000))
+    // LR per-doc scoring: the weight row arrives via the adjudicated
+    // 1-row Cross-broadcast BNLJ
+    val sc2 = plan("text_quality_lr_score")
+    assert(sc2.contains("BroadcastNestedLoopJoin") &&
+      sc2.contains("Cross"), sc2.take(2000))
+  }
 }
