@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.idiv
+import graft.functions.{idiv, Dec38}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1982,5 +1982,55 @@ object Events {
       .withColumn("cov_num",
         col("n_pairs") * col("sxy") - col("sx") * col("sy"))
       .orderBy(col("lag"))
+  }
+
+  /** Empirical-Bayes (beta-binomial) shrinkage of the daily rate of
+    * one event type — the Efron–Morris smoothing every ranking /
+    * reporting pipeline applies before trusting a small-n day: the
+    * method-of-moments prior strength
+    *   s = max(m·(10⁴ − m) div max(v, 1) − 1, 0)
+    * (m = unweighted mean of the daily rates in bp, v = their
+    * population variance in bp², both exact integers) pulls each day
+    * toward the grand mean with s pseudo-events:
+    *   shrunk_bp = (10⁴·x_d + s·m) div (n_d + s).
+    * A flat spectrum (v = 0) drives s huge and every day to m — the
+    * correct degenerate limit, no guard needed beyond max(v, 1).
+    *
+    * All-integer: daily rates are exact bp, the variance sum rides
+    * DECIMAL(38,0) (dev² ≤ 10⁸ per day — int64 safe to ~9·10¹⁰ days,
+    * decimal far beyond), s ≤ 2.5·10⁷ and s·m ≤ 2.5·10¹¹ stay deep
+    * inside int64. Operands are non-negative throughout. Scale
+    * shape: one day-keyed hash aggregate over the narrow (ts, type)
+    * projection, then two bounded 1-row broadcasts onto the day-grain
+    * frame — nothing row-grain shuffles twice.
+    *
+    * Output per day: n, x, raw_bp, shrunk_bp, plus the audit
+    * constants (k days, m_bp, v_bp2, prior_s).
+    */
+  def ebShrinkage(events: DataFrame,
+      successType: String = "click"): DataFrame = {
+    val day = expr("unix_micros(ts) div 86400000000")
+    val daily = events.select(day.as("day"),
+        when(col("event_type") === successType, 1L).otherwise(0L)
+          .as("hit"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("hit")).as("x"))
+      .withColumn("raw_bp", idiv(lit(10000L) * col("x"), col("n")))
+    val mRow = daily.agg(count(lit(1)).cast("long").as("k"),
+      idiv(sum(col("raw_bp")), count(lit(1))).as("m_bp"))
+    val prior = daily.crossJoin(broadcast(mRow))
+      .agg(max(col("k")).as("k"), max(col("m_bp")).as("m_bp"),
+        idiv(sum(((col("raw_bp") - col("m_bp")) *
+          (col("raw_bp") - col("m_bp"))).cast(Dec38)),
+          max(col("k")).cast(Dec38)).cast("long").as("v_bp2"))
+      .withColumn("prior_s",
+        greatest(idiv(col("m_bp") * (lit(10000L) - col("m_bp")),
+          greatest(col("v_bp2"), lit(1L))) - 1L, lit(0L)))
+    daily.crossJoin(broadcast(prior))
+      .select(col("day"), col("n"), col("x"), col("raw_bp"),
+        idiv(lit(10000L) * col("x") + col("prior_s") * col("m_bp"),
+          col("n") + col("prior_s")).as("shrunk_bp"),
+        col("k"), col("m_bp"), col("v_bp2"), col("prior_s"))
+      .orderBy(col("day"))
   }
 }

@@ -261,6 +261,12 @@ private[graft] object RegEventsA {
       Events.acfDaily(t(s, dir, "events"), maxLag = 7)),
     "events_cusum" -> ((s, dir) =>
       Events.cusumDaily(t(s, dir, "events"))),
+    "events_eb_shrinkage" -> ((s, dir) =>
+      // Efron–Morris beta-binomial smoothing of the daily click rate:
+      // method-of-moments prior strength from the day spectrum, each
+      // day pulled toward the grand mean with s pseudo-events — the
+      // small-n-day stabilizer, exact integer bp end to end
+      Events.ebShrinkage(t(s, dir, "events"))),
     "events_seasonal" -> ((s, dir) =>
       Events.seasonalDow(t(s, dir, "events"))),
     "events_streaks" -> ((s, dir) =>
@@ -756,6 +762,29 @@ private[graft] object RegEventsA {
       SELECT t1, t2, t3, count(*) AS n FROM p
       WHERE t2 IS NOT NULL AND t3 IS NOT NULL
       GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""",
+    "events_eb_shrinkage" -> """
+      WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                END) AS BIGINT) AS x
+            FROM events GROUP BY 1),
+      d2 AS (SELECT day, n, x, (10000 * x) // n AS raw_bp FROM daily),
+      m AS (SELECT CAST(count(*) AS BIGINT) AS k,
+              CAST(sum(raw_bp) AS BIGINT) // count(*) AS m_bp
+            FROM d2),
+      pr AS (SELECT k, m_bp,
+              CAST(CAST(sum((raw_bp - m_bp) * (raw_bp - m_bp))
+                AS HUGEINT) // k AS BIGINT) AS v_bp2
+            FROM d2, m GROUP BY k, m_bp),
+      pr2 AS (SELECT k, m_bp, v_bp2,
+              greatest((m_bp * (10000 - m_bp))
+                // greatest(v_bp2, 1) - 1, 0) AS prior_s
+            FROM pr)
+      SELECT day, n, x, raw_bp,
+             (10000 * x + prior_s * m_bp) // (n + prior_s)
+               AS shrunk_bp,
+             k, m_bp, v_bp2, prior_s
+      FROM d2, pr2 ORDER BY day""",
     "events_error_rate" -> """
       SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n,
              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0

@@ -1418,4 +1418,41 @@ class EventsSpec extends AnyFunSuite {
     assert(r("view").getAs[Long]("p_ppm") == 1000000L &&
       r("view").getAs[Long]("mde_ppm") == 0L)
   }
+
+  test("ebShrinkage: exact MoM prior and per-day pull toward the " +
+      "grand mean; a flat spectrum collapses every day onto it") {
+    import spark.implicits._
+    // three days at 2500/5000/7500 bp (4 events each): m = 5000,
+    // v = (2500^2*2)//3 = 4166666, s = 25000000//4166666 - 1 = 5 ->
+    // shrunk = (1e4*x + 5*5000)//(4+5) = 3888 / 5000 / 6111
+    def day(d: Int, h: Int, t: String) =
+      (ts(f"2024-01-0$d $h%02d:00:00"), t)
+    val ev = (
+      Seq(day(1, 10, "click"), day(1, 11, "view"), day(1, 12, "view"),
+        day(1, 13, "view"),
+        day(2, 10, "click"), day(2, 11, "click"), day(2, 12, "view"),
+        day(2, 13, "view"),
+        day(3, 10, "click"), day(3, 11, "click"), day(3, 12, "click"),
+        day(3, 13, "view"))
+    ).toDF("ts", "event_type")
+    val got = Events.ebShrinkage(ev)
+      .select("n", "x", "raw_bp", "shrunk_bp", "k", "m_bp", "v_bp2",
+        "prior_s")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (4L, 1L, 2500L, 3888L, 3L, 5000L, 4166666L, 5L),
+      (4L, 2L, 5000L, 5000L, 3L, 5000L, 4166666L, 5L),
+      (4L, 3L, 7500L, 6111L, 3L, 5000L, 4166666L, 5L)),
+      got.mkString(","))
+    // flat spectrum: v = 0 -> prior strength explodes -> shrunk = m
+    val flat = Seq(day(1, 10, "click"), day(1, 11, "view"),
+      day(2, 10, "click"), day(2, 11, "view"))
+      .toDF("ts", "event_type")
+    val g2 = Events.ebShrinkage(flat)
+      .select("raw_bp", "shrunk_bp", "m_bp", "v_bp2")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(g2.forall { case (r, s2, m, v) =>
+      r == 5000L && s2 == m && v == 0L }, g2.mkString(","))
+  }
 }
