@@ -856,6 +856,34 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Source-concentration readout for the mixture planner: each
+    * domain's token share (ppm), the Herfindahl–Hirschman index of
+    * the corpus token mass, and the effective number of domains
+    * 1/HHI (centi) — the is-one-domain-dominating health check run
+    * before committing to mixture weights. Exact integers: share ≤
+    * 10⁶ so share² ≤ 10¹² and the HHI sum stays deep inside int64
+    * for any domain count; all operands non-negative. One
+    * source-keyed aggregate + one bounded 1-row broadcast.
+    */
+  def sourceConcentration(docs: DataFrame,
+      srcCol: String = "source"): DataFrame = {
+    val perSrc = docs
+      .select(col(srcCol).as("source"),
+        TextStats.nTokens(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("tokens"))
+    val tot = perSrc.agg(greatest(sum(col("tokens")), lit(1L)).as("t"))
+    val shares = perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        idiv(lit(1000000L) * col("tokens"), col("t")).as("share_ppm"))
+    val hhi = shares.agg(
+      idiv(sum(col("share_ppm") * col("share_ppm")), lit(1000000L))
+        .as("hhi_ppm"))
+      .withColumn("eff_domains_c",
+        idiv(lit(100000000L), greatest(col("hhi_ppm"), lit(1L))))
+    shares.crossJoin(broadcast(hhi)).orderBy(col("source"))
+  }
+
   /** Domain-mixture epoch plan (the DoReMi/Pile recipe table): given
     * target mixture weights per source and a token budget expressed
     * as a rational multiple of the corpus total, how many tokens each

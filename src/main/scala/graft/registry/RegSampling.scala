@@ -109,6 +109,11 @@ private[graft] object RegSampling {
       Sampling.truncationLoss(t(s, dir, "documents"),
         maxLen = TruncMaxLen)
     }),
+    "sample_source_hhi" -> ((s, dir) => {
+      // mixture-health readout: per-source token share, corpus HHI,
+      // effective number of domains — run before trusting weights
+      Sampling.sourceConcentration(t(s, dir, "documents"))
+    }),
     "sample_mixture_epochs" -> ((s, dir) => {
       // DoReMi-style recipe table at a 2x-corpus token budget, same
       // target weights as sample_mixture: per source, tokens
@@ -441,6 +446,24 @@ private[graft] object RegSampling {
                   ELSE (10000 * (n_tokens - tokens_kept)) // n_tokens
              END AS lost_bp
       FROM a ORDER BY source""",
+    "sample_source_hhi" -> """
+      WITH ps AS (SELECT source,
+               CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE length(text) - length(replace(text, ' ', '')) + 1
+               END) AS BIGINT) AS tokens
+             FROM documents GROUP BY 1),
+      tot AS (SELECT greatest(CAST(sum(tokens) AS BIGINT), 1) AS t
+              FROM ps),
+      sh AS (SELECT source, tokens,
+               (1000000 * tokens) // t AS share_ppm
+             FROM ps, tot),
+      h AS (SELECT CAST(sum(share_ppm * share_ppm) AS BIGINT)
+                // 1000000 AS hhi_ppm FROM sh),
+      h2 AS (SELECT hhi_ppm,
+               100000000 // greatest(hhi_ppm, 1) AS eff_domains_c
+             FROM h)
+      SELECT source, tokens, share_ppm, hhi_ppm, eff_domains_c
+      FROM sh, h2 ORDER BY source""",
     "sample_mixture_epochs" -> """
       WITH ps AS (SELECT source,
                CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -513,6 +513,20 @@ class SamplingSpec extends AnyFunSuite {
       ("B", 1L, 0L, 0L, 0L, None)), got.mkString(","))
   }
 
+  test("sourceConcentration: exact shares, HHI, and effective-domain " +
+      "count on a hand-computed 3:1 split") {
+    import spark.implicits._
+    // A: 3 tokens, B: 1 -> shares 750000/250000 ppm; HHI =
+    // (75e4^2 + 25e4^2) // 1e6 = 625000; eff = 1e8 // 625000 = 160
+    val docs = Seq((1L, "A", "a b c"), (2L, "B", "q"))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.sourceConcentration(docs)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("A", 3L, 750000L, 625000L, 160L),
+      ("B", 1L, 250000L, 625000L, 160L)), got.mkString(","))
+  }
+
   test("mixtureEpochs: exact recipe table — zero-weight domain drops " +
       "to 0 target tokens, upsampled domains exceed 10000 bp epochs") {
     import spark.implicits._
