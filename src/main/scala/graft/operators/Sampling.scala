@@ -795,8 +795,13 @@ object Sampling {
     * back to doc grain for the kept census.
     */
   def matchDistribution(docs: DataFrame,
-      bucketWidth: Long = 100L): DataFrame = {
-    require(bucketWidth >= 1)
+      bucketWidth: Long = 100L, keepGrain: Int = 10000): DataFrame = {
+    // keepGrain is BOTH the scrambled-hash bucket grain and the
+    // keep-probability scale — p = w·grain div max_w compared against
+    // bucket(id, grain) — so the kept fraction is p/grain for any
+    // grain; decoupling the two literals would silently skew the
+    // rejection rate (r16 ADVICE: hoisted to a caller-shared constant)
+    require(bucketWidth >= 1 && keepGrain >= 1)
     val base = docs.select(col("doc_id"), col("n_chars"),
       pmod(col("doc_id"), lit(2L)).as("h"),
       idiv(col("n_chars"), lit(bucketWidth)).as("b"))
@@ -819,11 +824,11 @@ object Sampling {
     val mx = w.agg(greatest(max(col("w_bp")), lit(1L)).as("max_w"))
     val p = w.crossJoin(broadcast(mx))
       .withColumn("p_bp",
-        idiv(col("w_bp").cast(Dec38) * lit(10000L).cast(Dec38),
+        idiv(col("w_bp").cast(Dec38) * lit(keepGrain.toLong).cast(Dec38),
           col("max_w").cast(Dec38)).cast("long"))
     val kept = base.filter(col("h") === 0L)
       .join(broadcast(p.select(col("b"), col("p_bp"))), Seq("b"))
-      .filter(bucket(col("doc_id"), 10000) < col("p_bp"))
+      .filter(bucket(col("doc_id"), keepGrain) < col("p_bp"))
       .groupBy(col("b")).agg(count(lit(1)).as("kept_n"))
     p.join(kept, Seq("b"), "left")
       .select(col("b"), col("src_n"), col("ref_n"), col("w_bp"),
@@ -895,9 +900,12 @@ object Sampling {
     *
     * Scale shape: one source-keyed hash aggregate over a narrow
     * projection, then two bounded 1-row broadcasts (Σw and B) onto
-    * the ≤|sources| frame. int64 headroom: B·w_d ≤ ~2.5e13 tokens ·
-    * 10⁴ = 2.5e17 at a 100 TB corpus — no decimal limb needed (bound
-    * stated, OverflowSpec-exempt). All operands non-negative.
+    * the ≤|sources| frame. The B·w_d and Σtokens·budgetNum products
+    * ride DECIMAL(38,0): weights and budget multipliers are
+    * caller-supplied, so the bp-scale 2.5e17 headroom bound does not
+    * survive a large w_bp or budgetNum under non-ANSI int64 (r16
+    * ADVICE); the per-source targets divided back down fit int64 for
+    * any corpus whose token count does. All operands non-negative.
     */
   def mixtureEpochs(docs: DataFrame, srcCol: String = "source",
       weightsBp: Map[String, Long] = Map.empty,
@@ -916,15 +924,18 @@ object Sampling {
       .withColumn("w_bp", w)
     val tot = perSrc.agg(
       greatest(sum(col("w_bp")), lit(1L)).as("wsum"),
-      idiv(sum(col("tokens_avail")) * budgetNum, lit(budgetDen))
+      idiv(sum(col("tokens_avail")).cast(Dec38) *
+        lit(budgetNum).cast(Dec38), lit(budgetDen).cast(Dec38))
         .as("budget"))
     perSrc.crossJoin(broadcast(tot))
       .withColumn("tokens_target",
-        idiv(col("budget") * col("w_bp"), col("wsum")))
+        idiv(col("budget") * col("w_bp").cast(Dec38),
+          col("wsum").cast(Dec38)).cast("long"))
       .withColumn("epochs_bp",
         when(col("tokens_avail") === 0L, lit(null).cast("long"))
-          .otherwise(idiv(lit(10000L) * col("tokens_target"),
-            col("tokens_avail"))))
+          .otherwise(idiv(lit(10000L).cast(Dec38) *
+            col("tokens_target").cast(Dec38),
+            col("tokens_avail").cast(Dec38)).cast("long")))
       .select(col("source"), col("tokens_avail"), col("w_bp"),
         col("tokens_target"), col("epochs_bp"))
       .orderBy(col("source"))
@@ -935,7 +946,9 @@ object Sampling {
     * pipeline orders its corpus by, made rank-free so it scales:
     * a doc's stage is floor(stages·cum/N) where cum counts docs in
     * strictly lower difficulty buckets ([[graft.operators.TextStats
-    * .qualityCbp]] div 250). No global sort, no single-partition
+    * .qualityCbp]] div `bucketWidth`, default 250 — shared with the
+    * oracle twin via the registry constant, r16 ADVICE). No global
+    * sort, no single-partition
     * window: the bucket census is cardinality-bounded (qualityCbp
     * spans ≲10⁶ → ≤ ~4000 buckets at any corpus size), its running
     * total is a broadcast inequality self-join over that bounded
@@ -949,11 +962,12 @@ object Sampling {
     * docs have negative qualityCbp); both engines truncate toward
     * zero (verified — Layout.scala:232 precedent).
     */
-  def curriculumStages(docs: DataFrame, stages: Int = 4): DataFrame = {
-    require(stages >= 2)
+  def curriculumStages(docs: DataFrame, stages: Int = 4,
+      bucketWidth: Long = 250L): DataFrame = {
+    require(stages >= 2 && bucketWidth >= 1)
     val b = docs.select(col("doc_id"), col("n_chars"),
         TextStats.qualityCbp(col("text")).as("q"))
-      .withColumn("bkt", idiv(col("q"), lit(250L)))
+      .withColumn("bkt", idiv(col("q"), lit(bucketWidth)))
     val bc = b.groupBy(col("bkt")).agg(count(lit(1)).as("c"))
     val cum = bc.as("a")
       .join(broadcast(bc.select(col("bkt").as("lo_bkt"),

@@ -1576,10 +1576,22 @@ object TextStats {
       .agg(count(lit(1)).cast("long").as("cnt"))
   }
 
-  /** z in bp for a frame carrying weights w0..w3 and features x0..x3. */
+  /** z in bp for a frame carrying weights w0..w3 and features x0..x3.
+    * The w·x products ride DECIMAL(38,0) like the gradient limb: the
+    * σ ≥ 1 standardization floor admits |x| up to 10⁸, and a
+    * diverging fit (large lrNum·rounds) can push w past 10¹¹ — int64
+    * would wrap the product silently and skew every later round
+    * (r16 ADVICE). The summed z itself is divided back to bp scale
+    * and returned as int64 (a z outside int64 is already past any
+    * meaningful sigmoid saturation; non-ANSI cast yields NULL there,
+    * loud in the oracle compare, never a wrong sign).
+    */
   private def lrZ: Column =
-    idiv(col("w0") * col("x0") + col("w1") * col("x1") +
-      col("w2") * col("x2") + col("w3") * col("x3"), lit(10000L))
+    idiv(col("w0").cast(Dec38) * col("x0").cast(Dec38) +
+      col("w1").cast(Dec38) * col("x1").cast(Dec38) +
+      col("w2").cast(Dec38) * col("x2").cast(Dec38) +
+      col("w3").cast(Dec38) * col("x3").cast(Dec38),
+      lit(10000L).cast(Dec38)).cast("long")
 
   /** The "fast sigmoid" σ̃(z) = ½ + z/(2(1+|z|)) in bp — every op is
     * integer (+, ·, div, abs), so it is bit-identical across engines,
@@ -1590,8 +1602,9 @@ object TextStats {
     * for any sigmoid-shaped link.
     */
   private def lrP(zBp: Column): Column =
-    lit(5000L) + idiv(lit(10000L) * zBp,
-      lit(2L) * (lit(10000L) + abs(zBp)))
+    lit(5000L) + idiv(lit(10000L).cast(Dec38) * zBp.cast(Dec38),
+      lit(2L).cast(Dec38) *
+        (lit(10000L).cast(Dec38) + abs(zBp.cast(Dec38)))).cast("long")
 
   /** Batch-gradient-descent fit over a collapsed feature table:
     * per round ONE hash aggregate computes the exact integer gradient

@@ -23,6 +23,8 @@ private[graft] object RegSampling {
   private val MatchBucketWidth = 100L
   private val MatchKeepGrain = 10000
   private val TruncMaxLen = 128L
+  private val CurriculumStages = 4
+  private val CurriculumBucketWidth = 250L
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_packed" -> ((s, dir) => {
@@ -94,14 +96,15 @@ private[graft] object RegSampling {
       // easy-to-hard curriculum stages at value-bucket grain: no
       // global rank, just two bounded hash aggs + broadcast joins —
       // the schedule survives 10^11 rows because nothing sorts them
-      Sampling.curriculumStages(t(s, dir, "documents"))
+      Sampling.curriculumStages(t(s, dir, "documents"),
+        stages = CurriculumStages, bucketWidth = CurriculumBucketWidth)
     }),
     "sample_match_distribution" -> ((s, dir) => {
       // histogram-matching rejection audit: reshape the even-id
       // split's length distribution to the odd-id split's via
       // per-bucket deterministic keep probabilities
       Sampling.matchDistribution(t(s, dir, "documents"),
-        bucketWidth = MatchBucketWidth)
+        bucketWidth = MatchBucketWidth, keepGrain = MatchKeepGrain)
     }),
     "sample_truncation_loss" -> ((s, dir) => {
       // truncate-vs-pack decision row at max_seq_len 128: per-source
@@ -381,7 +384,8 @@ private[graft] object RegSampling {
                  // greatest(length(text), 1) AS q
              FROM (SELECT doc_id, n_chars, text,
                      ' ' || lower(text) || ' ' AS p FROM documents)),
-      bb AS (SELECT doc_id, n_chars, q, q // 250 AS bkt FROM b),
+      bb AS (SELECT doc_id, n_chars, q,
+               q // $CurriculumBucketWidth AS bkt FROM b),
       bc AS (SELECT bkt, CAST(count(*) AS BIGINT) AS c
              FROM bb GROUP BY 1),
       cum AS (SELECT a.bkt, a.c,
@@ -392,7 +396,8 @@ private[graft] object RegSampling {
       SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
              min(q) AS min_q, max(q) AS max_q,
              CAST(sum(n_chars) AS BIGINT) AS total_chars
-      FROM (SELECT least((4 * cum) // greatest(n, 1), 3) AS stage,
+      FROM (SELECT least(($CurriculumStages * cum) // greatest(n, 1),
+                     ${CurriculumStages - 1}) AS stage,
               q, n_chars
             FROM bb JOIN cum USING (bkt), nn)
       GROUP BY 1 ORDER BY 1""",
@@ -419,8 +424,8 @@ private[graft] object RegSampling {
       mx AS (SELECT greatest(CAST(max(w_bp) AS BIGINT), 1) AS max_w
              FROM w),
       pp AS (SELECT b, src_n, ref_n, w_bp,
-               CAST((CAST(w_bp AS HUGEINT) * 10000) // max_w AS BIGINT)
-                 AS p_bp
+               CAST((CAST(w_bp AS HUGEINT) * $MatchKeepGrain) // max_w
+                 AS BIGINT) AS p_bp
              FROM w, mx),
       kept AS (SELECT base.b, CAST(count(*) AS BIGINT) AS kept_n
                FROM base JOIN pp USING (b)
@@ -479,10 +484,11 @@ private[graft] object RegSampling {
                 (CAST(sum(tokens_avail) AS BIGINT) * 2) // 1 AS budget
               FROM w)
       SELECT source, tokens_avail, w_bp,
-             (budget * w_bp) // wsum AS tokens_target,
+             CAST((CAST(budget AS HUGEINT) * w_bp) // wsum AS BIGINT)
+               AS tokens_target,
              CASE WHEN tokens_avail = 0 THEN NULL
-                  ELSE (10000 * ((budget * w_bp) // wsum))
-                    // tokens_avail END AS epochs_bp
+                  ELSE CAST((10000 * ((CAST(budget AS HUGEINT) * w_bp)
+                    // wsum)) // tokens_avail AS BIGINT) END AS epochs_bp
       FROM w, tot ORDER BY source""",
     "sample_mixture" -> s"""
       WITH RECURSIVE ${sdbmCte("documents", "doc_id", "0",

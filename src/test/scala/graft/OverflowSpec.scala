@@ -658,4 +658,95 @@ class OverflowSpec extends AnyFunSuite {
     }
     assert(got == exp, s"got $got expected $exp")
   }
+
+  test("lrFit scoring limb (lrZ / lrP) at the diverging-fit extreme: " +
+      "lrNum = 2000 at |x_std| = 1e8 drives round-2 w*x to 1e19 and " +
+      "the sigmoid numerator 1e4*z to 1e19, DECIMAL-exact vs BigInt") {
+    import spark.implicits._
+    // claim (TextStats.lrZ / lrP, r16 ADVICE): the w·x products and
+    // the 10⁴·z sigmoid numerator ride DECIMAL(38,0) because a
+    // diverging fit combined with the σ ≥ 1 |x_std| ≤ 1e8 extreme
+    // pushes both past int64. Drive it there: one aggressive round
+    // puts w1 at −1e11, so round 2's w1·x1 = −1e19 and 10⁴·z = −1e19,
+    // each past 9.2e18 — int64 would wrap both and skew every later
+    // round silently.
+    val cnt = 10L
+    val xb = 100000000L
+    val feat = Seq(
+      (10000L, xb, 0L, 0L, 0L, cnt),
+      (10000L, -xb, 0L, 0L, 1L, cnt))
+      .toDF("x0", "x1", "x2", "x3", "y", "cnt")
+    val traj = TextStats.lrFit(feat, rounds = 2, lrNum = 2000L)
+    val got = traj.map(_.select("r", "w0", "w1", "w2", "w3")
+      .as[(Long, Long, Long, Long, Long)].collect().head)
+    def p(z: BigInt): BigInt =
+      BigInt(5000) + (BigInt(10000) * z) / (BigInt(2) * (BigInt(10000) + z.abs))
+    val rows = Seq((BigInt(10000), BigInt(xb), BigInt(0), BigInt(0),
+      BigInt(0), BigInt(cnt)),
+      (BigInt(10000), BigInt(-xb), BigInt(0), BigInt(0), BigInt(1),
+        BigInt(cnt)))
+    var w = Vector(BigInt(0), BigInt(0), BigInt(0), BigInt(0))
+    val expect = Seq.newBuilder[Vector[BigInt]]
+    expect += w
+    for (r <- 1 to 2) {
+      val prods = rows.map { case (x0, x1, x2, x3, _, _) =>
+        Vector(x0, x1, x2, x3).zip(w).map { case (x, wi) => (wi * x).abs }.max
+      }
+      if (r == 2)
+        assert(prods.max > BigInt(Long.MaxValue),
+          s"round $r w*x ${prods.max} does not exceed int64 - claim wrong")
+      val gs = (0 until 4).map { i =>
+        rows.map { case (x0, x1, x2, x3, y, c) =>
+          val xs = Vector(x0, x1, x2, x3)
+          val z = (w(0) * x0 + w(1) * x1 + w(2) * x2 + w(3) * x3) /
+            BigInt(10000)
+          if (r == 2 && x1.abs == BigInt(xb))
+            assert((BigInt(10000) * z).abs > BigInt(Long.MaxValue) ||
+              z == 0, s"sigmoid numerator stayed inside int64 at $z")
+          c * (p(z) - y * 10000) * xs(i)
+        }.sum
+      }
+      val n = rows.map(_._6).sum
+      w = Vector.tabulate(4)(i =>
+        w(i) - (BigInt(2000) * gs(i)) / (BigInt(r) * n * BigInt(10000)))
+      expect += w
+    }
+    val exp = expect.result().zipWithIndex.map { case (ws, r) =>
+      (r.toLong, ws(0).toLong, ws(1).toLong, ws(2).toLong, ws(3).toLong)
+    }
+    assert(got == exp, s"got $got expected $exp")
+  }
+
+  test("mixtureEpochs budget limbs at caller-supplied extremes: " +
+      "budgetNum = 2e18 and w_bp = 1e4 drive sum(tokens)*budgetNum " +
+      "and budget*w_bp to 2e19 each, DECIMAL-exact vs BigInt") {
+    import spark.implicits._
+    // claim (Sampling.mixtureEpochs, r16 ADVICE): weights and budget
+    // multipliers are caller-supplied, so budget·w_bp and
+    // Σtokens·budgetNum are NOT bounded by the bp-scale 2.5e17
+    // headroom argument — both ride DECIMAL(38,0). Drive both past
+    // int64 with a 10-token doc: Σtokens·budgetNum = 2e19 and
+    // budget·w_bp = 2e15·1e4 = 2e19, while every OUTPUT column stays
+    // comfortably inside int64.
+    val docs = Seq(("src0", "a b c d e f g h i j"))
+      .toDF("source", "text")
+    val budgetNum = 2000000000000000000L
+    val budgetDen = 10000L
+    val got = Sampling.mixtureEpochs(docs, "source",
+      Map("src0" -> 10000L), defaultBp = 10000L,
+      budgetNum = budgetNum, budgetDen = budgetDen)
+      .select("source", "tokens_avail", "w_bp", "tokens_target",
+        "epochs_bp")
+      .as[(String, Long, Long, Long, Option[Long])].collect().toSeq
+    val tokens = BigInt(10)
+    assert(tokens * BigInt(budgetNum) > BigInt(Long.MaxValue),
+      "sum(tokens)*budgetNum does not exceed int64 - claim wrong")
+    val budget = tokens * BigInt(budgetNum) / BigInt(budgetDen)
+    assert(budget * BigInt(10000) > BigInt(Long.MaxValue),
+      "budget*w_bp does not exceed int64 - claim wrong")
+    val target = budget * BigInt(10000) / BigInt(10000)
+    val epochs = BigInt(10000) * target / tokens
+    assert(got == Seq(("src0", 10L, 10000L, target.toLong,
+      Some(epochs.toLong))), s"got $got")
+  }
 }
