@@ -48,6 +48,75 @@ object Tables {
     fixes.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
   }
 
+  /** The reference's Cassandra connection surface (Query.java:44-79
+    * CLI options + Query.java:127-143 Cluster.builder), as data. The
+    * CLI options map one-for-one; the four builder tuning constants
+    * are the reference's hard-wired values, surfaced as defaults so a
+    * migration can keep or change them.
+    *
+    * `host` holds the comma-separated contact points exactly as the
+    * reference's `--host` takes them (Query.java:89-91 splits on
+    * comma; the connector key accepts the same comma form). Defaults
+    * mirror the reference: localhost, 9042, no auth.
+    */
+  final case class CassandraConf(
+      host: String = "localhost",              // --host (Query.java:90)
+      port: Int = 9042,                        // --port (Query.java:96)
+      user: Option[String] = None,             // --user (Query.java:100)
+      pass: String = "",                       // --pass (Query.java:102)
+      readTimeoutMs: Int = 40000,              // SocketOptions (Q:133)
+      reconnectMinMs: Long = 500L,             // ExponentialReconnection
+      reconnectMaxMs: Long = 300000L,          //   Policy(500, 300000) (Q:134)
+      fetchSize: Int = 1000)                   // _batchSize (Q:31,152)
+
+  /** The option-for-option mapping from [[CassandraConf]] to the
+    * public spark-cassandra-connector keys — the F2 wiring a
+    * connected deployment passes to `spark.read.format(
+    * "org.apache.spark.sql.cassandra")`. Auth keys appear only when
+    * credentials are set, mirroring the reference's two
+    * Cluster.builder branches (Query.java:127-143).
+    *
+    * One documented divergence: the reference's
+    * DowngradingConsistencyRetryPolicy (Q:136) has no driver-4.x
+    * equivalent (the policy was removed upstream); the public
+    * migration guidance is to pin the lowest consistency level the
+    * app accepts up front, which for this read-only export is the
+    * LOCAL_ONE floor that policy would downgrade to.
+    */
+  def cassandraOptions(c: CassandraConf): Map[String, String] = {
+    val base = Map(
+      "spark.cassandra.connection.host" -> c.host,
+      "spark.cassandra.connection.port" -> c.port.toString,
+      "spark.cassandra.read.timeoutMS" -> c.readTimeoutMs.toString,
+      "spark.cassandra.connection.reconnectionDelayMS.min" ->
+        c.reconnectMinMs.toString,
+      "spark.cassandra.connection.reconnectionDelayMS.max" ->
+        c.reconnectMaxMs.toString,
+      "spark.cassandra.input.fetch.sizeInRows" -> c.fetchSize.toString,
+      "spark.cassandra.input.consistency.level" -> "LOCAL_ONE")
+    c.user.fold(base)(u => base +
+      ("spark.cassandra.auth.username" -> u) +
+      ("spark.cassandra.auth.password" -> c.pass))
+  }
+
+  /** The live F2 leg: read one Cassandra table through the public
+    * connector, with the reference's whole connection surface applied.
+    * Compiles against the stable DataFrameReader API alone; invoking
+    * it requires the spark-cassandra-connector jar on the classpath
+    * (absent in this offline environment — the call then fails loudly
+    * in `format` resolution, the F13 fail-loud convention, rather
+    * than silently reading nothing). The offline stand-in with the
+    * same signature shape is [[load]]; both sit behind
+    * [[graft.operators.DocSource]].
+    */
+  def loadCassandra(spark: SparkSession, conf: CassandraConf,
+      keyspace: String, table: String): DataFrame =
+    spark.read.format("org.apache.spark.sql.cassandra")
+      .options(cassandraOptions(conf))
+      .option("keyspace", keyspace)
+      .option("table", table)
+      .load()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     try normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     catch {

@@ -26,6 +26,18 @@ case class ParquetSource(dir: String, table: String) extends DocSource {
   def load(spark: SparkSession): DataFrame = Tables.load(spark, dir, table)
 }
 
+/** The connected-deployment F2 source: the reference's Cassandra
+  * connection surface ([[graft.Tables.CassandraConf]], option-for-
+  * option from Query.java:44-143) over the public connector format.
+  * Swapping [[ParquetSource]] for this in an [[ExportConfig]] is the
+  * entire migration step — every downstream stage is source-agnostic.
+  */
+case class CassandraSource(conf: Tables.CassandraConf,
+    keyspace: String, table: String) extends DocSource {
+  def load(spark: SparkSession): DataFrame =
+    Tables.loadCassandra(spark, conf, keyspace, table)
+}
+
 /** A dimension joined onto the export before projection/filter — the
   * Sphinx-migration shape the reference could not express (its CQL hit
   * one Cassandra table; real index sources routinely denormalize a
