@@ -359,9 +359,10 @@ object Bench {
     // shapes being 1-row scalar broadcasts and capped-truth topK).
     // Scoped to this run's query names so stale dumps from filtered
     // local runs can't inflate the counts.
-    val (planFlags, bnljNames) = {
+    val (planFlags, bnljNames, bnljViolations) = {
       var cart = 0; var sp = 0; var nFiles = 0
       val bnlj = Seq.newBuilder[String]
+      val viol = Seq.newBuilder[String]
       adjudicated.foreach { r =>
         val f = new java.io.File(plansDir, s"${r.name}.txt")
         if (f.isFile) {
@@ -372,18 +373,29 @@ object Bench {
           catch { case _: Throwable => "" }
           if (txt.contains("CartesianProduct")) cart += 1
           if (txt.contains("Exchange SinglePartition")) sp += 1
-          if (txt.contains("BroadcastNestedLoopJoin")) bnlj += r.name
+          if (txt.contains("BroadcastNestedLoopJoin")) {
+            bnlj += r.name
+            // self-policing build-side adjudication (PlanAudit): a
+            // BNLJ outside the adjudicated shapes/roster is named
+            // here AND fails PlanAuditSpec — the census the judge
+            // ran by hand through r16, as an invariant
+            viol ++= PlanAudit.violations(r.name, txt)
+          }
         }
       }
       val names = bnlj.result()
+      val vs = viol.result()
       (s"""{"plan_files":$nFiles,"cartesian_files":$cart,""" +
         s""""single_partition_exchange_files":$sp,""" +
-        s""""bnlj_files":${names.size}}""",
+        s""""bnlj_files":${names.size},""" +
+        s""""bnlj_unadjudicated":${vs.size}}""",
         // full artifact only: the named roster, so a round-over-round
         // diff shows exactly which queries ADDED a nested-loop join
-        names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+        names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"),
+        vs.sorted.map(v => "\"" + v.replace("\"", "'") + "\"")
+          .mkString("[", ",", "]"))
     }
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"plan_flags":$planFlags,"bnlj_names":$bnljNames,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"query_start_offsets_s":$qsOff,"queries_gc_ms":$qsGc,"queries_storage_mb":$qsStor,"queries_state_rows":$qsStateRows,"queries_state_bytes":$qsStateBytes,"capped":$capped,"suspect":$suspect,"requeued":$requeuedJson,"requeue_regression":$regressionJson,"plan_flags":$planFlags,"bnlj_names":$bnljNames,"bnlj_unadjudicated_names":$bnljViolations,"repeats":$repeats,"repeat_cap_s":$repeatCap,"sf":"$sfDir","plans_dir":"${plansDir.getPath}","canary":$canaryJson,"n_queries":${adjudicated.size},"total_s":$total}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullPath), fullJson + "\n")
     catch { case e: Throwable =>
