@@ -50,6 +50,7 @@ object Bench {
       .map { case (max, remaining) => max - remaining }.sum / (1024 * 1024)
 
   def main(args: Array[String]): Unit = {
+    Scratch.redirectTmpdir() // ephemeral IO on tmpfs (see Scratch doc)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Repeated-measure mode: run each query up to REPEATS times and

@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    Scratch.redirectTmpdir() // ephemeral IO on tmpfs (see Scratch doc)
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local
     // iteration only — the driver always passes two args = full run)

@@ -141,8 +141,7 @@ private[graft] object RegEventsA {
     "events_stream_foreach" -> ((s, dir) => {
       // foreachBatch programmable sink: stream -> per-batch parquet
       // append -> re-read; hashed against the events table itself
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-feb").toFile
+      val tmp = graft.Scratch.dir("graft-feb").toFile
       // localCheckpoint() is EAGER: the sink files are fully read into
       // block storage before the finally deletes them — the lifetime
       // this relies on, so don't swap in a lazy checkpoint/persist

@@ -47,8 +47,7 @@ private[graft] object RegIo {
       // inside survivors); LayoutSpec proves files actually got
       // skipped. At 100 TB this is listing-level pruning — the
       // manifest stays one row per file.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-skip").toFile
+      val tmp = graft.Scratch.dir("graft-skip").toFile
       try {
         t(s, dir, "lineitem")
           .repartitionByRange(8, col("l_orderkey"))
@@ -67,10 +66,8 @@ private[graft] object RegIo {
       // (file counts driven by ROW COUNT, so they're exact on both
       // sides) rides with content proof re-aggregated from the
       // compacted directory.
-      val tmpIn = java.nio.file.Files
-        .createTempDirectory("graft-cmp-in").toFile
-      val tmpOut = java.nio.file.Files
-        .createTempDirectory("graft-cmp-out").toFile
+      val tmpIn = graft.Scratch.dir("graft-cmp-in").toFile
+      val tmpOut = graft.Scratch.dir("graft-cmp-out").toFile
       try {
         t(s, dir, "events")
           .select(col("event_id"), col("event_type"), col("value"))
@@ -93,8 +90,7 @@ private[graft] object RegIo {
       // column generation 2 added; mergeSchema unions the file
       // schemas (missing column null-filled) and the directory name
       // becomes the discovered partition column `g`.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-evo").toFile
+      val tmp = graft.Scratch.dir("graft-evo").toFile
       try {
         val o = t(s, dir, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
@@ -236,8 +232,7 @@ private[graft] object RegIo {
       val cols = Seq("doc_id", "source", "text")
       val schema = org.apache.spark.sql.types.StructType(
         cols.map(n => docs.schema(n)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-jsonl-rt").toFile
+      val tmp = graft.Scratch.dir("graft-jsonl-rt").toFile
       val back =
         try {
           JsonlExport.writeShards(docs.repartition(4), cols, tmp.toString)
@@ -264,8 +259,7 @@ private[graft] object RegIo {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-jsonl-dirty").toFile
+      val tmp = graft.Scratch.dir("graft-jsonl-dirty").toFile
       val r =
         try {
           clean.union(bad).coalesce(2).write.mode("overwrite")
@@ -288,8 +282,7 @@ private[graft] object RegIo {
       val cols = Seq("doc_id", "source", "text")
       val schema = org.apache.spark.sql.types.StructType(
         cols.map(n => docs.schema(n)))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-csv-rt").toFile
+      val tmp = graft.Scratch.dir("graft-csv-rt").toFile
       val back =
         try {
           CsvIO.writeShards(docs.repartition(4), cols, tmp.toString)
@@ -304,8 +297,7 @@ private[graft] object RegIo {
       // self-described so no dialect to pin). events is the richest
       // fixture typewise: timestamp (µs), double, strings, longs.
       val ev = t(s, dir, "events")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-orc-rt").toFile
+      val tmp = graft.Scratch.dir("graft-orc-rt").toFile
       val back =
         try {
           ev.repartition(4).write.mode("overwrite").orc(tmp.toString)
@@ -319,8 +311,7 @@ private[graft] object RegIo {
       // spark-avro isn't on the bundled classpath, so AvroIO drives
       // the public AvroKeyOutput/InputFormat Hadoop path instead)
       val ev = t(s, dir, "events")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-avro-rt").toFile
+      val tmp = graft.Scratch.dir("graft-avro-rt").toFile
       // the Hadoop committer requires a NONEXISTENT output dir: write
       // to a subpath of the (pre-created) temp dir
       val out = new java.io.File(tmp, "out").toString
@@ -356,7 +347,7 @@ private[graft] object RegIo {
       // aggregated from the unpartitioned original.
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-part").toFile
+      val tmp = graft.Scratch.dir("graft-part").toFile
       val back =
         try {
           val out = new java.io.File(tmp, "events_by_day").toString
@@ -389,7 +380,7 @@ private[graft] object RegIo {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"),
           col("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dpp").toFile
+      val tmp = graft.Scratch.dir("graft-dpp").toFile
       val back =
         try {
           val outF = new java.io.File(tmp, "events_by_day").toString
@@ -422,7 +413,7 @@ private[graft] object RegIo {
       // untouched. Oracle: the same restatement computed relationally.
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dyn").toFile
+      val tmp = graft.Scratch.dir("graft-dyn").toFile
       val back =
         try {
           val out = new java.io.File(tmp, "events_by_type").toString

@@ -180,7 +180,7 @@ private[graft] object RegXmlPipe {
       // the oracle renders the same columns as text.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-xmlrt").toFile
+      val tmp = graft.Scratch.dir("graft-xmlrt").toFile
       val back =
         try {
           val out = new java.io.File(tmp, "docset").toString
@@ -227,7 +227,7 @@ private[graft] object RegXmlPipe {
       // xml_read_roundtrip, via the DSv2 scan instead of column exprs.
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2q").toFile
+      val tmp = graft.Scratch.dir("graft-dsv2q").toFile
       val back =
         try {
           val out = new java.io.File(tmp, "docset").toString
@@ -249,7 +249,7 @@ private[graft] object RegXmlPipe {
       // still count correctly, so the query asserts the plan shape
       // into the hashed output.
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-dsv2c").toFile
+      val tmp = graft.Scratch.dir("graft-dsv2c").toFile
       try {
         val out = new java.io.File(tmp, "docset").toString
         XmlPipe.writeShardedDocsets(
