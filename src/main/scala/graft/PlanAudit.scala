@@ -152,6 +152,68 @@ object PlanAudit {
     }
   }
 
+  /** Is the subtree rooted at `i` REDUCED — already collapsed below
+    * corpus scale before a single-partition exchange? True once every
+    * path to a leaf passes an aggregate (any keys: group-count
+    * cardinality), a limit, a literal Range, or a checkpointed
+    * ExistingRDD frame; a raw parquet Scan on any path is a
+    * corpus-scale single-partition collapse — the classic
+    * global-sort scale-killer — and fails the audit. Joins require
+    * both children reduced; Generate/Window/Filter/Project pass
+    * through (they expand or shrink a frame that is already bounded
+    * by its source).
+    */
+  private def reduced(tree: Vector[Node], i: Int): Boolean = {
+    val n = tree(i)
+    name(n) match {
+      case "HashAggregate" | "SortAggregate" | "ObjectHashAggregate" => true
+      case "GlobalLimit" | "CollectLimit" | "LocalLimit" |
+          "TakeOrderedAndProject" => true
+      case "Range" => true
+      case "Scan" => n.header.contains("ExistingRDD")
+      case nm if nm.endsWith("Join") =>
+        children(tree, i).forall(c => reduced(tree, c))
+      case "Union" => children(tree, i).forall(c => reduced(tree, c))
+      case _ =>
+        // pass-through (Project/Filter/Exchange/Sort/Window/Generate/
+        // BroadcastExchange/AQEShuffleRead/...): cardinality class
+        // comes from below; unknown leaves fail loud
+        val cs = children(tree, i)
+        cs.nonEmpty && cs.forall(c => reduced(tree, c))
+    }
+  }
+
+  /** CartesianProduct (always a violation — the suite has none) and
+    * Exchange-SinglePartition-over-unreduced-input audits, same
+    * per-section parse as the BNLJ census.
+    */
+  def spViolations(queryName: String, planText: String): Seq[String] = {
+    planText.split("(?m)^==== captured.*$").toSeq.flatMap { section =>
+      val (tree, details) = parseSection(section)
+      val cart = tree.filter(n => name(n) == "CartesianProduct")
+        .map(n => s"$queryName: CartesianProduct(${n.id})")
+      val sp = tree.indices.filter { i =>
+        val n = tree(i)
+        name(n) == "Exchange" &&
+          details.get(n.id).exists(_.contains("SinglePartition"))
+      }.flatMap { i =>
+        children(tree, i).headOption match {
+          case Some(c) if reduced(tree, c) => Nil
+          case Some(c) => Seq(s"$queryName: Exchange SinglePartition(" +
+            s"${tree(i).id}) over unreduced ${name(tree(c))}")
+          case None => Nil // captured fragment roots: nothing to judge
+        }
+      }
+      cart ++ sp
+    }
+  }
+
+  /** The full plan audit: BNLJ build sides + cartesian +
+    * single-partition collapses. PlanAuditSpec sweeps with this.
+    */
+  def allViolations(queryName: String, planText: String): Seq[String] =
+    violations(queryName, planText) ++ spViolations(queryName, planText)
+
   /** Audit every BNLJ in every section of one plan file's text.
     * Returns violation descriptions (empty = fully adjudicated).
     */

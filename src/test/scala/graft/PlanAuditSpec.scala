@@ -128,6 +128,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(v.size == 1 && v.head.contains("KeyedAggAdjudicated"), v)
   }
 
+  test("Exchange SinglePartition is benign over a reduced frame " +
+      "(aggregate below) and a violation over a raw corpus scan") {
+    def plan(mid: String): String =
+      s"""== Physical Plan ==
+         |AdaptiveSparkPlan (5)
+         |+- Sort (4)
+         |   +- Exchange (3)
+         |      $mid
+         |         +- Scan parquet  (1)
+         |
+         |(3) Exchange
+         |Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+         |""".stripMargin
+    assert(PlanAudit.spViolations("q",
+      plan("+- HashAggregate (2)")).isEmpty)
+    val v = PlanAudit.spViolations("q", plan("+- Project (2)"))
+    assert(v.size == 1 && v.head.contains("SinglePartition"), v)
+  }
+
+  test("CartesianProduct is a violation outright") {
+    val plan =
+      """== Physical Plan ==
+        |AdaptiveSparkPlan (4)
+        |+- CartesianProduct (3)
+        |   :- Scan parquet  (1)
+        |   +- Scan parquet  (2)
+        |""".stripMargin
+    val v = PlanAudit.spViolations("q", plan)
+    assert(v.size == 1 && v.head.contains("CartesianProduct"), v)
+  }
+
   test("sweep: every BNLJ in the current bench plan dumps is " +
       "adjudicated (bnlj_unadjudicated = 0)") {
     val dir = new java.io.File("target/bench-plans")
@@ -139,8 +170,7 @@ class PlanAuditSpec extends AnyFunSuite {
       val txt = new String(
         java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      if (!txt.contains("BroadcastNestedLoopJoin")) Nil
-      else PlanAudit.violations(f.getName.stripSuffix(".txt"), txt)
+      PlanAudit.allViolations(f.getName.stripSuffix(".txt"), txt)
     }
     assert(bad.isEmpty,
       s"unadjudicated BNLJ shapes (fix the plan or adjudicate the " +
