@@ -941,6 +941,77 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** One multiplicative-weights update of domain mixture weights —
+    * the DoReMi step (Xie et al. 2023) with the Hedge/linear payoff
+    * in exact integers: domains whose mean difficulty runs BELOW the
+    * corpus mean (excess "loss") get upweighted
+    *   factor_bp = 10⁴ + (η_bp · excess) div 10⁴
+    *   w_raw     = (w_bp · factor_bp) div 10⁴
+    * then the new shares are normalized to ppm and smoothed toward
+    * uniform with mass ε (the DoReMi uniform-mixing guard that keeps
+    * every domain sampled):
+    *   w_ppm = ((10⁴ − ε_bp) · (10⁶·w_raw div Σraw)) div 10⁴
+    *         + (10⁶·ε_bp) div (10⁴·k).
+    * exp(ηℓ) is deliberately linearized — exp is not exactly rounded
+    * in IEEE and the first-order MW update is the standard integer-
+    * safe Hedge variant; per-round behavior is monotone-identical.
+    * The difficulty proxy is [[graft.operators.TextStats.qualityCbp]]
+    * (the same signal the curriculum and LR-distillation operators
+    * ride): excess_d = max(0, corpusMean − domainMean), means in
+    * truncate-toward-zero integer division on both engines (signed —
+    * Layout.scala:232 precedent). Caller-supplied η and weights ride
+    * DECIMAL(38,0) products (the mixtureEpochs rule: bp-scale
+    * headroom arguments do not survive arbitrary caller inputs).
+    * Σw_ppm lands within integer-rounding residue of 10⁶, not
+    * exactly on it — it is a readout for the next round's weights,
+    * not a partition function.
+    *
+    * Scale shape: ONE corpus scan to a domain-keyed aggregate, then
+    * corpus totals derived from that ≤|domains| frame (never a second
+    * scan) and two bounded 1-row broadcasts (corpus mean + k, Σraw).
+    */
+  def mixtureReweight(docs: DataFrame, srcCol: String = "source",
+      weightsBp: Map[String, Long] = Map.empty,
+      defaultBp: Long = 10000L, etaBp: Long = 10000L,
+      epsBp: Long = 1000L): DataFrame = {
+    require(defaultBp >= 0 && etaBp >= 0 && epsBp >= 0 &&
+      epsBp <= 10000 && weightsBp.values.forall(_ >= 0))
+    val w = weightsBp.foldLeft(lit(defaultBp)) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v)).otherwise(acc)
+    }
+    val perSrc = docs
+      .select(col(srcCol).as("source"),
+        TextStats.qualityCbp(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q")).as("sq"))
+      .withColumn("mean_q_cbp", idiv(col("sq"), col("n_docs")))
+      .withColumn("w_bp", w)
+    val corpus = perSrc.agg(
+      idiv(sum(col("sq")), greatest(sum(col("n_docs")), lit(1L)))
+        .as("cmean"),
+      count(lit(1)).as("k"))
+    val f = perSrc.crossJoin(broadcast(corpus))
+      .withColumn("excess_cbp",
+        greatest(col("cmean") - col("mean_q_cbp"), lit(0L)))
+      .withColumn("factor_bp", lit(10000L) +
+        idiv(lit(etaBp).cast(Dec38) * col("excess_cbp").cast(Dec38),
+          lit(10000L).cast(Dec38)).cast("long"))
+      .withColumn("w_raw",
+        idiv(col("w_bp").cast(Dec38) * col("factor_bp").cast(Dec38),
+          lit(10000L).cast(Dec38)).cast("long"))
+    val tot = f.agg(greatest(sum(col("w_raw")), lit(1L)).as("sraw"))
+    f.crossJoin(broadcast(tot))
+      .withColumn("w_ppm",
+        idiv(lit(10000L - epsBp).cast(Dec38) *
+          idiv(lit(1000000L).cast(Dec38) * col("w_raw").cast(Dec38),
+            col("sraw").cast(Dec38)),
+          lit(10000L).cast(Dec38)).cast("long") +
+        idiv(lit(1000000L * epsBp), lit(10000L) * col("k")))
+      .select(col("source"), col("n_docs"), col("mean_q_cbp"),
+        col("excess_cbp"), col("factor_bp"), col("w_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** Curriculum-stage assignment at VALUE-BUCKET grain — the
     * easy-to-hard schedule (Bengio et al. 2009) a pre-training
     * pipeline orders its corpus by, made rank-free so it scales:

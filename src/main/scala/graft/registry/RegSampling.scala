@@ -25,6 +25,8 @@ private[graft] object RegSampling {
   private val TruncMaxLen = 128L
   private val CurriculumStages = 4
   private val CurriculumBucketWidth = 250L
+  private val ReweightEtaBp = 5000L
+  private val ReweightEpsBp = 1000L
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_packed" -> ((s, dir) => {
@@ -116,6 +118,15 @@ private[graft] object RegSampling {
       // mixture-health readout: per-source token share, corpus HHI,
       // effective number of domains — run before trusting weights
       Sampling.sourceConcentration(t(s, dir, "documents"))
+    }),
+    "sample_mixture_reweight" -> ((s, dir) => {
+      // one DoReMi multiplicative-weights step over the mixture
+      // family's weights: domains below the corpus-mean difficulty
+      // (qualityCbp) get upweighted by the linearized Hedge factor,
+      // then ppm-normalized with 10% uniform smoothing
+      Sampling.mixtureReweight(t(s, dir, "documents"), "source",
+        Map("src0" -> 2500L, "src1" -> 5000L, "src2" -> 0L),
+        defaultBp = 7500L, etaBp = ReweightEtaBp, epsBp = ReweightEpsBp)
     }),
     "sample_mixture_epochs" -> ((s, dir) => {
       // DoReMi-style recipe table at a 2x-corpus token budget, same
@@ -469,6 +480,45 @@ private[graft] object RegSampling {
              FROM h)
       SELECT source, tokens, share_ppm, hhi_ppm, eff_domains_c
       FROM sh, h2 ORDER BY source""",
+    "sample_mixture_reweight" -> s"""
+      WITH b AS (SELECT source,
+               (1000000 * (${Seq("the", "and", "of", "to").map(hitsSql)
+                 .mkString(" + ")})
+                - 10000 * length(regexp_replace(text,
+                    '[a-zA-Z0-9\\s]', '', 'g')))
+                 // greatest(length(text), 1) AS q
+             FROM (SELECT source, text,
+                     ' ' || lower(text) || ' ' AS p FROM documents)),
+      d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(q) AS BIGINT) AS sq
+            FROM b GROUP BY 1),
+      dm AS (SELECT source, n_docs, sq // n_docs AS mean_q_cbp,
+               CAST(CASE source WHEN 'src0' THEN 2500
+                    WHEN 'src1' THEN 5000 WHEN 'src2' THEN 0
+                    ELSE 7500 END AS BIGINT) AS w_bp
+             FROM d),
+      c AS (SELECT CAST(sum(sq) AS BIGINT)
+                // greatest(CAST(sum(n_docs) AS BIGINT), 1) AS cmean,
+              CAST(count(*) AS BIGINT) AS k
+            FROM d),
+      f AS (SELECT source, n_docs, mean_q_cbp, w_bp, k,
+              greatest(cmean - mean_q_cbp, 0) AS excess_cbp,
+              10000 + (CAST($ReweightEtaBp AS HUGEINT)
+                * greatest(cmean - mean_q_cbp, 0)) // 10000 AS factor_bp
+            FROM dm, c),
+      f2 AS (SELECT *,
+               CAST((CAST(w_bp AS HUGEINT) * factor_bp) // 10000
+                 AS BIGINT) AS w_raw
+             FROM f),
+      t AS (SELECT greatest(CAST(sum(w_raw) AS BIGINT), 1) AS sraw
+            FROM f2)
+      SELECT source, n_docs, mean_q_cbp, excess_cbp,
+             CAST(factor_bp AS BIGINT) AS factor_bp,
+             CAST(((10000 - $ReweightEpsBp) *
+                 ((1000000 * CAST(w_raw AS HUGEINT)) // sraw)) // 10000
+               + (1000000 * $ReweightEpsBp) // (10000 * k)
+               AS BIGINT) AS w_ppm
+      FROM f2, t ORDER BY source""",
     "sample_mixture_epochs" -> """
       WITH ps AS (SELECT source,
                CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -546,6 +546,42 @@ class SamplingSpec extends AnyFunSuite {
       ("C", 1L, 7500L, 7L, Some(70000L))), got.mkString(","))
   }
 
+  test("mixtureReweight: uniform-difficulty corpus leaves every " +
+      "factor at 10^4 and shares at weight ratio + uniform floor; " +
+      "a below-mean domain gets the exact linearized Hedge factor") {
+    import spark.implicits._
+    // identical text -> identical qualityCbp -> cmean = every mean
+    // -> excess 0 -> factor 10000 for all; w_raw = w_bp. shares:
+    // A 2500/10000, B 7500/10000; eps = 0 -> ppm exactly 250000 /
+    // 750000.
+    val uni = Seq((1L, "A", "the cat"), (2L, "B", "the cat"))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.mixtureReweight(uni, "source",
+      Map("A" -> 2500L), defaultBp = 7500L, etaBp = 5000L, epsBp = 0L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._4, r._5, r._6)) == Seq(
+      ("A", 0L, 10000L, 250000L), ("B", 0L, 10000L, 750000L)), got)
+    // B's punct-heavy text sits below the corpus mean -> excess > 0
+    // -> factor = 10^4 + (eta * excess) div 10^4, replicated exactly
+    val skew = Seq((1L, "A", "the and of to"), (2L, "B", "!!!!"))
+      .toDF("doc_id", "source", "text")
+    val g2 = Sampling.mixtureReweight(skew, "source", Map.empty,
+      defaultBp = 10000L, etaBp = 5000L, epsBp = 1000L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val qa = (1000000L * 4 - 10000L * 0) / 13  // qualityCbp("the and of to")
+    val qb = (1000000L * 0 - 10000L * 4) / 4   // qualityCbp("!!!!")
+    val cmean = (qa + qb) / 2
+    val excess = math.max(cmean - qb, 0L)
+    val factor = 10000L + (5000L * excess) / 10000L
+    val rawA = 10000L; val rawB = 10000L * factor / 10000L
+    val sraw = rawA + rawB
+    def ppm(raw: Long) =
+      (10000L - 1000L) * (1000000L * raw / sraw) / 10000L +
+        1000000L * 1000L / (10000L * 2)
+    assert(g2 == Seq(("A", 1L, qa, 0L, 10000L, ppm(rawA)),
+      ("B", 1L, qb, excess, factor, ppm(rawB))), g2)
+  }
+
   test("curriculumStages: bucket-grain quartiles with exact hand-" +
       "computed difficulty ranges, partition-invariant") {
     import spark.implicits._
