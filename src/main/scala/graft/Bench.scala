@@ -263,13 +263,17 @@ object Bench {
     // disproved; this pass is that re-run, automated and in-artifact).
     def isSuspect(r: BenchResult): Boolean =
       r.min > 0 && r.published / r.min > 2.0 && r.published - r.min > 0.5
-    // cross-ROUND regression: published >2.5x the prior committed
+    // cross-ROUND regression: published >2x the prior committed
     // run's number for the same query (absolute floor so sub-second
     // entries don't churn) — the one drift class neither isSuspect
-    // nor the cap can see (all repeats slow in this run only)
+    // nor the cap can see (all repeats slow in this run only).
+    // Threshold 2.0 (was 2.5): the r16 judge found a 2.2x mover
+    // sailing into the committed artifact un-requeued; a >2x move
+    // that persists through its requeue is exactly what the
+    // adjudication machinery exists to name, at one extra run each.
     def isRegression(r: BenchResult): Boolean =
       priorQueries.get(r.name).exists(p =>
-        p > 0 && r.published / p > 2.5 && r.published - p > 0.5)
+        p > 0 && r.published / p > 2.0 && r.published - p > 0.5)
     val fnByName = queries.toMap
     // capped entries are requeued UNCONDITIONALLY: their published
     // number is already min-of-2, so the published/min ratio can never
