@@ -63,6 +63,12 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // family subset override for the deeper decades, where the
+    // super-constant families (wedge join, compaction rewrite) would
+    // dominate wall without adding evidence beyond their 10x ratio
+    val families = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Families)
     val spark = Sessions.builder("graft-scale-probe", s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,7 +80,7 @@ object ScaleProbe {
       // cheapest family so family 1 doesn't absorb the cold start
       runOnce(spark, qs("text_bm25"), sfDir)
       runOnce(spark, qs("text_bm25"), scaled.toString)
-      val rows = Families.map { name =>
+      val rows = families.map { name =>
         val fn = qs(name)
         // min of 2 on BOTH sides: the first run of a family at a new
         // size pays page-cache and codegen warm-up that is not the
@@ -89,12 +95,27 @@ object ScaleProbe {
           f"SCALE $name%-24s base $base%7.2f s  ${copies}x $big%7.2f s  ratio $ratio%5.2f")
         s""""$name":{"base_s":${f"$base%.3f"},"scaled_s":${f"$big%.3f"},"ratio":${f"$ratio%.2f"}}"""
       }
-      val json = s"""{"copies":$copies,"sf_dir":"$sfDir",""" +
+      val run = s"""{"copies":$copies,"sf_dir":"$sfDir",""" +
         s""""generated_utc":"${java.time.Instant.now()}",""" +
         s""""families":{${rows.mkString(",")}}}"""
-      val out = java.nio.file.Paths.get("target/scale_probe.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, json + "\n")
+      // multi-decade artifact: one file per copies count under
+      // target/scale_probe_runs (newest run at a given scale wins),
+      // composed into {"runs":[{10x...},{100x...}]} ascending — no
+      // textual re-parsing of composed JSON (an earlier regex merge
+      // clipped nested objects; per-run files make it structural)
+      val runsDir = java.nio.file.Paths.get("target/scale_probe_runs")
+      java.nio.file.Files.createDirectories(runsDir)
+      java.nio.file.Files.writeString(
+        runsDir.resolve(f"run_$copies%06d.json"), run + "\n")
+      import scala.jdk.CollectionConverters._
+      val runs = java.nio.file.Files.list(runsDir).iterator().asScala
+        .filter(_.getFileName.toString.matches("run_\\d+\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+        .map(p => new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      val json = s"""{"runs":[${runs.mkString(",")}]}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/scale_probe.json"), json + "\n")
       println(json)
     } finally deleteRec(scaled)
   }
