@@ -2,8 +2,9 @@ package graft
 
 /** Scratch-space allocator for harness-ephemeral data: streaming
   * replay chunks and checkpoints, lake-layout round-trip dirs, DSv2
-  * connector round-trips. On hosts with a writable /dev/shm the
-  * scratch lives on tmpfs; otherwise it falls back to java.io.tmpdir.
+  * connector round-trips. On hosts with a writable /dev/shm (and
+  * headroom — below) the scratch lives on tmpfs; otherwise it falls
+  * back to the JVM's original java.io.tmpdir.
   *
   * Why: every completion-harness micro-batch pays sink + checkpoint
   * + RocksDB commit IO, and the io_* layout queries pay manifest and
@@ -16,15 +17,46 @@ package graft
   * locations are object-store/NVMe paths chosen by the operator, so
   * the medium is a harness concern, not an engine semantic.
   *
-  * Stale entries (a crashed run's leftovers) are swept best-effort
-  * at first use, age-gated at 6 h so concurrent runs can't collide.
+  * What deliberately does NOT ride tmpfs: shuffle spill. Spill
+  * exists to relieve memory pressure; spilling INTO RAM-backed tmpfs
+  * consumes the memory it was relieving (and /dev/shm is commonly
+  * capped at 50% of RAM — ENOSPC mid-run). [[redirectTmpdir]]
+  * therefore pins `spark.local.dir` (the shuffle/block-manager
+  * scratch, which otherwise follows java.io.tmpdir) to the ORIGINAL
+  * disk tmpdir before moving java.io.tmpdir to tmpfs, and the
+  * redirect itself is gated on tmpfs headroom. Bulk fixtures (e.g.
+  * the scale probe's Nx parquet copies) use [[diskDir]], never the
+  * tmpfs root.
+  *
+  * Stale-entry sweep: each JVM owns one `run-<pid>` subdirectory and
+  * only ever allocates inside it. At first use, sibling run dirs are
+  * removed iff their owning process is DEAD (`/proc/<pid>` gone) —
+  * liveness, not mtime, so a concurrent run that has been going
+  * longer than any age cutoff (a long scale probe) can never have
+  * its live scratch swept out from under it. Unparseable leftovers
+  * (a pre-run-dir layout, a crashed mkdir) fall back to a 6 h age
+  * gate.
   */
 object Scratch {
 
+  /** The JVM's tmpdir as it was BEFORE any redirect — the disk
+    * location for spill and bulk fixtures.
+    */
+  private[graft] val originalTmpdir: String =
+    System.getProperty("java.io.tmpdir", "/tmp")
+
+  private val RunDir = raw"run-(\d+)".r
+
+  private def pidAlive(pid: Long): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"/proc/$pid"))
+
   private def sweepStale(root: java.io.File): Unit = {
-    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    val ageCutoff = System.currentTimeMillis() - 6L * 3600 * 1000
     Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.lastModified() < cutoff) deleteRec(f)
+      f.getName match {
+        case RunDir(pid) => if (!pidAlive(pid.toLong)) deleteRec(f)
+        case _ => if (f.lastModified() < ageCutoff) deleteRec(f)
+      }
     }
   }
 
@@ -34,16 +66,31 @@ object Scratch {
     f.delete(): Unit
   }
 
-  /** tmpfs-backed scratch root if available, else java.io.tmpdir. */
+  /** Require this much usable tmpfs before pointing ephemeral IO at
+    * it: the harness working set (replay chunks + chunk cache +
+    * streaming checkpoints + RocksDB working dirs) stays well under
+    * 1 GiB at sf0.1, so 4 GiB of headroom means the redirect can
+    * never be the thing that fills /dev/shm.
+    */
+  private val MinTmpfsBytes = 4L << 30
+
+  /** This run's scratch root: tmpfs-backed if /dev/shm is writable
+    * with headroom, else the original disk tmpdir. Always a per-pid
+    * subdirectory (the liveness unit the sweep keys on).
+    */
   lazy val base: java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
     val root =
-      if (shm.isDirectory && shm.canWrite) {
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace >= MinTmpfsBytes) {
         val d = new java.io.File(shm, "graft-scratch")
         if (d.isDirectory || d.mkdirs()) { sweepStale(d); d }
-        else new java.io.File(System.getProperty("java.io.tmpdir"))
-      } else new java.io.File(System.getProperty("java.io.tmpdir"))
-    root.toPath
+        else new java.io.File(originalTmpdir)
+      } else new java.io.File(originalTmpdir)
+    val mine = new java.io.File(root,
+      s"run-${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    mine.toPath
   }
 
   /** A fresh scratch directory under [[base]] — the drop-in for
@@ -52,14 +99,27 @@ object Scratch {
   def dir(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(base, prefix)
 
+  /** A fresh DISK-backed temp directory (the original tmpdir), for
+    * bulk data that must not compete with RAM: scale-probe fixture
+    * copies, anything multi-GB.
+    */
+  def diskDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(originalTmpdir), prefix)
+
   /** Point the JVM's java.io.tmpdir at the tmpfs scratch root, so
     * the IMPLICIT ephemeral paths follow too: Spark's auto-created
-    * temporary streaming checkpoints, RocksDB state-store working
-    * dirs, and the spark.local.dir default (shuffle scratch). Called
-    * by the Bench and Verify mains BEFORE the session is built; a
-    * library user's JVM is never touched.
+    * temporary streaming checkpoints and RocksDB state-store working
+    * dirs. Shuffle spill does NOT follow: `spark.local.dir` is pinned
+    * first (via system property, read by SparkConf at session build)
+    * to the original disk tmpdir — see the class doc for why spill
+    * must stay off RAM. Called by the Bench and Verify mains BEFORE
+    * the session is built; a library user's JVM is never touched.
     */
   def redirectTmpdir(): Unit =
-    if (base.toString.startsWith("/dev/shm"))
+    if (base.toString.startsWith("/dev/shm")) {
+      if (System.getProperty("spark.local.dir") == null)
+        System.setProperty("spark.local.dir", originalTmpdir): Unit
       System.setProperty("java.io.tmpdir", base.toString): Unit
+    }
 }

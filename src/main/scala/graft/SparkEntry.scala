@@ -171,7 +171,13 @@ object SparkEntry {
     * [[oracleSql]] with this path at dump time.
     */
   def recallDumpDir(sfDir: String): String =
-    s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_recall/" +
+    // the ORIGINAL disk tmpdir, deliberately outside Scratch's swept
+    // tmpfs: the DuckDB oracle reads these files AFTER this JVM exits,
+    // and Scratch sweeps dead runs' tmpfs scratch at next use — a
+    // later Bench start must not delete the dumps the driver's
+    // correctness compare is about to read (they are KB-scale, so the
+    // disk write costs nothing)
+    s"${Scratch.originalTmpdir}/graft_recall/" +
       new java.io.File(sfDir).getName
 
   /** Placeholder in [[oracleSql]] for the recall dump dir. */

@@ -72,9 +72,17 @@ object Tables {
   /** The option-for-option mapping from [[CassandraConf]] to the
     * public spark-cassandra-connector keys — the F2 wiring a
     * connected deployment passes to `spark.read.format(
-    * "org.apache.spark.sql.cassandra")`. Auth keys appear only when
-    * credentials are set, mirroring the reference's two
-    * Cluster.builder branches (Query.java:127-143).
+    * "org.apache.spark.sql.cassandra")`. The reference builds TWO
+    * distinct clusters (Query.java:127-143): the credentialed branch
+    * sets credentials + the ExponentialReconnectionPolicy + the retry
+    * policy, while the unauthenticated branch sets ONLY contact
+    * points, port, and the 40 s read timeout — so the reconnection
+    * delays and the consistency floor here follow the auth keys into
+    * the credentialed branch and are absent without credentials,
+    * exactly like the reference (the connector's own defaults apply
+    * then, as the bare driver's did for the reference's no-auth
+    * cluster). The fetch size rides both branches: the reference sets
+    * it per Statement (Q:31,152), independent of the builder.
     *
     * One documented divergence: the reference's
     * DowngradingConsistencyRetryPolicy (Q:136) has no driver-4.x
@@ -88,15 +96,15 @@ object Tables {
       "spark.cassandra.connection.host" -> c.host,
       "spark.cassandra.connection.port" -> c.port.toString,
       "spark.cassandra.read.timeoutMS" -> c.readTimeoutMs.toString,
+      "spark.cassandra.input.fetch.sizeInRows" -> c.fetchSize.toString)
+    c.user.fold(base)(u => base ++ Map(
+      "spark.cassandra.auth.username" -> u,
+      "spark.cassandra.auth.password" -> c.pass,
       "spark.cassandra.connection.reconnectionDelayMS.min" ->
         c.reconnectMinMs.toString,
       "spark.cassandra.connection.reconnectionDelayMS.max" ->
         c.reconnectMaxMs.toString,
-      "spark.cassandra.input.fetch.sizeInRows" -> c.fetchSize.toString,
-      "spark.cassandra.input.consistency.level" -> "LOCAL_ONE")
-    c.user.fold(base)(u => base +
-      ("spark.cassandra.auth.username" -> u) +
-      ("spark.cassandra.auth.password" -> c.pass))
+      "spark.cassandra.input.consistency.level" -> "LOCAL_ONE"))
   }
 
   /** The live F2 leg: read one Cassandra table through the public

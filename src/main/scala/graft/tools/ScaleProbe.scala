@@ -72,7 +72,9 @@ object ScaleProbe {
     val spark = Sessions.builder("graft-scale-probe", s"local[$cpus]", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val scaled = Scratch.dir("graft-scale-fixtures").toFile
+    // fixtures are multi-GB at 100x — disk, never the tmpfs scratch
+    // (they'd consume the RAM the streaming/replay scratch relies on)
+    val scaled = Scratch.diskDir("graft-scale-fixtures").toFile
     try {
       buildScaled(spark, sfDir, scaled.toString, copies)
       val qs = SparkEntry.queries

@@ -39,14 +39,25 @@ class CassandraSeamSpec extends AnyFunSuite {
     assert(m.size == 9, s"unexpected extra keys: ${m.keySet}")
   }
 
-  test("no-credentials conf omits auth keys, mirroring the " +
-      "reference's unauthenticated Cluster.builder branch (Q:137-142)") {
+  test("no-credentials conf omits auth keys AND the reconnection/" +
+      "consistency tuning, mirroring the reference's unauthenticated " +
+      "Cluster.builder branch (Q:137-142: contact points, port, " +
+      "read timeout only)") {
     val m = Tables.cassandraOptions(Tables.CassandraConf())
     assert(!m.keySet.exists(_.startsWith("spark.cassandra.auth.")))
+    // the no-auth builder sets neither the ExponentialReconnection-
+    // Policy nor any retry/consistency policy — so neither do we
+    assert(!m.keySet.exists(_.contains("reconnectionDelayMS")))
+    assert(!m.contains("spark.cassandra.input.consistency.level"))
     // defaults mirror the reference's: localhost, 9042 (Q:92,97)
     assert(m("spark.cassandra.connection.host") == "localhost")
     assert(m("spark.cassandra.connection.port") == "9042")
-    assert(m.size == 7)
+    // read timeout + fetch size apply on both branches: both builders
+    // carry the 40 s SocketOptions (Q:133 authed, Q:141 no-auth), and
+    // the fetch size is set per Statement (Q:31,152), auth-independent
+    assert(m("spark.cassandra.read.timeoutMS") == "40000")
+    assert(m("spark.cassandra.input.fetch.sizeInRows") == "1000")
+    assert(m.size == 4, s"unexpected extra keys: ${m.keySet}")
   }
 
   test("CassandraSource sits behind DocSource — the ParquetSource " +
