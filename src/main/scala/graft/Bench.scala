@@ -253,7 +253,7 @@ object Bench {
       val published = if (overCap) times.min else median(times)
       val gcMs = gcMillis() - gcBefore
       val storMb = storageUsedMb(spark)
-      // streaming entries: final state-store footprint across the
+      // streaming entries: peak state-store footprint across the
       // entry's streaming queries (max per query name over the
       // repeats, summed across queries) — -1 marks a batch entry
       val sm = graft.streaming.EventsStream.drainStateMetrics()

@@ -72,9 +72,10 @@ object EventsStream {
   private[graft] def rocksdbState: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_STATE", "1") != "0"
 
-  /** Final state-store footprint per streaming query, recorded at
-    * stop time from `lastProgress.stateOperators` (numRowsTotal and
-    * memoryUsedBytes summed across the query's stateful operators).
+  /** Peak state-store footprint per streaming query, recorded at
+    * stop time as the max over the query's progress history of
+    * (numRowsTotal, memoryUsedBytes) summed across its stateful
+    * operators — see [[captureState]] for why peak, not final.
     * Bench drains this after each timed entry into
     * `queries_state_rows` / `queries_state_bytes` artifact columns,
     * so streaming state size is observable across the suite the same
@@ -93,20 +94,32 @@ object EventsStream {
     snap
   }
 
-  /** A stopped query's state-operator totals, or None for stateless
-    * queries (metrics must never fail a stop).
+  /** A stopped query's PEAK state-operator totals across its retained
+    * progress history (our harnesses run ≤ ~6 micro-batches, far
+    * under the 100-entry retention default), or None for stateless
+    * queries (metrics must never fail a stop). Peak, not final: the
+    * completion harnesses flush state through a sentinel before
+    * stopping, so the final footprint is near-zero by construction —
+    * the mid-replay peak is what actually bounds a deployment's state
+    * store (open sessions in flight, join rows within the watermark),
+    * and a growing PEAK series across rounds is the unbounded-state
+    * signal the artifact columns exist to catch.
     */
   private def captureState(
       q: org.apache.spark.sql.streaming.StreamingQuery)
       : Option[(String, Long, Long)] =
     try {
-      val p = q.lastProgress
-      if (p != null && p.stateOperators != null &&
-          p.stateOperators.nonEmpty) {
-        val rows = p.stateOperators.map(_.numRowsTotal).sum
-        val bytes = p.stateOperators.map(_.memoryUsedBytes).sum
-        Some((Option(p.name).getOrElse(q.id.toString), rows, bytes))
-      } else None
+      val ps = (q.recentProgress.toSeq ++ Option(q.lastProgress))
+        .filter(p => p != null && p.stateOperators != null &&
+          p.stateOperators.nonEmpty)
+      if (ps.isEmpty) None
+      else {
+        val rows = ps.map(_.stateOperators.map(_.numRowsTotal).sum).max
+        val bytes = ps.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+        val name = ps.flatMap(p => Option(p.name)).headOption
+          .getOrElse(q.id.toString)
+        Some((name, rows, bytes))
+      }
     } catch { case _: Throwable => None }
 
   /** Per-name MAX within one drain window — the exactly-once twin
@@ -157,16 +170,22 @@ object EventsStream {
   // ONE ingest is multiplexed into every query that consumes it, and
   // gates score the sinks the stream already wrote.
   //
-  // fromBundle models exactly that: the first member invoked pays for
-  // ONE bundled replay that runs every member's streaming query
-  // CONCURRENTLY over shared chunks; each other member consumes its
-  // pre-computed result (and its state-metric sample) as a sink read.
-  // Credits keep repeated measurement honest and order-free: a bundle
-  // run grants every member exactly one consumption, so a member
-  // invoked again after spending its credit (bench repeats) runs the
-  // bundle afresh instead of serving a stale memo — per-entry timings
-  // remain "one bundle run" for whichever member pays and "sink read"
-  // for the others, under any invocation order.
+  // fromBundle models exactly that with a STICKY PAYER: the first
+  // member invoked on a (group, dir) becomes the group's payer and
+  // re-runs ONE bundled replay — every member's streaming query
+  // CONCURRENTLY over shared chunks — on each of its own invocations
+  // (so the payer's repeated measurement stays honest); every other
+  // member reads its precomputed result (and its state-metric
+  // sample, recorded in the consuming entry's drain window) as a
+  // sink read. The payer must be sticky: an earlier credit design
+  // let consumer repeats and requeue passes absorb bundle runs into
+  // their medians and serve the payer a leftover sink read — the
+  // group's cost then appeared in NOBODY's published number. With a
+  // fixed payer, per-entry numbers are stable by construction:
+  // payer = bundle cost, consumers = sink-read cost, group total =
+  // bundle + ε. Results are deterministic functions of (dir, params),
+  // so a consumer re-reading the latest run is value-identical to
+  // re-running it.
   //
   // Results are either lazy frames over the run's memory sinks
   // (driver-held, immutable, never swept by the harness block sweep)
@@ -174,13 +193,13 @@ object EventsStream {
   // sweeps between entries — small collected LocalRelations.
   // --------------------------------------------------------------
 
-  private final class BundleSlice(
-      @volatile var df: DataFrame,
-      @volatile var metrics: Option[(String, Long, Long)],
-      var credits: Int)
+  private final class BundleState(
+      val payer: String,
+      val slices: java.util.HashMap[
+        String, (DataFrame, Option[(String, Long, Long)])])
 
   private val bundles =
-    new java.util.concurrent.ConcurrentHashMap[String, BundleSlice]()
+    new java.util.concurrent.ConcurrentHashMap[String, BundleState]()
 
   private def fromBundle(spark0: SparkSession, group: String,
       dir: String, member: String)(
@@ -189,19 +208,22 @@ object EventsStream {
     // keyed per stream session: results live in that session's memory
     // sinks and must not leak across parent sessions
     val sid = System.identityHashCode(streamSession(spark0))
-    def keyOf(m: String) = s"$sid|$group|$dir|$m"
-    val hit = bundles.get(keyOf(member))
-    if (hit == null || hit.credits <= 0) {
-      run.foreach { case (m, df, met) =>
-        val e = bundles.get(keyOf(m))
-        if (e == null) bundles.put(keyOf(m), new BundleSlice(df, met, 1))
-        else { e.df = df; e.metrics = met; e.credits += 1 }
+    val key = s"$sid|$group|$dir"
+    var st = bundles.get(key)
+    if (st == null || st.payer == member) {
+      val res = run
+      if (st == null) {
+        st = new BundleState(member,
+          new java.util.HashMap[
+            String, (DataFrame, Option[(String, Long, Long)])]())
+        bundles.put(key, st)
       }
+      res.foreach { case (m, df, met) => st.slices.put(m, (df, met)) }
     }
-    val e = bundles.get(keyOf(member))
-    e.credits -= 1
-    recordState(e.metrics)
-    e.df
+    val slice = st.slices.get(member)
+    require(slice != null, s"bundle $group returned no slice for $member")
+    recordState(slice._2)
+    slice._1
   }
 
   /** Shared replay-harness plumbing: atomically land a chunk as ONE
