@@ -201,6 +201,13 @@ object EventsStream {
   private val bundles =
     new java.util.concurrent.ConcurrentHashMap[String, BundleState]()
 
+  /** Bundle executions in this JVM — white-box observability for the
+    * sticky-payer contract (EventsStreamBundleSpec): a payer call
+    * increments it, a consumer sink read must not.
+    */
+  private[graft] val bundleRunCount =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private def fromBundle(spark0: SparkSession, group: String,
       dir: String, member: String)(
       run: => Seq[(String, DataFrame, Option[(String, Long, Long)])])
@@ -211,6 +218,7 @@ object EventsStream {
     val key = s"$sid|$group|$dir"
     var st = bundles.get(key)
     if (st == null || st.payer == member) {
+      bundleRunCount.incrementAndGet(): Unit
       val res = run
       if (st == null) {
         st = new BundleState(member,
