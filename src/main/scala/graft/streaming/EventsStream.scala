@@ -490,7 +490,14 @@ object EventsStream {
     * Oracle: the batch `session_window` twin (>= gap boundary).
     */
   def sessionWindowToCompletion(spark0: SparkSession, dir: String,
-      gap: String = "30 minutes"): DataFrame = {
+      gap: String = "30 minutes"): DataFrame =
+    if (gap == "30 minutes")
+      fromBundle(spark0, "session-g30", dir, "swin")(
+        sessionTrioBundle(spark0, dir, 30))
+    else sessionWindowSolo(spark0, dir, gap)
+
+  private def sessionWindowSolo(spark0: SparkSession, dir: String,
+      gap: String): DataFrame = {
     val spark = streamSession(spark0)
     import spark.implicits._
     val ev = graft.Tables.load(spark, dir, "events")
@@ -1126,16 +1133,23 @@ object EventsStream {
         StructField("n_events", LongType))))
   }
 
-  /** The whole sessionizer trio — flatMapGroupsWithState,
-    * transformWithState, and the warm-start cutover — over ONE shared
-    * ingest: the two replay twins consume identical chunks from one
-    * replay dir while the warm-start twin replays only the
-    * post-cutover slice of the SAME persisted event frame (plus its
-    * batch half), all three as concurrent streaming queries. One
-    * scan + split-instant + chunk materialization amortizes across
-    * the trio, and the three per-micro-batch floors overlap instead
-    * of summing — the multiplexed-ingest shape a deployment runs
-    * (see the [[fromBundle]] doc for how entries consume this).
+  /** The whole sessionizer family — flatMapGroupsWithState,
+    * transformWithState, the warm-start cutover, the NATIVE
+    * session_window aggregation, and the MapState/ListState type
+    * profile — over ONE shared ingest: four of the five consume
+    * identical chunks from one replay dir (the same (user_id, ts,
+    * event_id, event_type) rows feed each operator's own projection)
+    * while the warm-start twin replays only the post-cutover slice of
+    * the SAME persisted event frame (plus its batch half), all five
+    * as concurrent streaming queries. One scan + split-instant +
+    * chunk materialization amortizes across the family, and the five
+    * per-micro-batch floors overlap instead of summing — the
+    * multiplexed-ingest shape a deployment runs (see the
+    * [[fromBundle]] doc for how entries consume this). One shared
+    * sentinel flushes every member: its watermark (hi + gap + 2h −
+    * 1h delay) clears the sessionizers' last+gap timeouts, the
+    * session_window closes, and the type profile's fixed horizon
+    * (hi + 1h).
     */
   private def sessionTrioBundle(spark0: SparkSession, dir: String,
       gapMinutes: Int)
@@ -1147,30 +1161,45 @@ object EventsStream {
     val gapUs = gapMinutes * 60L * 1000000L
     val delayUs = 3600L * 1000000L
     val ev = graft.Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the sessionizer-shaped projection for the batch legs
+    val evS = ev.select(col("user_id"), col("ts"), col("event_id"))
     val stats = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi"),
       min(col("user_id")).as("lo_uid")).head()
     if (stats.isNullAt(0)) {
       ev.unpersist()
       val empty = emptySessionsDf(spark, ev.schema("user_id").dataType)
-      return Seq("fmgws", "tws", "warm").map(m => (m, empty, None))
+      import org.apache.spark.sql.types._
+      val emptyProfile = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", ev.schema("user_id").dataType),
+          StructField("n_types", LongType),
+          StructField("n_events", LongType),
+          StructField("types_csv", StringType))))
+      return Seq("fmgws", "tws", "warm", "swin").map(m =>
+        (m, empty, None)) :+ (("profile", emptyProfile, None))
     }
     val hiUs = stats.getLong(1)
     // one split instant serves both the replay bisect and the warm
     // cutover (both must bisect an open session — same requirement)
-    val midUs = splitInstant(ev, stats.getLong(0), hiUs, gapMinutes)
+    val midUs = splitInstant(evS, stats.getLong(0), hiUs, gapMinutes)
     val sentinelUid = stats.getLong(2) - 1L
     val sentinelTs =
       new java.sql.Timestamp((hiUs + gapUs + delayUs + delayUs) / 1000L)
 
-    def replaySrc(replayDir: java.io.File) =
+    def replayRaw(replayDir: java.io.File): DataFrame =
       spark.readStream.schema(ev.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(replayDir.toString)
         .withWatermark("ts", "1 hour")
+
+    def replaySrc(replayDir: java.io.File) =
+      replayRaw(replayDir)
         // the watermarked ts attribute must stay in the stateful
         // operator's input (the event-time checkers require it); us is
         // the exact-microsecond twin used for the gap arithmetic
@@ -1178,11 +1207,13 @@ object EventsStream {
           unix_micros(col("ts")).as("us"), col("event_id"))
         .as[(Long, java.sql.Timestamp, Long, Long)]
 
-    // ---- replay A: the fMGWS + transformWithState twins ----
+    // ---- replay A: fMGWS + tws + native session_window + profile ----
     val replayA = graft.Scratch.dir("graft-replay").toFile
     val srcA = replaySrc(replayA)
     val qnF = "graft_events_sessions"
     val qnT = "graft_events_sessions_tws"
+    val qnSW = "graft_events_stream_session_window"
+    val qnP = "graft_events_type_profile"
     val qF = fmgwsSessionizer(gapMinutes)(srcA)
       .toDF("user_id", "start_us", "end_us", "n_events")
       .writeStream.outputMode("append").format("memory").queryName(qnF)
@@ -1191,10 +1222,31 @@ object EventsStream {
       .toDF("user_id", "start_us", "end_us", "n_events")
       .writeStream.outputMode("append").format("memory").queryName(qnT)
       .start()
+    val qSW = replayRaw(replayA)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("session_end"), col("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(qnSW)
+      .start()
+    // the profile's fixed flush horizon: above every real event,
+    // below the sentinel-driven watermark — every profile emits
+    // exactly once when the sentinel lands
+    val flushAtMs = (hiUs + delayUs) / 1000L
+    val qP = replayRaw(replayA)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeProfileProcessor(flushAtMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_types", "n_events", "types_csv")
+      .writeStream.outputMode("append").format("memory").queryName(qnP)
+      .start()
 
     // ---- replay B: warm-start cutover (batch half + stream) ----
     val pre = graft.operators.Events.sessionize(
-      ev.filter(unix_micros(col("ts")) < midUs), gapMinutes)
+      evS.filter(unix_micros(col("ts")) < midUs), gapMinutes)
     val rn = row_number().over(Window.partitionBy(col("user_id"))
       .orderBy(col("session_end").desc))
     val ranked = pre.withColumn("rn", rn)
@@ -1220,7 +1272,8 @@ object EventsStream {
       .writeStream.outputMode("append").format("memory").queryName(qnW)
       .start()
 
-    val qs = Seq(qF, qT, qW)
+    val qs = Seq(qF, qT, qW, qSW, qP)
+    val qsA = Seq(qF, qT, qSW, qP) // everything reading replay A
     try {
       writeChunk(replayA, dir,
         ev.filter(unix_micros(col("ts")) < midUs), "chunk1")
@@ -1231,11 +1284,13 @@ object EventsStream {
       writeChunk(replayA, dir,
         ev.filter(unix_micros(col("ts")) >= midUs), "chunk2")
       // A: must merge state across the split
-      qF.processAllAvailable(); qT.processAllAvailable()
+      qsA.foreach(_.processAllAvailable())
       // sentinels: one far-future row per replay pushes the watermark
-      // beyond every open session's timeout (hi + gap + delay + margin)
-      val sentinel = Seq((sentinelUid, sentinelTs, -1L))
-        .toDF("user_id", "ts", "event_id")
+      // beyond every open session's timeout (hi + gap + delay +
+      // margin), past the session_window close, and past the
+      // profile's fixed flush horizon
+      val sentinel = Seq((sentinelUid, sentinelTs, -1L, "sentinel"))
+        .toDF("user_id", "ts", "event_id", "event_type")
       writeChunk(replayA, dir, sentinel, "sentinel")
       writeChunk(replayB, dir, sentinel, "sentinel")
       qs.foreach(_.processAllAvailable()) // + no-data batch: flush timeouts
@@ -1271,7 +1326,11 @@ object EventsStream {
         timestamp_micros(col("end_us")).as("session_end"),
         col("n_events"))
     Seq(("fmgws", tail(qnF), mets(0)), ("tws", tail(qnT), mets(1)),
-      ("warm", warmDf, mets(2)))
+      ("warm", warmDf, mets(2)),
+      ("swin", spark.table(qnSW)
+        .filter(col("user_id") =!= sentinelUid), mets(3)),
+      ("profile", spark.table(qnP)
+        .filter(col("user_id") =!= sentinelUid), mets(4)))
   }
 
   /** The transformWithState sessionizer — Spark 4's arbitrary-state
@@ -1307,77 +1366,9 @@ object EventsStream {
     * yields counts (order-free sums), the list is emitted SORTED, so
     * the batch GROUP BY with count(DISTINCT)/string_agg is the oracle.
     */
-  def typeProfileToCompletion(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(spark0)
-    import org.apache.spark.sql.streaming.TimeMode
-    import spark.implicits._
-    val ev = graft.Tables.load(spark, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = ev.agg(min(col("user_id")).as("lo_uid"),
-      max(unix_micros(col("ts"))).as("hi"),
-      min(unix_micros(col("ts"))).as("lo")).head()
-    if (stats.isNullAt(0)) {
-      ev.unpersist()
-      import org.apache.spark.sql.types._
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("user_id", ev.schema("user_id").dataType),
-          StructField("n_types", LongType),
-          StructField("n_events", LongType),
-          StructField("types_csv", StringType))))
-    }
-    val hiUs = stats.getLong(1)
-    val sentinelUid = stats.getLong(0) - 1L
-    val delayUs = 3600L * 1000000L
-    // fixed flush horizon: above every real event, below the sentinel-
-    // driven watermark (sentinel ts − 1 h delay), so every profile
-    // emits exactly once when the sentinel lands
-    val flushAtMs = (hiUs + delayUs) / 1000L
-    val replayDir = graft.Scratch.dir("graft-profile-replay").toFile
-    val src = spark.readStream.schema(ev.schema)
-      .option("pathGlobFilter", "*.parquet")
-      .option("maxFilesPerTrigger", "1")
-      .parquet(replayDir.toString)
-      .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("ts"), col("event_type"))
-      .as[(Long, java.sql.Timestamp, String)]
-    val profiles = src.groupByKey(_._1)
-      .transformWithState(
-        new TypeProfileProcessor(flushAtMs),
-        TimeMode.EventTime(),
-        OutputMode.Append())
-    val qname = "graft_events_type_profile"
-    val q = profiles
-      .toDF("user_id", "n_types", "n_events", "types_csv")
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .start()
-    try {
-      // two chunks: the map/list must MERGE across micro-batches.
-      // Two fences, not three: c1 fences alone (it must be a batch of
-      // its own for the merge proof), then c2 + sentinel land together
-      // — maxFilesPerTrigger=1 still gives each file its own
-      // micro-batch, and the explicit mtime bump pins the source's
-      // mod-time file order so the sentinel cannot overtake c2 and
-      // watermark-drop its events.
-      val midUs = (stats.getLong(1) + stats.getLong(2)) / 2
-      writeChunk(replayDir, dir, ev.filter(unix_micros(col("ts")) < midUs), "c1")
-      q.processAllAvailable()
-      val c2f =
-        writeChunk(replayDir, dir, ev.filter(unix_micros(col("ts")) >= midUs), "c2")
-      val sf = writeChunk(replayDir, dir, Seq((sentinelUid,
-        new java.sql.Timestamp((hiUs + 3L * delayUs) / 1000L), "sentinel"))
-        .toDF("user_id", "ts", "event_type"), "sentinel")
-      sf.setLastModified(c2f.lastModified() + 60000L)
-      q.processAllAvailable()
-    } finally {
-      stopRecorded(q)
-      ev.unpersist()
-      deleteRec(replayDir)
-    }
-    spark.table(qname).filter(col("user_id") =!= sentinelUid)
-  }
+  def typeProfileToCompletion(spark0: SparkSession, dir: String): DataFrame =
+    fromBundle(spark0, "session-g30", dir, "profile")(
+      sessionTrioBundle(spark0, dir, 30))
 
   /** Processor for [[typeProfileToCompletion]]: MapState counts per
     * event type (point-increments — no blob rewrite), ListState keeps
