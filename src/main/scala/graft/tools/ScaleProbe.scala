@@ -181,14 +181,34 @@ object ScaleProbe {
         s""""generated_utc":"${java.time.Instant.now()}",""" +
         s""""families":{${rows.mkString(",")}}$streamingJson}"""
       // multi-decade artifact: one file per copies count under
-      // target/scale_probe_runs (newest run at a given scale wins),
-      // composed into {"runs":[{10x...},{100x...}]} ascending — no
-      // textual re-parsing of composed JSON (an earlier regex merge
-      // clipped nested objects; per-run files make it structural)
+      // target/scale_probe_runs, composed into
+      // {"runs":[{10x...},{100x...}]} ascending — no textual
+      // re-parsing of composed JSON (an earlier regex merge clipped
+      // nested objects; per-run files make it structural). A re-run
+      // at the SAME scale MERGES per family (new measurement wins,
+      // unmeasured families survive, a streaming block is kept when
+      // this run measured none) so a family-subset or streaming-only
+      // pass refines a decade instead of erasing it.
       val runsDir = java.nio.file.Paths.get("target/scale_probe_runs")
       java.nio.file.Files.createDirectories(runsDir)
-      java.nio.file.Files.writeString(
-        runsDir.resolve(f"run_$copies%06d.json"), run + "\n")
+      val runPath = runsDir.resolve(f"run_$copies%06d.json")
+      val merged =
+        if (!java.nio.file.Files.isRegularFile(runPath)) run
+        else try {
+          import com.fasterxml.jackson.databind.node.ObjectNode
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val old = om.readTree(java.nio.file.Files.readString(runPath))
+            .asInstanceOf[ObjectNode]
+          val neu = om.readTree(run).asInstanceOf[ObjectNode]
+          val fams = old.get("families").asInstanceOf[ObjectNode]
+          fams.setAll[ObjectNode](
+            neu.get("families").asInstanceOf[ObjectNode])
+          neu.set[ObjectNode]("families", fams)
+          if (!neu.has("streaming") && old.has("streaming"))
+            neu.set[ObjectNode]("streaming", old.get("streaming"))
+          om.writeValueAsString(neu)
+        } catch { case _: Throwable => run }
+      java.nio.file.Files.writeString(runPath, merged + "\n")
       import scala.jdk.CollectionConverters._
       val runs = java.nio.file.Files.list(runsDir).iterator().asScala
         .filter(_.getFileName.toString.matches("run_\\d+\\.json"))
