@@ -194,20 +194,7 @@ object ScaleProbe {
       val runPath = runsDir.resolve(f"run_$copies%06d.json")
       val merged =
         if (!java.nio.file.Files.isRegularFile(runPath)) run
-        else try {
-          import com.fasterxml.jackson.databind.node.ObjectNode
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val old = om.readTree(java.nio.file.Files.readString(runPath))
-            .asInstanceOf[ObjectNode]
-          val neu = om.readTree(run).asInstanceOf[ObjectNode]
-          val fams = old.get("families").asInstanceOf[ObjectNode]
-          fams.setAll[ObjectNode](
-            neu.get("families").asInstanceOf[ObjectNode])
-          neu.set[ObjectNode]("families", fams)
-          if (!neu.has("streaming") && old.has("streaming"))
-            neu.set[ObjectNode]("streaming", old.get("streaming"))
-          om.writeValueAsString(neu)
-        } catch { case _: Throwable => run }
+        else mergeRuns(java.nio.file.Files.readString(runPath), run)
       java.nio.file.Files.writeString(runPath, merged + "\n")
       import scala.jdk.CollectionConverters._
       val runs = java.nio.file.Files.list(runsDir).iterator().asScala
@@ -221,6 +208,27 @@ object ScaleProbe {
       println(json)
     } finally deleteRec(scaled)
   }
+
+  /** Merge a fresh same-scale run into a prior one: per-family the
+    * new measurement wins and unmeasured families survive; the prior
+    * `streaming` block is kept when the new run measured none (a
+    * family-subset or streaming-only pass refines a decade instead
+    * of erasing it). Any parse failure falls back to the new run
+    * verbatim — a corrupt leftover must never block a fresh probe.
+    */
+  private[graft] def mergeRuns(oldJson: String, newJson: String): String =
+    try {
+      import com.fasterxml.jackson.databind.node.ObjectNode
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val old = om.readTree(oldJson).asInstanceOf[ObjectNode]
+      val neu = om.readTree(newJson).asInstanceOf[ObjectNode]
+      val fams = old.get("families").asInstanceOf[ObjectNode]
+      fams.setAll[ObjectNode](neu.get("families").asInstanceOf[ObjectNode])
+      neu.set[ObjectNode]("families", fams)
+      if (!neu.has("streaming") && old.has("streaming"))
+        neu.set[ObjectNode]("streaming", old.get("streaming"))
+      om.writeValueAsString(neu)
+    } catch { case _: Throwable => newJson }
 
   private def runOnce(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame, dir: String): Double = {
