@@ -78,15 +78,32 @@ object Scratch {
     * with headroom, else the original disk tmpdir. Always a per-pid
     * subdirectory (the liveness unit the sweep keys on).
     */
+  /** `<parent>/graft-scratch`, created and liveness-swept — or None
+    * if it can't be created. Both the tmpfs and the disk-fallback
+    * paths go through here so dead runs' scratch (replay chunks,
+    * RocksDB checkpoints — GBs at probe scale) is swept on EITHER
+    * medium, and the per-pid run dirs never sit unscoped in a shared
+    * tmpdir root. The sweep only ever runs inside a graft-scratch
+    * dir we own, never on the bare system tmpdir.
+    */
+  private def scopedRoot(parent: java.io.File): Option[java.io.File] = {
+    val d = new java.io.File(parent, "graft-scratch")
+    if (d.isDirectory || d.mkdirs()) { sweepStale(d); Some(d) }
+    else None
+  }
+
   lazy val base: java.nio.file.Path = {
     val shm = new java.io.File("/dev/shm")
-    val root =
+    val tmpfsRoot =
       if (shm.isDirectory && shm.canWrite &&
-          shm.getUsableSpace >= MinTmpfsBytes) {
-        val d = new java.io.File(shm, "graft-scratch")
-        if (d.isDirectory || d.mkdirs()) { sweepStale(d); d }
-        else new java.io.File(originalTmpdir)
-      } else new java.io.File(originalTmpdir)
+          shm.getUsableSpace >= MinTmpfsBytes) scopedRoot(shm)
+      else None
+    val root = tmpfsRoot
+      .orElse(scopedRoot(new java.io.File(originalTmpdir)))
+      // Last resort (unwritable tmpdir root is already fatal for
+      // Spark itself): unscoped and unswept by design — sweeping a
+      // shared system tmpdir would delete files we don't own.
+      .getOrElse(new java.io.File(originalTmpdir))
     val mine = new java.io.File(root,
       s"run-${ProcessHandle.current().pid()}")
     mine.mkdirs()

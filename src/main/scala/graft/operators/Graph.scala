@@ -639,15 +639,41 @@ object Graph {
     val p = incidence.select(col("node"), col("via")).distinct()
     val keptVia = p.groupBy(col("via")).agg(count(lit(1)).as("vd"))
       .filter(col("vd") <= maxHubDeg).select(col("via"))
-    val kept = p.join(keptVia, "via")
-    val deg = kept.groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val wedges = kept.as("x").join(kept.as("y"),
-        col("x.via") === col("y.via") && col("x.node") < col("y.node"))
-      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+    // Wedge generation rides the capped per-via ADJACENCY ARRAYS, not
+    // a via-keyed self-join: the join shape shuffled + sorted the
+    // edge list twice and (with nothing pinned) recomputed the whole
+    // incidence pipeline once per consumer — the r18 plan dump shows
+    // 32 parquet scans and zero exchange reuse, and at the 100x probe
+    // decade the duplicated 600 M-row sorts were most of the measured
+    // 1.27x-per-unit overhead. Here the edge list shuffles ONCE onto
+    // the via key (the keptVia join's partitioning is reused by the
+    // groupBy — no second exchange), each via collects its sorted
+    // node array (bounded by maxHubDeg, so per-group state is capped
+    // at the same constant that bounds the wedge count), and the
+    // i<j pairs explode out of the array map-side. Wedge mass is
+    // unchanged: sum_via vd*(vd-1)/2.
+    val grouped = pinned(p.join(keptVia, "via")
+      .groupBy(col("via"))
+      .agg(sort_array(collect_list(col("node"))).as("ns")))
+    // degrees in the capped universe, from the same pinned arrays —
+    // node = the LEFT entity (a dimension: customers in the
+    // registered query), so the frame is dimension-sized and rides a
+    // broadcast to meet the pair frame without re-shuffling it
+    val deg = grouped
+      .select(explode(col("ns")).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = grouped
+      .select(explode(expr(
+        "flatten(transform(ns, (x, i) -> " +
+          "transform(slice(ns, i + 2, size(ns) - i - 1), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("w"))
+      .groupBy(col("w.a").as("a"), col("w.b").as("b"))
       .agg(count(lit(1)).as("cn"))
     wedges
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .join(broadcast(deg.select(col("node").as("a"),
+        col("deg").as("da"))), "a")
+      .join(broadcast(deg.select(col("node").as("b"),
+        col("deg").as("db"))), "b")
       .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
         expr("(10000 * cn) div (da + db - cn)").as("jaccard_bp"))
       .orderBy(col("cn").desc, col("jaccard_bp").desc, col("a"),

@@ -91,16 +91,21 @@ class EventsStreamBundleSpec extends AnyFunSuite {
     assert(EventsStream.bundleRunCount.get() == c0 + 2)
   }
 
-  test("heavy-hitters pair: the capacity-2 gate scores the run the " +
-      "pair's first member paid for; values match batch truth") {
+  test("heavy-hitters pair rides the shared ingest: both sketches " +
+      "sink-read the run the session payer already paid for; values " +
+      "match batch truth") {
     val truth = Tables.load(spark, dir, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val n = truth.values.sum
 
+    // the sessionizer test above already created this (group, dir)
+    // bundle with tws as the sticky payer — the heavy-hitter members
+    // of the SAME merged ingest group are pure consumers here
     val c0 = EventsStream.bundleRunCount.get()
     val exact = EventsStream.heavyHittersToCompletion(spark, dir)
-    assert(EventsStream.bundleRunCount.get() == c0 + 1)
+    assert(EventsStream.bundleRunCount.get() == c0,
+      "a non-payer member must sink-read, not re-run the ingest")
     // capacity 8 > 3 distinct types: every counter exact
     val got = exact.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -109,7 +114,7 @@ class EventsStreamBundleSpec extends AnyFunSuite {
     // the decrement-regime twin reads the same bundle's sink
     val est = EventsStream.heavyHittersToCompletion(spark, dir,
       capacity = 2)
-    assert(EventsStream.bundleRunCount.get() == c0 + 1)
+    assert(EventsStream.bundleRunCount.get() == c0)
     val estMap = est.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // Misra-Gries guarantee per type: 0 <= true - est <= N/(cap+1)
@@ -118,6 +123,31 @@ class EventsStreamBundleSpec extends AnyFunSuite {
       assert(e <= cnt && cnt - e <= n / 3,
         s"type $t: est $e vs true $cnt (N=$n)")
     }
+  }
+
+  test("attribution matrix rides the shared ingest (sink reads) and " +
+      "equals the batch interval join") {
+    val c0 = EventsStream.bundleRunCount.get()
+    val inner = EventsStream.attributionToCompletion(spark, dir)
+    assert(EventsStream.bundleRunCount.get() == c0,
+      "attribution members of the merged ingest group must sink-read")
+    val got = inner.select(col("user_id"), col("click_id"),
+        col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val truth = clicks.join(buys,
+        col("cu") === col("pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("cu"), col("click_id"), col("purchase_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(truth.nonEmpty && got == truth)
   }
 
   test("non-registered parameterizations run solo, not through a " +
