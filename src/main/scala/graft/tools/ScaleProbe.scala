@@ -196,10 +196,12 @@ object ScaleProbe {
             s""""base_sst_bytes":$bsst,"scaled_sst_bytes":$ssst,""" +
             s""""scaled_pinned_bytes":$spin,""" +
             s""""state_bytes_note":"memoryUsedBytes under RocksDB is """ +
-            s"""physical footprint (SST files from put volume awaiting """ +
-            s"""compaction + pinned cache blocks), not live state; """ +
-            s"""logical rows are the state bound — see sst/pinned """ +
-            s"""split","state_rows_ratio":${f"$stateRatio%.2f"}}"""
+            s"""the store's ALLOCATED footprint (memtable arenas + """ +
+            s"""block-cache capacity per open store instance, growing """ +
+            s"""with instances x batches), not data: the sst/pinned """ +
+            s"""split shows actual state bytes are KB-scale and flat """ +
+            s"""when logical rows are flat; logical rows are the """ +
+            s"""state bound","state_rows_ratio":${f"$stateRatio%.2f"}}"""
         }
         // SOLO twins: the registered entries ride the shared-ingest
         // bundle (ten queries, one replay), which is the right shape
