@@ -86,7 +86,7 @@ object Scratch {
     * tmpdir root. The sweep only ever runs inside a graft-scratch
     * dir we own, never on the bare system tmpdir.
     */
-  private def scopedRoot(parent: java.io.File): Option[java.io.File] = {
+  private[graft] def scopedRoot(parent: java.io.File): Option[java.io.File] = {
     val d = new java.io.File(parent, "graft-scratch")
     if (d.isDirectory || d.mkdirs()) { sweepStale(d); Some(d) }
     else None

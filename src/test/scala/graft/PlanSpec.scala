@@ -708,12 +708,21 @@ class PlanSpec extends AnyFunSuite {
       assert(sortIdx == -1 || sortIdx > aggIdx,
         s"$q sorts before aggregating:\n$p")
     }
-    // link prediction: hub-capped wedge equi-join, pair hash agg,
-    // top-k as TakeOrderedAndProject — no all-pairs anywhere
+    // link prediction: hub-capped wedges explode from the pinned
+    // per-via adjacency arrays (Generate), pair hash agg, top-k as
+    // TakeOrderedAndProject — no all-pairs anywhere. The r19 shape
+    // additionally pins: degrees attach via BROADCAST (the ~Σdeg²
+    // pair frame must never re-shuffle or sort after its one
+    // aggregation — the r18 SortMergeJoins over that frame were most
+    // of the 100x probe's overhead)
     val lp = plan("graph_link_pred")
     assert(!lp.contains("CartesianProduct"), lp)
     assert(!lp.contains("BroadcastNestedLoopJoin"), lp)
     assert(lp.contains("TakeOrderedAndProject"), lp)
+    assert(lp.contains("Generate"), lp)
+    assert("BroadcastHashJoin".r.findAllIn(lp).size >= 2, lp)
+    assert(!lp.contains("SortMergeJoin"),
+      s"pair frame re-shuffled through a sort-merge join:\n$lp")
     // calendar-bounded day-pair censuses may nested-loop ONLY the
     // day frame against itself (domain-bounded by adjudication)
     for (q <- Seq("events_decompose", "events_changepoint",
