@@ -44,7 +44,15 @@ object EventsStream {
 
   private def buildStreamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    // 2 state partitions (was 4; env-tunable): with the r19 merged
+    // ingest running 13 concurrent queries x ~5 micro-batches, the
+    // per-commit state-store overhead (RocksDB changelog sync +
+    // version files per instance) dominates — halving instances cut
+    // the bundle payer 10.9 -> 8.1 s, where the r17 2/4/8 sweep
+    // (measured on SOLO harnesses) was a wash. Fixture state is tiny
+    // either way; a deployment sizes this to its key cardinality.
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
     // State-store backend: the default HDFS-backed provider keeps every
     // state row on the executor HEAP — at 100 TB stream scale (billions
     // of open sessions / join rows) that is an OOM, not a tuning knob.
@@ -1525,6 +1533,18 @@ object EventsStream {
       ev.unpersist()
       deleteRec(replayA); deleteRec(replayB)
       throw t
+    }
+    if (bundleTiming) qs.foreach { q =>
+      val ps = q.recentProgress
+      val trig = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)).sum
+      val addB = ps.flatMap(p =>
+        Option(p.durationMs.get("addBatch")).map(_.longValue)).sum
+      val qn = ps.flatMap(p => Option(p.name)).headOption
+        .getOrElse(q.id.toString)
+      System.err.println(f"BUNDLE-QUERY $qn%-42s" +
+        f" batches=${ps.length}%2d trigger=${trig / 1000.0}%6.2f s" +
+        f" addBatch=${addB / 1000.0}%6.2f s")
     }
     val mets = phased("ingest:stop")(qs.map(stopCaptured))
     // warm's union references the finals LocalRelation (driver-held,
