@@ -33,7 +33,9 @@ object EventsStream {
 
   /** One stream-session clone per parent session, built once and
     * reused by every streaming twin: the clone's conf is identical on
-    * every call (shuffle partitions + state-store provider, below), so
+    * every call (shuffle partitions + state-store provider, below —
+    * except the probe's explicit [[setStreamShufflePartitions]]
+    * regime override between runs), so
     * sharing it is semantics-free, but it saves rebuilding session
     * state (analyzer, catalog, conf copy) per query — ~20 streaming
     * queries in a bench run each paid that floor. Weak keys so a
@@ -1755,6 +1757,19 @@ object EventsStream {
       dir: String): DataFrame =
     sessionReplay(spark0, dir, 30,
       "graft_events_sessions")(fmgwsSessionizer(30))
+
+  /** Probe-side state-partition override. The session default (2)
+    * is sized for the merged 13-query ingest, where per-commit store
+    * overhead dominates; a SOLO query ingesting the 100x fixture
+    * wants the parallelism back (measured: heavy_hitters 100x solo
+    * 44.0 s at 4 partitions vs 71.7 s at 2). Streaming queries read
+    * the conf at start, so setting it between probe runs is exact —
+    * the per-regime sizing a deployment does with the same knob.
+    */
+  private[graft] def setStreamShufflePartitions(spark0: SparkSession,
+      n: Int): Unit =
+    streamSession(spark0).conf.set("spark.sql.shuffle.partitions",
+      n.toString)
 
   private def heavyHittersBundle(spark0: SparkSession, dir: String,
       shards: Int, capacities: Seq[Int])

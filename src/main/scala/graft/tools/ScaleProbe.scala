@@ -204,9 +204,12 @@ object ScaleProbe {
             s"""state bound","state_rows_ratio":${f"$stateRatio%.2f"}}"""
         }
         // SOLO twins: the registered entries ride the shared-ingest
-        // bundle (ten queries, one replay), which is the right shape
-        // for the suite but the wrong one for the probe — the state
-        // columns here must isolate ONE operator's growth
+        // bundle (thirteen queries, one replay), which is the right
+        // shape for the suite but the wrong one for the probe — the
+        // state columns here must isolate ONE operator's growth. Solo
+        // runs get their state parallelism back (the session default
+        // of 2 is sized for the 13-concurrent bundle regime).
+        EventsStream.setStreamShufflePartitions(spark, 4)
         val hh = probe("heavy_hitters",
           d => EventsStream.heavyHittersSolo(spark, d))
         val sess = probe("sessionize",
