@@ -159,4 +159,27 @@ class EventsStreamBundleSpec extends AnyFunSuite {
     assert(EventsStream.bundleRunCount.get() == c0,
       "solo path must not touch the bundle machinery")
   }
+
+  test("scale-probe partition override: setStreamShufflePartitions " +
+      "retargets the stream session and is results-invariant") {
+    val ss = EventsStream.streamSession(spark)
+    val before = ss.conf.get("spark.sql.shuffle.partitions")
+    val base = EventsStream.heavyHittersToCompletion(spark, dir,
+      capacity = 8, shards = 1)
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      EventsStream.setStreamShufflePartitions(spark, 3)
+      assert(ss.conf.get("spark.sql.shuffle.partitions") == "3",
+        "override must land on the SHARED stream-session clone " +
+          "(streaming queries read it at start)")
+      val at3 = EventsStream.heavyHittersToCompletion(spark, dir,
+        capacity = 8, shards = 1)
+        .collect().map(_.toString).sorted.toSeq
+      assert(at3 == base,
+        "state partitioning is a physical knob — results must not " +
+          "change under the probe's per-regime override")
+    } finally EventsStream.setStreamShufflePartitions(spark,
+      before.toInt)
+    assert(ss.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
