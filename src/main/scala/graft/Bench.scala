@@ -137,11 +137,21 @@ object Bench {
     // prior run (r14's corpus_pipeline published 6.76 s with a ~3 s
     // cross-run truth); comparing against the committed predecessor
     // closes that blind spot at one extra run per >2.5x mover.
+    // Subset runs write their artifact OFF to target/ — a local
+    // iteration pass must never clobber the committed repo-root
+    // BENCH_FULL.json in the working tree (an ONLY-filtered 3-query
+    // artifact posing as the 422-query close is exactly the kind of
+    // silent corruption the mtime stamp can't catch). The committed
+    // full artifact stays the cross-run comparison baseline either
+    // way; an explicit SPARK_GRAFT_BENCH_FULL overrides both.
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "target/bench_subset.json"
+      else "BENCH_FULL.json")
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "BENCH_FULL.json")
     val priorQueries: Map[String, Double] = try {
       val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(fullPath))
+        java.nio.file.Paths.get(priorPath))
       // only a SAME-SF predecessor is comparable: a committed sf0.1
       // artifact must not mark every query of an sf0.001 run (or vice
       // versa) as a "regression"
