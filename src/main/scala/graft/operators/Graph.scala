@@ -658,10 +658,13 @@ object Graph {
     // degrees in the capped universe, from the same pinned arrays —
     // node = the LEFT entity (a dimension: customers in the
     // registered query), so the frame is dimension-sized and rides a
-    // broadcast to meet the pair frame without re-shuffling it
-    val deg = grouped
+    // broadcast to meet the pair frame without re-shuffling it.
+    // Pinned because it feeds BOTH side-joins below: unpinned, the
+    // explode+aggregate over the grouped arrays runs once per
+    // broadcast (the r19 plan dump showed the duplicated subtree).
+    val deg = pinned(grouped
       .select(explode(col("ns")).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg")))
     val wedges = grouped
       .select(explode(expr(
         "flatten(transform(ns, (x, i) -> " +
