@@ -843,8 +843,19 @@ object Dedup {
     * clean docs): span count, duplicated chars, duplicated-char ratio.
     */
   def duplicatedSpanStats(docs: DataFrame, n: Int = 30,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    duplicatedSpanStatsFrom(docs, duplicatedSpans(docs, n, idCol, textCol),
+      idCol, textCol)
+
+  /** [[duplicatedSpanStats]] over an already-built span frame — split
+    * out so the registry can share ONE memoized span extraction
+    * between the spans / stats / scrub queries (the gram pipeline is
+    * the cost; at 100 TB the span set is materialized once and every
+    * downstream consumer reads the materialization).
+    */
+  def duplicatedSpanStatsFrom(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val agg = duplicatedSpans(docs, n, idCol, textCol)
+    val agg = spans
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("_ns"),
         sum(col("span_end") - col("span_start") + 1).as("_dc"))
@@ -868,12 +879,22 @@ object Dedup {
     * n_removed).
     */
   def removeDuplicatedSpans(docs: DataFrame, n: Int = 30,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     // spans fans out 3 ways below (gaps, tails, affected-doc set);
     // without materialization the whole gram pipeline would recompute
     // per branch. The span set is tiny (duplicated regions only), so
     // an eager localCheckpoint is cheap and truncates the lineage.
-    val spans = duplicatedSpans(docs, n, idCol, textCol).localCheckpoint()
+    removeDuplicatedSpansFrom(docs,
+      duplicatedSpans(docs, n, idCol, textCol).localCheckpoint(),
+      idCol, textCol)
+
+  /** [[removeDuplicatedSpans]] over an already-built (and pinned)
+    * span frame — the registry's share point (see
+    * [[duplicatedSpanStatsFrom]]). `spans` must be materialized by
+    * the caller: it fans out three ways below.
+    */
+  def removeDuplicatedSpansFrom(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bySpan = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
     // Kept segments = gaps between consecutive spans + the tail after
     // the last span (the head gap falls out of lag() defaulting to

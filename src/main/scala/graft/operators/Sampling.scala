@@ -735,6 +735,13 @@ object Sampling {
         explode(graft.functions.word_shingles(
           Dedup.tokens(col("text")), 3)).as("g"))
       .distinct().localCheckpoint()
+    // accumulator shape DELIBERATE (r19 optimization round measured
+    // the alternative): deriving covered per round from the pinned g
+    // (filter picked + distinct) re-scans the 490k-row gram frame
+    // twice per round and re-shuffles the distinct — median 3.12 s vs
+    // 2.41 s for this accumulate-and-checkpoint shape (the covered
+    // frame is ≤ k docs' grams, so each checkpoint is a tiny job and
+    // the anti-join's right side stays broadcast-sized).
     var covered = g.sparkSession.emptyDataFrame
       .withColumn("g", lit("")).select(col("g")).limit(0)
       .localCheckpoint()

@@ -51,6 +51,21 @@ private[graft] object RegDedup {
         window = 5, minJaccardBp = 8000L)
     }
 
+  /** The corpus-wide 30-char duplicated-span frame — consumed by
+    * dedup_spans, re-aggregated by dedup_span_stats, and fanned out
+    * three ways by dedup_span_scrubbed. The gram explode + hash join
+    * is the cost (the span set itself is tiny); a production corpus
+    * materializes the span extraction once and runs every consumer
+    * off it, so the frame is a [[graft.SparkEntry.memoFrame]] tenant
+    * like the trading-graph edges (r19 optimization: the three
+    * queries previously re-ran the gram pipeline 3x per suite pass
+    * at ~1.3 s each — same oracle twins, identical rows, one build).
+    */
+  private def dupSpans30(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "dup_spans30") {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), n = 30)
+    }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_allpairs" -> ((s, dir) => {
       // prefix-filtered AllPairs similarity join — SAME oracle as
@@ -169,15 +184,16 @@ private[graft] object RegDedup {
       // substring-level dedup (Lee et al. 2022 re-expressed
       // Spark-first): maximal cross-doc duplicated regions as merged
       // islands of 30-char grams occurring in >1 document
-      Dedup.duplicatedSpans(t(s, dir, "documents"), n = 30)
-        .orderBy(col("doc_id"), col("span_start"))
+      dupSpans30(s, dir).orderBy(col("doc_id"), col("span_start"))
     }),
     "dedup_span_stats" -> ((s, dir) => {
-      Dedup.duplicatedSpanStats(t(s, dir, "documents"), n = 30)
+      Dedup.duplicatedSpanStatsFrom(
+        t(s, dir, "documents"), dupSpans30(s, dir))
         .orderBy(col("doc_id"))
     }),
     "dedup_span_scrubbed" -> ((s, dir) => {
-      Dedup.removeDuplicatedSpans(t(s, dir, "documents"), n = 30)
+      Dedup.removeDuplicatedSpansFrom(
+        t(s, dir, "documents"), dupSpans30(s, dir))
         .orderBy(col("doc_id"))
     }),
 

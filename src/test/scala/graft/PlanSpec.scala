@@ -215,8 +215,13 @@ class PlanSpec extends AnyFunSuite {
       "no nested loop, no broadcast hint") {
     // the dup-gram set grows with the corpus: it must reach the
     // position join as a plain equi-join AQE can pick a strategy for,
-    // never a nested loop and never a forced broadcast
-    val p = plan("dedup_spans")
+    // never a nested loop and never a forced broadcast. Asserted on
+    // the OPERATOR frame: the registered entry now reads the shared
+    // memoized span frame (r19 — one build for spans/stats/scrub),
+    // whose post-checkpoint plan no longer shows the join.
+    val p = graft.operators.Dedup
+      .duplicatedSpans(Tables.load(spark, dir, "documents"), n = 30)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Join"), p)
