@@ -46,15 +46,20 @@ object EventsStream {
 
   private def buildStreamSession(spark: SparkSession): SparkSession = {
     val ss = spark.newSession()
-    // 2 state partitions (was 4; env-tunable): with the r19 merged
-    // ingest running 13 concurrent queries x ~5 micro-batches, the
-    // per-commit state-store overhead (RocksDB changelog sync +
-    // version files per instance) dominates — halving instances cut
-    // the bundle payer 10.9 -> 8.1 s, where the r17 2/4/8 sweep
-    // (measured on SOLO harnesses) was a wash. Fixture state is tiny
-    // either way; a deployment sizes this to its key cardinality.
+    // 1 state partition (was 4 -> 2 -> 1 across the r19 sweeps;
+    // env-tunable): with the r19 merged ingest running 13 concurrent
+    // queries x ~5 micro-batches, the per-commit state-store overhead
+    // (RocksDB changelog sync + version files per store instance)
+    // dominates — 4 -> 2 cut the bundle payer 10.9 -> 8.1 s, and the
+    // optimization round's 2 -> 1 measurement cut the warm drain wave
+    // 9.5 -> 6.6-7.5 s (payer 11.8 -> 9.8 s on the same host):
+    // cross-QUERY concurrency (13 streams) already saturates the
+    // cores, so per-query state parallelism only multiplies store
+    // commits. Fixture state is tiny either way; a deployment sizes
+    // this to its key cardinality with the same knob (the scale
+    // probe's solo runs pin 4 for exactly that reason).
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "1"))
     // State-store backend: the default HDFS-backed provider keeps every
     // state row on the executor HEAP — at 100 TB stream scale (billions
     // of open sessions / join rows) that is an OOM, not a tuning knob.
