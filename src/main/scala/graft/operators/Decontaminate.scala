@@ -35,10 +35,18 @@ object Decontaminate {
     // dedup pass inside the aggregate.
     val cg = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.charNgrams(col(textCol), n)).as("g"))
+    // NO broadcast hint (r19 optimization): the classic decontam call
+    // passes a small eval benchmark as `bench` — AQE broadcasts that
+    // at runtime from its observed size anyway — but
+    // sample_split_contamination passes the 80% TRAIN split here, and
+    // a forced broadcast of a corpus-sized gram set is exactly the
+    // single-threaded build + memory wall the guide's join section
+    // warns about (at 100 TB it exceeds the 8 GB broadcast cap
+    // outright). Leaving the strategy to AQE is correct at BOTH ends.
     val bg = bench
       .select(explode(Dedup.charNgrams(col(textCol), n)).as("g"))
       .distinct()
-    cg.join(broadcast(bg), "g")
+    cg.join(bg, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

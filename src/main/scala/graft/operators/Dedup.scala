@@ -609,8 +609,12 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3,
       minContainmentBp: Long = 9000L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // pinned: the gram multiset feeds the census and BOTH join legs
+    // (unpinned, each re-ran scan + 8-char explode — 8 parquet scans
+    // in the r19 baseline plan dump)
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
+      .localCheckpoint()
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
     // plain equi-join on id — AQE picks the strategy by runtime size
     val g = grams.join(counts, "id")
@@ -666,6 +670,14 @@ object Dedup {
   def jaccardPairsAllPairs(docs: DataFrame, n: Int = 3,
       minJaccard: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // NOT pinned, deliberately (r19 optimization round A/B'd it): the
+    // gram multiset fans out five ways and the baseline plan dump
+    // shows 20 parquet scans — but an eager localCheckpoint of the
+    // 3-char gram frame showed no win beyond host noise (pinned
+    // 2.43-2.95 s vs unpinned 2.09-2.81 s across interleaved
+    // same-host runs): the explode is cheap and codegen-pipelined
+    // into each consumer, while the pin pays serialization plus a job
+    // barrier the recomputation never does.
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
@@ -754,6 +766,10 @@ object Dedup {
     require(maxEdits >= 0 && blockPrefix >= 0, "bad edit-dedup params")
     val prefix =
       if (blockPrefix > 0) blockPrefix else autoBlockPrefix(docs.count())
+    // NOT pinned, deliberately (r19 A/B'd it): checkpointing the
+    // blocked frame showed no win beyond host noise — the self-join's
+    // identical sides already share one exchange, so the pin only
+    // added a materialization barrier for full document texts.
     val b = docs.select(col(idCol).as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull)
       .withColumn("blk", substring(lower(col("t")), 1, prefix))

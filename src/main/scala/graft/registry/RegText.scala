@@ -624,6 +624,10 @@ private[graft] object RegText {
       // cross-source contamination matrix: 8-gram-set Jaccard between
       // every source pair — gram-keyed equi-join, never all-pairs of
       // documents; the source×source output is mix-bounded
+      // NOT pinned, deliberately (r19 A/B'd it): checkpointing the
+      // distinct gram frame showed no win beyond host noise — the
+      // self-join's identical legs already reuse one exchange, and
+      // the census is cheap next to the materialization barrier.
       val g = t(s, dir, "documents")
         .select(col("source"), explode(graft.functions.word_shingles(
           Dedup.tokens(col("text")), 8)).as("g"))
