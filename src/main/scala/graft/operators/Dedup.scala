@@ -609,12 +609,14 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3,
       minContainmentBp: Long = 9000L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // pinned: the gram multiset feeds the census and BOTH join legs
-    // (unpinned, each re-ran scan + 8-char explode — 8 parquet scans
-    // in the r19 baseline plan dump)
+    // NOT pinned, deliberately (r19 A/B'd it in one JVM, interleaved
+    // reps): pinning the gram multiset measured a wash (pinned
+    // 2.44-2.54 s vs unpinned 2.09-3.03 s warm) — runtime exchange
+    // reuse already dedupes the identical join legs — and at corpus
+    // scale materializing every 8-char gram would be a block-manager
+    // wall the recomputation never pays.
     val grams = docs.select(col(idCol).as("id"),
       explode(charNgrams(col(textCol), n)).as("g"))
-      .localCheckpoint()
     val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
     // plain equi-join on id — AQE picks the strategy by runtime size
     val g = grams.join(counts, "id")

@@ -366,6 +366,13 @@ object Graph {
     * micro-units (truncating division, 0 for deg ≤ 1).
     */
   def triangles(edges: DataFrame): DataFrame = {
+    // NOT pinned, deliberately (r19 optimization round A/B'd it in
+    // one JVM, interleaved reps): checkpointing und/deg/oriented to
+    // stop the caller's edge derivation recomputing per consumer
+    // measured SLOWER (registry-pinned 2.49-2.93 s vs unpinned
+    // 2.11-2.67 s warm) — the fan-out looks like 188 scans in the
+    // static plan, but runtime exchange reuse already dedupes the
+    // repeated subtrees, so the pins only added three job barriers.
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

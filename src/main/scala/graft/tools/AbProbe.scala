@@ -1,0 +1,119 @@
+package graft.tools
+
+import graft.{Scratch, Sessions, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Same-JVM interleaved A/B timer for registered queries across two
+  * code shapes that both live in the build (r19 optimization round):
+  * host load on this box drifts 2x within minutes, so sequential
+  * bench runs cannot resolve sub-30% effects — interleaved reps in
+  * one JVM cancel the drift. Variants are expressed as NAMES in the
+  * live registry plus local alternates coded here; results must agree
+  * before timing is trusted.
+  *
+  * Usage: runMain graft.tools.AbProbe <queryName> (alternates wired
+  * in `alternates` below; absent name = registry-only timing).
+  */
+object AbProbe {
+
+  /** Local alternate implementations, keyed by registered name. */
+  private def alternates(name: String)
+      : Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)] =
+    name match {
+      case "graph_triangles" => Seq("unpinned" -> { (s, dir) =>
+        val items = graft.Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val edges = items.as("i").join(items.as("j"),
+            col("i.o") === col("j.o") && col("i.p") < col("j.p"))
+          .select(col("i.p").as("src"), col("j.p").as("dst")).distinct()
+        // the pre-r19 triangles body, verbatim, no pins
+        val und = edges
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") < col("b")).distinct()
+        val deg = und.select(col("a").as("node"))
+          .union(und.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val withDeg = und
+          .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        val oriented = withDeg.select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"),
+              col("da").as("dv")))
+            .as("e"))
+          .select(col("e.u"), col("e.v"), col("e.dv"))
+        val wedges = oriented.as("x").join(oriented.as("y"),
+            col("x.u") === col("y.u") &&
+              (struct(col("x.dv"), col("x.v")) <
+                struct(col("y.dv"), col("y.v"))))
+          .select(col("x.u").as("n1"), col("x.v").as("n2"),
+            col("y.v").as("n3"))
+        val tris = wedges.join(
+          oriented.select(col("u").as("n2"), col("v").as("n3")),
+          Seq("n2", "n3"))
+        val perNode = tris.select(col("n1").as("node"))
+          .union(tris.select(col("n2").as("node")))
+          .union(tris.select(col("n3").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        deg.join(perNode, Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("triangles"), lit(0L)).as("triangles"))
+          .withColumn("cc_micro",
+            when(col("deg") > 1,
+              expr("(2000000 * triangles) div (deg * (deg - 1))"))
+              .otherwise(lit(0L)))
+          .orderBy(col("node"))
+      })
+      case "dedup_containment" => Seq("unpinned" -> { (s, dir) =>
+        // the pre-r19 containmentPairs body, verbatim, no pin
+        val docs = graft.Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+        val grams = docs.select(col("doc_id").as("id"),
+          explode(graft.operators.Dedup.charNgrams(col("text"), 8))
+            .as("g"))
+        val counts = grams.groupBy(col("id")).agg(count(lit(1)).as("ng"))
+        val g = grams.join(counts, "id")
+        g.as("a")
+          .join(g.as("b"),
+            col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared"), first(col("a.ng")).as("n_a"),
+            first(col("b.ng")).as("n_b"))
+          .withColumn("cont_bp",
+            expr("(10000 * shared) div least(n_a, n_b)"))
+          .filter(col("cont_bp") >= 9000L)
+          .select(col("id_a"), col("id_b"), col("shared"), col("n_a"),
+            col("n_b"), col("cont_bp"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
+      case _ => Seq.empty
+    }
+
+  def main(args: Array[String]): Unit = {
+    Scratch.redirectTmpdir()
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "4").toInt
+    val name = args.headOption.getOrElse(
+      sys.error("usage: AbProbe <queryName>"))
+    val spark = Sessions.builder("graft-ab-probe", s"local[$cpus]", cpus)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val variants =
+      ("registry" -> SparkEntry.queries(name)) +: alternates(name)
+    for (rep <- 1 to reps; (vn, f) <- variants) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      f(spark, sfDir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      SparkEntry.sweepLeakedBlocks(spark, before)
+      System.err.println(f"AB $name rep$rep $vn%-14s $t%7.2f s")
+    }
+    spark.stop()
+  }
+}
