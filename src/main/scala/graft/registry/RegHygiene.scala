@@ -118,9 +118,11 @@ private[graft] object RegHygiene {
     }),
     "quality_filtered_stream" -> ((s, dir) => {
       // the stateless-streaming twin of quality_filtered: same
-      // operator, same oracle, run through readStream → append sink
-      graft.streaming.StatelessPipe.toCompletion(s, dir, "documents",
-        TextStats.qualityFilter(_)).orderBy(col("doc_id"))
+      // operator, same oracle, run through readStream → append sink;
+      // bundled with the XML pipe's run (r19 — the two stateless
+      // micro-batch floors overlap; queries stay independent)
+      graft.streaming.EventsStream.qualityFilteredToCompletion(s, dir)
+        .orderBy(col("doc_id"))
     }),
 
     "decontam_flagged" -> ((s, dir) => {

@@ -760,18 +760,55 @@ object EventsStream {
     * occurrence counts again. Output counts unique events per type,
     * deterministic regardless of which duplicate survives.
     */
-  def dedupToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+  def dedupToCompletion(spark0: SparkSession, dir: String): DataFrame =
+    fromBundle(spark0, "wm-dedup", dir, "event")(dedupBundle(spark0, dir))
+
+  /** One shared run for the two watermark-dedup twins (r19
+    * optimization): both read events.parquet directly (single data
+    * micro-batch each — the semantics their oracles assume, asserted
+    * below exactly as the solo harnesses did) and were previously two
+    * back-to-back solo runs paying two micro-batch floors. The
+    * streams stay INDEPENDENT queries — only their walls overlap, so
+    * results are byte-identical to the solo runs.
+    */
+  private def dedupBundle(spark0: SparkSession, dir: String)
+      : Seq[(String, DataFrame, Option[(String, Long, Long)])] = {
     val spark = streamSession(spark0)
     val agg = source(spark, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
-    val qname = "graft_events_dedup"
-    val q = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally stopRecorded(q)
-    spark.table(qname)
+    val qnE = "graft_events_dedup"
+    val qE = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qnE).start()
+    val norm = trim(regexp_replace(lower(coalesce(col("props"), lit(""))),
+      "\\s+", " "))
+    val deduped = source(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("fingerprint",
+        graft.functions.sdbm_hash(lit(0L), col("norm")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("fingerprint"), col("norm"))
+    val qnF = "graft_events_fp_dedup"
+    val qF = deduped.writeStream
+      .outputMode("append").format("memory").queryName(qnF).start()
+    try {
+      qE.processAllAvailable()
+      qF.processAllAvailable()
+      val dataBatches = qF.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"fingerprint-dedup oracle assumes ONE data micro-batch " +
+          s"(watermark-horizon dedup == global DISTINCT only then); " +
+          s"this run had $dataBatches")
+    } catch { case t: Throwable =>
+      qE.stop(); qF.stop(); throw t
+    }
+    val metE = stopCaptured(qE)
+    val metF = stopCaptured(qF)
+    Seq(("event", spark.table(qnE), metE),
+      ("fp", spark.table(qnF), metF))
   }
 
   /** Stream-stream interval join — click→purchase attribution: each
@@ -870,16 +907,48 @@ object EventsStream {
     * sort). The file-sink edge of the same shape is
     * [[graft.operators.XmlPipe.writeStreamingDocsets]].
     */
-  def xmlToCompletion(spark0: SparkSession, dir: String): DataFrame = {
+  def xmlToCompletion(spark0: SparkSession, dir: String): DataFrame =
+    fromBundle(spark0, "stateless", dir, "xml")(
+      statelessBundle(spark0, dir))
+
+  /** The stateless quality-filter twin, bundled with the XML pipe —
+    * see [[statelessBundle]]. Same rows as
+    * `StatelessPipe.toCompletion(_, _, "documents", qualityFilter)`.
+    */
+  def qualityFilteredToCompletion(spark0: SparkSession,
+      dir: String): DataFrame =
+    fromBundle(spark0, "stateless", dir, "quality")(
+      statelessBundle(spark0, dir))
+
+  /** One shared run for the two STATELESS streaming twins (r19
+    * optimization): the XML formatting pipe (events) and the quality
+    * filter (documents) are each a single data micro-batch through an
+    * append memory sink with no state store — previously two solo
+    * runs paying two micro-batch floors back to back; here their
+    * walls overlap. The queries stay independent (different sources,
+    * different sinks), so results are byte-identical to the solos.
+    */
+  private def statelessBundle(spark0: SparkSession, dir: String)
+      : Seq[(String, DataFrame, Option[(String, Long, Long)])] = {
     val spark = streamSession(spark0)
     val ev = source(spark, dir)
       .select(col("event_id"), col("props"), col("ts"))
     val docs = graft.operators.XmlPipe.formatDocs(ev, Seq("event_id"))
-    val qname = "graft_events_stream_xml"
-    val q = docs.writeStream
-      .outputMode("append").format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally stopRecorded(q)
-    spark.table(qname)
+    val qnX = "graft_events_stream_xml"
+    val qX = docs.writeStream
+      .outputMode("append").format("memory").queryName(qnX).start()
+    val dschema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val dsrc = spark.readStream.schema(dschema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val qnQ = "graft_stateless_quality_bundle"
+    val qQ = graft.operators.TextStats.qualityFilter(dsrc).writeStream
+      .outputMode("append").format("memory").queryName(qnQ).start()
+    try { qX.processAllAvailable(); qQ.processAllAvailable() }
+    catch { case t: Throwable => qX.stop(); qQ.stop(); throw t }
+    val metX = stopCaptured(qX)
+    val metQ = stopCaptured(qQ)
+    Seq(("xml", spark.table(qnX), metX),
+      ("quality", spark.table(qnQ), metQ))
   }
 
   /** foreachBatch sink — the programmable-sink API: each micro-batch
@@ -975,30 +1044,8 @@ object EventsStream {
     * loud instead of silently hash-mismatching.
     */
   def fingerprintDedupToCompletion(spark0: SparkSession,
-      dir: String): DataFrame = {
-    val spark = streamSession(spark0)
-    val norm = trim(regexp_replace(lower(coalesce(col("props"), lit(""))),
-      "\\s+", " "))
-    val deduped = source(spark, dir)
-      .withColumn("norm", norm)
-      .withColumn("fingerprint",
-        graft.functions.sdbm_hash(lit(0L), col("norm")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fingerprint")
-      .select(col("fingerprint"), col("norm"))
-    val qname = "graft_events_fp_dedup"
-    val q = deduped.writeStream
-      .outputMode("append").format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable()
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches == 1,
-        s"fingerprint-dedup oracle assumes ONE data micro-batch " +
-          s"(watermark-horizon dedup == global DISTINCT only then); " +
-          s"this run had $dataBatches")
-    } finally stopRecorded(q)
-    spark.table(qname)
-  }
+      dir: String): DataFrame =
+    fromBundle(spark0, "wm-dedup", dir, "fp")(dedupBundle(spark0, dir))
 
   /** Streaming sessionization via flatMapGroupsWithState with the
     * open session carried ACROSS micro-batches in GroupState and
