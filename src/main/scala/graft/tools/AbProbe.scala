@@ -91,6 +91,36 @@ object AbProbe {
             col("n_b"), col("cont_bp"))
           .orderBy(col("id_a"), col("id_b"))
       })
+      case "text_pmi" => Seq("marg-from-bg" -> { (s, dir) =>
+        // the pre-r19 shape: marginals re-counted from the exploded
+        // bigram stream (one scan+explode per marginal)
+        val par = s.sparkContext.defaultParallelism
+        val bg = graft.Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+          .repartition(par, col("doc_id"))
+          .select(explode(graft.functions.word_shingles(
+            graft.operators.Dedup.tokens(col("text")), 2)).as("pair"))
+          .select(col("pair"),
+            substring_index(col("pair"), " ", 1).as("w1"),
+            substring_index(col("pair"), " ", -1).as("w2"))
+        val pairCounts = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n_ab"))
+        val firstCounts = bg.groupBy(col("w1"))
+          .agg(count(lit(1)).as("n_a"))
+        val secondCounts = bg.groupBy(col("w2"))
+          .agg(count(lit(1)).as("n_b"))
+        val total = bg.agg(count(lit(1)).as("n_total"))
+        pairCounts.filter(col("n_ab") >= 3)
+          .join(firstCounts, "w1")
+          .join(secondCounts, "w2")
+          .crossJoin(broadcast(total))
+          .select(col("w1"), col("w2"), col("n_ab"), col("n_a"),
+            col("n_b"),
+            expr("(n_ab * n_total * 1000000) div (n_a * n_b)")
+              .as("lift_micro"))
+          .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+          .limit(50)
+      })
       case _ => Seq.empty
     }
 
