@@ -27,7 +27,7 @@ object Decontaminate {
     */
   def flagged(docs: DataFrame, bench: DataFrame, n: Int = 30,
       minShared: Int = 1, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", broadcastBench: Boolean = true): DataFrame = {
     require(n >= 2 && minShared >= 1, "need n >= 2 and minShared >= 1")
     // charNgrams is already per-row distinct, and the benchmark set is
     // distinct'd below — one joined row per (doc, shared gram), so a
@@ -35,18 +35,22 @@ object Decontaminate {
     // dedup pass inside the aggregate.
     val cg = docs.select(col(idCol).as("doc_id"),
       explode(Dedup.charNgrams(col(textCol), n)).as("g"))
-    // NO broadcast hint (r19 optimization): the classic decontam call
-    // passes a small eval benchmark as `bench` — AQE broadcasts that
-    // at runtime from its observed size anyway — but
-    // sample_split_contamination passes the 80% TRAIN split here, and
-    // a forced broadcast of a corpus-sized gram set is exactly the
-    // single-threaded build + memory wall the guide's join section
-    // warns about (at 100 TB it exceeds the 8 GB broadcast cap
-    // outright). Leaving the strategy to AQE is correct at BOTH ends.
+    // The broadcast hint is CALLER-CONTROLLED (r19 optimization): the
+    // classic decontam call passes a small eval benchmark — the
+    // contract of the operation — and forcing the broadcast there
+    // beats AQE's estimate-driven choice (post-explode size estimates
+    // are garbage; measured 0.86 s hinted vs 1.63 s AQE-planned for
+    // decontam_flagged). But sample_split_contamination reuses this
+    // operator with the 80% TRAIN split as the bench side, where a
+    // forced corpus-sized broadcast is the single-threaded build +
+    // 8 GB-cap wall the guide's join section warns about — that
+    // caller passes broadcastBench = false and lets AQE pick
+    // (measured 2.11 -> 1.69 s, and the only shape that survives
+    // 100 TB).
     val bg = bench
       .select(explode(Dedup.charNgrams(col(textCol), n)).as("g"))
       .distinct()
-    cg.join(bg, "g")
+    cg.join(if (broadcastBench) broadcast(bg) else bg, "g")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("shared_ngrams"))
       .filter(col("shared_ngrams") >= minShared)

@@ -173,8 +173,12 @@ private[graft] object RegSampling {
       // the residual leakage sample_split_leakage_free exists to
       // prevent, measured on the plain hash split
       val sp = Sampling.hashSplit(t(s, dir, "documents"))
+      // broadcastBench = false: the "bench" side here is the 80%
+      // TRAIN split — corpus-sized, so the strategy is left to AQE
+      // (a forced broadcast of it dies at the 8 GB cap at scale);
+      // see Decontaminate.flagged's scaladoc
       Decontaminate.flagged(sp.filter(col("split") === "test"),
-        sp.filter(col("split") === "train"))
+        sp.filter(col("split") === "train"), broadcastBench = false)
         .orderBy(col("doc_id"))
     }),
     "sample_poisson_bootstrap" -> ((s, dir) =>
