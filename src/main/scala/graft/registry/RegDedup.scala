@@ -61,10 +61,16 @@ private[graft] object RegDedup {
     * queries previously re-ran the gram pipeline 3x per suite pass
     * at ~1.3 s each — same oracle twins, identical rows, one build).
     */
+  /** The pre-checkpoint span frame exactly as the memo builds it —
+    * exposed so PlanSpec can guard the REGISTERED build site (not a
+    * hand-rebuilt twin) against a future forced broadcast or
+    * nested-loop regression that the memo's checkpoint would hide.
+    */
+  private[graft] def dupSpans30Plan(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), n = 30)
+
   private def dupSpans30(s: SparkSession, dir: String): DataFrame =
-    memoFrame(s, dir, "dup_spans30") {
-      Dedup.duplicatedSpans(t(s, dir, "documents"), n = 30)
-    }
+    memoFrame(s, dir, "dup_spans30") { dupSpans30Plan(s, dir) }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_jaccard_allpairs" -> ((s, dir) => {

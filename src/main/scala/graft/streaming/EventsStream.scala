@@ -56,10 +56,14 @@ object EventsStream {
     // cross-QUERY concurrency (13 streams) already saturates the
     // cores, so per-query state parallelism only multiplies store
     // commits. Fixture state is tiny either way; a deployment sizes
-    // this to its key cardinality with the same knob (the scale
-    // probe's solo runs pin 4 for exactly that reason).
+    // this to its key cardinality with the same knob. Solo harnesses
+    // (ScaleProbe's streaming probes) pin 4 IN CODE via the
+    // graft.stream.partitions system property — the env var is the
+    // out-of-band override, the property the in-process one.
     ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "1"))
+      sys.props.get("graft.stream.partitions")
+        .orElse(sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS"))
+        .getOrElse("1"))
     // State-store backend: the default HDFS-backed provider keeps every
     // state row on the executor HEAP — at 100 TB stream scale (billions
     // of open sessions / join rows) that is an OOM, not a tuning knob.
@@ -216,6 +220,14 @@ object EventsStream {
     q.stop()
     m
   }
+
+  /** Error-path teardown for two-query bundles: each stop() in its
+    * own guard, so a failing first stop cannot leak the sibling query
+    * on the shared stream session.
+    */
+  private def stopQuietly(
+      qs: org.apache.spark.sql.streaming.StreamingQuery*): Unit =
+    qs.foreach(q => try q.stop() catch { case _: Throwable => () })
 
   // --------------------------------------------------------------
   // Run-sharing bundles (r17 judge ask #3)
@@ -744,7 +756,7 @@ object EventsStream {
     val qO = outer.writeStream
       .outputMode("append").format("memory").queryName(qnO).start()
     try { qI.processAllAvailable(); qO.processAllAvailable() }
-    catch { case t: Throwable => qI.stop(); qO.stop(); throw t }
+    catch { case t: Throwable => stopQuietly(qI, qO); throw t }
     val metI = stopCaptured(qI)
     val metO = stopCaptured(qO)
     Seq(("inner", spark.table(qnI), metI),
@@ -803,7 +815,7 @@ object EventsStream {
           s"(watermark-horizon dedup == global DISTINCT only then); " +
           s"this run had $dataBatches")
     } catch { case t: Throwable =>
-      qE.stop(); qF.stop(); throw t
+      stopQuietly(qE, qF); throw t
     }
     val metE = stopCaptured(qE)
     val metF = stopCaptured(qF)
@@ -944,7 +956,7 @@ object EventsStream {
     val qQ = graft.operators.TextStats.qualityFilter(dsrc).writeStream
       .outputMode("append").format("memory").queryName(qnQ).start()
     try { qX.processAllAvailable(); qQ.processAllAvailable() }
-    catch { case t: Throwable => qX.stop(); qQ.stop(); throw t }
+    catch { case t: Throwable => stopQuietly(qX, qQ); throw t }
     val metX = stopCaptured(qX)
     val metQ = stopCaptured(qQ)
     Seq(("xml", spark.table(qnX), metX),

@@ -155,6 +155,14 @@ object ScaleProbe {
         if (copies <= 10) "1" else "0") != "0"
       val streamingJson = if (!streamingOn) "" else {
         import graft.streaming.EventsStream
+        // solo probes run ONE query at a time (no cross-query
+        // concurrency to saturate the cores), so pin 4 state
+        // partitions in code — the bundle-tuned default of 1 would
+        // otherwise leak into the probe via the shared env default.
+        // Must precede the first stream-session build (memoized).
+        if (!sys.props.contains("graft.stream.partitions") &&
+            !sys.env.contains("SPARK_GRAFT_STREAM_PARTITIONS"))
+          sys.props("graft.stream.partitions") = "4"
         def probe(label: String,
             call: String => org.apache.spark.sql.DataFrame): String = {
           def run(d: String): (Double, Long, Long, Long, Long) = {

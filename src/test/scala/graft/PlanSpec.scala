@@ -216,11 +216,11 @@ class PlanSpec extends AnyFunSuite {
     // the dup-gram set grows with the corpus: it must reach the
     // position join as a plain equi-join AQE can pick a strategy for,
     // never a nested loop and never a forced broadcast. Asserted on
-    // the OPERATOR frame: the registered entry now reads the shared
-    // memoized span frame (r19 — one build for spans/stats/scrub),
-    // whose post-checkpoint plan no longer shows the join.
-    val p = graft.operators.Dedup
-      .duplicatedSpans(Tables.load(spark, dir, "documents"), n = 30)
+    // the REGISTERED build site (the memo's pre-checkpoint builder,
+    // r19 — one build for spans/stats/scrub): the memoized entry's
+    // post-checkpoint plan no longer shows the join, so the builder
+    // itself is what must stay guarded.
+    val p = graft.registry.RegDedup.dupSpans30Plan(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
