@@ -121,6 +121,48 @@ object AbProbe {
           .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
           .limit(50)
       })
+      case "profile_corr_matrix" => Seq("dec-mul" -> { (s, dir) =>
+        // the pre-r20 shape: per-row DECIMAL multiplies inside the
+        // sufficient-statistic sums (dec(a) * b), verbatim
+        import org.apache.spark.sql.Column
+        val dec = (c: Column) => c.cast("decimal(38,0)")
+        val cols = Seq("l_quantity" -> "qty", "l_extendedprice" -> "price",
+          "l_discount" -> "disc", "l_tax" -> "tax")
+        val b = graft.Tables.load(s, dir, "lineitem").select(cols.map {
+          case (c, a) => round(col(c) * 100).cast("long").as(a) }: _*)
+        val names = cols.map(_._2)
+        val pairs = for {
+          i <- names.indices; j <- (i + 1) until names.size
+        } yield (names(i), names(j))
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+          names.map(a => sum(dec(col(a))).as(s"s_$a")) ++
+          names.map(a => sum(dec(col(a)) * col(a)).as(s"ss_$a")) ++
+          pairs.map { case (a, bb) =>
+            sum(dec(col(a)) * col(bb)).as(s"sp_${a}_$bb") }
+        val wide = b.agg(aggs.head, aggs.tail: _*)
+        val rows = pairs.map { case (a, bb) =>
+          struct(lit(a).as("col_a"), lit(bb).as("col_b"),
+            col("n").as("n"),
+            (dec(col("n")) * col(s"sp_${a}_$bb") -
+              col(s"s_$a") * col(s"s_$bb")).as("num"),
+            (dec(col("n")) * col(s"ss_$a") -
+              col(s"s_$a") * col(s"s_$a")).as("den"),
+            (dec(col("n")) * col(s"ss_$bb") -
+              col(s"s_$bb") * col(s"s_$bb")).as("deny"))
+        }
+        wide.select(explode(array(rows: _*)).as("p"))
+          .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+            col("p.n").as("n"),
+            when(col("p.den") =!= 0,
+              col("p.num").cast("double") / col("p.den").cast("double"))
+              .as("slope"),
+            when(col("p.den") =!= 0 && col("p.deny") =!= 0,
+              col("p.num").cast("double") * col("p.num").cast("double") /
+                (col("p.den").cast("double") * col("p.deny").cast("double")))
+              .as("r2"))
+          .orderBy(col("col_a"), col("col_b"))
+      })
       case _ => Seq.empty
     }
 
@@ -137,6 +179,10 @@ object AbProbe {
     val variants =
       ("registry" -> SparkEntry.queries(name)) +: alternates(name)
     for (rep <- 1 to reps; (vn, f) <- variants) {
+      // like-for-like builds: a registry variant that is a memoFrame
+      // tenant would otherwise hit the cross-query memo on reps 2+
+      // while the local alternate rebuilds from parquet every rep
+      SparkEntry.evictMemos(spark)
       val before = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       f(spark, sfDir).count()
