@@ -94,17 +94,27 @@ object Retrieval {
     require(terms.nonEmpty, "PRF search needs at least one term")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(col("doc_id"),
+    // ONE (doc_id, term) census is the trunk of the whole query:
+    // document lengths, both BM25 passes' tf, the corpus document
+    // frequencies and the feedback rollup all derive from this single
+    // aggregated subtree, so runtime exchange reuse computes the
+    // tokenize+explode once (r20 — the previous shape diverged at the
+    // raw token stream and re-ran the explode per consumer: the
+    // committed plan dump shows 42 parquet scans / 32 Generates /
+    // zero reuse for one query). Same integers everywhere: per-pass
+    // tf = census filtered to the pass's terms, occurrence rollups =
+    // SUM(tf) instead of COUNT over the token grain.
+    val tfAll = docs.select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("term"))
       .filter(col("term") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(sum(col("dl")).as("len_corpus"))
     val n = docs.agg(count(lit(1)).as("n_corpus"))
     val q0 = terms.toDF("term")
     def bm25(termFrame: DataFrame): DataFrame = {
-      val tf = toks.join(termFrame, "term")
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
+      val tf = tfAll.join(termFrame, "term")
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(df, "term").join(dl, "doc_id")
         .crossJoin(n).crossJoin(corpus)
@@ -123,11 +133,10 @@ object Retrieval {
     val fb = bm25(q0)
       .orderBy(col("score").desc, col("doc_id")).limit(fbDocs)
       .select(col("doc_id"))
-    val dfAll = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("dfc"))
-    val exp = toks.join(fb, "doc_id")
+    val dfAll = tfAll.groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+    val exp = tfAll.join(fb, "doc_id")
       .join(q0, Seq("term"), "left_anti")
-      .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+      .groupBy(col("term")).agg(sum(col("tf")).as("tf_fb"))
       .join(dfAll, "term").crossJoin(n)
       .withColumn("escore", col("tf_fb") * idiv(
         lit(1000000L) * (col("n_corpus") + 1L), col("dfc") + 1L))

@@ -121,6 +121,55 @@ object AbProbe {
           .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
           .limit(50)
       })
+      case "text_prf_search" => Seq("per-consumer" -> { (s, dir) =>
+        // the pre-r20 shape: every consumer re-derives from the raw
+        // token stream (explode per consumer, no shared exchange)
+        import s.implicits._
+        val docs = graft.Tables.load(s, dir, "documents")
+        val terms = Seq("spark", "window", "merge")
+        val k = 10; val fbDocs = 5; val expTerms = 3
+        val toks = docs.select(col("doc_id"),
+            explode(split(lower(col("text")), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val corpus = dl.agg(sum(col("dl")).as("len_corpus"))
+        val n = docs.agg(count(lit(1)).as("n_corpus"))
+        val q0 = terms.toDF("term")
+        def bm25(termFrame: DataFrame): DataFrame = {
+          val tf = toks.join(termFrame, "term")
+            .groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).as("tf"))
+          val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          tf.join(df, "term").join(dl, "doc_id")
+            .crossJoin(n).crossJoin(corpus)
+            .withColumn("w", graft.functions.idiv(
+              lit(1000000L) * (col("n_corpus") + 1L), col("df") + 1L))
+            .withColumn("contrib", graft.functions.idiv(
+              col("w").cast("decimal(38,0)") * lit(22L) *
+                col("len_corpus") * col("tf"),
+              lit(10L) * col("len_corpus") * col("tf")
+                + lit(3L) * col("len_corpus")
+                + lit(9L) * col("n_corpus") * col("dl")))
+            .groupBy(col("doc_id"))
+            .agg(sum(col("contrib")).as("score"),
+              count(lit(1)).as("n_terms"))
+        }
+        val fb = bm25(q0)
+          .orderBy(col("score").desc, col("doc_id")).limit(fbDocs)
+          .select(col("doc_id"))
+        val dfAll = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("dfc"))
+        val exp = toks.join(fb, "doc_id")
+          .join(q0, Seq("term"), "left_anti")
+          .groupBy(col("term")).agg(count(lit(1)).as("tf_fb"))
+          .join(dfAll, "term").crossJoin(n)
+          .withColumn("escore", col("tf_fb") * graft.functions.idiv(
+            lit(1000000L) * (col("n_corpus") + 1L), col("dfc") + 1L))
+          .orderBy(col("escore").desc, col("term")).limit(expTerms)
+          .select(col("term"))
+        bm25(q0.union(exp))
+          .orderBy(col("score").desc, col("doc_id")).limit(k)
+      })
       case "profile_corr_matrix" => Seq("dec-mul" -> { (s, dir) =>
         // the pre-r20 shape: per-row DECIMAL multiplies inside the
         // sufficient-statistic sums (dec(a) * b), verbatim
