@@ -731,6 +731,17 @@ object Sampling {
     */
   def greedyCoverage(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1)
+    // NOT pre-partitioned on doc_id, deliberately (r20 measured both
+    // spellings): the per-round groupBy(doc_id) exchange looks
+    // removable by pinning the frame hash-partitioned on doc_id, but
+    // neither pin carries the partitioning contract under AQE — a
+    // localCheckpoint's LogicalRDD reports UnknownPartitioning(0) and
+    // a persisted InMemoryRelation wraps an unexecuted
+    // AdaptiveSparkPlan that does the same — so the round exchanges
+    // survived in the captured plans and the builds only added their
+    // own exchange (subset bench 3.4 s -> 4.1 s for the persist
+    // spelling; interleaved A/B a wash). The k round shuffles of the
+    // deduped gram frame are the honest cost here.
     val g = docs.select(col("doc_id"),
         explode(graft.functions.word_shingles(
           Dedup.tokens(col("text")), 3)).as("g"))
