@@ -129,8 +129,16 @@ object Layout {
       outDir: String, keyCol: String, targetRows: Long): DataFrame = {
     import spark.implicits._
     val in = spark.read.parquet(inDir)
-    val filesBefore = in.select(col("_metadata.file_path")).distinct().count()
-    val rows = in.count()
+    // ONE audit pass (r20): files_before and the row count come from
+    // the same scan — the previous distinct().count() + count() pair
+    // opened every small input file twice just to fill the audit row,
+    // which is exactly the per-file tax this operator exists to
+    // measure.
+    val pre = in.agg(
+      countDistinct(col("_metadata.file_path")).as("files_before"),
+      count(lit(1)).as("rows")).head()
+    val filesBefore = pre.getLong(0)
+    val rows = pre.getLong(1)
     val nOut = math.max(1L, (rows + targetRows - 1) / targetRows).toInt
     in.repartitionByRange(nOut, col(keyCol))
       .sortWithinPartitions(col(keyCol))
